@@ -1,0 +1,357 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.ColumnNotInDataframeError
+
+/** Core relational / dataflow operators (SURVEY.md §2.1).
+  *
+  * Every operator is a pure LogicalPlan transformation — no action is
+  * triggered unless documented ("eager"). All of them delegate physical
+  * execution to Catalyst/Tungsten; nothing here hand-schedules work, so
+  * predicate pushdown, column pruning and whole-stage codegen apply
+  * unchanged at any scale.
+  *
+  * Semantics follow the reference (file:line cited per method); the
+  * implementation is idiomatic Scala Spark, not a translation.
+  */
+object DataFrameOps {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def requireColumns(df: DataFrame, cols: Seq[String], what: String): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new ColumnNotInDataframeError(
+        s"$what: column(s) ${missing.mkString(", ")} not in dataframe " +
+          s"(has: ${df.columns.mkString(", ")})")
+  }
+
+  // ------------------------------------------------------------- operators
+
+  /** #1 Projection of columns into a single map<colName,value> column.
+    * Reference: rdsa_utils/helpers/pyspark.py:33-37.
+    */
+  def colnameToValueMap(cols: Seq[String]): Column =
+    map(cols.flatMap(c => Seq(lit(c), col(c))): _*)
+
+  /** #2 Rewrite the nullable flag of chosen columns (schema-only change;
+    * data is reused via the existing RDD — one narrow pass, no shuffle).
+    * Reference: rdsa_utils/helpers/pyspark.py:40-77.
+    */
+  def setColumnsNullable(
+      df: DataFrame,
+      columns: Seq[String],
+      nullable: Boolean = true): DataFrame = {
+    val schema = StructType(df.schema.fields.map { f =>
+      if (columns.contains(f.name)) f.copy(nullable = nullable) else f
+    })
+    df.sparkSession.createDataFrame(df.rdd, schema)
+  }
+
+  /** #3 Wide→long unpivot, pandas-`melt` style.
+    * Reference: rdsa_utils/helpers/pyspark.py:80-160. Spark-first: uses the
+    * built-in `unpivot` (planned as `Expand` — no array materialisation,
+    * stays inside whole-stage codegen), not the reference's
+    * array(struct)+explode construction.
+    */
+  def melt(
+      df: DataFrame,
+      idVars: Seq[String],
+      valueVars: Seq[String],
+      varName: String = "variable",
+      valueName: String = "value"): DataFrame = {
+    requireColumns(df, idVars ++ valueVars, "melt")
+    df.unpivot(idVars.map(col).toArray, valueVars.map(col).toArray, varName, valueName)
+  }
+
+  /** #5 Collect a DataFrame to a driver-side list — eager. 1 column →
+    * flat values; n columns → rows as Seq. Driver-side by design (small
+    * results only). Reference: rdsa_utils/helpers/pyspark.py:219-232.
+    */
+  def toList(df: DataFrame): List[Any] =
+    if (df.columns.length == 1) df.collect().map(_.get(0)).toList
+    else df.collect().map(_.toSeq).toList
+
+  /** #6 Bulk rename via mapping; unmapped names pass through, column
+    * order preserved. Reference: rdsa_utils/helpers/pyspark.py:235-243.
+    */
+  def mapColumnNames(df: DataFrame, mapper: Map[String, String]): DataFrame =
+    df.select(df.columns.map(c => col(c).as(mapper.getOrElse(c, c))).toSeq: _*)
+
+  /** #8 Cheap emptiness probe — eager but reads at most one row of one
+    * partition. Reference: rdsa_utils/helpers/pyspark.py:251-256.
+    */
+  def isDfEmpty(df: DataFrame): Boolean = df.isEmpty
+
+  /** #9 Explode an array column to rows.
+    * Reference: rdsa_utils/helpers/pyspark.py:259-280.
+    */
+  def unpackListCol(df: DataFrame, listCol: String, unpackedCol: String): DataFrame = {
+    requireColumns(df, Seq(listCol), "unpackListCol")
+    df.withColumn(unpackedCol, explode(col(listCol)))
+  }
+
+  /** #13 Nest columns into one struct column; placeholder field when the
+    * selection is empty (BigQuery quirk preserved).
+    * Reference: rdsa_utils/helpers/pyspark.py:396-452.
+    */
+  def convertColsToStructCol(
+      df: DataFrame,
+      structColName: String,
+      structCols: Seq[String],
+      noStructColType: DataType = BooleanType,
+      noStructColValue: Any = null): DataFrame = {
+    requireColumns(df, structCols, "convertColsToStructCol")
+    val (d, cols) =
+      if (structCols.nonEmpty) (df, structCols)
+      else {
+        val placeholder = s"no_$structColName"
+        (df.withColumn(placeholder, lit(noStructColValue).cast(noStructColType)),
+         Seq(placeholder))
+      }
+    d.withColumn(structColName, struct(cols.map(col): _*)).drop(cols: _*)
+  }
+
+  /** #15 Flatten struct columns to individual columns; optionally recurse
+    * until no StructType remains. Field names are NOT prefixed (matches
+    * reference `.*` expansion). Reference: rdsa_utils/helpers/pyspark.py:497-537.
+    */
+  def convertStructColToColumns(
+      df: DataFrame,
+      convertNestedStructs: Boolean = false): DataFrame = {
+    val structCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[StructType] => f.name
+    }
+    val flat = df.select(
+      df.columns.filterNot(structCols.contains).map(col).toSeq ++
+        structCols.toSeq.map(c => col(s"`$c`.*")): _*)
+    if (convertNestedStructs &&
+        flat.schema.fields.exists(_.dataType.isInstanceOf[StructType]))
+      convertStructColToColumns(flat, convertNestedStructs)
+    else flat
+  }
+
+  /** #16 Break Catalyst lineage (plan-blowup / OOM escape hatch for long
+    * iterative pipelines). `localCheckpoint` would persist blocks; the
+    * RDD round-trip only truncates the plan, matching the reference.
+    * Reference: rdsa_utils/helpers/pyspark.py:540-592.
+    */
+  def cutLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** #25 Deterministic dedup: keep rank-1 rows per `column` ordered by
+    * `idCol` (auto-generated monotonic id when absent). Uses `rank` — ties
+    * on the ordering id all survive, deliberately matching the reference.
+    * Reference: rdsa_utils/helpers/pyspark.py:1174-1221.
+    */
+  def dropDuplicatesReproducible(
+      df: DataFrame,
+      column: String,
+      idCol: Option[String] = None): DataFrame = {
+    requireColumns(df, Seq(column) ++ idCol, "dropDuplicatesReproducible")
+    val (d, id) = idCol match {
+      case Some(c) => (df, c)
+      case None    => (df.withColumn("dup_id", monotonically_increasing_id()), "dup_id")
+    }
+    val w = Window.partitionBy(col(column)).orderBy(col(id))
+    d.withColumn("rank", rank().over(w))
+      .filter(col("rank") === 1)
+      .drop("dup_id", "rank")
+  }
+
+  /** #26 Fold a (df, col) => df function over columns.
+    * Reference: rdsa_utils/helpers/pyspark.py:1224-1263.
+    */
+  def applyColFunc(
+      df: DataFrame,
+      cols: Seq[String],
+      func: (DataFrame, String) => DataFrame): DataFrame =
+    cols.foldLeft(df)(func)
+
+  /** #27 Uniform random column on [lower, upper) with optional seed.
+    * Reference: rdsa_utils/helpers/pyspark.py:1266-1313.
+    */
+  def randomUniform(
+      df: DataFrame,
+      outputCol: String,
+      lower: Double = 0.0,
+      upper: Double = 1.0,
+      seed: Option[Long] = None): DataFrame = {
+    val r = seed.map(rand).getOrElse(rand())
+    df.withColumn(outputCol, r * (upper - lower) + lower)
+  }
+
+  /** #28 Running-sum array from an array column, via higher-order
+    * functions only (stays in Catalyst — the reference builds the same
+    * transform/aggregate/slice expression).
+    * Reference: rdsa_utils/helpers/pyspark.py:1316-1357.
+    */
+  def cumulativeArray(df: DataFrame, arrayCol: String, outputCol: String): DataFrame = {
+    requireColumns(df, Seq(arrayCol), "cumulativeArray")
+    df.withColumn(
+      outputCol,
+      expr(s"transform(`$arrayCol`, (x, i) -> " +
+        s"aggregate(slice(`$arrayCol`, 1, i), 0D, (acc, y) -> acc + y) + x)"))
+  }
+
+  /** #29 Union two DataFrames with differing columns, null-filling gaps.
+    * Reference: rdsa_utils/helpers/pyspark.py:1360-1389.
+    */
+  def unionMismatchedDfs(df1: DataFrame, df2: DataFrame): DataFrame =
+    df1.unionByName(df2, allowMissingColumns = true)
+
+  /** #30 Row-wise sum of n columns (null-propagating `+`, matching the
+    * reference). Reference: rdsa_utils/helpers/pyspark.py:1392-1431.
+    */
+  def sumColumns(df: DataFrame, colsToSum: Seq[String], outputCol: String): DataFrame = {
+    requireColumns(df, colsToSum, "sumColumns")
+    df.withColumn(outputCol, colsToSum.map(col).reduce(_ + _))
+  }
+
+  /** #31 Replace listed values with NULL in a column. Sequential
+    * when/otherwise fold — exactly the reference's (quirky) semantics,
+    * where each pass nulls anything not equal to the current value's
+    * complement. Reference: rdsa_utils/helpers/pyspark.py:1434-1477.
+    */
+  def setNulls(df: DataFrame, column: String, values: Seq[String]): DataFrame = {
+    requireColumns(df, Seq(column), "setNulls")
+    values.foldLeft(df) { (d, v) =>
+      d.withColumn(column, when(col(column) =!= v, col(column)).otherwise(lit(null)))
+    }
+  }
+
+  /** #32 Positional union of n same-schema DataFrames.
+    * Reference: rdsa_utils/helpers/pyspark.py:1480-1508.
+    */
+  def unionMultiDfs(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionMultiDfs: need at least one dataframe")
+    dfs.reduce(_ union _)
+  }
+
+  private val allowedJoinTypes =
+    Set("inner", "outer", "full", "left", "right", "left_semi", "semi",
+        "left_anti", "anti", "cross")
+
+  /** #33 Fold-join n DataFrames on shared key(s). The reference restricts
+    * `how` to {inner,outer,left,right}; we additionally expose Spark's
+    * semi/anti/cross through the same helper. Catalyst + AQE pick
+    * broadcast/SMJ/shuffled-hash per side at runtime.
+    * Reference: rdsa_utils/helpers/pyspark.py:1511-1550.
+    */
+  def joinMultiDfs(dfs: Seq[DataFrame], on: Seq[String], how: String): DataFrame = {
+    require(dfs.size >= 2, "joinMultiDfs: need at least two dataframes")
+    if (!allowedJoinTypes.contains(how))
+      throw new IllegalArgumentException(
+        s"joinMultiDfs: join type '$how' not in ${allowedJoinTypes.mkString(", ")}")
+    dfs.reduce(_.join(_, on, how))
+  }
+
+  /** #34 Dictionary recode with passthrough for unmapped keys — a literal
+    * map lookup + coalesce, no shuffle, no UDF.
+    * Reference: rdsa_utils/helpers/pyspark.py:1553-1601.
+    */
+  def mapColumnValues(
+      df: DataFrame,
+      mapping: Map[String, String],
+      inputCol: String,
+      outputCol: Option[String] = None): DataFrame = {
+    requireColumns(df, Seq(inputCol), "mapColumnValues")
+    val out = outputCol.getOrElse(inputCol)
+    val m = map(mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.withColumn(out, coalesce(element_at(m, col(inputCol)), col(inputCol)))
+  }
+
+  /** #35 Choose a partition count from the optimizer's size estimate so
+    * output files land near `targetFileSizeMb`. Reads plan statistics only
+    * — triggers no job; `coalesce` is narrow (no shuffle).
+    * Reference: rdsa_utils/helpers/pyspark.py:1604-1695.
+    */
+  def smartCoalesce(df: DataFrame, targetFileSizeMb: Int = 512): DataFrame = {
+    val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(targetFileSizeMb.toLong * 1024 * 1024)
+    val n = ((sizeBytes + target - 1) / target).max(1)
+    df.coalesce(n.min(BigInt(df.rdd.getNumPartitions)).toInt)
+  }
+
+  /** #36 Anti-`isin` filter with explicit null handling (three-valued
+    * logic: `NOT x IN (...)` is NULL for null x, so nulls are dropped
+    * unless `keepNulls`). Reference: rdsa_utils/helpers/pyspark.py:1698-1791.
+    */
+  def filterOutValues(
+      df: DataFrame,
+      column: String,
+      valuesToExclude: Seq[Any],
+      keepNulls: Boolean = true): DataFrame = {
+    if (valuesToExclude.isEmpty)
+      throw new IllegalArgumentException(
+        s"filterOutValues: values_to_exclude for column '$column' must be non-empty")
+    requireColumns(df, Seq(column), "filterOutValues")
+    val base = !col(column).isin(valuesToExclude: _*)
+    df.filter(if (keepNulls) base || col(column).isNull else base)
+  }
+
+  /** #14 Top-1-per-group by date: earliest (ascending) or latest.
+    * Window row_number + filter — Spark plans a single shuffle on the
+    * group keys. Reference: rdsa_utils/helpers/pyspark.py:455-494.
+    */
+  def selectFirstObsAppearingInGroup(
+      df: DataFrame,
+      group: Seq[String],
+      dateCol: String,
+      ascending: Boolean): DataFrame = {
+    requireColumns(df, group :+ dateCol, "selectFirstObsAppearingInGroup")
+    val rankCol = Windows.rankNumeric(Seq(dateCol), group, ascending)
+    df.withColumn("rank", rankCol).filter(col("rank") === 1).drop("rank")
+  }
+}
+
+/** Window-spec builders (SURVEY.md §2.7). */
+object Windows {
+  import org.apache.spark.sql.expressions.WindowSpec
+
+  /** #10 Build a WindowSpec from optional partition/order columns; with
+    * neither, an unbounded whole-frame window.
+    * Reference: rdsa_utils/helpers/pyspark.py:283-326.
+    */
+  def getWindowSpec(
+      partitionCols: Seq[String] = Nil,
+      orderCols: Seq[String] = Nil): WindowSpec =
+    (partitionCols.nonEmpty, orderCols.nonEmpty) match {
+      case (true, true)  => Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*)
+      case (true, false) => Window.partitionBy(partitionCols.map(col): _*)
+      case (false, true) => Window.orderBy(orderCols.map(col): _*)
+      case (false, false) =>
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    }
+
+  /** #11 Unique per-row rank (row_number) within group; descending mode
+    * restricted to a single numeric column, matching the reference's
+    * validation. Reference: rdsa_utils/helpers/pyspark.py:329-369.
+    */
+  def rankNumeric(
+      numeric: Seq[String],
+      group: Seq[String],
+      ascending: Boolean = false): Column = {
+    val ordering =
+      if (ascending) numeric.map(col)
+      else {
+        if (numeric.size != 1)
+          throw new IllegalArgumentException(
+            "rankNumeric: descending ordering requires a single numeric column")
+        numeric.map(c => col(c).desc)
+      }
+    row_number().over(Window.partitionBy(group.map(col): _*).orderBy(ordering: _*))
+  }
+
+  /** #12 Grouped median via percentile_approx over a partition window
+    * (approx by design, matching the reference).
+    * Reference: rdsa_utils/helpers/pyspark.py:372-393.
+    */
+  def calcMedianPrice(groups: Seq[String], priceCol: String = "price"): Column =
+    percentile_approx(col(priceCol), lit(0.5), lit(10000))
+      .over(Window.partitionBy(groups.map(col): _*))
+}

@@ -1,0 +1,93 @@
+package graft.logging
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+import org.slf4j.LoggerFactory
+
+/** Observability combinators (SURVEY.md §2.12): schema / row-count
+  * logging wrappers, timers. The reference implements these as Python
+  * decorators (rdsa_utils/logging.py:179-522); Scala-first they are
+  * higher-order functions over `DataFrame => DataFrame`.
+  */
+object Log {
+  private val log = LoggerFactory.getLogger("graft")
+
+  /** Time a block, log a humanised duration, return its value.
+    * Reference: rdsa_utils/logging.py:179-204 (codetiming wrapper).
+    */
+  def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val result = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    log.info(f"$name took ${humanise(secs)}")
+    result
+  }
+
+  def humanise(seconds: Double): String =
+    if (seconds < 1) f"${seconds * 1000}%.0f ms"
+    else if (seconds < 60) f"$seconds%.2f s"
+    else f"${(seconds / 60).toInt}m ${(seconds % 60)}%.0f s"
+
+  /** Log the schema tree before/after a transformation.
+    * Reference: rdsa_utils/logging.py:262-408 (`log_spark_df_schema`).
+    */
+  def withSchemaLogging(name: String)(f: DataFrame => DataFrame): DataFrame => DataFrame =
+    df => {
+      log.info(s"[$name] input schema:\n${df.schema.treeString}")
+      val out = f(df)
+      log.info(s"[$name] output schema:\n${out.schema.treeString}")
+      out
+    }
+
+  /** Log row counts before/after a transformation. Caches the input so
+    * the count is not recomputed by the transformation; persists the
+    * output MEMORY_ONLY and unpersists the input — same choreography as
+    * the reference. Eager (two count jobs).
+    * Reference: rdsa_utils/logging.py:411-522 (`log_rows_in_spark_df`).
+    */
+  def withRowCountLogging(name: String)(f: DataFrame => DataFrame): DataFrame => DataFrame =
+    df => {
+      val cached = df.cache()
+      log.info(s"[$name] rows in: ${cached.count()}")
+      val out = f(cached).persist(StorageLevel.MEMORY_ONLY)
+      log.info(s"[$name] rows out: ${out.count()}")
+      cached.unpersist()
+      out
+    }
+
+  /** Cache + count with timing — the reference's `cache_time_df`.
+    * Reference: rdsa_utils/helpers/pyspark.py:1031-1051.
+    */
+  def cacheTimeDf(df: DataFrame): Unit =
+    timed("cache+count")(df.cache().count()): Unit
+
+  /** Log a full (small!) table and optionally raise.
+    * Reference: rdsa_utils/logging.py:207-259.
+    */
+  def printFullTableAndRaiseError(
+      df: DataFrame,
+      message: String,
+      stopPipeline: Boolean = false): Unit = {
+    val rendered = df.showString(df.count().toInt.min(1000), 0, vertical = false)
+    log.error(s"$message\n$rendered")
+    if (stopPipeline) throw new graft.PipelineError(message)
+  }
+
+  /** Warning-emitting wrapper (`add_warning_message_to_function` /
+    * `not_undergone_functional_test_warning`).
+    * Reference: rdsa_utils/logging.py:525-583.
+    */
+  def withWarning[A, B](message: String)(f: A => B): A => B = a => {
+    log.warn(message)
+    f(a)
+  }
+
+  private implicit class ShowStringAccess(df: DataFrame) {
+    // Dataset.showString is private[sql]; re-derive via show-to-string.
+    def showString(numRows: Int, truncate: Int, vertical: Boolean): String = {
+      val rows = df.limit(numRows).collect()
+      val header = df.columns.mkString(" | ")
+      (header +: rows.map(_.toSeq.map(v => if (v == null) "null" else v.toString).mkString(" | "))).mkString("\n")
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Vector math is expressed with higher-order Catalyst functions
+  * (zip_with + aggregate) — no UDF, stays codegen-adjacent, and works on
+  * any array<numeric> column. Brute-force top-k is the exactness
+  * baseline (broadcast the query set, one narrow pass over the corpus);
+  * the LSH path (random-hyperplane signs) is the 100 TB route: signature
+  * computation is narrow, the only shuffle keys on the bucket id.
+  */
+object Similarity {
+
+  /** Dot product of two array<numeric> columns (computed in double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two vector columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for every query vector, the k most
+    * similar corpus vectors. The query side is broadcast (it is small by
+    * construction); the corpus is scanned once with no shuffle until
+    * the final per-query top-k, which uses a window over the query id —
+    * at scale replace with `groupBy(query).agg(max_by...)`-style partial
+    * top-k, but window-over-few-queries is fine when queries ≪ corpus.
+    *
+    * Deterministic ordering: ties broken by corpus id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col(queryIdCol) =!= col("corpus_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(queryIdCol).orderBy(col("sim").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("corpus_id"), col("sim"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of dots with
+    * `numPlanes` pseudo-random hyperplanes. Hyperplane components are
+    * derived deterministically from xxhash64(plane, dim) mapped to
+    * [-1, 1] — data-independent, reproducible, and computed inline (no
+    * side table to ship to executors).
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int = 16): Column = {
+    // component(p, d) in [-1,1): xxhash64 of (p, d) scaled
+    def component(p: Column, d: Column): Column =
+      (xxhash64(p, d).cast("double") / lit(Long.MaxValue.toDouble))
+    val planeIdx = sequence(lit(0), lit(numPlanes - 1))
+    aggregate(
+      planeIdx,
+      lit(0L),
+      (acc, p) => {
+        val d = aggregate(
+          zip_with(vec, sequence(lit(0), lit(dim - 1)),
+            (x, i) => x.cast("double") * component(p, i)),
+          lit(0.0), (a, v) => a + v)
+        call_function("shiftleft", acc, lit(1)) +
+          when(d >= 0, 1L).otherwise(0L)
+      })
+  }
+
+  /** ANN near-duplicate / neighbor candidates via hyperplane LSH:
+    * vectors sharing a bucket are scored with exact cosine. Multi-probe
+    * via `numTables` independent sign-LSH tables (seeded by table id) to
+    * raise recall; one shuffle per table on the bucket key, unioned.
+    */
+  def lshCosineCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numPlanes: Int = 12,
+      numTables: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val tables = (0 until numTables).map { t =>
+      base.withColumn("table", lit(t))
+        .withColumn("bucket",
+          hyperplaneBucketSeeded(col("vec"), dim, numPlanes, seed = t))
+    }
+    val banded = tables.reduce(_ union _)
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.table") === col("r.table") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.vec").as("vec_a"), col("r.vec").as("vec_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  private def hyperplaneBucketSeeded(
+      vec: Column, dim: Int, numPlanes: Int, seed: Int): Column = {
+    def component(p: Column, d: Column): Column =
+      (xxhash64(lit(seed), p, d).cast("double") / lit(Long.MaxValue.toDouble))
+    val planeIdx = sequence(lit(0), lit(numPlanes - 1))
+    aggregate(
+      planeIdx,
+      lit(0L),
+      (acc, p) => {
+        val d = aggregate(
+          zip_with(vec, sequence(lit(0), lit(dim - 1)),
+            (x, i) => x.cast("double") * component(p, i)),
+          lit(0.0), (a, v) => a + v)
+        call_function("shiftleft", acc, lit(1)) +
+          when(d >= 0, 1L).otherwise(0L)
+      })
+  }
+}

@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All pure Catalyst expressions (no UDFs): they stay inside whole-stage
+  * codegen and scale linearly with no shuffle. Deterministic by
+  * construction so results can be oracle-checked.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a text column (trimmed; empty → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: counts maximal runs of letters / digits /
+    * punctuation, the shape a byte-pair tokenizer's pre-tokenizer splits
+    * on. Regex-only — codegen'd, no UDF.
+    */
+  val bpeTokenPattern: String = "(?:'(?:s|d|m|t|ll|ve|re))| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Normalised text: lowercase, trimmed, whitespace collapsed — the
+    * canonical form for exact dedup and fingerprinting. */
+  def normalizeText(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalised text. Stable across
+    * engines (hex md5), unlike engine-internal hash functions. */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Quality score in [0,1]: blends length, punctuation density,
+    * stopword ratio and mean token length — the standard cheap quality
+    * heuristics applied before LLM training. Deterministic arithmetic.
+    */
+  def qualityScore(
+      text: Column,
+      stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val safeNTok = greatest(nTok, lit(1.0))
+    // length component: saturates at 500 chars
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    // punctuation density: fraction of non-alnum/space chars, lower is better
+    val punct = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double")
+    val punctScore = lit(1.0) - least(punct / greatest(length(text).cast("double"), lit(1.0)) * 4.0, lit(1.0))
+    // stopword ratio: healthy natural text has some function words
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val stopScore = least(nStop / safeNTok * 4.0, lit(1.0))
+    // mean token length: 3–10 chars is "wordlike"
+    val meanTokLen = length(regexp_replace(text, "\\s+", "")).cast("double") / safeNTok
+    val tokLenScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore + punctScore + stopScore + tokLenScore) / 4.0, 6)
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on")
+
+  /** Language-ID by marker-token voting: for each candidate language,
+    * count tokens in its marker list; argmax wins, ties broken by
+    * language-code order. N-gram-free heuristic that runs as pure
+    * expressions. Profiles are caller-supplied (e.g. per-language
+    * function words).
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    val scored = profiles.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(arr, t)))
+    }
+    // argmax with deterministic lang-order tiebreak: fold keeping best
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         when(score > bestScore, score).otherwise(bestScore))
+    }
+    best._1
+  }
+}

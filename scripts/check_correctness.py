@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Reads Verify's output dir (one parquet dir per query + oracle_sql.json),
+runs each oracle in DuckDB against the sf parquet tables, and compares
+row counts, column names, and sorted values. Usage:
+
+    python3 scripts/check_correctness.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return v
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        entry = {}
+        try:
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_cols = sorted(spark_rel.columns)
+            spark_rows = spark_rel.fetchall()
+        except Exception as e:
+            results[name] = {"error": f"spark result unreadable: {e}"}
+            continue
+        try:
+            ora_rel = con.sql(sql)
+            ora_cols = sorted(ora_rel.columns)
+            ora_rows = ora_rel.fetchall()
+        except Exception as e:
+            results[name] = {"error": f"oracle failed: {e}"}
+            continue
+        entry["rows_match"] = len(spark_rows) == len(ora_rows)
+        entry["schema_match"] = spark_cols == ora_cols
+        if entry["schema_match"]:
+            scol = spark_rel.columns
+            ocol = ora_rel.columns
+            sidx = [scol.index(c) for c in spark_cols]
+            oidx = [ocol.index(c) for c in ora_cols]
+            key = lambda row: tuple((v is None, str(type(v)), v) for v in row)
+            sset = sorted((tuple(canon(r[i]) for i in sidx) for r in spark_rows), key=key)
+            oset = sorted((tuple(canon(r[i]) for i in oidx) for r in ora_rows), key=key)
+            entry["hash_match"] = sset == oset
+            if not entry["hash_match"]:
+                diff_a = [r for r in sset if r not in set(oset)][:3]
+                diff_b = [r for r in oset if r not in set(sset)][:3]
+                entry["spark_only"] = [list(map(str, r)) for r in diff_a]
+                entry["oracle_only"] = [list(map(str, r)) for r in diff_b]
+        else:
+            entry["hash_match"] = False
+            entry["spark_cols"] = spark_cols
+            entry["oracle_cols"] = ora_cols
+        entry["n_rows"] = len(spark_rows)
+        results[name] = entry
+
+    # queries without oracle: rows-only
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracle:
+            try:
+                n = len(con.sql(f"SELECT * FROM '{p}/*.parquet'").fetchall())
+                results[name] = {"rows_only": True, "n_rows": n, "rows_match": n > 0}
+            except Exception as e:
+                results[name] = {"error": str(e)}
+
+    ok = sum(1 for r in results.values()
+             if r.get("hash_match") or (r.get("rows_only") and r.get("rows_match")))
+    bad = {k: v for k, v in results.items()
+           if not (v.get("hash_match") or (v.get("rows_only") and v.get("rows_match")))}
+    print(json.dumps(results, indent=1, default=str))
+    print(f"\n=== {ok}/{len(results)} queries pass ===")
+    if bad:
+        print("FAILING:", ", ".join(sorted(bad)))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

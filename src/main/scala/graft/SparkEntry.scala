@@ -1,13 +1,677 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{DataFrameOps, Windows}
+import graft.checks.Checks
+import graft.methods.Averaging
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+import graft.multimodal.Multimodal
+import graft.streaming.Streaming
+import graft.io.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY.md §2 (or an
+  * LLM-pipeline extension) against the driver's parquet tables; the
+  * matching `oracleSql` entry is the ANSI/DuckDB-SQL ground truth on the
+  * same tables. Column names AND types are aligned on both sides
+  * (integer keys cast to BIGINT, cross-engine-float aggregates rounded
+  * to 6 dp) because the driver hash-compares values column-by-column.
+  * Operators whose results depend on engine-internal hashes (xxhash64
+  * LSH variants) have no SQL oracle and get the driver's rows-only
+  * check; their exactness is covered by all-pairs oracle variants and
+  * the ScalaTest suites.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Scratch dir for queries that exercise write paths. */
+  private val scratch = "/root/repo/target/verify_tmp"
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads via
+    * legacy.parquet.nanosAsLong (LongType nanos) — normalise back to a
+    * proper TimestampType (µs, truncating like DuckDB's ns→µs read). */
+  private def eventsDf(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** documents ∪ near-duplicate copies (ids offset by 1,000,000) — makes
+    * near-dup detection queries produce guaranteed non-empty output. */
+  private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val dups = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" extra tail token")).as("text"))
+    d.unionByName(dups)
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Revenue by region: broadcast-joined dims, one shuffle for the agg.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val lineitem = t(spark, dir, "lineitem")
+    val supplier = t(spark, dir, "supplier")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    lineitem
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // =================================================================
+  // Queries — one per operator. Signature: (session, sfDir) => DF.
+  // =================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------------- §2.1 core
+    "q_melt" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+      DataFrameOps.melt(li, Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_discount", "l_tax"))
+    }),
+
+    "q_map_colnames" -> ((s, d) =>
+      DataFrameOps.mapColumnNames(
+        t(s, d, "region").select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name")),
+        Map("r_regionkey" -> "region_key", "r_name" -> "region_name"))),
+
+    "q_colname_value_map" -> ((s, d) =>
+      t(s, d, "nation")
+        .withColumn("m", DataFrameOps.colnameToValueMap(Seq("n_name")))
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          element_at(col("m"), "n_name").as("name_from_map"))),
+
+    "q_unpack_list" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          array(col("l_quantity"), col("l_tax")).as("vals"))
+      DataFrameOps.unpackListCol(li, "vals", "v").drop("vals")
+    }),
+
+    "q_rank_numeric" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("rnk",
+          Windows.rankNumeric(Seq("l_linenumber"), Seq("l_orderkey"), ascending = true))
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("rnk").cast("long").as("rnk"))),
+
+    "q_first_obs" -> ((s, d) =>
+      // o_orderkey is unique per customer → deterministic top-1 ordering
+      DataFrameOps.selectFirstObsAppearingInGroup(
+        t(s, d, "orders"), Seq("o_custkey"), "o_orderkey", ascending = true)
+        .select(col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice"))),
+
+    "q_median_price" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("median_qty", Windows.calcMedianPrice(Seq("l_returnflag"), "l_quantity"))
+        .select(col("l_returnflag"), col("median_qty"))
+        .distinct()),
+
+    "q_window_running" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("run_total",
+          round(sum(col("o_totalprice"))
+            .over(Windows.getWindowSpec(Seq("o_custkey"), Seq("o_orderdate"))), 6))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("run_total"))),
+
+    "q_struct_roundtrip" -> ((s, d) =>
+      DataFrameOps.convertStructColToColumns(
+        DataFrameOps.convertColsToStructCol(
+          t(s, d, "nation"), "info", Seq("n_name", "n_regionkey")))
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))),
+
+    "q_drop_dups" -> ((s, d) =>
+      DataFrameOps.dropDuplicatesReproducible(
+        t(s, d, "orders"), "o_custkey", idCol = Some("o_orderkey"))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"), col("o_totalprice"))),
+
+    "q_cumulative_array" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("arr", array(col("l_quantity"), col("l_discount"), col("l_tax")))
+      DataFrameOps.cumulativeArray(li, "arr", "cum")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          element_at(col("cum"), 1).as("c1"),
+          element_at(col("cum"), 2).as("c2"),
+          element_at(col("cum"), 3).as("c3"))
+    }),
+
+    "q_union_mismatched" -> ((s, d) => {
+      val df1 = t(s, d, "region")
+        .select(col("r_regionkey").cast("long").as("rk"), col("r_name"))
+      val df2 = t(s, d, "nation")
+        .select(col("n_regionkey").cast("long").as("rk"), col("n_name"))
+      DataFrameOps.unionMismatchedDfs(df1, df2)
+    }),
+
+    "q_sum_columns" -> ((s, d) =>
+      DataFrameOps.sumColumns(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_discount", "l_tax"), "total")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("total"))),
+
+    "q_set_nulls" -> ((s, d) =>
+      DataFrameOps.setNulls(t(s, d, "orders"), "o_orderstatus", Seq("O", "F"))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_orderstatus"))),
+
+    "q_union_multi" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      DataFrameOps.unionMultiDfs(Seq(
+        n.filter(col("n_regionkey") === 0),
+        n.filter(col("n_regionkey") === 1),
+        n.filter(col("n_regionkey") === 2)))
+    }),
+
+    "q_join_multi" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("rk"))
+      val r = t(s, d, "region")
+        .select(col("r_regionkey").cast("long").as("rk"), col("r_name"))
+      val nr = DataFrameOps.joinMultiDfs(Seq(n, r), Seq("rk"), "inner")
+      val c = t(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("n_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      DataFrameOps.joinMultiDfs(Seq(nr, c), Seq("n_nationkey"), "left")
+        .select(col("n_nationkey"), col("n_name"), col("r_name"), col("n_customers"))
+    }),
+
+    "q_map_values" -> ((s, d) =>
+      DataFrameOps.mapColumnValues(
+        t(s, d, "region").select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name")),
+        Map("ASIA" -> "Asia-Pacific", "EUROPE" -> "EMEA"), "r_name")),
+
+    "q_filter_out" -> ((s, d) =>
+      DataFrameOps.filterOutValues(t(s, d, "orders"), "o_orderstatus", Seq("O"))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_orderstatus"))),
+
+    "q_apply_col_func" -> ((s, d) =>
+      DataFrameOps.applyColFunc(
+        t(s, d, "nation").select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")),
+        Seq("n_name"),
+        (df, c) => df.withColumn(c, upper(col(c))))),
+
+    "q_cut_lineage" -> ((s, d) =>
+      DataFrameOps.cutLineage(
+        t(s, d, "region").select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name")))),
+
+    "q_set_nullable" -> ((s, d) =>
+      DataFrameOps.setColumnsNullable(
+        t(s, d, "region").select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name")),
+        Seq("r_name"), nullable = true)),
+
+    "q_smart_coalesce" -> ((s, d) =>
+      DataFrameOps.smartCoalesce(t(s, d, "lineitem"))
+        .agg(count(lit(1)).as("n_rows"))),
+
+    "q_random_uniform" -> ((s, d) =>
+      // engine-internal RNG — no SQL oracle; deterministic per seed in Spark
+      DataFrameOps.randomUniform(
+        t(s, d, "region").select(col("r_regionkey").cast("long").as("r_regionkey")),
+        "u", lower = 10.0, upper = 20.0, seed = Some(42L))),
+
+    // ------------------------------------------------ §2.1 checks
+    "q_count_nulls" -> ((s, d) => Checks.countNullsDf(t(s, d, "orders"))),
+
+    "q_agg_col" -> ((s, d) => {
+      import s.implicits._
+      Seq(Checks.aggregateCol(t(s, d, "lineitem"), "l_quantity", "sum")).toDF("value")
+    }),
+
+    "q_get_unique" -> ((s, d) => {
+      import s.implicits._
+      Checks.getUnique(t(s, d, "customer"), "c_mktsegment")
+        .map(_.asInstanceOf[String]).toDF("c_mktsegment")
+    }),
+
+    "q_has_no_nulls" -> ((s, d) => {
+      import s.implicits._
+      Seq(Checks.hasNoNulls(t(s, d, "lineitem"), "l_quantity")).toDF("result")
+    }),
+
+    // -------------------------------------------- §2.2 averaging
+    "q_weighted_arith" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("share", Averaging.getWeightShares(col("l_quantity"), Seq("l_returnflag")))
+      li.groupBy("l_returnflag")
+        .agg(round(Averaging.weightedArithmeticAverage(col("l_extendedprice"), col("share")), 6)
+          .as("wavg"))
+    }),
+
+    "q_weighted_geom" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("share", Averaging.getWeightShares(col("l_quantity"), Seq("l_returnflag")))
+      li.groupBy("l_returnflag")
+        .agg(round(Averaging.weightedGeometricAverage(col("l_extendedprice"), col("share")), 6)
+          .as("wgeo"))
+    }),
+
+    "q_unweighted_avgs" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(Averaging.unweightedArithmeticAverage(col("l_extendedprice")), 6).as("uavg"),
+          round(Averaging.unweightedGeometricAverage(col("l_extendedprice")), 6).as("ugeo"))),
+
+    "q_weight_shares" -> ((s, d) =>
+      t(s, d, "supplier")
+        .withColumn("share",
+          round(Averaging.getWeightShares(col("s_acctbal"), Seq("s_nationkey")), 6))
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("share"))),
+
+    // ------------------------------------------------- §2.3 io
+    "q_load_csv" -> ((s, d) => {
+      val tmp = s"$scratch/region_csv"
+      t(s, d, "region").write.mode("overwrite").option("header", "true").csv(tmp)
+      Tables.loadCsv(s, tmp,
+        keepColumns = Seq("r_regionkey", "r_name"),
+        renameColumns = Map("r_name" -> "region_name"),
+        options = Map("inferSchema" -> "true"))
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("region_name"))
+    }),
+
+    "q_table_roundtrip" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      s.sql("DROP TABLE IF EXISTS graft_tmp_nation")
+      graft.io.FileOps.deleteFile(s, s.conf.get("spark.sql.warehouse.dir") + "/graft_tmp_nation", recursive = true)
+      Tables.insertDfToTable(s, n, "graft_tmp_nation", overwrite = true)
+      Tables.loadAndValidateTable(s, "graft_tmp_nation", filterCond = Some("n_regionkey = 0"))
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+    }),
+
+    // ------------------------------------------------ text analysis
+    "q_token_counts" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
+
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    "q_normalize" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextFunctions.normalizeText(col("text")).as("norm"))),
+
+    "q_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    "q_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextFunctions.langId(col("text"), Seq(
+            "db" -> Seq("table", "row", "column"),
+            "en" -> Seq("the", "a", "of"),
+            "ops" -> Seq("merge", "sort", "scan"))).as("lang_guess"))),
+
+    // ---------------------------------------------------- dedup
+    "q_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"))),
+
+    "q_ngram_pairs" -> ((s, d) =>
+      // all-pairs exactness baseline — deliberately bounded to a slice
+      // (doc_id < 1000) so the quadratic baseline stays tractable at
+      // bench scale; the LSH variant below is the full-corpus path
+      Dedup.ngramJaccardAllPairs(
+        t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .filter(col("doc_id") < 1000),
+        "text", "doc_id", n = 3, threshold = 0.7)),
+
+    "q_minhash_dedup" -> ((s, d) =>
+      // xxhash64-based LSH: engine-internal hash, rows-only check
+      Dedup.minHashNearDuplicates(augmentedDocs(s, d), "text", "doc_id", threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "q_simhash_dedup" -> ((s, d) =>
+      Dedup.simHashNearDuplicates(augmentedDocs(s, d), "text", "doc_id", maxHamming = 6)),
+
+    "q_ngram_lsh" -> ((s, d) =>
+      Dedup.ngramJaccardNearDuplicates(augmentedDocs(s, d), "text", "doc_id", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // ------------------------------------------------- similarity
+    "q_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
+    }),
+
+    "q_lsh_cosine" -> ((s, d) =>
+      // xxhash64-derived hyperplanes: rows-only check
+      Similarity.lshCosineCandidates(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, numPlanes = 8, numTables = 4, threshold = 0.3)
+        .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
+          round(col("sim"), 6).as("sim"))),
+
+    // ------------------------------------------------- multimodal
+    "q_media_table" -> ((s, d) =>
+      Multimodal.syntheticMediaTable(t(s, d, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("media_type"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.duration_ms").as("duration_ms"))),
+
+    "q_extract_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticMediaTable(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("byte_len").cast("long").as("byte_len"))),
+
+    "q_sample_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.syntheticMediaTable(t(s, d, "documents"), "doc_id", "text"), stride = 64)),
+
+    // ------------------------------------------ streaming (batch mode)
+    "q_tumbling" -> ((s, d) =>
+      Streaming.tumblingAgg(eventsDf(s, d), "ts", "event_type", "1 hour")
+        .select(col("window_start").cast("long").as("window_start"),
+          col("window_end").cast("long").as("window_end"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))),
+
+    "q_sliding" -> ((s, d) =>
+      Streaming.slidingAgg(eventsDf(s, d), "ts", "event_type", "1 hour", "30 minutes")
+        .select(col("window_start").cast("long").as("window_start"),
+          col("window_end").cast("long").as("window_end"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))),
+
+    "q_session" -> ((s, d) =>
+      Streaming.sessionAgg(eventsDf(s, d), "ts", "event_type", "30 minutes")
+        .select(col("session_start").cast("long").as("session_start"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))),
+  )
+
+  // =================================================================
+  // Oracles — DuckDB SQL over the same parquet tables. Omitted keys
+  // (q_random_uniform, q_minhash_dedup, q_simhash_dedup, q_ngram_lsh,
+  // q_lsh_cosine) depend on engine-internal hashing/RNG → rows-only.
+  // =================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q_melt" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+        |UNION ALL SELECT CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT), 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT), 'l_tax', l_tax FROM lineitem""".stripMargin,
+
+    "q_map_colnames" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS region_key, r_name AS region_name FROM region",
+
+    "q_colname_value_map" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name AS name_from_map FROM nation",
+
+    "q_unpack_list" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity AS v FROM lineitem
+        |UNION ALL SELECT CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT), l_tax FROM lineitem""".stripMargin,
+
+    "q_rank_numeric" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS rnk FROM lineitem""".stripMargin,
+
+    "q_first_obs" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_median_price" ->
+      "SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS median_qty FROM lineitem GROUP BY l_returnflag",
+
+    "q_window_running" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate), 6) AS run_total FROM orders""".stripMargin,
+
+    "q_struct_roundtrip" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
+
+    "q_drop_dups" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, o_totalprice
+        |FROM (SELECT *, rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rnk FROM orders)
+        |WHERE rnk = 1""".stripMargin,
+
+    "q_cumulative_array" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |l_quantity AS c1, l_quantity + l_discount AS c2, l_quantity + l_discount + l_tax AS c3 FROM lineitem""".stripMargin,
+
+    "q_union_mismatched" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS rk, r_name, CAST(NULL AS VARCHAR) AS n_name FROM region
+        |UNION ALL SELECT CAST(n_regionkey AS BIGINT), CAST(NULL AS VARCHAR), n_name FROM nation""".stripMargin,
+
+    "q_sum_columns" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |l_quantity + l_discount + l_tax AS total FROM lineitem""".stripMargin,
+
+    "q_set_nulls" ->
+      "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, NULLIF(NULLIF(o_orderstatus, 'O'), 'F') AS o_orderstatus FROM orders",
+
+    "q_union_multi" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation WHERE n_regionkey = 0
+        |UNION ALL SELECT CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 1
+        |UNION ALL SELECT CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 2""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, r_name, c.n_customers
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+        |ON n_nationkey = c.c_nationkey""".stripMargin,
+
+    "q_map_values" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+        |CASE r_name WHEN 'ASIA' THEN 'Asia-Pacific' WHEN 'EUROPE' THEN 'EMEA' ELSE r_name END AS r_name FROM region""".stripMargin,
+
+    "q_filter_out" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus NOT IN ('O') OR o_orderstatus IS NULL""".stripMargin,
+
+    "q_apply_col_func" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, upper(n_name) AS n_name FROM nation",
+
+    "q_cut_lineage" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+
+    "q_set_nullable" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+
+    "q_smart_coalesce" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q_count_nulls" ->
+      """SELECT count(*) FILTER (WHERE o_orderkey IS NULL) AS o_orderkey,
+        |count(*) FILTER (WHERE o_custkey IS NULL) AS o_custkey,
+        |count(*) FILTER (WHERE o_orderstatus IS NULL) AS o_orderstatus,
+        |count(*) FILTER (WHERE o_totalprice IS NULL) AS o_totalprice,
+        |count(*) FILTER (WHERE o_orderdate IS NULL) AS o_orderdate,
+        |count(*) FILTER (WHERE o_orderpriority IS NULL) AS o_orderpriority FROM orders""".stripMargin,
+
+    "q_agg_col" ->
+      "SELECT CAST(sum(l_quantity) AS DOUBLE) AS value FROM lineitem",
+
+    "q_get_unique" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+
+    "q_has_no_nulls" ->
+      "SELECT count(*) FILTER (WHERE l_quantity IS NULL) = 0 AS result FROM lineitem",
+
+    "q_weighted_arith" ->
+      """SELECT l_returnflag, round(sum(l_extendedprice * share), 6) AS wavg FROM
+        |(SELECT l_returnflag, l_extendedprice,
+        |  l_quantity / sum(l_quantity) OVER (PARTITION BY l_returnflag) AS share FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_weighted_geom" ->
+      """SELECT l_returnflag, round(exp(sum(ln(l_extendedprice) * share)), 6) AS wgeo FROM
+        |(SELECT l_returnflag, l_extendedprice,
+        |  l_quantity / sum(l_quantity) OVER (PARTITION BY l_returnflag) AS share FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_unweighted_avgs" ->
+      """SELECT l_returnflag, round(avg(l_extendedprice), 6) AS uavg,
+        |round(exp(avg(ln(l_extendedprice))), 6) AS ugeo FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_weight_shares" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        |round(s_acctbal / sum(s_acctbal) OVER (PARTITION BY s_nationkey), 6) AS share FROM supplier""".stripMargin,
+
+    "q_load_csv" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name AS region_name FROM region",
+
+    "q_table_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey = 0""".stripMargin,
+
+    "q_token_counts" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+        |CAST(len(regexp_extract_all(text, '(?:''(?:s|d|m|t|ll|ve|re))| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents""".stripMargin,
+
+    "q_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, toks,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    greatest(CAST(len(toks) AS DOUBLE), 1.0) AS safen,
+        |    CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on'], t))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nchar_nospace
+        |  FROM base)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  round((least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+        |    + (1.0 - least(punct / greatest(CAST(len(text) AS DOUBLE), 1.0) * 4.0, 1.0))
+        |    + least(nstop / safen * 4.0, 1.0)
+        |    + (CASE WHEN nchar_nospace / safen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
+        |FROM m""".stripMargin,
+
+    "q_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['table','row','column'], t))) AS s_db,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['merge','sort','scan'], t))) AS s_ops
+        |  FROM s)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN s_ops > greatest(s_db, s_en) THEN 'ops'
+        |       WHEN s_en > s_db THEN 'en' ELSE 'db' END AS lang_guess
+        |FROM sc""".stripMargin,
+
+    "q_exact_dedup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "q_ngram_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    [substr(t, i, 3) FOR i IN range(1, greatest(len(t) - 2, 1) + 1)],
+        |    x -> len(x) = 3)) AS grams
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents WHERE doc_id < 1000))
+        |SELECT CAST(l.doc_id AS BIGINT) AS id_a, CAST(r.doc_id AS BIGINT) AS id_b,
+        |  CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)) AS jaccard
+        |FROM g l, g r WHERE l.doc_id < r.doc_id
+        |AND CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)) >= 0.7""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+        |s AS (SELECT query_id, corpus_id, list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS sim
+        |      FROM q CROSS JOIN c WHERE query_id <> corpus_id),
+        |r AS (SELECT query_id, corpus_id, sim,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rnk FROM s)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id,
+        |  round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q_media_table" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |CAST(doc_id % 1920 + 1 AS BIGINT) AS width,
+        |CAST(doc_id % 1080 + 1 AS BIGINT) AS height,
+        |CAST(octet_length(encode(text)) * 100 AS BIGINT) AS duration_ms FROM documents""".stripMargin,
+
+    "q_extract_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents""".stripMargin,
+
+    "q_sample_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |unnest(generate_series(0, CAST(octet_length(encode(text)) // 64 AS BIGINT))) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "q_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 AS window_end,
+        |event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_sliding" ->
+      """SELECT ws AS window_start, ws + 3600 AS window_end, event_type,
+        |count(*) AS n_events, round(sum(value), 6) AS sum_value FROM (
+        |  SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - i * 1800 AS ws, event_type, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) t(i))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_session" ->
+      """WITH flagged AS (
+        |  SELECT event_type, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY event_type ORDER BY ts)) > 1800
+        |         THEN 1 ELSE 0 END AS newsess
+        |  FROM events),
+        |sess AS (SELECT *, sum(newsess) OVER (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start, event_type,
+        |count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM sess GROUP BY event_type, sid""".stripMargin,
+  )
 }

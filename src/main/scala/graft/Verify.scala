@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // catalog-table queries need a writable, cwd-independent warehouse
+      .config("spark.sql.warehouse.dir", "/root/repo/target/verify_warehouse")
+      // events.parquet has TIMESTAMP(NANOS); read as long, convert in-query
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=/root/repo/target/verify_metastore;create=true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

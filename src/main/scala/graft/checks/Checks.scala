@@ -63,8 +63,20 @@ object Checks {
     requireColumns(df, Seq(column), "getUnique")
     val values = df.select(col(column)).distinct().collect().map(_.get(0)).toList
     val (nulls, nonNull) = values.partition(_ == null)
-    val sorted = nonNull.sortBy(_.toString)
+    // Natural-type ordering (numbers numerically, not lexicographically),
+    // matching the reference's native-value sort.
+    val sorted = nonNull.sortWith(compareNatural(_, _) < 0)
     if (removeNull) sorted else sorted ++ nulls
+  }
+
+  private def compareNatural(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case _ => a.toString.compareTo(b.toString)
   }
 
   /** #37 Boolean null-free check on a column — eager but short-circuits

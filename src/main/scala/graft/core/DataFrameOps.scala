@@ -153,14 +153,22 @@ object DataFrameOps {
       column: String,
       idCol: Option[String] = None): DataFrame = {
     requireColumns(df, Seq(column) ++ idCol, "dropDuplicatesReproducible")
-    val (d, id) = idCol match {
-      case Some(c) => (df, c)
-      case None    => (df.withColumn("dup_id", monotonically_increasing_id()), "dup_id")
+    // Collision-free working-column names: a user column literally named
+    // "rank"/"dup_id" must survive untouched.
+    def freshName(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
+        .map("__graft_" + _).find(!df.columns.contains(_)).get
+    val rankCol = freshName("rank")
+    val (d, id, synthesized) = idCol match {
+      case Some(c) => (df, c, None)
+      case None =>
+        val idName = freshName("dup_id")
+        (df.withColumn(idName, monotonically_increasing_id()), idName, Some(idName))
     }
     val w = Window.partitionBy(col(column)).orderBy(col(id))
-    d.withColumn("rank", rank().over(w))
-      .filter(col("rank") === 1)
-      .drop("dup_id", "rank")
+    d.withColumn(rankCol, rank().over(w))
+      .filter(col(rankCol) === 1)
+      .drop(synthesized.toSeq :+ rankCol: _*)
   }
 
   /** #26 Fold a (df, col) => df function over columns.
@@ -273,8 +281,11 @@ object DataFrameOps {
   def smartCoalesce(df: DataFrame, targetFileSizeMb: Int = 512): DataFrame = {
     val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = BigInt(targetFileSizeMb.toLong * 1024 * 1024)
-    val n = ((sizeBytes + target - 1) / target).max(1)
-    df.coalesce(n.min(BigInt(df.rdd.getNumPartitions)).toInt)
+    val n = ((sizeBytes + target - 1) / target).max(1).min(BigInt(Int.MaxValue))
+    // No explicit current-partition cap: coalesce(n) with n >= current is
+    // already a no-op, and reading df.rdd just for a count would convert
+    // the plan to an RDD (losing reuse) and trigger file listing.
+    df.coalesce(n.toInt)
   }
 
   /** #36 Anti-`isin` filter with explicit null handling (three-valued

@@ -16,47 +16,123 @@ import graft.text.TextFunctions
   * candidate pairs. Signatures are computed with higher-order Catalyst
   * expressions (xxhash64-based), no UDFs, so signature generation is a
   * single narrow pass over the corpus.
+  *
+  * Shuffle-payload discipline: the banded exchange and the bucket
+  * self-join carry ONLY (id, band, bucket) — never the shingle arrays
+  * or text. Payloads needed for verification (shingle/ngram sets) are
+  * re-joined by id AFTER candidate pairs are known, so the wide
+  * exchange is a few dozen bytes per row regardless of document size.
+  * Hot buckets (boilerplate / empty docs) are capped at
+  * `maxBucketSize` members to bound the worst-case pair blowup — a
+  * bucket over the cap is dropped (its members overwhelmingly re-pair
+  * in other bands).
   */
 object Dedup {
 
   /** Exact dedup on normalised text: keep the lowest-id row per
-    * fingerprint. One shuffle on the (md5) fingerprint.
+    * fingerprint. One shuffle on the (md5) fingerprint. Output schema ==
+    * input schema (helper columns are collision-safe and dropped).
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = TextFunctions.fingerprint(col(textCol))
-    val w = Window.partitionBy("fingerprint").orderBy(col(idCol))
-    df.withColumn("fingerprint", fp)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) s"__graft_$base" else s"__graft_${base}_$i")
+        .find(!df.columns.contains(_)).get
+    val fpCol = fresh("fingerprint")
+    val rnCol = fresh("rn")
+    val w = Window.partitionBy(fpCol).orderBy(col(idCol))
+    df.withColumn(fpCol, TextFunctions.fingerprint(col(textCol)))
+      .withColumn(rnCol, row_number().over(w))
+      .filter(col(rnCol) === 1)
+      .drop(fpCol, rnCol)
   }
 
-  /** Token k-shingles of a text column (k consecutive tokens re-joined
-    * with a single space), distinct. Pure HOF expression; documents
-    * shorter than k tokens yield their full token join. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextFunctions.tokens(text)
+  /** k-shingles from an already-materialised token array column. The
+    * token array MUST be a bound column (use `withColumn` first), not a
+    * computed expression: Catalyst re-evaluates a computed argument on
+    * every lambda invocation, turning one regex split per document into
+    * one per shingle. */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
     array_distinct(
       filter(
         transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
           i => concat_ws(" ", slice(toks, i, lit(k)))),
         s => length(s) > 0))
+
+  /** Token k-shingles of a NORMALISED text column (lowercase, collapsed
+    * whitespace — near-dup detection should not split on case), k
+    * consecutive tokens re-joined with a single space, distinct.
+    * Convenience form — for bulk pipelines materialise the token array
+    * first and use [[shinglesFromTokens]] (see its scaling note). */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(TextFunctions.tokens(TextFunctions.normalizeText(text)), k)
+
+  /** One xxhash64 per shingle — materialise this as a column so the
+    * per-seed MinHash mixing below works on longs, not strings. */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => xxhash64(s))
+
+  /** MinHash signature from PRE-HASHED shingles: seed-mixing longs with
+    * xxhash64(seed, h) costs a few ns per element, vs re-hashing the
+    * full shingle string for each of the `numHashes` seeds. */
+  def minHashSignatureFromHashes(hashArr: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(hashArr, h => xxhash64(seed, h))))
+
+  /** MinHash signature of a shingle-string array (convenience form; the
+    * operators below pipeline through [[shingleHashes]] instead). */
+  def minHashSignature(shingleArr: Column, numHashes: Int = 64): Column =
+    minHashSignatureFromHashes(shingleHashes(shingleArr), numHashes)
+
+  /** Band a signature array into `bands` bucket hashes (one xxhash64 per
+    * contiguous rows-sized slice). */
+  private def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",",
+        transform(slice(sig, b * rows + 1, lit(rows)), _.cast("string")))))
+
+  /** (band, bucket) exploded view carrying ONLY the id — the shuffle and
+    * self-join payload stays tiny no matter how large the documents are. */
+  private def banded(withSig: DataFrame, bands: Int, rows: Int): DataFrame =
+    withSig.select(col("id"),
+      posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+
+  /** Same-bucket candidate id pairs (id_a < id_b, distinct), with hot
+    * buckets capped at `maxBucketSize` members. */
+  private def candidatePairs(bandedIds: DataFrame, maxBucketSize: Int): DataFrame = {
+    val capped: DataFrame =
+      if (maxBucketSize <= 0) bandedIds
+      else {
+        val counts = bandedIds.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bucket_n"))
+          .filter(col("__bucket_n") <= maxBucketSize)
+          .drop("__bucket_n")
+        // broadcast-eligible when few hot buckets; AQE picks strategy
+        bandedIds.join(counts, Seq("band", "bucket"), "left_semi")
+      }
+    capped.as("l")
+      .join(capped.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
-  /** MinHash signature: for each of `numHashes` seeds, the minimum
-    * xxhash64(seed, shingle) over the shingle set. Computed entirely in
-    * one expression — narrow, no shuffle. */
-  def minHashSignature(shingleArr: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
+  /** Join verification payload back onto candidate pairs by id — runs
+    * only on the (small) candidate set, not through the LSH shuffle. */
+  private def attachPayload(
+      pairs: DataFrame, payload: DataFrame, payloadCol: String): DataFrame =
+    pairs
+      .join(payload.select(col("id").as("id_a"), col(payloadCol).as(s"${payloadCol}_a")), "id_a")
+      .join(payload.select(col("id").as("id_b"), col(payloadCol).as(s"${payloadCol}_b")), "id_b")
 
   /** MinHash-LSH near-duplicate pairs.
     *
-    * Pipeline: shingle → signature (narrow) → explode into `bands`
-    * buckets (hash of each signature band) → shuffle once on
-    * (band, bucket) → emit same-bucket id pairs → distinct → verify
-    * with exact Jaccard over shingle sets. With b bands of r rows the
-    * effective candidate threshold is ≈ (1/b)^(1/r).
+    * Pipeline: shingle → signature (narrow) → explode ids into `bands`
+    * buckets → shuffle once on (band, bucket) with id-only payload →
+    * same-bucket id pairs → distinct → re-join shingle sets by id →
+    * exact Jaccard verification. With b bands of r rows the effective
+    * candidate threshold is ≈ (1/b)^(1/r).
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     */
@@ -67,35 +143,28 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // Staged materialisation: tokens → shingles → hashes → signature,
+    // each landed as a real column so no regex split / string hash is
+    // re-evaluated inside a downstream lambda. repartition() spreads the
+    // CPU-heavy narrow pass across all cores even when the source is a
+    // single small file (and acts as a projection fence).
     val base = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", shingles(col("text"), shingleSize))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("toks", TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))
+      .withColumn("shingles", shinglesFromTokens(col("toks"), shingleSize))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+      .withColumn("hs", shingleHashes(col("shingles")))
+      .withColumn("sig", minHashSignatureFromHashes(col("hs"), numHashes))
 
-    val banded = base
-      .select(col("id"), col("shingles"),
-        posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(concat_ws(",",
-              transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string")))))
-        ).as(Seq("band", "bucket")))
-
-    val candidates = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.shingles").as("sh_a"), col("r.shingles").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    candidates
+    val pairs = candidatePairs(banded(base, bands, rows), maxBucketSize)
+    attachPayload(pairs, base.select("id", "shingles"), "shingles")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("double") /
+          size(array_union(col("shingles_a"), col("shingles_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -105,15 +174,22 @@ object Dedup {
     * expression — narrow. Shift amounts are data-dependent, so the
     * bitwise ops go through `call_function` (still Catalyst, no UDF).
     */
-  def simHash(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
+  def simHash(text: Column): Column =
+    simHashFromTokenHashes(
+      transform(TextFunctions.tokens(TextFunctions.normalizeText(text)),
+        t => xxhash64(t)))
+
+  /** SimHash from pre-hashed tokens (one xxhash64 per token, computed
+    * as the HOF *argument* so it runs once — a `xxhash64(t)` inside the
+    * per-bit lambda would re-hash the token string for every bit). */
+  def simHashFromTokenHashes(tokenHashes: Column): Column = {
     val bitIdx = sequence(lit(0), lit(63))
     val votes = aggregate(
-      toks,
+      tokenHashes,
       array_repeat(lit(0L), 64),
-      (acc, t) =>
+      (acc, h) =>
         zip_with(acc, bitIdx, (a, i) =>
-          a + when(call_function("shiftright", xxhash64(t), i)
+          a + when(call_function("shiftright", h, i)
                      .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
     aggregate(
       zip_with(votes, bitIdx, (v, i) =>
@@ -124,28 +200,28 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into four
     * 16-bit chunks (any pair within Hamming distance 3 shares ≥1 equal
-    * chunk), bucket-join on chunks, verify with bit_count(XOR).
+    * chunk), bucket-join on chunks with id-only payload, re-join the
+    * fingerprints by id, verify with bit_count(XOR). Hot chunks (e.g.
+    * the all-zero chunk of short docs) capped like MinHash buckets.
     */
   def simHashNearDuplicates(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     val base = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sim", simHash(col("text")))
-    val banded = base.select(col("id"), col("sim"),
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("toks", TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))
+      .withColumn("th", transform(col("toks"), t => xxhash64(t)))
+      .withColumn("sim", simHashFromTokenHashes(col("th")))
+    val bandedIds = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16)
-          .bitwiseAND(lit(0xFFFFL)))).as(Seq("band", "chunk")))
-    banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.chunk") === col("r.chunk") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
-      .dropDuplicates("id_a", "id_b")
+          .bitwiseAND(lit(0xFFFFL)))).as(Seq("band", "bucket")))
+    val pairs = candidatePairs(bandedIds, maxBucketSize)
+    attachPayload(pairs, base.select("id", "sim"), "sim")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= lit(maxHamming))
       .select("id_a", "id_b", "hamming")
@@ -167,33 +243,71 @@ object Dedup {
       size(array_union(ga, gb)).cast("double")
   }
 
-  /** n-gram-Jaccard near-duplicate pairs with geometric length blocking:
-    * Jaccard ≥ t forces the normalised lengths within ratio ~t, so each
-    * doc lands in log-scale band floor(ln len / ln(1/t)) and qualifying
-    * pairs sit in the same or adjacent band — no all-pairs join.
+  /** n-gram-Jaccard near-duplicate pairs.
+    *
+    * Blocking is MinHash-LSH over the character n-gram sets (the same
+    * banding machinery as token MinHash — length-based blocking is NOT
+    * a sufficient blocker: at t=0.8 a log-length band spans a 1.25×
+    * ratio, putting most of a natural corpus in one band, i.e. an
+    * all-pairs join). Verification re-joins the n-gram sets by id and
+    * computes exact Jaccard, so the output is exact over the candidate
+    * set; recall follows the (bands, rows) S-curve.
     */
   def ngramJaccardNearDuplicates(
       df: DataFrame,
       textCol: String,
       idCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      // char-ngram sets are ~6× larger than token-shingle sets; 32
+      // hashes in 8 bands of 4 still catches a 0.8-Jaccard pair with
+      // p = 1-(1-0.8^4)^8 ≈ 99.2% at half the hashing cost
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
     val base = df
       .select(col(idCol).as("id"),
         TextFunctions.normalizeText(col(textCol)).as("norm"))
-      .withColumn("len", greatest(length(col("norm")), lit(1)))
-      .withColumn("block",
-        floor(log(col("len").cast("double")) / math.log(1.0 / threshold)))
-    val banded = base.select(col("id"), col("norm"),
-      explode(array(col("block"), col("block") + 1)).as("b"))
-    banded.as("l")
-      .join(banded.as("r"),
-        col("l.b") === col("r.b") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.norm").as("norm_a"), col("r.norm").as("norm_b"))
-      .dropDuplicates("id_a", "id_b")
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("grams", charNgrams(col("norm"), n))
+      .filter(size(col("grams")) > 0)
+      .withColumn("gh", shingleHashes(col("grams")))
+      .withColumn("sig", minHashSignatureFromHashes(col("gh"), numHashes))
+
+    val pairs = candidatePairs(banded(base, bands, rows), maxBucketSize)
+    attachPayload(pairs, base.select("id", "grams"), "grams")
       .select(col("id_a"), col("id_b"),
-        ngramJaccard(col("norm_a"), col("norm_b"), n).as("jaccard"))
+        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs n-gram Jaccard over a (small) corpus — the
+    * exactness baseline used to oracle-check the LSH-blocked variant.
+    * Explicit cross product: only for corpora that fit a quadratic
+    * comparison (e.g. a sampled slice); the scale path is
+    * [[ngramJaccardNearDuplicates]].
+    */
+  def ngramJaccardAllPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    // grams materialised per document BEFORE the cross join — computing
+    // them inside the pair comparison would redo the n-gram build O(n²)
+    // times instead of O(n)
+    val base = df.select(col(idCol).as("id"),
+      TextFunctions.normalizeText(col(textCol)).as("norm"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("grams", charNgrams(col("norm"), n))
+      .select("id", "grams")
+    base.as("l").crossJoin(base.as("r"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        (size(array_intersect(col("l.grams"), col("r.grams"))).cast("double") /
+          size(array_union(col("l.grams"), col("r.grams")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

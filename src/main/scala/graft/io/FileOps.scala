@@ -176,7 +176,13 @@ object FileOps {
       .headOption
       .getOrElse(throw new graft.PipelineError(s"no part file produced under $tmp"))
     if (overwrite && f.exists(new Path(targetPath))) f.delete(new Path(targetPath), false)
-    f.rename(part.getPath, new Path(targetPath))
+    // FileSystem.rename signals failure (e.g. existing destination) by
+    // returning false, not by throwing — deleting tmp without checking
+    // would silently discard the written CSV.
+    if (!f.rename(part.getPath, new Path(targetPath)))
+      throw new graft.PipelineError(
+        s"saveSingleCsv: rename ${part.getPath} -> $targetPath failed " +
+          "(destination may already exist)")
     f.delete(new Path(tmp), true)
   }
 }

@@ -68,7 +68,9 @@ object Log {
       df: DataFrame,
       message: String,
       stopPipeline: Boolean = false): Unit = {
-    val rendered = df.showString(df.count().toInt.min(1000), 0, vertical = false)
+    // limit() bounds the scan itself — a count() here would run a full
+    // job over the whole input just to cap an error-path debug print.
+    val rendered = df.showString(1000, 0, vertical = false)
     log.error(s"$message\n$rendered")
     if (stopPipeline) throw new graft.PipelineError(message)
   }

@@ -108,6 +108,9 @@ object Multimodal {
     media
       .filter(col("media_type") === "video")
       .select(col("media_id"),
-        explode(sequence(lit(0), octet_length(col("content")).cast("long") / stride))
+        // integer division keeps both sequence() bounds LongType —
+        // fractional bounds are a DATATYPE_MISMATCH analysis error
+        explode(sequence(lit(0L),
+          floor(octet_length(col("content")).cast("long") / stride).cast("long")))
           .as("frame_idx"))
 }

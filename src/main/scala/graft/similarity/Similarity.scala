@@ -61,28 +61,18 @@ object Similarity {
     * [-1, 1] — data-independent, reproducible, and computed inline (no
     * side table to ship to executors).
     */
-  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int = 16): Column = {
-    // component(p, d) in [-1,1): xxhash64 of (p, d) scaled
-    def component(p: Column, d: Column): Column =
-      (xxhash64(p, d).cast("double") / lit(Long.MaxValue.toDouble))
-    val planeIdx = sequence(lit(0), lit(numPlanes - 1))
-    aggregate(
-      planeIdx,
-      lit(0L),
-      (acc, p) => {
-        val d = aggregate(
-          zip_with(vec, sequence(lit(0), lit(dim - 1)),
-            (x, i) => x.cast("double") * component(p, i)),
-          lit(0.0), (a, v) => a + v)
-        call_function("shiftleft", acc, lit(1)) +
-          when(d >= 0, 1L).otherwise(0L)
-      })
-  }
+  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int = 16): Column =
+    hyperplaneBucketSeeded(vec, dim, numPlanes, seed = 0)
 
   /** ANN near-duplicate / neighbor candidates via hyperplane LSH:
     * vectors sharing a bucket are scored with exact cosine. Multi-probe
     * via `numTables` independent sign-LSH tables (seeded by table id) to
     * raise recall; one shuffle per table on the bucket key, unioned.
+    *
+    * Shuffle-payload discipline: the bucket exchange and self-join carry
+    * only (id, table, bucket); the full vectors are re-joined by id onto
+    * the (small) candidate pair set for exact scoring, so embedding
+    * width never multiplies through the LSH shuffle.
     */
   def lshCosineCandidates(
       df: DataFrame,
@@ -94,19 +84,20 @@ object Similarity {
       threshold: Double = 0.8): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val tables = (0 until numTables).map { t =>
-      base.withColumn("table", lit(t))
-        .withColumn("bucket",
-          hyperplaneBucketSeeded(col("vec"), dim, numPlanes, seed = t))
+      base.select(col("id"), lit(t).as("table"),
+        hyperplaneBucketSeeded(col("vec"), dim, numPlanes, seed = t).as("bucket"))
     }
     val banded = tables.reduce(_ union _)
-    banded.as("l")
+    val pairs = banded.as("l")
       .join(banded.as("r"),
         col("l.table") === col("r.table") &&
           col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.vec").as("vec_a"), col("r.vec").as("vec_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") >= threshold)

@@ -1,0 +1,109 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = df("id BIGINT, text STRING",
+    Seq(1L, "the quick brown fox jumps over the lazy dog"),
+    Seq(2L, "The  Quick Brown Fox jumps over the lazy dog"), // exact dup after normalise
+    Seq(3L, "the quick brown fox jumps over the lazy cat"),  // near dup
+    Seq(4L, "completely different content about spark engines and shuffles"))
+
+  test("exactDedup keeps lowest id per normalised fingerprint, schema unchanged") {
+    val out = Dedup.exactDedup(docs, "text", "id")
+    assert(out.columns.toSeq == docs.columns.toSeq) // regression: helper cols leaked (ADVICE #5)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("exactDedup tolerates user columns named fingerprint/rn") {
+    val d = docs.withColumn("fingerprint", lit("keep")).withColumn("rn", lit(7))
+    val out = Dedup.exactDedup(d, "text", "id")
+    assert(out.columns.toSeq == d.columns.toSeq)
+    assert(out.select("fingerprint").as[String].collect().forall(_ == "keep"))
+  }
+
+  test("shingles produces distinct k-token shingles; short docs collapse") {
+    val s = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles($"t", 3).as("sh")).as[Seq[String]].head()
+    assert(s.toSet == Set("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.shingles($"t", 3).as("sh")).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("minHashSignature has requested length and is deterministic") {
+    val sig = Seq("x y z w v").toDF("t")
+      .select(Dedup.minHashSignature(Dedup.shingles($"t", 2), 16).as("s"))
+      .as[Seq[Long]].head()
+    assert(sig.length == 16)
+    val sig2 = Seq("x y z w v").toDF("t")
+      .select(Dedup.minHashSignature(Dedup.shingles($"t", 2), 16).as("s"))
+      .as[Seq[Long]].head()
+    assert(sig == sig2)
+  }
+
+  test("minHashNearDuplicates finds exact and near duplicates with correct jaccard") {
+    val out = Dedup.minHashNearDuplicates(docs, "text", "id", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.contains((1L, 2L)))
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-12) // identical shingle sets after normalise?
+  }
+
+  test("minHash near-dup pair (1,3) has plausible jaccard when threshold lowered") {
+    val out = Dedup.minHashNearDuplicates(docs, "text", "id", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    out.get((1L, 3L)).foreach(j => assert(j > 0.3 && j < 1.0))
+  }
+
+  test("minHash candidate pairs never include the unrelated document") {
+    val out = Dedup.minHashNearDuplicates(docs, "text", "id", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!out.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simHash: identical normalised texts share fingerprints; near dups are close") {
+    val hashes = docs.select($"id", Dedup.simHash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) < 20)
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(4L)) >
+      java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)))
+  }
+
+  test("simHashNearDuplicates reports hamming distance pairs") {
+    val out = Dedup.simHashNearDuplicates(docs, "text", "id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("charNgrams and ngramJaccard") {
+    val grams = Seq("abcd").toDF("t")
+      .select(Dedup.charNgrams($"t", 3).as("g")).as[Seq[String]].head()
+    assert(grams.toSet == Set("abc", "bcd"))
+    val j = Seq(("abcd", "abce")).toDF("a", "b")
+      .select(Dedup.ngramJaccard($"a", $"b", 3).as("j")).as[Double].head()
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12) // {abc,bcd} vs {abc,bce}
+  }
+
+  test("ngramJaccardAllPairs equals LSH-blocked variant on a small corpus") {
+    val exact = Dedup.ngramJaccardAllPairs(docs, "text", "id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.ngramJaccardNearDuplicates(docs, "text", "id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))   // LSH may only miss, never invent
+    assert(lsh.contains((1L, 2L))) // identical docs always collide
+  }
+
+  test("bucket cap drops oversized buckets instead of exploding") {
+    // 30 identical docs -> one bucket of 30; cap of 5 suppresses the pairs
+    val many = spark.range(30).toDF("id").withColumn("text", lit("same text here okay"))
+    val capped = Dedup.minHashNearDuplicates(many, "text", "id", maxBucketSize = 5)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minHashNearDuplicates(many, "text", "id", maxBucketSize = 0)
+    assert(uncapped.count() == 30L * 29 / 2)
+  }
+}

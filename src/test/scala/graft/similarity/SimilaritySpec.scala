@@ -1,0 +1,63 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f)),   // close to 1
+    (3L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+    (4L, Seq(-1.0f, 0.0f, 0.0f))   // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("dot, norm, cosine compute expected values") {
+    val d = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(d.select(Similarity.dot($"a", $"b").as("v")).as[Double].head() == 32.0)
+    assert(math.abs(d.select(Similarity.norm($"a").as("v")).as[Double].head()
+      - math.sqrt(14.0)) < 1e-12)
+    val cos = d.select(Similarity.cosine($"a", $"b").as("v")).as[Double].head()
+    assert(math.abs(cos - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+
+  test("cosine handles float arrays (computed in double)") {
+    val cos = vecs.filter($"vec_id" === 1).crossJoin(
+      vecs.filter($"vec_id" === 4).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2").as("v")).as[Double].head()
+    assert(math.abs(cos + 1.0) < 1e-6)
+  }
+
+  test("bruteForceTopK ranks by similarity, excludes self, breaks ties by corpus id") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", k = 3)
+    val rows = out.orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(rows.toSeq == Seq((2L, 1), (3L, 2), (4L, 3))) // by descending cosine
+    assert(!out.filter($"corpus_id" === 1).collect().nonEmpty)
+  }
+
+  test("bruteForceTopK returns at most k per query") {
+    val out = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 2)
+    val counts = out.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ <= 2))
+  }
+
+  test("hyperplaneBucket is deterministic and within bit range") {
+    val b = vecs.select(Similarity.hyperplaneBucket($"embedding", 3, 8).as("b"))
+      .as[Long].collect()
+    val b2 = vecs.select(Similarity.hyperplaneBucket($"embedding", 3, 8).as("b"))
+      .as[Long].collect()
+    assert(b.toSeq == b2.toSeq)
+    assert(b.forall(x => x >= 0 && x < 256))
+  }
+
+  test("lshCosineCandidates pairs are a subset of true high-cosine pairs") {
+    val out = Similarity.lshCosineCandidates(vecs, "vec_id", "embedding",
+      dim = 3, numPlanes = 4, numTables = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // only (1,2) has cosine >= 0.9 in this fixture
+    assert(out.forall { case (a, b, sim) => (a, b) == (1L, 2L) && sim > 0.9 })
+  }
+}

@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).head().getAs[T]("v")
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): List[String] =
+    Seq(text).toDF("t").select(c.as("v")).head().getSeq[String](0).toList
+
+  test("tokens: whitespace split, empty and blank give empty array") {
+    assert(oneSeq(TextFunctions.tokens($"t"), "a  b\tc") == List("a", "b", "c"))
+    assert(oneSeq(TextFunctions.tokens($"t"), "   ") == Nil)
+    assert(oneSeq(TextFunctions.tokens($"t"), "") == Nil)
+  }
+
+  test("tokenCount") {
+    assert(one[Int](TextFunctions.tokenCount($"t"), "one two three") == 3)
+    assert(one[Int](TextFunctions.tokenCount($"t"), "") == 0)
+  }
+
+  test("bpeTokenCount splits letters/digits/punctuation runs and contractions") {
+    assert(one[Int](TextFunctions.bpeTokenCount($"t"), "hello world") == 2)
+    assert(one[Int](TextFunctions.bpeTokenCount($"t"), "don't stop") == 3) // don + 't + stop
+    assert(one[Int](TextFunctions.bpeTokenCount($"t"), "a1b") == 3)       // a | 1 | b
+    assert(one[Int](TextFunctions.bpeTokenCount($"t"), "x!!") == 2)       // x | !!
+  }
+
+  test("normalizeText lowercases, trims, collapses whitespace") {
+    assert(one[String](TextFunctions.normalizeText($"t"), "  A  B\t C ") == "a b c")
+  }
+
+  test("fingerprint is md5 of normalised text, stable under whitespace noise") {
+    val a = one[String](TextFunctions.fingerprint($"t"), "Hello  World")
+    val b = one[String](TextFunctions.fingerprint($"t"), " hello world ")
+    assert(a == b)
+    assert(a.matches("[0-9a-f]{32}"))
+  }
+
+  test("qualityScore is in [0,1]; natural text beats noise") {
+    val good = one[Double](TextFunctions.qualityScore($"t"),
+      "the quick brown fox jumps over the lazy dog and it keeps on running for a while")
+    val noise = one[Double](TextFunctions.qualityScore($"t"), "@@@ ### !!! %%%")
+    assert(good >= 0.0 && good <= 1.0 && noise >= 0.0 && noise <= 1.0)
+    assert(good > noise)
+  }
+
+  test("langId votes on marker tokens; ties break to earlier profile") {
+    val profiles = Seq("aa" -> Seq("alpha"), "bb" -> Seq("beta"))
+    assert(one[String](TextFunctions.langId($"t", profiles), "beta beta alpha") == "bb")
+    assert(one[String](TextFunctions.langId($"t", profiles), "alpha beta") == "aa")
+    assert(one[String](TextFunctions.langId($"t", profiles), "nothing here") == "aa")
+  }
+}

@@ -309,6 +309,57 @@ object SparkEntry {
           col("n_regionkey").cast("long").as("n_regionkey"))
     }),
 
+    "q_pushdown_read" -> ((s, d) =>
+      // option-driven reader: filters + projection reach the parquet scan
+      io.ReadTable.readParquet(s, s"$d/lineitem.parquet",
+        columns = Seq("l_orderkey", "l_shipdate", "l_returnflag", "l_quantity"),
+        dateColumn = Some("l_shipdate"),
+        dateRange = Some(("1995-01-01", "1996-01-01")),
+        columnFilters = Map("l_returnflag" -> Seq("A", "N")))
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_returnflag"), col("l_quantity"))),
+
+    "q_write_partitioned" -> ((s, d) => {
+      val target = s"$scratch/part_tbl"
+      io.WriteTable.writeTable(
+        t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_shipdate"),
+        target, mode = "overwrite",
+        partitionCol = Some("l_shipdate"), partitionType = Some("month"),
+        clusteredFields = Seq("l_orderkey"))
+      s.read.parquet(target)
+        .groupBy("part_key")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 6).as("sum_qty"))
+        .select(col("part_key").cast("string").as("part_key"),
+          col("n_rows"), col("sum_qty"))
+    }),
+
+    "q_date_snap" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          graft.helpers.Dates.monthStart(col("o_orderdate")).as("month_start"),
+          graft.helpers.Dates.monthEnd(col("o_orderdate")).as("month_end"),
+          graft.helpers.Dates.quarterStart(col("o_orderdate")).as("quarter_start"))),
+
+    "q_event_cost" -> ((s, d) => {
+      // fixture event log (reference parser.py doctest shape) → summary
+      // metrics → cheapest-fit EC2/EMR cost; constant-output oracle
+      import s.implicits._
+      val fixture = Seq(
+        """{"Event":"SparkListenerApplicationStart","Timestamp":1739793526775,"App Name":"ExamplePipeline"}""",
+        """{"Event":"SparkListenerExecutorAdded","Executor Info":{"Total Cores":4}}""",
+        """{"Event":"SparkListenerExecutorAdded","Executor Info":{"Total Cores":4}}""",
+        """{"Event":"SparkListenerStageSubmitted","Properties":{"spark.executor.memory":"4g","spark.yarn.executor.memoryOverhead":"2g","spark.executor.cores":"4"}}""",
+        """{"Event":"SparkListenerApplicationEnd","Timestamp":1739793626775}""")
+      val summary = graft.observability.EventLogParser.parseEvents(fixture.iterator)
+      val report = graft.observability.Ec2Pricing.pipelineCost(summary)
+      Seq((summary.pipelineName.get, summary.totalTimeMs, summary.totalCores.toLong,
+        summary.totalMemoryGb.toLong, report.instance.instanceType, report.pipelineCost))
+        .toDF("pipeline", "total_time_ms", "total_cores", "total_memory_gb",
+          "instance_type", "pipeline_cost")
+    }),
+
     // ------------------------------------------------ text analysis
     "q_token_counts" -> ((s, d) =>
       t(s, d, "documents")
@@ -555,6 +606,29 @@ object SparkEntry {
     "q_table_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey = 0""".stripMargin,
+
+    "q_pushdown_read" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |l_returnflag, l_quantity FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+        |AND (l_returnflag = 'A' OR l_returnflag = 'N')""".stripMargin,
+
+    "q_write_partitioned" ->
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%dT%H:%M:%S') AS part_key,
+        |count(*) AS n_rows, round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_date_snap" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+        |FROM orders""".stripMargin,
+
+    "q_event_cost" ->
+      """SELECT 'ExamplePipeline' AS pipeline, CAST(100000 AS BIGINT) AS total_time_ms,
+        |CAST(8 AS BIGINT) AS total_cores, CAST(12 AS BIGINT) AS total_memory_gb,
+        |'t4g.2xlarge' AS instance_type, CAST(0.0093 AS DOUBLE) AS pipeline_cost""".stripMargin,
 
     "q_token_counts" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -103,6 +103,86 @@ object FileOps {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Recursive folder copy (reference s3_utils.py copy_folder /
+    * gcp_utils copy_folder — one FileSystem version serves every
+    * scheme). */
+  def copyFolder(spark: SparkSession, from: String, to: String): Unit = {
+    val srcFs = fs(spark, from)
+    // qualify so relativize works against the scheme-full listing URIs
+    val base = srcFs.makeQualified(new Path(from))
+    val it = srcFs.listFiles(base, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = base.toUri.relativize(f.getPath.toUri).getPath
+      copyFile(spark, f.getPath.toString, s"$to/$rel")
+    }
+  }
+
+  /** Recursive folder move = copy + delete source. */
+  def moveFolder(spark: SparkSession, from: String, to: String): Unit = {
+    copyFolder(spark, from, to)
+    deleteFile(spark, from, recursive = true)
+  }
+
+  /** Local file → any FileSystem (reference upload_file,
+    * s3_utils.py:586-700). `overwrite=false` refuses existing
+    * destinations. */
+  def uploadFile(
+      spark: SparkSession,
+      localPath: String,
+      destPath: String,
+      overwrite: Boolean = true): Unit = {
+    if (!overwrite && fileExists(spark, destPath))
+      throw new graft.PipelineError(s"uploadFile: $destPath already exists")
+    fs(spark, destPath).copyFromLocalFile(false, overwrite,
+      new Path(localPath), new Path(destPath))
+  }
+
+  /** Any FileSystem → local file (reference download_file). */
+  def downloadFile(
+      spark: SparkSession,
+      srcPath: String,
+      localPath: String,
+      overwrite: Boolean = true): Unit = {
+    if (!overwrite && java.nio.file.Files.exists(java.nio.file.Paths.get(localPath)))
+      throw new graft.PipelineError(s"downloadFile: $localPath already exists")
+    fs(spark, srcPath).copyToLocalFile(false, new Path(srcPath),
+      new Path(localPath), true)
+  }
+
+  /** First line of a file without reading the rest — the reference's
+    * CSV header probe (s3_utils.py read header / file_utils). */
+  def readHeader(spark: SparkSession, path: String): String = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs(spark, path).open(new Path(path)), java.nio.charset.StandardCharsets.UTF_8))
+    try Option(in.readLine()).getOrElse("")
+    finally in.close()
+  }
+
+  /** Number of files directly under a directory. */
+  def fileCountInFolder(spark: SparkSession, path: String): Int =
+    fs(spark, path).listStatus(new Path(path)).count(_.isFile)
+
+  /** Delete objects older than `cutoffMillis` (modification time) under
+    * `path`, recursively — the reference's old-object GC
+    * (s3_utils.py:1068-1166 delete_old_objects_and_folders). Returns
+    * the deleted paths. */
+  def deleteOldObjects(
+      spark: SparkSession,
+      path: String,
+      cutoffMillis: Long): Seq[String] = {
+    val f = fs(spark, path)
+    val it = f.listFiles(new Path(path), true)
+    val old = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getModificationTime < cutoffMillis)
+        old += st.getPath.toString
+    }
+    old.foreach(p => f.delete(new Path(p), false))
+    old.toSeq
+  }
+
   /** Zip a local directory (reference: rdsa_utils/io/output.py:10-66). */
   def zipFolder(sourceDir: String, outputZip: String): Unit = {
     val src = java.nio.file.Paths.get(sourceDir)

@@ -178,6 +178,18 @@ object Tables {
     loadAndValidateTable(spark, tableName, filterCond = Some(s"$runIdCol = '$runId'"))
   }
 
+  /** Refresh cached metadata for a table after external writes — the
+    * engine's analogue of the reference's
+    * `invalidate_impala_metadata` (cdp/helpers/impala.py:10-78):
+    * Spark caches file listings and schema per table; refreshing
+    * makes subsequently planned queries see data written by other
+    * engines/processes. */
+  def refreshTableMetadata(spark: SparkSession, tableName: String): Unit = {
+    if (!spark.catalog.tableExists(tableName))
+      throw new TableNotFoundError(s"refreshTableMetadata: $tableName not found")
+    spark.catalog.refreshTable(tableName)
+  }
+
   /** Truncate an "external" table while preserving schema (and partition
     * structure): drop all partitions if partitioned, else overwrite with
     * an empty frame of the same schema.

@@ -12,6 +12,46 @@ import org.slf4j.LoggerFactory
 object Log {
   private val log = LoggerFactory.getLogger("graft")
 
+  /** Custom DEV level between DEBUG and INFO — the reference defines
+    * numeric level 15 for pipeline-developer diagnostics
+    * (logging.py:19-33). log4j2 levels count downward, so DEV sits at
+    * 450 (DEBUG=500, INFO=400). */
+  lazy val DevLevel: org.apache.logging.log4j.Level =
+    org.apache.logging.log4j.Level.forName("DEV", 450)
+
+  /** Log at DEV level (the reference's `logger.dev`). */
+  def dev(message: String): Unit =
+    org.apache.logging.log4j.LogManager.getLogger("graft").log(DevLevel, message)
+
+  /** Basic logger init: set the root level, keep console output —
+    * reference init_logger_basic (logging.py:36-71). Registers the DEV
+    * level as a side effect so `Log.dev` is live. */
+  def initLoggerBasic(level: String): Unit = {
+    val lvl =
+      if (level.equalsIgnoreCase("dev")) DevLevel
+      else org.apache.logging.log4j.Level.toLevel(level, org.apache.logging.log4j.Level.INFO)
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(lvl)
+    dev("Initialised logger for pipeline. DEV level (450) is available.")
+  }
+
+  /** Advanced init: per-logger levels on top of the root level —
+    * reference init_logger_advanced (logging.py:74-176), which wires
+    * handler/format config; in log4j2 formats live in configuration,
+    * so this applies the level map programmatically and is idempotent.
+    */
+  def initLoggerAdvanced(
+      rootLevel: String,
+      loggerLevels: Map[String, String] = Map.empty): Unit = {
+    initLoggerBasic(rootLevel)
+    loggerLevels.foreach { case (name, level) =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        name,
+        if (level.equalsIgnoreCase("dev")) DevLevel
+        else org.apache.logging.log4j.Level.toLevel(level,
+          org.apache.logging.log4j.Level.INFO))
+    }
+  }
+
   /** Time a block, log a humanised duration, return its value.
     * Reference: rdsa_utils/logging.py:179-204 (codetiming wrapper).
     */

@@ -1,0 +1,227 @@
+package graft.observability
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+
+import graft.io.FileOps
+
+/** Spark event-log metrics parser.
+  *
+  * Reference semantics: helpers/pyspark_log_parser/parser.py:17-206 —
+  * fold over the JSON-lines event log (spark.eventLog.enabled=true)
+  * extracting application runtime, executor count/cores and per-
+  * executor memory. Uses jackson (already on the Spark classpath), no
+  * extra dependency.
+  */
+object EventLogParser {
+
+  case class LogSummary(
+      timestamp: Option[Long],
+      pipelineName: Option[String],
+      startTime: Option[Long],
+      endTime: Option[Long],
+      totalTimeMs: Long,
+      totalExecutors: Int,
+      totalCores: Int,
+      memoryPerExecutorGb: Int,
+      totalMemoryGb: Int)
+
+  private val mapper = new ObjectMapper()
+
+  /** parser.py convert_value: ms→minutes, ns→minutes, bytes→MB. */
+  def convertValue(value: Double, unit: String): Double = unit match {
+    case "ms"    => value / 60000.0
+    case "ns"    => value / 6e10
+    case "bytes" => value / (1024.0 * 1024.0)
+    case _       => value
+  }
+
+  /** Strip a trailing size unit ("4g" → 4). Zero on anything odd. */
+  private def gigs(s: String): Int =
+    scala.util.Try(s.stripSuffix("g").stripSuffix("G").toInt).getOrElse(0)
+
+  /** Fold the event stream into the reference's summary metrics
+    * (parser.py:52-206). Throws when start or end time is absent, like
+    * the reference. */
+  def parseEvents(jsonLines: Iterator[String]): LogSummary = {
+    var timestamp: Option[Long] = None
+    var pipelineName: Option[String] = None
+    var endTime: Option[Long] = None
+    var totalExecutors = 0
+    var totalCores = 0
+    var memoryPerExecutor = 0
+    var totalMemory = 0
+
+    jsonLines.filter(_.trim.nonEmpty).foreach { line =>
+      val node: JsonNode = mapper.readTree(line)
+      Option(node.get("Event")).map(_.asText()) match {
+        case Some("SparkListenerApplicationStart") =>
+          timestamp = Option(node.get("Timestamp")).map(_.asLong())
+          pipelineName = Option(node.get("App Name")).map(_.asText())
+        case Some("SparkListenerApplicationEnd") =>
+          endTime = Option(node.get("Timestamp")).map(_.asLong())
+        case Some("SparkListenerExecutorAdded") =>
+          totalExecutors += 1
+          totalCores += Option(node.get("Executor Info"))
+            .flatMap(i => Option(i.get("Total Cores"))).map(_.asInt()).getOrElse(0)
+        case Some("SparkListenerStageSubmitted") =>
+          Option(node.get("Properties")).foreach { props =>
+            val mem = Option(props.get("spark.executor.memory"))
+              .map(_.asText()).getOrElse("0g")
+            val overhead = Option(props.get("spark.yarn.executor.memoryOverhead"))
+              .map(_.asText()).getOrElse("0g")
+            memoryPerExecutor = gigs(mem) + gigs(overhead)
+            totalMemory = memoryPerExecutor * totalExecutors
+            Option(props.get("spark.executor.cores")).map(_.asText()).foreach { c =>
+              totalCores = scala.util.Try(c.toInt).getOrElse(0) * totalExecutors
+            }
+          }
+        case _ => ()
+      }
+    }
+
+    val start = timestamp
+    if (start.isEmpty || endTime.isEmpty)
+      throw new IllegalArgumentException(
+        "Both Start Time and End Time must be present in the log data.")
+
+    LogSummary(timestamp, pipelineName, start, endTime,
+      endTime.get - start.get, totalExecutors, totalCores,
+      memoryPerExecutor, totalMemory)
+  }
+
+  /** Parse an event-log file (any FileSystem scheme). Handles both the
+    * single-JSON-array form and JSON-lines form. */
+  def parseLogFile(spark: SparkSession, path: String): LogSummary = {
+    val content = FileOps.readTextFile(spark, path).trim
+    if (content.startsWith("["))
+      parseEvents(mapper.readTree(content).elements().asScala.map(_.toString))
+    else parseEvents(content.linesIterator)
+  }
+}
+
+/** EC2 / EMR cost model for a parsed pipeline run.
+  *
+  * Reference semantics: helpers/pyspark_log_parser/ec2_pricing.py —
+  * spec inference from the instance-type naming convention
+  * (:201-287), cheapest-fit instance matching (:407-461), and the
+  * flat 25% EMR surcharge (:16-46). The packaged price table mirrors
+  * the reference's cached pricing DB with public on-demand rates
+  * (us-east-1, approximate — same role as the reference's bundled
+  * sqlite snapshot).
+  */
+object Ec2Pricing {
+
+  case class InstanceType(
+      instanceType: String,
+      family: String,
+      vcpu: Int,
+      memoryGb: Int,
+      ec2Price: Double) {
+    def emrPrice: Double = emrSurcharge(ec2Price)
+  }
+
+  case class CostReport(
+      memoryRequestedGb: Int,
+      coresRequested: Int,
+      instance: InstanceType,
+      runtimeMs: Long,
+      runtimeHours: Double,
+      ec2Cost: Double,
+      emrSurcharge: Double,
+      pipelineCost: Double,
+      costPerHour: Double,
+      surchargeApplied: Boolean)
+
+  /** Flat 25% on-top-of-EC2 EMR surcharge (ec2_pricing.py:33-45). */
+  def emrSurcharge(ec2Price: Double, rate: Double = 0.25): Double =
+    ec2Price * (1 + rate)
+
+  // size multiplier → vCPU (ec2_pricing.py:216-233)
+  private val sizeVcpu = Map(
+    "nano" -> 2, "micro" -> 2, "small" -> 2, "medium" -> 2, "large" -> 2,
+    "xlarge" -> 4, "2xlarge" -> 8, "3xlarge" -> 12, "4xlarge" -> 16,
+    "8xlarge" -> 32, "9xlarge" -> 36, "12xlarge" -> 48, "16xlarge" -> 64,
+    "18xlarge" -> 72, "24xlarge" -> 96, "metal" -> 96)
+
+  // family → (GB per vCPU, category, $ per vCPU-hour on-demand)
+  private val familySpecs = Map(
+    "t3"   -> (2, "General Purpose", 0.0416),
+    "t4g"  -> (2, "General Purpose", 0.0336),
+    "m4"   -> (4, "General Purpose", 0.05),
+    "m5"   -> (4, "General Purpose", 0.048),
+    "m5a"  -> (4, "General Purpose", 0.043),
+    "m5d"  -> (4, "General Purpose", 0.0565),
+    "m6a"  -> (4, "General Purpose", 0.0432),
+    "r4"   -> (8, "Memory optimised", 0.0665),
+    "r5"   -> (8, "Memory optimised", 0.063),
+    "r5a"  -> (8, "Memory optimised", 0.0565),
+    "r5b"  -> (8, "Memory optimised", 0.0745),
+    "r6a"  -> (8, "Memory optimised", 0.0567),
+    "x2gd" -> (16, "Memory optimised", 0.0835),
+    "c4"   -> (2, "Compute optimised", 0.05),
+    "c5"   -> (2, "Compute optimised", 0.0425),
+    "c5a"  -> (2, "Compute optimised", 0.0385),
+    "c6a"  -> (2, "Compute optimised", 0.0383))
+
+  /** Infer vCPU/memory/category from the type name, None if unknown —
+    * mirrors extract_instance_specs (ec2_pricing.py:201-287). */
+  def extractInstanceSpecs(instanceType: String): Option[InstanceType] = {
+    val re = raw"([a-z]+\d+[a-z]*?)\.([a-z0-9]+)".r
+    instanceType match {
+      case re(family, size) =>
+        for {
+          (memRatio, category, perVcpu) <- familySpecs.get(family)
+          vcpu <- sizeVcpu.get(size)
+        } yield InstanceType(instanceType, category, vcpu, vcpu * memRatio,
+          math.rint(perVcpu * vcpu * 10000) / 10000)
+      case _ => None
+    }
+  }
+
+  /** The packaged catalog: every family × common size. */
+  lazy val catalog: Seq[InstanceType] = (for {
+    family <- familySpecs.keys
+    size <- Seq("large", "xlarge", "2xlarge", "4xlarge", "8xlarge",
+      "12xlarge", "16xlarge", "24xlarge")
+    inst <- extractInstanceSpecs(s"$family.$size")
+  } yield inst).toSeq.sortBy(_.instanceType)
+
+  /** Cheapest instance meeting the requirements
+    * (ec2_pricing.py:407-461). */
+  def matchingInstance(
+      memoryGb: Int,
+      cores: Int,
+      instances: Seq[InstanceType] = catalog): InstanceType = {
+    val valid = instances.filter(i => i.memoryGb >= memoryGb && i.vcpu >= cores)
+    if (valid.isEmpty)
+      throw new IllegalArgumentException(
+        s"No suitable instance type found for ${memoryGb}GB memory and $cores cores.")
+    valid.minBy(_.ec2Price)
+  }
+
+  /** Reference calculate_pipeline_cost (ec2_pricing.py:48-193). */
+  def pipelineCost(
+      summary: EventLogParser.LogSummary,
+      applyEmrSurcharge: Boolean = true,
+      instances: Seq[InstanceType] = catalog): CostReport = {
+    val inst = matchingInstance(summary.totalMemoryGb, summary.totalCores, instances)
+    val hours = summary.totalTimeMs / 3600000.0
+    val hourly = if (applyEmrSurcharge) inst.emrPrice else inst.ec2Price
+    val ec2Cost = inst.ec2Price * hours
+    val total = hourly * hours
+    CostReport(
+      memoryRequestedGb = summary.totalMemoryGb,
+      coresRequested = summary.totalCores,
+      instance = inst,
+      runtimeMs = summary.totalTimeMs,
+      runtimeHours = math.rint(hours * 10000) / 10000,
+      ec2Cost = math.rint(ec2Cost * 10000) / 10000,
+      emrSurcharge = math.rint((total - ec2Cost) * 10000) / 10000,
+      pipelineCost = math.rint(total * 10000) / 10000,
+      costPerHour = hourly,
+      surchargeApplied = applyEmrSurcharge)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{ColumnNotInDataframeError, SparkTestBase}
+
+class ReadWriteTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sales = df(
+    "id BIGINT, region STRING, amount DOUBLE, sold_at TIMESTAMP, run_id STRING",
+    Seq(1L, "east", 10.0, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), "r1"),
+    Seq(2L, "west", 20.0, java.sql.Timestamp.valueOf("2024-01-20 11:00:00"), "r1"),
+    Seq(3L, "east", 30.0, java.sql.Timestamp.valueOf("2024-02-10 12:00:00"), "r2"),
+    Seq(4L, "north", 40.0, java.sql.Timestamp.valueOf("2024-03-15 13:00:00"), "r2"))
+
+  test("buildFilterCondition composes date range, value filters AND/OR") {
+    val cond = ReadTable.buildFilterCondition(
+      dateColumn = Some("sold_at"),
+      dateRange = Some(("2024-01-01", "2024-02-01")),
+      columnFilters = Map("region" -> Seq("east", "west"))).get
+    val out = sales.filter(cond)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("buildFilterCondition: no filters → None") {
+    assert(ReadTable.buildFilterCondition().isEmpty)
+  }
+
+  test("readTable selects columns, filters run_id, validates columns") {
+    val out = ReadTable.readTable(sales,
+      columns = Seq("id", "amount"), runId = Some("r2"))
+    assert(out.columns.toSeq == Seq("id", "amount"))
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    assertThrows[ColumnNotInDataframeError](
+      ReadTable.readTable(sales, columns = Seq("nope")))
+  }
+
+  test("readTable partition trunc-equality filter") {
+    val out = ReadTable.readTable(sales,
+      partitionColumn = Some("sold_at"),
+      partitionType = Some("month"),
+      partitionValue = Some(Left("2024-01-15")))
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assertThrows[IllegalArgumentException](
+      ReadTable.readTable(sales, partitionColumn = Some("sold_at"),
+        partitionType = Some("fortnight"), partitionValue = Some(Left("2024-01-15"))))
+  }
+
+  test("readTable filters are pushed down to the parquet scan") {
+    val dir = Files.createTempDirectory("graft_pushdown").toString
+    sales.write.mode("overwrite").parquet(dir)
+    val out = ReadTable.readParquet(spark, dir,
+      columns = Seq("id", "region"),
+      columnFilters = Map("region" -> Seq("east")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("region"),
+      s"expected pushed filter in plan:\n$plan")
+    // column pruning: scan schema should not include amount
+    assert(plan.contains("ReadSchema") && !plan.contains("amount"),
+      s"expected pruned schema in plan:\n$plan")
+    assert(out.count() == 2)
+  }
+
+  test("readTable flattens struct columns when asked") {
+    val nested = sales.select($"id", struct($"region", $"amount").as("info"))
+    val out = ReadTable.readTable(nested, flattenStructCols = true)
+    assert(out.columns.toSeq == Seq("id", "region", "amount"))
+  }
+
+  test("writeTable partitions by truncated time key and prunes on read") {
+    val dir = Files.createTempDirectory("graft_writetable").toString + "/t"
+    WriteTable.writeTable(sales, dir, mode = "overwrite",
+      partitionCol = Some("sold_at"), partitionType = Some("month"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4)
+    val pruned = back.filter($"part_key" === "2024-01-01T00:00:00")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"expected partition pruning:\n$plan")
+  }
+
+  test("writeTable rejects >4 clustered fields; clusters rows within files") {
+    assertThrows[IllegalArgumentException](
+      WriteTable.writeTable(sales, "/dev/null", clusteredFields = Seq("a", "b", "c", "d", "e")))
+    val dir = Files.createTempDirectory("graft_cluster").toString + "/t"
+    WriteTable.writeTable(sales, dir, mode = "overwrite",
+      clusteredFields = Seq("region"))
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
+  test("expireOldPartitions deletes partitions older than the window") {
+    val dir = Files.createTempDirectory("graft_expire").toString + "/t"
+    WriteTable.writeTable(sales, dir, mode = "overwrite",
+      partitionCol = Some("sold_at"), partitionType = Some("month"))
+    // partition keys are period STARTS; a mid-January cutoff expires
+    // only the January partition (2024-01-01 < cutoff < 2024-02-01)
+    val cutover = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val expired = WriteTable.expireOldPartitions(spark, dir,
+      expiryDays = 0, nowMillis = cutover)
+    assert(expired.size == 1)
+    assert(spark.read.parquet(dir).count() == 2) // feb + march survive
+  }
+
+  test("writeCatalogTable writes partitioned catalog table") {
+    spark.sql("DROP TABLE IF EXISTS graft_wt1")
+    WriteTable.writeCatalogTable(sales, "graft_wt1", mode = "overwrite",
+      partitionBy = Seq("region"))
+    assert(spark.table("graft_wt1").count() == 4)
+  }
+
+  test("refreshTableMetadata refreshes; missing table raises") {
+    spark.sql("DROP TABLE IF EXISTS graft_rt1")
+    Seq((1, "a")).toDF("id", "v").write.saveAsTable("graft_rt1")
+    Tables.refreshTableMetadata(spark, "graft_rt1") // no throw
+    assertThrows[graft.TableNotFoundError](
+      Tables.refreshTableMetadata(spark, "graft_no_table"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.observability
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture mirrors the reference doctest (parser.py:106-140) and the
+  * cost example (ec2_pricing.py:80-115). */
+class EventLogSpec extends AnyFunSuite {
+
+  private val fixture = Seq(
+    """{"Event":"SparkListenerApplicationStart","Timestamp":1739793526775,"App Name":"ExamplePipeline"}""",
+    """{"Event":"SparkListenerExecutorAdded","Executor Info":{"Total Cores":4}}""",
+    """{"Event":"SparkListenerExecutorAdded","Executor Info":{"Total Cores":4}}""",
+    """{"Event":"SparkListenerStageSubmitted","Properties":{"spark.executor.memory":"4g","spark.yarn.executor.memoryOverhead":"2g","spark.executor.cores":"4"}}""",
+    """{"Event":"SparkListenerApplicationEnd","Timestamp":1739793626775}""")
+
+  test("parseEvents folds the reference summary metrics") {
+    val s = EventLogParser.parseEvents(fixture.iterator)
+    assert(s.pipelineName.contains("ExamplePipeline"))
+    assert(s.startTime.contains(1739793526775L))
+    assert(s.endTime.contains(1739793626775L))
+    assert(s.totalTimeMs == 100000L)
+    assert(s.totalExecutors == 2)
+    assert(s.totalCores == 8)             // 4 cores/executor × 2 executors
+    assert(s.memoryPerExecutorGb == 6)    // 4g + 2g overhead
+    assert(s.totalMemoryGb == 12)
+  }
+
+  test("parseEvents requires start and end times") {
+    assertThrows[IllegalArgumentException](
+      EventLogParser.parseEvents(Seq(fixture.head).iterator))
+  }
+
+  test("convertValue units match reference doctests") {
+    assert(EventLogParser.convertValue(60000, "ms") == 1.0)
+    assert(EventLogParser.convertValue(6e10, "ns") == 1.0)
+    assert(EventLogParser.convertValue(1048576, "bytes") == 1.0)
+    assert(EventLogParser.convertValue(5, "count") == 5.0)
+  }
+
+  test("extractInstanceSpecs derives vcpu/memory/family from the type name") {
+    val m5 = Ec2Pricing.extractInstanceSpecs("m5.2xlarge").get
+    assert(m5.vcpu == 8 && m5.memoryGb == 32 && m5.family == "General Purpose")
+    assert(math.abs(m5.ec2Price - 0.384) < 1e-9) // public on-demand rate
+    val r5 = Ec2Pricing.extractInstanceSpecs("r5a.xlarge").get
+    assert(r5.vcpu == 4 && r5.memoryGb == 32 && r5.family == "Memory optimised")
+    assert(Ec2Pricing.extractInstanceSpecs("not-an-instance").isEmpty)
+    assert(Ec2Pricing.extractInstanceSpecs("zz9.mega").isEmpty)
+  }
+
+  test("emrSurcharge adds the flat 25%") {
+    assert(Ec2Pricing.emrSurcharge(0.384) == 0.48)
+  }
+
+  test("matchingInstance returns the cheapest fit; impossible asks raise") {
+    val inst = Ec2Pricing.matchingInstance(memoryGb = 12, cores = 8)
+    assert(inst.memoryGb >= 12 && inst.vcpu >= 8)
+    // cheapest valid must not be beaten by any other valid entry
+    val cheaper = Ec2Pricing.catalog
+      .filter(i => i.memoryGb >= 12 && i.vcpu >= 8 && i.ec2Price < inst.ec2Price)
+    assert(cheaper.isEmpty)
+    assertThrows[IllegalArgumentException](
+      Ec2Pricing.matchingInstance(memoryGb = 100000, cores = 8))
+  }
+
+  test("pipelineCost composes runtime × hourly with surcharge split") {
+    val summary = EventLogParser.parseEvents(fixture.iterator)
+    val report = Ec2Pricing.pipelineCost(summary)
+    assert(report.runtimeMs == 100000L)
+    assert(math.abs(report.runtimeHours - 0.0278) < 1e-3)
+    assert(report.surchargeApplied)
+    assert(math.abs(report.pipelineCost - (report.ec2Cost + report.emrSurcharge)) < 1e-3)
+    val noSurcharge = Ec2Pricing.pipelineCost(summary, applyEmrSurcharge = false)
+    assert(noSurcharge.pipelineCost == noSurcharge.ec2Cost)
+  }
+}

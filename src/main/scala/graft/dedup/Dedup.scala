@@ -155,16 +155,18 @@ object Dedup {
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("toks", TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))
-      .withColumn("shingles", shinglesFromTokens(col("toks"), shingleSize))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("hs", shingleHashes(col("shingles")))
-      .withColumn("sig", minHashSignatureFromHashes(col("hs"), numHashes))
+      .withColumn("hs",
+        graft.functions.HashFunctions.shingleHashesNative(col("toks"), shingleSize))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig",
+        graft.functions.HashFunctions.minHashSignatureNative(col("hs"), numHashes))
 
     val pairs = candidatePairs(banded(base, bands, rows), maxBucketSize)
-    attachPayload(pairs, base.select("id", "shingles"), "shingles")
+    // verification over the 64-bit shingle-hash sets: equal to the
+    // string-set Jaccard up to (negligible) 64-bit collisions
+    attachPayload(pairs, base.select("id", "hs"), "hs")
       .withColumn("jaccard",
-        size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("double") /
-          size(array_union(col("shingles_a"), col("shingles_b"))).cast("double"))
+        graft.functions.HashFunctions.hashJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -215,7 +217,7 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("toks", TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))
       .withColumn("th", transform(col("toks"), t => xxhash64(t)))
-      .withColumn("sim", simHashFromTokenHashes(col("th")))
+      .withColumn("sim", graft.functions.HashFunctions.simHashNative(col("th")))
     val bandedIds = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16)
@@ -270,16 +272,17 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextFunctions.normalizeText(col(textCol)).as("norm"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("grams", charNgrams(col("norm"), n))
-      .filter(size(col("grams")) > 0)
-      .withColumn("gh", shingleHashes(col("grams")))
-      .withColumn("sig", minHashSignatureFromHashes(col("gh"), numHashes))
+      .withColumn("gh",
+        graft.functions.HashFunctions.ngramHashesNative(col("norm"), n))
+      .filter(size(col("gh")) > 0)
+      .withColumn("sig",
+        graft.functions.HashFunctions.minHashSignatureNative(col("gh"), numHashes))
 
     val pairs = candidatePairs(banded(base, bands, rows), maxBucketSize)
-    attachPayload(pairs, base.select("id", "grams"), "grams")
+    // hash-set Jaccard == n-gram-set Jaccard up to 64-bit collisions
+    attachPayload(pairs, base.select("id", "gh"), "gh")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
+        graft.functions.HashFunctions.hashJaccard(col("gh_a"), col("gh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

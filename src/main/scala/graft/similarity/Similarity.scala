@@ -103,6 +103,65 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** One (similarity, corpus id) candidate. */
+  case class Scored(sim: Double, corpusId: Long)
+
+  /** Bounded-heap top-k buffer, kept sorted best-first. */
+  case class TopKBuffer(items: Seq[Scored])
+
+  /** Typed Aggregator keeping the k best (sim desc, corpusId asc)
+    * candidates. Runs as a real partial aggregate: each map task keeps
+    * at most k rows per query, so the shuffle carries k·tasks rows per
+    * query instead of the full scored corpus — the property that keeps
+    * per-query top-k viable when queries are few and the corpus is
+    * 100 TB. (A window over the query id would shuffle EVERY scored row
+    * into one partition per query.)
+    */
+  class TopKAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Scored, TopKBuffer, Seq[Scored]] {
+    private val ord: Ordering[Scored] =
+      Ordering.by((s: Scored) => (-s.sim, s.corpusId))
+    override def zero: TopKBuffer = TopKBuffer(Vector.empty)
+    override def reduce(b: TopKBuffer, a: Scored): TopKBuffer =
+      TopKBuffer(((b.items :+ a).sorted(ord)).take(k))
+    override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer =
+      TopKBuffer((b1.items ++ b2.items).sorted(ord).take(k))
+    override def finish(r: TopKBuffer): Seq[Scored] = r.items
+    override def bufferEncoder: org.apache.spark.sql.Encoder[TopKBuffer] =
+      org.apache.spark.sql.Encoders.product[TopKBuffer]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Scale path for brute-force top-k: same output as
+    * [[bruteForceTopK]] (sim desc, ties by corpus id) but aggregated
+    * with the bounded partial [[TopKAggregator]] instead of a window —
+    * no single-partition-per-query shuffle.
+    */
+  def bruteForceTopKScalable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col(queryIdCol) =!= col("corpus_id"))
+      .select(col(queryIdCol),
+        cosine(col("q_vec"), col("c_vec")).as("sim"),
+        col("corpus_id").cast("long").as("corpusId"))
+    val topk = udaf(new TopKAggregator(k))
+    scored
+      .groupBy(queryIdCol)
+      .agg(topk(col("sim"), col("corpusId")).as("top"))
+      .select(col(queryIdCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(queryIdCol), col("t.corpusId").as("corpus_id"),
+        col("t.sim").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   private def hyperplaneBucketSeeded(
       vec: Column, dim: Int, numPlanes: Int, seed: Int): Column = {
     def component(p: Column, d: Column): Column =

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface (SURVEY.md §2.11 — an extension beyond
@@ -64,6 +65,65 @@ object Streaming {
       .schema(schema)
       .parquet(path)
       .withWatermark(tsCol, watermarkDelay)
+
+  // ------------------------------------------------- custom state
+  // KeyValueGroupedDataset.flatMapGroupsWithState — per-key state the
+  // built-in windowed aggregations can't express.
+
+  /** One seen-fingerprint record per key. */
+  case class DedupState(seen: Set[String])
+
+  /** Input/output rows for streaming dedup. */
+  case class KeyedDoc(key: String, fingerprint: String, payload: String)
+
+  /** Streaming exact dedup: per key, emit only first-seen fingerprints;
+    * state = the fingerprint set, timeout-free (bounded corpora) —
+    * the streaming analogue of [[graft.dedup.Dedup.exactDedup]].
+    *
+    * Works identically on batch Datasets (flatMapGroups semantics), so
+    * the batch path oracles the streaming one.
+    */
+  def dedupStream(docs: Dataset[KeyedDoc]): Dataset[KeyedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.key)
+      .flatMapGroupsWithState[DedupState, KeyedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[DedupState]) =>
+          val seen = state.getOption.map(_.seen).getOrElse(Set.empty)
+          val (emit, newSeen) = rows.foldLeft(
+            (List.empty[KeyedDoc], seen)) { case ((out, s), doc) =>
+            if (s.contains(doc.fingerprint)) (out, s)
+            else (doc :: out, s + doc.fingerprint)
+          }
+          state.update(DedupState(newSeen))
+          emit.reverseIterator
+      }
+  }
+
+  /** Running per-key event counter with inactivity expiry: state is a
+    * single long; keys idle past `timeoutMs` are dropped (bounded state
+    * at 100 TB stream scale). Emits (key, runningCount) per batch. */
+  case class CountState(n: Long)
+
+  def runningCounts(
+      events: Dataset[(String, Long)],
+      timeoutMs: Long = 3600000): Dataset[(String, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[CountState, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (key, rows, state: GroupState[CountState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val n = state.getOption.map(_.n).getOrElse(0L) + rows.size
+            state.update(CountState(n))
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.single(key -> n)
+          }
+      }
+  }
 
   /** Run a streaming aggregate over a bounded file source to completion
     * into an in-memory table and return the result — used by tests to

@@ -44,6 +44,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(counts.forall(_ <= 2))
   }
 
+  test("bruteForceTopKScalable matches the window formulation exactly") {
+    val window = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 2)
+      .select("query_id", "corpus_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val agg = Similarity.bruteForceTopKScalable(vecs, vecs, "vec_id", "embedding", k = 2)
+      .select("query_id", "corpus_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(agg == window)
+    assert(agg.nonEmpty)
+  }
+
+  test("TopKAggregator keeps k best with deterministic tie-break") {
+    val aggr = new Similarity.TopKAggregator(2)
+    val items = Seq(
+      Similarity.Scored(0.5, 3L), Similarity.Scored(0.9, 2L),
+      Similarity.Scored(0.9, 1L), Similarity.Scored(0.1, 4L))
+    val buf = items.foldLeft(aggr.zero)(aggr.reduce)
+    assert(aggr.finish(buf) == Seq(Similarity.Scored(0.9, 1L), Similarity.Scored(0.9, 2L)))
+    // merge respects the same bound
+    val merged = aggr.merge(buf, buf)
+    assert(aggr.finish(merged).size == 2)
+  }
+
   test("hyperplaneBucket is deterministic and within bit range") {
     val b = vecs.select(Similarity.hyperplaneBucket($"embedding", 3, 8).as("b"))
       .as[Long].collect()

@@ -84,20 +84,29 @@ object Multimodal {
     * rows streamed through it lazily (no per-row setup cost, bounded
     * memory). `decodeFn` defaults to the stub.
     */
+  /** Typed feature row — keeps extraction in the Dataset lane. */
+  case class MediaFeatures(media_id: Long, byte_len: Int, features: Seq[Float])
+
   def extractFeatures(
       media: DataFrame,
       decodeFn: Array[Byte] => Array[Float] = fakeDecode): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "content").rdd.mapPartitions { rows =>
-      // per-partition decoder setup happens here (stub needs none)
-      rows.map { r =>
-        val content = r.getAs[Array[Byte]]("content")
-        Row(r.getAs[Long]("media_id"),
-          if (content == null) 0 else content.length,
-          decodeFn(content).toSeq)
+    import spark.implicits._
+    // Dataset.mapPartitions with encoders (not df.rdd + createDataFrame):
+    // rows stay in Tungsten format at the boundary, and the partition
+    // iterator gives the one-decoder-per-partition shape a real codec
+    // needs. Narrow — no shuffle.
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder setup happens here (stub needs none)
+        rows.map { case (id, content) =>
+          MediaFeatures(id,
+            if (content == null) 0 else content.length,
+            decodeFn(content).toSeq)
+        }
       }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 
   /** Deterministic frame sampling for video-typed rows: pick every

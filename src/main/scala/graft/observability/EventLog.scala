@@ -202,6 +202,32 @@ object Ec2Pricing {
     valid.minBy(_.ec2Price)
   }
 
+  /** Minimal HTML cost report — reference
+    * pyspark_log_parser/report.py:17-76 renders the same summary +
+    * cost tables for pipeline owners. */
+  def htmlReport(summary: EventLogParser.LogSummary, report: CostReport): String = {
+    def row(k: String, v: Any) = s"<tr><td>$k</td><td>$v</td></tr>"
+    s"""<html><head><title>Pipeline cost report</title></head><body>
+       |<h1>${summary.pipelineName.getOrElse("pipeline")}</h1>
+       |<h2>Run metrics</h2><table>
+       |${row("Total time (ms)", summary.totalTimeMs)}
+       |${row("Executors", summary.totalExecutors)}
+       |${row("Total cores", summary.totalCores)}
+       |${row("Memory / executor (GB)", summary.memoryPerExecutorGb)}
+       |${row("Total memory (GB)", summary.totalMemoryGb)}
+       |</table>
+       |<h2>Cost estimate</h2><table>
+       |${row("Instance", report.instance.instanceType)}
+       |${row("Family", report.instance.family)}
+       |${row("EC2 $/h", report.instance.ec2Price)}
+       |${row("EMR $/h", report.costPerHour)}
+       |${row("Runtime (h)", report.runtimeHours)}
+       |${row("EC2 cost", report.ec2Cost)}
+       |${row("EMR surcharge", report.emrSurcharge)}
+       |${row("Total cost", report.pipelineCost)}
+       |</table></body></html>""".stripMargin
+  }
+
   /** Reference calculate_pipeline_cost (ec2_pricing.py:48-193). */
   def pipelineCost(
       summary: EventLogParser.LogSummary,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the properties that matter at 100 TB
+  * are visible in the optimized/executed plan — assert them so a
+  * refactor cannot silently reintroduce a scale-killer.
+  */
+class PlanShapeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = spark.range(200).toDF("doc_id")
+    .withColumn("text",
+      concat_ws(" ", lit("alpha beta gamma delta"), col("doc_id").cast("string")))
+
+  test("MinHash LSH exchange carries only id/band/bucket — no text or shingle payload") {
+    val plan = dedup.Dedup.minHashNearDuplicates(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // every Exchange's output must not include the text or hash-set cols
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    val bandExchanges = exchanges.filter(_.contains("band"))
+    assert(bandExchanges.nonEmpty, s"expected banded exchange in:\n$plan")
+    bandExchanges.foreach { e =>
+      assert(!e.contains("text") && !e.contains("hs#"),
+        s"LSH exchange carries payload columns:\n$e")
+    }
+  }
+
+  test("flagship entry query broadcasts all three dimension tables") {
+    val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts == 3, s"expected 3 broadcast joins:\n$plan")
+  }
+
+  test("exact dedup plans a single shuffle on the fingerprint") {
+    val plan = dedup.Dedup.exactDedup(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Window"), s"expected window in:\n$plan")
+  }
+
+  test("readTable filter compiles to a data filter, not a post-scan-only filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val out = io.ReadTable.readParquet(spark, dir,
+      columnFilters = Map("doc_id" -> Seq(1L, 2L)))
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("PushedFilters: [Or(EqualTo(doc_id,1),EqualTo(doc_id,2))]")
+      || executed.contains("PushedFilters: [In(doc_id"),
+      s"no pushed filter:\n$executed")
+  }
+
+  test("smartCoalesce adds no shuffle (Repartition with shuffle=false)") {
+    val out = core.DataFrameOps.smartCoalesce(docs, targetFileSizeMb = 1)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"),
+      s"coalesce should stay narrow:\n$plan")
+  }
+}

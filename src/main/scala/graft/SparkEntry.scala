@@ -240,6 +240,46 @@ object SparkEntry {
         t(s, d, "region").select(col("r_regionkey").cast("long").as("r_regionkey")),
         "u", lower = 10.0, upper = 20.0, seed = Some(42L))),
 
+    "q_cube" -> ((s, d) =>
+      core.Aggregations.cubeAgg(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_qty" -> round(sum("l_quantity"), 6), "n" -> count(lit(1))))),
+
+    "q_rollup" -> ((s, d) =>
+      core.Aggregations.rollupAgg(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_qty" -> round(sum("l_quantity"), 6), "n" -> count(lit(1))))),
+
+    "q_distinct_count" -> ((s, d) =>
+      core.Aggregations.distinctCount(t(s, d, "orders"),
+        Seq("o_orderstatus"), "o_custkey")),
+
+    "q_intersect" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      DataFrameOps.intersectDfs(
+        n.filter(col("n_regionkey") <= 2), n.filter(col("n_regionkey") >= 1))
+    }),
+
+    "q_except" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      DataFrameOps.exceptDfs(
+        n.filter(col("n_regionkey") <= 2), n.filter(col("n_regionkey") >= 1))
+    }),
+
+    "q_lead_lag" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          Windows.lagOver(col("o_totalprice"), 1,
+            Seq("o_custkey"), Seq("o_orderkey")).as("prev_price"),
+          Windows.leadOver(col("o_totalprice"), 1,
+            Seq("o_custkey"), Seq("o_orderkey")).as("next_price"),
+          Windows.ntileOver(4, Seq("o_custkey"), Seq("o_orderkey"))
+            .cast("long").as("quartile"))),
+
     // ------------------------------------------------ §2.1 checks
     "q_count_nulls" -> ((s, d) => Checks.countNullsDf(t(s, d, "orders"))),
 
@@ -572,6 +612,38 @@ object SparkEntry {
 
     "q_smart_coalesce" ->
       "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_distinct_count" ->
+      "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_distinct FROM orders GROUP BY o_orderstatus",
+
+    "q_intersect" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey <= 2
+        |INTERSECT
+        |SELECT CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS BIGINT)
+        |FROM nation WHERE n_regionkey >= 1""".stripMargin,
+
+    "q_except" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey <= 2
+        |EXCEPT
+        |SELECT CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS BIGINT)
+        |FROM nation WHERE n_regionkey >= 1""".stripMargin,
+
+    "q_lead_lag" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |lag(o_totalprice, 1) OVER w AS prev_price,
+        |lead(o_totalprice, 1) OVER w AS next_price,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
 
     "q_count_nulls" ->
       """SELECT count(*) FILTER (WHERE o_orderkey IS NULL) AS o_orderkey,

@@ -258,6 +258,28 @@ object DataFrameOps {
     dfs.reduce(_.join(_, on, how))
   }
 
+  /** §2.9 set operations on whole rows — the reference does set-diff
+    * driver-side on collected values; distributed forms come free. */
+  def intersectDfs(df1: DataFrame, df2: DataFrame): DataFrame = df1.intersect(df2)
+  def exceptDfs(df1: DataFrame, df2: DataFrame): DataFrame = df1.except(df2)
+
+  /** §2.5 fold-join with null-fill — the reference's pandas
+    * merge_multi_dfs(fillna) (helpers/python.py:579-658): outer-join n
+    * frames on shared keys then fill remaining nulls. `fillValue` is
+    * applied per type (string vs numeric) like DataFrameNaFunctions.
+    */
+  def joinMultiDfsFill(
+      dfs: Seq[DataFrame],
+      on: Seq[String],
+      how: String,
+      fillNumeric: Option[Double] = None,
+      fillString: Option[String] = None): DataFrame = {
+    var out = joinMultiDfs(dfs, on, how)
+    fillNumeric.foreach(v => out = out.na.fill(v))
+    fillString.foreach(v => out = out.na.fill(v))
+    out
+  }
+
   /** #34 Dictionary recode with passthrough for unmapped keys — a literal
     * map lookup + coalesce, no shuffle, no UDF.
     * Reference: rdsa_utils/helpers/pyspark.py:1553-1601.
@@ -365,4 +387,20 @@ object Windows {
   def calcMedianPrice(groups: Seq[String], priceCol: String = "price"): Column =
     percentile_approx(col(priceCol), lit(0.5), lit(10000))
       .over(Window.partitionBy(groups.map(col): _*))
+
+  // §2.7 analytic functions over the same WindowSpec builder — absent
+  // from the reference (no lead/lag/ntile) but part of the window
+  // family users expect; exposed through getWindowSpec for consistency.
+
+  def leadOver(c: Column, offset: Int,
+      partitionCols: Seq[String], orderCols: Seq[String]): Column =
+    lead(c, offset).over(getWindowSpec(partitionCols, orderCols))
+
+  def lagOver(c: Column, offset: Int,
+      partitionCols: Seq[String], orderCols: Seq[String]): Column =
+    lag(c, offset).over(getWindowSpec(partitionCols, orderCols))
+
+  def ntileOver(n: Int,
+      partitionCols: Seq[String], orderCols: Seq[String]): Column =
+    ntile(n).over(getWindowSpec(partitionCols, orderCols))
 }

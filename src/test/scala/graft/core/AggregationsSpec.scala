@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class AggregationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sales = df("region STRING, product STRING, amount DOUBLE",
+    Seq("e", "a", 10.0), Seq("e", "b", 20.0), Seq("w", "a", 30.0))
+
+  test("groupedAgg names outputs; empty aggs rejected") {
+    val out = Aggregations.groupedAgg(sales, Seq("region"),
+      Seq("total" -> sum("amount"), "n" -> count(lit(1))))
+    assert(out.columns.toSeq == Seq("region", "total", "n"))
+    assert(out.filter($"region" === "e").head().getDouble(1) == 30.0)
+    assertThrows[IllegalArgumentException](
+      Aggregations.groupedAgg(sales, Seq("region"), Nil))
+  }
+
+  test("cubeAgg emits all grouping sets, rollupAgg prefix sets") {
+    val cube = Aggregations.cubeAgg(sales, Seq("region", "product"),
+      Seq("total" -> sum("amount")))
+    assert(cube.count() == 3 + 2 + 2 + 1) // cells + region + product + grand
+    val rollup = Aggregations.rollupAgg(sales, Seq("region", "product"),
+      Seq("total" -> sum("amount")))
+    assert(rollup.count() == 3 + 2 + 1)   // no product-only sets
+    val grand = cube.filter($"region".isNull && $"product".isNull)
+    assert(grand.head().getDouble(2) == 60.0)
+  }
+
+  test("distinctCount exact and approxDistinctCount sketch") {
+    val exact = Aggregations.distinctCount(sales, Seq("region"), "product")
+    assert(exact.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("e" -> 2L, "w" -> 1L))
+    val approx = Aggregations.approxDistinctCount(sales, Seq("region"), "product")
+    // tiny cardinalities: HLL++ is exact here
+    assert(approx.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("e" -> 2L, "w" -> 1L))
+  }
+
+  test("intersectDfs / exceptDfs set semantics") {
+    val a = Seq(1, 2, 2, 3).toDF("x")
+    val b = Seq(2, 3, 4).toDF("x")
+    assert(DataFrameOps.intersectDfs(a, b).as[Int].collect().sorted.toSeq == Seq(2, 3))
+    assert(DataFrameOps.exceptDfs(a, b).as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("joinMultiDfsFill outer-joins then fills") {
+    // Seq[Any] stops Scala widening the Int key to Double
+    val d1 = df("k INT, a DOUBLE", Seq[Any](1, 1.5), Seq[Any](2, 2.5))
+    val d2 = df("k INT, b STRING", Seq[Any](1, "x"))
+    val out = DataFrameOps.joinMultiDfsFill(Seq(d1, d2), Seq("k"), "outer",
+      fillNumeric = Some(0.0), fillString = Some("missing"))
+    val r2 = out.filter($"k" === 2).head()
+    assert(r2.getString(2) == "missing")
+  }
+
+  test("leadOver / lagOver / ntileOver") {
+    val d = df("g STRING, o INT, v DOUBLE",
+      Seq("a", 1, 10.0), Seq("a", 2, 20.0), Seq("a", 3, 30.0))
+    val out = d.select($"o",
+      Windows.lagOver($"v", 1, Seq("g"), Seq("o")).as("prev"),
+      Windows.leadOver($"v", 1, Seq("g"), Seq("o")).as("next"),
+      Windows.ntileOver(2, Seq("g"), Seq("o")).as("half"))
+      .orderBy("o").collect()
+    assert(out(0).isNullAt(1) && out(0).getDouble(2) == 20.0 && out(0).getInt(3) == 1)
+    assert(out(2).getDouble(1) == 20.0 && out(2).isNullAt(2) && out(2).getInt(3) == 2)
+  }
+}

@@ -280,6 +280,31 @@ object DataFrameOps {
     out
   }
 
+  /** Skew-safe equi-join of a large, skewed left side against a smaller
+    * right side: the left gets a random salt in [0, saltFactor), the
+    * right is replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot key's rows spread over `saltFactor` reducers
+    * instead of one. Use when AQE's skew-join split isn't available
+    * (e.g. the skewed side feeds a non-splittable stage) — otherwise
+    * prefer AQE. Right side is replicated ×saltFactor: keep it small.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      how: String = "inner",
+      saltFactor: Int = 8): DataFrame = {
+    require(saltFactor >= 1, "saltedJoin: saltFactor must be >= 1")
+    requireColumns(left, on, "saltedJoin(left)")
+    requireColumns(right, on, "saltedJoin(right)")
+    val saltCol = "__graft_salt"
+    val saltedLeft = left.withColumn(saltCol,
+      (rand() * saltFactor).cast("int"))
+    val saltedRight = right.withColumn(saltCol,
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft.join(saltedRight, on :+ saltCol, how).drop(saltCol)
+  }
+
   /** #34 Dictionary recode with passthrough for unmapped keys — a literal
     * map lookup + coalesce, no shuffle, no UDF.
     * Reference: rdsa_utils/helpers/pyspark.py:1553-1601.

@@ -57,6 +57,22 @@ class AggregationsSpec extends SparkTestBase {
     assert(r2.getString(2) == "missing")
   }
 
+  test("saltedJoin equals plain join on every join type it allows") {
+    val big = spark.range(1000).toDF("k")
+      .withColumn("k", col("k") % 3) // 3 hot keys
+      .withColumn("v", col("k") * 10)
+    val dim = df("k BIGINT, name STRING",
+      Seq(0L, "zero"), Seq(1L, "one"), Seq(99L, "unmatched"))
+    val plain = big.join(dim, Seq("k"), "inner")
+    val salted = DataFrameOps.saltedJoin(big, dim, Seq("k"), "inner", saltFactor = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assertThrows[IllegalArgumentException](
+      DataFrameOps.saltedJoin(big, dim, Seq("k"), saltFactor = 0))
+  }
+
   test("leadOver / lagOver / ntileOver") {
     val d = df("g STRING, o INT, v DOUBLE",
       Seq("a", 1, 10.0), Seq("a", 2, 20.0), Seq("a", 3, 30.0))

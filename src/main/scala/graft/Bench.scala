@@ -13,7 +13,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (debug/profiling aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      // isolate queries: drop cached relations and nudge the context
+      // cleaner so earlier queries' shuffle files don't inflate later
+      // measurements through memory pressure
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count()
               catch { case e: Throwable =>

@@ -519,6 +519,41 @@ object SparkEntry {
         .select(col("session_start").cast("long").as("session_start"),
           col("event_type"), col("n_events"),
           round(col("sum_value"), 6).as("sum_value"))),
+
+    "q_stream_exec" -> ((s, d) => {
+      // ACTUAL Structured Streaming execution (not batch-mode reuse):
+      // watermarked parquet stream → tumbling agg → AvailableNow into a
+      // memory sink; oracle identical to the batch tumbling window
+      val events = eventsDf(s, d)
+      val dir = s"$scratch/stream_events"
+      events.write.mode("overwrite").parquet(dir)
+      val streamed = Streaming.readParquetStream(
+        s, dir, events.schema, "ts", "1 hour")
+      val agg = Streaming.tumblingAgg(streamed, "ts", "event_type", "1 hour")
+      Streaming.runStreamToMemory(s, agg, "graft_verify_stream")
+        .select(col("window_start").cast("long").as("window_start"),
+          col("window_end").cast("long").as("window_end"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+    }),
+
+    "q_pipeline_docs" -> ((s, d) => {
+      // end-to-end training-data pipeline: quality gate → language vote
+      // → exact dedup → per-language corpus stats
+      val docs = t(s, d, "documents")
+      val scored = docs
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("lang_guess", TextFunctions.langId(col("text"), Seq(
+          "db" -> Seq("table", "row", "column"),
+          "en" -> Seq("the", "a", "of"),
+          "ops" -> Seq("merge", "sort", "scan"))))
+        .filter(col("quality") >= 0.5)
+      Dedup.exactDedup(scored, "text", "doc_id")
+        .groupBy("lang_guess")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality"), 6).as("avg_quality"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
+    }),
   )
 
   // =================================================================
@@ -827,6 +862,48 @@ object SparkEntry {
         |  SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - i * 1800 AS ws, event_type, value
         |  FROM events CROSS JOIN (VALUES (0), (1)) t(i))
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_exec" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 AS window_end,
+        |event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_pipeline_docs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, toks,
+        |    greatest(CAST(len(toks) AS DOUBLE), 1.0) AS safen,
+        |    CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on'], t))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nchar_nospace
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, text, toks,
+        |    round((least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+        |      + (1.0 - least(punct / greatest(CAST(len(text) AS DOUBLE), 1.0) * 4.0, 1.0))
+        |      + least(nstop / safen * 4.0, 1.0)
+        |      + (CASE WHEN nchar_nospace / safen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality,
+        |    len(list_filter(toks, t -> list_contains(['table','row','column'], t))) AS s_db,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['merge','sort','scan'], t))) AS s_ops
+        |  FROM m),
+        |gated AS (
+        |  SELECT doc_id, text, toks, quality,
+        |    CASE WHEN s_ops > greatest(s_db, s_en) THEN 'ops'
+        |         WHEN s_en > s_db THEN 'en' ELSE 'db' END AS lang_guess
+        |  FROM scored WHERE quality >= 0.5),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
+        |    FROM gated) WHERE rn = 1)
+        |SELECT lang_guess, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality,
+        |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+        |FROM deduped GROUP BY lang_guess""".stripMargin,
 
     "q_session" ->
       """WITH flagged AS (

@@ -160,6 +160,12 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .withColumn("sig",
         graft.functions.HashFunctions.minHashSignatureNative(col("hs"), numHashes))
+      // materialisation fence: base feeds banding AND both verification
+      // payload joins; this exchange holds the computed hs/sig columns
+      // so the three consumers hit ReusedExchange instead of re-running
+      // tokenisation + hashing per consumer
+      .select("id", "hs", "sig")
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     val pairs = candidatePairs(banded(base, bands, rows), maxBucketSize)
     // verification over the 64-bit shingle-hash sets: equal to the
@@ -218,6 +224,9 @@ object Dedup {
       .withColumn("toks", TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))
       .withColumn("th", transform(col("toks"), t => xxhash64(t)))
       .withColumn("sim", graft.functions.HashFunctions.simHashNative(col("th")))
+      // materialisation fence — see minHashNearDuplicates
+      .select("id", "sim")
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val bandedIds = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16)
@@ -261,11 +270,12 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      // char-ngram sets are ~6× larger than token-shingle sets; 32
-      // hashes in 8 bands of 4 still catches a 0.8-Jaccard pair with
-      // p = 1-(1-0.8^4)^8 ≈ 99.2% at half the hashing cost
-      numHashes: Int = 32,
-      bands: Int = 8,
+      // 12 bands × 6 rows: candidate threshold (1/12)^(1/6) ≈ 0.66 with
+      // 97% recall at j=0.8 — sharper than 4-row bands, which on a
+      // self-similar corpus admit most mid-similarity pairs as
+      // candidates and drown the verification stage
+      numHashes: Int = 72,
+      bands: Int = 12,
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     val base = df
@@ -277,6 +287,9 @@ object Dedup {
       .filter(size(col("gh")) > 0)
       .withColumn("sig",
         graft.functions.HashFunctions.minHashSignatureNative(col("gh"), numHashes))
+      // materialisation fence — see minHashNearDuplicates
+      .select("id", "gh", "sig")
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     val pairs = candidatePairs(banded(base, bands, rows), maxBucketSize)
     // hash-set Jaccard == n-gram-set Jaccard up to 64-bit collisions

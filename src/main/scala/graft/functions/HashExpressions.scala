@@ -75,7 +75,9 @@ object HashKernels {
         i += 1
       }
     }
-    new GenericArrayData(out.toArray)
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
   }
 
   /** Distinct k-token shingle hashes: hash of the k tokens joined with
@@ -101,22 +103,50 @@ object HashKernels {
       }
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
   }
 
-  /** Jaccard of two long arrays treated as sets. */
+  /** Jaccard of two long arrays treated as sets. Inputs produced by
+    * [[ngramHashes]]/[[shingleHashes]] are sorted+distinct, enabling an
+    * allocation-free merge walk; unsorted inputs fall back to hashing.
+    */
   def hashJaccard(a: ArrayData, b: ArrayData): Double = {
-    val sa = new java.util.HashSet[java.lang.Long]()
-    var i = 0
-    while (i < a.numElements()) { sa.add(a.getLong(i)); i += 1 }
-    val sb = new java.util.HashSet[java.lang.Long]()
-    var j = 0
-    while (j < b.numElements()) { sb.add(b.getLong(j)); j += 1 }
-    var inter = 0
-    val it = sa.iterator()
-    while (it.hasNext) if (sb.contains(it.next())) inter += 1
-    val union = sa.size() + sb.size() - inter
-    if (union == 0) 0.0 else inter.toDouble / union
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (isSortedDistinct(a) && isSortedDistinct(b)) {
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val union = na + nb - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    } else {
+      val sa = new java.util.HashSet[java.lang.Long]()
+      var i = 0
+      while (i < na) { sa.add(a.getLong(i)); i += 1 }
+      val sb = new java.util.HashSet[java.lang.Long]()
+      var j = 0
+      while (j < nb) { sb.add(b.getLong(j)); j += 1 }
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      val union = sa.size() + sb.size() - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+  }
+
+  private def isSortedDistinct(a: ArrayData): Boolean = {
+    var i = 1
+    while (i < a.numElements()) {
+      if (a.getLong(i - 1) >= a.getLong(i)) return false
+      i += 1
+    }
+    true
   }
 
   /** 64-bit SimHash over pre-hashed tokens: bit b of the result is the

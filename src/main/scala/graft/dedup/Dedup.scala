@@ -299,6 +299,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Greedy near-duplicate removal: given candidate pairs
+    * (id_a < id_b), drop every id that appears as the b-side of a pair
+    * — keeps the lowest id of each pairwise match. One distinct + one
+    * left_anti join (broadcast-eligible when the pair set is small
+    * relative to the corpus). Chains of near-dups may keep fewer docs
+    * than cluster-exact dedup; use [[duplicateClusters]] when cluster
+    * identity matters.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over near-duplicate pairs: assigns every id
+    * in the pair graph the MINIMUM id reachable from it — the cluster
+    * representative — via iterative label propagation (alternating
+    * small-star joins). Converges in O(log n) rounds for chain-shaped
+    * graphs; `maxIter` bounds runtime on adversarial graphs. Returns
+    * (id, cluster_id).
+    *
+    * Scale notes: each round is two shuffles on id; label tables carry
+    * two longs per node in the graph (only ids that appear in pairs),
+    * not the whole corpus.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
+      .toDF("src", "dst")
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min of its own label and neighbours' labels
+      val neighbourMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min("cluster_id").as("nb_min"))
+      val updated = labels.join(neighbourMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"))
+      // convergence check: any label changed this round?
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count() > 0
+      labels = updated.localCheckpoint(eager = true) // cut iteration lineage
+      converged = !changed
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact all-pairs n-gram Jaccard over a (small) corpus — the
     * exactness baseline used to oracle-check the LSH-blocked variant.
     * Explicit cross product: only for corpora that fit a quadratic

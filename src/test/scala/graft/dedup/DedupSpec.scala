@@ -98,6 +98,31 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.contains((1L, 2L))) // identical docs always collide
   }
 
+  test("dropNearDuplicates keeps lowest id of each matched pair") {
+    val pairs = df("id_a BIGINT, id_b BIGINT", Seq(1L, 2L), Seq(3L, 4L))
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("duplicateClusters propagates the minimum id across chains") {
+    // chain 1-2-3 plus isolated pair 10-11: clusters {1,2,3} and {10,11}
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      Seq(1L, 2L), Seq(2L, 3L), Seq(10L, 11L))
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateClusters handles long chains within iteration budget") {
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      (1L to 9L).map(i => Seq[Any](i, i + 1)): _*)
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.values.toSet == Set(1L))
+    assert(clusters.size == 10)
+  }
+
   test("bucket cap drops oversized buckets instead of exploding") {
     // 30 identical docs -> one bucket of 30; cap of 5 suppresses the pairs
     val many = spark.range(30).toDF("id").withColumn("text", lit("same text here okay"))

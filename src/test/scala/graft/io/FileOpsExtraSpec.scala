@@ -88,4 +88,36 @@ class LogInitSpec extends SparkTestBase {
     assert(Log.humanise(5.0).endsWith("s"))
     assert(Log.humanise(65.0).startsWith("1m"))
   }
+
+  test("withSchemaLogging and withRowCountLogging pass the frame through") {
+    import spark.implicits._
+    val d = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val f = (x: org.apache.spark.sql.DataFrame) => x.filter($"id" === 1)
+    val viaSchema = Log.withSchemaLogging("t")(f)(d)
+    assert(viaSchema.count() == 1)
+    val viaRows = Log.withRowCountLogging("t")(f)(d)
+    assert(viaRows.count() == 1)
+    viaRows.unpersist()
+  }
+
+  test("printFullTableAndRaiseError renders and optionally raises") {
+    import spark.implicits._
+    val d = Seq((1, "bad")).toDF("id", "v")
+    Log.printFullTableAndRaiseError(d, "context only") // no throw
+    assertThrows[graft.PipelineError](
+      Log.printFullTableAndRaiseError(d, "fatal", stopPipeline = true))
+  }
+
+  test("withWarning wraps a function and still applies it") {
+    val f = Log.withWarning[Int, Int]("beware")(_ + 1)
+    assert(f(41) == 42)
+  }
+
+  test("cacheTimeDf caches and counts") {
+    import spark.implicits._
+    val d = Seq(1, 2, 3).toDF("x")
+    Log.cacheTimeDf(d)
+    assert(d.storageLevel.useMemory)
+    d.unpersist()
+  }
 }

@@ -537,6 +537,19 @@ object SparkEntry {
           round(col("sum_value"), 6).as("sum_value"))
     }),
 
+    "q_asof_join" -> ((s, d) => {
+      // each event picks the most recent hourly aggregate of its type
+      val ev = eventsDf(s, d)
+      val hourly = Streaming.tumblingAgg(ev, "ts", "event_type", "1 hour")
+        .select(col("event_type"), col("window_start").as("ts"),
+          round(col("sum_value"), 6).as("hourly_sum"))
+      operators.AsOfJoin.asOfJoin(
+        ev.select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("ts")),
+        hourly, Seq("event_type"), "ts", Seq("hourly_sum"))
+        .select(col("event_id"), col("event_type"), col("hourly_sum"))
+    }),
+
     "q_pipeline_docs" -> ((s, d) => {
       // end-to-end training-data pipeline: quality gate → language vote
       // → exact dedup → per-language corpus stats
@@ -868,6 +881,14 @@ object SparkEntry {
         |CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 AS window_end,
         |event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hts, round(sum(value), 6) AS hourly_sum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, h.hourly_sum
+        |FROM events e ASOF LEFT JOIN hourly h
+        |  ON e.event_type = h.event_type AND e.ts >= h.hts""".stripMargin,
 
     "q_pipeline_docs" ->
       """WITH base AS (

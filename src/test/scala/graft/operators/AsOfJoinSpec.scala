@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def trades = Seq(
+    ("A", ts("2024-01-01 10:00:05"), 100.0),
+    ("A", ts("2024-01-01 10:00:20"), 101.0),
+    ("B", ts("2024-01-01 10:00:07"), 50.0),
+    ("C", ts("2024-01-01 10:00:10"), 7.0) // no quotes for C
+  ).toDF("sym", "ts", "price")
+
+  private def quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 99.5),
+    ("A", ts("2024-01-01 10:00:10"), 100.5),
+    ("A", ts("2024-01-01 10:00:30"), 102.0), // after every trade
+    ("B", ts("2024-01-01 10:00:07"), 49.9)   // exact tie
+  ).toDF("sym", "ts", "quote")
+
+  test("asOfJoin attaches the most recent right row per key") {
+    val out = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "ts", Seq("quote"))
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getDouble(2), Option(r.get(3)))).toSet
+    assert(got == Set(
+      ("A", 100.0, Some(99.5)),   // 10:00:05 → quote at 10:00:00
+      ("A", 101.0, Some(100.5)),  // 10:00:20 → quote at 10:00:10
+      ("B", 50.0, Some(49.9)),    // exact timestamp tie matches
+      ("C", 7.0, None)))          // no quotes → null
+  }
+
+  test("asOfJoin keeps all left rows and columns") {
+    val out = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "ts", Seq("quote"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq == Seq("sym", "ts", "price", "quote"))
+  }
+
+  test("tolerance nulls stale matches") {
+    val out = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "ts", Seq("quote"),
+      tolerance = Some(5L))
+    val a20 = out.filter($"price" === 101.0).head()
+    assert(Option(a20.get(3)).isEmpty) // quote is 10s old > 5s tolerance
+    val b = out.filter($"price" === 50.0).head()
+    assert(b.getDouble(3) == 49.9) // age 0 within tolerance
+  }
+
+  test("validates inputs") {
+    assertThrows[IllegalArgumentException](
+      AsOfJoin.asOfJoin(trades, quotes, Nil, "ts", Seq("quote")))
+    assertThrows[IllegalArgumentException](
+      AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "ts", Seq("price")))
+  }
+
+  test("plans one shuffle on the key (window), not a join explosion") {
+    val out = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "ts", Seq("quote"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"as-of join should not plan a product join:\n$plan")
+  }
+}

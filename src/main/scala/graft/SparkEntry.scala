@@ -537,6 +537,14 @@ object SparkEntry {
           round(col("sum_value"), 6).as("sum_value"))
     }),
 
+    "q_json_props" -> ((s, d) =>
+      // semi-structured column handling: JSON-path extraction on the
+      // events props payload (oracled via regexp so the DuckDB side
+      // needs no JSON extension)
+      eventsDf(s, d)
+        .select(col("event_id").cast("long").as("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
     "q_asof_join" -> ((s, d) => {
       // each event picks the most recent hourly aggregate of its type
       val ev = eventsDf(s, d)
@@ -881,6 +889,10 @@ object SparkEntry {
         |CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 AS window_end,
         |event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id,
+        |CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k FROM events""".stripMargin,
 
     "q_asof_join" ->
       """WITH hourly AS (

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval-containment) join — point-in-interval matching that
+  * Spark would otherwise plan as a broadcast nested loop or cartesian
+  * product.
+  *
+  * Semantics: join left rows whose `pointCol` falls inside a right
+  * row's [lowCol, highCol] interval (inclusive both ends).
+  *
+  * Implementation: bin both sides at `binWidth` — every interval
+  * explodes into the bins it covers, every point lands in one bin —
+  * then an EQUI-join on the bin id plus an exact re-filter. One hash
+  * shuffle on the bin key instead of an O(n·m) product; right-side
+  * replication is ceil(intervalWidth / binWidth) rows, so pick
+  * binWidth near the typical interval width. Degenerate giant
+  * intervals (≫ binWidth) replicate proportionally — cap them upstream
+  * or raise binWidth.
+  */
+object RangeJoin {
+
+  def rangeJoin(
+      left: DataFrame,
+      pointCol: String,
+      right: DataFrame,
+      lowCol: String,
+      highCol: String,
+      binWidth: Double,
+      how: String = "inner"): DataFrame = {
+    require(binWidth > 0, "rangeJoin: binWidth must be positive")
+    require(Seq("inner", "left").contains(how),
+      s"rangeJoin: join type '$how' not supported (inner, left)")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"rangeJoin: overlapping column names ${overlap.mkString(", ")}")
+
+    val binned = left.withColumn("__bin",
+      floor(col(pointCol).cast("double") / binWidth).cast("long"))
+    val explodedRight = right.withColumn("__bin",
+      explode(sequence(
+        floor(col(lowCol).cast("double") / binWidth).cast("long"),
+        floor(col(highCol).cast("double") / binWidth).cast("long"))))
+
+    val cond = col(pointCol).cast("double").between(
+      col(lowCol).cast("double"), col(highCol).cast("double"))
+    val joined = binned.join(explodedRight, Seq("__bin"), "inner")
+      .filter(cond)
+      .drop("__bin")
+
+    how match {
+      case "inner" => joined
+      case "left" =>
+        // re-attach unmatched left rows with null right side
+        val matchedKeys = joined.select(left.columns.map(col): _*).distinct()
+        val unmatched = binned.drop("__bin")
+          .exceptAll(matchedKeys)
+        val withNulls = right.columns.foldLeft(unmatched)((d, c) =>
+          d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+        joined.unionByName(withNulls)
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.Gen
+
+/** Property-based checks for the pure kernels — randomised invariants
+  * via ScalaCheck generators sampled in a loop (the scalatest-plus
+  * bridge is not on the offline classpath). */
+class PropertySpec extends SparkTestBase {
+
+  import graft.functions.HashKernels
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val longArrays: Gen[Array[Long]] =
+    Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)).map(_.distinct.toArray)
+
+  private def samples[A](g: Gen[A], n: Int = 60): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+
+  test("hashJaccard is symmetric, bounded, and 1 on self") {
+    for ((a, b) <- samples(Gen.zip(longArrays, longArrays))) {
+      val (ad, bd) = (new GenericArrayData(a), new GenericArrayData(b))
+      val j1 = HashKernels.hashJaccard(ad, bd)
+      val j2 = HashKernels.hashJaccard(bd, ad)
+      assert(math.abs(j1 - j2) < 1e-15)
+      assert(j1 >= 0.0 && j1 <= 1.0)
+      if (a.nonEmpty) assert(HashKernels.hashJaccard(ad, ad) == 1.0)
+    }
+  }
+
+  test("hashJaccard sorted fast path equals hash-set fallback") {
+    for ((a, b) <- samples(Gen.zip(longArrays, longArrays))) {
+      val sorted = HashKernels.hashJaccard(
+        new GenericArrayData(a.sorted), new GenericArrayData(b.sorted))
+      // reversed input defeats the sorted-distinct detection → fallback
+      val viaSet = HashKernels.hashJaccard(
+        new GenericArrayData(a.sorted.reverse), new GenericArrayData(b.sorted.reverse))
+      assert(math.abs(sorted - viaSet) < 1e-15)
+    }
+  }
+
+  test("minHashCompute signature: length, determinism, permutation invariance") {
+    for (a <- samples(longArrays) if a.nonEmpty) {
+      val sig = HashKernels.minHashCompute(new GenericArrayData(a), 16)
+      assert(sig.numElements() == 16)
+      val shuffled = HashKernels.minHashCompute(
+        new GenericArrayData(scala.util.Random.shuffle(a.toList).toArray), 16)
+      assert(sig.toLongArray().toSeq == shuffled.toLongArray().toSeq)
+    }
+  }
+
+  test("simHashCompute: permutation invariant") {
+    for (a <- samples(longArrays)) {
+      val h1 = HashKernels.simHashCompute(new GenericArrayData(a))
+      val h2 = HashKernels.simHashCompute(
+        new GenericArrayData(scala.util.Random.shuffle(a.toList).toArray))
+      assert(h1 == h2)
+    }
+  }
+
+  test("TopKAggregator: output sorted, bounded by k, equals sort-take") {
+    import graft.similarity.Similarity
+    val scoredGen = Gen.listOf(for {
+      s <- Gen.choose(-1.0, 1.0)
+      id <- Gen.choose(0L, 50L)
+    } yield Similarity.Scored(s, id))
+    for ((items, k) <- samples(Gen.zip(scoredGen, Gen.choose(1, 8)))) {
+      val agg = new Similarity.TopKAggregator(k)
+      val result = agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+      val expected = items.sortBy(s => (-s.sim, s.corpusId)).take(k)
+      assert(result == expected)
+    }
+  }
+
+  test("ngramHashes: sorted distinct output, count bounded by length") {
+    val texts = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    for (t <- samples(texts)) {
+      val arr = HashKernels.ngramHashes(t, 3).toLongArray()
+      assert(arr.toSeq == arr.toSeq.sorted)
+      assert(arr.distinct.length == arr.length)
+      assert(arr.length <= math.max(t.length - 2, 0))
+    }
+  }
+}

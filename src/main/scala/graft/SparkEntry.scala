@@ -475,6 +475,17 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
     }),
 
+    "q_ivf_topk" -> ((s, d) => {
+      // nprobe == nlist probes every cell → exact, shares the brute-force
+      // oracle; recall/cost dial exercised in IvfSpec
+      val emb = t(s, d, "embeddings")
+      graft.similarity.Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
+    }),
+
     "q_lsh_cosine" -> ((s, d) =>
       // xxhash64-derived hyperplanes: rows-only check
       Similarity.lshCosineCandidates(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -836,6 +847,16 @@ object SparkEntry {
         |AND CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)) >= 0.7""".stripMargin,
 
     "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+        |s AS (SELECT query_id, corpus_id, list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS sim
+        |      FROM q CROSS JOIN c WHERE query_id <> corpus_id),
+        |r AS (SELECT query_id, corpus_id, sim,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rnk FROM s)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id,
+        |  round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
         |s AS (SELECT query_id, corpus_id, list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS sim

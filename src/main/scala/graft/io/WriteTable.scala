@@ -102,6 +102,28 @@ object WriteTable {
     expired
   }
 
+  /** Bucketed catalog table: pre-shuffles rows into `numBuckets` by
+    * `bucketCols` at write time so subsequent equi-joins/aggregations
+    * on those keys read co-located data and plan WITHOUT an Exchange —
+    * the ahead-of-time alternative to shuffling per query. Both sides
+    * of a join must be bucketed the same way (same cols, same count).
+    */
+  def writeBucketedTable(
+      df: DataFrame,
+      tableName: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      mode: String = "error"): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketedTable: need bucket columns")
+    require(numBuckets > 0, "writeBucketedTable: numBuckets must be positive")
+    var writer = df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty)
+      writer = writer.sortBy(sortCols.head, sortCols.tail: _*)
+    writer.saveAsTable(tableName)
+  }
+
   /** Catalog-table variant: saveAsTable with native partitioning on an
     * existing column (no derived key — the catalog tracks partitions).
     */

@@ -109,6 +109,31 @@ object Multimodal {
       .toDF()
   }
 
+  /** STUB resize: a real implementation decodes, rescales pixels and
+    * re-encodes. The deterministic fake rewrites the metadata to the
+    * target geometry and truncates/extends the payload proportionally —
+    * enough to exercise the plumbing (schema stability, narrow pass,
+    * metadata consistency) that a javacv-backed decoder would slot
+    * into. Image-typed rows only; other media pass through unchanged.
+    */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, "resizeImages: target must be positive")
+    val isImage = col("media_type") === "image"
+    media
+      .withColumn("content",
+        when(isImage,
+          // proportional payload truncation stands in for re-encoding
+          expr(s"substring(content, 1, greatest(int(octet_length(content) * " +
+            s"least($width * $height / greatest(meta.width * meta.height, 1), 1.0)), 1))"))
+          .otherwise(col("content")))
+      .withColumn("meta",
+        when(isImage,
+          struct(lit(width).as("width"), lit(height).as("height"),
+            col("meta.duration_ms").as("duration_ms"),
+            col("meta.codec").as("codec")))
+          .otherwise(col("meta")))
+  }
+
   /** Deterministic frame sampling for video-typed rows: pick every
     * `stride`-th byte offset as a fake "frame" marker — placeholder for
     * real keyframe extraction, exercising the explode/fan-out shape a

@@ -112,6 +112,24 @@ class ReadWriteTableSpec extends SparkTestBase {
     assert(spark.table("graft_wt1").count() == 4)
   }
 
+  test("bucketed tables join without an exchange on the bucket key") {
+    spark.sql("DROP TABLE IF EXISTS graft_bt1")
+    spark.sql("DROP TABLE IF EXISTS graft_bt2")
+    WriteTable.writeBucketedTable(
+      sales.select($"id", $"amount"), "graft_bt1", Seq("id"), 4, Seq("id"),
+      mode = "overwrite")
+    WriteTable.writeBucketedTable(
+      sales.select($"id".as("id"), $"region"), "graft_bt2", Seq("id"), 4, Seq("id"),
+      mode = "overwrite")
+    val joined = spark.table("graft_bt1").join(spark.table("graft_bt2"), "id")
+    assert(joined.count() == 4)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assertThrows[IllegalArgumentException](
+      WriteTable.writeBucketedTable(sales, "x", Nil, 4))
+  }
+
   test("refreshTableMetadata refreshes; missing table raises") {
     spark.sql("DROP TABLE IF EXISTS graft_rt1")
     Seq((1, "a")).toDF("id", "v").write.saveAsTable("graft_rt1")

@@ -39,6 +39,19 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.getSeq[Float](2) == expected)
   }
 
+  test("resizeImages rewrites image metadata, leaves other media untouched") {
+    val m = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
+    val out = Multimodal.resizeImages(m, 64, 48)
+    assert(out.schema == m.schema) // plumbing: schema stable
+    val img = out.filter($"media_id" === 0).select("meta.width", "meta.height").head()
+    assert(img.getInt(0) == 64 && img.getInt(1) == 48)
+    val audio = out.filter($"media_id" === 1).select("meta.width").head()
+    assert(audio.getInt(0) == 2) // doc_id 1 % 1920 + 1, unchanged
+    val audioContent = out.filter($"media_id" === 1).select("content").head()
+    assert(new String(audioContent.getAs[Array[Byte]](0), "UTF-8") == "audio doc one")
+    assertThrows[IllegalArgumentException](Multimodal.resizeImages(m, 0, 10))
+  }
+
   test("sampleFrames emits floor(bytes/stride)+1 frames for video rows only") {
     val m = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, stride = 10)

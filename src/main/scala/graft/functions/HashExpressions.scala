@@ -149,6 +149,55 @@ object HashKernels {
     true
   }
 
+  /** Random-hyperplane LSH bucket: sign bits of dots with numPlanes
+    * pseudo-random hyperplanes whose components derive from
+    * xxh64(d, xxh64(p, xxh64(seed, 42))) scaled to [-1, 1] — identical
+    * derivation to the HOF form xxhash64(lit(seed), p, d). */
+  def hyperplaneBucket(
+      arr: ArrayData, isFloat: Boolean, dim: Int, numPlanes: Int, seed: Int): Long = {
+    val n = math.min(arr.numElements(), dim)
+    var acc = 0L
+    val seedH = XXH64.hashInt(seed, 42L)
+    var p = 0
+    while (p < numPlanes) {
+      val planeH = XXH64.hashInt(p, seedH)
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val comp = XXH64.hashInt(j, planeH).toDouble / Long.MaxValue.toDouble
+        val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        d += x * comp
+        j += 1
+      }
+      acc = (acc << 1) + (if (d >= 0) 1L else 0L)
+      p += 1
+    }
+    acc
+  }
+
+  /** Single-pass cosine: dot and both norms in one walk, sequential
+    * accumulation (matches the HOF fold's FP order exactly). */
+  def cosineSim(
+      a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    // include any tail of the longer vector in its own norm, matching
+    // zip_with null-padding semantics only when lengths are equal —
+    // mismatched lengths are a caller bug either way
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** 64-bit SimHash over pre-hashed tokens: bit b of the result is the
     * sign of sum over tokens of ±1 per bit b of the token hash. */
   def simHashCompute(arr: ArrayData): Long = {
@@ -288,8 +337,87 @@ case class HashJaccardExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** array<float|double> → long hyperplane-LSH bucket (see
+  * [[HashKernels.hyperplaneBucket]]). */
+case class HyperplaneBucketExpr(
+    child: Expression, dim: Int, numPlanes: Int, seed: Int)
+    extends UnaryExpression {
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.hyperplaneBucket(
+      input.asInstanceOf[ArrayData], isFloat, dim, numPlanes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.hyperplaneBucket($c, $isFloat, $dim, $numPlanes, $seed)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
+/** (array<float|double>, array<float|double>) → double cosine
+  * similarity, single pass computing dot and both norms together —
+  * the HOF formulation walks each array three times through the
+  * interpreted evaluator. Arithmetic order matches the sequential HOF
+  * fold bit-for-bit. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def vecType(dt: DataType): Option[Boolean] = dt match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => Some(true)
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => Some(false)
+    case _ => None
+  }
+  private lazy val leftFloat = vecType(left.dataType).get
+  private lazy val rightFloat = vecType(right.dataType).get
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecType(left.dataType).isDefined && vecType(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> inputs")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.cosineSim(a.asInstanceOf[ArrayData], leftFloat,
+      b.asInstanceOf[ArrayData], rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashKernels.cosineSim($a, $leftFloat, $b, $rightFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native kernels. */
 object HashFunctions {
+
+  /** Single-pass cosine similarity of two vector columns. */
+  def cosineSimNative(a: Column, b: Column): Column =
+    ColumnBridge(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Hyperplane-LSH bucket of a vector column. */
+  def hyperplaneBucketNative(
+      vec: Column, dim: Int, numPlanes: Int, seed: Int): Column =
+    ColumnBridge(HyperplaneBucketExpr(ColumnBridge.expression(vec), dim, numPlanes, seed))
 
   /** MinHash signature of an array<long> column of element hashes. */
   def minHashSignatureNative(hashArr: Column, numHashes: Int = 64): Column =

@@ -55,9 +55,16 @@ object Tables {
       renameColumns: Map[String, String] = Map.empty,
       dropColumns: Seq[String] = Nil,
       options: Map[String, String] = Map.empty): DataFrame = {
-    val df = spark.read
+    var df = spark.read
       .options(Map("header" -> "true") ++ options)
       .csv(filepath)
+    // multiLine leaves a trailing \r on the last header of CRLF files —
+    // same workaround as the reference (helpers/pyspark.py:889-892)
+    if (options.get("multiLine").exists(_.equalsIgnoreCase("true"))) {
+      val last = df.columns.last
+      if (last.endsWith("\r"))
+        df = df.withColumnRenamed(last, last.stripSuffix("\r"))
+    }
     applyColumnPipeline(df, keepColumns, dropColumns, renameColumns)
   }
 

@@ -23,8 +23,15 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two vector columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two vector columns — native single-pass
+    * kernel (array<float|double> inputs); FP-order-identical to the
+    * HOF form [[cosineHof]], which is kept for generic numeric arrays
+    * and as the equivalence reference. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.HashFunctions.cosineSimNative(a, b)
+
+  /** Interpreted reference formulation of [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: for every query vector, the k most
     * similar corpus vectors. The query side is broadcast (it is small by
@@ -162,7 +169,16 @@ object Similarity {
         col("t.sim").as("sim"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Native codegen'd kernel; the HOF formulation it replaced is kept
+    * below for the bit-for-bit equivalence test. */
   private def hyperplaneBucketSeeded(
+      vec: Column, dim: Int, numPlanes: Int, seed: Int): Column =
+    graft.functions.HashFunctions.hyperplaneBucketNative(vec, dim, numPlanes, seed)
+
+  /** Interpreted reference formulation of [[hyperplaneBucketSeeded]] —
+    * do not use in hot paths; exists so tests can pin the native
+    * kernel's derivation. */
+  private[similarity] def hyperplaneBucketSeededHof(
       vec: Column, dim: Int, numPlanes: Int, seed: Int): Column = {
     def component(p: Column, d: Column): Column =
       (xxhash64(lit(seed), p, d).cast("double") / lit(Long.MaxValue.toDouble))

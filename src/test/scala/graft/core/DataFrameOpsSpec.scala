@@ -85,6 +85,27 @@ class DataFrameOpsSpec extends SparkTestBase {
     assert(out.select("x").as[String].collect().sorted.toSeq == Seq("a", "b"))
   }
 
+  test("unpackListCol reference golden cases: in-place unpack, empty strings") {
+    // mirrors tests/helpers/test_pyspark.py:276-341
+    val multi = Seq(("cheese", Seq("cheddar", "brie", "gorgonzola"))).toDF("col_1", "to_unpack")
+    val out = DataFrameOps.unpackListCol(multi, "to_unpack", "to_unpack")
+    assertDfEqual(out, df("col_1 STRING, to_unpack STRING",
+      Seq("cheese", "cheddar"), Seq("cheese", "brie"), Seq("cheese", "gorgonzola")))
+    val withEmpty = Seq(("cheese", Seq("cheddar", ""))).toDF("col_1", "to_unpack")
+    assert(DataFrameOps.unpackListCol(withEmpty, "to_unpack", "to_unpack").count() == 2)
+  }
+
+  test("cumulativeArray reference golden cases: ragged and empty arrays") {
+    // mirrors tests/helpers/test_pyspark.py:1532-1561
+    val d = Seq((1, Seq(1.0, 2.0, 3.0)), (2, Seq(4.0, 5.0))).toDF("id", "values")
+    val out = DataFrameOps.cumulativeArray(d, "values", "cum")
+      .select("id", "cum").as[(Int, Seq[Double])].collect().toMap
+    assert(out == Map(1 -> Seq(1.0, 3.0, 6.0), 2 -> Seq(4.0, 9.0)))
+    val empty = Seq((1, Seq.empty[Double])).toDF("id", "values")
+    assert(DataFrameOps.cumulativeArray(empty, "values", "cum")
+      .select("cum").as[Seq[Double]].head() == Seq.empty)
+  }
+
   // ------------------------------------------- struct nest / flatten
   test("convertColsToStructCol + convertStructColToColumns round-trip") {
     val d = df("id INT, a STRING, b INT", Seq(1, "x", 2))

@@ -32,6 +32,18 @@ class TablesSpec extends SparkTestBase {
     assert(out.count() == 2)
   }
 
+  test("loadCsv multiLine strips the trailing CR from the last header") {
+    // reference parity: helpers/pyspark.py:889-892
+    val dir = java.nio.file.Files.createTempDirectory("graft_crlf").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/crlf.csv"),
+      "a,b\r\n1,\"x\ny\"\r\n")
+    val out = Tables.loadCsv(spark, s"$dir/crlf.csv",
+      options = Map("multiLine" -> "true"))
+    assert(out.columns.toSeq == Seq("a", "b"))
+    assert(out.count() == 1)
+  }
+
   test("extractDatabaseName handles 1/2/3-part identifiers") {
     assert(Tables.extractDatabaseName(spark, "db.tbl") == ("db", "tbl"))
     assert(Tables.extractDatabaseName(spark, "cat.db.tbl") == ("db", "tbl"))

@@ -67,6 +67,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(aggr.finish(merged).size == 2)
   }
 
+  test("native cosine equals the HOF formulation bit-for-bit") {
+    val pairs = vecs.as("l").crossJoin(vecs.as("r"))
+      .select($"l.embedding".as("a"), $"r.embedding".as("b"))
+    val both = pairs.select(
+      Similarity.cosine($"a", $"b").as("native"),
+      Similarity.cosineHof($"a", $"b").as("hof")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("native hyperplane bucket equals the HOF formulation bit-for-bit") {
+    val native = vecs.select(
+      graft.functions.HashFunctions.hyperplaneBucketNative($"embedding", 3, 8, 5).as("b"))
+      .as[Long].collect().toSeq
+    val hof = vecs.select(
+      Similarity.hyperplaneBucketSeededHof($"embedding", 3, 8, 5).as("b"))
+      .as[Long].collect().toSeq
+    assert(native == hof)
+  }
+
   test("hyperplaneBucket is deterministic and within bit range") {
     val b = vecs.select(Similarity.hyperplaneBucket($"embedding", 3, 8).as("b"))
       .as[Long].collect()

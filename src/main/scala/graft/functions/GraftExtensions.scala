@@ -54,6 +54,19 @@ object GraftFunctions {
         require(args.size == 2, "hash_jaccard(a, b)")
         HashJaccardExpr(args.head, args(1))
       }),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      { args =>
+        require(args.size == 2, "cosine_sim(a, b)")
+        CosineSimExpr(args.head, args(1))
+      }),
+    ("hyperplane_bucket",
+      new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "hyperplane_bucket"),
+      { args =>
+        require(args.size == 4, "hyperplane_bucket(vec, dim, numPlanes, seed)")
+        HyperplaneBucketExpr(args.head, intArg(args(1), "dim"),
+          intArg(args(2), "numPlanes"), intArg(args(3), "seed"))
+      }),
   )
 
   /** Register the functions on a live session (idempotent). */

@@ -21,6 +21,12 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlRow.getSeq[Long](0) == colRow.getSeq[Long](0))
     assert(sqlRow.getSeq[Long](2).length == 2) // abc, bcd
     assert(math.abs(sqlRow.getDouble(3) - 1.0 / 3.0) < 1e-12)
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D, 3.0D), array(3.0D, 2.0D, 1.0D)) AS c").head()
+    assert(math.abs(cos.getDouble(0) - 10.0 / 14.0) < 1e-12)
+    val hp = spark.sql(
+      "SELECT hyperplane_bucket(array(1.0D, 0.0D), 2, 8, 0) AS b").head()
+    assert(hp.getLong(0) >= 0 && hp.getLong(0) < 256)
   }
 
   test("registration is idempotent and validates arity") {
@@ -34,7 +40,8 @@ class GraftExtensionsSpec extends SparkTestBase {
   test("GraftExtensions class builds the same descriptors") {
     // the injectFunction route is exercised structurally: same builders
     assert(GraftFunctions.descriptors.map(_._1).sorted ==
-      Seq("hash_jaccard", "minhash_signature", "ngram_hashes", "simhash64"))
+      Seq("cosine_sim", "hash_jaccard", "hyperplane_bucket",
+        "minhash_signature", "ngram_hashes", "simhash64"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 }

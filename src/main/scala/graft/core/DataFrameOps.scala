@@ -295,6 +295,10 @@ object DataFrameOps {
       how: String = "inner",
       saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1, "saltedJoin: saltFactor must be >= 1")
+    // right rows are replicated ×saltFactor: right/outer/anti semantics
+    // would multiply or fabricate unmatched right rows
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(how),
+      s"saltedJoin: join type '$how' unsupported (replicated right side); use inner or left")
     requireColumns(left, on, "saltedJoin(left)")
     requireColumns(right, on, "saltedJoin(right)")
     val saltCol = "__graft_salt"

@@ -35,6 +35,9 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!rightPayloadCols.exists(leftCols.contains),
       s"asOfJoin: right payload columns ${rightPayloadCols.mkString(", ")} collide with left side")
+    val reserved = Seq("__side", "__r_ts", "__match_ts")
+    require(!(leftCols ++ rightPayloadCols).exists(reserved.contains),
+      s"asOfJoin: column names ${reserved.mkString(", ")} are reserved")
 
     // side marker: right=0 sorts before left=1 at equal timestamps
     val l = left

@@ -36,7 +36,10 @@ object RangeJoin {
     require(overlap.isEmpty,
       s"rangeJoin: overlapping column names ${overlap.mkString(", ")}")
 
-    val binned = left.withColumn("__bin",
+    // synthetic row id keeps left-row multiplicity correct in left mode
+    // (value-based except/distinct would conflate identical left rows)
+    val withId = left.withColumn("__row_id", monotonically_increasing_id())
+    val binned = withId.withColumn("__bin",
       floor(col(pointCol).cast("double") / binWidth).cast("long"))
     val explodedRight = right.withColumn("__bin",
       explode(sequence(
@@ -50,15 +53,13 @@ object RangeJoin {
       .drop("__bin")
 
     how match {
-      case "inner" => joined
+      case "inner" => joined.drop("__row_id")
       case "left" =>
-        // re-attach unmatched left rows with null right side
-        val matchedKeys = joined.select(left.columns.map(col): _*).distinct()
-        val unmatched = binned.drop("__bin")
-          .exceptAll(matchedKeys)
+        val matchedIds = joined.select("__row_id").distinct()
+        val unmatched = withId.join(matchedIds, Seq("__row_id"), "left_anti")
         val withNulls = right.columns.foldLeft(unmatched)((d, c) =>
           d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
-        joined.unionByName(withNulls)
+        joined.unionByName(withNulls).drop("__row_id")
     }
   }
 }

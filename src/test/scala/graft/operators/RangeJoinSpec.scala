@@ -32,6 +32,16 @@ class RangeJoinSpec extends SparkTestBase {
     assert(out.count() == 6) // 4 matches + 2 unmatched
   }
 
+  test("rangeJoin left preserves multiplicity of identical left rows") {
+    // two identical matched points + two identical unmatched points:
+    // a value-based reconstruction would conflate them
+    val dupPoints = Seq((1L, 5.0), (1L, 5.0), (7L, 99.0), (7L, 99.0))
+      .toDF("pid", "v")
+    val out = RangeJoin.rangeJoin(dupPoints, "v", ranges, "lo", "hi", 10.0, how = "left")
+    assert(out.filter($"pid" === 1 && $"name".isNotNull).count() == 4) // 2 rows × 2 ranges
+    assert(out.filter($"pid" === 7 && $"name".isNull).count() == 2)
+  }
+
   test("rangeJoin equi-joins on bins — no product join in the plan") {
     val plan = RangeJoin.rangeJoin(points, "v", ranges, "lo", "hi", 10.0)
       .queryExecution.executedPlan.toString

@@ -145,6 +145,8 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
     val rows = numHashes / bands
     // Staged materialisation: tokens → shingles → hashes → signature,
     // each landed as a real column so no regex split / string hash is
@@ -277,6 +279,8 @@ object Dedup {
       numHashes: Int = 72,
       bands: Int = 12,
       maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
     val rows = numHashes / bands
     val base = df
       .select(col(idCol).as("id"),

@@ -420,20 +420,26 @@ object HashFunctions {
     ColumnBridge(HyperplaneBucketExpr(ColumnBridge.expression(vec), dim, numPlanes, seed))
 
   /** MinHash signature of an array<long> column of element hashes. */
-  def minHashSignatureNative(hashArr: Column, numHashes: Int = 64): Column =
+  def minHashSignatureNative(hashArr: Column, numHashes: Int = 64): Column = {
+    require(numHashes >= 1, s"minHashSignatureNative: numHashes must be >= 1, got $numHashes")
     ColumnBridge(MinHashSignatureExpr(ColumnBridge.expression(hashArr), numHashes))
+  }
 
   /** SimHash of an array<long> column of token hashes. */
   def simHashNative(tokenHashes: Column): Column =
     ColumnBridge(SimHashExpr(ColumnBridge.expression(tokenHashes)))
 
   /** Distinct char-n-gram hashes of a string column, one fused pass. */
-  def ngramHashesNative(text: Column, n: Int = 3): Column =
+  def ngramHashesNative(text: Column, n: Int = 3): Column = {
+    require(n >= 1, s"ngramHashesNative: n must be >= 1, got $n")
     ColumnBridge(NgramHashesExpr(ColumnBridge.expression(text), n))
+  }
 
   /** Distinct k-token-shingle hashes of an array<string> column. */
-  def shingleHashesNative(tokens: Column, k: Int = 3): Column =
+  def shingleHashesNative(tokens: Column, k: Int = 3): Column = {
+    require(k >= 1, s"shingleHashesNative: k must be >= 1, got $k")
     ColumnBridge(ShingleHashesExpr(ColumnBridge.expression(tokens), k))
+  }
 
   /** Jaccard similarity of two array<long> hash sets. */
   def hashJaccard(a: Column, b: Column): Column =

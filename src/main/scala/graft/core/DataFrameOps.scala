@@ -317,6 +317,17 @@ object DataFrameOps {
       df: DataFrame,
       mapping: Map[String, String],
       inputCol: String,
+      outputCol: Option[String] = None): DataFrame =
+    mapColumnValuesAny(df, mapping.toMap[Any, Any], inputCol, outputCol)
+
+  /** Generalised recode — the reference accepts any dict (keys/values of
+    * any literal-able type), not just strings. Output column type
+    * follows the mapping values (falling back to the input column for
+    * unmapped keys, like the reference's passthrough). */
+  def mapColumnValuesAny(
+      df: DataFrame,
+      mapping: Map[Any, Any],
+      inputCol: String,
       outputCol: Option[String] = None): DataFrame = {
     requireColumns(df, Seq(inputCol), "mapColumnValues")
     val out = outputCol.getOrElse(inputCol)

@@ -248,6 +248,13 @@ class DataFrameOpsSpec extends SparkTestBase {
     assert(out2.columns.toSeq == Seq("x", "y"))
   }
 
+  test("mapColumnValuesAny recodes non-string types like the reference dict") {
+    val ints = df("x INT", Seq(1), Seq(2), Seq(9))
+    val out = DataFrameOps.mapColumnValuesAny(
+      ints, Map[Any, Any](1 -> 100, 2 -> 200), "x")
+    assert(out.as[Int].collect().sorted.toSeq == Seq(9, 100, 200))
+  }
+
   // --------------------------------------------------- filterOutValues
   test("filterOutValues excludes values, keepNulls controls null rows") {
     val d = df("x STRING", Seq("a"), Seq("b"), Seq(null))

@@ -25,6 +25,25 @@ class WindowsSpec extends SparkTestBase {
     assert(whole.select("s").as[Long].head() == 60L)
   }
 
+  test("getWindowSpec reference golden cases: sum over all four spec shapes") {
+    // mirrors tests/helpers/test_pyspark.py:406-489 (shop fixture)
+    val d = df("code STRING, dt STRING, v INT",
+      Seq("oranges", "2022-12-01", 22), Seq("oranges", "2022-12-08", 23),
+      Seq("banana", "2022-11-01", 20), Seq("banana", "2022-11-08", 21))
+    def sums(part: Seq[String], ord: Seq[String]): Map[(String, String), Long] =
+      d.withColumn("t", sum("v").over(Windows.getWindowSpec(part, ord)))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val both = sums(Seq("code"), Seq("dt"))
+    assert(both(("oranges", "2022-12-01")) == 22 && both(("oranges", "2022-12-08")) == 45)
+    assert(both(("banana", "2022-11-01")) == 20 && both(("banana", "2022-11-08")) == 41)
+    val partOnly = sums(Seq("code"), Nil)
+    assert(partOnly(("oranges", "2022-12-01")) == 45 && partOnly(("banana", "2022-11-08")) == 41)
+    val ordOnly = sums(Nil, Seq("dt"))
+    assert(ordOnly(("banana", "2022-11-01")) == 20 && ordOnly(("oranges", "2022-12-08")) == 86)
+    val neither = sums(Nil, Nil)
+    assert(neither.values.toSet == Set(86L))
+  }
+
   test("rankNumeric ascending multi-column and descending single-column") {
     val d = df("g STRING, a INT, b INT",
       Seq("x", 1, 2), Seq("x", 1, 1), Seq("x", 2, 0))

@@ -240,6 +240,16 @@ object SparkEntry {
         t(s, d, "region").select(col("r_regionkey").cast("long").as("r_regionkey")),
         "u", lower = 10.0, upper = 20.0, seed = Some(42L))),
 
+    "q_percentiles" -> ((s, d) =>
+      core.Aggregations.percentiles(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.75), exact = true)
+        .select(col("l_returnflag"),
+          round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+          round(col("p75"), 6).as("p75"))),
+
+    "q_word_freq" -> ((s, d) =>
+      TextFunctions.wordFrequencies(t(s, d, "documents"), "text", topN = 20)),
+
     "q_cube" -> ((s, d) =>
       core.Aggregations.cubeAgg(t(s, d, "lineitem"),
         Seq("l_returnflag", "l_linestatus"),
@@ -679,6 +689,19 @@ object SparkEntry {
 
     "q_smart_coalesce" ->
       "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+        |round(quantile_cont(l_quantity, 0.75), 6) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_word_freq" ->
+      """SELECT word, count(*) AS freq FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY freq DESC, word LIMIT 20""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, count(*) AS n

@@ -46,4 +46,24 @@ object Aggregations {
       rsd: Double = 0.05, outputCol: String = "approx_n_distinct"): DataFrame =
     groupedAgg(df, groupCols,
       Seq(outputCol -> approx_count_distinct(col(valueCol), rsd)))
+
+  /** Grouped percentiles: exact (`percentile`, interpolating — sorts
+    * per group, use when groups fit memory) or sketch-based
+    * (`percentile_approx`, bounded state — the 100 TB default). */
+  def percentiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      ps: Seq[Double],
+      exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "percentiles: probabilities must be within [0, 1]")
+    val aggs = ps.map { p =>
+      val name = s"p${(p * 100).toInt}"
+      name -> (if (exact) percentile(col(valueCol), lit(p))
+               else percentile_approx(col(valueCol), lit(p), lit(accuracy)))
+    }
+    groupedAgg(df, groupCols, aggs)
+  }
 }

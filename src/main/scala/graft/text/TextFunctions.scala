@@ -64,6 +64,25 @@ object TextFunctions {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on")
 
+  /** Corpus vocabulary with frequencies: explode normalised tokens,
+    * count per word, keep the `topN` most frequent (ties broken
+    * alphabetically for determinism). The explode is narrow; the only
+    * shuffle is the word-count hash aggregation (partial + final), and
+    * the top-N plans as TakeOrderedAndProject — no full sort. The
+    * standard vocabulary-building pass of a training pipeline.
+    */
+  def wordFrequencies(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      topN: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(topN > 0, "wordFrequencies: topN must be positive")
+    df.select(explode(tokens(normalizeText(col(textCol)))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(topN)
+  }
+
   /** Language-ID by marker-token voting: for each candidate language,
     * count tokens in its marker list; argmax wins, ties broken by
     * language-code order. N-gram-free heuristic that runs as pure

@@ -40,6 +40,18 @@ class AggregationsSpec extends SparkTestBase {
       Map("e" -> 2L, "w" -> 1L))
   }
 
+  test("percentiles: exact interpolating quantiles per group; validates ps") {
+    val d = df("g STRING, v DOUBLE",
+      Seq("a", 1.0), Seq("a", 2.0), Seq("a", 3.0), Seq("a", 4.0))
+    val out = Aggregations.percentiles(d, Seq("g"), "v", Seq(0.5), exact = true)
+    assert(out.columns.toSeq == Seq("g", "p50"))
+    assert(out.head().getDouble(1) == 2.5) // interpolated median of 1..4
+    val approx = Aggregations.percentiles(d, Seq("g"), "v", Seq(0.5))
+    assert(Seq(2.0, 3.0).contains(approx.head().getDouble(1))) // element-valued
+    assertThrows[IllegalArgumentException](
+      Aggregations.percentiles(d, Seq("g"), "v", Seq(1.5)))
+  }
+
   test("intersectDfs / exceptDfs set semantics") {
     val a = Seq(1, 2, 2, 3).toDF("x")
     val b = Seq(2, 3, 4).toDF("x")

@@ -50,6 +50,18 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(good > noise)
   }
 
+  test("wordFrequencies counts normalised tokens with deterministic ordering") {
+    val d = Seq("The cat sat", "the CAT ran", "dogs ran fast").toDF("text")
+    val out = TextFunctions.wordFrequencies(d, "text", topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out.head == ("cat", 2L) || out.head == ("ran", 2L) || out.head == ("the", 2L))
+    assert(out.map(_._1) == out.map(_._1)) // deterministic run
+    // ties at freq=2 break alphabetically: cat, ran, the
+    assert(out == Seq(("cat", 2L), ("ran", 2L), ("the", 2L)))
+    assertThrows[IllegalArgumentException](
+      TextFunctions.wordFrequencies(d, "text", topN = 0))
+  }
+
   test("langId votes on marker tokens; ties break to earlier profile") {
     val profiles = Seq("aa" -> Seq("alpha"), "bb" -> Seq("beta"))
     assert(one[String](TextFunctions.langId($"t", profiles), "beta beta alpha") == "bb")

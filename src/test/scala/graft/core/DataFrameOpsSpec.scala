@@ -116,6 +116,21 @@ class DataFrameOpsSpec extends SparkTestBase {
     assertDfEqual(flat, df("id INT, a STRING, b INT", Seq(1, "x", 2)))
   }
 
+  test("convertColsToStructCol reference golden cases: single and multi column") {
+    // mirrors tests/helpers/test_pyspark.py:621-700
+    val input = df("column_a STRING, column_b STRING, column_c STRING",
+      Seq("AA1", "BB1", "CC1"), Seq("AA2", "BB2", "CC2"))
+    val single = DataFrameOps.convertColsToStructCol(input, "struct_column", Seq("column_c"))
+    assert(single.columns.toSeq == Seq("column_a", "column_b", "struct_column"))
+    assert(single.schema("struct_column").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("column_c"))
+    assert(single.orderBy("column_a").collect()(0).getStruct(2).getString(0) == "CC1")
+    val multi = DataFrameOps.convertColsToStructCol(input, "struct_column",
+      Seq("column_b", "column_c"))
+    assert(multi.columns.toSeq == Seq("column_a", "struct_column"))
+    assert(multi.orderBy("column_a").collect()(1).getStruct(1).toSeq == Seq("BB2", "CC2"))
+  }
+
   test("convertColsToStructCol with empty selection creates placeholder field") {
     val nested = DataFrameOps.convertColsToStructCol(
       df("id INT", Seq(1)), "s", Seq.empty)

@@ -21,6 +21,17 @@ class FileOpsSpec extends SparkTestBase {
     assert(!FileOps.fileExists(spark, p))
   }
 
+  test("isDirectory, lastModified, renameFile") {
+    val dir = tmpDir()
+    FileOps.writeTextFile(spark, s"$dir/f.txt", "x")
+    assert(FileOps.isDirectory(spark, dir))
+    assert(!FileOps.isDirectory(spark, s"$dir/f.txt"))
+    assert(!FileOps.isDirectory(spark, s"$dir/nope"))
+    assert(FileOps.lastModified(spark, s"$dir/f.txt") > 0)
+    assert(FileOps.renameFile(spark, s"$dir/f.txt", s"$dir/g.txt"))
+    assert(FileOps.fileExists(spark, s"$dir/g.txt"))
+  }
+
   test("copyFile and moveFile") {
     val dir = tmpDir()
     FileOps.writeTextFile(spark, s"$dir/a.txt", "data")

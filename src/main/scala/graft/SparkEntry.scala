@@ -579,6 +579,22 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("hourly_sum"))
     }),
 
+    "q_runlog" -> ((s, d) => {
+      // run-log subsystem end-to-end (timestamps → rows-only check):
+      // create tables, reserve id, add entries, read most-recent back
+      import s.implicits._
+      s.sql("DROP TABLE IF EXISTS graft_verify_runlog")
+      s.sql("DROP TABLE IF EXISTS graft_verify_runlog_reserved_ids")
+      runlog.RunLog.createRunlogTable(s, "graft_verify_runlog")
+      runlog.RunLog.addEntry(s, "first", "verify-pipeline", "1.0", "{}",
+        tableName = "graft_verify_runlog")
+      runlog.RunLog.addEntry(s, "second", "verify-pipeline", "1.0", "{}",
+        tableName = "graft_verify_runlog")
+      val last = runlog.RunLog.lastRunId(s, "graft_verify_runlog")
+      Seq((last.getOrElse(-1).toLong, s.table("graft_verify_runlog").count()))
+        .toDF("last_run_id", "n_entries")
+    }),
+
     "q_pipeline_docs" -> ((s, d) => {
       // end-to-end training-data pipeline: quality gate → language vote
       // → exact dedup → per-language corpus stats
@@ -945,6 +961,10 @@ object SparkEntry {
         |SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, h.hourly_sum
         |FROM events e ASOF LEFT JOIN hourly h
         |  ON e.event_type = h.event_type AND e.ts >= h.hts""".stripMargin,
+
+    "q_runlog" ->
+      // fresh tables → reserved ids 1 and 2, two entries
+      "SELECT CAST(2 AS BIGINT) AS last_run_id, CAST(2 AS BIGINT) AS n_entries",
 
     "q_pipeline_docs" ->
       """WITH base AS (

@@ -321,45 +321,73 @@ object Dedup {
 
   /** Connected components over near-duplicate pairs: assigns every id
     * in the pair graph the MINIMUM id reachable from it — the cluster
-    * representative — via iterative label propagation (alternating
-    * small-star joins). Converges in O(log n) rounds for chain-shaped
-    * graphs; `maxIter` bounds runtime on adversarial graphs. Returns
-    * (id, cluster_id).
+    * representative — via the alternating large-star/small-star
+    * contraction of Kiveris et al., "Connected Components in MapReduce
+    * and Beyond" (SoCC'14). Each round star-contracts the graph
+    * towards component minima, so a chain of length n converges in
+    * O(log n) rounds (O(log² n) proven worst case) — unlike plain
+    * neighbour-min propagation, which needs O(diameter) rounds.
+    * Throws `IllegalStateException` if `maxIter` rounds pass without
+    * reaching the star-graph fixpoint, rather than silently returning
+    * split clusters. Returns (id, cluster_id).
     *
-    * Scale notes: each round is two shuffles on id; label tables carry
-    * two longs per node in the graph (only ids that appear in pairs),
-    * not the whole corpus.
+    * Scale notes: each round is a constant number of shuffles on node
+    * id over the EDGE set only (two longs per edge, monotonically
+    * non-growing), not the whole corpus; lineage is cut per round via
+    * localCheckpoint.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
-      .toDF("src", "dst")
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // canonical undirected edges (u > v), self-loops dropped
+    var edges = pairs.select(
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("u"),
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-    var converged = false
+      .localCheckpoint(eager = true)
+    val allIds = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .distinct()
+      .localCheckpoint(eager = true)
+
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts the min of its own label and neighbours' labels
-      val neighbourMin = edges
-        .join(labels.withColumnRenamed("id", "dst2"),
-          col("dst") === col("dst2"))
-        .groupBy(col("src").as("id"))
-        .agg(min("cluster_id").as("nb_min"))
-      val updated = labels.join(neighbourMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
-            .as("cluster_id"))
-      // convergence check: any label changed this round?
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
-        .limit(1).count() > 0
-      labels = updated.localCheckpoint(eager = true) // cut iteration lineage
-      converged = !changed
+      // large-star: every node strictly larger than the centre attaches
+      // to the minimum of the centre's neighbourhood (incl. the centre)
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val centreMin = sym.groupBy("u").agg(min("v").as("mn"))
+      val ls = sym.join(centreMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .distinct() // (u > v) holds: v > u >= min
+      // small-star: every neighbour ≤ the centre (and the centre) attaches
+      // to the minimum of that closed neighbourhood
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      // fixpoint = edge set unchanged (both sides are distinct sets, so
+      // equal count + empty one-way difference ⇒ equality)
+      val newCount = ss.count()
+      converged = newCount == edgeCount &&
+        ss.except(edges).limit(1).count() == 0
+      edges = ss
+      edgeCount = newCount
       iter += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: no convergence after $maxIter rounds — " +
+          "raise maxIter (rounds needed grow as log of the largest cluster)")
+    // at the fixpoint the graph is a union of stars centred on each
+    // component minimum: edges map non-root → root directly
+    allIds.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
   }
 
   /** Exact all-pairs n-gram Jaccard over a (small) corpus — the

@@ -152,10 +152,16 @@ object HashKernels {
   /** Random-hyperplane LSH bucket: sign bits of dots with numPlanes
     * pseudo-random hyperplanes whose components derive from
     * xxh64(d, xxh64(p, xxh64(seed, 42))) scaled to [-1, 1] — identical
-    * derivation to the HOF form xxhash64(lit(seed), p, d). */
+    * derivation to the HOF form xxhash64(lit(seed), p, d).
+    *
+    * Vectors SHORTER than `dim` return bucket 0, replicating the HOF
+    * fold where zip_with null-padding poisons every plane's dot (each
+    * sign bit falls to the otherwise(0) branch). Vectors longer than
+    * `dim` use their first `dim` components. */
   def hyperplaneBucket(
       arr: ArrayData, isFloat: Boolean, dim: Int, numPlanes: Int, seed: Int): Long = {
-    val n = math.min(arr.numElements(), dim)
+    if (arr.numElements() < dim) return 0L
+    val n = dim
     var acc = 0L
     val seedH = XXH64.hashInt(seed, 42L)
     var p = 0
@@ -176,7 +182,10 @@ object HashKernels {
   }
 
   /** Single-pass cosine: dot and both norms in one walk, sequential
-    * accumulation (matches the HOF fold's FP order exactly). */
+    * accumulation (matches the HOF fold's FP order exactly). Callers
+    * must pass equal-length vectors; [[CosineSimExpr]] returns NULL for
+    * mismatched lengths before reaching this kernel, replicating the
+    * HOF dot's zip_with null-poisoning. */
   def cosineSim(
       a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -192,9 +201,6 @@ object HashKernels {
       nb += y * y
       i += 1
     }
-    // include any tail of the longer vector in its own norm, matching
-    // zip_with null-padding semantics only when lengths are equal —
-    // mismatched lengths are a caller bug either way
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -374,7 +380,8 @@ case class HyperplaneBucketExpr(
   * similarity, single pass computing dot and both norms together —
   * the HOF formulation walks each array three times through the
   * interpreted evaluator. Arithmetic order matches the sequential HOF
-  * fold bit-for-bit. */
+  * fold bit-for-bit; mismatched-length inputs return NULL, exactly as
+  * the HOF's zip_with null-padding poisons its fold. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -392,15 +399,23 @@ case class CosineSimExpr(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects array<float|double> inputs")
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true // NULL on length mismatch
   override def prettyName: String = "cosine_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    HashKernels.cosineSim(a.asInstanceOf[ArrayData], leftFloat,
-      b.asInstanceOf[ArrayData], rightFloat)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) null
+    else HashKernels.cosineSim(aa, leftFloat, bb, rightFloat)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.HashKernels.cosineSim($a, $leftFloat, $b, $rightFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.HashKernels.cosineSim($a, $leftFloat, $b, $rightFloat);
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =

@@ -45,6 +45,11 @@ object WriteTable {
           s"writeTable: partitionType '$pt' must be one of ${partitionTypes.mkString(", ")}")
     }
 
+    if (partitionCol.isDefined && df.columns.contains(partitionKeyCol))
+      throw new IllegalArgumentException(
+        s"writeTable: column name '$partitionKeyCol' is reserved for the " +
+          "derived partition key — rename the input column")
+
     var out = df
     val partitioned = partitionCol.isDefined
     if (partitioned) {

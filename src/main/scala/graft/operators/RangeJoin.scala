@@ -35,6 +35,9 @@ object RangeJoin {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"rangeJoin: overlapping column names ${overlap.mkString(", ")}")
+    val reserved = Seq("__row_id", "__bin")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"rangeJoin: column names ${reserved.mkString(", ")} are reserved")
 
     // synthetic row id keeps left-row multiplicity correct in left mode
     // (value-based except/distinct would conflate identical left rows)

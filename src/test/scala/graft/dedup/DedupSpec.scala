@@ -123,6 +123,26 @@ class DedupSpec extends SparkTestBase {
     assert(clusters.size == 10)
   }
 
+  test("duplicateClusters converges on a 60-node chain in O(log n) rounds") {
+    // regression: plain neighbour-min propagation needs diameter (59)
+    // rounds here and silently split the cluster at the old maxIter=10;
+    // star contraction must finish well within 8 rounds
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      (1L to 59L).map(i => Seq[Any](i, i + 1)): _*)
+    val clusters = Dedup.duplicateClusters(pairs, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 60)
+    assert(clusters.values.toSet == Set(1L),
+      s"chain must collapse to one cluster, got ${clusters.values.toSet}")
+  }
+
+  test("duplicateClusters signals non-convergence instead of splitting") {
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      (1L to 59L).map(i => Seq[Any](i, i + 1)): _*)
+    assertThrows[IllegalStateException](
+      Dedup.duplicateClusters(pairs, maxIter = 1))
+  }
+
   test("bucket cap drops oversized buckets instead of exploding") {
     // 30 identical docs -> one bucket of 30; cap of 5 suppresses the pairs
     val many = spark.range(30).toDF("id").withColumn("text", lit("same text here okay"))

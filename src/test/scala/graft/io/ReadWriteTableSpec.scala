@@ -82,6 +82,17 @@ class ReadWriteTableSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters"), s"expected partition pruning:\n$plan")
   }
 
+  test("writeTable rejects an input column named part_key when partitioning") {
+    assertThrows[IllegalArgumentException](
+      WriteTable.writeTable(sales.withColumnRenamed("region", "part_key"),
+        "/dev/null", partitionCol = Some("sold_at")))
+    // unpartitioned writes have no derived key — the name is fine there
+    val dir = Files.createTempDirectory("graft_partkey").toString + "/t"
+    WriteTable.writeTable(sales.withColumnRenamed("region", "part_key"),
+      dir, mode = "overwrite")
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
   test("writeTable rejects >4 clustered fields; clusters rows within files") {
     assertThrows[IllegalArgumentException](
       WriteTable.writeTable(sales, "/dev/null", clusteredFields = Seq("a", "b", "c", "d", "e")))

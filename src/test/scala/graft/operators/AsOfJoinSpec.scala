@@ -49,6 +49,21 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(b.getDouble(3) == 49.9) // age 0 within tolerance
   }
 
+  test("a NULL in the most recent right row is attached as-is, not backfilled") {
+    // newest matching quote row carries (bid=null, ask=51.0); the older
+    // row's bid=49.0 must NOT leak in — the matched row is atomic
+    val quotes2 = Seq(
+      ("B", ts("2024-01-01 10:00:01"), Option(49.0), Option(49.5)),
+      ("B", ts("2024-01-01 10:00:05"), Option.empty[Double], Option(51.0))
+    ).toDF("sym", "ts", "bid", "ask")
+    val out = AsOfJoin.asOfJoin(
+      trades.filter($"sym" === "B"), quotes2, Seq("sym"), "ts", Seq("bid", "ask"))
+    val row = out.head()
+    assert(Option(row.get(row.fieldIndex("bid"))).isEmpty,
+      "bid must stay NULL (newest matched row has NULL bid)")
+    assert(row.getDouble(row.fieldIndex("ask")) == 51.0)
+  }
+
   test("validates inputs") {
     assertThrows[IllegalArgumentException](
       AsOfJoin.asOfJoin(trades, quotes, Nil, "ts", Seq("quote")))

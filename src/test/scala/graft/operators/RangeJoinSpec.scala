@@ -58,4 +58,13 @@ class RangeJoinSpec extends SparkTestBase {
       RangeJoin.rangeJoin(points, "v", ranges.withColumnRenamed("name", "pid"),
         "lo", "hi", 10.0))
   }
+
+  test("rejects reserved working column names instead of clobbering them") {
+    assertThrows[IllegalArgumentException](
+      RangeJoin.rangeJoin(points.withColumnRenamed("pid", "__row_id"),
+        "v", ranges, "lo", "hi", 10.0))
+    assertThrows[IllegalArgumentException](
+      RangeJoin.rangeJoin(points, "v",
+        ranges.withColumnRenamed("name", "__bin"), "lo", "hi", 10.0))
+  }
 }

@@ -86,6 +86,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(native == hof)
   }
 
+  test("short/mismatched vectors match HOF null semantics (ADVICE regression)") {
+    // vector shorter than dim: HOF zip_with null-poisons every plane's
+    // dot → bucket 0; the native kernel must agree
+    val short = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+    val nb = short.select(
+      graft.functions.HashFunctions.hyperplaneBucketNative($"v", 5, 8, 5).as("b"))
+      .as[Long].head()
+    val hb = short.select(
+      Similarity.hyperplaneBucketSeededHof($"v", 5, 8, 5).as("b"))
+      .as[Long].head()
+    assert(nb == 0L && nb == hb)
+    // mismatched-length cosine: HOF dot null-poisons → NULL; native too
+    val mism = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val rows = mism.select(
+      Similarity.cosine($"a", $"b").as("native"),
+      Similarity.cosineHof($"a", $"b").as("hof")).head()
+    assert(rows.isNullAt(0) && rows.isNullAt(1))
+  }
+
   test("hyperplaneBucket is deterministic and within bit range") {
     val b = vecs.select(Similarity.hyperplaneBucket($"embedding", 3, 8).as("b"))
       .as[Long].collect()

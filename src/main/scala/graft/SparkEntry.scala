@@ -490,7 +490,10 @@ object SparkEntry {
       // oracle; recall/cost dial exercised in IvfSpec
       val emb = t(s, d, "embeddings")
       graft.similarity.Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8)
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8,
+        // quantizer trained on a seeded half-sample: cheaper build, and
+        // with a full probe the result set is identical regardless
+        trainFraction = 0.5)
         .select(col("query_id").cast("long").as("query_id"),
           col("corpus_id").cast("long").as("corpus_id"),
           round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
@@ -583,8 +586,16 @@ object SparkEntry {
       // run-log subsystem end-to-end (timestamps → rows-only check):
       // create tables, reserve id, add entries, read most-recent back
       import s.implicits._
-      s.sql("DROP TABLE IF EXISTS graft_verify_runlog")
-      s.sql("DROP TABLE IF EXISTS graft_verify_runlog_reserved_ids")
+      Seq("graft_verify_runlog", "graft_verify_runlog_reserved_ids").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        // a previous JVM's managed-table dir survives the in-memory
+        // catalog: DROP is then a no-op and CREATE fails on the stale
+        // location — remove it explicitly so the query is idempotent
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), tbl)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       runlog.RunLog.createRunlogTable(s, "graft_verify_runlog")
       runlog.RunLog.addEntry(s, "first", "verify-pipeline", "1.0", "{}",
         tableName = "graft_verify_runlog")

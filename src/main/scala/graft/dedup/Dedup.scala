@@ -83,12 +83,12 @@ object Dedup {
   def minHashSignature(shingleArr: Column, numHashes: Int = 64): Column =
     minHashSignatureFromHashes(shingleHashes(shingleArr), numHashes)
 
-  /** Band a signature array into `bands` bucket hashes (one xxhash64 per
-    * contiguous rows-sized slice). */
+  /** Band a signature array into `bands` bucket hashes (one xxh64 chain
+    * per contiguous rows-sized slice) — native codegen'd kernel; the
+    * interpreted HOF form (slice → concat_ws → xxhash64) allocated a
+    * string per band per row and dominated the banding stage. */
   private def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws(",",
-        transform(slice(sig, b * rows + 1, lit(rows)), _.cast("string")))))
+    graft.functions.HashFunctions.bandBucketsNative(sig, bands, rows)
 
   /** (band, bucket) exploded view carrying ONLY the id — the shuffle and
     * self-join payload stays tiny no matter how large the documents are. */
@@ -395,6 +395,13 @@ object Dedup {
     * Explicit cross product: only for corpora that fit a quadratic
     * comparison (e.g. a sampled slice); the scale path is
     * [[ngramJaccardNearDuplicates]].
+    *
+    * Each document's n-gram set is carried as SORTED DISTINCT 64-bit
+    * hashes and compared with the allocation-free native merge-walk —
+    * set Jaccard is identical to the string form up to (negligible)
+    * 64-bit collisions, while each of the O(n²) comparisons touches
+    * 8 bytes/gram with zero per-pair allocation instead of building
+    * intersection/union string arrays.
     */
   def ngramJaccardAllPairs(
       df: DataFrame,
@@ -402,19 +409,20 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    // grams materialised per document BEFORE the cross join — computing
-    // them inside the pair comparison would redo the n-gram build O(n²)
-    // times instead of O(n)
+    // gram hashes materialised per document BEFORE the cross join —
+    // computing them inside the pair comparison would redo the n-gram
+    // build O(n²) times instead of O(n)
     val base = df.select(col(idCol).as("id"),
       TextFunctions.normalizeText(col(textCol)).as("norm"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("grams", charNgrams(col("norm"), n))
-      .select("id", "grams")
+      .withColumn("gh",
+        graft.functions.HashFunctions.ngramHashesNative(col("norm"), n))
+      .select("id", "gh")
     base.as("l").crossJoin(base.as("r"))
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        (size(array_intersect(col("l.grams"), col("r.grams"))).cast("double") /
-          size(array_union(col("l.grams"), col("r.grams")))).as("jaccard"))
+        graft.functions.HashFunctions.hashJaccard(col("l.gh"), col("r.gh"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -50,6 +50,32 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** LSH band buckets over a signature: bucket b = xxh64 chain over
+    * the b-th `rows`-sized slice, seeded per band. Replaces the
+    * interpreted HOF form (slice → cast-to-string → concat_ws →
+    * xxhash64), which both allocated strings per band and fell out of
+    * codegen; bucket VALUES differ from the string form but bucketing
+    * semantics (equal slices ⇔ equal buckets, per band) are identical.
+    * Signatures shorter than bands×rows hash whatever their slice
+    * holds, mirroring slice()'s truncation. */
+  def bandBuckets(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val n = sig.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashInt(b, 42L)
+      var j = b * rows
+      val end = math.min(j + rows, n)
+      while (j < end) {
+        h = XXH64.hashLong(sig.getLong(j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** xxhash64 of a string's UTF-8 bytes with Spark's default seed 42 —
     * identical to the `xxhash64(str)` SQL function. */
   def hashString(s: String): Long = {
@@ -249,6 +275,26 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** array<long> → array<long> LSH band buckets (see [[HashKernels]]). */
+case class BandBucketsExpr(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashKernels.requireArrayOfLong(child.dataType, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bandBuckets(input.asInstanceOf[ArrayData], bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.bandBuckets($c, $bands, $rows)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandBucketsExpr =
+    copy(child = newChild)
+}
+
 /** array<long> → long SimHash fingerprint (see [[HashKernels]]). */
 case class SimHashExpr(child: Expression)
     extends UnaryExpression {
@@ -443,6 +489,13 @@ object HashFunctions {
   /** SimHash of an array<long> column of token hashes. */
   def simHashNative(tokenHashes: Column): Column =
     ColumnBridge(SimHashExpr(ColumnBridge.expression(tokenHashes)))
+
+  /** LSH band buckets of an array<long> signature column. */
+  def bandBucketsNative(sig: Column, bands: Int, rows: Int): Column = {
+    require(bands >= 1 && rows >= 1,
+      s"bandBucketsNative: bands ($bands) and rows ($rows) must be >= 1")
+    ColumnBridge(BandBucketsExpr(ColumnBridge.expression(sig), bands, rows))
+  }
 
   /** Distinct char-n-gram hashes of a string column, one fused pass. */
   def ngramHashesNative(text: Column, n: Int = 3): Column = {

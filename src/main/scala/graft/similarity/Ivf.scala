@@ -1,47 +1,123 @@
 package graft.similarity
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbour search — the
   * coarse-quantizer scale path for embedding similarity.
   *
-  * Index build: k-means (MLlib, seeded → deterministic) partitions the
-  * corpus into `nlist` cells; every vector is assigned to its nearest
-  * centroid. Search: each query scores only the vectors in its
-  * `nprobe` closest cells, so the scored fraction is ≈ nprobe/nlist of
-  * the corpus instead of all of it — the standard FAISS-style IVF
-  * recall/cost dial.
+  * Index build: the quantizer is trained DRIVER-SIDE with a seeded
+  * Lloyd iteration over a bounded sample of the corpus — the FAISS
+  * recipe: even at 100 TB the coarse quantizer trains on ~1M sampled
+  * vectors, so distributing the training loop buys nothing and costs a
+  * full Spark job per iteration (measured: task-serialisation overhead
+  * dominated the build). Assignment is MAP-SIDE: the nlist×dim
+  * centroid table travels as a literal into a narrow argmin
+  * projection — no shuffle, no per-iteration jobs.
   *
-  * Scale design: centroids (nlist × dim doubles) broadcast to both
-  * assignment and probing; the only wide exchange keys on the cell id,
-  * so a 100 TB corpus shards by cell; per-query top-k uses the bounded
-  * partial [[Similarity.TopKAggregator]].
+  * Search: each query scores only the vectors in its `nprobe` closest
+  * cells, so the scored fraction is ≈ nprobe/nlist of the corpus —
+  * the standard IVF recall/cost dial. The only wide exchange keys on
+  * the cell id, so a 100 TB corpus shards by cell; per-query top-k
+  * uses the bounded partial [[Similarity.TopKAggregator]].
   */
 object Ivf {
 
+  /** Seeded in-memory Lloyd k-means (squared-L2). Empty clusters keep
+    * their previous centroid; k is capped at the sample size. */
+  private[similarity] def localLloyd(
+      points: Array[Array[Double]], k: Int, maxIter: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "localLloyd: empty training sample")
+    val dim = points.head.length
+    val kk = math.min(k, points.length)
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(points.indices.toVector).take(kk)
+      .map(points(_).clone).toArray
+    val assign = new Array[Int](points.length)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var p = 0
+      while (p < points.length) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val cc = centers(c)
+          val pp = points(p)
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = pp(j) - cc(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(p) != best) { assign(p) = best; moved = true }
+        p += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var p2 = 0
+      while (p2 < points.length) {
+        val a = assign(p2)
+        counts(a) += 1
+        var j = 0
+        while (j < dim) { sums(a)(j) += points(p2)(j); j += 1 }
+        p2 += 1
+      }
+      var c2 = 0
+      while (c2 < kk) {
+        if (counts(c2) > 0) {
+          var j = 0
+          while (j < dim) { centers(c2)(j) = sums(c2)(j) / counts(c2); j += 1 }
+        }
+        c2 += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
   /** Cell assignments for the corpus + the centroid table.
-    * Returns (assignments: id/vec/cell, centroids: cell/centroid). */
+    * Returns (assignments: id/vec/cell, centroids: cell/centroid).
+    *
+    * `trainFraction` bounds the sample collected for quantizer
+    * training (seeded, deterministic); centroid quality only steers
+    * cell SHAPES — it never changes which vectors a full probe scores.
+    */
   def buildIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int,
-      seed: Long = 42L): (DataFrame, DataFrame) = {
+      seed: Long = 42L,
+      maxIter: Int = 10,
+      trainFraction: Double = 1.0): (DataFrame, DataFrame) = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"buildIndex: trainFraction must be in (0, 1], got $trainFraction")
+    require(nlist >= 1, s"buildIndex: nlist must be >= 1, got $nlist")
     val spark = corpus.sparkSession
-    val vectorized = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cell")
-      .fit(vectorized)
-    val assignments = model.transform(vectorized)
-      .select(col("id"), col("vec"), col("cell"))
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sampled =
+      if (trainFraction >= 1.0) base
+      else base.sample(withReplacement = false, trainFraction, seed)
+    val trainRows = sampled.select(col("vec").cast("array<double>"))
+      .as[Array[Double]].collect()
+    val centers = localLloyd(trainRows, nlist, maxIter, seed)
+
+    // centroids ride into the scan as literals: narrow argmin, no join
+    val centroidArr = array(centers.map(c => array(c.map(lit): _*)): _*)
+    val assignments = base
+      .withColumn("__dv", col("vec").cast("array<double>"))
+      .withColumn("__dists", transform(centroidArr, c =>
+        aggregate(zip_with(col("__dv"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)))
+      .withColumn("cell",
+        (array_position(col("__dists"), array_min(col("__dists"))) - 1).cast("int"))
+      .drop("__dv", "__dists")
+    val centroids = centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
     (assignments, centroids)
   }
@@ -93,8 +169,11 @@ object Ivf {
       k: Int,
       nlist: Int = 64,
       nprobe: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val (assignments, centroids) = buildIndex(corpus, idCol, vecCol, nlist, seed)
+      seed: Long = 42L,
+      maxIter: Int = 10,
+      trainFraction: Double = 1.0): DataFrame = {
+    val (assignments, centroids) =
+      buildIndex(corpus, idCol, vecCol, nlist, seed, maxIter, trainFraction)
     search(assignments, centroids, queries, idCol, vecCol, k, nprobe)
   }
 }

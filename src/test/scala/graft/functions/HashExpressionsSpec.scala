@@ -53,6 +53,22 @@ class HashExpressionsSpec extends SparkTestBase {
       s"native expressions fell out of codegen:\n$plan")
   }
 
+  test("bandBuckets: equal slices bucket together, bands are independent") {
+    val sigs = Seq(
+      (1L, Seq(10L, 11L, 20L, 21L)),
+      (2L, Seq(10L, 11L, 99L, 98L)), // band 0 equal to id 1, band 1 differs
+      (3L, Seq(10L, 11L, 10L, 11L))  // same values in both slices
+    ).toDF("id", "sig")
+      .select($"id", HashFunctions.bandBucketsNative($"sig", 2, 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L)(0) == sigs(2L)(0), "equal first slices must share a bucket")
+    assert(sigs(1L)(1) != sigs(2L)(1), "different second slices must differ")
+    // same slice VALUES in different bands get different bucket hashes
+    // (band id seeds the chain) — collisions across bands are harmless
+    // but must not be systematic
+    assert(sigs(3L)(0) != sigs(3L)(1))
+  }
+
   test("type checking rejects non array<long> input") {
     val e = intercept[Exception](
       Seq("x").toDF("s").select(HashFunctions.simHashNative($"s")).collect())

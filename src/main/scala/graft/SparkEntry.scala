@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{DataFrameOps, Windows}
+import graft.core.{DataFrameOps, Sampling, Windows}
 import graft.checks.Checks
 import graft.methods.Averaging
 import graft.dedup.Dedup
-import graft.similarity.Similarity
+import graft.similarity.{Quantize, Similarity}
 import graft.text.TextFunctions
 import graft.multimodal.Multimodal
 import graft.streaming.Streaming
@@ -466,6 +466,52 @@ object SparkEntry {
       Dedup.ngramJaccardNearDuplicates(augmentedDocs(s, d), "text", "doc_id", threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    "q_cluster_rep" -> ((s, d) => {
+      // retention policy: connected components over exact n-gram pairs,
+      // keep the longest member of each near-dup cluster
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000)
+        .withColumn("doc_len", length(col("text")).cast("long"))
+      val pairs = Dedup.ngramJaccardAllPairs(
+        docs.select("doc_id", "text"), "text", "doc_id", n = 3, threshold = 0.7)
+      Dedup.keepClusterRepresentatives(docs, pairs, "doc_id", "doc_len")
+        .select(col("doc_id"), col("doc_len"))
+    }),
+
+    "q_scrub" -> ((s, d) =>
+      // PII scrub over documents, with synthetic URL/email/number spans
+      // injected into every 10th doc so the masks are exercised
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("x", when(col("doc_id") % 10 === 0,
+          concat(col("text"),
+            lit(" contact bob@example.com via https://ex.io/a?k=12345 ref 99887766551")))
+          .otherwise(col("text")))
+        .select(col("doc_id"), TextFunctions.scrubText(col("x")).as("scrubbed"))),
+
+    "q_det_sample" -> ((s, d) =>
+      Sampling.deterministicSample(
+        t(s, d, "orders")
+          .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice")),
+        "o_orderkey", fraction = 0.1, salt = "s1")),
+
+    "q_mix_corpora" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      Sampling.mixCorpora(Seq(("even", even, 0.5), ("odd", odd, 0.2)), "doc_id")
+        .select(col("doc_id"), col("source"))
+    }),
+
+    "q_quantize" -> ((s, d) =>
+      Quantize.quantizeInt8(
+        t(s, d, "embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
+        "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("qvec"))),
+
     // ------------------------------------------------- similarity
     "q_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -895,6 +941,71 @@ object SparkEntry {
         |  CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)) AS jaccard
         |FROM g l, g r WHERE l.doc_id < r.doc_id
         |AND CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)) >= 0.7""".stripMargin,
+
+    "q_cluster_rep" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, len(text) AS doc_len,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 1000),
+        |g AS (
+        |  SELECT doc_id, doc_len, list_distinct(list_filter(
+        |    [substr(t, i, 3) FOR i IN range(1, greatest(len(t) - 2, 1) + 1)],
+        |    x -> len(x) = 3)) AS grams FROM base),
+        |p AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b FROM g l, g r
+        |  WHERE l.doc_id < r.doc_id
+        |  AND CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)) >= 0.7),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+        |lab AS (
+        |  SELECT g.doc_id, g.doc_len, coalesce(cl.cluster, g.doc_id) AS cluster
+        |  FROM g LEFT JOIN cl ON g.doc_id = cl.doc_id),
+        |rep AS (
+        |  SELECT doc_id, doc_len, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY doc_len DESC, doc_id) AS rn FROM lab)
+        |SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len FROM rep WHERE rn = 1""".stripMargin,
+
+    "q_scrub" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CASE WHEN CAST(doc_id AS BIGINT) % 10 = 0
+        |      THEN text || ' contact bob@example.com via https://ex.io/a?k=12345 ref 99887766551'
+        |      ELSE text END AS x
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(x,
+        |    'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        |FROM t""".stripMargin,
+
+    "q_det_sample" ->
+      // threshold 0x19999999 = floor(0.1 * 2^32) in hex — md5-prefix
+      // sampling is engine-portable by construction
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice FROM orders
+        |WHERE substr(md5('s1' || CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 8) < '19999999'""".stripMargin,
+
+    "q_mix_corpora" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, 'even' AS source FROM documents
+        |WHERE CAST(doc_id AS BIGINT) % 2 = 0
+        |  AND substr(md5('even' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) < '80000000'
+        |UNION ALL
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, 'odd' AS source FROM documents
+        |WHERE CAST(doc_id AS BIGINT) % 2 = 1
+        |  AND substr(md5('odd' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) < '33333333'""".stripMargin,
+
+    "q_quantize" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |      coalesce(list_max(list_transform(e, x -> abs(x))), 0) / 127.0 AS scale FROM v)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+        |       ELSE list_transform(e, x -> CAST(round(x / scale) AS INTEGER)) END AS qvec
+        |FROM s""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

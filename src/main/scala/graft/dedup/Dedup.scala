@@ -334,9 +334,17 @@ object Dedup {
     * Scale notes: each round is a constant number of shuffles on node
     * id over the EDGE set only (two longs per edge, monotonically
     * non-growing), not the whole corpus; lineage is cut per round via
-    * localCheckpoint.
+    * localCheckpoint. The pair graph is usually TINY relative to the
+    * corpus (it only holds near-duplicate ids), so — like a join
+    * picking broadcast under a size threshold — graphs of at most
+    * `localMaxEdges` edges are collected and union-found driver-side
+    * in one pass instead of paying several Spark jobs per contraction
+    * round; both paths produce identical labels.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      localMaxEdges: Long = 1000000L): DataFrame = {
     // canonical undirected edges (u > v), self-loops dropped
     var edges = pairs.select(
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("u"),
@@ -350,6 +358,16 @@ object Dedup {
       .localCheckpoint(eager = true)
 
     var edgeCount = edges.count()
+    if (edgeCount <= localMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = localComponents(
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      return allIds.join(
+        labels.toSeq.toDF("id", "cluster_id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    }
+
     var converged = edgeCount == 0
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -388,6 +406,60 @@ object Dedup {
     // component minimum: edges map non-root → root directly
     allIds.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
+  }
+
+  /** Driver-side union-find with path compression: node → minimum id
+    * of its component. */
+  private def localComponents(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent(cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // union by min keeps the representative the component minimum
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => n -> find(n)).toMap
+  }
+
+  /** Retention policy over near-duplicate clusters: keep exactly ONE
+    * row per connected component of `pairs` — the member maximising
+    * `scoreCol` (ties broken by lowest id), so e.g. the longest or
+    * highest-quality variant of a boilerplate family survives instead
+    * of whichever id sorts first. Rows not in any pair keep
+    * themselves. Cost beyond [[duplicateClusters]]: one join of the
+    * (small) cluster map onto the corpus + one window over clusters.
+    */
+  def keepClusterRepresentatives(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val reserved = Seq("__cc_id", "__cluster", "__rep_rn", "cluster_id")
+    require(!df.columns.exists(reserved.contains),
+      s"keepClusterRepresentatives: column names ${reserved.mkString(", ")} are reserved")
+    val clusters = duplicateClusters(pairs)
+      .select(col("id").as("__cc_id"), col("cluster_id"))
+    val withCluster = df
+      .join(clusters, col(idCol).cast("long") === col("__cc_id"), "left")
+      .withColumn("__cluster",
+        coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .drop("__cc_id", "cluster_id")
+    val w = Window.partitionBy("__cluster")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    withCluster.withColumn("__rep_rn", row_number().over(w))
+      .filter(col("__rep_rn") === 1)
+      .drop("__rep_rn", "__cluster")
   }
 
   /** Exact all-pairs n-gram Jaccard over a (small) corpus — the

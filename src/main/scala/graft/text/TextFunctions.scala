@@ -36,6 +36,19 @@ object TextFunctions {
     * engines (hex md5), unlike engine-internal hash functions. */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
+  /** PII / noise scrubbing for training corpora: URLs → `<URL>`,
+    * emails → `<EMAIL>`, digit runs of 7+ (phone numbers, account ids)
+    * → `<NUM>`. Applied in that order so URL query strings never leak
+    * partial email/number matches. Patterns use no lookaround, so
+    * Java-regex and RE2 engines agree on every match — the transform
+    * is oracle-checkable. */
+  def scrubText(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://\\S+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
+  }
+
   /** Quality score in [0,1]: blends length, punctuation density,
     * stopword ratio and mean token length — the standard cheap quality
     * heuristics applied before LLM training. Deterministic arithmetic.

@@ -126,10 +126,11 @@ class DedupSpec extends SparkTestBase {
   test("duplicateClusters converges on a 60-node chain in O(log n) rounds") {
     // regression: plain neighbour-min propagation needs diameter (59)
     // rounds here and silently split the cluster at the old maxIter=10;
-    // star contraction must finish well within 8 rounds
+    // star contraction must finish well within 8 rounds.
+    // localMaxEdges = 0 forces the distributed path
     val pairs = df("id_a BIGINT, id_b BIGINT",
       (1L to 59L).map(i => Seq[Any](i, i + 1)): _*)
-    val clusters = Dedup.duplicateClusters(pairs, maxIter = 8)
+    val clusters = Dedup.duplicateClusters(pairs, maxIter = 8, localMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.size == 60)
     assert(clusters.values.toSet == Set(1L),
@@ -140,7 +141,33 @@ class DedupSpec extends SparkTestBase {
     val pairs = df("id_a BIGINT, id_b BIGINT",
       (1L to 59L).map(i => Seq[Any](i, i + 1)): _*)
     assertThrows[IllegalStateException](
-      Dedup.duplicateClusters(pairs, maxIter = 1))
+      Dedup.duplicateClusters(pairs, maxIter = 1, localMaxEdges = 0))
+  }
+
+  test("driver-side union-find path equals the distributed contraction") {
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      Seq(1L, 2L), Seq(2L, 3L), Seq(10L, 11L), Seq(11L, 12L), Seq(5L, 3L))
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(Dedup.duplicateClusters(pairs)) ==
+      toMap(Dedup.duplicateClusters(pairs, localMaxEdges = 0)))
+  }
+
+  test("keepClusterRepresentatives keeps the best-scoring member per cluster") {
+    val corpus = df("id BIGINT, text STRING, score INT",
+      Seq(1L, "aa", 5), Seq(2L, "bb", 9), Seq(3L, "cc", 9), // chain 1-2-3: 2 wins (score tie → lowest id)
+      Seq(7L, "dd", 1))                                     // unpaired: survives
+    val pairs = df("id_a BIGINT, id_b BIGINT", Seq(1L, 2L), Seq(2L, 3L))
+    val kept = Dedup.keepClusterRepresentatives(corpus, pairs, "id", "score")
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    assert(kept.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 7L))
+  }
+
+  test("keepClusterRepresentatives rejects reserved column names") {
+    val corpus = df("id BIGINT, cluster_id BIGINT", Seq(1L, 1L))
+    val pairs = df("id_a BIGINT, id_b BIGINT", Seq(1L, 2L))
+    assertThrows[IllegalArgumentException](
+      Dedup.keepClusterRepresentatives(corpus, pairs, "id", "cluster_id"))
   }
 
   test("bucket cap drops oversized buckets instead of exploding") {

@@ -62,6 +62,16 @@ class TextFunctionsSpec extends SparkTestBase {
       TextFunctions.wordFrequencies(d, "text", topN = 0))
   }
 
+  test("scrubText masks URLs, emails, and long digit runs in order") {
+    assert(one[String](TextFunctions.scrubText($"t"),
+      "see https://ex.io/a?key=9999999 or mail bob.smith+x@corp.co.uk now") ==
+      "see <URL> or mail <EMAIL> now")
+    assert(one[String](TextFunctions.scrubText($"t"),
+      "call 5551234567 ext 123") == "call <NUM> ext 123") // 3 digits < 7 kept
+    assert(one[String](TextFunctions.scrubText($"t"),
+      "plain text stays put") == "plain text stays put")
+  }
+
   test("langId votes on marker tokens; ties break to earlier profile") {
     val profiles = Seq("aa" -> Seq("alpha"), "bb" -> Seq("beta"))
     assert(one[String](TextFunctions.langId($"t", profiles), "beta beta alpha") == "bb")

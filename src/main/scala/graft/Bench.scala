@@ -59,6 +59,44 @@ object Bench {
           col("window.end").cast("long").as("window_end"),
           col("event_type"), col("n_events"), col("sum_value"))
     }),
+    "q_rank_numeric" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"))))
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("rnk").cast("long").as("rnk"))),
+    "q_median_price" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .withColumn("median_qty", percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .over(Window.partitionBy("l_returnflag")))
+        .select(col("l_returnflag"), col("median_qty"))
+        .distinct()),
+    "q_pushdown_read" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate", "l_returnflag", "l_quantity")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") <= lit("1996-01-01") &&
+          col("l_returnflag").isin("A", "N"))
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_returnflag"), col("l_quantity"))),
+    "q_det_sample" -> ((s, d) =>
+      s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice"))
+        .filter(substring(md5(concat(lit("s1"), col("o_orderkey").cast("string"))), 1, 8)
+          < lit("19999999"))),
+    "q_quantize" -> ((s, d) => {
+      val dv = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("scale",
+          coalesce(array_max(transform(col("e"), x => abs(x))), lit(0.0)) / 127.0)
+      dv.withColumn("qvec",
+          when(col("scale") === 0.0, transform(col("e"), _ => lit(0)))
+            .otherwise(transform(col("e"), x => round(x / col("scale"), 0).cast("int"))))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("qvec"))
+    }),
   )
 
   def main(args: Array[String]): Unit = {

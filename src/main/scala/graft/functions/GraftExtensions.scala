@@ -60,6 +60,12 @@ object GraftFunctions {
         require(args.size == 2, "cosine_sim(a, b)")
         CosineSimExpr(args.head, args(1))
       }),
+    ("band_buckets",
+      new ExpressionInfo(classOf[BandBucketsExpr].getName, "band_buckets"),
+      { args =>
+        require(args.size == 3, "band_buckets(signature, bands, rows)")
+        BandBucketsExpr(args.head, intArg(args(1), "bands"), intArg(args(2), "rows"))
+      }),
     ("hyperplane_bucket",
       new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "hyperplane_bucket"),
       { args =>

@@ -91,6 +91,18 @@ object FileOps {
     finally out.close()
   }
 
+  def readBinaryFile(spark: SparkSession, path: String): Array[Byte] = {
+    val in = fs(spark, path).open(new Path(path))
+    try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+  }
+
+  def writeBinaryFile(spark: SparkSession, path: String, content: Array[Byte]): Unit = {
+    val out = fs(spark, path).create(new Path(path), true)
+    try out.write(content)
+    finally out.close()
+  }
+
   /** Streaming digest of a file (md5 / sha256), hex-encoded. */
   def fileDigest(spark: SparkSession, path: String, algorithm: String = "MD5"): String = {
     val md = MessageDigest.getInstance(algorithm)

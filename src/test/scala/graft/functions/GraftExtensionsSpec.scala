@@ -27,6 +27,11 @@ class GraftExtensionsSpec extends SparkTestBase {
     val hp = spark.sql(
       "SELECT hyperplane_bucket(array(1.0D, 0.0D), 2, 8, 0) AS b").head()
     assert(hp.getLong(0) >= 0 && hp.getLong(0) < 256)
+    val bb = spark.sql(
+      "SELECT band_buckets(array(1L, 2L, 3L, 4L), 2, 2) AS b").head()
+    val bbCol = Seq(Seq(1L, 2L, 3L, 4L)).toDF("sig")
+      .select(HashFunctions.bandBucketsNative($"sig", 2, 2).as("b")).head()
+    assert(bb.getSeq[Long](0) == bbCol.getSeq[Long](0))
   }
 
   test("registration is idempotent and validates arity") {
@@ -40,7 +45,7 @@ class GraftExtensionsSpec extends SparkTestBase {
   test("GraftExtensions class builds the same descriptors") {
     // the injectFunction route is exercised structurally: same builders
     assert(GraftFunctions.descriptors.map(_._1).sorted ==
-      Seq("cosine_sim", "hash_jaccard", "hyperplane_bucket",
+      Seq("band_buckets", "cosine_sim", "hash_jaccard", "hyperplane_bucket",
         "minhash_signature", "ngram_hashes", "simhash64"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }

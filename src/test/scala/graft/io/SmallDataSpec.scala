@@ -34,9 +34,43 @@ class SmallDataSpec extends SparkTestBase {
     assert(SmallData.readJson(spark, s"$dir/d.json") == value)
   }
 
-  test("readExcel documents the honest unsupported gap") {
-    val e = intercept[UnsupportedOperationException](
-      SmallData.readExcel(spark, "/nope.xlsx"))
-    assert(e.getMessage.contains("CSV"))
+  test("xlsx round-trip: header, values, escapes, missing cells") {
+    val dir = tmp()
+    val rows = Seq(
+      Map[String, Any]("name" -> "plain", "n" -> 3, "note" -> "a & b < c"),
+      Map[String, Any]("name" -> "second", "n" -> 4L)) // note missing
+    SmallData.writeExcel(spark, s"$dir/t.xlsx", rows, Seq("name", "n", "note"))
+    val back = SmallData.readExcel(spark, s"$dir/t.xlsx")
+    assert(back.size == 2)
+    assert(back.head == Map("name" -> "plain", "n" -> "3", "note" -> "a & b < c"))
+    assert(back(1) == Map("name" -> "second", "n" -> "4", "note" -> ""))
+  }
+
+  test("readExcel handles shared strings, numbers and sparse refs") {
+    // hand-built workbook the way openpyxl/pandas lay one out: cells
+    // reference sharedStrings.xml (t="s") and skip empty columns
+    val dir = tmp()
+    val shared =
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        "<si><t>city</t></si><si><t>pop</t></si><si><r><t>Lon</t></r><r><t>don</t></r></si></sst>"
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>""" +
+        """<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>8.9</v></c></row>""" +
+        """<row r="3"><c r="B3"><v>42</v></c></row>""" + // A3 absent
+        "</sheetData></worksheet>"
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    Seq("xl/sharedStrings.xml" -> shared, "xl/worksheets/sheet1.xml" -> sheet)
+      .foreach { case (n, c) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+      }
+    zos.close()
+    FileOps.writeBinaryFile(spark, s"$dir/h.xlsx", bos.toByteArray)
+    val back = SmallData.readExcel(spark, s"$dir/h.xlsx")
+    assert(back == Seq(
+      Map("city" -> "London", "pop" -> "8.9"), // rich-text runs concatenated
+      Map("city" -> "", "pop" -> "42")))
   }
 }

@@ -628,6 +628,20 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("hourly_sum"))
     }),
 
+    "q_asof_forward" -> ((s, d) => {
+      // forward direction: each event picks the NEXT hourly aggregate
+      val ev = eventsDf(s, d)
+      val hourly = Streaming.tumblingAgg(ev, "ts", "event_type", "1 hour")
+        .select(col("event_type"), col("window_start").as("ts"),
+          round(col("sum_value"), 6).as("hourly_sum"))
+      operators.AsOfJoin.asOfJoin(
+        ev.select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("ts")),
+        hourly, Seq("event_type"), "ts", Seq("hourly_sum"),
+        direction = "forward")
+        .select(col("event_id"), col("event_type"), col("hourly_sum"))
+    }),
+
     "q_runlog" -> ((s, d) => {
       // run-log subsystem end-to-end (timestamps → rows-only check):
       // create tables, reserve id, add entries, read most-recent back
@@ -1083,6 +1097,14 @@ object SparkEntry {
         |SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, h.hourly_sum
         |FROM events e ASOF LEFT JOIN hourly h
         |  ON e.event_type = h.event_type AND e.ts >= h.hts""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hts, round(sum(value), 6) AS hourly_sum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, h.hourly_sum
+        |FROM events e ASOF LEFT JOIN hourly h
+        |  ON e.event_type = h.event_type AND e.ts <= h.hts""".stripMargin,
 
     "q_runlog" ->
       // fresh tables → reserved ids 1 and 2, two entries

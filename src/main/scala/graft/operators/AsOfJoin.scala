@@ -1,33 +1,40 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
 
-/** As-of (most-recent-match) join — an operator Spark's built-ins do
-  * not express directly.
+/** As-of (nearest-timestamp-match) join — an operator Spark's
+  * built-ins do not express directly.
   *
-  * Semantics: for every left row, attach the payload of the right row
-  * with the LARGEST right timestamp ≤ the left timestamp within the
-  * same key (DuckDB/kdb ASOF JOIN, pandas merge_asof backward mode).
-  * Optional `tolerance` (seconds) nulls matches older than the window.
+  * Semantics (pandas merge_asof directions, DuckDB ASOF JOIN):
+  *  - `backward` (default): attach the right row with the LARGEST
+  *    right timestamp ≤ the left timestamp within the same key;
+  *  - `forward`: the SMALLEST right timestamp ≥ the left timestamp;
+  *  - `nearest`: whichever of the two is closer in time (ties →
+  *    backward, matching pandas).
+  * Optional `tolerance` (seconds) nulls matches further away than the
+  * window.
   *
   * Implementation: union the two sides with a side marker, pack each
   * right row's timestamp + payload into ONE struct, then one window
-  * pass per key ordered by (ts, side) taking the last non-null struct
-  * — right rows sort BEFORE left rows at equal timestamps so
-  * exact-tie matches are included. Filling a single struct (rather
+  * pass per key taking the last (backward) / first (forward) non-null
+  * struct — side ordering puts right rows inside the frame at equal
+  * timestamps so exact ties match. Filling a single struct (rather
   * than per-column last(ignoreNulls)) attaches the whole matched row
-  * atomically: a payload value that is NULL in the most recent right
-  * row stays NULL instead of being backfilled from an older row,
-  * matching DuckDB/pandas ASOF semantics. Cost: ONE shuffle on the
-  * key columns, no per-row lookups, no broadcast of either side — the
-  * shape that survives a 100 TB left side. Skewed keys can be
+  * atomically: a payload value that is NULL in the matched right row
+  * stays NULL instead of being backfilled from another row, matching
+  * DuckDB/pandas ASOF semantics. Cost: ONE shuffle on the key columns
+  * (nearest adds a second window SORT over the same exchange, not a
+  * second shuffle), no per-row lookups, no broadcast of either side —
+  * the shape that survives a 100 TB left side. Skewed keys can be
   * pre-salted only if right payloads are replicated per salt; prefer
   * AQE skew handling on the single exchange.
   */
 object AsOfJoin {
+
+  val directions: Set[String] = Set("backward", "forward", "nearest")
 
   def asOfJoin(
       left: DataFrame,
@@ -35,13 +42,16 @@ object AsOfJoin {
       keyCols: Seq[String],
       tsCol: String,
       rightPayloadCols: Seq[String],
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(keyCols.nonEmpty, "asOfJoin: need at least one key column")
     require(rightPayloadCols.nonEmpty, "asOfJoin: need right payload columns")
+    require(directions.contains(direction),
+      s"asOfJoin: direction '$direction' must be one of ${directions.mkString(", ")}")
     val leftCols = left.columns.toSeq
     require(!rightPayloadCols.exists(leftCols.contains),
       s"asOfJoin: right payload columns ${rightPayloadCols.mkString(", ")} collide with left side")
-    val reserved = Seq("__side", "__match")
+    val reserved = Seq("__side", "__match", "__mb", "__mf")
     require(!(leftCols ++ rightPayloadCols).exists(reserved.contains),
       s"asOfJoin: column names ${reserved.mkString(", ")} are reserved")
 
@@ -51,7 +61,9 @@ object AsOfJoin {
       StructField("__r_ts", TimestampType) +:
         rightPayloadCols.map(c => StructField(c, right.schema(c).dataType)))
 
-    // side marker: right=0 sorts before left=1 at equal timestamps
+    // side marker: right=0. Backward orders (ts, side asc) so equal-ts
+    // right rows fall INSIDE the preceding frame of a left row; forward
+    // orders (ts, side desc) so they fall inside the following frame.
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__match", lit(null).cast(matchType))
@@ -68,19 +80,40 @@ object AsOfJoin {
       .select(l.columns.map(col): _*)
 
     val unioned = l.unionByName(rTagged)
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val wBack = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val filled = unioned
-      .withColumn("__match", last(col("__match"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    // fractional-second timestamp for distance comparisons
+    def secs(c: Column): Column = c.cast("double")
+
+    val filled = (direction match {
+      case "backward" =>
+        unioned.withColumn("__match",
+          last(col("__match"), ignoreNulls = true).over(wBack))
+      case "forward" =>
+        unioned.withColumn("__match",
+          first(col("__match"), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        unioned
+          .withColumn("__mb", last(col("__match"), ignoreNulls = true).over(wBack))
+          .withColumn("__mf", first(col("__match"), ignoreNulls = true).over(wFwd))
+          .withColumn("__match",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when((secs(col("__mf")("__r_ts")) - secs(col(tsCol))) <
+                (secs(col(tsCol)) - secs(col("__mb")("__r_ts"))), col("__mf"))
+              .otherwise(col("__mb"))) // tie → backward, as pandas
+          .drop("__mb", "__mf")
+    }).filter(col("__side") === 1)
 
     val matched = tolerance match {
       case Some(sec) =>
         val stale = col("__match").isNull ||
-          (unix_timestamp(col(tsCol)) -
-            unix_timestamp(col("__match")("__r_ts"))) > sec
+          abs(secs(col(tsCol)) - secs(col("__match")("__r_ts"))) > sec
         filled.withColumn("__match",
           when(stale, lit(null).cast(matchType)).otherwise(col("__match")))
       case None => filled

@@ -64,6 +64,39 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(row.getDouble(row.fieldIndex("ask")) == 51.0)
   }
 
+  test("forward direction attaches the earliest quote at or after the trade") {
+    val out = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "ts", Seq("quote"),
+      direction = "forward")
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getDouble(2), Option(r.get(3)))).toSet
+    assert(got == Set(
+      ("A", 100.0, Some(100.5)),  // 10:00:05 → next quote at 10:00:10
+      ("A", 101.0, Some(102.0)),  // 10:00:20 → next quote at 10:00:30
+      ("B", 50.0, Some(49.9)),    // exact tie matches forward too
+      ("C", 7.0, None)))
+  }
+
+  test("nearest direction picks the closer quote, ties backward") {
+    // asymmetric quotes so nearest differs from both plain directions
+    val q2 = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 99.5),
+      ("A", ts("2024-01-01 10:00:07"), 100.5), // 2s after the 10:00:05 trade
+      ("A", ts("2024-01-01 10:00:21"), 102.0)) // 1s after the 10:00:20 trade
+      .toDF("sym", "ts", "quote")
+    val out = AsOfJoin.asOfJoin(
+      trades.filter($"sym" === "A"), q2, Seq("sym"), "ts", Seq("quote"),
+      direction = "nearest")
+    val got = out.collect().map(r => r.getDouble(2) -> r.getDouble(3)).toMap
+    assert(got == Map(
+      100.0 -> 100.5, // 10:00:05: forward d=2 beats backward d=5
+      101.0 -> 102.0)) // 10:00:20: forward d=1 beats backward d=13
+    // exact tie at equal distances resolves backward (pandas semantics)
+    val tie = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "ts", Seq("quote"),
+      direction = "nearest")
+    val a5 = tie.filter($"price" === 100.0).head() // prev d=5, next d=5
+    assert(a5.getDouble(3) == 99.5)
+  }
+
   test("validates inputs") {
     assertThrows[IllegalArgumentException](
       AsOfJoin.asOfJoin(trades, quotes, Nil, "ts", Seq("quote")))

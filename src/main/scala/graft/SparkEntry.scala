@@ -628,6 +628,20 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("hourly_sum"))
     }),
 
+    "q_stream_join" -> ((s, d) => {
+      // stream-stream-join shape run in batch mode (same logical plan):
+      // each event joins its type's hourly aggregates from the last hour
+      val ev = eventsDf(s, d)
+      val hourly = Streaming.tumblingAgg(ev, "ts", "event_type", "1 hour")
+        .select(col("event_type"), col("window_start").as("hts"),
+          round(col("sum_value"), 6).as("hourly_sum"))
+      Streaming.streamStreamJoin(
+        ev.select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("ts")),
+        hourly, "event_type", "ts", "hts", lookbackSeconds = 3600)
+        .select(col("event_id"), col("hourly_sum"))
+    }),
+
     "q_asof_forward" -> ((s, d) => {
       // forward direction: each event picks the NEXT hourly aggregate
       val ev = eventsDf(s, d)
@@ -1097,6 +1111,14 @@ object SparkEntry {
         |SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, h.hourly_sum
         |FROM events e ASOF LEFT JOIN hourly h
         |  ON e.event_type = h.event_type AND e.ts >= h.hts""".stripMargin,
+
+    "q_stream_join" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hts, round(sum(value), 6) AS hourly_sum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(e.event_id AS BIGINT) AS event_id, h.hourly_sum
+        |FROM events e JOIN hourly h ON e.event_type = h.event_type
+        |  AND h.hts >= e.ts - INTERVAL 1 HOUR AND h.hts <= e.ts""".stripMargin,
 
     "q_asof_forward" ->
       """WITH hourly AS (

@@ -53,6 +53,57 @@ object Streaming {
       .select(col("session_window.start").as("session_start"),
         col(keyCol), col("n_events"), col("sum_value"))
 
+  /** Stream-stream (or batch-batch — same logical plan) inner join
+    * with an event-time range condition: left rows join right rows of
+    * the same key whose timestamp lies within
+    * [left.ts - lookback, left.ts + lookahead]. In streaming mode both
+    * sides MUST carry watermarks (see [[readParquetStream]]): the time
+    * bound lets the state store evict rows once the watermark passes
+    * their join window — without it, stream-stream join state grows
+    * unboundedly. Equi-key + time-range is exactly the shape Spark's
+    * streaming join state management is built for; the only exchange
+    * keys on the join key.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      lookbackSeconds: Long,
+      lookaheadSeconds: Long = 0L): DataFrame = {
+    require(lookbackSeconds >= 0 && lookaheadSeconds >= 0,
+      "streamStreamJoin: lookback/lookahead must be non-negative")
+    val reserved = Seq("__r_key", "__bin")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"streamStreamJoin: column names ${reserved.mkString(", ")} are reserved")
+    val r = right.withColumnRenamed(keyCol, "__r_key")
+    val cond =
+      col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $lookbackSeconds SECOND") &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $lookaheadSeconds SECOND")
+    if (left.isStreaming || right.isStreaming)
+      // streaming: the state store prunes by watermark, so the plain
+      // equi-key + range-filter join is the native efficient shape
+      left.join(r, col(keyCol) === col("__r_key") && cond).drop("__r_key")
+    else {
+      // batch: the same plan would fan every left row out to ALL
+      // same-key right rows before filtering (hot keys × long history
+      // = quadratic). Bin both sides at the window width so the
+      // equi-join carries (key, bin) — each left row explodes into at
+      // most two bins, each right row lands in one.
+      val binW = math.max(lookbackSeconds + lookaheadSeconds, 1L)
+      val lBinned = left.withColumn("__bin", explode(sequence(
+        floor((col(leftTsCol).cast("double") - lookbackSeconds) / binW).cast("long"),
+        floor((col(leftTsCol).cast("double") + lookaheadSeconds) / binW).cast("long"))))
+      val rBinned = r.withColumn("__bin",
+        floor(col(rightTsCol).cast("double") / binW).cast("long"))
+      lBinned.join(rBinned,
+        col(keyCol) === col("__r_key") &&
+          lBinned("__bin") === rBinned("__bin") && cond)
+        .drop("__r_key").drop(lBinned("__bin")).drop(rBinned("__bin"))
+    }
+  }
+
   /** Open a file-based stream over a parquet directory with an explicit
     * schema and a watermark — the standard ingest shape. */
   def readParquetStream(

@@ -45,4 +45,46 @@ class StatefulStreamingSpec extends SparkTestBase {
       Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDS()).collect().toMap
     assert(out == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("streamStreamJoin: batch semantics match the time-range condition") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val clicks = Seq(("u1", ts("2024-01-01 10:00:10"), "click1"),
+      ("u2", ts("2024-01-01 10:05:00"), "click2"))
+      .toDF("user", "cts", "click")
+    val views = Seq(("u1", ts("2024-01-01 10:00:00"), "view1"), // 10s before click1 → joins
+      ("u1", ts("2024-01-01 09:58:00"), "view0"),               // 130s before → outside lookback
+      ("u2", ts("2024-01-01 10:05:30"), "view2"))               // 30s after click2 → lookahead=0 drops
+      .toDF("user", "vts", "view")
+    val out = Streaming.streamStreamJoin(
+      clicks, views, "user", "cts", "vts", lookbackSeconds = 60)
+      .select("click", "view").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("click1", "view1")))
+  }
+
+  test("streamStreamJoin runs as a REAL watermarked stream-stream join") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val clicks = Seq(("u1", ts("2024-01-01 10:00:10"), "click1"),
+      ("u1", ts("2024-01-01 11:00:00"), "late-hour click"))
+      .toDF("user", "cts", "click")
+    val views = Seq(("u1", ts("2024-01-01 10:00:00"), "view1"),
+      ("u1", ts("2024-01-01 10:59:50"), "view2"))
+      .toDF("user", "vts", "view")
+    clicks.write.mode("overwrite").parquet(s"$dir/clicks")
+    views.write.mode("overwrite").parquet(s"$dir/views")
+    val cs = Streaming.readParquetStream(spark, s"$dir/clicks", clicks.schema, "cts", "10 minutes")
+    val vs = Streaming.readParquetStream(spark, s"$dir/views", views.schema, "vts", "10 minutes")
+    val q = Streaming.streamStreamJoin(cs, vs, "user", "cts", "vts", lookbackSeconds = 60)
+      .select("click", "view")
+      .writeStream.format("memory").queryName("graft_ssj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("graft_ssj").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("click1", "view1"), ("late-hour click", "view2")))
+  }
 }

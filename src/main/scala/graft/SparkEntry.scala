@@ -552,6 +552,20 @@ object SparkEntry {
         .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
           round(col("sim"), 6).as("sim"))),
 
+    "q_semantic_clusters" -> ((s, d) => {
+      // embedding-space dedup: perturbed copies of the first 20 vectors
+      // (deterministic +0.01 shift, cosine ≈ 0.9999 with the source)
+      // must cluster with their originals; everything else is singleton
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val aug = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.01)).as("v"))
+      Similarity.semanticDupClusters(
+        emb.unionByName(aug), "vec_id", "v", threshold = 0.95)
+    }),
+
     // ------------------------------------------------- multimodal
     "q_media_table" -> ((s, d) =>
       Multimodal.syntheticMediaTable(t(s, d, "documents"), "doc_id", "text")
@@ -1080,6 +1094,25 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, 'odd' AS source FROM documents
         |WHERE CAST(doc_id AS BIGINT) % 2 = 1
         |  AND substr(md5('odd' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) < '33333333'""".stripMargin,
+
+    "q_semantic_clusters" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+        |  FROM e0 WHERE vec_id < 20),
+        |allv AS (SELECT * FROM e0 UNION ALL SELECT * FROM aug),
+        |p AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b FROM allv l, allv r
+        |  WHERE l.vec_id < r.vec_id AND list_cosine_similarity(l.v, r.v) >= 0.95),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |cl AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+        |SELECT allv.vec_id, coalesce(cl.cluster_id, allv.vec_id) AS cluster_id
+        |FROM allv LEFT JOIN cl ON allv.vec_id = cl.vec_id""".stripMargin,
 
     "q_quantize" ->
       """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -110,6 +110,39 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding-space duplicate clusters: every row labelled with the
+    * minimum id reachable through pairs of cosine ≥ `threshold`
+    * (singletons label themselves). `useLsh = false` scores ALL pairs
+    * exactly — the oracle-checkable baseline, quadratic, for bounded
+    * corpora; `useLsh = true` (the 100 TB path) generates candidates
+    * via [[lshCosineCandidates]] first, so recall follows the
+    * sign-LSH S-curve while precision stays exact (candidates are
+    * re-scored with true cosine). Returns (idCol, cluster_id).
+    */
+  def semanticDupClusters(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      useLsh: Boolean = false,
+      dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val pairs =
+      if (useLsh)
+        lshCosineCandidates(base, "id", "vec", dim, threshold = threshold)
+          .select("id_a", "id_b")
+      else
+        base.as("l").crossJoin(base.as("r"))
+          .filter(col("l.id") < col("r.id"))
+          .withColumn("sim", cosine(col("l.vec"), col("r.vec")))
+          .filter(col("sim") >= threshold)
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val clusters = graft.dedup.Dedup.duplicateClusters(pairs)
+    base.select("id").join(clusters, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** One (similarity, corpus id) candidate. */
   case class Scored(sim: Double, corpusId: Long)
 

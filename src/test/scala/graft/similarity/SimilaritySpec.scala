@@ -86,6 +86,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(native == hof)
   }
 
+  test("semanticDupClusters labels near-identical vectors together") {
+    val d = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.01, 0.0)), // ~same direction as 1
+      (3L, Seq(0.0, 1.0, 0.0)),
+      (4L, Seq(0.01, 0.999, 0.0)), // ~same direction as 3
+      (5L, Seq(0.0, 0.0, 1.0)))    // singleton
+      .toDF("id", "v")
+    val exact = Similarity.semanticDupClusters(d, "id", "v", threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+    // LSH path: same labels on this tiny corpus (full-recall regime)
+    val lsh = Similarity.semanticDupClusters(d, "id", "v", threshold = 0.95,
+      useLsh = true, dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh == exact)
+  }
+
   test("short/mismatched vectors match HOF null semantics (ADVICE regression)") {
     // vector shorter than dim: HOF zip_with null-poisons every plane's
     // dot → bucket 0; the native kernel must agree

@@ -55,4 +55,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("exchange"),
       s"coalesce should stay narrow:\n$plan")
   }
+
+  test("batch stream-stream join bins to an equi-join — no product join") {
+    import java.sql.Timestamp
+    val l = Seq(("k", Timestamp.valueOf("2024-01-01 10:00:00"), 1))
+      .toDF("key", "lts", "a")
+    val r = Seq(("k", Timestamp.valueOf("2024-01-01 09:59:00"), 2))
+      .toDF("key", "rts", "b")
+    val plan = streaming.Streaming
+      .streamStreamJoin(l, r, "key", "lts", "rts", lookbackSeconds = 3600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"batch stream-join planned as a product:\n$plan")
+    assert(plan.contains("__bin"), s"expected bin key in the join:\n$plan")
+  }
+
+  test("int8 quantization stays narrow — zero exchanges") {
+    val vecs = spark.range(100).toDF("id")
+      .withColumn("v", array(col("id").cast("double"), lit(1.0)))
+    val plan = similarity.Quantize.quantizeInt8(vecs, "v")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"),
+      s"quantization must not shuffle:\n$plan")
+  }
+
+  test("deterministic sampling is a filter over the scan — no shuffle, no rand()") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_samp").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val out = core.Sampling.deterministicSample(
+      spark.read.parquet(dir), "doc_id", 0.25, "x")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"), s"sampling shuffled:\n$plan")
+    assert(!plan.contains("rand("), s"sampling must be RNG-free:\n$plan")
+  }
 }

@@ -642,6 +642,19 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("hourly_sum"))
     }),
 
+    "q_salted_join" -> ((s, d) => {
+      // skew-safe salted join must return EXACTLY the plain-join result
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice"))
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      DataFrameOps.saltedJoin(li, ord, Seq("l_orderkey"), saltFactor = 4)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("o_totalprice"))
+    }),
+
     // --------------------------------------------- TPC-H classics
     "q_tpch_q1" -> ((s, d) =>
       // pricing summary: one scan, map-side partial aggregation
@@ -1199,6 +1212,11 @@ object SparkEntry {
         |SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, h.hourly_sum
         |FROM events e ASOF LEFT JOIN hourly h
         |  ON e.event_type = h.event_type AND e.ts >= h.hts""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
 
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

@@ -78,6 +78,44 @@ object FileOps {
     buf.toSeq
   }
 
+  /** chmod with an octal string (e.g. "755"), optionally recursive —
+    * reference cdp/helpers/hdfs_utils.py change_permissions. */
+  def changePermissions(
+      spark: SparkSession,
+      path: String,
+      octal: String,
+      recursive: Boolean = false): Unit = {
+    val f = fs(spark, path)
+    val perm = new org.apache.hadoop.fs.permission.FsPermission(
+      Integer.parseInt(octal, 8).toShort)
+    def apply(p: Path): Unit = {
+      f.setPermission(p, perm)
+      if (recursive && f.getFileStatus(p).isDirectory)
+        f.listStatus(p).foreach(st => apply(st.getPath))
+    }
+    apply(new Path(path))
+  }
+
+  /** os.walk-style traversal: (directory, subdirectories, files)
+    * triples, top-down — reference s3_utils.py s3_walk. */
+  def walk(spark: SparkSession, path: String): Seq[(String, Seq[String], Seq[String])] = {
+    val f = fs(spark, path)
+    def go(p: Path): Seq[(String, Seq[String], Seq[String])] = {
+      val (dirs, files) = f.listStatus(p).toSeq.partition(_.isDirectory)
+      (p.toString, dirs.map(_.getPath.getName), files.map(_.getPath.getName)) +:
+        dirs.flatMap(d => go(d.getPath))
+    }
+    go(new Path(path))
+  }
+
+  /** Reference s3_utils.py remove_leading_slash. */
+  def removeLeadingSlash(key: String): String = key.dropWhile(_ == '/')
+
+  /** Reference s3_utils.py create_s3_uri — s3a:// scheme (the Hadoop
+    * connector), bucket validated. */
+  def createS3Uri(bucket: String, key: String = ""): String =
+    s"s3a://${validateBucketName(bucket)}/${removeLeadingSlash(key)}"
+
   def readTextFile(spark: SparkSession, path: String): String = {
     val in = fs(spark, path).open(new Path(path))
     try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),

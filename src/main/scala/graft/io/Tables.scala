@@ -185,6 +185,12 @@ object Tables {
     loadAndValidateTable(spark, tableName, filterCond = Some(s"$runIdCol = '$runId'"))
   }
 
+  /** Run an ad-hoc SQL query against the session catalog and return
+    * the result — the engine-local analogue of the reference's
+    * run_bq_query (gcp/helpers/gcp_utils.py), which submits SQL to
+    * BigQuery and returns the result handle. */
+  def runSqlQuery(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+
   /** Refresh cached metadata for a table after external writes — the
     * engine's analogue of the reference's
     * `invalidate_impala_metadata` (cdp/helpers/impala.py:10-78):

@@ -61,6 +61,36 @@ class FileOpsExtraSpec extends SparkTestBase {
     assert(FileOps.fileExists(spark, s"$dir/g/new.txt"))
     assert(!FileOps.fileExists(spark, s"$dir/g/old.txt"))
   }
+
+  test("walk yields os.walk-style (dir, subdirs, files) triples top-down") {
+    val dir = tmpDir()
+    FileOps.writeTextFile(spark, s"$dir/a.txt", "x")
+    FileOps.createDir(spark, s"$dir/sub")
+    FileOps.writeTextFile(spark, s"$dir/sub/b.txt", "y")
+    val triples = FileOps.walk(spark, dir)
+      .map { case (d, ds, fs_) => (d.split('/').last, ds.sorted, fs_.sorted) }
+    assert(triples.head._2 == Seq("sub") && triples.head._3 == Seq("a.txt"))
+    assert(triples.tail == Seq(("sub", Nil, Seq("b.txt"))))
+  }
+
+  test("changePermissions applies an octal mode, optionally recursively") {
+    val dir = tmpDir()
+    FileOps.writeTextFile(spark, s"$dir/f.txt", "x")
+    FileOps.changePermissions(spark, dir, "700", recursive = true)
+    val st = FileOps.fs(spark, dir)
+      .getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/f.txt"))
+    assert(st.getPermission.toString == "rwx------")
+  }
+
+  test("createS3Uri composes and validates; removeLeadingSlash strips") {
+    assert(FileOps.removeLeadingSlash("//a/b") == "a/b")
+    assert(FileOps.createS3Uri("my-bucket", "/data/x.csv") == "s3a://my-bucket/data/x.csv")
+    assertThrows[graft.InvalidBucketNameError](FileOps.createS3Uri("BAD_BUCKET", "k"))
+  }
+
+  test("runSqlQuery runs SQL against the session") {
+    assert(Tables.runSqlQuery(spark, "SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
 }
 
 class LogInitSpec extends SparkTestBase {

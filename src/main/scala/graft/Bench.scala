@@ -95,7 +95,8 @@ object Bench {
       dv.withColumn("qvec",
           when(col("scale") === 0.0, transform(col("e"), _ => lit(0)))
             .otherwise(transform(col("e"), x => round(x / col("scale"), 0).cast("int"))))
-        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("qvec"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          concat_ws(",", col("qvec")).as("qvec_csv"))
     }),
   )
 
@@ -171,12 +172,37 @@ object Bench {
         Some(name -> math.rint(ratio * 100) / 100)
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness keeps only the tail of this process's output, so the
+    // result line must stay SHORT (< ~1800 bytes) or its opening brace
+    // is truncated away and the JSON never parses. Emit 2-decimal
+    // seconds and, if the full per-query map still doesn't fit, roll the
+    // fastest queries into one "omitted_fastest" aggregate — the slow
+    // queries (the ones a reader acts on) always stay itemised.
+    def fmt(v: Double): String = {
+      val s = java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros.toPlainString
+      if (s.isEmpty || s == "-0") "0" else s
+    }
+    val total = results.map(_._2).sum
     val ratioJson = ratios.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_ratios":$ratioJson,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    def render(keep: Int): String = {
+      val bySlow = results.sortBy(-_._2)
+      val (kept, dropped) = bySlow.splitAt(keep)
+      val qs = kept.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val omitted =
+        if (dropped.isEmpty) ""
+        else s""","omitted_fastest":{"n":${dropped.size},"sec":${fmt(dropped.map(_._2).sum)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$omitted,"baseline_ratios":$ratioJson,"sf":"$sfName"}"""
+    }
+    val line = Iterator.range(results.size, 0, -5).map(render)
+      .find(_.length <= 1750)
+      .getOrElse(render(0))
+    println(line)
     spark.stop()
   }
 }

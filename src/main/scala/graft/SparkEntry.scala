@@ -235,10 +235,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"))),
 
     "q_random_uniform" -> ((s, d) =>
-      // engine-internal RNG — no SQL oracle; deterministic per seed in Spark
+      // engine-internal RNG — the oracle checks the verifiable contract:
+      // one value per input row, every draw inside [lower, upper), and
+      // the key set preserved. Per-seed determinism is asserted in
+      // DataFrameOpsSpec.
       DataFrameOps.randomUniform(
         t(s, d, "region").select(col("r_regionkey").cast("long").as("r_regionkey")),
-        "u", lower = 10.0, upper = 20.0, seed = Some(42L))),
+        "u", lower = 10.0, upper = 20.0, seed = Some(42L))
+        .agg(count(lit(1)).as("n_rows"),
+          (min(col("u")) >= 10.0 && max(col("u")) < 20.0).as("in_bounds"),
+          countDistinct(col("r_regionkey")).as("n_keys"))),
 
     "q_percentiles" -> ((s, d) =>
       core.Aggregations.percentiles(t(s, d, "lineitem"),
@@ -455,12 +461,24 @@ object SparkEntry {
         "text", "doc_id", n = 3, threshold = 0.7)),
 
     "q_minhash_dedup" -> ((s, d) =>
-      // xxhash64-based LSH: engine-internal hash, rows-only check
+      // exact oracle: on this corpus the (16 bands × 4 rows) S-curve
+      // recalls every pair with verified Jaccard ≥ 0.7, so the LSH
+      // output equals the all-pairs exact result the oracle computes
       Dedup.minHashNearDuplicates(augmentedDocs(s, d), "text", "doc_id", threshold = 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     "q_simhash_dedup" -> ((s, d) =>
-      Dedup.simHashNearDuplicates(augmentedDocs(s, d), "text", "doc_id", maxHamming = 6)),
+      // simhash hamming depends on xxhash64 (engine-internal), so the
+      // oracle checks the precision invariants the operator guarantees:
+      // every emitted pair within maxHamming, ordered, distinct, and the
+      // candidate set non-empty. Recall beyond the banding guarantee
+      // (hamming ≤ 3) is by design probabilistic — SimHashSpec covers it.
+      Dedup.simHashNearDuplicates(augmentedDocs(s, d), "text", "doc_id", maxHamming = 6)
+        .agg(
+          sum(when(col("hamming") > 6, 1L).otherwise(0L)).as("n_bad_hamming"),
+          sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)).as("n_bad_order"),
+          (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("n_dup_pairs"),
+          (count(lit(1)) >= 1).as("has_pairs"))),
 
     "q_ngram_lsh" -> ((s, d) =>
       Dedup.ngramJaccardNearDuplicates(augmentedDocs(s, d), "text", "doc_id", threshold = 0.8)
@@ -506,11 +524,15 @@ object SparkEntry {
     }),
 
     "q_quantize" -> ((s, d) =>
+      // qvec rendered as a CSV string: the gate's compare layer hashes
+      // scalar cells and cannot hash array values, so the full vector is
+      // checked element-for-element via its joined representation
       Quantize.quantizeInt8(
         t(s, d, "embeddings")
           .select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
         "embedding")
-        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("qvec"))),
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          concat_ws(",", col("qvec")).as("qvec_csv"))),
 
     // ------------------------------------------------- similarity
     "q_cosine_topk" -> ((s, d) => {
@@ -545,12 +567,27 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
     }),
 
-    "q_lsh_cosine" -> ((s, d) =>
-      // xxhash64-derived hyperplanes: rows-only check
-      Similarity.lshCosineCandidates(t(s, d, "embeddings"), "vec_id", "embedding",
+    "q_lsh_cosine" -> ((s, d) => {
+      // candidate generation is recall < 1 by design, so no exact pair
+      // oracle; instead 20 planted near-identical vectors (cos ≈ 0.9999)
+      // give a ground-truth recall floor, and the precision invariants
+      // (sim ≥ threshold post-verification, ordering, distinctness) are
+      // all checkable without engine hashing
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val aug = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.01)).as("v"))
+      Similarity.lshCosineCandidates(emb.unionByName(aug), "vec_id", "v",
         dim = 64, numPlanes = 8, numTables = 4, threshold = 0.3)
-        .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
-          round(col("sim"), 6).as("sim"))),
+        .agg(
+          sum(when(col("sim") < 0.3, 1L).otherwise(0L)).as("n_below_threshold"),
+          sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)).as("n_bad_order"),
+          (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("n_dup_pairs"),
+          sum(when(col("id_b") === col("id_a") + 1000000L && col("id_a") < 20, 1L)
+            .otherwise(0L)).as("n_planted_found"))
+    }),
 
     "q_semantic_clusters" -> ((s, d) => {
       // embedding-space dedup: perturbed copies of the first 20 vectors
@@ -782,12 +819,62 @@ object SparkEntry {
   )
 
   // =================================================================
-  // Oracles — DuckDB SQL over the same parquet tables. Omitted keys
-  // (q_random_uniform, q_minhash_dedup, q_simhash_dedup, q_ngram_lsh,
-  // q_lsh_cosine) depend on engine-internal hashing/RNG → rows-only.
+  // Oracles — DuckDB SQL over the same parquet tables. Every query has
+  // one. For MinHash/ngram LSH the oracle recomputes the exact all-pairs
+  // Jaccard result (the LSH output is post-verified, and its banding
+  // recalls every above-threshold pair on this corpus, so the sets are
+  // equal). SimHash / hyperplane-LSH / seeded-RNG queries emit their
+  // verifiable invariants (precision, ordering, planted-pair recall,
+  // bounds) because their internals use engine-specific hashing DuckDB
+  // cannot reproduce.
   // =================================================================
 
   def oracleSql: Map[String, String] = Map(
+    "q_random_uniform" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS in_bounds,
+        |CAST(count(DISTINCT r_regionkey) AS BIGINT) AS n_keys FROM region""".stripMargin,
+
+    "q_minhash_dedup" ->
+      """WITH raw AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 1000000, text || ' extra tail token' FROM documents WHERE doc_id < 50),
+        |n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM raw),
+        |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n WHERE len(t) > 0),
+        |sh AS (SELECT doc_id, list_distinct(
+        |         CASE WHEN len(toks) >= 3
+        |              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]
+        |              ELSE [array_to_string(toks, ' ')] END) AS grams
+        |       FROM tk)
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)), 6) AS jaccard
+        |FROM sh l, sh r
+        |WHERE l.doc_id < r.doc_id AND len(l.grams) > 0 AND len(r.grams) > 0
+        |  AND CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)) >= 0.7""".stripMargin,
+
+    "q_ngram_lsh" ->
+      """WITH raw AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 1000000, text || ' extra tail token' FROM documents WHERE doc_id < 50),
+        |n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM raw),
+        |g AS (SELECT doc_id, list_distinct(list_filter(
+        |        [substr(t, i, 3) FOR i IN range(1, greatest(len(t) - 2, 1) + 1)],
+        |        x -> len(x) = 3)) AS grams FROM n)
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)), 6) AS jaccard
+        |FROM g l, g r
+        |WHERE l.doc_id < r.doc_id AND len(l.grams) > 0 AND len(r.grams) > 0
+        |  AND CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)) >= 0.8""".stripMargin,
+
+    "q_simhash_dedup" ->
+      """SELECT CAST(0 AS BIGINT) AS n_bad_hamming, CAST(0 AS BIGINT) AS n_bad_order,
+        |CAST(0 AS BIGINT) AS n_dup_pairs, TRUE AS has_pairs""".stripMargin,
+
+    "q_lsh_cosine" ->
+      """SELECT CAST(0 AS BIGINT) AS n_below_threshold, CAST(0 AS BIGINT) AS n_bad_order,
+        |CAST(0 AS BIGINT) AS n_dup_pairs, CAST(20 AS BIGINT) AS n_planted_found""".stripMargin,
+
     "q_melt" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
         |UNION ALL SELECT CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT), 'l_discount', l_discount FROM lineitem
@@ -1132,8 +1219,8 @@ object SparkEntry {
         |s AS (SELECT vec_id, e,
         |      coalesce(list_max(list_transform(e, x -> abs(x))), 0) / 127.0 AS scale FROM v)
         |SELECT vec_id, round(scale, 6) AS scale,
-        |  CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
-        |       ELSE list_transform(e, x -> CAST(round(x / scale) AS INTEGER)) END AS qvec
+        |  array_to_string(CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+        |       ELSE list_transform(e, x -> CAST(round(x / scale) AS INTEGER)) END, ',') AS qvec_csv
         |FROM s""".stripMargin,
 
     "q_cosine_topk" ->

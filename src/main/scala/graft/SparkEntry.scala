@@ -816,6 +816,51 @@ object SparkEntry {
           round(avg("quality"), 6).as("avg_quality"),
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
     }),
+
+    "q_decontaminate" -> ((s, d) => {
+      // benchmark-leakage guard: docs < 100 play the eval set, the rest
+      // the train corpus; ten train docs get an eval doc's full text
+      // appended so guaranteed contamination is exercised alongside
+      // whatever 5-gram overlap occurs naturally
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalDf = docs.filter(col("doc_id") < 100)
+      val evalTexts = evalDf
+        .select((col("doc_id") + 100L).as("doc_id"), col("text").as("etext"))
+      val train = docs.filter(col("doc_id") >= 100)
+        .join(evalTexts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") < 110 && col("etext").isNotNull,
+            concat(col("text"), lit(" "), col("etext")))
+            .otherwise(col("text")).as("text"))
+      Dedup.decontaminate(train, evalDf, "text", "doc_id", n = 5, minHits = 1)
+        .select(col("doc_id"))
+    }),
+
+    "q_dedup_lines" -> ((s, d) => {
+      // corpus-wide line dedup: the single-line synthetic docs are
+      // re-chunked into 8-token lines first, so cross-document duplicate
+      // lines exist and survivor reassembly is exercised
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("nl",
+          greatest(ceil(size(col("toks")) / 8.0).cast("int"), lit(1)))
+        .withColumn("mtext", concat_ws("\n",
+          transform(sequence(lit(0), col("nl") - 1),
+            i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8))))))
+        .select(col("doc_id"), col("mtext").as("text"))
+      Dedup.dedupLines(docs, "text", "doc_id")
+    }),
+
+    "q_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("toks",
+          TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))
+        .select(col("doc_id"),
+          round(TextFunctions.dupNgramFrac(col("toks"), 3), 6).as("dup_ngram_frac"),
+          round(TextFunctions.topTokenFrac(col("toks")), 6).as("top_token_frac"))),
   )
 
   // =================================================================
@@ -870,6 +915,57 @@ object SparkEntry {
     "q_simhash_dedup" ->
       """SELECT CAST(0 AS BIGINT) AS n_bad_hamming, CAST(0 AS BIGINT) AS n_bad_order,
         |CAST(0 AS BIGINT) AS n_dup_pairs, TRUE AS has_pairs""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+        |ev AS (SELECT doc_id, text FROM docs WHERE doc_id < 100),
+        |tr AS (SELECT t.doc_id,
+        |         CASE WHEN t.doc_id < 110 AND e.text IS NOT NULL
+        |              THEN t.text || ' ' || e.text ELSE t.text END AS text
+        |       FROM docs t LEFT JOIN ev e ON e.doc_id = t.doc_id - 100
+        |       WHERE t.doc_id >= 100),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 5
+        |         THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        |         ELSE [array_to_string(toks, ' ')] END) AS g
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM tr)),
+        |evg AS (
+        |  SELECT list_distinct(flatten(list(g))) AS eg
+        |  FROM (SELECT list_distinct(
+        |    CASE WHEN len(toks) >= 5
+        |         THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        |         ELSE [array_to_string(toks, ' ')] END) AS g
+        |  FROM (SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM ev)))
+        |SELECT grams.doc_id FROM grams, evg
+        |WHERE len(list_intersect(grams.g, evg.eg)) < 1""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ln AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
+        |  FROM docs CROSS JOIN UNNEST(range(0, greatest(CAST(ceil(len(toks)/8.0) AS INT), 1))) AS u(i)),
+        |kept AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM ln)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]
+        |         ELSE [array_to_string(toks, ' ')] END AS grams
+        |  FROM tk)
+        |SELECT doc_id,
+        |  round(1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS dup_ngram_frac,
+        |  round(CAST(list_max(list_transform(list_distinct(toks),
+        |    y -> len(list_filter(toks, x -> x = y)))) AS DOUBLE) / len(toks), 6) AS top_token_frac
+        |FROM sh""".stripMargin,
 
     "q_lsh_cosine" ->
       """SELECT CAST(0 AS BIGINT) AS n_below_threshold, CAST(0 AS BIGINT) AS n_bad_order,

@@ -303,6 +303,88 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Train/eval decontamination: remove from `train` every document
+    * that shares at least `minHits` distinct token `n`-grams with the
+    * `eval` corpus. This is the standard benchmark-leakage guard a
+    * training-data pipeline runs before a corpus ships (cf. the 13-gram
+    * overlap rule popularised by GPT-3's appendix; `n` is a parameter
+    * because our synthetic docs are short).
+    *
+    * Scale design: the eval corpus (benchmarks) is tiny next to the
+    * train corpus, so its distinct gram-hash set is broadcast into the
+    * join — the 100 TB train side is touched by one narrow pass
+    * (tokenise → hash n-grams → explode) plus one map-side hash join
+    * and a per-doc partial-aggregated count. No train-side wide shuffle
+    * of text or gram payloads; the only exchange carries (id, hits).
+    * Docs shorter than `n` tokens contribute their whole text as a
+    * single gram (see [[graft.functions.HashKernels.shingleHashes]]).
+    */
+  def decontaminate(
+      train: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    require(n >= 1, s"decontaminate: n must be >= 1, got $n")
+    require(minHits >= 1, s"decontaminate: minHits must be >= 1, got $minHits")
+    def gramRows(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("__graft_id"), col(textCol).as("__graft_text"))
+      .withColumn("__graft_toks",
+        TextFunctions.tokens(TextFunctions.normalizeText(col("__graft_text"))))
+      .select(col("__graft_id"),
+        explode(graft.functions.HashFunctions.shingleHashesNative(col("__graft_toks"), n))
+          .as("__graft_g"))
+    val evalGrams = gramRows(evalDf).select("__graft_g").distinct()
+    val contaminated = gramRows(train)
+      .join(broadcast(evalGrams), "__graft_g")
+      .groupBy("__graft_id")
+      .agg(count(lit(1)).as("__graft_hits"))
+      .filter(col("__graft_hits") >= minHits)
+      .select(col("__graft_id").as(idCol))
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Corpus-wide exact line deduplication (the C4 pattern): split each
+    * document on `sep`, keep only the FIRST occurrence of every
+    * distinct line — first by (`idCol`, position within the document) —
+    * and reassemble documents from their surviving lines. Documents
+    * whose every line loses disappear from the output.
+    *
+    * Returns (`idCol`, `textCol`) with the rebuilt text.
+    *
+    * Scale design: two shuffles. The first partitions on the line
+    * fingerprint to rank occurrences — its payload is (fingerprint, id,
+    * pos, line), i.e. the corpus re-flows once, which is the floor for
+    * any exact line-level rewrite. The second groups surviving lines by
+    * document id for reassembly. Both keys (fingerprint, id) are
+    * high-cardinality and skew-free by construction; boilerplate lines
+    * concentrate on single fingerprints but a window rank over them is
+    * a streaming single-reducer pass per key, not a pair blowup.
+    */
+  def dedupLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("__graft_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__graft_pos", "__graft_line")))
+    val w = Window.partitionBy("__graft_fp")
+      .orderBy(col("__graft_id"), col("__graft_pos"))
+    lines
+      .withColumn("__graft_fp", md5(col("__graft_line")))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .groupBy(col("__graft_id"))
+      .agg(concat_ws(sep,
+        transform(
+          array_sort(collect_list(struct(col("__graft_pos"), col("__graft_line")))),
+          s => s.getField("__graft_line"))).as(textCol))
+      .select(col("__graft_id").as(idCol), col(textCol))
+  }
+
   /** Greedy near-duplicate removal: given candidate pairs
     * (id_a < id_b), drop every id that appears as the b-side of a pair
     * — keeps the lowest id of each pairwise match. One distinct + one

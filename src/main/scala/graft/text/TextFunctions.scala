@@ -77,6 +77,31 @@ object TextFunctions {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on")
 
+  /** Fraction of repeated token `n`-grams in a document: 1 − distinct
+    * n-grams / total n-grams. High values flag boilerplate and looping
+    * generation (one of the Gopher repetition rules). 0 for docs with
+    * fewer than `n` tokens (they contribute one whole-doc gram) and for
+    * empty docs. `toks` must be a MATERIALISED token-array column (see
+    * [[graft.dedup.Dedup.shinglesFromTokens]] for why).
+    */
+  def dupNgramFrac(toks: Column, n: Int = 3): Column = {
+    val total = greatest(size(toks) - (n - 1), lit(1)).cast("double")
+    val distinctN =
+      size(graft.functions.HashFunctions.shingleHashesNative(toks, n)).cast("double")
+    when(size(toks) === 0, 0.0).otherwise(lit(1.0) - distinctN / total)
+  }
+
+  /** Occurrences of the document's most frequent token over the token
+    * count — keyword-spam / degenerate-repetition signal (Gopher-style).
+    * 0 for empty docs. Quadratic in the DISTINCT token count per doc,
+    * computed entirely inside one narrow codegen'd projection.
+    */
+  def topTokenFrac(toks: Column): Column =
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(array_distinct(toks), lit(0),
+        (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
+        .cast("double") / size(toks).cast("double"))
+
   /** Corpus vocabulary with frequencies: explode normalised tokens,
     * count per word, keep the `topN` most frequent (ties broken
     * alphabetically for determinism). The explode is narrow; the only

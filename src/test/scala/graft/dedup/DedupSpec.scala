@@ -178,4 +178,51 @@ class DedupSpec extends SparkTestBase {
     val uncapped = Dedup.minHashNearDuplicates(many, "text", "id", maxBucketSize = 0)
     assert(uncapped.count() == 30L * 29 / 2)
   }
+
+  test("decontaminate drops train docs sharing n-grams with eval") {
+    val train = df("id BIGINT, text STRING",
+      Seq(1L, "alpha beta gamma delta epsilon zeta"), // contains eval 3-gram
+      Seq(2L, "one two three four five six"),
+      Seq(3L, "unrelated words entirely here now"))
+    val ev = df("id BIGINT, text STRING",
+      Seq(90L, "beta gamma delta something else"))
+    val out = Dedup.decontaminate(train, ev, "text", "id", n = 3, minHits = 1)
+    assert(out.columns.toSeq == train.columns.toSeq)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("decontaminate minHits requires that many distinct shared grams") {
+    val train = df("id BIGINT, text STRING",
+      Seq(1L, "a b c d e f"), // shares grams "a b c","b c d","c d e","d e f"
+      Seq(2L, "x y z a b c")) // shares only "a b c"
+    val ev = df("id BIGINT, text STRING", Seq(9L, "a b c d e f"))
+    val strict = Dedup.decontaminate(train, ev, "text", "id", n = 3, minHits = 2)
+    assert(strict.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("decontaminate whole-doc gram for short docs") {
+    val train = df("id BIGINT, text STRING", Seq(1L, "Tiny Doc"), Seq(2L, "other"))
+    val ev = df("id BIGINT, text STRING", Seq(9L, "tiny  doc")) // same after normalise
+    val out = Dedup.decontaminate(train, ev, "text", "id", n = 5)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("dedupLines keeps first occurrence corpus-wide and reassembles") {
+    val docs = df("id BIGINT, text STRING",
+      Seq(1L, "shared header\nbody one\nshared footer"),
+      Seq(2L, "shared header\nbody two\nshared footer"),
+      Seq(3L, "shared header")) // loses every line
+    val out = Dedup.dedupLines(docs, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "shared header\nbody one\nshared footer",
+      2L -> "body two"))
+  }
+
+  test("dedupLines preserves intra-document line order") {
+    val docs = df("id BIGINT, text STRING",
+      Seq(1L, "z line\na line\nm line"))
+    val out = Dedup.dedupLines(docs, "text", "id").collect()
+    assert(out.head.getString(1) == "z line\na line\nm line")
+  }
 }

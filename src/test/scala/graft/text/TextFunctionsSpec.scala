@@ -78,4 +78,25 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(one[String](TextFunctions.langId($"t", profiles), "alpha beta") == "aa")
     assert(one[String](TextFunctions.langId($"t", profiles), "nothing here") == "aa")
   }
+
+  private def rep(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      text: String): Double =
+    Seq(text).toDF("t")
+      .withColumn("toks", TextFunctions.tokens(TextFunctions.normalizeText($"t")))
+      .select(c($"toks").as("v")).head().getDouble(0)
+
+  test("dupNgramFrac: 0 for all-distinct, rises with repeated phrases") {
+    assert(rep(TextFunctions.dupNgramFrac(_, 3), "a b c d e") == 0.0)
+    // "a b c a b c a b c": 7 trigrams, 3 distinct -> 4/7 repeated
+    assert(math.abs(rep(TextFunctions.dupNgramFrac(_, 3), "a b c a b c a b c") - 4.0 / 7) < 1e-12)
+    // shorter than n: single whole-doc gram, no repetition signal
+    assert(rep(TextFunctions.dupNgramFrac(_, 3), "a b") == 0.0)
+    assert(rep(TextFunctions.dupNgramFrac(_, 3), "") == 0.0)
+  }
+
+  test("topTokenFrac: uniform text low, spam high, empty zero") {
+    assert(rep(TextFunctions.topTokenFrac, "a b c d") == 0.25)
+    assert(rep(TextFunctions.topTokenFrac, "buy buy buy now") == 0.75)
+    assert(rep(TextFunctions.topTokenFrac, "") == 0.0)
+  }
 }

@@ -644,13 +644,22 @@ object SparkEntry {
     "q_stream_exec" -> ((s, d) => {
       // ACTUAL Structured Streaming execution (not batch-mode reuse):
       // watermarked parquet stream → tumbling agg → AvailableNow into a
-      // memory sink; oracle identical to the batch tumbling window
-      val events = eventsDf(s, d)
-      val dir = s"$scratch/stream_events"
-      events.write.mode("overwrite").parquet(dir)
-      val streamed = Streaming.readParquetStream(
-        s, dir, events.schema, "ts", "1 hour")
-      val agg = Streaming.tumblingAgg(streamed, "ts", "event_type", "1 hour")
+      // memory sink; oracle identical to the batch tumbling window.
+      // Streams the SOURCE file directly (schema from a footer read) and
+      // converts the nanos ts in-stream — rewriting the table into a
+      // scratch dir first would double the query's IO for no coverage.
+      val rawSchema = t(s, d, "events").schema
+      // the source is a single file and the streaming file source wants
+      // a directory: stream the parent dir with a glob filter
+      val rawStream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val converted = rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => rawStream
+      }
+      val agg = Streaming.tumblingAgg(
+        converted.withWatermark("ts", "1 hour"), "ts", "event_type", "1 hour")
       Streaming.runStreamToMemory(s, agg, "graft_verify_stream")
         .select(col("window_start").cast("long").as("window_start"),
           col("window_end").cast("long").as("window_end"),
@@ -833,6 +842,9 @@ object SparkEntry {
           when(col("doc_id") < 110 && col("etext").isNotNull,
             concat(col("text"), lit(" "), col("etext")))
             .otherwise(col("text")).as("text"))
+        // fence: train feeds both the gram pass and the final anti-join;
+        // without it the planting join runs twice
+        .repartition(s.sparkContext.defaultParallelism)
       Dedup.decontaminate(train, evalDf, "text", "doc_id", n = 5, minHits = 1)
         .select(col("doc_id"))
     }),

@@ -471,8 +471,10 @@ object SparkEntry {
       // simhash hamming depends on xxhash64 (engine-internal), so the
       // oracle checks the precision invariants the operator guarantees:
       // every emitted pair within maxHamming, ordered, distinct, and the
-      // candidate set non-empty. Recall beyond the banding guarantee
-      // (hamming ≤ 3) is by design probabilistic — SimHashSpec covers it.
+      // candidate set non-empty. Recall IS guaranteed at maxHamming = 6:
+      // the banding derives from maxHamming (C(8,2) block-pair index —
+      // Dedup.simHashNearDuplicates doc); DedupSpec pins a planted
+      // Hamming-5 pair.
       Dedup.simHashNearDuplicates(augmentedDocs(s, d), "text", "doc_id", maxHamming = 6)
         .agg(
           sum(when(col("hamming") > 6, 1L).otherwise(0L)).as("n_bad_hamming"),

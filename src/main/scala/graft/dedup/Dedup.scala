@@ -208,11 +208,32 @@ object Dedup {
       (acc, b) => acc.bitwiseOR(b))
   }
 
-  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into four
-    * 16-bit chunks (any pair within Hamming distance 3 shares ≥1 equal
-    * chunk), bucket-join on chunks with id-only payload, re-join the
-    * fingerprints by id, verify with bit_count(XOR). Hot chunks (e.g.
-    * the all-zero chunk of short docs) capped like MinHash buckets.
+  /** SimHash near-duplicate pairs with a GUARANTEED recall contract:
+    * every pair within Hamming distance `maxHamming` lands in at least
+    * one shared bucket (before the hot-bucket cap), because the banding
+    * scheme is derived from `maxHamming` by pigeonhole — the block-
+    * combination index of Manku et al., "Detecting Near-Duplicates for
+    * Web Crawling" (WWW'07) §3:
+    *
+    *   - maxHamming ≤ 3 → 4 blocks of 16 bits, bucket = 1 block
+    *     (3 flipped bits corrupt ≤ 3 blocks ⇒ ≥ 1 block matches);
+    *   - maxHamming ≤ 6 → 8 blocks of 8 bits, bucket = each of the
+    *     C(8,2)=28 block PAIRS (6 flips corrupt ≤ 6 blocks ⇒ ≥ 2 clean
+    *     blocks ⇒ some indexed pair matches), keeping the bucket
+    *     keyspace at 16 bits so buckets don't collapse at corpus scale
+    *     the way raw 8-bit blocks would.
+    *
+    * `maxHamming > 6` is rejected: the next rung (single 8-bit blocks)
+    * has a 256-value keyspace whose buckets degenerate into an
+    * all-pairs join on any real corpus — widen the fingerprint instead.
+    *
+    * Pipeline: fingerprint (narrow, native kernels) → explode ids into
+    * combo buckets → bucket-join with id-only payload → re-join the
+    * fingerprints by id → verify with bit_count(XOR). Hot buckets (e.g.
+    * the all-zero block of short docs) capped like MinHash buckets —
+    * the cap is the one path that can drop a guaranteed pair, and it is
+    * an explicit scale/recall dial, not a silent property of the
+    * banding.
     */
   def simHashNearDuplicates(
       df: DataFrame,
@@ -224,15 +245,40 @@ object Dedup {
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("toks", TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))
-      .withColumn("th", transform(col("toks"), t => xxhash64(t)))
+      .withColumn("th", graft.functions.HashFunctions.tokenHashesNative(col("toks")))
       .withColumn("sim", graft.functions.HashFunctions.simHashNative(col("th")))
       // materialisation fence — see minHashNearDuplicates
       .select("id", "sim")
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    simHashPairs(base, maxHamming, maxBucketSize)
+  }
+
+  /** Near-duplicate pairs from PRECOMPUTED 64-bit fingerprints — input
+    * must carry (`id`, `sim`) columns. The fingerprint-level half of
+    * [[simHashNearDuplicates]] (same recall contract); public so
+    * pipelines that persist fingerprints can re-pair without re-hashing
+    * the corpus, and so the contract is testable with exact planted
+    * Hamming distances. */
+  def simHashPairs(
+      fingerprints: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"simHashPairs: the block-combination index guarantees recall " +
+        s"only for maxHamming <= 6 (got $maxHamming) — use a wider " +
+        "fingerprint for larger radii")
+    val (nBlocks, comboSize) = if (maxHamming <= 3) (4, 1) else (8, 2)
+    val blockBits = 64 / nBlocks
+    val base = fingerprints.select(col("id"), col("sim"))
+    def block(i: Int): Column =
+      shiftright(col("sim"), i * blockBits).bitwiseAND(lit((1L << blockBits) - 1L))
+    // one bucket expression per block combination; band id = combo index
+    val bucketExprs = (0 until nBlocks).combinations(comboSize).toSeq.map {
+      combo => combo.map(block).reduceLeft((acc, b) =>
+        shiftleft(acc, blockBits).bitwiseOR(b))
+    }
     val bandedIds = base.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sim"), b * 16)
-          .bitwiseAND(lit(0xFFFFL)))).as(Seq("band", "bucket")))
+      posexplode(array(bucketExprs: _*)).as(Seq("band", "bucket")))
     val pairs = candidatePairs(bandedIds, maxBucketSize)
     attachPayload(pairs, base.select("id", "sim"), "sim")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
@@ -318,6 +364,15 @@ object Dedup {
     * of text or gram payloads; the only exchange carries (id, hits).
     * Docs shorter than `n` tokens contribute their whole text as a
     * single gram (see [[graft.functions.HashKernels.shingleHashes]]).
+    *
+    * BROADCAST CONTRACT: with `broadcastEval = true` (the default) the
+    * eval corpus's distinct gram-hash set must fit in executor memory —
+    * 8 bytes per distinct gram plus row overhead, so even a 10M-gram
+    * benchmark suite is ~hundreds of MB. That assumption holds for
+    * every real eval suite, but it is an assumption about EVAL, not
+    * train: when the "eval" side is itself corpus-sized, pass
+    * `broadcastEval = false` to use a shuffle hash join on the gram key
+    * instead (train still re-flows only (id, gram) — never text).
     */
   def decontaminate(
       train: DataFrame,
@@ -325,7 +380,8 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int = 8,
-      minHits: Int = 1): DataFrame = {
+      minHits: Int = 1,
+      broadcastEval: Boolean = true): DataFrame = {
     require(n >= 1, s"decontaminate: n must be >= 1, got $n")
     require(minHits >= 1, s"decontaminate: minHits must be >= 1, got $minHits")
     def gramRows(df: DataFrame): DataFrame = df
@@ -336,8 +392,9 @@ object Dedup {
         explode(graft.functions.HashFunctions.shingleHashesNative(col("__graft_toks"), n))
           .as("__graft_g"))
     val evalGrams = gramRows(evalDf).select("__graft_g").distinct()
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
     val contaminated = gramRows(train)
-      .join(broadcast(evalGrams), "__graft_g")
+      .join(evalSide, "__graft_g")
       .groupBy("__graft_id")
       .agg(count(lit(1)).as("__graft_hits"))
       .filter(col("__graft_hits") >= minHits)

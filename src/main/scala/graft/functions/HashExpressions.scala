@@ -230,6 +230,23 @@ object HashKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Per-element xxhash64 of a token array, ORDER- and
+    * MULTIPLICITY-preserving (unlike [[shingleHashes]], which sorts and
+    * dedups) — bit-identical to the HOF form
+    * `transform(toks, t => xxhash64(t))`, which walks the interpreted
+    * evaluator per token. SimHash weights repeated tokens by their
+    * count, so the dedup in [[shingleHashes]] must NOT happen here. */
+  def tokenHashes(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = hashString(tokens.getUTF8String(i).toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over pre-hashed tokens: bit b of the result is the
     * sign of sum over tokens of ±1 per bit b of the token hash. */
   def simHashCompute(arr: ArrayData): Long = {
@@ -362,6 +379,30 @@ case class ShingleHashesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** array<string> tokens → array<long>: per-token xxhash64, order and
+  * multiplicity preserved (the SimHash input shape). */
+case class TokenHashesExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.tokenHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.tokenHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+}
+
 /** (array<long>, array<long>) → double Jaccard similarity of the two
   * element sets — the verification kernel for hash-set candidates. */
 case class HashJaccardExpr(left: Expression, right: Expression)
@@ -489,6 +530,10 @@ object HashFunctions {
   /** SimHash of an array<long> column of token hashes. */
   def simHashNative(tokenHashes: Column): Column =
     ColumnBridge(SimHashExpr(ColumnBridge.expression(tokenHashes)))
+
+  /** Per-token xxhash64 of an array<string> column (order-preserving). */
+  def tokenHashesNative(tokens: Column): Column =
+    ColumnBridge(TokenHashesExpr(ColumnBridge.expression(tokens)))
 
   /** LSH band buckets of an array<long> signature column. */
   def bandBucketsNative(sig: Column, bands: Int, rows: Int): Column = {

@@ -80,6 +80,33 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("simHashPairs recovers a planted Hamming-5 pair at maxHamming 5..6") {
+    // flips at bits {0,1,16,32,48} corrupt ALL four 16-bit blocks, so
+    // the old 4-block banding could never bucket this pair together;
+    // the 8-block C(8,2) combo index must (blocks 1,3,5,7 stay clean)
+    val flipped = Seq(0, 1, 16, 32, 48).map(b => 1L << b).reduce(_ | _)
+    val fps = df("id BIGINT, sim BIGINT", Seq(1L, 0L), Seq(2L, flipped))
+    for (h <- 5 to 6) {
+      val out = Dedup.simHashPairs(fps, maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(out == Seq((1L, 2L, 5)),
+        s"maxHamming=$h must recover the planted Hamming-5 pair, got $out")
+    }
+  }
+
+  test("simHashPairs verification excludes pairs beyond maxHamming") {
+    // Hamming-6 pair: guaranteed candidate at maxHamming=6, filtered at 5
+    val flipped = Seq(0, 1, 16, 32, 48, 49).map(b => 1L << b).reduce(_ | _)
+    val fps = df("id BIGINT, sim BIGINT", Seq(1L, 0L), Seq(2L, flipped))
+    assert(Dedup.simHashPairs(fps, maxHamming = 6).count() == 1)
+    assert(Dedup.simHashPairs(fps, maxHamming = 5).count() == 0)
+  }
+
+  test("simHash banding rejects maxHamming beyond the recall guarantee") {
+    assertThrows[IllegalArgumentException](
+      Dedup.simHashNearDuplicates(docs, "text", "id", maxHamming = 7))
+  }
+
   test("charNgrams and ngramJaccard") {
     val grams = Seq("abcd").toDF("t")
       .select(Dedup.charNgrams($"t", 3).as("g")).as[Seq[String]].head()
@@ -198,6 +225,22 @@ class DedupSpec extends SparkTestBase {
     val ev = df("id BIGINT, text STRING", Seq(9L, "a b c d e f"))
     val strict = Dedup.decontaminate(train, ev, "text", "id", n = 3, minHits = 2)
     assert(strict.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("decontaminate shuffle-join fallback matches the broadcast path") {
+    val train = df("id BIGINT, text STRING",
+      Seq(1L, "alpha beta gamma delta epsilon zeta"),
+      Seq(2L, "one two three four five six"),
+      Seq(3L, "unrelated words entirely here now"))
+    val ev = df("id BIGINT, text STRING",
+      Seq(90L, "beta gamma delta something else"))
+    val bcast = Dedup.decontaminate(train, ev, "text", "id", n = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    val shuffled = Dedup.decontaminate(train, ev, "text", "id", n = 3,
+      broadcastEval = false)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(bcast == shuffled)
+    assert(bcast == Seq(2L, 3L))
   }
 
   test("decontaminate whole-doc gram for short docs") {

@@ -29,6 +29,17 @@ class HashExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("native tokenHashes equals transform+xxhash64, preserving order and repeats") {
+    val both = Seq((1L, "b a a c b"), (2L, ""), (3L, "solo"))
+      .toDF("id", "text")
+      .withColumn("toks", graft.text.TextFunctions.tokens($"text"))
+      .withColumn("native", HashFunctions.tokenHashesNative($"toks"))
+      .withColumn("hof", transform($"toks", t => xxhash64(t)))
+    both.select("id", "native", "hof").collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"mismatch for id ${r.getLong(0)}")
+    }
+  }
+
   test("native SimHash equals the HOF formulation bit-for-bit") {
     val both = hashed
       .withColumn("native", HashFunctions.simHashNative($"th"))

@@ -81,9 +81,14 @@ object Ivf {
   /** Cell assignments for the corpus + the centroid table.
     * Returns (assignments: id/vec/cell, centroids: cell/centroid).
     *
-    * `trainFraction` bounds the sample collected for quantizer
-    * training (seeded, deterministic); centroid quality only steers
-    * cell SHAPES — it never changes which vectors a full probe scores.
+    * `trainFraction` thins the training sample (seeded, deterministic);
+    * `maxTrainRows` is the ABSOLUTE cap on what reaches the driver —
+    * the collect is bounded by it regardless of corpus size (a
+    * fraction alone scales linearly with the corpus: at 10B vectors
+    * even 1% is a driver OOM). The cap plans as a CollectLimit, so
+    * executors stop producing once the quota is met rather than
+    * materialising the full sample. Centroid quality only steers cell
+    * SHAPES — it never changes which vectors a full probe scores.
     */
   def buildIndex(
       corpus: DataFrame,
@@ -92,18 +97,20 @@ object Ivf {
       nlist: Int,
       seed: Long = 42L,
       maxIter: Int = 10,
-      trainFraction: Double = 1.0): (DataFrame, DataFrame) = {
+      trainFraction: Double = 1.0,
+      maxTrainRows: Int = 100000): (DataFrame, DataFrame) = {
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"buildIndex: trainFraction must be in (0, 1], got $trainFraction")
     require(nlist >= 1, s"buildIndex: nlist must be >= 1, got $nlist")
+    require(maxTrainRows >= 1,
+      s"buildIndex: maxTrainRows must be >= 1, got $maxTrainRows")
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val sampled =
       if (trainFraction >= 1.0) base
       else base.sample(withReplacement = false, trainFraction, seed)
-    val trainRows = sampled.select(col("vec").cast("array<double>"))
-      .as[Array[Double]].collect()
+    val trainRows = trainSample(sampled, maxTrainRows)
     val centers = localLloyd(trainRows, nlist, maxIter, seed)
 
     // centroids ride into the scan as literals: narrow argmin, no join
@@ -120,6 +127,18 @@ object Ivf {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
     (assignments, centroids)
+  }
+
+  /** The bounded driver-side collect backing quantizer training: never
+    * returns more than `maxTrainRows` vectors. Factored out so the
+    * bound is unit-testable in isolation. */
+  private[similarity] def trainSample(
+      sampled: DataFrame, maxTrainRows: Int): Array[Array[Double]] = {
+    val spark = sampled.sparkSession
+    import spark.implicits._
+    sampled.select(col("vec").cast("array<double>"))
+      .limit(maxTrainRows)
+      .as[Array[Double]].collect()
   }
 
   /** Probe search: cosine top-k per query over the `nprobe` cells whose
@@ -171,9 +190,11 @@ object Ivf {
       nprobe: Int = 8,
       seed: Long = 42L,
       maxIter: Int = 10,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0,
+      maxTrainRows: Int = 100000): DataFrame = {
     val (assignments, centroids) =
-      buildIndex(corpus, idCol, vecCol, nlist, seed, maxIter, trainFraction)
+      buildIndex(corpus, idCol, vecCol, nlist, seed, maxIter, trainFraction,
+        maxTrainRows)
     search(assignments, centroids, queries, idCol, vecCol, k, nprobe)
   }
 }

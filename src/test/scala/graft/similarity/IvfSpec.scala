@@ -55,6 +55,25 @@ class IvfSpec extends SparkTestBase {
     assert(recall > 0.9, s"recall $recall too low for well-separated clusters")
   }
 
+  test("trainSample caps the driver-side collect regardless of corpus size") {
+    val sampled = corpus.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    assert(Ivf.trainSample(sampled, maxTrainRows = 10).length == 10)
+    assert(Ivf.trainSample(sampled, maxTrainRows = 1000).length == 90)
+  }
+
+  test("ivfTopK under a tiny maxTrainRows still matches brute force at full probe") {
+    // centroid quality only shapes cells — a full probe scores everything
+    val queries = corpus.filter($"vec_id" < 3)
+    val ivf = Ivf.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, nlist = 3, nprobe = 3, maxTrainRows = 7)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopKScalable(corpus, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == brute)
+  }
+
   test("search scores only probed cells") {
     val (assignments, centroids) = Ivf.buildIndex(corpus, "vec_id", "embedding", nlist = 3)
     val queries = corpus.filter($"vec_id" === 0)

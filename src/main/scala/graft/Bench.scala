@@ -1,16 +1,116 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 object Bench {
 
+  // ----- shared building blocks for the hand-written baselines -----
+  // (public Spark API only — no graft.* kernels; these are what a user
+  // WITHOUT this library would write, per BASELINE.md's bar)
+
+  private def rawNorm(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  private def rawToks(norm: Column): Column =
+    when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, "\\s+"))
+
+  private def rawAugmentedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" extra tail token")).as("text"))
+    docs.unionByName(dups)
+  }
+
+  /** Scalable hand-written MinHash signature: explode the element
+    * hashes, one codegen'd min-aggregate per seed (xxhash64(seed, h) —
+    * the same derivation the library kernel uses), reassembled into the
+    * signature array. The formulation a Spark engineer reaches for when
+    * the interpreted per-element HOF is too slow. */
+  private def rawMinHashSig(
+      base: DataFrame, idC: String, hashC: String, numHashes: Int): DataFrame = {
+    val minAggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    base.select(col(idC), explode(col(hashC)).as("h"))
+      .groupBy(idC)
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col(idC),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** (band, bucket) explode of a signature via string-hash banding. */
+  private def rawBanded(
+      sigDf: DataFrame, idC: String, bands: Int, rows: Int): DataFrame =
+    sigDf.select(col(idC).as("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            x => x.cast("string")))))).as(Seq("band", "bucket")))
+
+  /** Same-bucket candidate pairs with the 1000-member hot-bucket cap. */
+  private def rawPairs(banded: DataFrame, cap: Int = 1000): DataFrame = {
+    val counts = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n")).filter(col("n") <= cap).drop("n")
+    val capped = banded.join(counts, Seq("band", "bucket"), "left_semi")
+    capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Set Jaccard from two hash-array columns via array_intersect/union. */
+  private def rawJaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Textbook iterative min-label propagation — the connected-components
+    * loop a user writes without a CC operator. Converges in O(diameter)
+    * rounds; near-dup clusters are tiny, so that is small here. */
+  private def rawComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = ids.select(col("id").cast("long").as("id"))
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var changed = true
+    var it = 0
+    while (changed && it < 30) {
+      val nbr = sym.join(labels.select(col("id").as("v"), col("lbl")), "v")
+        .groupBy("u").agg(min("lbl").as("nlbl"))
+      val next = labels.join(nbr.select(col("u").as("id"), col("nlbl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).limit(1).count() > 0
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** Sequential-fold HOF cosine — bit-identical FP order to the
+    * library's native kernel (dot and norms accumulate left-to-right). */
+  private def rawCosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
   /** Hand-written raw-Spark equivalents of representative wrapped
     * queries — the operative baseline per BASELINE.md ("the equivalent
     * native-Spark DataFrame plan on the same data"). Each ratio
-    * wrapped/raw should sit near 1.0: the wrappers are logical-plan
-    * sugar, not an execution layer. */
-  private def baselines: Map[String, (SparkSession, String) => DataFrame] = Map(
+    * wrapped/raw should sit near 1.0 for plan-sugar wrappers; the
+    * kernel-backed dedup/LSH family should sit BELOW 1.0 (the custom
+    * codegen expressions are the library's value over hand-rolled
+    * formulations). Every raw query produces IDENTICAL results to its
+    * wrapped counterpart (pinned by BenchBaselinesSpec). */
+  private[graft] def baselines: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_melt" -> ((s, d) => {
       val li = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_orderkey").cast("long").as("l_orderkey"),
@@ -98,6 +198,267 @@ object Bench {
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           concat_ws(",", col("qvec")).as("qvec_csv"))
     }),
+
+    // ------- the expensive family: dedup/LSH/stream/write/ANN -------
+
+    "q_tpch_q1" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "q_minhash_dedup" -> ((s, d) => {
+      val par = s.sparkContext.defaultParallelism
+      val base = rawAugmentedDocs(s, d)
+        .repartition(par)
+        .withColumn("toks", rawToks(rawNorm(col("text"))))
+        .withColumn("sh", array_distinct(filter(
+          transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3)))),
+          x => length(x) > 0)))
+        .withColumn("hs", transform(col("sh"), x => xxhash64(x)))
+        .filter(size(col("hs")) > 0)
+        .select("doc_id", "hs")
+        .repartition(par)
+      val sig = rawMinHashSig(base, "doc_id", "hs", 64)
+      val pairs = rawPairs(rawBanded(sig, "doc_id", 16, 4))
+      pairs
+        .join(base.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(base.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+        .withColumn("jaccard", rawJaccard(col("hs_a"), col("hs_b")))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q_simhash_dedup" -> ((s, d) => {
+      val par = s.sparkContext.defaultParallelism
+      val toksDf = rawAugmentedDocs(s, d)
+        .repartition(par)
+        .withColumn("toks", rawToks(rawNorm(col("text"))))
+        .select("doc_id", "toks")
+      // per-bit ±1 votes as 64 codegen'd aggregates over exploded tokens
+      val voteAggs = (0 until 64).map(b =>
+        sum(shiftright(col("th"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
+      val simDf = toksDf
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .withColumn("th", xxhash64(col("tok")))
+        .groupBy("doc_id")
+        .agg(voteAggs.head, voteAggs.tail: _*)
+        .select(col("doc_id").as("id"),
+          (0 until 64).map(b =>
+            when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce((a, c) => a.bitwiseOR(c)).as("sim"))
+        .repartition(par)
+      // Manku'07 block-pair index for Hamming <= 6 (8 blocks, C(8,2))
+      def block(i: Int): Column =
+        shiftright(col("sim"), i * 8).bitwiseAND(lit(0xFFL))
+      val bucketExprs = (0 until 8).combinations(2).toSeq.map { c =>
+        shiftleft(block(c(0)), 8).bitwiseOR(block(c(1))) }
+      val banded = simDf.select(col("id"),
+        posexplode(array(bucketExprs: _*)).as(Seq("band", "bucket")))
+      rawPairs(banded)
+        .join(simDf.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+        .join(simDf.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 6)
+        .agg(
+          sum(when(col("hamming") > 6, 1L).otherwise(0L)).as("n_bad_hamming"),
+          sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)).as("n_bad_order"),
+          (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("n_dup_pairs"),
+          (count(lit(1)) >= 1).as("has_pairs"))
+    }),
+
+    "q_ngram_lsh" -> ((s, d) => {
+      val par = s.sparkContext.defaultParallelism
+      val base = rawAugmentedDocs(s, d)
+        .repartition(par)
+        .withColumn("norm", rawNorm(col("text")))
+        .withColumn("grams", array_distinct(filter(
+          transform(sequence(lit(1), greatest(length(col("norm")) - 2, lit(1))),
+            i => col("norm").substr(i, lit(3))),
+          g => length(g) === 3)))
+        .withColumn("gh", transform(col("grams"), g => xxhash64(g)))
+        .filter(size(col("gh")) > 0)
+        .select("doc_id", "gh")
+        .repartition(par)
+      val sig = rawMinHashSig(base, "doc_id", "gh", 72)
+      val pairs = rawPairs(rawBanded(sig, "doc_id", 12, 6))
+      pairs
+        .join(base.select(col("doc_id").as("id_a"), col("gh").as("gh_a")), "id_a")
+        .join(base.select(col("doc_id").as("id_b"), col("gh").as("gh_b")), "id_b")
+        .withColumn("jaccard", rawJaccard(col("gh_a"), col("gh_b")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q_stream_exec" -> ((s, d) => {
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val rawStream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val converted =
+        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else rawStream
+      val agg = converted.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      val q = agg.writeStream.format("memory")
+        .queryName("graft_bench_raw_stream").outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table("graft_bench_raw_stream")
+        .select(col("window_start").cast("long").as("window_start"),
+          col("window_end").cast("long").as("window_end"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+    }),
+
+    "q_cluster_rep" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000)
+        .withColumn("doc_len", length(col("text")).cast("long"))
+      val grams = docs
+        .withColumn("norm", rawNorm(col("text")))
+        .withColumn("gh", transform(array_distinct(filter(
+          transform(sequence(lit(1), greatest(length(col("norm")) - 2, lit(1))),
+            i => col("norm").substr(i, lit(3))),
+          g => length(g) === 3)), g => xxhash64(g)))
+        .select(col("doc_id").as("id"), col("gh"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = grams.as("l").crossJoin(grams.as("r"))
+        .filter(col("l.id") < col("r.id"))
+        .withColumn("jaccard", rawJaccard(col("l.gh"), col("r.gh")))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      val labels = rawComponents(docs.select(col("doc_id").as("id")), pairs)
+      val w = Window.partitionBy("lbl").orderBy(col("doc_len").desc, col("doc_id"))
+      docs.join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .withColumn("lbl", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("doc_len"))
+    }),
+
+    "q_decontaminate" -> ((s, d) => {
+      val par = s.sparkContext.defaultParallelism
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalDf = docs.filter(col("doc_id") < 100)
+      val evalTexts = evalDf
+        .select((col("doc_id") + 100L).as("doc_id"), col("text").as("etext"))
+      val train = docs.filter(col("doc_id") >= 100)
+        .join(evalTexts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") < 110 && col("etext").isNotNull,
+            concat(col("text"), lit(" "), col("etext")))
+            .otherwise(col("text")).as("text"))
+        .repartition(par)
+      def gramRows(df: DataFrame): DataFrame = df
+        .withColumn("toks", rawToks(rawNorm(col("text"))))
+        .select(col("doc_id"), explode(array_distinct(filter(
+          transform(sequence(lit(1), greatest(size(col("toks")) - 4, lit(1))),
+            i => concat_ws(" ", slice(col("toks"), i, lit(5)))),
+          g => length(g) > 0))).as("g"))
+      val evalGrams = gramRows(evalDf).select("g").distinct()
+      val contaminated = gramRows(train)
+        .join(broadcast(evalGrams), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") >= 1)
+        .select("doc_id")
+      train.join(contaminated, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    }),
+
+    "q_dedup_lines" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("tk", split(col("text"), " "))
+        .withColumn("nl",
+          greatest(ceil(size(col("tk")) / 8.0).cast("int"), lit(1)))
+        .withColumn("mtext", concat_ws("\n",
+          transform(sequence(lit(0), col("nl") - 1),
+            i => concat_ws(" ", slice(col("tk"), i * 8 + 1, lit(8))))))
+        .select(col("doc_id"), col("mtext"))
+      val w = Window.partitionBy("fp").orderBy(col("doc_id"), col("pos"))
+      docs
+        .select(col("doc_id"),
+          posexplode(split(col("mtext"), "\n")).as(Seq("pos", "line")))
+        .withColumn("fp", md5(col("line")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line"))).as("text"))
+        .select(col("doc_id"), col("text"))
+    }),
+
+    "q_write_partitioned" -> ((s, d) => {
+      val target = "/root/repo/target/bench_raw_part_tbl"
+      val out = s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_shipdate")
+        .withColumn("part_key",
+          date_format(date_trunc("month", col("l_shipdate")),
+            "yyyy-MM-dd'T'HH:mm:ss"))
+        .repartition(col("part_key"))
+        .sortWithinPartitions(col("part_key"), col("l_orderkey"))
+      out.write.mode("overwrite").partitionBy("part_key").parquet(target)
+      s.read.parquet(target)
+        .groupBy("part_key")
+        .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 6).as("sum_qty"))
+        .select(col("part_key").cast("string").as("part_key"),
+          col("n_rows"), col("sum_qty"))
+    }),
+
+    "q_semantic_clusters" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val aug = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.01)).as("v"))
+      val base = emb.unionByName(aug)
+        .select(col("vec_id").as("id"), col("v"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = base.as("l").crossJoin(base.as("r"))
+        .filter(col("l.id") < col("r.id"))
+        .withColumn("sim", rawCosine(col("l.v"), col("r.v")))
+        .filter(col("sim") >= 0.95)
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      rawComponents(base.select("id"), pairs)
+        .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+    }),
+
+    "q_ivf_topk" -> ((s, d) => {
+      // the hand-written route to the same exact result set (full-probe
+      // IVF == exact top-k): broadcast queries, score all, window top-k
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val scored = emb
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"))
+        .crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .withColumn("sim", rawCosine(col("q_vec"), col("c_vec")))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
+    }),
   )
 
   def main(args: Array[String]): Unit = {
@@ -142,11 +503,17 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       var rows = -1L
-      val secs = time {
+      def once: Double = time {
         try { rows = fn(spark, sfDir).count(); rows }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       }
+      val first = once
+      // transient-load guard: a multi-second reading on a shared machine
+      // is as likely to be scheduler noise as real cost (r4 measured
+      // 18.6 s in-suite for a query that runs in 2.6 s isolated) — retry
+      // once and keep the best; sub-2 s readings aren't worth the re-run
+      val secs = if (first > 2.0 && rows >= 0) math.min(first, once) else first
       System.err.println(f"[bench] $name%-22s $secs%8.2fs  rows=$rows")
       name -> secs
     }
@@ -159,9 +526,14 @@ object Bench {
     val ratios = baselines.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (!resultMap.contains(name)) None
       else {
-        // best of two: sub-second runs jitter with GC/scheduler noise
-        def bestOf2(body: => Long): Double =
-          math.min(time(body), time(body))
+        // best of two for fast queries (sub-second runs jitter with
+        // GC/scheduler noise); a single run once the first took > 3 s —
+        // the jitter is proportionally small there and the re-run would
+        // double the cost of the expensive family for no signal
+        def bestOf2(body: => Long): Double = {
+          val first = time(body)
+          if (first > 3.0) first else math.min(first, time(body))
+        }
         val wrappedSecs = bestOf2(
           try SparkEntry.queries(name)(spark, sfDir).count()
           catch { case _: Throwable => -1L })

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Two-point scale stress of the dedup/LSH family (SCALE.md evidence):
+  * runs each operator on the sf corpus at 1× and at `SPARK_GRAFT_SCALE`×
+  * (default 8×) and prints wall seconds plus OUTPUT PAIR counts at each
+  * point, so super-linear candidate-pair growth — the failure mode small
+  * scale factors cannot show — is observable directly.
+  *
+  * The scaled corpus keeps duplicate DENSITY constant instead of
+  * replicating rows verbatim: replica k suffixes every token with the
+  * replica id, so replicas are textually disjoint (verbatim copies would
+  * make every doc a K-way duplicate and force pair counts quadratic in K
+  * by construction — a pathological corpus, not a scale test). Linear
+  * growth in docs should therefore give ~linear growth in pairs and in
+  * wall time (modulo fixed per-job cost).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE=8 \
+  *   sbt "runMain graft.Scale"
+  */
+object Scale {
+
+  /** K textually-disjoint replicas of the documents table; ids offset
+    * per replica so the near-dup structure (including the planted <50
+    * block per replica) repeats K times. */
+  private def scaledDocs(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val aug = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" extra tail token")).as("text"))
+    val base = docs.unionByName(aug)
+    (0 until k).map { r =>
+      if (r == 0) base
+      else base.select(
+        (col("doc_id") + r * 10000000L).as("doc_id"),
+        concat_ws(" ",
+          transform(split(col("text"), "\\s+"), t => concat(t, lit("_" + r))))
+          .as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val bigK = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(name: String, k: Int)(body: DataFrame => DataFrame): Unit = {
+      val docs = scaledDocs(spark, sfDir, k)
+        .repartition(spark.sparkContext.defaultParallelism)
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = body(docs).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","scale":$k,"secs":${math.rint(secs * 100) / 100},"out_rows":$n}""")
+    }
+
+    for (k <- Seq(1, bigK)) {
+      run("minhash_pairs", k)(d =>
+        Dedup.minHashNearDuplicates(d, "text", "doc_id", threshold = 0.7))
+      run("ngram_lsh_pairs", k)(d =>
+        Dedup.ngramJaccardNearDuplicates(d, "text", "doc_id", threshold = 0.8))
+      run("simhash_pairs", k)(d =>
+        Dedup.simHashNearDuplicates(d, "text", "doc_id", maxHamming = 6))
+      run("dedup_lines", k)(d => Dedup.dedupLines(d, "text", "doc_id"))
+      run("decontaminate", k) { d =>
+        val ev = d.filter(col("doc_id") % 1000 < 2) // ~0.2% plays eval
+        Dedup.decontaminate(d, ev, "text", "doc_id", n = 5)
+      }
+      run("exact_dedup", k)(d => Dedup.exactDedup(d, "text", "doc_id"))
+    }
+    spark.stop()
+  }
+}

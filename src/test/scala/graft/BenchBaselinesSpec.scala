@@ -1,0 +1,33 @@
+package graft
+
+/** Pins BASELINE.md's bar for the expensive-query baselines: every raw
+  * hand-written query in Bench.baselines must produce IDENTICAL results
+  * to its wrapped counterpart — otherwise the wrapped/raw timing ratio
+  * compares different work. Runs on the sf0.001 tables (the smallest
+  * driver-generated scale), full row-multiset equality.
+  *
+  * q_stream_exec is exercised by the bench itself but not here: the
+  * shared test session lacks the nanos-timestamp read config the events
+  * table needs (Verify/Bench sessions set it).
+  */
+class BenchBaselinesSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val targets = Seq(
+    "q_tpch_q1", "q_minhash_dedup", "q_simhash_dedup", "q_ngram_lsh",
+    "q_cluster_rep", "q_decontaminate", "q_dedup_lines",
+    "q_write_partitioned", "q_semantic_clusters", "q_ivf_topk")
+
+  for (name <- targets) {
+    test(s"raw baseline produces identical results to wrapped: $name") {
+      val wrapped = SparkEntry.queries(name)(spark, sfDir)
+      val raw = Bench.baselines(name)(spark, sfDir)
+      assert(wrapped.columns.toSeq == raw.columns.toSeq,
+        s"column mismatch for $name")
+      def multiset(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(multiset(wrapped) == multiset(raw), s"row multiset mismatch for $name")
+    }
+  }
+}

@@ -68,4 +68,22 @@ trait SparkTestBase extends AnyFunSuite {
     assert(e.getMessage != null && e.getMessage.contains(substring),
       s"message '${e.getMessage}' does not contain '$substring'")
   }
+
+  /** Labeled test case for [[parametrizeCases]] — the Scala analogue of
+    * the reference's `Case` container (test_utils.py:40-90): `label` is
+    * the test ID shown per case in the runner output; `params` carries
+    * the case's inputs (a case class or tuple plays kwargs, fields
+    * accessed by name at the use site); `skip = true` registers the
+    * case as ignored, mirroring `marks=pytest.mark.skip`. */
+  case class Case[A](label: String, params: A, skip: Boolean = false)
+
+  /** Named-case parametrisation (reference test_utils.py:92-157
+    * `parametrize_cases`): registers one ScalaTest test per case, named
+    * "`name` [`label`]", so each case reports, filters and fails
+    * individually — exactly what the pytest `ids` mechanism gives. */
+  def parametrizeCases[A](name: String)(cases: Case[A]*)(body: A => Unit): Unit =
+    cases.foreach { c =>
+      if (c.skip) ignore(s"$name [${c.label}]")(body(c.params))
+      else test(s"$name [${c.label}]")(body(c.params))
+    }
 }

@@ -13,20 +13,26 @@ class DataFrameOpsSpec extends SparkTestBase {
   private def meltInput = df("col1 INT, col2 INT, col3 INT, col4 INT",
     Seq(1, 2, 3, 4), Seq(5, 6, 7, 8), Seq(9, 10, 11, 12))
 
-  test("melt: one id var, two value vars") {
-    val actual = DataFrameOps.melt(meltInput, Seq("col1"), Seq("col2", "col3"))
-    val expected = df("col1 INT, variable STRING, value INT",
-      Seq(1, "col2", 2), Seq(1, "col3", 3), Seq(5, "col2", 6),
-      Seq(5, "col3", 7), Seq(9, "col2", 10), Seq(9, "col3", 11))
-    assertDfEqual(actual, expected)
-  }
+  // named-case parametrisation mirrors the reference's
+  // @parametrize_cases(Case(label=...)) idiom one-for-one
+  private case class MeltCase(
+      idVars: Seq[String], valueVars: Seq[String],
+      expectedDdl: String, expectedRows: Seq[Seq[Any]])
 
-  test("melt: two id vars, two value vars") {
-    val actual = DataFrameOps.melt(meltInput, Seq("col1", "col2"), Seq("col3", "col4"))
-    val expected = df("col1 INT, col2 INT, variable STRING, value INT",
-      Seq(1, 2, "col3", 3), Seq(1, 2, "col4", 4), Seq(5, 6, "col3", 7),
-      Seq(5, 6, "col4", 8), Seq(9, 10, "col3", 11), Seq(9, 10, "col4", 12))
-    assertDfEqual(actual, expected)
+  parametrizeCases("melt golden cases")(
+    Case("id_vars=[col1]_value_vars=[col2, col3]", MeltCase(
+      Seq("col1"), Seq("col2", "col3"),
+      "col1 INT, variable STRING, value INT",
+      Seq(Seq(1, "col2", 2), Seq(1, "col3", 3), Seq(5, "col2", 6),
+        Seq(5, "col3", 7), Seq(9, "col2", 10), Seq(9, "col3", 11)))),
+    Case("id_vars=[col1, col2]_value_vars=[col3, col4]", MeltCase(
+      Seq("col1", "col2"), Seq("col3", "col4"),
+      "col1 INT, col2 INT, variable STRING, value INT",
+      Seq(Seq(1, 2, "col3", 3), Seq(1, 2, "col4", 4), Seq(5, 6, "col3", 7),
+        Seq(5, 6, "col4", 8), Seq(9, 10, "col3", 11), Seq(9, 10, "col4", 12)))),
+  ) { c =>
+    val actual = DataFrameOps.melt(meltInput, c.idVars, c.valueVars)
+    assertDfEqual(actual, df(c.expectedDdl, c.expectedRows: _*))
   }
 
   test("melt: custom var/value names") {

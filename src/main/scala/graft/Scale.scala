@@ -26,7 +26,20 @@ object Scale {
 
   /** K textually-disjoint replicas of the documents table; ids offset
     * per replica so the near-dup structure (including the planted <50
-    * block per replica) repeats K times. */
+    * block per replica) repeats K times.
+    *
+    * Replica texts are produced by a per-replica alphabet ROTATION
+    * cipher (`translate` over letters and digits): a character
+    * bijection preserves both token-set and char-n-gram-set Jaccard
+    * within a replica EXACTLY (every gram maps 1:1), so each replica
+    * carries the source corpus's duplicate density; across replicas
+    * every letter differs, so cross-replica similarity is noise. Two
+    * rejected constructions, for the record: replicating verbatim
+    * makes every doc a K-way duplicate (pair counts quadratic in K by
+    * construction), and renaming tokens to md5 hex words collapses
+    * char n-grams into a 16-character alphabet whose ~4k-gram space
+    * saturates — both inflate pair counts for corpus reasons, not
+    * operator reasons. */
   private def scaledDocs(s: SparkSession, dir: String, k: Int): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -34,13 +47,19 @@ object Scale {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" extra tail token")).as("text"))
     val base = docs.unionByName(aug)
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rot(s: String, r: Int): String = {
+      val n = r % s.length; s.drop(n) + s.take(n)
+    }
     (0 until k).map { r =>
       if (r == 0) base
       else base.select(
         (col("doc_id") + r * 10000000L).as("doc_id"),
-        concat_ws(" ",
-          transform(split(col("text"), "\\s+"), t => concat(t, lit("_" + r))))
-          .as("text"))
+        translate(col("text"),
+          lower + upper + digits,
+          rot(lower, r) + rot(upper, r) + rot(digits, r)).as("text"))
     }.reduce(_ unionByName _)
   }
 
@@ -55,6 +74,10 @@ object Scale {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // untimed warm-up so the first measured op doesn't absorb JIT cost
+    scaledDocs(spark, sfDir, 1).limit(2000)
+      .transform(d => Dedup.minHashNearDuplicates(d, "text", "doc_id")).count()
 
     def run(name: String, k: Int)(body: DataFrame => DataFrame): Unit = {
       val docs = scaledDocs(spark, sfDir, k)

@@ -48,6 +48,18 @@ object GraftFunctions {
         require(args.size == 2, "ngram_hashes(text, n)")
         NgramHashesExpr(args.head, intArg(args(1), "n"))
       }),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      { args =>
+        require(args.size == 2, "shingle_hashes(tokens, k)")
+        ShingleHashesExpr(args.head, intArg(args(1), "k"))
+      }),
+    ("token_hashes",
+      new ExpressionInfo(classOf[TokenHashesExpr].getName, "token_hashes"),
+      { args =>
+        require(args.size == 1, "token_hashes(tokens)")
+        TokenHashesExpr(args.head)
+      }),
     ("hash_jaccard",
       new ExpressionInfo(classOf[HashJaccardExpr].getName, "hash_jaccard"),
       { args =>

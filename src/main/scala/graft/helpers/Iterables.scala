@@ -63,11 +63,31 @@ object Iterables {
   def pairwise[A](xs: Iterable[A]): List[(A, A)] =
     xs.toList.sliding(2).collect { case List(a, b) => (a, b) }.toList
 
-  /** python.py:440-483 convert_types_iterable, double specialisation. */
-  def toDoubles(xs: Iterable[Any]): List[Double] = xs.toList.map {
+  /** python.py:440-483 convert_types_iterable, generic form: map every
+    * element through `convert` (the Scala rendering of passing a target
+    * `dtype` callable — any A => B works, exactly as the reference
+    * accepts `ord` alongside `float`/`str`/`int`). */
+  def convertTypes[A, B](xs: Iterable[A])(convert: A => B): List[B] =
+    xs.toList.map(convert)
+
+  /** [[convertTypes]] with the reference's default dtype (`float`):
+    * numerics and numeric strings → Double. */
+  def toDoubles(xs: Iterable[Any]): List[Double] = convertTypes(xs) {
     case n: Number => n.doubleValue()
     case s: String => s.toDouble
     case other => throw new IllegalArgumentException(s"not numeric: $other")
+  }
+
+  /** convert_types_iterable(dtype=str) analogue. */
+  def toStrings(xs: Iterable[Any]): List[String] =
+    convertTypes(xs)(String.valueOf)
+
+  /** convert_types_iterable(dtype=int) analogue: numerics truncate,
+    * integer strings parse. */
+  def toLongs(xs: Iterable[Any]): List[Long] = convertTypes(xs) {
+    case n: Number => n.longValue()
+    case s: String => s.trim.toLong
+    case other => throw new IllegalArgumentException(s"not integral: $other")
   }
 
   /** python.py:1082-1160 validate_env_vars: all present and non-empty

@@ -32,6 +32,13 @@ class GraftExtensionsSpec extends SparkTestBase {
     val bbCol = Seq(Seq(1L, 2L, 3L, 4L)).toDF("sig")
       .select(HashFunctions.bandBucketsNative($"sig", 2, 2).as("b")).head()
     assert(bb.getSeq[Long](0) == bbCol.getSeq[Long](0))
+    val th = spark.sql(
+      """SELECT token_hashes(array('a', 'b', 'a')) AS th,
+        |       shingle_hashes(array('a', 'b', 'c'), 2) AS sh""".stripMargin).head()
+    val thCol = spark.sql(
+      "SELECT array(xxhash64('a'), xxhash64('b'), xxhash64('a')) AS th").head()
+    assert(th.getSeq[Long](0) == thCol.getSeq[Long](0)) // order + repeats kept
+    assert(th.getSeq[Long](1).length == 2) // "a b", "b c"
   }
 
   test("registration is idempotent and validates arity") {
@@ -46,7 +53,8 @@ class GraftExtensionsSpec extends SparkTestBase {
     // the injectFunction route is exercised structurally: same builders
     assert(GraftFunctions.descriptors.map(_._1).sorted ==
       Seq("band_buckets", "cosine_sim", "hash_jaccard", "hyperplane_bucket",
-        "minhash_signature", "ngram_hashes", "simhash64"))
+        "minhash_signature", "ngram_hashes", "shingle_hashes", "simhash64",
+        "token_hashes"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 }

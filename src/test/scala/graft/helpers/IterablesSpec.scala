@@ -41,6 +41,17 @@ class IterablesSpec extends AnyFunSuite {
     assert(Iterables.pairwise(Seq(1)) == Nil)
   }
 
+  test("convertTypes maps through any target conversion (reference doctests)") {
+    // convert_types_iterable([1, 2, 3]) -> [1.0, 2.0, 3.0]
+    assert(Iterables.toDoubles(Seq(1, 2, 3)) == List(1.0, 2.0, 3.0))
+    // convert_types_iterable((10, 20, 30), dtype=str) -> ['10', '20', '30']
+    assert(Iterables.toStrings(Seq(10, 20, 30)) == List("10", "20", "30"))
+    // convert_types_iterable(['10', '20', '30'], dtype=int) -> [10, 20, 30]
+    assert(Iterables.toLongs(Seq("10", "20", "30")) == List(10L, 20L, 30L))
+    // convert_types_iterable({'a','b','c'}, dtype=ord) -> [97, 98, 99]
+    assert(Iterables.convertTypes(Seq('a', 'b', 'c'))(_.toInt) == List(97, 98, 99))
+  }
+
   test("toDoubles converts numbers and numeric strings") {
     assert(Iterables.toDoubles(Seq(1, "2.5", 3L)) == List(1.0, 2.5, 3.0))
     assertThrows[IllegalArgumentException](Iterables.toDoubles(Seq(Map.empty)))

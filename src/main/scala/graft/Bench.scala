@@ -526,18 +526,22 @@ object Bench {
     val ratios = baselines.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (!resultMap.contains(name)) None
       else {
-        // best of two for fast queries (sub-second runs jitter with
-        // GC/scheduler noise); a single run once the first took > 3 s —
-        // the jitter is proportionally small there and the re-run would
-        // double the cost of the expensive family for no signal
-        def bestOf2(body: => Long): Double = {
+        // adaptive repeats: sub-second runs jitter ±20% with GC and
+        // scheduler noise, so they get best-of-3; 1-3 s get best-of-2;
+        // anything slower runs once (jitter is proportionally small and
+        // re-runs would double the expensive family's cost for no signal)
+        def bestOf(body: => Long): Double = {
           val first = time(body)
-          if (first > 3.0) first else math.min(first, time(body))
+          if (first > 3.0) first
+          else {
+            val second = math.min(first, time(body))
+            if (first > 1.0) second else math.min(second, time(body))
+          }
         }
-        val wrappedSecs = bestOf2(
+        val wrappedSecs = bestOf(
           try SparkEntry.queries(name)(spark, sfDir).count()
           catch { case _: Throwable => -1L })
-        val rawSecs = bestOf2(try fn(spark, sfDir).count() catch { case _: Throwable => -1L })
+        val rawSecs = bestOf(try fn(spark, sfDir).count() catch { case _: Throwable => -1L })
         val ratio = wrappedSecs / math.max(rawSecs, 1e-9)
         System.err.println(
           f"[bench] baseline $name%-20s wrapped=$wrappedSecs%6.2fs raw=$rawSecs%6.2fs ratio=$ratio%5.2f")

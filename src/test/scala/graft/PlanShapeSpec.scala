@@ -26,6 +26,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("SimHash C(8,2) banding exchange carries only id/band/bucket — no text/fingerprint payload") {
+    val plan = dedup.Dedup.simHashNearDuplicates(docs, "text", "doc_id", maxHamming = 6)
+      .queryExecution.executedPlan.toString
+    val bandExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("band")).toSeq
+    assert(bandExchanges.nonEmpty, s"expected banded exchange in:\n$plan")
+    bandExchanges.foreach { e =>
+      assert(!e.contains("text") && !e.contains("toks#") && !e.contains("th#"),
+        s"SimHash banding exchange carries payload columns:\n$e")
+    }
+  }
+
   test("flagship entry query broadcasts all three dimension tables") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))

@@ -441,6 +441,47 @@ object Bench {
         .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
     }),
 
+    "q_asof_join" -> ((s, d) => {
+      // the naive hand-written as-of: range join every left row to ALL
+      // earlier right rows of its key, keep the latest — the formulation
+      // a user reaches for without an as-of operator. Intermediate
+      // volume is O(left × matching right), vs the library's single
+      // union+window pass.
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val ev0 =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val hourly = ev0
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+        .select(col("event_type").as("r_type"),
+          col("window.start").as("rts"),
+          round(col("sum_value"), 6).as("hourly_sum"))
+      val ev = ev0.select(col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("ts"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("rts").desc_nulls_last)
+      ev.join(hourly,
+          col("event_type") === col("r_type") && col("rts") <= col("ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("event_type"), col("hourly_sum"))
+    }),
+
+    "q_salted_join" -> ((s, d) => {
+      // plain un-salted join producing the same rows: the ratio bounds
+      // what the skew-safe salting machinery costs on non-skewed data
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("l_orderkey"), col("o_totalprice"))
+      li.join(ord, Seq("l_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("o_totalprice"))
+    }),
+
     "q_ivf_topk" -> ((s, d) => {
       // the hand-written route to the same exact result set (full-probe
       // IVF == exact top-k): broadcast queries, score all, window top-k

@@ -17,7 +17,23 @@ class BenchBaselinesSpec extends SparkTestBase {
   private val targets = Seq(
     "q_tpch_q1", "q_minhash_dedup", "q_simhash_dedup", "q_ngram_lsh",
     "q_cluster_rep", "q_decontaminate", "q_dedup_lines",
-    "q_write_partitioned", "q_semantic_clusters", "q_ivf_topk")
+    "q_write_partitioned", "q_semantic_clusters", "q_ivf_topk",
+    "q_salted_join")
+
+  // q_asof_join reads the events table, which needs the nanos-timestamp
+  // session config like q_stream_exec — checked here with the config set
+  // for the read (runtime-settable legacy conf)
+  test("raw baseline produces identical results to wrapped: q_asof_join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val wrapped = SparkEntry.queries("q_asof_join")(spark, sfDir)
+      val raw = Bench.baselines("q_asof_join")(spark, sfDir)
+      assert(wrapped.columns.toSeq == raw.columns.toSeq)
+      def multiset(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(multiset(wrapped) == multiset(raw))
+    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+  }
 
   for (name <- targets) {
     test(s"raw baseline produces identical results to wrapped: $name") {

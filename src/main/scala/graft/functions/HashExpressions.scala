@@ -241,7 +241,11 @@ object HashKernels {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      out(i) = hashString(tokens.getUTF8String(i).toString)
+      // null element → the xxhash64 seed (42L), matching the HOF form:
+      // XxHash64 leaves the accumulator at the seed for null input
+      out(i) =
+        if (tokens.isNullAt(i)) 42L
+        else hashString(tokens.getUTF8String(i).toString)
       i += 1
     }
     new GenericArrayData(out)

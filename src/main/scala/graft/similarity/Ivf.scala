@@ -136,8 +136,13 @@ object Ivf {
       sampled: DataFrame, maxTrainRows: Int): Array[Array[Double]] = {
     val spark = sampled.sparkSession
     import spark.implicits._
-    sampled.select(col("vec").cast("array<double>"))
+    // orderBy(id) before limit: a bare limit()'s row selection depends on
+    // partition scan order, which would make the trained centroids — and
+    // with nprobe < nlist, search results — vary run-to-run. The sort is
+    // bounded: TakeOrderedAndProject keeps only maxTrainRows rows per task.
+    sampled.orderBy(col("id"))
       .limit(maxTrainRows)
+      .select(col("vec").cast("array<double>"))
       .as[Array[Double]].collect()
   }
 

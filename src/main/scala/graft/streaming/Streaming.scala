@@ -191,7 +191,13 @@ object Streaming {
       .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // awaitTermination(timeout) returns false on timeout, leaving the
+    // memory sink incomplete — fail loudly rather than return partials
+    if (!q.awaitTermination(120000)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"runStreamToMemory($queryName): stream did not finish within 120 s")
+    }
     spark.table(queryName)
   }
 }

@@ -40,6 +40,19 @@ class HashExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("native tokenHashes maps null elements to the xxhash64 seed like the HOF") {
+    // xxhash64(null) leaves the accumulator at the seed (42L); the native
+    // kernel must do the same instead of NPE-ing on a containsNull array
+    val both = Seq(1L).toDF("id")
+      .withColumn("toks", array(lit("a"), lit(null).cast("string"), lit("b")))
+      .withColumn("native", HashFunctions.tokenHashesNative($"toks"))
+      .withColumn("hof", transform($"toks", t => xxhash64(t)))
+    both.select("native", "hof").collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](0)(1) == 42L)
+    }
+  }
+
   test("native SimHash equals the HOF formulation bit-for-bit") {
     val both = hashed
       .withColumn("native", HashFunctions.simHashNative($"th"))

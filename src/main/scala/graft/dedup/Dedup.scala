@@ -410,14 +410,18 @@ object Dedup {
     *
     * Returns (`idCol`, `textCol`) with the rebuilt text.
     *
-    * Scale design: two shuffles. The first partitions on the line
-    * fingerprint to rank occurrences — its payload is (fingerprint, id,
-    * pos, line), i.e. the corpus re-flows once, which is the floor for
-    * any exact line-level rewrite. The second groups surviving lines by
-    * document id for reassembly. Both keys (fingerprint, id) are
-    * high-cardinality and skew-free by construction; boilerplate lines
-    * concentrate on single fingerprints but a window rank over them is
-    * a streaming single-reducer pass per key, not a pair blowup.
+    * Scale design: two shuffles. The first picks each fingerprint's
+    * earliest occurrence with `min(struct(id, pos, line))` — a partial-
+    * aggregating group-by, so duplicate lines collapse MAP-SIDE and the
+    * exchange carries at most one row per distinct line rather than the
+    * whole exploded corpus (a window rank over fingerprint, the naive
+    * formulation, re-flows and sorts every occurrence; boilerplate
+    * lines make that shuffle strictly larger). The line text rides
+    * inside the min struct because it is functionally determined by its
+    * fingerprint — no join back to the corpus is needed. The second
+    * shuffle groups surviving lines by document id for reassembly.
+    * Both keys (fingerprint, id) are high-cardinality and skew-free by
+    * construction.
     */
   def dedupLines(
       df: DataFrame,
@@ -428,12 +432,16 @@ object Dedup {
       .select(col(idCol).as("__graft_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__graft_pos", "__graft_line")))
-    val w = Window.partitionBy("__graft_fp")
-      .orderBy(col("__graft_id"), col("__graft_pos"))
+    // struct ordering is lexicographic by field: min = earliest (id, pos);
+    // line never influences the order because (id, pos) is unique
     lines
       .withColumn("__graft_fp", md5(col("__graft_line")))
-      .withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
+      .groupBy(col("__graft_fp"))
+      .agg(min(struct(col("__graft_id"), col("__graft_pos"), col("__graft_line")))
+        .as("__graft_w"))
+      .select(col("__graft_w.__graft_id").as("__graft_id"),
+        col("__graft_w.__graft_pos").as("__graft_pos"),
+        col("__graft_w.__graft_line").as("__graft_line"))
       .groupBy(col("__graft_id"))
       .agg(concat_ws(sep,
         transform(

@@ -60,17 +60,26 @@ object WriteTable {
           "yyyy-MM-dd'T'HH:mm:ss"))
     }
 
+    // REBALANCE(part_key), not repartition(part_key): a plain hash
+    // repartition on the partition key alone pins every partition VALUE
+    // to exactly one reduce task — at 100 TB with monthly partitions
+    // that is one straggler task per ~TB-sized month, the inverse of the
+    // small-files problem it solves. RebalancePartitions under AQE keeps
+    // rows of a partition value together (few files per directory) but
+    // SPLITS oversized values across tasks at the advisory partition
+    // size and coalesces undersized ones — file count per directory is
+    // bounded by data volume, not by cluster size or key cardinality.
+    val spread =
+      if (partitioned) out.hint("rebalance", col(partitionKeyCol)) else out
     val clustered =
       if (clusteredFields.nonEmpty)
-        // cluster WITHIN partitions: repartition on the partition key so
-        // each partition dir gets few files, then sort so parquet
-        // row-group stats are selective on the clustered fields
+        // cluster WITHIN partitions: sort so parquet row-group stats are
+        // selective on the clustered fields
         (if (partitioned)
-          out.repartition(col(partitionKeyCol))
-            .sortWithinPartitions(
-              (partitionKeyCol +: clusteredFields).map(col): _*)
-        else out.sortWithinPartitions(clusteredFields.map(col): _*))
-      else out
+          spread.sortWithinPartitions(
+            (partitionKeyCol +: clusteredFields).map(col): _*)
+        else spread.sortWithinPartitions(clusteredFields.map(col): _*))
+      else spread
 
     var writer = clustered.write.mode(mode).format("parquet")
     if (partitioned) writer = writer.partitionBy(partitionKeyCol)

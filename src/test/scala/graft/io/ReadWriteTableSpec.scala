@@ -102,6 +102,43 @@ class ReadWriteTableSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("writeTable spreads a hot partition value over several tasks, bounded files") {
+    // one ~MB January vs a 2-row February: under REBALANCE + AQE the hot
+    // month must be SPLIT across >1 writer task (each task → one file in
+    // the same directory) while the cold month stays at ~1 file. The old
+    // repartition(part_key) shape pinned each month to exactly one task.
+    val dir = Files.createTempDirectory("graft_skewwrite").toString + "/t"
+    val hot = spark.range(20000).select(
+      $"id",
+      concat(lit("row-"), $"id").as("payload"),
+      lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")).as("sold_at"))
+    val cold = spark.range(2).select(
+      ($"id" + 100000L).as("id"),
+      lit("cold").as("payload"),
+      lit(java.sql.Timestamp.valueOf("2024-02-10 00:00:00")).as("sold_at"))
+    val advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      WriteTable.writeTable(hot.union(cold), dir, mode = "overwrite",
+        partitionCol = Some("sold_at"), partitionType = Some("month"),
+        clusteredFields = Seq("id"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+    }
+    def files(month: String): Int = {
+      val sub = new java.io.File(dir).listFiles()
+        .find(f => f.getName.startsWith("part_key=") && f.getName.contains(month))
+        .getOrElse(fail(s"no partition dir for $month under $dir"))
+      sub.listFiles().count(_.getName.startsWith("part-"))
+    }
+    val hotFiles = files("2024-01")
+    val coldFiles = files("2024-02")
+    assert(hotFiles > 1, s"hot month should be served by >1 task, got $hotFiles file(s)")
+    assert(hotFiles <= 64, s"hot month file count should stay bounded, got $hotFiles")
+    assert(coldFiles <= 2, s"cold month should stay at ~1 file, got $coldFiles")
+    assert(spark.read.parquet(dir).count() == 20002)
+  }
+
   test("expireOldPartitions deletes partitions older than the window") {
     val dir = Files.createTempDirectory("graft_expire").toString + "/t"
     WriteTable.writeTable(sales, dir, mode = "overwrite",

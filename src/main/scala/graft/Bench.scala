@@ -593,32 +593,69 @@ object Bench {
         // reading (1.15 s) cap wrapped at 2 tries while the clean 0.48 s
         // raw got 3 — reporting 2.39 for a query that measures 0.83
         // isolated. Pairing removes that asymmetry.
-        def wrappedOnce: Double = time(
-          try SparkEntry.queries(name)(spark, sfDir).count()
-          catch { case _: Throwable => -1L })
-        def rawOnce: Double = time(
-          try fn(spark, sfDir).count() catch { case _: Throwable => -1L })
-        var wrappedSecs = wrappedOnce
-        var rawSecs = rawOnce
+        // each run reports success: a failed run returns near-instantly and
+        // its timing must NOT enter the min — that would silently report a
+        // flattering (or meaningless) ratio for a broken query. Mirrors the
+        // (Double, Long) pattern of the timed-run path above.
+        def wrappedOnce: (Double, Boolean) = {
+          var ok = true
+          val secs = time(
+            try SparkEntry.queries(name)(spark, sfDir).count()
+            catch { case e: Throwable =>
+              ok = false
+              System.err.println(s"[bench] baseline $name wrapped FAILED: ${e.getMessage}")
+              -1L })
+          (secs, ok)
+        }
+        def rawOnce: (Double, Boolean) = {
+          var ok = true
+          val secs = time(
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable =>
+              ok = false
+              System.err.println(s"[bench] baseline $name raw FAILED: ${e.getMessage}")
+              -1L })
+          (secs, ok)
+        }
+        // only a successful run may lower the best-so-far
+        def better(cur: Double, run: (Double, Boolean)): Double =
+          if (run._2) math.min(cur, run._1) else cur
+        var wrappedSecs = better(Double.MaxValue, wrappedOnce)
+        var rawSecs = better(Double.MaxValue, rawOnce)
         val extraPairs = {
           val m = math.min(wrappedSecs, rawSecs)
-          if (m > 3.0) 0 else if (m > 1.0) 1 else 2
+          if (m == Double.MaxValue) 1 // both first runs failed: one more chance
+          else if (m > 3.0) 0 else if (m > 1.0) 1 else 2
         }
         for (_ <- 0 until extraPairs) {
-          wrappedSecs = math.min(wrappedSecs, wrappedOnce)
-          rawSecs = math.min(rawSecs, rawOnce)
+          wrappedSecs = better(wrappedSecs, wrappedOnce)
+          rawSecs = better(rawSecs, rawOnce)
         }
-        // an adverse reading (wrapped looking >1.5× raw) gets one
-        // adjudication pair before being reported — design-win ratios
-        // (wrapped ≪ raw) are expected and don't trigger the re-run
-        if (wrappedSecs / math.max(rawSecs, 1e-9) > 1.5 && wrappedSecs < 5.0) {
-          wrappedSecs = math.min(wrappedSecs, wrappedOnce)
-          rawSecs = math.min(rawSecs, rawOnce)
+        if (wrappedSecs == Double.MaxValue || rawSecs == Double.MaxValue) {
+          System.err.println(
+            s"[bench] baseline $name SKIPPED: no successful " +
+              (if (wrappedSecs == Double.MaxValue) "wrapped" else "raw") + " run")
+          None
+        } else {
+          // an adverse reading (wrapped looking >1.5× raw) gets one
+          // adjudication pair before being reported — design-win ratios
+          // (wrapped ≪ raw) are expected and don't trigger the re-run.
+          // The adjudication is one-sided by design (noise suppression on
+          // the 2× bar), so the artifact records when it changed a verdict.
+          val preRatio = wrappedSecs / math.max(rawSecs, 1e-9)
+          if (preRatio > 1.5 && wrappedSecs < 5.0) {
+            wrappedSecs = better(wrappedSecs, wrappedOnce)
+            rawSecs = better(rawSecs, rawOnce)
+            val postRatio = wrappedSecs / math.max(rawSecs, 1e-9)
+            if (math.rint(postRatio * 100) != math.rint(preRatio * 100))
+              System.err.println(
+                f"[bench] baseline $name adjudication pair changed ratio $preRatio%5.2f -> $postRatio%5.2f")
+          }
+          val ratio = wrappedSecs / math.max(rawSecs, 1e-9)
+          System.err.println(
+            f"[bench] baseline $name%-20s wrapped=$wrappedSecs%6.2fs raw=$rawSecs%6.2fs ratio=$ratio%5.2f")
+          Some(name -> math.rint(ratio * 100) / 100)
         }
-        val ratio = wrappedSecs / math.max(rawSecs, 1e-9)
-        System.err.println(
-          f"[bench] baseline $name%-20s wrapped=$wrappedSecs%6.2fs raw=$rawSecs%6.2fs ratio=$ratio%5.2f")
-        Some(name -> math.rint(ratio * 100) / 100)
       }
     }
     // The harness keeps only the tail of this process's output, so the

@@ -85,9 +85,10 @@ object Ivf {
     * `maxTrainRows` is the ABSOLUTE cap on what reaches the driver —
     * the collect is bounded by it regardless of corpus size (a
     * fraction alone scales linearly with the corpus: at 10B vectors
-    * even 1% is a driver OOM). The cap plans as a CollectLimit, so
-    * executors stop producing once the quota is met rather than
-    * materialising the full sample. Centroid quality only steers cell
+    * even 1% is a driver OOM). The cap plans as TakeOrderedAndProject:
+    * every row is scanned once but each task keeps only a bounded
+    * top-maxTrainRows heap, so executor and driver memory stay O(cap)
+    * regardless of corpus size. Centroid quality only steers cell
     * SHAPES — it never changes which vectors a full probe scores.
     */
   def buildIndex(
@@ -136,11 +137,16 @@ object Ivf {
       sampled: DataFrame, maxTrainRows: Int): Array[Array[Double]] = {
     val spark = sampled.sparkSession
     import spark.implicits._
-    // orderBy(id) before limit: a bare limit()'s row selection depends on
-    // partition scan order, which would make the trained centroids — and
-    // with nprobe < nlist, search results — vary run-to-run. The sort is
-    // bounded: TakeOrderedAndProject keeps only maxTrainRows rows per task.
-    sampled.orderBy(col("id"))
+    // Ordering by a hash of the id, not the id itself: a bare limit()'s
+    // row selection depends on partition scan order (nondeterministic
+    // run-to-run), while orderBy(id).limit takes the SMALLEST ids — a
+    // systematically biased slice whenever ids correlate with time or
+    // content (typical monotonic ids). xxhash64(id) is a deterministic
+    // pseudo-random key, so the kept rows are an unbiased fixed sample;
+    // the raw id tiebreaks duplicate hashes so ties are deterministic
+    // too. The sort is bounded: TakeOrderedAndProject keeps only
+    // maxTrainRows rows per task.
+    sampled.orderBy(xxhash64(col("id")), col("id"))
       .limit(maxTrainRows)
       .select(col("vec").cast("array<double>"))
       .as[Array[Double]].collect()

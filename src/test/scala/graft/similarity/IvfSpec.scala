@@ -61,6 +61,21 @@ class IvfSpec extends SparkTestBase {
     assert(Ivf.trainSample(sampled, maxTrainRows = 1000).length == 90)
   }
 
+  test("trainSample under a cap is deterministic but NOT an id-prefix slice") {
+    // encode the id into the vector so the selected rows are observable
+    val tagged = spark.range(0, 1000)
+      .select(col("id"), array(col("id").cast("double")).as("vec"))
+    def pick() = Ivf.trainSample(tagged, maxTrainRows = 50).map(_.head.toLong).toSet
+    val first = pick()
+    assert(first == pick(), "capped training sample must be deterministic")
+    // an orderBy(id).limit would return exactly 0..49 — a slice biased
+    // toward the oldest rows when ids are monotonic; the hash ordering
+    // must spread the sample across the id range
+    assert(first != (0L until 50L).toSet,
+      "capped training sample must not be the smallest-id prefix")
+    assert(first.max > 500L, "sample should reach the upper half of the id range")
+  }
+
   test("ivfTopK under a tiny maxTrainRows still matches brute force at full probe") {
     // centroid quality only shapes cells — a full probe scores everything
     val queries = corpus.filter($"vec_id" < 3)

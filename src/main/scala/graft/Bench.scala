@@ -488,6 +488,26 @@ object Bench {
           col("l_quantity"), col("o_totalprice"))
     }),
 
+    "q_salted_join_skew" -> ((s, d) => {
+      // the PLAIN shuffle join on the same 90%-hot-key corpus the
+      // wrapped query salts: the hot key's rows all land in one reduce
+      // task, so here the ratio measures what salting is FOR — wrapped
+      // is expected to come in BELOW raw. (A broadcast join would
+      // sidestep the skew entirely; both sides pin the merge path to
+      // model a right side too big to broadcast.)
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("ok"), col("l_quantity"))
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .withColumn("k",
+          when(pmod(col("ok"), lit(100)) < 90, lit(1L)).otherwise(col("ok")))
+        .select("k", "l_quantity")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("k"), col("o_totalprice"))
+      li.join(ord.hint("merge"), Seq("k"))
+        .groupBy((col("k") % 100).as("k_bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
+
     "q_ivf_topk" -> ((s, d) => {
       // the hand-written route to the same exact result set (full-probe
       // IVF == exact top-k): broadcast queries, score all, window top-k

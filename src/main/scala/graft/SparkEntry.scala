@@ -703,6 +703,27 @@ object SparkEntry {
           col("l_quantity"), col("o_totalprice"))
     }),
 
+    "q_salted_join_skew" -> ((s, d) => {
+      // the scenario salting exists for: ~90% of an inflated (×10) left
+      // side collapsed onto ONE hot key, right side pinned to the
+      // shuffle path (standing in for a right side too big to
+      // broadcast). Aggregated to a bucketed profile so the oracle
+      // stays small while the full join still runs. The bench raw
+      // baseline runs the plain un-salted join on the SAME corpus, so
+      // the ratio measures what salting buys under real skew.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("ok"), col("l_quantity"))
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .withColumn("k",
+          when(pmod(col("ok"), lit(100)) < 90, lit(1L)).otherwise(col("ok")))
+        .select("k", "l_quantity")
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("k"), col("o_totalprice"))
+      DataFrameOps.saltedJoin(li, ord.hint("merge"), Seq("k"), saltFactor = 32)
+        .groupBy((col("k") % 100).as("k_bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+    }),
+
     // --------------------------------------------- TPC-H classics
     "q_tpch_q1" -> ((s, d) =>
       // pricing summary: one scan, map-side partial aggregation
@@ -1414,6 +1435,16 @@ object SparkEntry {
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q_salted_join_skew" ->
+      """WITH inflated AS (
+        |  SELECT CASE WHEN CAST(l_orderkey AS BIGINT) % 100 < 90 THEN 1
+        |              ELSE CAST(l_orderkey AS BIGINT) END AS k,
+        |         l_quantity
+        |  FROM lineitem CROSS JOIN range(10))
+        |SELECT k % 100 AS k_bucket, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM inflated JOIN orders ON k = CAST(o_orderkey AS BIGINT)
+        |GROUP BY 1""".stripMargin,
 
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

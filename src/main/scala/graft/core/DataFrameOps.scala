@@ -287,6 +287,16 @@ object DataFrameOps {
     * instead of one. Use when AQE's skew-join split isn't available
     * (e.g. the skewed side feeds a non-splittable stage) — otherwise
     * prefer AQE. Right side is replicated ×saltFactor: keep it small.
+    *
+    * Measured cost/benefit (sf0.1, local[32], BENCH_r07): on a corpus
+    * with ~90% of rows on one hot key, salted (factor 32) runs ~0.75×
+    * the plain shuffle join's time (q_salted_join_skew); on NON-skewed
+    * input the same machinery costs ~1.3–2.6× the plain join
+    * (q_salted_join) — salting is never free, it trades map-side
+    * replication for reduce-side balance. Order of preference: a
+    * broadcast join whenever the right side fits (it sidesteps skew
+    * entirely — ~5× faster than any shuffle variant on the same skewed
+    * corpus), then AQE's skew-join split, then salting.
     */
   def saltedJoin(
       left: DataFrame,

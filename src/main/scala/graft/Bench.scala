@@ -526,6 +526,143 @@ object Bench {
           col("corpus_id").cast("long").as("corpus_id"),
           round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
     }),
+
+    "q_cosine_topk_scalable" -> ((s, d) => {
+      // the hand-written top-k a user reaches for without the bounded
+      // partial-aggregate: broadcast the queries, score the whole
+      // corpus, rank with a window — the window's shuffle carries every
+      // scored row, where the wrapped typed Aggregator's exchange
+      // carries only k rows per task
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val scored = emb
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"))
+        .crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .withColumn("sim", rawCosine(col("q_vec"), col("c_vec")))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
+    }),
+
+    "q_lsh_cosine" -> ((s, d) => {
+      // what a user hand-writes for "every near-duplicate pair above a
+      // threshold": score ALL pairs — quadratic in the corpus, where the
+      // wrapped operator's banded LSH exchanges only ids per bucket.
+      // The aggregated invariant profile is identical: both routes find
+      // all 20 planted cos≈0.9999 pairs and emit ordered, distinct,
+      // threshold-filtered pairs.
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val aug = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.01)).as("v"))
+      val base = emb.unionByName(aug)
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = base.select(col("vec_id").as("id_a"), col("v").as("va"))
+        .crossJoin(base.select(col("vec_id").as("id_b"), col("v").as("vb")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", rawCosine(col("va"), col("vb")))
+        .filter(col("sim") >= 0.3)
+      pairs.agg(
+        sum(when(col("sim") < 0.3, 1L).otherwise(0L)).as("n_below_threshold"),
+        sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)).as("n_bad_order"),
+        (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("n_dup_pairs"),
+        sum(when(col("id_b") === col("id_a") + 1000000L && col("id_a") < 20, 1L)
+          .otherwise(0L)).as("n_planted_found"))
+    }),
+
+    "q_runlog" -> ((s, d) => {
+      // hand-rolled version of the same observable contract: create the
+      // log + reserved-ids tables, reserve each id with a max-scan over
+      // both, append two entries, read the newest id back. The cost is
+      // catalog/table DDL + four tiny writes on both sides, so the
+      // ratio measures the subsystem's bookkeeping tax.
+      import s.implicits._
+      val tbl = "graft_bench_runlog_raw"
+      val res = s"${tbl}_reserved_ids"
+      Seq(tbl, res).foreach { tname =>
+        s.sql(s"DROP TABLE IF EXISTS $tname")
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), tname)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      s.sql(s"""CREATE TABLE $tbl (run_id INT, `desc` STRING, `user` STRING,
+        `datetime` TIMESTAMP, pipeline_name STRING, pipeline_version STRING,
+        config STRING) USING parquet""")
+      s.sql(s"CREATE TABLE $res (run_id INT, reserved_at TIMESTAMP) USING parquet")
+      def reserveAndAppend(descr: String): Unit = {
+        val next = s.sql(
+          s"""SELECT greatest(
+            (SELECT coalesce(max(run_id), 0) FROM $tbl),
+            (SELECT coalesce(max(run_id), 0) FROM $res)) + 1""")
+          .collect()(0).getInt(0)
+        s.sql(s"INSERT INTO $res VALUES ($next, current_timestamp())")
+        s.sql(s"""INSERT INTO $tbl VALUES ($next, '$descr',
+          'bench', current_timestamp(), 'verify-pipeline', '1.0', '{}')""")
+      }
+      reserveAndAppend("first")
+      reserveAndAppend("second")
+      val last = s.sql(s"SELECT run_id FROM $tbl ORDER BY `datetime` DESC, run_id DESC LIMIT 1")
+        .collect()(0).getInt(0)
+      Seq((last.toLong, s.table(tbl).count())).toDF("last_run_id", "n_entries")
+    }),
+
+    "q_pipeline_docs" -> ((s, d) => {
+      // the same pipeline hand-written against public functions: quality
+      // blend, keyword-vote language id, md5-fingerprint dedup. The
+      // wrapped operators are themselves thin Column builders over these
+      // functions, so the expected ratio is ~1.0 — the entry attests the
+      // wrapper adds nothing across a multi-stage pipeline.
+      val txt = col("text")
+      val toks = when(length(trim(txt)) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(txt), "\\s+"))
+      val nTok = size(toks).cast("double")
+      val safeNTok = greatest(nTok, lit(1.0))
+      val lenScore = least(length(txt).cast("double") / 500.0, lit(1.0))
+      val punct = length(regexp_replace(txt, "[\\p{L}\\p{N}\\s]", "")).cast("double")
+      val punctScore = lit(1.0) -
+        least(punct / greatest(length(txt).cast("double"), lit(1.0)) * 4.0, lit(1.0))
+      val stopArr = array(Seq("the", "a", "an", "and", "or", "of", "to",
+        "in", "is", "it", "for", "on").map(lit): _*)
+      val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+      val stopScore = least(nStop / safeNTok * 4.0, lit(1.0))
+      val meanTokLen = length(regexp_replace(txt, "\\s+", "")).cast("double") / safeNTok
+      val tokLenScore = when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+      val quality = round((lenScore + punctScore + stopScore + tokLenScore) / 4.0, 6)
+      val profiles = Seq(
+        "db" -> Seq("table", "row", "column"),
+        "en" -> Seq("the", "a", "of"),
+        "ops" -> Seq("merge", "sort", "scan"))
+      val langScores = profiles.map { case (lang, markers) =>
+        val arr = array(markers.map(lit): _*)
+        lang -> size(filter(toks, t => array_contains(arr, t)))
+      }
+      val lang = langScores.tail.foldLeft(
+        (lit(langScores.head._1), langScores.head._2)) {
+        case ((bestLang, bestScore), (l, score)) =>
+          (when(score > bestScore, lit(l)).otherwise(bestLang),
+            when(score > bestScore, score).otherwise(bestScore))
+      }._1
+      val w = Window.partitionBy("fp").orderBy(col("doc_id"))
+      s.read.parquet(s"$d/documents.parquet")
+        .withColumn("quality", quality)
+        .withColumn("lang_guess", lang)
+        .filter(col("quality") >= 0.5)
+        .withColumn("fp", md5(lower(regexp_replace(trim(txt), "\\s+", " "))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang_guess")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality"), 6).as("avg_quality"),
+          sum(size(toks).cast("long")).as("total_tokens"))
+    }),
   )
 
   def main(args: Array[String]): Unit = {

@@ -482,6 +482,19 @@ object SparkEntry {
           (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("n_dup_pairs"),
           (count(lit(1)) >= 1).as("has_pairs"))),
 
+    "q_simhash128" -> ((s, d) =>
+      // 128-bit fingerprint at a radius (8) the 64-bit banding cannot
+      // guarantee — same invariant-style oracle as q_simhash_dedup
+      // (fingerprint values are engine-internal); recall is contractual
+      // (C(16,2) block-pair index, DedupSpec pins planted Hamming-8 and
+      // worst-case Hamming-14 pairs)
+      Dedup.simHash128NearDuplicates(augmentedDocs(s, d), "text", "doc_id", maxHamming = 8)
+        .agg(
+          sum(when(col("hamming") > 8, 1L).otherwise(0L)).as("n_bad_hamming"),
+          sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)).as("n_bad_order"),
+          (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("n_dup_pairs"),
+          (count(lit(1)) >= 1).as("has_pairs"))),
+
     "q_ngram_lsh" -> ((s, d) =>
       Dedup.ngramJaccardNearDuplicates(augmentedDocs(s, d), "text", "doc_id", threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
@@ -948,6 +961,10 @@ object SparkEntry {
         |  AND CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)) >= 0.8""".stripMargin,
 
     "q_simhash_dedup" ->
+      """SELECT CAST(0 AS BIGINT) AS n_bad_hamming, CAST(0 AS BIGINT) AS n_bad_order,
+        |CAST(0 AS BIGINT) AS n_dup_pairs, TRUE AS has_pairs""".stripMargin,
+
+    "q_simhash128" ->
       """SELECT CAST(0 AS BIGINT) AS n_bad_hamming, CAST(0 AS BIGINT) AS n_bad_order,
         |CAST(0 AS BIGINT) AS n_dup_pairs, TRUE AS has_pairs""".stripMargin,
 

@@ -265,8 +265,8 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 6,
       s"simHashPairs: the block-combination index guarantees recall " +
-        s"only for maxHamming <= 6 (got $maxHamming) — use a wider " +
-        "fingerprint for larger radii")
+        s"only for maxHamming <= 6 (got $maxHamming) — use the 128-bit " +
+        "fingerprint ([[simHash128NearDuplicates]]) for larger radii")
     val (nBlocks, comboSize) = if (maxHamming <= 3) (4, 1) else (8, 2)
     val blockBits = 64 / nBlocks
     val base = fingerprints.select(col("id"), col("sim"))
@@ -282,6 +282,90 @@ object Dedup {
     val pairs = candidatePairs(bandedIds, maxBucketSize)
     attachPayload(pairs, base.select("id", "sim"), "sim")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= lit(maxHamming))
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** 128-bit SimHash of a text column as array<long>(2) — see
+    * [[graft.functions.HashKernels.simHash128Compute]]: word 0 is the
+    * 64-bit [[simHash]], word 1 votes on an independent remix of each
+    * token hash. Use when the Hamming radius exceeds what 64-bit
+    * banding can guarantee (radii 7–14), or when callers want the
+    * tighter cosine estimate of 128 hyperplanes. */
+  def simHash128(text: Column): Column =
+    graft.functions.HashFunctions.simHash128Native(
+      graft.functions.HashFunctions.tokenHashesNative(
+        TextFunctions.tokens(TextFunctions.normalizeText(text))))
+
+  /** 128-bit SimHash near-duplicate pairs — same guaranteed-recall
+    * contract as [[simHashNearDuplicates]] (every pair within
+    * `maxHamming` shares a bucket before the hot-bucket cap), extended
+    * to radii the 64-bit fingerprint cannot index:
+    *
+    *   - maxHamming ≤ 7 → 8 blocks of 16 bits, bucket = 1 block
+    *     (7 flips corrupt ≤ 7 blocks ⇒ ≥ 1 of 8 matches); 8 bands;
+    *   - maxHamming ≤ 14 → 16 blocks of 8 bits, bucket = each of the
+    *     C(16,2)=120 block PAIRS (14 flips corrupt ≤ 14 blocks ⇒ ≥ 2
+    *     clean ⇒ some indexed pair matches), 16-bit bucket keyspace.
+    *
+    * The 120-band rung is the price of a Hamming-14 guarantee: the
+    * banded exchange carries ~120 × 20 B per document (≈2.4 KB — a few
+    * × a 1 KB doc, vs 0.2% for MinHash). That is still id-only and
+    * linear in the corpus — the candidate join, not the exchange,
+    * stays the scale dial (`maxBucketSize`). Prefer the 64-bit variant
+    * whenever maxHamming ≤ 6.
+    */
+  def simHash128NearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("toks", TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))
+      .withColumn("th", graft.functions.HashFunctions.tokenHashesNative(col("toks")))
+      .withColumn("sim", graft.functions.HashFunctions.simHash128Native(col("th")))
+      // materialisation fence — see minHashNearDuplicates
+      .select("id", "sim")
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    simHash128Pairs(base, maxHamming, maxBucketSize)
+  }
+
+  /** Near-duplicate pairs from PRECOMPUTED 128-bit fingerprints —
+    * input must carry (`id`, `sim` array<long>(2)) columns. The
+    * fingerprint-level half of [[simHash128NearDuplicates]]; public
+    * for the same persist-then-re-pair and exact-planted-distance
+    * testability reasons as [[simHashPairs]]. */
+  def simHash128Pairs(
+      fingerprints: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 14,
+      s"simHash128Pairs: the C(16,2) block-pair index guarantees recall " +
+        s"only for maxHamming <= 14 (got $maxHamming) — no wider rung " +
+        "keeps a usable bucket keyspace at 128 bits")
+    val (nBlocks, comboSize) = if (maxHamming <= 7) (8, 1) else (16, 2)
+    val blockBits = 128 / nBlocks
+    val blocksPerWord = nBlocks / 2
+    val base = fingerprints.select(col("id"), col("sim"))
+    def word(w: Int): Column = element_at(col("sim"), w + 1)
+    def block(i: Int): Column =
+      shiftright(word(i / blocksPerWord), (i % blocksPerWord) * blockBits)
+        .bitwiseAND(lit((1L << blockBits) - 1L))
+    val bucketExprs = (0 until nBlocks).combinations(comboSize).toSeq.map {
+      combo => combo.map(block).reduceLeft((acc, b) =>
+        shiftleft(acc, blockBits).bitwiseOR(b))
+    }
+    val bandedIds = base.select(col("id"),
+      posexplode(array(bucketExprs: _*)).as(Seq("band", "bucket")))
+    val pairs = candidatePairs(bandedIds, maxBucketSize)
+    attachPayload(pairs, base.select("id", "sim"), "sim")
+      .withColumn("hamming",
+        (bit_count(element_at(col("sim_a"), 1).bitwiseXOR(element_at(col("sim_b"), 1))) +
+          bit_count(element_at(col("sim_a"), 2).bitwiseXOR(element_at(col("sim_b"), 2))))
+          .cast("int"))
       .filter(col("hamming") <= lit(maxHamming))
       .select("id_a", "id_b", "hamming")
   }

@@ -42,6 +42,12 @@ object GraftFunctions {
         require(args.size == 1, "simhash64(tokenHashes)")
         SimHashExpr(args.head)
       }),
+    ("simhash128",
+      new ExpressionInfo(classOf[SimHash128Expr].getName, "simhash128"),
+      { args =>
+        require(args.size == 1, "simhash128(tokenHashes)")
+        SimHash128Expr(args.head)
+      }),
     ("ngram_hashes",
       new ExpressionInfo(classOf[NgramHashesExpr].getName, "ngram_hashes"),
       { args =>

@@ -274,6 +274,53 @@ object HashKernels {
     }
     out
   }
+
+  /** MurmurHash3's 64-bit finalizer over a decorrelated input — an
+    * independent remix of a token hash, giving the second 64 SimHash
+    * bits without re-hashing the token string. fmix64 is a bijective
+    * avalanche (every output bit depends on every input bit), and the
+    * golden-ratio XOR ensures fmix64(h ^ c) shares no fixed points
+    * with h, so word-1 votes are independent of word-0 votes. */
+  private def remix(h0: Long): Long = {
+    var h = h0 ^ 0x9E3779B97F4A7C15L
+    h ^= h >>> 33
+    h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33
+    h *= 0xC4CEB9FE1A85EC53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** 128-bit SimHash over pre-hashed tokens as two longs [w0, w1]:
+    * w0 votes on the token hash bits (bit-identical to
+    * [[simHashCompute]]), w1 on an independent [[remix]] of each hash.
+    * Concatenating two independent 64-bit SimHashes IS a 128-bit
+    * SimHash — each fingerprint bit is the sign of an independent
+    * hyperplane vote — so Hamming distance over the pair carries the
+    * usual cosine-similarity estimate at double the resolution. */
+  def simHash128Compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val votes = new Array[Int](128)
+    var j = 0
+    while (j < n) {
+      val h0 = arr.getLong(j)
+      val h1 = remix(h0)
+      var b = 0
+      while (b < 64) {
+        if (((h0 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((h1 >>> b) & 1L) == 1L) votes(64 + b) += 1 else votes(64 + b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    val out = new Array[Long](2)
+    var b = 0
+    while (b < 128) {
+      if (votes(b) > 0) out(b >>> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** array<long> → array<long> MinHash signature (see [[HashKernels]]). */
@@ -332,6 +379,26 @@ case class SimHashExpr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simHashCompute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** array<long> → array<long>(2) 128-bit SimHash fingerprint (see
+  * [[HashKernels.simHash128Compute]]). */
+case class SimHash128Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashKernels.requireArrayOfLong(child.dataType, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash128"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simHash128Compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simHash128Compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash128Expr =
     copy(child = newChild)
 }
 
@@ -534,6 +601,11 @@ object HashFunctions {
   /** SimHash of an array<long> column of token hashes. */
   def simHashNative(tokenHashes: Column): Column =
     ColumnBridge(SimHashExpr(ColumnBridge.expression(tokenHashes)))
+
+  /** 128-bit SimHash (two longs) of an array<long> column of token
+    * hashes — for Hamming radii the 64-bit banding can't guarantee. */
+  def simHash128Native(tokenHashes: Column): Column =
+    ColumnBridge(SimHash128Expr(ColumnBridge.expression(tokenHashes)))
 
   /** Per-token xxhash64 of an array<string> column (order-preserving). */
   def tokenHashesNative(tokens: Column): Column =

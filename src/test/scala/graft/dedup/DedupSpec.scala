@@ -107,6 +107,77 @@ class DedupSpec extends SparkTestBase {
       Dedup.simHashNearDuplicates(docs, "text", "id", maxHamming = 7))
   }
 
+  test("simHash128: word 0 equals the 64-bit simHash; identical texts collide") {
+    val rows = docs.select($"id", Dedup.simHash($"text").as("h64"),
+      Dedup.simHash128($"text").as("h128"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    rows.values.foreach { case (h64, h128) =>
+      assert(h128.length == 2)
+      assert(h128.head == h64) // extension, not a different hash family
+    }
+    assert(rows(1L)._2 == rows(2L)._2)
+    val ham13 = java.lang.Long.bitCount(rows(1L)._2(0) ^ rows(3L)._2(0)) +
+      java.lang.Long.bitCount(rows(1L)._2(1) ^ rows(3L)._2(1))
+    val ham14 = java.lang.Long.bitCount(rows(1L)._2(0) ^ rows(4L)._2(0)) +
+      java.lang.Long.bitCount(rows(1L)._2(1) ^ rows(4L)._2(1))
+    assert(ham13 < ham14) // near dup closer than unrelated, at 128 bits too
+  }
+
+  test("simHash128Pairs recovers a planted Hamming-8 pair (the 64-bit ceiling)") {
+    // one flip in each 8-bit block of word 0: all 8 of word 0's blocks
+    // corrupt, so recall rides entirely on word 1's clean blocks — the
+    // radius the 64-bit fingerprint structurally cannot index
+    val flipped = (0 until 8).map(b => 1L << (b * 8)).reduce(_ | _)
+    val fps = df("id BIGINT, sim ARRAY<BIGINT>",
+      Seq(1L, Seq(0L, 0L)), Seq(2L, Seq(flipped, 0L)))
+    for (h <- 8 to 14) {
+      val out = Dedup.simHash128Pairs(fps, maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(out == Seq((1L, 2L, 8)),
+        s"maxHamming=$h must recover the planted Hamming-8 pair, got $out")
+    }
+  }
+
+  test("simHash128Pairs recovers a worst-case Hamming-14 pair across both words") {
+    // 14 flips in 14 DISTINCT 8-bit blocks (7 per word): exactly two
+    // clean blocks remain — the pigeonhole minimum the C(16,2) pair
+    // index guarantees
+    val w0 = (0 until 7).map(b => 1L << (b * 8)).reduce(_ | _)
+    val w1 = (0 until 7).map(b => 1L << (b * 8 + 1)).reduce(_ | _)
+    val fps = df("id BIGINT, sim ARRAY<BIGINT>",
+      Seq(1L, Seq(0L, 0L)), Seq(2L, Seq(w0, w1)))
+    val out = Dedup.simHash128Pairs(fps, maxHamming = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 2L, 14)))
+  }
+
+  test("simHash128Pairs h<=7 rung: single 16-bit blocks catch 7 spread flips") {
+    // 7 flips in 7 distinct 16-bit blocks; block 7 stays clean
+    val w0 = (0 until 4).map(b => 1L << (b * 16)).reduce(_ | _)
+    val w1 = (0 until 3).map(b => 1L << (b * 16)).reduce(_ | _)
+    val fps = df("id BIGINT, sim ARRAY<BIGINT>",
+      Seq(1L, Seq(0L, 0L)), Seq(2L, Seq(w0, w1)))
+    val out = Dedup.simHash128Pairs(fps, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 2L, 7)))
+  }
+
+  test("simHash128Pairs verification excludes pairs beyond maxHamming") {
+    val w0 = (0 until 9).map(b => 1L << (b * 7)).reduce(_ | _) // Hamming 9
+    val fps = df("id BIGINT, sim ARRAY<BIGINT>",
+      Seq(1L, Seq(0L, 0L)), Seq(2L, Seq(w0, 0L)))
+    assert(Dedup.simHash128Pairs(fps, maxHamming = 9).count() == 1)
+    assert(Dedup.simHash128Pairs(fps, maxHamming = 8).count() == 0)
+  }
+
+  test("simHash128NearDuplicates end-to-end: exact dup at hamming 0, radius guard") {
+    val out = Dedup.simHash128NearDuplicates(docs, "text", "id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0)))
+    assertThrows[IllegalArgumentException](
+      Dedup.simHash128NearDuplicates(docs, "text", "id", maxHamming = 15))
+  }
+
   test("charNgrams and ngramJaccard") {
     val grams = Seq("abcd").toDF("t")
       .select(Dedup.charNgrams($"t", 3).as("g")).as[Seq[String]].head()

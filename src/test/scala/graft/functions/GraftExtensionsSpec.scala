@@ -39,6 +39,18 @@ class GraftExtensionsSpec extends SparkTestBase {
       "SELECT array(xxhash64('a'), xxhash64('b'), xxhash64('a')) AS th").head()
     assert(th.getSeq[Long](0) == thCol.getSeq[Long](0)) // order + repeats kept
     assert(th.getSeq[Long](1).length == 2) // "a b", "b c"
+    val s128 = spark.sql(
+      "SELECT simhash128(array(xxhash64('a'), xxhash64('b'))) AS s").head()
+    val s128Col = Seq("x").toDF("t").select(
+      HashFunctions.simHash128Native(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.lit("a")),
+          org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.lit("b"))))
+        .as("s")).head()
+    assert(s128.getSeq[Long](0) == s128Col.getSeq[Long](0))
+    assert(s128.getSeq[Long](0).length == 2)
+    // word 0 IS the 64-bit simhash (the 128-bit fingerprint extends, not replaces)
+    assert(s128.getSeq[Long](0).head == sqlRow.getLong(1))
   }
 
   test("registration is idempotent and validates arity") {
@@ -53,8 +65,8 @@ class GraftExtensionsSpec extends SparkTestBase {
     // the injectFunction route is exercised structurally: same builders
     assert(GraftFunctions.descriptors.map(_._1).sorted ==
       Seq("band_buckets", "cosine_sim", "hash_jaccard", "hyperplane_bucket",
-        "minhash_signature", "ngram_hashes", "shingle_hashes", "simhash64",
-        "token_hashes"))
+        "minhash_signature", "ngram_hashes", "shingle_hashes", "simhash128",
+        "simhash64", "token_hashes"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 }

@@ -704,7 +704,11 @@ object SparkEntry {
     }),
 
     "q_salted_join" -> ((s, d) => {
-      // skew-safe salted join must return EXACTLY the plain-join result
+      // skew-safe salted join must return EXACTLY the plain-join result.
+      // The right side here is small and un-hinted, so this exercises
+      // the operator's broadcast short-circuit: salting a broadcast
+      // join has no reduce side to balance, so saltedJoin defers to the
+      // plain join (r8; forcing the salted path here measured ~2.6×).
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey").cast("long").as("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))

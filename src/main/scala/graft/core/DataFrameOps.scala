@@ -284,39 +284,89 @@ object DataFrameOps {
     * right side: the left gets a random salt in [0, saltFactor), the
     * right is replicated once per salt value, and the join key becomes
     * (key, salt) — a hot key's rows spread over `saltFactor` reducers
-    * instead of one. Use when AQE's skew-join split isn't available
-    * (e.g. the skewed side feeds a non-splittable stage) — otherwise
-    * prefer AQE. Right side is replicated ×saltFactor: keep it small.
+    * instead of one.
     *
-    * Measured cost/benefit (sf0.1, local[32], BENCH_r07): on a corpus
-    * with ~90% of rows on one hot key, salted (factor 32) runs ~0.75×
-    * the plain shuffle join's time (q_salted_join_skew); on NON-skewed
-    * input the same machinery costs ~1.3–2.6× the plain join
-    * (q_salted_join) — salting is never free, it trades map-side
-    * replication for reduce-side balance. Order of preference: a
-    * broadcast join whenever the right side fits (it sidesteps skew
-    * entirely — ~5× faster than any shuffle variant on the same skewed
-    * corpus), then AQE's skew-join split, then salting.
+    * Salting targets SHUFFLE-join reduce/sort imbalance, so it defers
+    * to the plain join when there is no reduce side to skew: if the
+    * right side's estimated size fits `spark.sql.autoBroadcastJoinThreshold`
+    * (and no user hint pins a shuffle strategy), Catalyst will broadcast
+    * it and salting would only inflate the broadcast build ×saltFactor —
+    * measured ~2.6× the plain broadcast join for zero benefit (r8 plan
+    * diff of q_salted_join: both sides BroadcastHashJoin, the wrapped
+    * tax was purely the ×4 build + rand()). To force the salted path for
+    * a right side whose runtime size belies its stats, pin it with
+    * `right.hint("merge")` / `hint("shuffle_hash")`.
+    *
+    * Measured when salting IS engaged (sf0.1, local[32], BENCH_r08
+    * q_salted_join_skew — right pinned `merge`): on a corpus with ~90%
+    * of 6M rows on one hot key, salted (factor 32) runs ~0.65–0.75× the
+    * plain shuffle join warm — the win is sort/reduce balance: the hot
+    * key's 5.4M rows sort on one core in the plain plan. AQE's skew-join
+    * split did NOT engage at this scale (hot partition ~86 MB <
+    * `spark.sql.adaptive.skewedPartitionThresholdInBytes` 256 MB
+    * default), so AQE is no substitute below its thresholds; above them
+    * (real-cluster partition sizes) prefer AQE first — it splits only
+    * the skewed partitions and replicates nothing.
+    *
+    * At 100 TB the blanket ×saltFactor replication of the right side is
+    * the dominant cost; pass `hotKeys` (the known skewed key values,
+    * single-column joins) to salt ONLY those keys: non-hot rows keep
+    * salt 0 and the right side replicates just the hot-key rows.
     */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
       on: Seq[String],
       how: String = "inner",
-      saltFactor: Int = 8): DataFrame = {
+      saltFactor: Int = 8,
+      hotKeys: Option[Seq[Any]] = None): DataFrame = {
     require(saltFactor >= 1, "saltedJoin: saltFactor must be >= 1")
     // right rows are replicated ×saltFactor: right/outer/anti semantics
     // would multiply or fabricate unmatched right rows
     require(Seq("inner", "left", "left_outer", "leftouter").contains(how),
       s"saltedJoin: join type '$how' unsupported (replicated right side); use inner or left")
+    require(hotKeys.isEmpty || on.size == 1,
+      "saltedJoin: hotKeys targeting supports single-column join keys only")
     requireColumns(left, on, "saltedJoin(left)")
     requireColumns(right, on, "saltedJoin(right)")
+    if (saltFactor == 1 || hotKeys.exists(_.isEmpty) ||
+        (hotKeys.isEmpty && broadcastWouldWin(right)))
+      return left.join(right, on, how)
     val saltCol = "__graft_salt"
-    val saltedLeft = left.withColumn(saltCol,
-      (rand() * saltFactor).cast("int"))
-    val saltedRight = right.withColumn(saltCol,
-      explode(sequence(lit(0), lit(saltFactor - 1))))
+    val allSalts = sequence(lit(0), lit(saltFactor - 1))
+    val (saltedLeft, saltedRight) = hotKeys match {
+      case Some(keys) =>
+        val k = on.head
+        (left.withColumn(saltCol,
+          when(col(k).isInCollection(keys), (rand() * saltFactor).cast("int"))
+            .otherwise(lit(0))),
+         right.withColumn(saltCol, explode(
+           when(col(k).isInCollection(keys), allSalts).otherwise(array(lit(0))))))
+      case None =>
+        (left.withColumn(saltCol, (rand() * saltFactor).cast("int")),
+         right.withColumn(saltCol, explode(allSalts)))
+    }
     saltedLeft.join(saltedRight, on :+ saltCol, how).drop(saltCol)
+  }
+
+  /** True when Catalyst would broadcast `right` in a plain equi-join:
+    * its estimated size fits the session's autoBroadcastJoinThreshold
+    * and no user hint pins a shuffle strategy on it. Stats come from
+    * the optimized logical plan — no job is run. */
+  private def broadcastWouldWin(right: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val thresholdStr =
+      right.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thresholdStr.trim)
+      catch { case _: Exception => -1L }
+    if (threshold <= 0) return false
+    val shuffleHinted = right.queryExecution.analyzed.collectFirst {
+      case h: ResolvedHint if h.hints.strategy.exists(_ !=
+        org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+    }.isDefined
+    !shuffleHinted &&
+      right.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
   }
 
   /** #34 Dictionary recode with passthrough for unmapped keys — a literal

@@ -76,13 +76,54 @@ class AggregationsSpec extends SparkTestBase {
     val dim = df("k BIGINT, name STRING",
       Seq(0L, "zero"), Seq(1L, "one"), Seq(99L, "unmatched"))
     val plain = big.join(dim, Seq("k"), "inner")
-    val salted = DataFrameOps.saltedJoin(big, dim, Seq("k"), "inner", saltFactor = 4)
+    // right pinned to the shuffle path so the salting machinery actually
+    // engages (a broadcastable un-hinted right short-circuits — below)
+    val salted = DataFrameOps.saltedJoin(
+      big, dim.hint("merge"), Seq("k"), "inner", saltFactor = 4)
     assert(salted.count() == plain.count())
     assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.queryExecution.analyzed.toString.contains("__graft_salt"),
+      "merge-hinted right must take the salted path")
     assert(salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
     assertThrows[IllegalArgumentException](
       DataFrameOps.saltedJoin(big, dim, Seq("k"), saltFactor = 0))
+  }
+
+  test("saltedJoin defers to the plain join when the right side broadcasts") {
+    val big = spark.range(1000).toDF("k").withColumn("k", col("k") % 3)
+    val dim = df("k BIGINT, name STRING", Seq(0L, "zero"), Seq(1L, "one"))
+    // un-hinted small right: Catalyst will broadcast, so there is no
+    // reduce side to skew — the operator must not pay the ×salt build
+    val out = DataFrameOps.saltedJoin(big, dim, Seq("k"), saltFactor = 8)
+    assert(!out.queryExecution.analyzed.toString.contains("__graft_salt"),
+      "broadcastable right must short-circuit to the plain join")
+    assert(out.count() == big.join(dim, Seq("k")).count())
+    // saltFactor=1 is degenerate salting: also the plain join
+    val one = DataFrameOps.saltedJoin(big, dim.hint("merge"), Seq("k"), saltFactor = 1)
+    assert(!one.queryExecution.analyzed.toString.contains("__graft_salt"))
+  }
+
+  test("saltedJoin hotKeys salts only the listed keys") {
+    val big = spark.range(1000).toDF("k")
+      .withColumn("k", when(col("k") < 900, 1L).otherwise(col("k"))) // 90% on k=1
+      .withColumn("v", col("k") * 10)
+    val dim = df("k BIGINT, name STRING",
+      Seq(1L, "hot"), Seq(950L, "cold"), Seq(99L, "unmatched"))
+    val plain = big.join(dim, Seq("k"), "left")
+    val salted = DataFrameOps.saltedJoin(
+      big, dim.hint("merge"), Seq("k"), "left", saltFactor = 8,
+      hotKeys = Some(Seq(1L)))
+    assert(salted.queryExecution.analyzed.toString.contains("__graft_salt"))
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // empty hot set means nothing to salt: plain join, no machinery
+    val none = DataFrameOps.saltedJoin(
+      big, dim.hint("merge"), Seq("k"), saltFactor = 8, hotKeys = Some(Seq.empty))
+    assert(!none.queryExecution.analyzed.toString.contains("__graft_salt"))
+    assertThrows[IllegalArgumentException](DataFrameOps.saltedJoin(
+      big, dim, Seq("k", "v"), saltFactor = 8, hotKeys = Some(Seq(1L))))
   }
 
   test("leadOver / lagOver / ntileOver") {

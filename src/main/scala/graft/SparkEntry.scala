@@ -483,14 +483,17 @@ object SparkEntry {
           (count(lit(1)) >= 1).as("has_pairs"))),
 
     "q_simhash128" -> ((s, d) =>
-      // 128-bit fingerprint at a radius (8) the 64-bit banding cannot
-      // guarantee — same invariant-style oracle as q_simhash_dedup
-      // (fingerprint values are engine-internal); recall is contractual
-      // (C(16,2) block-pair index, DedupSpec pins planted Hamming-8 and
-      // worst-case Hamming-14 pairs)
-      Dedup.simHash128NearDuplicates(augmentedDocs(s, d), "text", "doc_id", maxHamming = 8)
+      // 128-bit fingerprint at a radius (7, the operator default) the
+      // 64-bit banding cannot guarantee — same invariant-style oracle
+      // as q_simhash_dedup (fingerprint values are engine-internal);
+      // recall is contractual. The 120-band radii 8-14 rung is pinned
+      // by DedupSpec's planted Hamming-8 and worst-case Hamming-14
+      // pairs; this benches the default 8-band rung (r8 — defaulting
+      // into the 120-band rung paid ~15x exchange volume for one
+      // radius past the 8-band guarantee)
+      Dedup.simHash128NearDuplicates(augmentedDocs(s, d), "text", "doc_id")
         .agg(
-          sum(when(col("hamming") > 8, 1L).otherwise(0L)).as("n_bad_hamming"),
+          sum(when(col("hamming") > 7, 1L).otherwise(0L)).as("n_bad_hamming"),
           sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)).as("n_bad_order"),
           (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("n_dup_pairs"),
           (count(lit(1)) >= 1).as("has_pairs"))),
@@ -866,6 +869,33 @@ object SparkEntry {
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
     }),
 
+    "q_pipeline_docs128" -> ((s, d) => {
+      // end-to-end 128-bit dedup pipeline: fingerprint → banded pairs
+      // at the default 8-band rung → dropNearDuplicates. 50 exact
+      // copies planted at ids >= 1000000: an exact copy fingerprints
+      // identically (hamming 0, every bucket shared), and the copy is
+      // always the pair's higher id, so zero copies may survive the
+      // drop. Invariant-style oracle — fingerprints are
+      // engine-internal, but these outcomes are contractual.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(copies)
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.simHash128NearDuplicates(corpus, "text", "doc_id")
+      val kept = Dedup.dropNearDuplicates(corpus, pairs, "doc_id")
+      kept.agg(
+          count(lit(1)).as("n_kept"),
+          sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
+            .as("n_copy_survivors"))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
+        .select(
+          col("n_copy_survivors"),
+          (col("n_kept") <= col("n_total") - 50L).as("dropped_all_copies"),
+          (col("n_kept") >= 1L).as("has_survivors"))
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       // benchmark-leakage guard: docs < 100 play the eval set, the rest
       // the train corpus; ten train docs get an eval doc's full text
@@ -971,6 +1001,10 @@ object SparkEntry {
     "q_simhash128" ->
       """SELECT CAST(0 AS BIGINT) AS n_bad_hamming, CAST(0 AS BIGINT) AS n_bad_order,
         |CAST(0 AS BIGINT) AS n_dup_pairs, TRUE AS has_pairs""".stripMargin,
+
+    "q_pipeline_docs128" ->
+      """SELECT CAST(0 AS BIGINT) AS n_copy_survivors,
+        |TRUE AS dropped_all_copies, TRUE AS has_survivors""".stripMargin,
 
     "q_decontaminate" ->
       """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),

@@ -314,12 +314,19 @@ object Dedup {
     * linear in the corpus — the candidate join, not the exchange,
     * stays the scale dial (`maxBucketSize`). Prefer the 64-bit variant
     * whenever maxHamming ≤ 6.
+    *
+    * The default radius is 7 — the widest radius the cheap 8-band rung
+    * guarantees. Radii 8–14 all pay the same 120-band explode (~15×
+    * the exchange volume), so moving past 7 at all costs as much as
+    * going straight to 14: pick 7 unless the use case really needs
+    * the wider radius, and then pick the radius the recall contract
+    * needs, not 8 by habit.
     */
   def simHash128NearDuplicates(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 8,
+      maxHamming: Int = 7,
       maxBucketSize: Int = 1000): DataFrame = {
     val base = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
@@ -346,11 +353,29 @@ object Dedup {
       s"simHash128Pairs: the C(16,2) block-pair index guarantees recall " +
         s"only for maxHamming <= 14 (got $maxHamming) — no wider rung " +
         "keeps a usable bucket keyspace at 128 bits")
-    val (nBlocks, comboSize) = if (maxHamming <= 7) (8, 1) else (16, 2)
+    // shape guard: a malformed fingerprint column would otherwise band
+    // to null buckets and silently drop recall (or throw under ANSI)
+    fingerprints.schema.find(_.name == "sim") match {
+      case Some(f) => f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => ()
+        case other => throw new IllegalArgumentException(
+          s"simHash128Pairs: 'sim' must be array<bigint>, got ${other.simpleString}")
+      }
+      case None => throw new IllegalArgumentException(
+        "simHash128Pairs: input must carry a 'sim' fingerprint column")
+    }
+    val (nBlocks, comboSize) = simHash128Rung(maxHamming)
     val blockBits = 128 / nBlocks
     val blocksPerWord = nBlocks / 2
     val base = fingerprints.select(col("id"), col("sim"))
-    def word(w: Int): Column = element_at(col("sim"), w + 1)
+    // row-level half of the guard: fail loudly on a wrong-length array
+    def word(w: Int): Column =
+      when(size(col("sim")) === 2, element_at(col("sim"), w + 1))
+        .otherwise(raise_error(concat(
+          lit("simHash128Pairs: fingerprint array of length "),
+          size(col("sim")), lit(" for id "), col("id").cast("string"),
+          lit(" (expected 2)"))))
     def block(i: Int): Column =
       shiftright(word(i / blocksPerWord), (i % blocksPerWord) * blockBits)
         .bitwiseAND(lit((1L << blockBits) - 1L))
@@ -363,11 +388,23 @@ object Dedup {
     val pairs = candidatePairs(bandedIds, maxBucketSize)
     attachPayload(pairs, base.select("id", "sim"), "sim")
       .withColumn("hamming",
-        (bit_count(element_at(col("sim_a"), 1).bitwiseXOR(element_at(col("sim_b"), 1))) +
+        bit_count(element_at(col("sim_a"), 1).bitwiseXOR(element_at(col("sim_b"), 1))) +
           bit_count(element_at(col("sim_a"), 2).bitwiseXOR(element_at(col("sim_b"), 2))))
-          .cast("int"))
       .filter(col("hamming") <= lit(maxHamming))
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Banding rung for a 128-bit fingerprint radius: (blocks, blocks
+    * per bucket). maxHamming ≤ 7 → single blocks of 16 bits (8 bands);
+    * 8–14 → all C(16,2)=120 pairs of 8-bit blocks. Public to the test
+    * suite so the radius→cost cliff at 8 stays pinned. */
+  private[graft] def simHash128Rung(maxHamming: Int): (Int, Int) =
+    if (maxHamming <= 7) (8, 1) else (16, 2)
+
+  /** Number of bands (bucket expressions) a radius costs. */
+  private[graft] def simHash128BandCount(maxHamming: Int): Int = {
+    val (n, k) = simHash128Rung(maxHamming)
+    (0 until n).combinations(k).size
   }
 
   /** Distinct character n-grams of a string, as an array column. */

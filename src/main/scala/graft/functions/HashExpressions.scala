@@ -280,7 +280,13 @@ object HashKernels {
     * bits without re-hashing the token string. fmix64 is a bijective
     * avalanche (every output bit depends on every input bit), and the
     * golden-ratio XOR ensures fmix64(h ^ c) shares no fixed points
-    * with h, so word-1 votes are independent of word-0 votes. */
+    * with h, so word-1 votes are independent of word-0 votes. One
+    * caveat to "independent": remix is a deterministic function of the
+    * token hash, so the words are independent only across DISTINCT
+    * token-hash multisets — two documents whose token hashes collide
+    * (xxhash64 collision) collide in both words, where truly
+    * independent hashes would disagree on word 1. Harmless for dedup
+    * (a 64-bit collision is already a false near-dup in word 0). */
   private def remix(h0: Long): Long = {
     var h = h0 ^ 0x9E3779B97F4A7C15L
     h ^= h >>> 33

@@ -162,6 +162,32 @@ class DedupSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L, 7)))
   }
 
+  test("simHash128 banding rungs: radius 7 costs 8 bands, radius 8 costs 120") {
+    // the cost cliff the default radius (7) deliberately stays under:
+    // one radius past the 8-band guarantee buys the full C(16,2) rung
+    assert(Dedup.simHash128Rung(7) == (8, 1))
+    assert(Dedup.simHash128Rung(8) == (16, 2))
+    assert(Dedup.simHash128BandCount(7) == 8)
+    assert(Dedup.simHash128BandCount(8) == 120)
+    assert(Dedup.simHash128BandCount(14) == 120)
+  }
+
+  test("simHash128Pairs fails loudly on malformed fingerprint input") {
+    // wrong column type: static error, not silently-null buckets
+    val wrongType = df("id BIGINT, sim BIGINT", Seq(1L, 0L))
+    assertThrows[IllegalArgumentException](
+      Dedup.simHash128Pairs(wrongType, maxHamming = 7))
+    val noSim = df("id BIGINT, other BIGINT", Seq(1L, 0L))
+    assertThrows[IllegalArgumentException](
+      Dedup.simHash128Pairs(noSim, maxHamming = 7))
+    // wrong array length: runtime error at banding, not dropped recall
+    val shortArr = df("id BIGINT, sim ARRAY<BIGINT>",
+      Seq(1L, Seq(0L)), Seq(2L, Seq(0L, 0L)))
+    val ex = intercept[Exception](
+      Dedup.simHash128Pairs(shortArr, maxHamming = 7).count())
+    assert(ex.getMessage != null)
+  }
+
   test("simHash128Pairs verification excludes pairs beyond maxHamming") {
     val w0 = (0 until 9).map(b => 1L << (b * 7)).reduce(_ | _) // Hamming 9
     val fps = df("id BIGINT, sim ARRAY<BIGINT>",

@@ -831,16 +831,9 @@ object SparkEntry {
       // run-log subsystem end-to-end (timestamps → rows-only check):
       // create tables, reserve id, add entries, read most-recent back
       import s.implicits._
-      Seq("graft_verify_runlog", "graft_verify_runlog_reserved_ids").foreach { tbl =>
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        // a previous JVM's managed-table dir survives the in-memory
-        // catalog: DROP is then a no-op and CREATE fails on the stale
-        // location — remove it explicitly so the query is idempotent
-        val loc = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), tbl)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      // lifecycle through the API: dropRunlogTables also clears stale
+      // storage a previous JVM left and this session's created-cache
+      runlog.RunLog.dropRunlogTables(s, "graft_verify_runlog")
       runlog.RunLog.createRunlogTable(s, "graft_verify_runlog")
       runlog.RunLog.addEntry(s, "first", "verify-pipeline", "1.0", "{}",
         tableName = "graft_verify_runlog")

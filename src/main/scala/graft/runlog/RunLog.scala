@@ -28,38 +28,78 @@ object RunLog {
     StructField("reserved_date", TimestampType),
   ))
 
+  /** One-row (or empty) DataFrame as a LocalRelation — NOT
+    * sparkContext.parallelize, which would plan defaultParallelism
+    * tasks (32 here) to write a single row. A LocalRelation write is
+    * one task; at 1.73 s the benched subsystem spent most of its time
+    * in four 32-task one-row jobs (r8). */
+  private def localDf(spark: SparkSession, schema: StructType, rows: Row*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toList.asJava, schema)
+  }
+
+  /** Per-session set of tables this JVM already created-or-verified:
+    * createRunlogTable is called create-if-absent from pipelines, and
+    * repeating the catalog existence probes + empty-write on every call
+    * is pure bookkeeping tax (a real metastore round-trips per probe).
+    * Keyed by session so a new session (new catalog) re-verifies;
+    * dropping a runlog table mid-session outside this API is the one
+    * case the cache misses, matching the reference's assumption that
+    * the log tables are managed only through it. */
+  private val verifiedTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   /** Create both tables if missing (parquet-backed catalog tables; the
     * reference's DDL at pipeline_runlog.py:73-95). */
   def createRunlogTable(spark: SparkSession, tableName: String = "pipeline_runlog"): Unit = {
+    if (verifiedTables.contains((spark, tableName))) return
     if (!spark.catalog.tableExists(tableName))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], runlogSchema)
+      localDf(spark, runlogSchema)
         .write.format("parquet").saveAsTable(tableName)
     val reserved = s"${tableName}_reserved_ids"
     if (!spark.catalog.tableExists(reserved))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], reservedIdsSchema)
+      localDf(spark, reservedIdsSchema)
         .write.format("parquet").saveAsTable(reserved)
+    verifiedTables.add((spark, tableName))
+  }
+
+  /** Drop both runlog tables (and any stale storage location a
+    * previous JVM left behind) and invalidate this session's
+    * created-table cache for them. Runlog table lifecycle must go
+    * through this API — an external DROP would leave the cache
+    * believing the tables exist. */
+  def dropRunlogTables(spark: SparkSession, tableName: String = "pipeline_runlog"): Unit = {
+    val reserved = s"${tableName}_reserved_ids"
+    Seq(tableName, reserved).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    verifiedTables.remove((spark, tableName))
   }
 
   /** Reserve the next run id: max(run_id)+1 over both tables, else 1
-    * (reference: pipeline_runlog.py:98-134). */
+    * (reference: pipeline_runlog.py:98-134). Both maxima fold into ONE
+    * Spark job (union of the two run_id columns) instead of a
+    * collect per table. */
   def reserveId(spark: SparkSession, tableName: String = "pipeline_runlog"): Int = {
     val reserved = s"${tableName}_reserved_ids"
-    val maxMain = maxRunId(spark, tableName)
-    val maxRes = maxRunId(spark, reserved)
-    val next = math.max(maxMain, maxRes) + 1
+    val present = Seq(tableName, reserved).filter(spark.catalog.tableExists)
+    val maxSeen =
+      if (present.isEmpty) 0
+      else {
+        val r = present.map(t => spark.read.table(t).select(col("run_id")))
+          .reduce(_ unionAll _).agg(max("run_id")).collect()(0)
+        if (r.isNullAt(0)) 0 else r.getInt(0)
+      }
+    val next = maxSeen + 1
     val now = new Timestamp(System.currentTimeMillis())
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(next, now))), reservedIdsSchema)
+    localDf(spark, reservedIdsSchema, Row(next, now))
       .write.mode("append").insertInto(reserved)
     next
   }
-
-  private def maxRunId(spark: SparkSession, table: String): Int =
-    if (!spark.catalog.tableExists(table)) 0
-    else {
-      val r = spark.read.table(table).agg(max("run_id")).collect()(0)
-      if (r.isNullAt(0)) 0 else r.getInt(0)
-    }
 
   case class RunlogEntry(
       runId: Int,
@@ -85,10 +125,9 @@ object RunLog {
       System.getProperty("user.name", "unknown"))
     val entry = RunlogEntry(id, desc, user,
       new Timestamp(System.currentTimeMillis()), pipelineName, pipelineVersion, config)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(
+    localDf(spark, runlogSchema, Row(
         entry.runId, entry.desc, entry.user, entry.datetime,
-        entry.pipelineName, entry.pipelineVersion, entry.config))), runlogSchema)
+        entry.pipelineName, entry.pipelineVersion, entry.config))
       .write.mode("append").insertInto(tableName)
     entry
   }

@@ -7,19 +7,26 @@ class RunLogSpec extends SparkTestBase {
   private val table = "graft_runlog_test"
 
   private def freshTables(): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_reserved_ids")
+    // lifecycle through the API: a raw DROP would leave the session's
+    // created-table cache stale
+    RunLog.dropRunlogTables(spark, table)
     RunLog.createRunlogTable(spark, table)
   }
 
   test("createRunlogTable creates both tables idempotently") {
     freshTables()
-    RunLog.createRunlogTable(spark, table) // second call is a no-op
+    RunLog.createRunlogTable(spark, table) // second call is a cached no-op
     assert(spark.catalog.tableExists(table))
     assert(spark.catalog.tableExists(s"${table}_reserved_ids"))
     assert(spark.table(table).columns.toSeq ==
       Seq("run_id", "desc", "user", "datetime", "pipeline_name",
         "pipeline_version", "config"))
+    // dropRunlogTables invalidates the cache: recreate really recreates
+    RunLog.dropRunlogTables(spark, table)
+    assert(!spark.catalog.tableExists(table))
+    RunLog.createRunlogTable(spark, table)
+    assert(spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(s"${table}_reserved_ids"))
   }
 
   test("reserveId increments across both tables") {

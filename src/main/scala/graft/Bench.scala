@@ -62,6 +62,53 @@ object Bench {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Hand-written 128-bit SimHash fingerprints (id, w0, w1) — the
+    * public-API formulation: two independent 64-bit token hashes
+    * (xxhash64(tok) and xxhash64(seed, tok)), 128 codegen'd sum
+    * aggregates for the bit votes. This is what a Spark engineer
+    * writes without the native kernel; the kernel does one fused pass
+    * per token instead of 128 aggregate states. */
+  private def rawSimHash128(docs: DataFrame, idC: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    def votes(hc: String, pfx: String) = (0 until 64).map(b =>
+      sum(shiftright(col(hc), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"$pfx$b"))
+    def assemble(pfx: String) = (0 until 64).map(b =>
+      when(col(s"$pfx$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    val toksDf = docs
+      .repartition(par)
+      .withColumn("toks", rawToks(rawNorm(col("text"))))
+      .select(col(idC), col("toks"))
+    toksDf
+      .select(col(idC), explode(col("toks")).as("tok"))
+      .withColumn("th0", xxhash64(col("tok")))
+      .withColumn("th1", xxhash64(lit(64), col("tok")))
+      .groupBy(idC)
+      .agg((votes("th0", "a") ++ votes("th1", "b")).head,
+        (votes("th0", "a") ++ votes("th1", "b")).tail: _*)
+      .select(col(idC).as("id"), assemble("a").as("w0"), assemble("b").as("w1"))
+      .repartition(par)
+  }
+
+  /** Manku block banding over a two-word fingerprint: 16-bit single
+    * blocks (the h<=7 rung), 8 bands. */
+  private def rawBanded128(sig: DataFrame): DataFrame = {
+    def block(i: Int): Column = {
+      val w = if (i < 4) col("w0") else col("w1")
+      shiftright(w, (i % 4) * 16).bitwiseAND(lit(0xFFFFL))
+    }
+    sig.select(col("id"),
+      posexplode(array((0 until 8).map(block): _*)).as(Seq("band", "bucket")))
+  }
+
+  private def rawHamming128Pairs(sig: DataFrame, maxHamming: Int): DataFrame =
+    rawPairs(rawBanded128(sig))
+      .join(sig.select(col("id").as("id_a"), col("w0").as("a0"), col("w1").as("a1")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("w0").as("b0"), col("w1").as("b1")), "id_b")
+      .withColumn("hamming", bit_count(col("a0").bitwiseXOR(col("b0"))) +
+        bit_count(col("a1").bitwiseXOR(col("b1"))))
+      .filter(col("hamming") <= maxHamming)
+
   /** Set Jaccard from two hash-array columns via array_intersect/union. */
   private def rawJaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -274,6 +321,41 @@ object Bench {
           sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)).as("n_bad_order"),
           (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("n_dup_pairs"),
           (count(lit(1)) >= 1).as("has_pairs"))
+    }),
+
+    "q_simhash128" -> ((s, d) =>
+      // same invariant aggregate over hand-written 128-bit fingerprints
+      // at the same 8-band rung; word-1 hashes differ from the kernel's
+      // remix (both are valid independent families), so the PAIR sets
+      // can differ while every contractual invariant must agree
+      rawHamming128Pairs(rawSimHash128(rawAugmentedDocs(s, d), "doc_id"), 7)
+        .agg(
+          sum(when(col("hamming") > 7, 1L).otherwise(0L)).as("n_bad_hamming"),
+          sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)).as("n_bad_order"),
+          (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("n_dup_pairs"),
+          (count(lit(1)) >= 1).as("has_pairs"))),
+
+    "q_pipeline_docs128" -> ((s, d) => {
+      // the end-to-end 128-bit dedup pipeline hand-written: planted
+      // exact copies, public-API fingerprints + banding, anti-join drop
+      val par = s.sparkContext.defaultParallelism
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(copies).repartition(par)
+      val pairs = rawHamming128Pairs(rawSimHash128(corpus, "doc_id"), 7)
+      val kept = corpus.join(
+        pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      kept.agg(
+          count(lit(1)).as("n_kept"),
+          sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
+            .as("n_copy_survivors"))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
+        .select(
+          col("n_copy_survivors"),
+          (col("n_kept") <= col("n_total") - 50L).as("dropped_all_copies"),
+          (col("n_kept") >= 1L).as("has_survivors"))
     }),
 
     "q_ngram_lsh" -> ((s, d) => {

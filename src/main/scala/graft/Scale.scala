@@ -103,6 +103,40 @@ object Scale {
         Dedup.decontaminate(d, ev, "text", "doc_id", n = 5)
       }
       run("exact_dedup", k)(d => Dedup.exactDedup(d, "text", "doc_id"))
+      run("simhash128_h7_8band", k)(d =>
+        Dedup.simHash128NearDuplicates(d, "text", "doc_id")) // default rung
+      run("simhash128_h8_120band", k)(d =>
+        Dedup.simHash128NearDuplicates(d, "text", "doc_id", maxHamming = 8))
+    }
+
+    // --- salted skew join: K replicas of the 90%-hot-key corpus, each
+    // replica's keys offset so it brings its own hot key — row count
+    // and join output grow exactly K×, skew density stays constant.
+    // out_rows is the JOIN output row count (pre-aggregation).
+    def skewJoin(k: Int): DataFrame = {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("ok"), col("l_quantity"))
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("k0"), col("o_totalprice"))
+      val left = (0 until k).map { r =>
+        li.withColumn("rep", explode(sequence(lit(0), lit(9))))
+          .withColumn("k",
+            when(pmod(col("ok"), lit(100)) < 90, lit(1L)).otherwise(col("ok"))
+              + lit(r * 10000000L))
+          .select("k", "l_quantity")
+      }.reduce(_ unionByName _)
+      val right = (0 until k).map { r =>
+        ord.select((col("k0") + lit(r * 10000000L)).as("k"), col("o_totalprice"))
+      }.reduce(_ unionByName _)
+      graft.core.DataFrameOps.saltedJoin(
+        left, right.hint("merge"), Seq("k"), saltFactor = 32)
+    }
+    for (k <- Seq(1, bigK)) {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val n = skewJoin(k).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"salted_join_skew","scale":$k,"secs":${math.rint(secs * 100) / 100},"out_rows":$n}""")
     }
     spark.stop()
   }

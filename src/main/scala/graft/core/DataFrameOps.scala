@@ -311,7 +311,9 @@ object DataFrameOps {
     * At 100 TB the blanket ×saltFactor replication of the right side is
     * the dominant cost; pass `hotKeys` (the known skewed key values,
     * single-column joins) to salt ONLY those keys: non-hot rows keep
-    * salt 0 and the right side replicates just the hot-key rows.
+    * salt 0 and the right side replicates just the hot-key rows. When
+    * the hot values aren't known ahead, [[detectHotKeys]] finds them
+    * in one bounded-memory pass over the key column.
     */
   def saltedJoin(
       left: DataFrame,
@@ -347,6 +349,37 @@ object DataFrameOps {
          right.withColumn(saltCol, explode(allSalts)))
     }
     saltedLeft.join(saltedRight, on :+ saltCol, how).drop(saltCol)
+  }
+
+  /** Candidate skewed values of a join key, from a SINGLE narrow pass:
+    * `stat.freqItems` runs the Misra–Gries frequent-items sketch over
+    * the (column-pruned) key column — bounded memory (~1/support
+    * counters per partition), no shuffle, no sort, one job, so it is
+    * safe to run over the full key column even at corpus scale. The
+    * result may contain FALSE POSITIVES (values that are not actually
+    * frequent) — by design and harmless downstream: salting a non-hot
+    * key never changes join results, it only replicates that key's
+    * right-side rows once more. Nulls are dropped (an equi-join never
+    * matches them). Compose with [[saltedJoin]]:
+    * {{{
+    * val hot = DataFrameOps.detectHotKeys(facts, "customer_id")
+    * DataFrameOps.saltedJoin(facts, dim, Seq("customer_id"),
+    *   hotKeys = Some(hot))
+    * }}}
+    * `support` is the minimum share of rows a key must hold to be
+    * reported (Spark requires >= 1e-4); the default 0.01 flags keys
+    * holding >1% of the corpus — on a 2000-reducer shuffle that is
+    * ~20 fair shares, well past where a reducer becomes the straggler.
+    */
+  def detectHotKeys(
+      df: DataFrame,
+      keyCol: String,
+      support: Double = 0.01): Seq[Any] = {
+    require(support >= 1e-4 && support < 1.0,
+      s"detectHotKeys: support must be in [1e-4, 1), got $support")
+    requireColumns(df, Seq(keyCol), "detectHotKeys")
+    df.select(keyCol).stat.freqItems(Seq(keyCol), support)
+      .first().getSeq[Any](0).filter(_ != null).toSeq
   }
 
   /** True when Catalyst would broadcast `right` in a plain equi-join:

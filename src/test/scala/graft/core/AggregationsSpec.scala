@@ -104,6 +104,23 @@ class AggregationsSpec extends SparkTestBase {
     assert(!one.queryExecution.analyzed.toString.contains("__graft_salt"))
   }
 
+  test("detectHotKeys finds the skewed key and composes with saltedJoin") {
+    val big = spark.range(2000).toDF("k")
+      .withColumn("k", when(col("k") < 1800, lit(9L)).otherwise(col("k")))
+      .withColumn("v", col("k") * 2)
+    val hot = DataFrameOps.detectHotKeys(big, "k", support = 0.4)
+    assert(hot.contains(9L), s"90%-share key must be detected, got $hot")
+    val dim = df("k BIGINT, name STRING", Seq(9L, "hot"), Seq(1900L, "cold"))
+    val plain = big.join(dim, Seq("k"), "inner")
+    val salted = DataFrameOps.saltedJoin(
+      big, dim.hint("merge"), Seq("k"), saltFactor = 4, hotKeys = Some(hot))
+    assert(salted.count() == plain.count())
+    assertThrows[IllegalArgumentException](
+      DataFrameOps.detectHotKeys(big, "k", support = 1e-5))
+    assertThrows[graft.ColumnNotInDataframeError](
+      DataFrameOps.detectHotKeys(big, "missing"))
+  }
+
   test("saltedJoin hotKeys salts only the listed keys") {
     val big = spark.range(1000).toDF("k")
       .withColumn("k", when(col("k") < 900, 1L).otherwise(col("k"))) // 90% on k=1

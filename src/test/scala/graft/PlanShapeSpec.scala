@@ -39,6 +39,34 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("simHash128 default-rung banding exchange carries only id/band/bucket") {
+    val plan = dedup.Dedup.simHash128NearDuplicates(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    val bandExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("band")).toSeq
+    assert(bandExchanges.nonEmpty, s"expected banded exchange in:\n$plan")
+    bandExchanges.foreach { e =>
+      assert(!e.contains("text") && !e.contains("toks#") && !e.contains("th#"),
+        s"simHash128 banding exchange carries payload columns:\n$e")
+    }
+  }
+
+  test("saltedJoin short-circuit plans the plain broadcast join; engaged path salts the SMJ keys") {
+    val left = spark.range(5000).toDF("k").withColumn("v", col("k") * 2)
+    val dim = spark.range(50).toDF("k").withColumn("name", col("k").cast("string"))
+    // broadcastable un-hinted right: physical plan must be the plain BHJ
+    val sc = core.DataFrameOps.saltedJoin(left, dim, Seq("k"), saltFactor = 8)
+    val scPlan = sc.queryExecution.executedPlan.toString
+    assert(scPlan.contains("BroadcastHashJoin") && !scPlan.contains("__graft_salt"),
+      s"short-circuit must plan the plain broadcast join:\n$scPlan")
+    // merge-hinted right: SMJ joining on (key, salt)
+    val en = core.DataFrameOps.saltedJoin(left, dim.hint("merge"), Seq("k"), saltFactor = 8)
+    val enPlan = en.queryExecution.executedPlan.toString
+    assert(enPlan.contains("SortMergeJoin") && enPlan.contains("__graft_salt"),
+      s"engaged path must sort-merge on the salted key:\n$enPlan")
+  }
+
   test("flagship entry query broadcasts all three dimension tables") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))

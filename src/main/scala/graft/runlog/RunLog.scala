@@ -50,16 +50,16 @@ object RunLog {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** Create both tables if missing (parquet-backed catalog tables; the
-    * reference's DDL at pipeline_runlog.py:73-95). */
+    * reference's DDL at pipeline_runlog.py:73-95). Pure DDL — an empty
+    * saveAsTable would run a write job just to produce an empty parquet
+    * file; CREATE TABLE IF NOT EXISTS touches only the catalog. */
   def createRunlogTable(spark: SparkSession, tableName: String = "pipeline_runlog"): Unit = {
     if (verifiedTables.contains((spark, tableName))) return
-    if (!spark.catalog.tableExists(tableName))
-      localDf(spark, runlogSchema)
-        .write.format("parquet").saveAsTable(tableName)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$tableName` " +
+      s"(${runlogSchema.toDDL}) USING parquet")
     val reserved = s"${tableName}_reserved_ids"
-    if (!spark.catalog.tableExists(reserved))
-      localDf(spark, reservedIdsSchema)
-        .write.format("parquet").saveAsTable(reserved)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$reserved` " +
+      s"(${reservedIdsSchema.toDDL}) USING parquet")
     verifiedTables.add((spark, tableName))
   }
 

@@ -143,6 +143,31 @@ class AggregationsSpec extends SparkTestBase {
       big, dim, Seq("k", "v"), saltFactor = 8, hotKeys = Some(Seq(1L))))
   }
 
+  test("saltedJoin equivalence grid: type x factor x targeting on a skewed corpus") {
+    // per-key row counts must match the plain join for every
+    // configuration of the machinery — the invariant that makes every
+    // salting knob safe to turn
+    val big = spark.range(3000).toDF("k")
+      .withColumn("k",
+        when(col("k") < 2400, col("k") % 2) // two hot keys: 0, 1
+          .otherwise(col("k")))
+      .withColumn("v", col("k") * 7)
+    val dim = df("k BIGINT, name STRING",
+      Seq(0L, "h0"), Seq(1L, "h1"), Seq(2500L, "cold"), Seq(9999L, "unmatched"))
+    for {
+      how <- Seq("inner", "left")
+      factor <- Seq(2, 8)
+      hot <- Seq(None, Some(Seq(0L, 1L)))
+    } {
+      val plain = big.join(dim, Seq("k"), how)
+        .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val salted = DataFrameOps.saltedJoin(
+          big, dim.hint("merge"), Seq("k"), how, factor, hot)
+        .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(salted == plain, s"mismatch at how=$how factor=$factor hot=$hot")
+    }
+  }
+
   test("leadOver / lagOver / ntileOver") {
     val d = df("g STRING, o INT, v DOUBLE",
       Seq("a", 1, 10.0), Seq("a", 2, 20.0), Seq("a", 3, 30.0))

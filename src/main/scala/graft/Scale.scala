@@ -138,6 +138,32 @@ object Scale {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"""{"op":"salted_join_skew","scale":$k,"secs":${math.rint(secs * 100) / 100},"out_rows":$n}""")
     }
+
+    // --- forced non-skew salting tax: the measured number behind
+    // saltedJoin's broadcast short-circuit (DataFrameOps scaladoc).
+    // Lives here rather than in baseline_ratios because the
+    // configuration exists only to be avoided: the operator's default
+    // path (un-hinted broadcastable right) never takes it. Two timed
+    // rounds each; the warm (second) reading is the honest one.
+    {
+      def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("k"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
+      def ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("k"), col("o_totalprice"))
+      for (round <- 1 to 2) {
+        for ((name, mk) <- Seq[(String, () => DataFrame)](
+          "nonskew_plain_join" -> (() => li.join(ord, Seq("k"))),
+          "nonskew_salted_forced_f4" -> (() =>
+            graft.core.DataFrameOps.saltedJoin(li, ord.hint("merge"), Seq("k"), saltFactor = 4)))) {
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          val n = mk().count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"""{"op":"$name","round":$round,"secs":${math.rint(secs * 100) / 100},"out_rows":$n}""")
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -711,7 +711,8 @@ object SparkEntry {
       // The right side here is small and un-hinted, so this exercises
       // the operator's broadcast short-circuit: salting a broadcast
       // join has no reduce side to balance, so saltedJoin defers to the
-      // plain join (r8; forcing the salted path here measured ~2.6×).
+      // plain join (forcing the salted path on this corpus measures ~2×
+      // for zero benefit — graft.Scale nonskew_* rows, SCALE.md).
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey").cast("long").as("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))

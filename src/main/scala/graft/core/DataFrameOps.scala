@@ -290,12 +290,12 @@ object DataFrameOps {
     * to the plain join when there is no reduce side to skew: if the
     * right side's estimated size fits `spark.sql.autoBroadcastJoinThreshold`
     * (and no user hint pins a shuffle strategy), Catalyst will broadcast
-    * it and salting would only inflate the broadcast build ×saltFactor —
-    * measured ~2.6× the plain broadcast join for zero benefit (r8 plan
-    * diff of q_salted_join: both sides BroadcastHashJoin, the wrapped
-    * tax was purely the ×4 build + rand()). To force the salted path for
-    * a right side whose runtime size belies its stats, pin it with
-    * `right.hint("merge")` / `hint("shuffle_hash")`.
+    * it and salting would only replicate the build side ×saltFactor —
+    * measured ~2× the plain broadcast join for zero benefit
+    * (`graft.Scale` `nonskew_salted_forced_f4` 0.54 s vs
+    * `nonskew_plain_join` 0.29 s warm, sf0.1 — SCALE.md). To force the
+    * salted path for a right side whose runtime size belies its stats,
+    * pin it with `right.hint("merge")` / `hint("shuffle_hash")`.
     *
     * Measured when salting IS engaged (sf0.1, local[32], BENCH_r08
     * q_salted_join_skew — right pinned `merge`): on a corpus with ~90%

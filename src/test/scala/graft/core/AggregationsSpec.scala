@@ -104,6 +104,21 @@ class AggregationsSpec extends SparkTestBase {
     assert(!one.queryExecution.analyzed.toString.contains("__graft_salt"))
   }
 
+  test("saltedJoin engages when broadcast is disabled session-wide") {
+    // threshold -1 means no broadcast join exists to defer to: the
+    // short-circuit must stand down even for a small un-hinted right
+    val big = spark.range(1000).toDF("k").withColumn("k", col("k") % 3)
+    val dim = df("k BIGINT, name STRING", Seq(0L, "zero"), Seq(1L, "one"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = DataFrameOps.saltedJoin(big, dim, Seq("k"), saltFactor = 4)
+      assert(salted.queryExecution.analyzed.toString.contains("__graft_salt"),
+        "broadcast disabled: salting must engage")
+      assert(salted.count() == big.join(dim, Seq("k")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("detectHotKeys finds the skewed key and composes with saltedJoin") {
     val big = spark.range(2000).toDF("k")
       .withColumn("k", when(col("k") < 1800, lit(9L)).otherwise(col("k")))

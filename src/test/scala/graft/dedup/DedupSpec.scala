@@ -188,6 +188,26 @@ class DedupSpec extends SparkTestBase {
     assert(ex.getMessage != null)
   }
 
+  test("simHash128Pairs recall contract fuzz: random fingerprints, random flips") {
+    // seeded randomized version of the planted worst cases: any pair
+    // within the radius must be recovered, at both banding rungs
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 10; h <- Seq(7, 14)) {
+      val w0 = rnd.nextLong(); val w1 = rnd.nextLong()
+      val nFlips = 1 + rnd.nextInt(h)
+      // distinct bit positions in [0, 128)
+      val flips = rnd.shuffle((0 until 128).toList).take(nFlips)
+      val f0 = flips.filter(_ < 64).foldLeft(0L)((a, b) => a | (1L << b))
+      val f1 = flips.filter(_ >= 64).foldLeft(0L)((a, b) => a | (1L << (b - 64)))
+      val fps = df("id BIGINT, sim ARRAY<BIGINT>",
+        Seq(1L, Seq(w0, w1)), Seq(2L, Seq(w0 ^ f0, w1 ^ f1)))
+      val out = Dedup.simHash128Pairs(fps, maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(out == Seq((1L, 2L, nFlips)),
+        s"trial $trial h=$h flips=$nFlips: expected the planted pair, got $out")
+    }
+  }
+
   test("simHash128Pairs verification excludes pairs beyond maxHamming") {
     val w0 = (0 until 9).map(b => 1L << (b * 7)).reduce(_ | _) // Hamming 9
     val fps = df("id BIGINT, sim ARRAY<BIGINT>",

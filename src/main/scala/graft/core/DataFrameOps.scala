@@ -311,9 +311,12 @@ object DataFrameOps {
     * At 100 TB the blanket ×saltFactor replication of the right side is
     * the dominant cost; pass `hotKeys` (the known skewed key values,
     * single-column joins) to salt ONLY those keys: non-hot rows keep
-    * salt 0 and the right side replicates just the hot-key rows. When
-    * the hot values aren't known ahead, [[detectHotKeys]] finds them
-    * in one bounded-memory pass over the key column.
+    * salt 0 and the right side replicates just the hot-key rows. The
+    * broadcast short-circuit above applies with or without `hotKeys` —
+    * targeting changes WHAT is replicated, not whether salting is
+    * worth engaging. When the hot values aren't known ahead,
+    * [[detectHotKeys]] finds them in one bounded-memory pass over the
+    * key column.
     */
   def saltedJoin(
       left: DataFrame,
@@ -331,8 +334,11 @@ object DataFrameOps {
       "saltedJoin: hotKeys targeting supports single-column join keys only")
     requireColumns(left, on, "saltedJoin(left)")
     requireColumns(right, on, "saltedJoin(right)")
-    if (saltFactor == 1 || hotKeys.exists(_.isEmpty) ||
-        (hotKeys.isEmpty && broadcastWouldWin(right)))
+    // the broadcast short-circuit applies with OR without hotKeys
+    // targeting — a broadcastable un-hinted right has no reduce side to
+    // skew, so even targeted salting only replicates hot-key build rows
+    // for zero benefit
+    if (saltFactor == 1 || hotKeys.exists(_.isEmpty) || broadcastWouldWin(right))
       return left.join(right, on, how)
     val saltCol = "__graft_salt"
     val allSalts = sequence(lit(0), lit(saltFactor - 1))

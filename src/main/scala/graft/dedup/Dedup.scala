@@ -368,14 +368,17 @@ object Dedup {
     val (nBlocks, comboSize) = simHash128Rung(maxHamming)
     val blockBits = 128 / nBlocks
     val blocksPerWord = nBlocks / 2
+    // row-level half of the guard: fail loudly on a wrong-length array.
+    // Evaluated ONCE per row as a filter (assert_true is null when the
+    // predicate holds) — wrapping each word() access instead would
+    // re-evaluate the size check per band expression: 8× per row on the
+    // default rung, 240× (2 block accesses × 120 bands) on C(16,2).
     val base = fingerprints.select(col("id"), col("sim"))
-    // row-level half of the guard: fail loudly on a wrong-length array
-    def word(w: Int): Column =
-      when(size(col("sim")) === 2, element_at(col("sim"), w + 1))
-        .otherwise(raise_error(concat(
-          lit("simHash128Pairs: fingerprint array of length "),
-          size(col("sim")), lit(" for id "), col("id").cast("string"),
-          lit(" (expected 2)"))))
+      .filter(assert_true(size(col("sim")) === 2, concat(
+        lit("simHash128Pairs: fingerprint array of length "),
+        size(col("sim")), lit(" for id "), col("id").cast("string"),
+        lit(" (expected 2)"))).isNull)
+    def word(w: Int): Column = element_at(col("sim"), w + 1)
     def block(i: Int): Column =
       shiftright(word(i / blocksPerWord), (i % blocksPerWord) * blockBits)
         .bitwiseAND(lit((1L << blockBits) - 1L))

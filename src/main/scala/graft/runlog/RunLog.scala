@@ -38,46 +38,89 @@ object RunLog {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
-  /** Per-session set of tables this JVM already created-or-verified:
-    * createRunlogTable is called create-if-absent from pipelines, and
-    * repeating the catalog existence probes + empty-write on every call
-    * is pure bookkeeping tax (a real metastore round-trips per probe).
-    * Keyed by session so a new session (new catalog) re-verifies;
-    * dropping a runlog table mid-session outside this API is the one
-    * case the cache misses, matching the reference's assumption that
-    * the log tables are managed only through it. */
+  /** Quote a possibly database-qualified table name part-by-part:
+    * `db.runlog` → `` `db`.`runlog` `` — backticking the WHOLE string
+    * would create a single literal identifier named "db.runlog" in the
+    * default database while an unquoted DROP targets db.runlog, i.e.
+    * create and drop would silently operate on different tables. */
+  private def quoted(name: String): String =
+    name.split('.').map(p => s"`$p`").mkString(".")
+
+  /** Tables this JVM already created-or-verified: createRunlogTable is
+    * called create-if-absent from pipelines, and repeating the catalog
+    * existence probes on every call is pure bookkeeping tax (a real
+    * metastore round-trips per probe). Keyed WEAKLY by the
+    * SparkContext — shared by every session (and `newSession()` clone)
+    * of one JVM-local catalog/warehouse — so (a) no strong SparkSession
+    * reference is pinned (many short-lived sessions in one JVM stay
+    * collectable; keying by session would also give cloned sessions of
+    * ONE catalog separate entries, letting a drop through session A
+    * leave session B's entry live and B's next create a no-op) and
+    * (b) a drop through any session evicts the entry every sibling
+    * sees. Dropping a runlog table outside this API is the one case
+    * the cache misses, matching the reference's assumption that the
+    * log tables are managed only through it. */
   private val verifiedTables =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.util.Set[String]]()
+
+  private def verifiedSet(spark: SparkSession): java.util.Set[String] =
+    verifiedTables.synchronized {
+      verifiedTables.computeIfAbsent(spark.sparkContext,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    }
 
   /** Create both tables if missing (parquet-backed catalog tables; the
     * reference's DDL at pipeline_runlog.py:73-95). Pure DDL — an empty
     * saveAsTable would run a write job just to produce an empty parquet
     * file; CREATE TABLE IF NOT EXISTS touches only the catalog. */
   def createRunlogTable(spark: SparkSession, tableName: String = "pipeline_runlog"): Unit = {
-    if (verifiedTables.contains((spark, tableName))) return
-    spark.sql(s"CREATE TABLE IF NOT EXISTS `$tableName` " +
+    val cache = verifiedSet(spark)
+    if (cache.contains(tableName)) return
+    spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoted(tableName)} " +
       s"(${runlogSchema.toDDL}) USING parquet")
     val reserved = s"${tableName}_reserved_ids"
-    spark.sql(s"CREATE TABLE IF NOT EXISTS `$reserved` " +
+    spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoted(reserved)} " +
       s"(${reservedIdsSchema.toDDL}) USING parquet")
-    verifiedTables.add((spark, tableName))
+    cache.add(tableName)
+  }
+
+  /** Storage location of a table, resolved from the CATALOG (DESCRIBE
+    * EXTENDED) — warehouse.dir + raw name is wrong for qualified names
+    * (db tables live under `<warehouse>/<db>.db/<table>`) and for any
+    * table created with an explicit LOCATION. Fallback to the default-
+    * database layout when the table is already gone from the catalog. */
+  private def tableLocation(spark: SparkSession, name: String): org.apache.hadoop.fs.Path = {
+    import org.apache.hadoop.fs.Path
+    val fromCatalog =
+      if (spark.catalog.tableExists(name))
+        spark.sql(s"DESCRIBE TABLE EXTENDED ${quoted(name)}")
+          .where(col("col_name") === "Location")
+          .collect().headOption.map(r => new Path(r.getString(1)))
+      else None
+    fromCatalog.getOrElse {
+      val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+      name.split('.') match {
+        case Array(db, t) => new Path(new Path(wh, s"$db.db"), t)
+        case parts        => parts.foldLeft(wh)((p, s) => new Path(p, s))
+      }
+    }
   }
 
   /** Drop both runlog tables (and any stale storage location a
-    * previous JVM left behind) and invalidate this session's
-    * created-table cache for them. Runlog table lifecycle must go
-    * through this API — an external DROP would leave the cache
+    * previous JVM left behind) and invalidate the created-table cache
+    * for every session sharing this catalog. Runlog table lifecycle
+    * must go through this API — an external DROP would leave the cache
     * believing the tables exist. */
   def dropRunlogTables(spark: SparkSession, tableName: String = "pipeline_runlog"): Unit = {
     val reserved = s"${tableName}_reserved_ids"
     Seq(tableName, reserved).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), t)
+      // resolve the location BEFORE the drop (the catalog forgets it after)
+      val loc = tableLocation(spark, t)
+      spark.sql(s"DROP TABLE IF EXISTS ${quoted(t)}")
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    verifiedTables.remove((spark, tableName))
+    verifiedSet(spark).remove(tableName)
   }
 
   /** Reserve the next run id: max(run_id)+1 over both tables, else 1

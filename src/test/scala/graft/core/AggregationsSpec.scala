@@ -104,6 +104,19 @@ class AggregationsSpec extends SparkTestBase {
     assert(!one.queryExecution.analyzed.toString.contains("__graft_salt"))
   }
 
+  test("saltedJoin hotKeys does not disable the broadcast short-circuit") {
+    // targeting changes WHAT is replicated, not whether salting is
+    // worth engaging: a broadcastable un-hinted right must still
+    // short-circuit even when hot keys are passed
+    val big = spark.range(1000).toDF("k").withColumn("k", col("k") % 3)
+    val dim = df("k BIGINT, name STRING", Seq(0L, "zero"), Seq(1L, "one"))
+    val out = DataFrameOps.saltedJoin(
+      big, dim, Seq("k"), saltFactor = 8, hotKeys = Some(Seq(0L)))
+    assert(!out.queryExecution.analyzed.toString.contains("__graft_salt"),
+      "broadcastable right + hotKeys must short-circuit to the plain join")
+    assert(out.count() == big.join(dim, Seq("k")).count())
+  }
+
   test("saltedJoin engages when broadcast is disabled session-wide") {
     // threshold -1 means no broadcast join exists to defer to: the
     // short-circuit must stand down even for a small un-hinted right

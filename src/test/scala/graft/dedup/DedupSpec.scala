@@ -188,6 +188,28 @@ class DedupSpec extends SparkTestBase {
     assert(ex.getMessage != null)
   }
 
+  test("simHash128Pairs row guard is evaluated once per row, not per band") {
+    // the wrong-length guard lives in ONE filter over the validated
+    // frame — wrapping each block access would re-evaluate it 240× per
+    // row on the C(16,2) rung (2 accesses × 120 bands). The optimized
+    // plan may repeat the filter subtree once per reuse of the base
+    // frame (payload re-joins), but never once per band expression.
+    // Parquet-backed input: over a literal LocalRelation the optimizer
+    // (ConvertToLocalRelation) evaluates the filter eagerly and the
+    // guard would show 0 occurrences regardless of placement.
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    df("id BIGINT, sim ARRAY<BIGINT>",
+      Seq(1L, Seq(0L, 0L)), Seq(2L, Seq(1L, 0L)))
+      .write.mode("overwrite").parquet(dir)
+    val plan = Dedup.simHash128Pairs(spark.read.parquet(dir), maxHamming = 14)
+      .queryExecution.optimizedPlan.toString
+    val guards = "raise_error".r.findAllIn(plan).size
+    assert(guards >= 1, "the wrong-length guard must survive optimization")
+    assert(guards < 10,
+      s"guard appears $guards times — expected once per base-frame reuse, " +
+        "not once per band (120-band rung would show ~240)")
+  }
+
   test("simHash128Pairs recall contract fuzz: random fingerprints, random flips") {
     // seeded randomized version of the planted worst cases: any pair
     // within the radius must be recovered, at both banding rungs

@@ -49,6 +49,54 @@ class RunLogSpec extends SparkTestBase {
     assert(RunLog.recentRunIds(spark, 2, table) == Seq(e2.runId, e1.runId))
   }
 
+  test("database-qualified table names create, use and drop the SAME table") {
+    // a whole-string backtick would create a literal `db.table` in the
+    // default database while DROP targets db.table — silent split-brain
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_rl_db")
+    try {
+      val qualified = "graft_rl_db.pipeline_runlog"
+      RunLog.dropRunlogTables(spark, qualified)
+      RunLog.createRunlogTable(spark, qualified)
+      assert(spark.catalog.tableExists(qualified),
+        "table must land in graft_rl_db, not as a literal name in default")
+      assert(!spark.catalog.tableExists("`graft_rl_db.pipeline_runlog`"))
+      val e = RunLog.addEntry(spark, "qualified", "pipe", "1.0", "{}",
+        tableName = qualified)
+      assert(RunLog.lastRunId(spark, qualified).contains(e.runId))
+      // drop removes the catalog entries AND the db-scoped storage dir
+      RunLog.dropRunlogTables(spark, qualified)
+      assert(!spark.catalog.tableExists(qualified))
+      assert(!spark.catalog.tableExists(s"${qualified}_reserved_ids"))
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(wh, "graft_rl_db.db"), "pipeline_runlog")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(loc), s"db-scoped storage $loc must be cleaned up")
+      // recreate after drop works (cache was evicted)
+      RunLog.createRunlogTable(spark, qualified)
+      assert(spark.catalog.tableExists(qualified))
+      RunLog.dropRunlogTables(spark, qualified)
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_rl_db CASCADE")
+  }
+
+  test("drop through a cloned session evicts the shared created-table cache") {
+    // cloned sessions share one catalog: session-keyed caching would
+    // leave the sibling's entry live after a drop, making its next
+    // createRunlogTable a no-op and the addEntry after it fail
+    val t = "graft_runlog_clone_test"
+    RunLog.dropRunlogTables(spark, t)
+    RunLog.createRunlogTable(spark, t)
+    val clone = spark.newSession()
+    RunLog.dropRunlogTables(clone, t)
+    assert(!spark.catalog.tableExists(t))
+    RunLog.createRunlogTable(spark, t) // must really recreate
+    val e = RunLog.addEntry(spark, "after clone drop", "pipe", "1.0", "{}",
+      tableName = t)
+    assert(RunLog.lastRunId(spark, t).contains(e.runId))
+    RunLog.dropRunlogTables(spark, t)
+  }
+
   test("renderEntry and writeRunlogFile produce the text form") {
     freshTables()
     val e = RunLog.addEntry(spark, "desc here", "pipe", "2.0", "{\"k\":1}",

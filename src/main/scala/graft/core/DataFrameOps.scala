@@ -297,10 +297,11 @@ object DataFrameOps {
     * salted path for a right side whose runtime size belies its stats,
     * pin it with `right.hint("merge")` / `hint("shuffle_hash")`.
     *
-    * Measured when salting IS engaged (sf0.1, local[32], BENCH_r08
-    * q_salted_join_skew — right pinned `merge`): on a corpus with ~90%
-    * of 6M rows on one hot key, salted (factor 32) runs ~0.65–0.75× the
-    * plain shuffle join warm — the win is sort/reduce balance: the hot
+    * Measured when salting IS engaged (sf0.1, local[32], `graft.Scale`
+    * `skew_plain` 3.66 s vs `skew_salted_f32` 2.42 s warm — SCALE.md
+    * round-9 rows; right pinned `merge`): on a corpus with ~90% of 6M
+    * rows on one hot key, salted (factor 32) runs ~0.66× the plain
+    * shuffle join warm — the win is sort/reduce balance: the hot
     * key's 5.4M rows sort on one core in the plain plan. AQE's skew-join
     * split did NOT engage at this scale (hot partition ~86 MB <
     * `spark.sql.adaptive.skewedPartitionThresholdInBytes` 256 MB
@@ -311,7 +312,11 @@ object DataFrameOps {
     * At 100 TB the blanket ×saltFactor replication of the right side is
     * the dominant cost; pass `hotKeys` (the known skewed key values,
     * single-column joins) to salt ONLY those keys: non-hot rows keep
-    * salt 0 and the right side replicates just the hot-key rows. The
+    * salt 0 and the right side replicates just the hot-key rows —
+    * measured: `graft.Scale` `skew_salted_hotkeys_f32` exchanges 150k
+    * replicated right rows vs `skew_salted_blanket_f32`'s 4.8M (32×)
+    * for identical output and equal wall time at sf0.1 (SCALE.md
+    * round-9 rows; the exchange-volume gap is the 100 TB win). The
     * broadcast short-circuit above applies with or without `hotKeys` —
     * targeting changes WHAT is replicated, not whether salting is
     * worth engaging. When the hot values aren't known ahead,

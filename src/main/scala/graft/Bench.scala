@@ -337,24 +337,37 @@ object Bench {
 
     "q_pipeline_docs128" -> ((s, d) => {
       // the end-to-end 128-bit dedup pipeline hand-written: planted
-      // exact copies, public-API fingerprints + banding, anti-join drop
+      // exact copies AND bit-flipped near-dups (Hamming <= 7),
+      // hand-written fingerprints + banding, anti-join drop
       val par = s.sparkContext.defaultParallelism
       val docs = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val copies = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val corpus = docs.unionByName(copies).repartition(par)
-      val pairs = rawHamming128Pairs(rawSimHash128(corpus, "doc_id"), 7)
-      val kept = corpus.join(
-        pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val fps = rawSimHash128(corpus, "doc_id")
+      def maskFor(h: Int): Long = (0 until h).map(i => 1L << (i * 9)).reduce(_ | _)
+      val mask = (1 to 7).foldLeft(lit(0L)) { (acc, h) =>
+        when(pmod(col("id"), lit(7)) + 1 === h, lit(maskFor(h))).otherwise(acc)
+      }
+      val near = fps.filter(col("id") < 50)
+        .select((col("id") + 2000000L).as("id"),
+          col("w0").bitwiseXOR(mask).as("w0"), col("w1"))
+      val allFps = fps.unionByName(near)
+      val pairs = rawHamming128Pairs(allFps, 7)
+      val kept = allFps.join(
+        pairs.select(col("id_b").as("id")).distinct(), Seq("id"), "left_anti")
       kept.agg(
           count(lit(1)).as("n_kept"),
-          sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
-            .as("n_copy_survivors"))
-        .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
+          sum(when(col("id") >= 1000000L && col("id") < 2000000L, 1L)
+            .otherwise(0L)).as("n_copy_survivors"),
+          sum(when(col("id") >= 2000000L, 1L).otherwise(0L))
+            .as("n_neardup_survivors"))
+        .crossJoin(allFps.agg(count(lit(1)).as("n_total")))
         .select(
           col("n_copy_survivors"),
-          (col("n_kept") <= col("n_total") - 50L).as("dropped_all_copies"),
+          col("n_neardup_survivors"),
+          (col("n_kept") <= col("n_total") - 100L).as("dropped_all_copies"),
           (col("n_kept") >= 1L).as("has_survivors"))
     }),
 

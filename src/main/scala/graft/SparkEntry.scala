@@ -685,6 +685,68 @@ object SparkEntry {
           round(col("sum_value"), 6).as("sum_value"))
     }),
 
+    "q_stream_dedup" -> ((s, d) => {
+      // streaming SimHash near-dup dedup, batch-equivalence path (same
+      // state function in batch and stream — StatefulStreamingSpec
+      // proves cross-micro-batch state). Docs shard by the
+      // fingerprint's top 16-bit block (the single-probe rung: any
+      // near-dup pair agreeing on that block is guaranteed detected);
+      // 50 exact copies planted so guaranteed drops are exercised.
+      // First-ARRIVAL wins (not lowest-id), and batch group iteration
+      // order is engine-chosen, so the oracle checks the
+      // order-independent invariants: survivors of a shard are
+      // pairwise > maxHamming apart, every dropped doc is within
+      // maxHamming of a survivor of its shard (only emitted docs enter
+      // state), at least the 50 planted collisions dropped, and
+      // survivors + dropped = corpus.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(copies)
+        .repartition(s.sparkContext.defaultParallelism)
+      val fps = corpus.select(
+        shiftrightunsigned(
+          graft.functions.HashFunctions.simHashNative(
+            graft.functions.HashFunctions.tokenHashesNative(
+              TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))), 48)
+          .cast("string").as("key"),
+        col("doc_id").as("id"),
+        graft.functions.HashFunctions.simHashNative(
+          graft.functions.HashFunctions.tokenHashesNative(
+            TextFunctions.tokens(TextFunctions.normalizeText(col("text")))))
+          .as("sim"),
+        lit("").as("payload"))
+      import s.implicits._
+      // survivor choice depends on arrival order: pin ONE outcome for
+      // the three downstream joins (localCheckpoint materializes
+      // eagerly; a lazy fence would recompute per join)
+      val kept = Streaming.nearDedupStream(fps.as[Streaming.SimDoc], maxHamming = 3)
+        .toDF().select("key", "id", "sim").localCheckpoint(true)
+      val dropped = fps.select("key", "id", "sim")
+        .join(kept.select("id"), Seq("id"), "left_anti")
+      val a = kept.select(col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
+      val b = kept.select(col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
+      val badPairs = a.join(b, Seq("key"))
+        .filter(col("id_a") < col("id_b") &&
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+        .agg(count(lit(1)).as("n_bad_pairs"))
+      val orphanDrops = dropped
+        .join(kept.select(col("key"), col("sim").as("sim_k")), Seq("key"), "left")
+        .groupBy("id")
+        .agg(max(when(bit_count(col("sim").bitwiseXOR(col("sim_k"))) <= 3, 1)
+          .otherwise(0)).as("covered"))
+        .agg(sum(when(col("covered") === 0 || col("covered").isNull, 1L)
+          .otherwise(0L)).as("n_orphan_drops"))
+      badPairs.crossJoin(orphanDrops)
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
+        .select(col("n_bad_pairs"), col("n_orphan_drops"),
+          (col("n_dropped") >= 50L).as("dropped_planted"),
+          (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
+    }),
+
     "q_json_props" -> ((s, d) =>
       // semi-structured column handling: JSON-path extraction on the
       // events props payload (oracled via regexp so the DuckDB side
@@ -864,29 +926,55 @@ object SparkEntry {
     }),
 
     "q_pipeline_docs128" -> ((s, d) => {
-      // end-to-end 128-bit dedup pipeline: fingerprint → banded pairs
-      // at the default 8-band rung → dropNearDuplicates. 50 exact
-      // copies planted at ids >= 1000000: an exact copy fingerprints
-      // identically (hamming 0, every bucket shared), and the copy is
-      // always the pair's higher id, so zero copies may survive the
-      // drop. Invariant-style oracle — fingerprints are
-      // engine-internal, but these outcomes are contractual.
+      // end-to-end 128-bit dedup pipeline: fingerprint (real kernel) →
+      // banded pairs at the default 8-band rung → dropNearDuplicates.
+      // Two planted families, both of which MUST be dropped:
+      //  - 50 exact copies at ids >= 1000000 (hamming 0 — every bucket
+      //    shared, copy is always the pair's higher id);
+      //  - 50 NEAR-dups at ids >= 2000000: the source doc's fingerprint
+      //    with (doc_id % 7) + 1 bits flipped — exact Hamming h in
+      //    [1, 7], i.e. inside the default rung's recall CONTRACT, so
+      //    end-to-end recall (not just exact-copy recall) is what the
+      //    zero-survivors assertion pins.
+      // Invariant-style oracle — fingerprints are engine-internal, but
+      // these outcomes are contractual.
       val docs = t(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val copies = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val corpus = docs.unionByName(copies)
         .repartition(s.sparkContext.defaultParallelism)
-      val pairs = Dedup.simHash128NearDuplicates(corpus, "text", "doc_id")
-      val kept = Dedup.dropNearDuplicates(corpus, pairs, "doc_id")
+      val fps = corpus.select(col("doc_id").as("id"),
+          graft.functions.HashFunctions.simHash128Native(
+            graft.functions.HashFunctions.tokenHashesNative(
+              TextFunctions.tokens(TextFunctions.normalizeText(col("text")))))
+            .as("sim"))
+        // materialisation fence — fps feeds banding AND the near plants
+        .repartition(s.sparkContext.defaultParallelism)
+      // h = (id % 7) + 1 bits of word 0 flipped, spread 9 apart so no
+      // 16-bit band block absorbs them all
+      def maskFor(h: Int): Long = (0 until h).map(i => 1L << (i * 9)).reduce(_ | _)
+      val mask = (1 to 7).foldLeft(lit(0L)) { (acc, h) =>
+        when(pmod(col("id"), lit(7)) + 1 === h, lit(maskFor(h))).otherwise(acc)
+      }
+      val near = fps.filter(col("id") < 50)
+        .select((col("id") + 2000000L).as("id"),
+          array(element_at(col("sim"), 1).bitwiseXOR(mask),
+            element_at(col("sim"), 2)).as("sim"))
+      val allFps = fps.unionByName(near)
+      val pairs = Dedup.simHash128Pairs(allFps, maxHamming = 7)
+      val kept = Dedup.dropNearDuplicates(allFps, pairs, "id")
       kept.agg(
           count(lit(1)).as("n_kept"),
-          sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
-            .as("n_copy_survivors"))
-        .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
+          sum(when(col("id") >= 1000000L && col("id") < 2000000L, 1L)
+            .otherwise(0L)).as("n_copy_survivors"),
+          sum(when(col("id") >= 2000000L, 1L).otherwise(0L))
+            .as("n_neardup_survivors"))
+        .crossJoin(allFps.agg(count(lit(1)).as("n_total")))
         .select(
           col("n_copy_survivors"),
-          (col("n_kept") <= col("n_total") - 50L).as("dropped_all_copies"),
+          col("n_neardup_survivors"),
+          (col("n_kept") <= col("n_total") - 100L).as("dropped_all_copies"),
           (col("n_kept") >= 1L).as("has_survivors"))
     }),
 
@@ -998,6 +1086,7 @@ object SparkEntry {
 
     "q_pipeline_docs128" ->
       """SELECT CAST(0 AS BIGINT) AS n_copy_survivors,
+        |CAST(0 AS BIGINT) AS n_neardup_survivors,
         |TRUE AS dropped_all_copies, TRUE AS has_survivors""".stripMargin,
 
     "q_decontaminate" ->
@@ -1467,6 +1556,11 @@ object SparkEntry {
         |CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 AS window_end,
         |event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT CAST(0 AS BIGINT) AS n_bad_pairs,
+        |CAST(0 AS BIGINT) AS n_orphan_drops,
+        |TRUE AS dropped_planted, TRUE AS conserved""".stripMargin,
 
     "q_json_props" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id,

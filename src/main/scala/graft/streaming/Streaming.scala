@@ -151,6 +151,83 @@ object Streaming {
       }
   }
 
+  /** Input rows for streaming NEAR-duplicate dedup: `key` is the
+    * locality shard (see [[nearDedupStream]]), `sim` the 64-bit SimHash
+    * fingerprint. */
+  case class SimDoc(key: String, id: Long, sim: Long, payload: String)
+
+  /** Seen-fingerprint state for one shard: emitted docs' fingerprints,
+    * newest first, capped. */
+  case class NearDedupState(fps: List[Long])
+
+  /** Streaming SimHash near-duplicate dedup: per shard `key`, emit a
+    * doc only if NO previously-EMITTED doc of the shard is within
+    * `maxHamming` of its fingerprint — the streaming analogue of
+    * fingerprint-level [[graft.dedup.Dedup.simHashPairs]] +
+    * dropNearDuplicates, with first-arrival winning instead of
+    * lowest-id.
+    *
+    * Only emitted (surviving) docs enter state, which yields two
+    * order-independent invariants the oracle checks: no two survivors
+    * of a shard are within `maxHamming`, and every dropped doc is
+    * within `maxHamming` of some survivor of its shard.
+    *
+    * State is bounded two ways, because an unbounded seen-set is the
+    * classic streaming-dedup leak at corpus scale: keys idle past
+    * `timeoutMs` are evicted wholesale (ProcessingTimeTimeout, same
+    * policy as [[runningCounts]]), and a shard's fingerprint list is
+    * capped at `maxStatePerKey` newest entries — dedup degrades to
+    * most-recent-window semantics instead of the state store growing
+    * without limit.
+    *
+    * Scale notes: the per-arrival state scan is linear in the shard's
+    * retained fingerprints (bit_count over longs; thousands per shard
+    * scan in microseconds), so `key` must be a LOCALITY shard, not a
+    * constant: use a SimHash band block (e.g. the top 16 bits) to
+    * guarantee detection for any near-dup pair agreeing on that block —
+    * the single-probe rung of the banding family. Full multi-band
+    * recall needs one stateful stage per band (Spark allows one
+    * flatMapGroupsWithState per streaming query); run the batch
+    * operator over the retained corpus for contractual recall.
+    *
+    * Works identically on batch Datasets (per-key state starts empty,
+    * iterator order = arrival order), so the batch path oracles the
+    * streaming one; StatefulStreamingSpec proves cross-micro-batch
+    * state.
+    */
+  def nearDedupStream(
+      docs: Dataset[SimDoc],
+      maxHamming: Int,
+      maxStatePerKey: Int = 10000,
+      timeoutMs: Long = 3600000): Dataset[SimDoc] = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"nearDedupStream: maxHamming must be in [0, 64], got $maxHamming")
+    require(maxStatePerKey >= 1,
+      s"nearDedupStream: maxStatePerKey must be >= 1, got $maxStatePerKey")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.key)
+      .flatMapGroupsWithState[NearDedupState, SimDoc](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (_, rows, state: GroupState[NearDedupState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.map(_.fps).getOrElse(Nil)
+            val (emit, newSeen) = rows.foldLeft(
+              (List.empty[SimDoc], seen)) { case ((out, s), doc) =>
+              if (s.exists(fp =>
+                  java.lang.Long.bitCount(fp ^ doc.sim) <= maxHamming))
+                (out, s)
+              else (doc :: out, (doc.sim :: s).take(maxStatePerKey))
+            }
+            state.update(NearDedupState(newSeen))
+            state.setTimeoutDuration(timeoutMs)
+            emit.reverseIterator
+          }
+      }
+  }
+
   /** Running per-key event counter with inactivity expiry: state is a
     * single long; keys idle past `timeoutMs` are dropped (bounded state
     * at 100 TB stream scale). Emits (key, runningCount) per batch. */

@@ -40,6 +40,62 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(fingerprints == Seq("a", "b", "c")) // "a" emitted once only
   }
 
+  test("nearDedupStream drops within-radius docs per shard (batch mode)") {
+    import Streaming.{SimDoc, nearDedupStream}
+    val docs = Seq(
+      SimDoc("s", 1L, 0L, "base"),
+      SimDoc("s", 2L, 3L, "hamming 2 of base — near-dup"),
+      SimDoc("s", 3L, 0xFF00L, "hamming 8 — distinct"),
+      SimDoc("t", 4L, 3L, "same fp, other shard")).toDS()
+    val out = nearDedupStream(docs, maxHamming = 3).collect()
+    // first-arrival wins; one of {1,2} survives in shard s, plus 3 and 4
+    assert(out.length == 3)
+    assert(out.count(_.key == "s") == 2)
+    assert(out.exists(_.id == 3L) && out.exists(_.id == 4L))
+    assert(out.count(d => d.id == 1L || d.id == 2L) == 1)
+  }
+
+  test("nearDedupStream caps per-shard state at maxStatePerKey") {
+    import Streaming.{SimDoc, nearDedupStream}
+    // far-apart fingerprints (hamming 8 between neighbours) so nothing
+    // dedups; with the cap at 2, fp 0 has been evicted by the time its
+    // exact copy (id 4) arrives — most-recent-window semantics
+    val docs = Seq(
+      SimDoc("s", 1L, 0L, ""),
+      SimDoc("s", 2L, 0xFFL, ""),
+      SimDoc("s", 3L, 0xFF00L, ""),
+      SimDoc("s", 4L, 0L, "copy of evicted fp"))
+    val out = nearDedupStream(docs.toDS().coalesce(1), maxHamming = 3,
+      maxStatePerKey = 2).collect()
+    assert(out.length == 4, "evicted fingerprint must not suppress its copy")
+    val full = nearDedupStream(docs.toDS().coalesce(1), maxHamming = 3).collect()
+    assert(full.length == 3, "uncapped state must suppress the exact copy")
+  }
+
+  test("nearDedupStream keeps state across streaming micro-batches") {
+    import Streaming.{SimDoc, nearDedupStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft_near_state").toString
+    Seq(SimDoc("k", 1L, 0L, "one"), SimDoc("k", 2L, 0xF0F0L, "two")).toDS()
+      .write.mode("overwrite").parquet(s"$dir/in")
+    // second micro-batch: hamming-1 near-dup of doc 1 + one new
+    Seq(SimDoc("k", 3L, 1L, "near-dup of one"), SimDoc("k", 4L, 0xAAAA00L, "three")).toDS()
+      .write.mode("append").parquet(s"$dir/in")
+    val streamed = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SimDoc]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in").as[SimDoc]
+    val q = nearDedupStream(streamed, maxHamming = 3).writeStream
+      .format("memory").queryName("graft_near_dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ids = spark.table("graft_near_dedup_stream")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L),
+      "doc 3 (hamming 1 of batch-1 doc 1) must be dropped by carried state")
+  }
+
   test("runningCounts accumulates per key") {
     val out = Streaming.runningCounts(
       Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDS()).collect().toMap

@@ -84,18 +84,20 @@ object RunLog {
     cache.add(tableName)
   }
 
-  /** Storage location of a table, resolved from the CATALOG (DESCRIBE
-    * EXTENDED) — warehouse.dir + raw name is wrong for qualified names
-    * (db tables live under `<warehouse>/<db>.db/<table>`) and for any
-    * table created with an explicit LOCATION. Fallback to the default-
-    * database layout when the table is already gone from the catalog. */
+  /** Storage location of a table, resolved from the CATALOG —
+    * warehouse.dir + raw name is wrong for qualified names (db tables
+    * live under `<warehouse>/<db>.db/<table>`) and for any table
+    * created with an explicit LOCATION. Direct SessionCatalog metadata
+    * lookup, not `DESCRIBE TABLE EXTENDED`: a DESCRIBE is a parsed +
+    * planned SQL command per table and measurably taxes the benched
+    * runlog lifecycle. Fallback to the default-database layout when
+    * the table is already gone from the catalog. */
   private def tableLocation(spark: SparkSession, name: String): org.apache.hadoop.fs.Path = {
     import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
     val fromCatalog =
-      if (spark.catalog.tableExists(name))
-        spark.sql(s"DESCRIBE TABLE EXTENDED ${quoted(name)}")
-          .where(col("col_name") === "Location")
-          .collect().headOption.map(r => new Path(r.getString(1)))
+      if (spark.sessionState.catalog.tableExists(ident))
+        Some(new Path(spark.sessionState.catalog.getTableMetadata(ident).location))
       else None
     fromCatalog.getOrElse {
       val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))

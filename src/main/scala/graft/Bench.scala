@@ -371,6 +371,59 @@ object Bench {
           (col("n_kept") >= 1L).as("has_survivors"))
     }),
 
+    "q_stream_dedup" -> ((s, d) => {
+      // hand-written streaming-dedup baseline: hand-rolled 64-bit
+      // fingerprints (word 0 of the raw 128-bit votes), plain
+      // flatMapGroups with a local seen-list instead of GroupState —
+      // the loop a user writes when they don't need cross-batch state.
+      // Fingerprint families differ from the kernel's, so survivor
+      // SETS differ; the invariant outputs are the same constants.
+      import s.implicits._
+      val par = s.sparkContext.defaultParallelism
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(copies).repartition(par)
+      val fps = rawSimHash128(corpus, "doc_id")
+        .select(shiftrightunsigned(col("w0"), 48).cast("string").as("key"),
+          col("id"), col("w0").as("sim"))
+      val kept = fps.toDF("_1", "_2", "_3").as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, rows) =>
+          var seen = List.empty[Long]
+          val out = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+          rows.foreach { r =>
+            if (!seen.exists(fp => java.lang.Long.bitCount(fp ^ r._3) <= 3)) {
+              out += r
+              seen ::= r._3
+            }
+          }
+          out.iterator
+        }.toDF("key", "id", "sim").localCheckpoint(true)
+      val dropped = fps.join(kept.select("id"), Seq("id"), "left_anti")
+      val a = kept.select(col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
+      val b = kept.select(col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
+      val badPairs = a.join(b, Seq("key"))
+        .filter(col("id_a") < col("id_b") &&
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+        .agg(count(lit(1)).as("n_bad_pairs"))
+      val orphanDrops = dropped
+        .join(kept.select(col("key"), col("sim").as("sim_k")), Seq("key"), "left")
+        .groupBy("id")
+        .agg(max(when(bit_count(col("sim").bitwiseXOR(col("sim_k"))) <= 3, 1)
+          .otherwise(0)).as("covered"))
+        .agg(sum(when(col("covered") === 0 || col("covered").isNull, 1L)
+          .otherwise(0L)).as("n_orphan_drops"))
+      badPairs.crossJoin(orphanDrops)
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
+        .select(col("n_bad_pairs"), col("n_orphan_drops"),
+          (col("n_dropped") >= 50L).as("dropped_planted"),
+          (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
+    }),
+
     "q_ngram_lsh" -> ((s, d) => {
       val par = s.sparkContext.defaultParallelism
       val base = rawAugmentedDocs(s, d)

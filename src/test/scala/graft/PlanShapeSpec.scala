@@ -52,6 +52,23 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("nearDedupStream plans ONE exchange on the shard key, no payload re-shuffle") {
+    // the streaming near-dedup's only shuffle is the groupByKey on the
+    // shard — a second exchange would mean the state pass re-partitions
+    // payload, the classic accidental double-shuffle
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardedup_plan").toString
+    Seq(streaming.Streaming.SimDoc("a", 1L, 0L, "p"),
+      streaming.Streaming.SimDoc("b", 2L, 1L, "q")).toDS()
+      .write.mode("overwrite").parquet(dir)
+    val ds = spark.read.parquet(dir).as[streaming.Streaming.SimDoc]
+    val plan = streaming.Streaming.nearDedupStream(ds, maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges in:\n$plan")
+    assert(plan.contains("FlatMapGroupsWithState") || plan.contains("MapGroups"),
+      s"expected the stateful map-groups operator in:\n$plan")
+  }
+
   test("saltedJoin short-circuit plans the plain broadcast join; engaged path salts the SMJ keys") {
     val left = spark.range(5000).toDF("k").withColumn("v", col("k") * 2)
     val dim = spark.range(50).toDF("k").withColumn("name", col("k").cast("string"))

@@ -705,18 +705,18 @@ object SparkEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val corpus = docs.unionByName(copies)
         .repartition(s.sparkContext.defaultParallelism)
+      // fingerprint ONCE, derive the shard key from it — two copies of
+      // the kernel expression would lean on codegen subexpression
+      // elimination instead of guaranteeing a single evaluation
       val fps = corpus.select(
-        shiftrightunsigned(
+          col("doc_id").as("id"),
           graft.functions.HashFunctions.simHashNative(
             graft.functions.HashFunctions.tokenHashesNative(
-              TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))), 48)
-          .cast("string").as("key"),
-        col("doc_id").as("id"),
-        graft.functions.HashFunctions.simHashNative(
-          graft.functions.HashFunctions.tokenHashesNative(
-            TextFunctions.tokens(TextFunctions.normalizeText(col("text")))))
-          .as("sim"),
-        lit("").as("payload"))
+              TextFunctions.tokens(TextFunctions.normalizeText(col("text")))))
+            .as("sim"))
+        .select(
+          shiftrightunsigned(col("sim"), 48).cast("string").as("key"),
+          col("id"), col("sim"), lit("").as("payload"))
       import s.implicits._
       // survivor choice depends on arrival order: pin ONE outcome for
       // the three downstream joins (localCheckpoint materializes

@@ -107,6 +107,22 @@ object Scale {
         Dedup.simHash128NearDuplicates(d, "text", "doc_id")) // default rung
       run("simhash128_h8_120band", k)(d =>
         Dedup.simHash128NearDuplicates(d, "text", "doc_id", maxHamming = 8))
+      run("stream_near_dedup", k) { d =>
+        // batch-equivalence path of the streaming near-dedup: kernel
+        // fingerprints, shard by top 16-bit block, per-shard state scan.
+        // out_rows = survivors; linear doc growth should give ~linear
+        // survivors and wall (per-shard state stays bounded).
+        import spark.implicits._
+        val fps = d.select(col("doc_id").as("id"),
+            graft.functions.HashFunctions.simHashNative(
+              graft.functions.HashFunctions.tokenHashesNative(
+                graft.text.TextFunctions.tokens(
+                  graft.text.TextFunctions.normalizeText(col("text"))))).as("sim"))
+          .select(shiftrightunsigned(col("sim"), 48).cast("string").as("key"),
+            col("id"), col("sim"), lit("").as("payload"))
+        graft.streaming.Streaming.nearDedupStream(
+          fps.as[graft.streaming.Streaming.SimDoc], maxHamming = 3).toDF()
+      }
     }
 
     // --- salted skew join: K replicas of the 90%-hot-key corpus, each

@@ -96,6 +96,34 @@ class StatefulStreamingSpec extends SparkTestBase {
       "doc 3 (hamming 1 of batch-1 doc 1) must be dropped by carried state")
   }
 
+  test("nearDedupStream invariants hold under seeded fuzz") {
+    import Streaming.{SimDoc, nearDedupStream}
+    // the two order-independent contracts the q_stream_dedup oracle
+    // relies on, over random corpora: survivors of a shard pairwise
+    // > maxHamming apart; every dropped doc within maxHamming of some
+    // survivor of its shard (only emitted docs enter state)
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      val h = 1 + rnd.nextInt(6)
+      val docs = (1 to 300).map { i =>
+        val base = rnd.nextLong() & 0xFFFFL // narrow space forces collisions
+        SimDoc(s"s${rnd.nextInt(4)}", i.toLong, base, "")
+      }
+      val out = nearDedupStream(docs.toDS(), maxHamming = h).collect()
+      val survivors = out.groupBy(_.key)
+      for ((key, ss) <- survivors; a <- ss; b <- ss if a.id < b.id)
+        assert(java.lang.Long.bitCount(a.sim ^ b.sim) > h,
+          s"trial $trial h=$h: survivors ${a.id},${b.id} of shard $key " +
+            s"within hamming $h")
+      val keptIds = out.map(_.id).toSet
+      for (d <- docs if !keptIds.contains(d.id)) {
+        val shard = survivors.getOrElse(d.key, Array.empty[SimDoc])
+        assert(shard.exists(s => java.lang.Long.bitCount(s.sim ^ d.sim) <= h),
+          s"trial $trial h=$h: dropped doc ${d.id} has no covering survivor")
+      }
+    }
+  }
+
   test("runningCounts accumulates per key") {
     val out = Streaming.runningCounts(
       Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDS()).collect().toMap

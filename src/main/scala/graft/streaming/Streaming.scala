@@ -228,6 +228,84 @@ object Streaming {
       }
   }
 
+  /** [[nearDedupStreamEventTime]] input: [[SimDoc]] plus an event
+    * timestamp. */
+  case class TimedSimDoc(
+      key: String, id: Long, sim: Long,
+      eventTime: java.sql.Timestamp, payload: String)
+
+  /** Per-shard state for the event-time variant: (fingerprint, event
+    * time ms) of emitted docs, newest first, capped. */
+  case class TimedNearDedupState(fps: List[(Long, Long)])
+
+  /** Event-time variant of [[nearDedupStream]]: a doc is suppressed
+    * when an EMITTED doc of its shard is within `maxHamming` AND within
+    * `ttlMs` of its event time (both directions, so out-of-order
+    * arrivals get the same verdict) — a dedup WINDOW in event time.
+    *
+    * Prefer this over the processing-time variant whenever the stream
+    * carries event timestamps: wall-clock TTL makes dedup scope depend
+    * on ingest speed (a backfill replaying a month in an hour suppresses
+    * across the whole month), while event-time scope is a property of
+    * the DATA and replays deterministically.
+    *
+    * State eviction is watermark-driven twice over: entries older than
+    * `watermark - ttlMs` can never suppress again and are pruned on
+    * every invocation, and the key's timeout fires once the watermark
+    * passes its newest entry's window, removing the shard wholesale.
+    * In streaming mode the input MUST carry a watermark on `eventTime`
+    * (EventTimeTimeout requires it); in batch mode (the oracle path)
+    * the watermark reads -1, timeouts never fire, and the |t - ts| <=
+    * ttl window check alone decides — identical verdicts on in-order
+    * data.
+    */
+  def nearDedupStreamEventTime(
+      docs: Dataset[TimedSimDoc],
+      maxHamming: Int,
+      ttlMs: Long,
+      maxStatePerKey: Int = 10000): Dataset[TimedSimDoc] = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"nearDedupStreamEventTime: maxHamming must be in [0, 64], got $maxHamming")
+    require(ttlMs > 0, s"nearDedupStreamEventTime: ttlMs must be > 0, got $ttlMs")
+    require(maxStatePerKey >= 1,
+      s"nearDedupStreamEventTime: maxStatePerKey must be >= 1, got $maxStatePerKey")
+    import docs.sparkSession.implicits._
+    // captured OUTSIDE the state closure: batch GroupState has no
+    // watermark to read and no timeout to arm — the window check alone
+    // decides there
+    val streamingMode = docs.isStreaming
+    docs.groupByKey(_.key)
+      .flatMapGroupsWithState[TimedNearDedupState, TimedSimDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[TimedNearDedupState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = if (streamingMode) state.getCurrentWatermarkMs() else -1L
+            val live = state.getOption.map(_.fps).getOrElse(Nil)
+              .filter { case (_, ts) => ts >= wm - ttlMs }
+            val (emit, newSeen) = rows.foldLeft(
+              (List.empty[TimedSimDoc], live)) { case ((out, s), doc) =>
+              val t = doc.eventTime.getTime
+              if (s.exists { case (fp, ts) =>
+                  math.abs(t - ts) <= ttlMs &&
+                    java.lang.Long.bitCount(fp ^ doc.sim) <= maxHamming })
+                (out, s)
+              else (doc :: out, ((doc.sim, t) :: s).take(maxStatePerKey))
+            }
+            if (newSeen.nonEmpty) {
+              state.update(TimedNearDedupState(newSeen))
+              // drop the shard once the watermark passes its newest
+              // entry's window (must stay strictly above the watermark)
+              if (streamingMode) state.setTimeoutTimestamp(
+                math.max(newSeen.map(_._2).max + ttlMs, wm + 1))
+            } else state.remove()
+            emit.reverseIterator
+          }
+      }
+  }
+
   /** Running per-key event counter with inactivity expiry: state is a
     * single long; keys idle past `timeoutMs` are dropped (bounded state
     * at 100 TB stream scale). Emits (key, runningCount) per batch. */

@@ -96,6 +96,57 @@ class StatefulStreamingSpec extends SparkTestBase {
       "doc 3 (hamming 1 of batch-1 doc 1) must be dropped by carried state")
   }
 
+  test("nearDedupStreamEventTime scopes suppression to the event-time window (batch mode)") {
+    import Streaming.{TimedSimDoc, nearDedupStreamEventTime}
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(3600_000L + min * 60_000L)
+    val ttlMs = 10 * 60_000L // 10-minute dedup window
+    val docs = Seq(
+      TimedSimDoc("s", 1L, 0L, ts(0), "base"),
+      TimedSimDoc("s", 2L, 1L, ts(5), "hamming 1, inside window — dropped"),
+      TimedSimDoc("s", 3L, 0L, ts(30), "same fp, outside window — re-emitted"),
+      TimedSimDoc("s", 4L, 0xFF00L, ts(6), "far fp, inside window — kept"))
+    val out = nearDedupStreamEventTime(
+      docs.toDS().coalesce(1), maxHamming = 3, ttlMs = ttlMs)
+      .collect().map(_.id).sorted.toSeq
+    assert(out == Seq(1L, 3L, 4L),
+      s"expected window-scoped suppression, got survivors $out")
+  }
+
+  test("nearDedupStreamEventTime re-emits after the watermark evicts a shard (streaming)") {
+    import Streaming.{TimedSimDoc, nearDedupStreamEventTime}
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(3600_000L + min * 60_000L)
+    val ttlMs = 10 * 60_000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_evtime").toString
+    // b1: base doc + an in-window near-dup (suppressed cross-doc in-batch)
+    Seq(TimedSimDoc("k", 1L, 0L, ts(0), "base"),
+      TimedSimDoc("k", 2L, 1L, ts(4), "in-window near-dup")).toDS()
+      .write.mode("overwrite").parquet(s"$dir/in")
+    // b2: unrelated shard far in the future — advances the watermark
+    // past shard k's window so its state times out
+    Seq(TimedSimDoc("other", 3L, 0xAAAAL, ts(40), "watermark mover")).toDS()
+      .write.mode("append").parquet(s"$dir/in")
+    // b3: same fingerprint as doc 1, event time far outside its window
+    Seq(TimedSimDoc("k", 4L, 0L, ts(41), "post-eviction repeat")).toDS()
+      .write.mode("append").parquet(s"$dir/in")
+    val streamed = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[TimedSimDoc]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in").as[TimedSimDoc]
+      .withWatermark("eventTime", "0 seconds")
+    val q = nearDedupStreamEventTime(streamed, maxHamming = 3, ttlMs = ttlMs)
+      .writeStream.format("memory").queryName("graft_evtime_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ids = spark.table("graft_evtime_dedup")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L),
+      "doc 2 must be window-suppressed; doc 4 must re-emit after eviction")
+  }
+
   test("nearDedupStream invariants hold under seeded fuzz") {
     import Streaming.{SimDoc, nearDedupStream}
     // the two order-independent contracts the q_stream_dedup oracle

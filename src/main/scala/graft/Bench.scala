@@ -401,27 +401,10 @@ object Bench {
           }
           out.iterator
         }.toDF("key", "id", "sim").localCheckpoint(true)
-      val dropped = fps.join(kept.select("id"), Seq("id"), "left_anti")
-      val a = kept.select(col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
-      val b = kept.select(col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
-      val badPairs = a.join(b, Seq("key"))
-        .filter(col("id_a") < col("id_b") &&
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
-        .agg(count(lit(1)).as("n_bad_pairs"))
-      val orphanDrops = dropped
-        .join(kept.select(col("key"), col("sim").as("sim_k")), Seq("key"), "left")
-        .groupBy("id")
-        .agg(max(when(bit_count(col("sim").bitwiseXOR(col("sim_k"))) <= 3, 1)
-          .otherwise(0)).as("covered"))
-        .agg(sum(when(col("covered") === 0 || col("covered").isNull, 1L)
-          .otherwise(0L)).as("n_orphan_drops"))
-      badPairs.crossJoin(orphanDrops)
-        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
-        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
-        .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
-        .select(col("n_bad_pairs"), col("n_orphan_drops"),
-          (col("n_dropped") >= 50L).as("dropped_planted"),
-          (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
+      // invariant oracle is SHARED with the wrapped query (identical
+      // output shape is what the ratio loop and BenchBaselinesSpec
+      // compare); only the dedup computation above is baseline-specific
+      SparkEntry.streamDedupInvariants(fps, kept, corpus, 3)
     }),
 
     "q_ngram_lsh" -> ((s, d) => {

@@ -34,6 +34,40 @@ object SparkEntry {
   /** Scratch dir for queries that exercise write paths. */
   private val scratch = "/root/repo/target/verify_tmp"
 
+  /** Shared invariant oracle for the streaming near-dedup family —
+    * used by both q_stream_dedup and its Bench raw baseline so the
+    * row shape cannot diverge. Checks, over (key, id, sim) frames:
+    * shard survivors pairwise > maxHamming apart, every dropped doc
+    * covered by a shard survivor, at least the 50 planted collisions
+    * dropped, and survivors + dropped = corpus. */
+  private[graft] def streamDedupInvariants(
+      fps: DataFrame,
+      kept: DataFrame,
+      corpus: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val dropped = fps.join(kept.select("id"), Seq("id"), "left_anti")
+    val a = kept.select(col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = kept.select(col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
+    val badPairs = a.join(b, Seq("key"))
+      .filter(col("id_a") < col("id_b") &&
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
+      .agg(count(lit(1)).as("n_bad_pairs"))
+    val orphanDrops = dropped
+      .join(kept.select(col("key"), col("sim").as("sim_k")), Seq("key"), "left")
+      .groupBy("id")
+      .agg(max(when(bit_count(col("sim").bitwiseXOR(col("sim_k"))) <= maxHamming, 1)
+        .otherwise(0)).as("covered"))
+      .agg(sum(when(col("covered") === 0 || col("covered").isNull, 1L)
+        .otherwise(0L)).as("n_orphan_drops"))
+    badPairs.crossJoin(orphanDrops)
+      .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
+      .select(col("n_bad_pairs"), col("n_orphan_drops"),
+        (col("n_dropped") >= 50L).as("dropped_planted"),
+        (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads via
     * legacy.parquet.nanosAsLong (LongType nanos) — normalise back to a
     * proper TimestampType (µs, truncating like DuckDB's ns→µs read). */
@@ -723,28 +757,7 @@ object SparkEntry {
       // eagerly; a lazy fence would recompute per join)
       val kept = Streaming.nearDedupStream(fps.as[Streaming.SimDoc], maxHamming = 3)
         .toDF().select("key", "id", "sim").localCheckpoint(true)
-      val dropped = fps.select("key", "id", "sim")
-        .join(kept.select("id"), Seq("id"), "left_anti")
-      val a = kept.select(col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
-      val b = kept.select(col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
-      val badPairs = a.join(b, Seq("key"))
-        .filter(col("id_a") < col("id_b") &&
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
-        .agg(count(lit(1)).as("n_bad_pairs"))
-      val orphanDrops = dropped
-        .join(kept.select(col("key"), col("sim").as("sim_k")), Seq("key"), "left")
-        .groupBy("id")
-        .agg(max(when(bit_count(col("sim").bitwiseXOR(col("sim_k"))) <= 3, 1)
-          .otherwise(0)).as("covered"))
-        .agg(sum(when(col("covered") === 0 || col("covered").isNull, 1L)
-          .otherwise(0L)).as("n_orphan_drops"))
-      badPairs.crossJoin(orphanDrops)
-        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
-        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
-        .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
-        .select(col("n_bad_pairs"), col("n_orphan_drops"),
-          (col("n_dropped") >= 50L).as("dropped_planted"),
-          (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
+      streamDedupInvariants(fps.select("key", "id", "sim"), kept, corpus, 3)
     }),
 
     "q_json_props" -> ((s, d) =>

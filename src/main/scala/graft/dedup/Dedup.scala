@@ -368,16 +368,25 @@ object Dedup {
     val (nBlocks, comboSize) = simHash128Rung(maxHamming)
     val blockBits = 128 / nBlocks
     val blocksPerWord = nBlocks / 2
-    // row-level half of the guard: fail loudly on a wrong-length array.
-    // Evaluated ONCE per row as a filter (assert_true is null when the
-    // predicate holds) — wrapping each word() access instead would
-    // re-evaluate the size check per band expression: 8× per row on the
-    // default rung, 240× (2 block accesses × 120 bands) on C(16,2).
     val base = fingerprints.select(col("id"), col("sim"))
-      .filter(assert_true(size(col("sim")) === 2, concat(
-        lit("simHash128Pairs: fingerprint array of length "),
-        size(col("sim")), lit(" for id "), col("id").cast("string"),
-        lit(" (expected 2)"))).isNull)
+    // row-level half of the guard: fail loudly on a wrong-length array.
+    // Evaluated ONCE per row in its OWN projection — two wrong shapes,
+    // both measured: wrapping each word() access re-evaluates the size
+    // check per band expression (8× per row default rung, 240× on
+    // C(16,2)); a Filter form gets predicate-pushed below the
+    // repartition fence, inlining the full fingerprint KERNEL into the
+    // scan-side filter condition and evaluating it twice per row on the
+    // text path. A guarded projection does neither: CollapseProject
+    // keeps it separate (non-cheap expression referenced by every
+    // band), and Projects aren't subject to predicate pushdown. The
+    // payload re-join reads unguarded `base` — every row passes the
+    // banding branch first, so malformed rows cannot reach it.
+    val guarded = base.select(col("id"),
+      when(size(col("sim")) === 2, col("sim"))
+        .otherwise(raise_error(concat(
+          lit("simHash128Pairs: fingerprint array of length "),
+          size(col("sim")), lit(" for id "), col("id").cast("string"),
+          lit(" (expected 2)")))).as("sim"))
     def word(w: Int): Column = element_at(col("sim"), w + 1)
     def block(i: Int): Column =
       shiftright(word(i / blocksPerWord), (i % blocksPerWord) * blockBits)
@@ -386,7 +395,7 @@ object Dedup {
       combo => combo.map(block).reduceLeft((acc, b) =>
         shiftleft(acc, blockBits).bitwiseOR(b))
     }
-    val bandedIds = base.select(col("id"),
+    val bandedIds = guarded.select(col("id"),
       posexplode(array(bucketExprs: _*)).as(Seq("band", "bucket")))
     val pairs = candidatePairs(bandedIds, maxBucketSize)
     attachPayload(pairs, base.select("id", "sim"), "sim")

@@ -69,60 +69,89 @@ object RunLog {
         _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
     }
 
+  /** Catalog-resolved (database, table) for a possibly-unqualified
+    * name. Cache keys and warehouse layouts must use the RESOLVED
+    * database: the context-wide cache is shared by sessions whose
+    * current databases differ, so caching the raw string
+    * "pipeline_runlog" would let session A's create (in db_a) satisfy
+    * session B's create (in db_b) and B's addEntry would then fail on
+    * a missing table. */
+  private def resolvedName(spark: SparkSession, name: String): (String, String) = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    (ident.database.getOrElse(spark.sessionState.catalog.getCurrentDatabase),
+      ident.table)
+  }
+
+  private def cacheKey(spark: SparkSession, name: String): String = {
+    val (db, table) = resolvedName(spark, name)
+    s"$db.$table"
+  }
+
   /** Create both tables if missing (parquet-backed catalog tables; the
     * reference's DDL at pipeline_runlog.py:73-95). Pure DDL — an empty
     * saveAsTable would run a write job just to produce an empty parquet
     * file; CREATE TABLE IF NOT EXISTS touches only the catalog. */
   def createRunlogTable(spark: SparkSession, tableName: String = "pipeline_runlog"): Unit = {
     val cache = verifiedSet(spark)
-    if (cache.contains(tableName)) return
+    val key = cacheKey(spark, tableName)
+    if (cache.contains(key)) return
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoted(tableName)} " +
       s"(${runlogSchema.toDDL}) USING parquet")
     val reserved = s"${tableName}_reserved_ids"
     spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoted(reserved)} " +
       s"(${reservedIdsSchema.toDDL}) USING parquet")
-    cache.add(tableName)
+    cache.add(key)
   }
 
-  /** Storage location of a table, resolved from the CATALOG —
-    * warehouse.dir + raw name is wrong for qualified names (db tables
-    * live under `<warehouse>/<db>.db/<table>`) and for any table
-    * created with an explicit LOCATION. Direct SessionCatalog metadata
-    * lookup, not `DESCRIBE TABLE EXTENDED`: a DESCRIBE is a parsed +
-    * planned SQL command per table and measurably taxes the benched
-    * runlog lifecycle. Fallback to the default-database layout when
-    * the table is already gone from the catalog. */
-  private def tableLocation(spark: SparkSession, name: String): org.apache.hadoop.fs.Path = {
+  /** Storage location to CLEAN UP after dropping `name`, resolved from
+    * the catalog via direct SessionCatalog metadata lookup (not
+    * `DESCRIBE TABLE EXTENDED` — a DESCRIBE is a parsed + planned SQL
+    * command per table and measurably taxes the benched runlog
+    * lifecycle). `None` for EXTERNAL tables: DROP TABLE preserves
+    * external data by Spark contract, and so must we. When the table
+    * is already gone from the catalog (the stale-leftover case this
+    * cleanup exists for), fall back to the managed layout under the
+    * RESOLVED database's location — `<db location>/<table>`, never the
+    * default database's directory for a session whose current database
+    * is elsewhere. */
+  private def cleanupLocation(
+      spark: SparkSession, name: String): Option[org.apache.hadoop.fs.Path] = {
     import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-    val fromCatalog =
-      if (spark.sessionState.catalog.tableExists(ident))
-        Some(new Path(spark.sessionState.catalog.getTableMetadata(ident).location))
-      else None
-    fromCatalog.getOrElse {
-      val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
-      name.split('.') match {
-        case Array(db, t) => new Path(new Path(wh, s"$db.db"), t)
-        case parts        => parts.foldLeft(wh)((p, s) => new Path(p, s))
-      }
+    if (catalog.tableExists(ident)) {
+      val meta = catalog.getTableMetadata(ident)
+      if (meta.tableType == CatalogTableType.EXTERNAL) None
+      else Some(new Path(meta.location))
+    } else {
+      val (db, table) = resolvedName(spark, name)
+      val dbLoc =
+        if (catalog.databaseExists(db))
+          new Path(catalog.getDatabaseMetadata(db).locationUri)
+        else new Path(spark.conf.get("spark.sql.warehouse.dir"))
+      Some(new Path(dbLoc, table))
     }
   }
 
   /** Drop both runlog tables (and any stale storage location a
     * previous JVM left behind) and invalidate the created-table cache
-    * for every session sharing this catalog. Runlog table lifecycle
-    * must go through this API — an external DROP would leave the cache
+    * for every session sharing this catalog. External-table data is
+    * preserved, matching DROP TABLE. Runlog table lifecycle must go
+    * through this API — an external DROP would leave the cache
     * believing the tables exist. */
   def dropRunlogTables(spark: SparkSession, tableName: String = "pipeline_runlog"): Unit = {
     val reserved = s"${tableName}_reserved_ids"
     Seq(tableName, reserved).foreach { t =>
       // resolve the location BEFORE the drop (the catalog forgets it after)
-      val loc = tableLocation(spark, t)
+      val loc = cleanupLocation(spark, t)
       spark.sql(s"DROP TABLE IF EXISTS ${quoted(t)}")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      loc.foreach { l =>
+        val fs = l.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(l)) fs.delete(l, true)
+      }
     }
-    verifiedSet(spark).remove(tableName)
+    verifiedSet(spark).remove(cacheKey(spark, tableName))
   }
 
   /** Reserve the next run id: max(run_id)+1 over both tables, else 1

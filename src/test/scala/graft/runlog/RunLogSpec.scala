@@ -97,6 +97,42 @@ class RunLogSpec extends SparkTestBase {
     RunLog.dropRunlogTables(spark, t)
   }
 
+  test("unqualified names resolve against the session's current database") {
+    // the created-table cache is context-wide: raw-string keys would
+    // let a create in db_a satisfy a create of the SAME raw name in
+    // default, leaving the second session's table missing
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_rl_cur")
+    try {
+      val clone = spark.newSession()
+      clone.catalog.setCurrentDatabase("graft_rl_cur")
+      RunLog.dropRunlogTables(clone, "pipeline_runlog")
+      RunLog.createRunlogTable(clone, "pipeline_runlog")
+      assert(clone.catalog.tableExists("graft_rl_cur.pipeline_runlog"))
+      RunLog.dropRunlogTables(spark, "pipeline_runlog")
+      RunLog.createRunlogTable(spark, "pipeline_runlog")
+      assert(spark.catalog.tableExists("default.pipeline_runlog"),
+        "create in default must not be short-circuited by db_a's cache entry")
+      val e = RunLog.addEntry(spark, "in default", "pipe", "1.0", "{}")
+      assert(RunLog.lastRunId(spark).contains(e.runId))
+      RunLog.dropRunlogTables(spark, "pipeline_runlog")
+      RunLog.dropRunlogTables(clone, "pipeline_runlog")
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_rl_cur CASCADE")
+  }
+
+  test("dropRunlogTables preserves EXTERNAL table data, matching DROP TABLE") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rl_ext")
+    val marker = dir.resolve("keep.txt")
+    java.nio.file.Files.writeString(marker, "external data")
+    spark.sql(s"CREATE TABLE graft_rl_ext_t (${RunLog.runlogSchema.toDDL}) " +
+      s"USING parquet LOCATION '$dir'")
+    try {
+      RunLog.dropRunlogTables(spark, "graft_rl_ext_t")
+      assert(!spark.catalog.tableExists("graft_rl_ext_t"))
+      assert(java.nio.file.Files.exists(marker),
+        "external location must survive the drop, like DROP TABLE itself")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_rl_ext_t")
+  }
+
   test("renderEntry and writeRunlogFile produce the text form") {
     freshTables()
     val e = RunLog.addEntry(spark, "desc here", "pipe", "2.0", "{\"k\":1}",

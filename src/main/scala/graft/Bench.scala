@@ -953,13 +953,17 @@ object Bench {
               (if (wrappedSecs == Double.MaxValue) "wrapped" else "raw") + " run")
           None
         } else {
-          // an adverse reading (wrapped looking >1.5× raw) gets one
-          // adjudication pair before being reported — design-win ratios
-          // (wrapped ≪ raw) are expected and don't trigger the re-run.
-          // The adjudication is one-sided by design (noise suppression on
-          // the 2× bar), so the artifact records when it changed a verdict.
+          // an adverse reading (wrapped looking >1.2× raw — the series'
+          // adjudication threshold, lowered from 1.5 after r9 measured
+          // that on 0.2-0.6 s queries a ±0.05 s swing moves the ratio
+          // ~0.1-0.2 and a different query drew a >1.2 flag on every
+          // full run) gets one adjudication pair before being
+          // reported — design-win ratios (wrapped ≪ raw) are expected
+          // and don't trigger the re-run. The adjudication is one-sided
+          // by design (noise suppression on the 2× bar), so the
+          // artifact records when it changed a verdict.
           val preRatio = wrappedSecs / math.max(rawSecs, 1e-9)
-          if (preRatio > 1.5 && wrappedSecs < 5.0) {
+          if (preRatio > 1.2 && wrappedSecs < 5.0) {
             wrappedSecs = better(wrappedSecs, wrappedOnce)
             rawSecs = better(rawSecs, rawOnce)
             val postRatio = wrappedSecs / math.max(rawSecs, 1e-9)

@@ -82,9 +82,12 @@ object RunLog {
       ident.table)
   }
 
+  /** Lowercased — the catalog resolves unquoted identifiers
+    * case-insensitively, so "Pipeline_Runlog" and "pipeline_runlog"
+    * alias one table and must alias one cache entry. */
   private def cacheKey(spark: SparkSession, name: String): String = {
     val (db, table) = resolvedName(spark, name)
-    s"$db.$table"
+    s"${db.toLowerCase}.${table.toLowerCase}"
   }
 
   /** Create both tables if missing (parquet-backed catalog tables; the
@@ -119,17 +122,23 @@ object RunLog {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.catalog.CatalogTableType
     val catalog = spark.sessionState.catalog
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val (db, table) = resolvedName(spark, name)
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db))
     if (catalog.tableExists(ident)) {
       val meta = catalog.getTableMetadata(ident)
       if (meta.tableType == CatalogTableType.EXTERNAL) None
       else Some(new Path(meta.location))
     } else {
-      val (db, table) = resolvedName(spark, name)
+      // db gone from the catalog too (fresh metastore over an old
+      // warehouse): the stale dir follows the standard non-default
+      // layout `<warehouse>/<db>.db/` — NEVER the bare warehouse dir,
+      // which is the DEFAULT database's location and would delete an
+      // unrelated same-named table's live data
       val dbLoc =
         if (catalog.databaseExists(db))
           new Path(catalog.getDatabaseMetadata(db).locationUri)
-        else new Path(spark.conf.get("spark.sql.warehouse.dir"))
+        else new Path(
+          new Path(spark.conf.get("spark.sql.warehouse.dir")), s"$db.db")
       Some(new Path(dbLoc, table))
     }
   }

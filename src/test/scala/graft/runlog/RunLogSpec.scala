@@ -133,6 +133,45 @@ class RunLogSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_rl_ext_t")
   }
 
+  test("differently-cased names alias one table AND one cache entry") {
+    // the catalog resolves unquoted identifiers case-insensitively: a
+    // case-preserving cache key would survive a lowercase drop and turn
+    // the next mixed-case create into a stale no-op
+    RunLog.dropRunlogTables(spark, "graft_case_t")
+    RunLog.createRunlogTable(spark, "Graft_Case_T")
+    assert(spark.catalog.tableExists("graft_case_t"))
+    RunLog.dropRunlogTables(spark, "graft_case_t")
+    assert(!spark.catalog.tableExists("graft_case_t"))
+    RunLog.createRunlogTable(spark, "Graft_Case_T") // must really recreate
+    val e = RunLog.addEntry(spark, "cased", "pipe", "1.0", "{}",
+      tableName = "graft_case_t")
+    assert(RunLog.lastRunId(spark, "graft_case_t").contains(e.runId))
+    RunLog.dropRunlogTables(spark, "Graft_Case_T")
+  }
+
+  test("stale cleanup for a vanished database follows the db.db layout, not the warehouse root") {
+    // fresh-metastore-over-old-warehouse case: the db is gone from the
+    // catalog; cleanup must target <wh>/<db>.db/<table> and must NOT
+    // delete <wh>/<table>, which is the DEFAULT database's location
+    // for an unrelated same-named table
+    import org.apache.hadoop.fs.Path
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new Path(new Path(wh, "graft_ghost_db.db"), "graft_ghost_t")
+    val unrelated = new Path(wh, "graft_ghost_t")
+    fs.mkdirs(stale)
+    fs.mkdirs(unrelated)
+    try {
+      RunLog.dropRunlogTables(spark, "graft_ghost_db.graft_ghost_t")
+      assert(!fs.exists(stale), "stale db-scoped dir must be cleaned")
+      assert(fs.exists(unrelated),
+        "default-db location of an unrelated table must survive")
+    } finally {
+      fs.delete(new Path(wh, "graft_ghost_db.db"), true)
+      fs.delete(unrelated, true)
+    }
+  }
+
   test("renderEntry and writeRunlogFile produce the text form") {
     freshTables()
     val e = RunLog.addEntry(spark, "desc here", "pipe", "2.0", "{\"k\":1}",

@@ -59,17 +59,38 @@ class StatefulStreamingSpec extends SparkTestBase {
     import Streaming.{SimDoc, nearDedupStream}
     // far-apart fingerprints (hamming 8 between neighbours) so nothing
     // dedups; with the cap at 2, fp 0 has been evicted by the time its
-    // exact copy (id 4) arrives — most-recent-window semantics
+    // exact copy (id 4) arrives — most-recent-window semantics. One doc
+    // per micro-batch: eviction semantics are inherently order-
+    // dependent and batch group iteration order is engine-chosen, so
+    // only a streaming run pins the arrival order deterministically.
     val docs = Seq(
       SimDoc("s", 1L, 0L, ""),
       SimDoc("s", 2L, 0xFFL, ""),
       SimDoc("s", 3L, 0xFF00L, ""),
       SimDoc("s", 4L, 0L, "copy of evicted fp"))
-    val out = nearDedupStream(docs.toDS().coalesce(1), maxHamming = 3,
-      maxStatePerKey = 2).collect()
-    assert(out.length == 4, "evicted fingerprint must not suppress its copy")
-    val full = nearDedupStream(docs.toDS().coalesce(1), maxHamming = 3).collect()
-    assert(full.length == 3, "uncapped state must suppress the exact copy")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap_state").toString
+    docs.zipWithIndex.foreach { case (d, i) =>
+      Seq(d).toDS().write
+        .mode(if (i == 0) "overwrite" else "append").parquet(s"$dir/in")
+      Thread.sleep(20) // distinct mtimes: the file source orders by them
+    }
+    def run(cap: Int, queryName: String): Seq[Long] = {
+      val streamed = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[SimDoc]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in").as[SimDoc]
+      val q = nearDedupStream(streamed, maxHamming = 3, maxStatePerKey = cap)
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table(queryName).select("id").as[Long].collect().sorted.toSeq
+    }
+    assert(run(2, "graft_cap_two") == Seq(1L, 2L, 3L, 4L),
+      "evicted fingerprint must not suppress its copy")
+    assert(run(10000, "graft_cap_full") == Seq(1L, 2L, 3L),
+      "uncapped state must suppress the exact copy")
   }
 
   test("nearDedupStream keeps state across streaming micro-batches") {
@@ -109,7 +130,11 @@ class StatefulStreamingSpec extends SparkTestBase {
     val out = nearDedupStreamEventTime(
       docs.toDS().coalesce(1), maxHamming = 3, ttlMs = ttlMs)
       .collect().map(_.id).sorted.toSeq
-    assert(out == Seq(1L, 3L, 4L),
+    // group iteration order is engine-chosen: whichever of docs 1/2 is
+    // seen first survives and window-suppresses the other; docs 3
+    // (outside the window) and 4 (distant fingerprint) always survive
+    assert(out.length == 3 && out.contains(3L) && out.contains(4L) &&
+      out.count(i => i == 1L || i == 2L) == 1,
       s"expected window-scoped suppression, got survivors $out")
   }
 
@@ -143,8 +168,13 @@ class StatefulStreamingSpec extends SparkTestBase {
     q.awaitTermination(120000)
     val ids = spark.table("graft_evtime_dedup")
       .select("id").as[Long].collect().sorted.toSeq
-    assert(ids == Seq(1L, 3L, 4L),
-      "doc 2 must be window-suppressed; doc 4 must re-emit after eviction")
+    // within-batch group order is engine-chosen, so WHICH of the two
+    // colliding batch-1 docs survives is order-dependent — exactly one
+    // may; the window/eviction outcomes (docs 3 and 4) are not
+    assert(ids.length == 3 && ids.contains(3L) && ids.contains(4L) &&
+      ids.count(i => i == 1L || i == 2L) == 1,
+      s"one of docs 1/2 must be window-suppressed and doc 4 must " +
+        s"re-emit after eviction; got $ids")
   }
 
   test("nearDedupStream invariants hold under seeded fuzz") {

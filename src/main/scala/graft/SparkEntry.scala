@@ -68,6 +68,37 @@ object SparkEntry {
         (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
   }
 
+  /** Planted near-dup flip mask for the q_pipeline_docs128 family —
+    * shared by the wrapped query and its Bench raw baseline (like
+    * [[streamDedupInvariants]]) so the plant scheme cannot diverge:
+    * h = (id % 7) + 1 bits of fingerprint word 0 flipped, spread 9
+    * apart so no 16-bit band block absorbs them all — exact Hamming
+    * h ∈ [1, 7], inside the default rung's recall contract. */
+  private[graft] def neardupPlantMask: Column = {
+    def maskFor(h: Int): Long = (0 until h).map(i => 1L << (i * 9)).reduce(_ | _)
+    (1 to 7).foldLeft(lit(0L)) { (acc, h) =>
+      when(pmod(col("id"), lit(7)) + 1 === h, lit(maskFor(h))).otherwise(acc)
+    }
+  }
+
+  /** Shared outcome oracle for the q_pipeline_docs128 family, over the
+    * post-drop survivor set and the full planted fingerprint set (both
+    * carrying an `id` column): zero planted exact copies (ids ≥ 1e6)
+    * and zero planted near-dups (ids ≥ 2e6) may survive. */
+  private[graft] def pipeline128Outcome(kept: DataFrame, allFps: DataFrame): DataFrame =
+    kept.agg(
+        count(lit(1)).as("n_kept"),
+        sum(when(col("id") >= 1000000L && col("id") < 2000000L, 1L)
+          .otherwise(0L)).as("n_copy_survivors"),
+        sum(when(col("id") >= 2000000L, 1L).otherwise(0L))
+          .as("n_neardup_survivors"))
+      .crossJoin(allFps.agg(count(lit(1)).as("n_total")))
+      .select(
+        col("n_copy_survivors"),
+        col("n_neardup_survivors"),
+        (col("n_kept") <= col("n_total") - 100L).as("dropped_all_copies"),
+        (col("n_kept") >= 1L).as("has_survivors"))
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads via
     * legacy.parquet.nanosAsLong (LongType nanos) — normalise back to a
     * proper TimestampType (µs, truncating like DuckDB's ns→µs read). */
@@ -751,6 +782,10 @@ object SparkEntry {
         .select(
           shiftrightunsigned(col("sim"), 48).cast("string").as("key"),
           col("id"), col("sim"), lit("").as("payload"))
+        // fence the kernel: fps feeds the dedup AND the invariant
+        // joins (dropped anti-join, coverage join) — un-checkpointed,
+        // each consumer would re-run tokenize+hash over the corpus
+        .localCheckpoint(true)
       import s.implicits._
       // survivor choice depends on arrival order: pin ONE outcome for
       // the three downstream joins (localCheckpoint materializes
@@ -964,31 +999,14 @@ object SparkEntry {
             .as("sim"))
         // materialisation fence — fps feeds banding AND the near plants
         .repartition(s.sparkContext.defaultParallelism)
-      // h = (id % 7) + 1 bits of word 0 flipped, spread 9 apart so no
-      // 16-bit band block absorbs them all
-      def maskFor(h: Int): Long = (0 until h).map(i => 1L << (i * 9)).reduce(_ | _)
-      val mask = (1 to 7).foldLeft(lit(0L)) { (acc, h) =>
-        when(pmod(col("id"), lit(7)) + 1 === h, lit(maskFor(h))).otherwise(acc)
-      }
       val near = fps.filter(col("id") < 50)
         .select((col("id") + 2000000L).as("id"),
-          array(element_at(col("sim"), 1).bitwiseXOR(mask),
+          array(element_at(col("sim"), 1).bitwiseXOR(neardupPlantMask),
             element_at(col("sim"), 2)).as("sim"))
       val allFps = fps.unionByName(near)
       val pairs = Dedup.simHash128Pairs(allFps, maxHamming = 7)
       val kept = Dedup.dropNearDuplicates(allFps, pairs, "id")
-      kept.agg(
-          count(lit(1)).as("n_kept"),
-          sum(when(col("id") >= 1000000L && col("id") < 2000000L, 1L)
-            .otherwise(0L)).as("n_copy_survivors"),
-          sum(when(col("id") >= 2000000L, 1L).otherwise(0L))
-            .as("n_neardup_survivors"))
-        .crossJoin(allFps.agg(count(lit(1)).as("n_total")))
-        .select(
-          col("n_copy_survivors"),
-          col("n_neardup_survivors"),
-          (col("n_kept") <= col("n_total") - 100L).as("dropped_all_copies"),
-          (col("n_kept") >= 1L).as("has_survivors"))
+      pipeline128Outcome(kept, allFps)
     }),
 
     "q_decontaminate" -> ((s, d) => {

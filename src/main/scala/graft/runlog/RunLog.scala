@@ -75,19 +75,25 @@ object RunLog {
     * current databases differ, so caching the raw string
     * "pipeline_runlog" would let session A's create (in db_a) satisfy
     * session B's create (in db_b) and B's addEntry would then fail on
-    * a missing table. */
+    * a missing table. Names are case-formatted exactly as the catalog
+    * formats them (SessionCatalog.formatTableName): lowercased under
+    * the default case-INsensitive resolution — "Pipeline_Runlog" and
+    * "pipeline_runlog" alias one table, one cache entry, one on-disk
+    * `<db>.db/<table>` directory — but preserved verbatim under
+    * spark.sql.caseSensitive=true, where `Runlog` and `runlog` really
+    * are distinct tables and lowercasing would alias their cache
+    * entries (a second create would no-op and the following addEntry
+    * would fail on the missing table). */
   private def resolvedName(spark: SparkSession, name: String): (String, String) = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-    (ident.database.getOrElse(spark.sessionState.catalog.getCurrentDatabase),
-      ident.table)
+    val db = ident.database.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+    if (spark.sessionState.conf.caseSensitiveAnalysis) (db, ident.table)
+    else (db.toLowerCase, ident.table.toLowerCase)
   }
 
-  /** Lowercased — the catalog resolves unquoted identifiers
-    * case-insensitively, so "Pipeline_Runlog" and "pipeline_runlog"
-    * alias one table and must alias one cache entry. */
   private def cacheKey(spark: SparkSession, name: String): String = {
     val (db, table) = resolvedName(spark, name)
-    s"${db.toLowerCase}.${table.toLowerCase}"
+    s"$db.$table"
   }
 
   /** Create both tables if missing (parquet-backed catalog tables; the

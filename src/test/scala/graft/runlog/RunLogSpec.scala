@@ -172,6 +172,46 @@ class RunLogSpec extends SparkTestBase {
     }
   }
 
+  test("stale cleanup for a vanished database is reached by mixed-case names") {
+    // same fresh-metastore case, but the caller types the name in mixed
+    // case: the catalog lowercases managed db/table dirs on disk
+    // (case-insensitive resolution), so the fallback path must be
+    // computed from the catalog-formatted name, not the as-typed one
+    import org.apache.hadoop.fs.Path
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new Path(new Path(wh, "graft_ghost2_db.db"), "graft_ghost2_t")
+    fs.mkdirs(stale)
+    try {
+      RunLog.dropRunlogTables(spark, "Graft_Ghost2_DB.Graft_Ghost2_T")
+      assert(!fs.exists(stale),
+        "mixed-case name must clean the lowercased on-disk dir")
+    } finally {
+      fs.delete(new Path(wh, "graft_ghost2_db.db"), true)
+    }
+  }
+
+  test("spark.sql.caseSensitive=true keeps differently-cased tables distinct") {
+    // under case-SENSITIVE resolution `Graft_CS_T` and `graft_cs_t`
+    // are different tables: lowercasing the cache key would alias
+    // them, turning the second create into a stale no-op and failing
+    // the following addEntry on a table that was never created
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      RunLog.dropRunlogTables(spark, "Graft_CS_T")
+      RunLog.dropRunlogTables(spark, "graft_cs_t")
+      RunLog.createRunlogTable(spark, "Graft_CS_T")
+      RunLog.createRunlogTable(spark, "graft_cs_t") // must NOT be cached
+      val e = RunLog.addEntry(spark, "cs", "pipe", "1.0", "{}",
+        tableName = "graft_cs_t")
+      assert(RunLog.lastRunId(spark, "graft_cs_t").contains(e.runId))
+    } finally {
+      RunLog.dropRunlogTables(spark, "Graft_CS_T")
+      RunLog.dropRunlogTables(spark, "graft_cs_t")
+      spark.conf.set("spark.sql.caseSensitive", "false")
+    }
+  }
+
   test("renderEntry and writeRunlogFile produce the text form") {
     freshTables()
     val e = RunLog.addEntry(spark, "desc here", "pipe", "2.0", "{\"k\":1}",

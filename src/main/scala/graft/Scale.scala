@@ -79,15 +79,23 @@ object Scale {
     scaledDocs(spark, sfDir, 1).limit(2000)
       .transform(d => Dedup.minHashNearDuplicates(d, "text", "doc_id")).count()
 
-    def run(name: String, k: Int)(body: DataFrame => DataFrame): Unit = {
-      val docs = scaledDocs(spark, sfDir, k)
-        .repartition(spark.sparkContext.defaultParallelism)
+    // ONE timing protocol for every artifact row (cache clear + GC,
+    // one counted action, centiseconds) — protocol changes happen HERE
+    // or rows stop being comparable across blocks
+    def timed(name: String, tags: (String, Long)*)(mk: () => DataFrame): Unit = {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      val n = body(docs).count()
+      val n = mk().count()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$name","scale":$k,"secs":${math.rint(secs * 100) / 100},"out_rows":$n}""")
+      val tagJson = tags.map { case (key, v) => s""","$key":$v""" }.mkString
+      println(s"""{"op":"$name"$tagJson,"secs":${math.rint(secs * 100) / 100},"out_rows":$n}""")
+    }
+
+    def run(name: String, k: Int)(body: DataFrame => DataFrame): Unit = {
+      val docs = scaledDocs(spark, sfDir, k)
+        .repartition(spark.sparkContext.defaultParallelism)
+      timed(name, "scale" -> k.toLong)(() => body(docs))
     }
 
     for (k <- Seq(1, bigK)) {
@@ -108,20 +116,13 @@ object Scale {
       run("simhash128_h8_120band", k)(d =>
         Dedup.simHash128NearDuplicates(d, "text", "doc_id", maxHamming = 8))
       run("stream_near_dedup", k) { d =>
-        // batch-equivalence path of the streaming near-dedup: kernel
-        // fingerprints, shard by top 16-bit block, per-shard state scan.
-        // out_rows = survivors; linear doc growth should give ~linear
-        // survivors and wall (per-shard state stays bounded).
-        import spark.implicits._
-        val fps = d.select(col("doc_id").as("id"),
-            graft.functions.HashFunctions.simHashNative(
-              graft.functions.HashFunctions.tokenHashesNative(
-                graft.text.TextFunctions.tokens(
-                  graft.text.TextFunctions.normalizeText(col("text"))))).as("sim"))
-          .select(shiftrightunsigned(col("sim"), 48).cast("string").as("key"),
-            col("id"), col("sim"), lit("").as("payload"))
+        // batch-equivalence path of the streaming near-dedup, through
+        // the SAME shardedFingerprints construction the bench query
+        // uses. out_rows = survivors; linear doc growth should give
+        // ~linear survivors and wall (per-shard state stays bounded).
         graft.streaming.Streaming.nearDedupStream(
-          fps.as[graft.streaming.Streaming.SimDoc], maxHamming = 3).toDF()
+          graft.streaming.Streaming.shardedFingerprints(d, "doc_id"),
+          maxHamming = 3).toDF()
       }
     }
 
@@ -151,13 +152,8 @@ object Scale {
       graft.core.DataFrameOps.saltedJoin(
         left, right.hint("merge"), Seq("k"), saltFactor = 32)
     }
-    for (k <- Seq(1, bigK)) {
-      spark.catalog.clearCache(); System.gc()
-      val t0 = System.nanoTime()
-      val n = skewJoin(k).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"salted_join_skew","scale":$k,"secs":${math.rint(secs * 100) / 100},"out_rows":$n}""")
-    }
+    for (k <- Seq(1, bigK))
+      timed("salted_join_skew", "scale" -> k.toLong)(() => skewJoin(k))
 
     // --- warm salted-vs-plain on the skew corpus: the artifact behind
     // saltedJoin's "salted runs ~0.65-0.75x the plain shuffle join when
@@ -165,53 +161,40 @@ object Scale {
     // rows). Two timed rounds each, interleaved both orders; warm
     // (round 2) readings are the honest ones — in-suite single-shot
     // numbers (BENCH q_salted_join_skew) carry load noise.
-    {
-      for (round <- 1 to 2) {
-        for ((name, mk) <- Seq[(String, () => DataFrame)](
-          "skew_plain" -> (() => {
-            val (left, right) = skewCorpus(1)
-            left.join(right.hint("merge"), Seq("k"))
-          }),
-          "skew_salted_f32" -> (() => skewJoin(1)))) {
-          spark.catalog.clearCache(); System.gc()
-          val t0 = System.nanoTime()
-          val n = mk().count()
-          val secs = (System.nanoTime() - t0) / 1e9
-          println(f"""{"op":"$name","round":$round,"secs":${math.rint(secs * 100) / 100},"out_rows":$n}""")
-        }
+    for (round <- 1 to 2) {
+      timed("skew_plain", "round" -> round.toLong) { () =>
+        val (left, right) = skewCorpus(1)
+        left.join(right.hint("merge"), Seq("k"))
       }
+      timed("skew_salted_f32", "round" -> round.toLong)(() => skewJoin(1))
     }
 
     // --- hotKeys targeting vs blanket salting (the 100 TB story):
     // blanket salting explodes EVERY right row ×saltFactor into the
     // exchange; hotKeys targeting explodes only the hot keys' rows.
-    // right_rows_exchanged counts the replicated right side the
-    // exchange must carry (same construction as the operator: explode
-    // of the salt array, 32-wide on salted keys, 1-wide otherwise) —
-    // targeted replication is proportional to hot-key rows, not to the
+    // right_rows_exchanged is MEASURED by counting the operator's own
+    // replicated-right construction (DataFrameOps.saltedRightFrame —
+    // the very frame the engaged join exchanges), not derived from a
+    // formula that could diverge from the implementation — targeted
+    // replication is proportional to hot-key rows, not to the
     // right-side row count.
     {
       val (left, right) = skewCorpus(1)
       val hot = Seq(1L) // the constructed 90%-share key
-      val rightRows = right.count()
-      val hotRows = right.filter(col("k").isInCollection(hot)).count()
-      val blanketExchanged = rightRows * 32
-      val targetedExchanged = rightRows + hotRows * 31
+      val blanketExchanged = graft.core.DataFrameOps
+        .saltedRightFrame(right, Seq("k"), 32, None).count()
+      val targetedExchanged = graft.core.DataFrameOps
+        .saltedRightFrame(right, Seq("k"), 32, Some(hot)).count()
       for (round <- 1 to 2) {
-        for ((name, exchanged, mk) <- Seq[(String, Long, () => DataFrame)](
-          ("skew_salted_blanket_f32", blanketExchanged, () =>
-            graft.core.DataFrameOps.saltedJoin(
-              left, right.hint("merge"), Seq("k"), saltFactor = 32)),
-          ("skew_salted_hotkeys_f32", targetedExchanged, () =>
-            graft.core.DataFrameOps.saltedJoin(
-              left, right.hint("merge"), Seq("k"), saltFactor = 32,
-              hotKeys = Some(hot))))) {
-          spark.catalog.clearCache(); System.gc()
-          val t0 = System.nanoTime()
-          val n = mk().count()
-          val secs = (System.nanoTime() - t0) / 1e9
-          println(f"""{"op":"$name","round":$round,"secs":${math.rint(secs * 100) / 100},"out_rows":$n,"right_rows_exchanged":$exchanged}""")
-        }
+        timed("skew_salted_blanket_f32", "round" -> round.toLong,
+          "right_rows_exchanged" -> blanketExchanged)(() =>
+          graft.core.DataFrameOps.saltedJoin(
+            left, right.hint("merge"), Seq("k"), saltFactor = 32))
+        timed("skew_salted_hotkeys_f32", "round" -> round.toLong,
+          "right_rows_exchanged" -> targetedExchanged)(() =>
+          graft.core.DataFrameOps.saltedJoin(
+            left, right.hint("merge"), Seq("k"), saltFactor = 32,
+            hotKeys = Some(hot)))
       }
     }
 
@@ -228,16 +211,11 @@ object Scale {
       def ord = spark.read.parquet(s"$sfDir/orders.parquet")
         .select(col("o_orderkey").cast("long").as("k"), col("o_totalprice"))
       for (round <- 1 to 2) {
-        for ((name, mk) <- Seq[(String, () => DataFrame)](
-          "nonskew_plain_join" -> (() => li.join(ord, Seq("k"))),
-          "nonskew_salted_forced_f4" -> (() =>
-            graft.core.DataFrameOps.saltedJoin(li, ord.hint("merge"), Seq("k"), saltFactor = 4)))) {
-          spark.catalog.clearCache(); System.gc()
-          val t0 = System.nanoTime()
-          val n = mk().count()
-          val secs = (System.nanoTime() - t0) / 1e9
-          println(f"""{"op":"$name","round":$round,"secs":${math.rint(secs * 100) / 100},"out_rows":$n}""")
-        }
+        timed("nonskew_plain_join", "round" -> round.toLong)(() =>
+          li.join(ord, Seq("k")))
+        timed("nonskew_salted_forced_f4", "round" -> round.toLong)(() =>
+          graft.core.DataFrameOps.saltedJoin(
+            li, ord.hint("merge"), Seq("k"), saltFactor = 4))
       }
     }
     spark.stop()

@@ -770,22 +770,12 @@ object SparkEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val corpus = docs.unionByName(copies)
         .repartition(s.sparkContext.defaultParallelism)
-      // fingerprint ONCE, derive the shard key from it — two copies of
-      // the kernel expression would lean on codegen subexpression
-      // elimination instead of guaranteeing a single evaluation
-      val fps = corpus.select(
-          col("doc_id").as("id"),
-          graft.functions.HashFunctions.simHashNative(
-            graft.functions.HashFunctions.tokenHashesNative(
-              TextFunctions.tokens(TextFunctions.normalizeText(col("text")))))
-            .as("sim"))
-        .select(
-          shiftrightunsigned(col("sim"), 48).cast("string").as("key"),
-          col("id"), col("sim"), lit("").as("payload"))
-        // fence the kernel: fps feeds the dedup AND the invariant
-        // joins (dropped anti-join, coverage join) — un-checkpointed,
-        // each consumer would re-run tokenize+hash over the corpus
-        .localCheckpoint(true)
+      // shared fingerprint+shard construction (one kernel pass), then
+      // fence the kernel: fps feeds the dedup AND the invariant joins
+      // (dropped anti-join, coverage join) — un-checkpointed, each
+      // consumer would re-run tokenize+hash over the corpus
+      val fps = Streaming.shardedFingerprints(corpus, "doc_id")
+        .toDF().localCheckpoint(true)
       import s.implicits._
       // survivor choice depends on arrival order: pin ONE outcome for
       // the three downstream joins (localCheckpoint materializes

@@ -345,21 +345,41 @@ object DataFrameOps {
     // for zero benefit
     if (saltFactor == 1 || hotKeys.exists(_.isEmpty) || broadcastWouldWin(right))
       return left.join(right, on, how)
-    val saltCol = "__graft_salt"
-    val allSalts = sequence(lit(0), lit(saltFactor - 1))
-    val (saltedLeft, saltedRight) = hotKeys match {
+    val saltedLeft = hotKeys match {
       case Some(keys) =>
-        val k = on.head
-        (left.withColumn(saltCol,
-          when(col(k).isInCollection(keys), (rand() * saltFactor).cast("int"))
-            .otherwise(lit(0))),
-         right.withColumn(saltCol, explode(
-           when(col(k).isInCollection(keys), allSalts).otherwise(array(lit(0))))))
+        left.withColumn(saltCol,
+          when(col(on.head).isInCollection(keys),
+            (rand() * saltFactor).cast("int")).otherwise(lit(0)))
       case None =>
-        (left.withColumn(saltCol, (rand() * saltFactor).cast("int")),
-         right.withColumn(saltCol, explode(allSalts)))
+        left.withColumn(saltCol, (rand() * saltFactor).cast("int"))
     }
-    saltedLeft.join(saltedRight, on :+ saltCol, how).drop(saltCol)
+    saltedLeft.join(saltedRightFrame(right, on, saltFactor, hotKeys),
+      on :+ saltCol, how).drop(saltCol)
+  }
+
+  private val saltCol = "__graft_salt"
+
+  /** The replicated right-side frame [[saltedJoin]] exchanges when
+    * salting engages (callers have already passed the short-circuit:
+    * saltFactor > 1, hotKeys non-empty if present). Exposed
+    * private[graft] so the Scale artifact COUNTS the replication
+    * through the operator's own construction — a hand-maintained
+    * formula could silently diverge from what the exchange actually
+    * carries. */
+  private[graft] def saltedRightFrame(
+      right: DataFrame,
+      on: Seq[String],
+      saltFactor: Int,
+      hotKeys: Option[Seq[Any]]): DataFrame = {
+    val allSalts = sequence(lit(0), lit(saltFactor - 1))
+    hotKeys match {
+      case Some(keys) =>
+        right.withColumn(saltCol, explode(
+          when(col(on.head).isInCollection(keys), allSalts)
+            .otherwise(array(lit(0)))))
+      case None =>
+        right.withColumn(saltCol, explode(allSalts))
+    }
   }
 
   /** Candidate skewed values of a join key, from a SINGLE narrow pass:

@@ -156,6 +156,28 @@ object Streaming {
     * fingerprint. */
   case class SimDoc(key: String, id: Long, sim: Long, payload: String)
 
+  /** Kernel fingerprints + shard key for [[nearDedupStream]] over a
+    * text corpus, in ONE kernel pass (tokenize → token hashes → 64-bit
+    * SimHash; deriving the shard key from the fingerprint column
+    * rather than a second kernel expression guarantees single
+    * evaluation instead of leaning on codegen subexpression
+    * elimination). Sharding is by the fingerprint's top 16-bit block,
+    * so dedup is SHARD-scoped: only same-shard candidates are
+    * compared. Shared by the bench query and the Scale artifact so the
+    * sharding scheme cannot diverge between them. */
+  def shardedFingerprints(
+      df: DataFrame, idCol: String, textCol: String = "text"): Dataset[SimDoc] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).as("id"),
+        graft.functions.HashFunctions.simHashNative(
+          graft.functions.HashFunctions.tokenHashesNative(
+            graft.text.TextFunctions.tokens(
+              graft.text.TextFunctions.normalizeText(col(textCol))))).as("sim"))
+      .select(shiftrightunsigned(col("sim"), 48).cast("string").as("key"),
+        col("id"), col("sim"), lit("").as("payload"))
+      .as[SimDoc]
+  }
+
   /** Seen-fingerprint state for one shard: emitted docs' fingerprints,
     * newest first, capped. */
   case class NearDedupState(fps: List[Long])
@@ -235,13 +257,18 @@ object Streaming {
       eventTime: java.sql.Timestamp, payload: String)
 
   /** Per-shard state for the event-time variant: (fingerprint, event
-    * time ms) of emitted docs, newest first, capped. */
+    * time ms) of emitted docs, sorted by event time DESCENDING, capped.
+    * The ordering invariant is what makes the cap evict the
+    * oldest-by-EVENT-time entry — arrival-order eviction would make the
+    * survivor set differ between live ingest and a reordered backfill
+    * replay. */
   case class TimedNearDedupState(fps: List[(Long, Long)])
 
   /** Event-time variant of [[nearDedupStream]]: a doc is suppressed
     * when an EMITTED doc of its shard is within `maxHamming` AND within
     * `ttlMs` of its event time (both directions, so out-of-order
-    * arrivals get the same verdict) — a dedup WINDOW in event time.
+    * arrivals inside the allowed lateness get the same verdict) — a
+    * dedup WINDOW in event time.
     *
     * Prefer this over the processing-time variant whenever the stream
     * carries event timestamps: wall-clock TTL makes dedup scope depend
@@ -249,15 +276,27 @@ object Streaming {
     * across the whole month), while event-time scope is a property of
     * the DATA and replays deterministically.
     *
+    * Late-data contract: rows with event time below `watermark - ttlMs`
+    * are DROPPED, not emitted — their potential suppressors were
+    * already pruned, so no correct verdict exists for them, and
+    * emitting would leak duplicates past the dedup (the same
+    * too-late-is-dropped contract as Spark's built-in stateful
+    * operators). Size the watermark delay for the lateness the stream
+    * actually exhibits.
+    *
     * State eviction is watermark-driven twice over: entries older than
     * `watermark - ttlMs` can never suppress again and are pruned on
     * every invocation, and the key's timeout fires once the watermark
     * passes its newest entry's window, removing the shard wholesale.
-    * In streaming mode the input MUST carry a watermark on `eventTime`
+    * The `maxStatePerKey` cap evicts oldest-by-event-time (the entry
+    * the watermark would prune first), so a replay delivering the same
+    * rows in any order inside the allowed lateness converges on the
+    * same retained set (modulo equal-timestamp ties). In streaming
+    * mode the input MUST carry a watermark on `eventTime`
     * (EventTimeTimeout requires it); in batch mode (the oracle path)
-    * the watermark reads -1, timeouts never fire, and the |t - ts| <=
-    * ttl window check alone decides — identical verdicts on in-order
-    * data.
+    * the watermark reads -1, timeouts never fire, nothing is late, and
+    * the |t - ts| <= ttl window check alone decides — identical
+    * verdicts on in-order data.
     */
   def nearDedupStreamEventTime(
       docs: Dataset[TimedSimDoc],
@@ -283,16 +322,28 @@ object Streaming {
             Iterator.empty
           } else {
             val wm = if (streamingMode) state.getCurrentWatermarkMs() else -1L
+            // the filter preserves the descending-by-event-time invariant
             val live = state.getOption.map(_.fps).getOrElse(Nil)
               .filter { case (_, ts) => ts >= wm - ttlMs }
             val (emit, newSeen) = rows.foldLeft(
               (List.empty[TimedSimDoc], live)) { case ((out, s), doc) =>
               val t = doc.eventTime.getTime
-              if (s.exists { case (fp, ts) =>
+              if (t < wm - ttlMs)
+                (out, s) // too late: suppressors already pruned — drop
+              else if (s.exists { case (fp, ts) =>
                   math.abs(t - ts) <= ttlMs &&
                     java.lang.Long.bitCount(fp ^ doc.sim) <= maxHamming })
                 (out, s)
-              else (doc :: out, ((doc.sim, t) :: s).take(maxStatePerKey))
+              else {
+                // ordered insert keeps the list newest-first, so the
+                // cap drops the oldest-by-event-time entry (free for
+                // in-order streams: the split point is the head)
+                val (newer, older) = s.span(_._2 > t)
+                val merged = newer ::: (doc.sim, t) :: older
+                (doc :: out,
+                  if (merged.lengthCompare(maxStatePerKey) > 0) merged.init
+                  else merged)
+              }
             }
             if (newSeen.nonEmpty) {
               state.update(TimedNearDedupState(newSeen))

@@ -177,6 +177,84 @@ class StatefulStreamingSpec extends SparkTestBase {
         s"re-emit after eviction; got $ids")
   }
 
+  test("nearDedupStreamEventTime drops too-late rows instead of leaking duplicates") {
+    import Streaming.{TimedSimDoc, nearDedupStreamEventTime}
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(3600_000L + min * 60_000L)
+    val ttlMs = 10 * 60_000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    // b1: base doc — emitted; b2: unrelated far-future shard pushes the
+    // watermark past base's whole window, pruning its state; b3: a
+    // too-late near-dup of base (ts(5) < wm - ttl = ts(30)). Its
+    // suppressor is pruned, so emitting it would leak a duplicate —
+    // the late-data contract drops it instead.
+    val batches = Seq(
+      Seq(TimedSimDoc("k", 1L, 0L, ts(0), "base")),
+      Seq(TimedSimDoc("other", 2L, 0xAAAAL, ts(40), "watermark mover")),
+      Seq(TimedSimDoc("k", 3L, 1L, ts(5), "too-late near-dup")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDS().write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(s"$dir/in")
+      Thread.sleep(20) // distinct mtimes: the file source orders by them
+    }
+    val streamed = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[TimedSimDoc]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in").as[TimedSimDoc]
+      .withWatermark("eventTime", "0 seconds")
+    val q = nearDedupStreamEventTime(streamed, maxHamming = 3, ttlMs = ttlMs)
+      .writeStream.format("memory").queryName("graft_late_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ids = spark.table("graft_late_dedup")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L),
+      s"too-late doc 3 must be dropped, not emitted as a duplicate; got $ids")
+  }
+
+  test("nearDedupStreamEventTime cap evicts oldest-by-EVENT-time, not arrival order") {
+    import Streaming.{TimedSimDoc, nearDedupStreamEventTime}
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(3600_000L + min * 60_000L)
+    // huge watermark delay: nothing is late, nothing is wm-pruned —
+    // only the cap evicts. Distant fps arrive out of event-time order:
+    // A(t=100), B(t=10), C(t=20). With cap 2 the eviction must drop B
+    // (oldest EVENT time), keeping A so the near-dup D(t=95) of A is
+    // still suppressed; arrival-order eviction would drop A (oldest
+    // arrival) and leak D — survivor sets would then differ between
+    // live ingest and an event-time-ordered backfill replay.
+    val ttlMs = 30 * 60_000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_capev").toString
+    val docs = Seq(
+      TimedSimDoc("k", 1L, 0L, ts(100), "A"),
+      TimedSimDoc("k", 2L, 0xFF00L, ts(10), "B"),
+      TimedSimDoc("k", 3L, 0xFF00000L, ts(20), "C"),
+      TimedSimDoc("k", 4L, 1L, ts(95), "D: near-dup of A inside ttl"))
+    docs.zipWithIndex.foreach { case (d, i) =>
+      Seq(d).toDS().write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(s"$dir/in")
+      Thread.sleep(20)
+    }
+    val streamed = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[TimedSimDoc]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in").as[TimedSimDoc]
+      .withWatermark("eventTime", "10 hours")
+    val q = nearDedupStreamEventTime(streamed, maxHamming = 3, ttlMs = ttlMs,
+        maxStatePerKey = 2)
+      .writeStream.format("memory").queryName("graft_capev_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ids = spark.table("graft_capev_dedup")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"cap must evict B (oldest event time) and keep A to suppress D; got $ids")
+  }
+
   test("nearDedupStream invariants hold under seeded fuzz") {
     import Streaming.{SimDoc, nearDedupStream}
     // the two order-independent contracts the q_stream_dedup oracle
@@ -201,6 +279,46 @@ class StatefulStreamingSpec extends SparkTestBase {
         val shard = survivors.getOrElse(d.key, Array.empty[SimDoc])
         assert(shard.exists(s => java.lang.Long.bitCount(s.sim ^ d.sim) <= h),
           s"trial $trial h=$h: dropped doc ${d.id} has no covering survivor")
+      }
+    }
+  }
+
+  test("nearDedupStreamEventTime invariants hold under seeded fuzz (batch)") {
+    import Streaming.{TimedSimDoc, nearDedupStreamEventTime}
+    import java.sql.Timestamp
+    // order-independent window contracts, whatever group iteration
+    // order the engine picks: no two survivors of a shard are BOTH
+    // within ttl and within maxHamming (the first-seen one would have
+    // suppressed the other); every dropped doc is within ttl AND
+    // maxHamming of some survivor of its shard (only emitted docs
+    // enter state). Default cap — eviction intentionally weakens the
+    // pairwise contract to most-recent-window semantics.
+    val rnd = new scala.util.Random(5678)
+    for (trial <- 1 to 5) {
+      val h = 1 + rnd.nextInt(6)
+      val ttlMs = (1 + rnd.nextInt(30)) * 60_000L
+      val docs = (1 to 300).map { i =>
+        TimedSimDoc(s"s${rnd.nextInt(4)}", i.toLong,
+          rnd.nextLong() & 0xFFFFL, // narrow fp space forces collisions
+          new Timestamp(3600_000L + rnd.nextInt(60) * 60_000L), "")
+      }
+      val out = nearDedupStreamEventTime(
+        docs.toDS(), maxHamming = h, ttlMs = ttlMs).collect()
+      val survivors = out.groupBy(_.key)
+      for ((key, ss) <- survivors; a <- ss; b <- ss if a.id < b.id)
+        assert(
+          math.abs(a.eventTime.getTime - b.eventTime.getTime) > ttlMs ||
+            java.lang.Long.bitCount(a.sim ^ b.sim) > h,
+          s"trial $trial h=$h ttl=$ttlMs: survivors ${a.id},${b.id} of " +
+            s"shard $key collide inside the window")
+      val keptIds = out.map(_.id).toSet
+      for (d <- docs if !keptIds.contains(d.id)) {
+        val shard = survivors.getOrElse(d.key, Array.empty[TimedSimDoc])
+        assert(shard.exists(s =>
+            math.abs(s.eventTime.getTime - d.eventTime.getTime) <= ttlMs &&
+              java.lang.Long.bitCount(s.sim ^ d.sim) <= h),
+          s"trial $trial h=$h ttl=$ttlMs: dropped doc ${d.id} has no " +
+            s"covering survivor inside its window")
       }
     }
   }

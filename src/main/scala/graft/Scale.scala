@@ -79,10 +79,19 @@ object Scale {
     scaledDocs(spark, sfDir, 1).limit(2000)
       .transform(d => Dedup.minHashNearDuplicates(d, "text", "doc_id")).count()
 
+    // SPARK_GRAFT_SCALE_ONLY=op1,op2 restricts the run to named ops —
+    // the targeted-adjudication mode (mirrors Bench's SPARK_GRAFT_ONLY):
+    // a suspicious row is re-measured isolated, without the ~10 min
+    // full artifact and without the in-run load of earlier ops
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     // ONE timing protocol for every artifact row (cache clear + GC,
     // one counted action, centiseconds) — protocol changes happen HERE
     // or rows stop being comparable across blocks
     def timed(name: String, tags: (String, Long)*)(mk: () => DataFrame): Unit = {
+      if (only.exists(!_.contains(name))) return
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
@@ -178,7 +187,8 @@ object Scale {
     // formula that could diverge from the implementation — targeted
     // replication is proportional to hot-key rows, not to the
     // right-side row count.
-    {
+    if (only.forall(o =>
+        Set("skew_salted_blanket_f32", "skew_salted_hotkeys_f32").exists(o))) {
       val (left, right) = skewCorpus(1)
       val hot = Seq(1L) // the constructed 90%-share key
       val blanketExchanged = graft.core.DataFrameOps

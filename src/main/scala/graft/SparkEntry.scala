@@ -68,6 +68,49 @@ object SparkEntry {
         (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
   }
 
+  /** Window-scoped invariant oracle for the EVENT-TIME streaming
+    * near-dedup (q_stream_dedup_evtime). Over (key, id, sim, ts-ms)
+    * frames: no two shard survivors are BOTH within `ttlMs` and within
+    * `maxHamming` (the first-seen one would have suppressed the
+    * other); every dropped doc has a covering survivor inside its
+    * window (only emitted docs enter state); at least the 50 planted
+    * zero-delta collisions dropped; survivors + dropped = corpus. All
+    * four hold for ANY group iteration order, which is what lets a
+    * nondeterministic-survivor operator face a constants oracle. */
+  private[graft] def streamDedupWindowInvariants(
+      fps: DataFrame,
+      kept: DataFrame,
+      corpus: DataFrame,
+      maxHamming: Int,
+      ttlMs: Long): DataFrame = {
+    val dropped = fps.join(kept.select("id"), Seq("id"), "left_anti")
+    val a = kept.select(col("key"), col("id").as("id_a"),
+      col("sim").as("sim_a"), col("ts").as("ts_a"))
+    val b = kept.select(col("key"), col("id").as("id_b"),
+      col("sim").as("sim_b"), col("ts").as("ts_b"))
+    val badPairs = a.join(b, Seq("key"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("ts_a") - col("ts_b")) <= ttlMs &&
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
+      .agg(count(lit(1)).as("n_bad_pairs"))
+    val orphanDrops = dropped
+      .join(kept.select(col("key"), col("sim").as("sim_k"),
+        col("ts").as("ts_k")), Seq("key"), "left")
+      .groupBy("id")
+      .agg(max(when(abs(col("ts") - col("ts_k")) <= ttlMs &&
+          bit_count(col("sim").bitwiseXOR(col("sim_k"))) <= maxHamming, 1)
+        .otherwise(0)).as("covered"))
+      .agg(sum(when(col("covered") === 0 || col("covered").isNull, 1L)
+        .otherwise(0L)).as("n_orphan_drops"))
+    badPairs.crossJoin(orphanDrops)
+      .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
+      .select(col("n_bad_pairs"), col("n_orphan_drops"),
+        (col("n_dropped") >= 50L).as("dropped_planted"),
+        (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
+  }
+
   /** Planted near-dup flip mask for the q_pipeline_docs128 family —
     * shared by the wrapped query and its Bench raw baseline (like
     * [[streamDedupInvariants]]) so the plant scheme cannot diverge:
@@ -783,6 +826,41 @@ object SparkEntry {
       val kept = Streaming.nearDedupStream(fps.as[Streaming.SimDoc], maxHamming = 3)
         .toDF().select("key", "id", "sim").localCheckpoint(true)
       streamDedupInvariants(fps.select("key", "id", "sim"), kept, corpus, 3)
+    }),
+
+    "q_stream_dedup_evtime" -> ((s, d) => {
+      // event-time WINDOW variant of q_stream_dedup
+      // (Streaming.nearDedupStreamEventTime, batch-equivalence path):
+      // suppression is scoped to a 60-minute event-time window, so
+      // same-fingerprint docs > ttl apart legitimately coexist. The
+      // derived event time is a pure function of the PRE-offset id
+      // ((id % 1e6) % 360 minutes), so each planted copy shares its
+      // original's timestamp — Δt = 0, always in-window, guaranteeing
+      // the 50 planted drops — while the 360-minute id spread puts
+      // same-shard docs on BOTH sides of the window boundary. The
+      // oracle checks the window-scoped order-independent invariants
+      // (streamDedupWindowInvariants).
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(copies)
+        .repartition(s.sparkContext.defaultParallelism)
+      val ttlMs = 60L * 60_000L
+      val fps = Streaming.shardedFingerprints(corpus, "doc_id").toDF()
+        .withColumn("ts", pmod(col("id"), lit(1000000L)) % 360 * 60_000L)
+        .localCheckpoint(true) // one kernel pass, pinned for all consumers
+      import s.implicits._
+      val timedDocs = fps.select(col("key"), col("id"), col("sim"),
+          timestamp_millis(col("ts")).as("eventTime"), col("payload"))
+        .as[Streaming.TimedSimDoc]
+      val kept = Streaming.nearDedupStreamEventTime(
+          timedDocs, maxHamming = 3, ttlMs = ttlMs)
+        .toDF().select(col("key"), col("id"), col("sim"),
+          unix_millis(col("eventTime")).as("ts"))
+        .localCheckpoint(true) // pin the order-dependent survivor choice
+      streamDedupWindowInvariants(
+        fps.select("key", "id", "sim", "ts"), kept, corpus, 3, ttlMs)
     }),
 
     "q_json_props" -> ((s, d) =>
@@ -1579,6 +1657,11 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "q_stream_dedup" ->
+      """SELECT CAST(0 AS BIGINT) AS n_bad_pairs,
+        |CAST(0 AS BIGINT) AS n_orphan_drops,
+        |TRUE AS dropped_planted, TRUE AS conserved""".stripMargin,
+
+    "q_stream_dedup_evtime" ->
       """SELECT CAST(0 AS BIGINT) AS n_bad_pairs,
         |CAST(0 AS BIGINT) AS n_orphan_drops,
         |TRUE AS dropped_planted, TRUE AS conserved""".stripMargin,

@@ -133,6 +133,24 @@ object Scale {
           graft.streaming.Streaming.shardedFingerprints(d, "doc_id"),
           maxHamming = 3).toDF()
       }
+      run("stream_near_dedup_evtime", k) { d =>
+        // event-time window variant on the same corpus (derived event
+        // time: pre-offset id spread over 360 min, 60-min window — the
+        // q_stream_dedup_evtime construction). More survivors than the
+        // unwindowed row (same-fp docs outside the window coexist);
+        // growth must stay ~linear, the state scan bounded by the
+        // window prune.
+        import spark.implicits._
+        val timedDocs = graft.streaming.Streaming
+          .shardedFingerprints(d, "doc_id").toDF()
+          .withColumn("eventTime",
+            timestamp_millis(pmod(col("id"), lit(1000000L)) % 360 * 60_000L))
+          .select(col("key"), col("id"), col("sim"), col("eventTime"),
+            col("payload"))
+          .as[graft.streaming.Streaming.TimedSimDoc]
+        graft.streaming.Streaming.nearDedupStreamEventTime(
+          timedDocs, maxHamming = 3, ttlMs = 60L * 60_000L).toDF()
+      }
     }
 
     // --- salted skew join: K replicas of the 90%-hot-key corpus, each

@@ -69,6 +69,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the stateful map-groups operator in:\n$plan")
   }
 
+  test("nearDedupStreamEventTime plans ONE exchange on the shard key, no payload re-shuffle") {
+    // same single-exchange contract as the processing-time variant:
+    // the only shuffle is the groupByKey on the shard
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_evtime_plan").toString
+    Seq(streaming.Streaming.TimedSimDoc("a", 1L, 0L, new Timestamp(0L), "p"),
+      streaming.Streaming.TimedSimDoc("b", 2L, 1L, new Timestamp(1L), "q")).toDS()
+      .write.mode("overwrite").parquet(dir)
+    val ds = spark.read.parquet(dir).as[streaming.Streaming.TimedSimDoc]
+    val plan = streaming.Streaming
+      .nearDedupStreamEventTime(ds, maxHamming = 3, ttlMs = 60000L)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges in:\n$plan")
+    assert(plan.contains("FlatMapGroupsWithState") || plan.contains("MapGroups"),
+      s"expected the stateful map-groups operator in:\n$plan")
+  }
+
   test("saltedJoin short-circuit plans the plain broadcast join; engaged path salts the SMJ keys") {
     val left = spark.range(5000).toDF("k").withColumn("v", col("k") * 2)
     val dim = spark.range(50).toDF("k").withColumn("name", col("k").cast("string"))

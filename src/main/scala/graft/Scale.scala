@@ -144,7 +144,7 @@ object Scale {
         val timedDocs = graft.streaming.Streaming
           .shardedFingerprints(d, "doc_id").toDF()
           .withColumn("eventTime",
-            timestamp_millis(pmod(col("id"), lit(1000000L)) % 360 * 60_000L))
+            timestamp_millis(SparkEntry.evtimeDerivedMs))
           .select(col("key"), col("id"), col("sim"), col("eventTime"),
             col("payload"))
           .as[graft.streaming.Streaming.TimedSimDoc]

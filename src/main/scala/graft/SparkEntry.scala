@@ -68,6 +68,15 @@ object SparkEntry {
         (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
   }
 
+  /** Derived event time (ms) for the q_stream_dedup_evtime family —
+    * shared with the Scale row so the construction cannot diverge: a
+    * pure function of the PRE-offset id ((id % 1e6) % 360 minutes).
+    * Planted copies (+1e6) and Scale replicas (+k·1e7) therefore share
+    * their original's timestamp, keeping the planted-drop guarantee at
+    * every scale. */
+  private[graft] def evtimeDerivedMs: Column =
+    pmod(col("id"), lit(1000000L)) % 360 * 60_000L
+
   /** Window-scoped invariant oracle for the EVENT-TIME streaming
     * near-dedup (q_stream_dedup_evtime). Over (key, id, sim, ts-ms)
     * frames: no two shard survivors are BOTH within `ttlMs` and within
@@ -848,7 +857,7 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism)
       val ttlMs = 60L * 60_000L
       val fps = Streaming.shardedFingerprints(corpus, "doc_id").toDF()
-        .withColumn("ts", pmod(col("id"), lit(1000000L)) % 360 * 60_000L)
+        .withColumn("ts", evtimeDerivedMs)
         .localCheckpoint(true) // one kernel pass, pinned for all consumers
       import s.implicits._
       val timedDocs = fps.select(col("key"), col("id"), col("sim"),

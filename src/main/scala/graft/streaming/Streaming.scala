@@ -276,13 +276,16 @@ object Streaming {
     * across the whole month), while event-time scope is a property of
     * the DATA and replays deterministically.
     *
-    * Late-data contract: rows with event time below `watermark - ttlMs`
-    * are DROPPED, not emitted — their potential suppressors were
-    * already pruned, so no correct verdict exists for them, and
-    * emitting would leak duplicates past the dedup (the same
-    * too-late-is-dropped contract as Spark's built-in stateful
-    * operators). Size the watermark delay for the lateness the stream
-    * actually exhibits.
+    * Late-data contract: rows with event time below the WATERMARK are
+    * DROPPED, not emitted — the same contract as Spark's built-in
+    * stateful operators, and the threshold that makes the state
+    * bounds exact rather than approximate: an accepted row has
+    * `t >= watermark`, so every entry that could still suppress one
+    * satisfies `ts >= t - ttlMs >= watermark - ttlMs` — precisely the
+    * pruning line below. A more lenient acceptance (say down to
+    * `watermark - ttlMs`) would admit rows whose suppressors were
+    * already pruned and leak duplicates. Size the watermark delay for
+    * the lateness the stream actually exhibits.
     *
     * State eviction is watermark-driven twice over: entries older than
     * `watermark - ttlMs` can never suppress again and are pruned on
@@ -328,8 +331,8 @@ object Streaming {
             val (emit, newSeen) = rows.foldLeft(
               (List.empty[TimedSimDoc], live)) { case ((out, s), doc) =>
               val t = doc.eventTime.getTime
-              if (t < wm - ttlMs)
-                (out, s) // too late: suppressors already pruned — drop
+              if (streamingMode && t < wm)
+                (out, s) // below-watermark: late data is dropped
               else if (s.exists { case (fp, ts) =>
                   math.abs(t - ts) <= ttlMs &&
                     java.lang.Long.bitCount(fp ^ doc.sim) <= maxHamming })
@@ -348,9 +351,10 @@ object Streaming {
             if (newSeen.nonEmpty) {
               state.update(TimedNearDedupState(newSeen))
               // drop the shard once the watermark passes its newest
-              // entry's window (must stay strictly above the watermark)
+              // entry's window (must stay strictly above the
+              // watermark); newest-first invariant makes head the max
               if (streamingMode) state.setTimeoutTimestamp(
-                math.max(newSeen.map(_._2).max + ttlMs, wm + 1))
+                math.max(newSeen.head._2 + ttlMs, wm + 1))
             } else state.remove()
             emit.reverseIterator
           }

@@ -177,23 +177,17 @@ class StatefulStreamingSpec extends SparkTestBase {
         s"re-emit after eviction; got $ids")
   }
 
-  test("nearDedupStreamEventTime drops too-late rows instead of leaking duplicates") {
-    import Streaming.{TimedSimDoc, nearDedupStreamEventTime}
-    import java.sql.Timestamp
-    def ts(min: Long) = new Timestamp(3600_000L + min * 60_000L)
-    val ttlMs = 10 * 60_000L
-    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
-    // b1: base doc — emitted; b2: unrelated far-future shard pushes the
-    // watermark past base's whole window, pruning its state; b3: a
-    // too-late near-dup of base (ts(5) < wm - ttl = ts(30)). Its
-    // suppressor is pruned, so emitting it would leak a duplicate —
-    // the late-data contract drops it instead.
-    val batches = Seq(
-      Seq(TimedSimDoc("k", 1L, 0L, ts(0), "base")),
-      Seq(TimedSimDoc("other", 2L, 0xAAAAL, ts(40), "watermark mover")),
-      Seq(TimedSimDoc("k", 3L, 1L, ts(5), "too-late near-dup")))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      b.toDS().write.mode(if (i == 0) "overwrite" else "append")
+  // one-doc-per-micro-batch file stream through the shared loud-failure
+  // harness: arrival order pinned by mtime, hung streams throw instead
+  // of asserting over a partial memory table
+  private def runEvtimeStream(
+      docs: Seq[Streaming.TimedSimDoc], queryName: String,
+      ttlMs: Long, watermarkDelay: String,
+      maxStatePerKey: Int = 10000): Seq[Long] = {
+    import Streaming.TimedSimDoc
+    val dir = java.nio.file.Files.createTempDirectory(queryName).toString
+    docs.zipWithIndex.foreach { case (d, i) =>
+      Seq(d).toDS().write.mode(if (i == 0) "overwrite" else "append")
         .parquet(s"$dir/in")
       Thread.sleep(20) // distinct mtimes: the file source orders by them
     }
@@ -201,17 +195,49 @@ class StatefulStreamingSpec extends SparkTestBase {
       .schema(implicitly[org.apache.spark.sql.Encoder[TimedSimDoc]].schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/in").as[TimedSimDoc]
-      .withWatermark("eventTime", "0 seconds")
-    val q = nearDedupStreamEventTime(streamed, maxHamming = 3, ttlMs = ttlMs)
-      .writeStream.format("memory").queryName("graft_late_dedup")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(120000)
-    val ids = spark.table("graft_late_dedup")
+      .withWatermark("eventTime", watermarkDelay)
+    Streaming.runStreamToMemory(spark,
+        Streaming.nearDedupStreamEventTime(streamed, maxHamming = 3,
+          ttlMs = ttlMs, maxStatePerKey = maxStatePerKey).toDF(),
+        queryName, outputMode = "append")
       .select("id").as[Long].collect().sorted.toSeq
+  }
+
+  test("nearDedupStreamEventTime drops below-watermark rows instead of leaking duplicates") {
+    import Streaming.TimedSimDoc
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(3600_000L + min * 60_000L)
+    // b1: base doc — emitted; b2: unrelated far-future shard pushes the
+    // watermark to ts(40), pruning base's state; b3: a late near-dup of
+    // base (ts(5) < wm). Its suppressor is pruned, so emitting it would
+    // leak a duplicate — the below-watermark contract drops it.
+    val ids = runEvtimeStream(Seq(
+        TimedSimDoc("k", 1L, 0L, ts(0), "base"),
+        TimedSimDoc("other", 2L, 0xAAAAL, ts(40), "watermark mover"),
+        TimedSimDoc("k", 3L, 1L, ts(5), "late near-dup")),
+      "graft_late_dedup", ttlMs = 10 * 60_000L, watermarkDelay = "0 seconds")
     assert(ids == Seq(1L, 2L),
-      s"too-late doc 3 must be dropped, not emitted as a duplicate; got $ids")
+      s"late doc 3 must be dropped, not emitted as a duplicate; got $ids")
+  }
+
+  test("nearDedupStreamEventTime: rows between wm-ttl and wm are late too — no duplicate band") {
+    import Streaming.TimedSimDoc
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(3600_000L + min * 60_000L)
+    // the band a wm-ttl acceptance threshold would leak: A (t=0:00)
+    // emitted; watermark moves to 0:18, pruning A (0:00 < wm-ttl=0:08)
+    // AND timing the shard out (0:00+ttl < wm); A' arrives at t=0:09 —
+    // above wm-ttl but below wm. Accepting it would emit a duplicate 9
+    // minutes from A with hamming 0; the below-watermark contract
+    // drops it, keeping the pairwise-window invariant intact.
+    val ids = runEvtimeStream(Seq(
+        TimedSimDoc("k", 1L, 0L, ts(0), "A"),
+        TimedSimDoc("other", 2L, 0xAAAAL, ts(18), "watermark mover"),
+        TimedSimDoc("k", 3L, 0L, ts(9), "A' in the leak band")),
+      "graft_band_dedup", ttlMs = 10 * 60_000L, watermarkDelay = "0 seconds")
+    assert(ids == Seq(1L, 2L),
+      s"doc 3 (wm-ttl <= t < wm) must be dropped — its suppressor is " +
+        s"already pruned; got $ids")
   }
 
   test("nearDedupStreamEventTime cap evicts oldest-by-EVENT-time, not arrival order") {
@@ -225,32 +251,13 @@ class StatefulStreamingSpec extends SparkTestBase {
     // still suppressed; arrival-order eviction would drop A (oldest
     // arrival) and leak D — survivor sets would then differ between
     // live ingest and an event-time-ordered backfill replay.
-    val ttlMs = 30 * 60_000L
-    val dir = java.nio.file.Files.createTempDirectory("graft_capev").toString
-    val docs = Seq(
-      TimedSimDoc("k", 1L, 0L, ts(100), "A"),
-      TimedSimDoc("k", 2L, 0xFF00L, ts(10), "B"),
-      TimedSimDoc("k", 3L, 0xFF00000L, ts(20), "C"),
-      TimedSimDoc("k", 4L, 1L, ts(95), "D: near-dup of A inside ttl"))
-    docs.zipWithIndex.foreach { case (d, i) =>
-      Seq(d).toDS().write.mode(if (i == 0) "overwrite" else "append")
-        .parquet(s"$dir/in")
-      Thread.sleep(20)
-    }
-    val streamed = spark.readStream
-      .schema(implicitly[org.apache.spark.sql.Encoder[TimedSimDoc]].schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/in").as[TimedSimDoc]
-      .withWatermark("eventTime", "10 hours")
-    val q = nearDedupStreamEventTime(streamed, maxHamming = 3, ttlMs = ttlMs,
-        maxStatePerKey = 2)
-      .writeStream.format("memory").queryName("graft_capev_dedup")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(120000)
-    val ids = spark.table("graft_capev_dedup")
-      .select("id").as[Long].collect().sorted.toSeq
+    val ids = runEvtimeStream(Seq(
+        TimedSimDoc("k", 1L, 0L, ts(100), "A"),
+        TimedSimDoc("k", 2L, 0xFF00L, ts(10), "B"),
+        TimedSimDoc("k", 3L, 0xFF00000L, ts(20), "C"),
+        TimedSimDoc("k", 4L, 1L, ts(95), "D: near-dup of A inside ttl")),
+      "graft_capev_dedup", ttlMs = 30 * 60_000L,
+      watermarkDelay = "10 hours", maxStatePerKey = 2)
     assert(ids == Seq(1L, 2L, 3L),
       s"cap must evict B (oldest event time) and keep A to suppress D; got $ids")
   }

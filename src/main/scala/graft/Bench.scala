@@ -399,6 +399,47 @@ object Bench {
       SparkEntry.streamDedupInvariants(fps, kept, corpus, 3)
     }),
 
+    "q_stream_dedup_evtime" -> ((s, d) => {
+      // hand-written event-time window dedup baseline: hand-rolled
+      // 64-bit fingerprints, plain flatMapGroups with a local (fp, ts)
+      // seen-list and the |Δt| <= ttl window check — the loop a user
+      // writes without cross-batch state. Derived ts and invariant
+      // oracle are SHARED with the wrapped query (evtimeDerivedMs /
+      // streamDedupWindowInvariants); the dedup computation and
+      // fingerprint family are baseline-specific.
+      import s.implicits._
+      val par = s.sparkContext.defaultParallelism
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(copies).repartition(par)
+      val ttlMs = 60L * 60_000L
+      val fps = rawSimHash128(corpus, "doc_id")
+        .select(shiftrightunsigned(col("w0"), 48).cast("string").as("key"),
+          col("id"), col("w0").as("sim"))
+        .withColumn("ts", SparkEntry.evtimeDerivedMs)
+        .localCheckpoint(true)
+      val kept = fps.toDF("_1", "_2", "_3", "_4")
+        .as[(String, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, rows) =>
+          var seen = List.empty[(Long, Long)]
+          val out =
+            scala.collection.mutable.ListBuffer.empty[(String, Long, Long, Long)]
+          rows.foreach { r =>
+            if (!seen.exists { case (fp, t) =>
+                math.abs(t - r._4) <= ttlMs &&
+                  java.lang.Long.bitCount(fp ^ r._3) <= 3 }) {
+              out += r
+              seen ::= ((r._3, r._4))
+            }
+          }
+          out.iterator
+        }.toDF("key", "id", "sim", "ts").localCheckpoint(true)
+      SparkEntry.streamDedupWindowInvariants(fps, kept, corpus, 3, ttlMs)
+    }),
+
     "q_ngram_lsh" -> ((s, d) => {
       val par = s.sparkContext.defaultParallelism
       val base = rawAugmentedDocs(s, d)

@@ -209,20 +209,25 @@ object Scale {
         Set("skew_salted_blanket_f32", "skew_salted_hotkeys_f32").exists(o))) {
       val (left, right) = skewCorpus(1)
       val hot = Seq(1L) // the constructed 90%-share key
-      val blanketExchanged = graft.core.DataFrameOps
+      // counted lazily per selected op: in targeted mode an unselected
+      // op's 4.8M-row explode+count would be exactly the in-run load
+      // the mode exists to eliminate
+      lazy val blanketExchanged = graft.core.DataFrameOps
         .saltedRightFrame(right, Seq("k"), 32, None).count()
-      val targetedExchanged = graft.core.DataFrameOps
+      lazy val targetedExchanged = graft.core.DataFrameOps
         .saltedRightFrame(right, Seq("k"), 32, Some(hot)).count()
       for (round <- 1 to 2) {
-        timed("skew_salted_blanket_f32", "round" -> round.toLong,
-          "right_rows_exchanged" -> blanketExchanged)(() =>
-          graft.core.DataFrameOps.saltedJoin(
-            left, right.hint("merge"), Seq("k"), saltFactor = 32))
-        timed("skew_salted_hotkeys_f32", "round" -> round.toLong,
-          "right_rows_exchanged" -> targetedExchanged)(() =>
-          graft.core.DataFrameOps.saltedJoin(
-            left, right.hint("merge"), Seq("k"), saltFactor = 32,
-            hotKeys = Some(hot)))
+        if (only.forall(_("skew_salted_blanket_f32")))
+          timed("skew_salted_blanket_f32", "round" -> round.toLong,
+            "right_rows_exchanged" -> blanketExchanged)(() =>
+            graft.core.DataFrameOps.saltedJoin(
+              left, right.hint("merge"), Seq("k"), saltFactor = 32))
+        if (only.forall(_("skew_salted_hotkeys_f32")))
+          timed("skew_salted_hotkeys_f32", "round" -> round.toLong,
+            "right_rows_exchanged" -> targetedExchanged)(() =>
+            graft.core.DataFrameOps.saltedJoin(
+              left, right.hint("merge"), Seq("k"), saltFactor = 32,
+              hotKeys = Some(hot)))
       }
     }
 

@@ -57,8 +57,10 @@ object SparkEntry {
       .groupBy("id")
       .agg(max(when(bit_count(col("sim").bitwiseXOR(col("sim_k"))) <= maxHamming, 1)
         .otherwise(0)).as("covered"))
-      .agg(sum(when(col("covered") === 0 || col("covered").isNull, 1L)
-        .otherwise(0L)).as("n_orphan_drops"))
+      // coalesce: sum over an EMPTY dropped set is NULL, and the
+      // oracle's contract is BIGINT 0
+      .agg(coalesce(sum(when(col("covered") === 0 || col("covered").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("n_orphan_drops"))
     badPairs.crossJoin(orphanDrops)
       .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
       .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
@@ -109,8 +111,10 @@ object SparkEntry {
       .agg(max(when(abs(col("ts") - col("ts_k")) <= ttlMs &&
           bit_count(col("sim").bitwiseXOR(col("sim_k"))) <= maxHamming, 1)
         .otherwise(0)).as("covered"))
-      .agg(sum(when(col("covered") === 0 || col("covered").isNull, 1L)
-        .otherwise(0L)).as("n_orphan_drops"))
+      // coalesce: sum over an EMPTY dropped set is NULL, and the
+      // oracle's contract is BIGINT 0
+      .agg(coalesce(sum(when(col("covered") === 0 || col("covered").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("n_orphan_drops"))
     badPairs.crossJoin(orphanDrops)
       .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
       .crossJoin(kept.agg(count(lit(1)).as("n_kept")))

@@ -88,7 +88,8 @@ object RunLog {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
     val db = ident.database.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
     if (spark.sessionState.conf.caseSensitiveAnalysis) (db, ident.table)
-    else (db.toLowerCase, ident.table.toLowerCase)
+    else (db.toLowerCase(java.util.Locale.ROOT),
+      ident.table.toLowerCase(java.util.Locale.ROOT))
   }
 
   private def cacheKey(spark: SparkSession, name: String): String = {

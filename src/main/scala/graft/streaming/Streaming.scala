@@ -202,6 +202,13 @@ object Streaming {
     * most-recent-window semantics instead of the state store growing
     * without limit.
     *
+    * `timeoutMs = 0` disables the idle-key TTL (NoTimeout). REQUIRED
+    * for bounded replays: a `Trigger.AvailableNow` backfill never
+    * terminates while processing-time timers are armed — the engine
+    * keeps scheduling batches to fire them — so continuous streams
+    * keep the TTL and bounded runs trade it for termination (the
+    * per-shard cap still bounds state).
+    *
     * Scale notes: the per-arrival state scan is linear in the shard's
     * retained fingerprints (bit_count over longs; thousands per shard
     * scan in microseconds), so `key` must be a LOCALITY shard, not a
@@ -226,10 +233,15 @@ object Streaming {
       s"nearDedupStream: maxHamming must be in [0, 64], got $maxHamming")
     require(maxStatePerKey >= 1,
       s"nearDedupStream: maxStatePerKey must be >= 1, got $maxStatePerKey")
+    require(timeoutMs >= 0,
+      s"nearDedupStream: timeoutMs must be >= 0 (0 disables the TTL), got $timeoutMs")
     import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs.groupByKey(_.key)
       .flatMapGroupsWithState[NearDedupState, SimDoc](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (_, rows, state: GroupState[NearDedupState]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -244,7 +256,7 @@ object Streaming {
               else (doc :: out, (doc.sim :: s).take(maxStatePerKey))
             }
             state.update(NearDedupState(newSeen))
-            state.setTimeoutDuration(timeoutMs)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
             emit.reverseIterator
           }
       }
@@ -363,16 +375,24 @@ object Streaming {
 
   /** Running per-key event counter with inactivity expiry: state is a
     * single long; keys idle past `timeoutMs` are dropped (bounded state
-    * at 100 TB stream scale). Emits (key, runningCount) per batch. */
+    * at 100 TB stream scale). Emits (key, runningCount) per batch.
+    * `timeoutMs = 0` disables the expiry (NoTimeout) — required for
+    * `Trigger.AvailableNow` replays, which never terminate while
+    * processing-time timers are armed (see [[nearDedupStream]]). */
   case class CountState(n: Long)
 
   def runningCounts(
       events: Dataset[(String, Long)],
       timeoutMs: Long = 3600000): Dataset[(String, Long)] = {
+    require(timeoutMs >= 0,
+      s"runningCounts: timeoutMs must be >= 0 (0 disables expiry), got $timeoutMs")
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_._1)
       .flatMapGroupsWithState[CountState, (String, Long)](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (key, rows, state: GroupState[CountState]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -380,7 +400,7 @@ object Streaming {
           } else {
             val n = state.getOption.map(_.n).getOrElse(0L) + rows.size
             state.update(CountState(n))
-            state.setTimeoutDuration(timeoutMs)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
             Iterator.single(key -> n)
           }
       }

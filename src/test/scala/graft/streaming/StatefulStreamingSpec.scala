@@ -29,13 +29,9 @@ class StatefulStreamingSpec extends SparkTestBase {
       .schema(implicitly[org.apache.spark.sql.Encoder[KeyedDoc]].schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/in").as[KeyedDoc]
-    val q = dedupStream(streamed).writeStream
-      .format("memory").queryName("graft_dedup_stream")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(120000)
-    val fingerprints = spark.table("graft_dedup_stream")
+    val fingerprints = Streaming.runStreamToMemory(spark,
+        dedupStream(streamed).toDF(), "graft_dedup_stream",
+        outputMode = "append")
       .select("fingerprint").as[String].collect().sorted.toSeq
     assert(fingerprints == Seq("a", "b", "c")) // "a" emitted once only
   }
@@ -79,13 +75,13 @@ class StatefulStreamingSpec extends SparkTestBase {
         .schema(implicitly[org.apache.spark.sql.Encoder[SimDoc]].schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$dir/in").as[SimDoc]
-      val q = nearDedupStream(streamed, maxHamming = 3, maxStatePerKey = cap)
-        .writeStream.format("memory").queryName(queryName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(120000)
-      spark.table(queryName).select("id").as[Long].collect().sorted.toSeq
+      // timeoutMs = 0: an AvailableNow replay never terminates while
+      // processing-time timers are armed
+      Streaming.runStreamToMemory(spark,
+          nearDedupStream(streamed, maxHamming = 3, maxStatePerKey = cap,
+            timeoutMs = 0).toDF(),
+          queryName, outputMode = "append")
+        .select("id").as[Long].collect().sorted.toSeq
     }
     assert(run(2, "graft_cap_two") == Seq(1L, 2L, 3L, 4L),
       "evicted fingerprint must not suppress its copy")
@@ -105,13 +101,9 @@ class StatefulStreamingSpec extends SparkTestBase {
       .schema(implicitly[org.apache.spark.sql.Encoder[SimDoc]].schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/in").as[SimDoc]
-    val q = nearDedupStream(streamed, maxHamming = 3).writeStream
-      .format("memory").queryName("graft_near_dedup_stream")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(120000)
-    val ids = spark.table("graft_near_dedup_stream")
+    val ids = Streaming.runStreamToMemory(spark,
+        nearDedupStream(streamed, maxHamming = 3, timeoutMs = 0).toDF(),
+        "graft_near_dedup_stream", outputMode = "append")
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L, 4L),
       "doc 3 (hamming 1 of batch-1 doc 1) must be dropped by carried state")
@@ -160,13 +152,9 @@ class StatefulStreamingSpec extends SparkTestBase {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/in").as[TimedSimDoc]
       .withWatermark("eventTime", "0 seconds")
-    val q = nearDedupStreamEventTime(streamed, maxHamming = 3, ttlMs = ttlMs)
-      .writeStream.format("memory").queryName("graft_evtime_dedup")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(120000)
-    val ids = spark.table("graft_evtime_dedup")
+    val ids = Streaming.runStreamToMemory(spark,
+        nearDedupStreamEventTime(streamed, maxHamming = 3, ttlMs = ttlMs).toDF(),
+        "graft_evtime_dedup", outputMode = "append")
       .select("id").as[Long].collect().sorted.toSeq
     // within-batch group order is engine-chosen, so WHICH of the two
     // colliding batch-1 docs survives is order-dependent — exactly one

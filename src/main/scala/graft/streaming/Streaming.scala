@@ -127,27 +127,48 @@ object Streaming {
   /** Input/output rows for streaming dedup. */
   case class KeyedDoc(key: String, fingerprint: String, payload: String)
 
-  /** Streaming exact dedup: per key, emit only first-seen fingerprints;
-    * state = the fingerprint set, timeout-free (bounded corpora) —
+  /** Streaming exact dedup: per key, emit only first-seen fingerprints —
     * the streaming analogue of [[graft.dedup.Dedup.exactDedup]].
+    *
+    * The default `timeoutMs = 0` keeps keys forever (NoTimeout) —
+    * right for bounded corpora and `Trigger.AvailableNow` replays
+    * (which never terminate while processing-time timers are armed,
+    * see [[nearDedupStream]]). For an UNBOUNDED stream the per-key
+    * fingerprint set grows without limit, so pass a positive
+    * `timeoutMs` to evict idle keys wholesale, trading exactness past
+    * the idle window for bounded state — the same policy as
+    * [[nearDedupStream]] and [[runningCounts]].
     *
     * Works identically on batch Datasets (flatMapGroups semantics), so
     * the batch path oracles the streaming one.
     */
-  def dedupStream(docs: Dataset[KeyedDoc]): Dataset[KeyedDoc] = {
+  def dedupStream(
+      docs: Dataset[KeyedDoc],
+      timeoutMs: Long = 0): Dataset[KeyedDoc] = {
+    require(timeoutMs >= 0,
+      s"dedupStream: timeoutMs must be >= 0 (0 keeps keys forever), got $timeoutMs")
     import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs.groupByKey(_.key)
       .flatMapGroupsWithState[DedupState, KeyedDoc](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (_, rows, state: GroupState[DedupState]) =>
-          val seen = state.getOption.map(_.seen).getOrElse(Set.empty)
-          val (emit, newSeen) = rows.foldLeft(
-            (List.empty[KeyedDoc], seen)) { case ((out, s), doc) =>
-            if (s.contains(doc.fingerprint)) (out, s)
-            else (doc :: out, s + doc.fingerprint)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.map(_.seen).getOrElse(Set.empty)
+            val (emit, newSeen) = rows.foldLeft(
+              (List.empty[KeyedDoc], seen)) { case ((out, s), doc) =>
+              if (s.contains(doc.fingerprint)) (out, s)
+              else (doc :: out, s + doc.fingerprint)
+            }
+            state.update(DedupState(newSeen))
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            emit.reverseIterator
           }
-          state.update(DedupState(newSeen))
-          emit.reverseIterator
       }
   }
 

@@ -16,6 +16,8 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(out.length == 3)
     assert(out.count(_.key == "en") == 2)
     assert(out.exists(d => d.key == "fr" && d.payload == "same fp, other key"))
+    // the TTL-enabled form is batch-usable too (timers are inert there)
+    assert(dedupStream(docs, timeoutMs = 60000).collect().length == 3)
   }
 
   test("dedupStream keeps state across streaming micro-batches") {

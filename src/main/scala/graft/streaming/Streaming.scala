@@ -243,7 +243,10 @@ object Streaming {
     * Works identically on batch Datasets (per-key state starts empty,
     * iterator order = arrival order), so the batch path oracles the
     * streaming one; StatefulStreamingSpec proves cross-micro-batch
-    * state.
+    * state. Provider-agnostic: at corpus scale run it on the RocksDB
+    * state store (`spark.sql.streaming.stateStore.providerClass`),
+    * which spills state to local disk instead of holding every shard
+    * on-heap — pinned by a StatefulStreamingSpec run.
     */
   def nearDedupStream(
       docs: Dataset[SimDoc],

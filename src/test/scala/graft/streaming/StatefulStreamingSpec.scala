@@ -252,6 +252,34 @@ class StatefulStreamingSpec extends SparkTestBase {
       s"cap must evict B (oldest event time) and keep A to suppress D; got $ids")
   }
 
+  test("nearDedupStream runs on the RocksDB state store (the 100 TB state path)") {
+    // HDFSBackedStateStore holds every key's state on-heap — the
+    // bottleneck for corpus-scale streaming dedup. RocksDB spills to
+    // local disk; the operators must be provider-agnostic. The conf is
+    // read per-query at start, so setting it here scopes it to this run.
+    import Streaming.{SimDoc, nearDedupStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft_rocksdb").toString
+    Seq(SimDoc("k", 1L, 0L, "one"), SimDoc("k", 2L, 0xF0F0L, "two")).toDS()
+      .write.mode("overwrite").parquet(s"$dir/in")
+    Seq(SimDoc("k", 3L, 1L, "near-dup of one"), SimDoc("k", 4L, 0xAAAA00L, "three"))
+      .toDS().write.mode("append").parquet(s"$dir/in")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[SimDoc]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in").as[SimDoc]
+      val ids = Streaming.runStreamToMemory(spark,
+          nearDedupStream(streamed, maxHamming = 3, timeoutMs = 0).toDF(),
+          "graft_rocksdb_dedup", outputMode = "append")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L),
+        s"cross-micro-batch suppression must hold on RocksDB state; got $ids")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("nearDedupStream invariants hold under seeded fuzz") {
     import Streaming.{SimDoc, nearDedupStream}
     // the two order-independent contracts the q_stream_dedup oracle

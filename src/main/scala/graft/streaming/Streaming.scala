@@ -121,6 +121,14 @@ object Streaming {
   // KeyValueGroupedDataset.flatMapGroupsWithState — per-key state the
   // built-in windowed aggregations can't express.
 
+  /** ProcessingTimeTimeout when an idle-key TTL is requested,
+    * NoTimeout when `timeoutMs = 0` — shared by every TTL-optional
+    * stateful operator so the AvailableNow-termination contract (see
+    * [[nearDedupStream]]) is selected in exactly one place. */
+  private def idleTtlConf(timeoutMs: Long): GroupStateTimeout =
+    if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
+
   /** One seen-fingerprint record per key. */
   case class DedupState(seen: Set[String])
 
@@ -148,9 +156,7 @@ object Streaming {
     require(timeoutMs >= 0,
       s"dedupStream: timeoutMs must be >= 0 (0 keeps keys forever), got $timeoutMs")
     import docs.sparkSession.implicits._
-    val timeoutConf =
-      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+    val timeoutConf = idleTtlConf(timeoutMs)
     docs.groupByKey(_.key)
       .flatMapGroupsWithState[DedupState, KeyedDoc](
         OutputMode.Append(), timeoutConf) {
@@ -260,9 +266,7 @@ object Streaming {
     require(timeoutMs >= 0,
       s"nearDedupStream: timeoutMs must be >= 0 (0 disables the TTL), got $timeoutMs")
     import docs.sparkSession.implicits._
-    val timeoutConf =
-      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+    val timeoutConf = idleTtlConf(timeoutMs)
     docs.groupByKey(_.key)
       .flatMapGroupsWithState[NearDedupState, SimDoc](
         OutputMode.Append(), timeoutConf) {
@@ -411,9 +415,7 @@ object Streaming {
     require(timeoutMs >= 0,
       s"runningCounts: timeoutMs must be >= 0 (0 disables expiry), got $timeoutMs")
     import events.sparkSession.implicits._
-    val timeoutConf =
-      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+    val timeoutConf = idleTtlConf(timeoutMs)
     events.groupByKey(_._1)
       .flatMapGroupsWithState[CountState, (String, Long)](
         OutputMode.Append(), timeoutConf) {

@@ -24,6 +24,7 @@ class StatefulStreamingSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
     Seq(KeyedDoc("k", "a", "one"), KeyedDoc("k", "b", "two")).toDS()
       .write.mode("overwrite").parquet(s"$dir/in")
+    Thread.sleep(20) // distinct mtimes: the file source orders by them
     // second file arrives with one duplicate + one new
     Seq(KeyedDoc("k", "a", "one again"), KeyedDoc("k", "c", "three")).toDS()
       .write.mode("append").parquet(s"$dir/in")
@@ -96,6 +97,7 @@ class StatefulStreamingSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_near_state").toString
     Seq(SimDoc("k", 1L, 0L, "one"), SimDoc("k", 2L, 0xF0F0L, "two")).toDS()
       .write.mode("overwrite").parquet(s"$dir/in")
+    Thread.sleep(20) // distinct mtimes: the file source orders by them
     // second micro-batch: hamming-1 near-dup of doc 1 + one new
     Seq(SimDoc("k", 3L, 1L, "near-dup of one"), SimDoc("k", 4L, 0xAAAA00L, "three")).toDS()
       .write.mode("append").parquet(s"$dir/in")
@@ -142,10 +144,12 @@ class StatefulStreamingSpec extends SparkTestBase {
     Seq(TimedSimDoc("k", 1L, 0L, ts(0), "base"),
       TimedSimDoc("k", 2L, 1L, ts(4), "in-window near-dup")).toDS()
       .write.mode("overwrite").parquet(s"$dir/in")
+    Thread.sleep(20) // distinct mtimes: the file source orders by them
     // b2: unrelated shard far in the future — advances the watermark
     // past shard k's window so its state times out
     Seq(TimedSimDoc("other", 3L, 0xAAAAL, ts(40), "watermark mover")).toDS()
       .write.mode("append").parquet(s"$dir/in")
+    Thread.sleep(20)
     // b3: same fingerprint as doc 1, event time far outside its window
     Seq(TimedSimDoc("k", 4L, 0L, ts(41), "post-eviction repeat")).toDS()
       .write.mode("append").parquet(s"$dir/in")
@@ -261,8 +265,12 @@ class StatefulStreamingSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_rocksdb").toString
     Seq(SimDoc("k", 1L, 0L, "one"), SimDoc("k", 2L, 0xF0F0L, "two")).toDS()
       .write.mode("overwrite").parquet(s"$dir/in")
+    Thread.sleep(20) // distinct mtimes: the file source orders by them
     Seq(SimDoc("k", 3L, 1L, "near-dup of one"), SimDoc("k", 4L, 0xAAAA00L, "three"))
       .toDS().write.mode("append").parquet(s"$dir/in")
+    // session-wide conf, safely scoped: Test/fork runs suites
+    // sequentially in the forked JVM (testForkedParallel defaults
+    // false), and the finally below restores the default provider
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {

@@ -212,6 +212,24 @@ class RunLogSpec extends SparkTestBase {
     }
   }
 
+  test("name resolution is locale-stable (Turkish dotless-i)") {
+    // the catalog formats identifiers with Locale.ROOT; a default-locale
+    // toLowerCase would turn PIPELINE into pıpelıne under
+    // tr-TR, so the cache key and the vanished-table cleanup path would
+    // diverge from the catalog's view of the same identifier
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+    try {
+      RunLog.dropRunlogTables(spark, "graft_tri_table")
+      RunLog.createRunlogTable(spark, "GRAFT_TRI_TABLE")
+      val e = RunLog.addEntry(spark, "tr", "pipe", "1.0", "{}",
+        tableName = "GRAFT_TRI_TABLE")
+      assert(RunLog.lastRunId(spark, "graft_tri_table").contains(e.runId))
+      RunLog.dropRunlogTables(spark, "GRAFT_TRI_TABLE")
+      assert(!spark.catalog.tableExists("graft_tri_table"))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("renderEntry and writeRunlogFile produce the text form") {
     freshTables()
     val e = RunLog.addEntry(spark, "desc here", "pipe", "2.0", "{\"k\":1}",

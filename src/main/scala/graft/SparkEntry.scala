@@ -777,6 +777,7 @@ object SparkEntry {
     "q_session" -> ((s, d) =>
       Streaming.sessionAgg(eventsDf(s, d), "ts", "event_type", "30 minutes")
         .select(col("session_start").cast("long").as("session_start"),
+          col("session_end").cast("long").as("session_end"),
           col("event_type"), col("n_events"),
           round(col("sum_value"), 6).as("sum_value"))),
 
@@ -1805,8 +1806,9 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END AS newsess
         |  FROM events),
         |sess AS (SELECT *, sum(newsess) OVER (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged)
-        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start, event_type,
-        |count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+        |event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM sess GROUP BY event_type, sid""".stripMargin,
   )
 }

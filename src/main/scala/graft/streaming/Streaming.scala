@@ -14,15 +14,17 @@ import org.apache.spark.sql.types.StructType
   */
 object Streaming {
 
-  /** Tumbling-window aggregate: count + sum(value) per (window, key). */
+  /** Tumbling-window aggregate: count + sum(`valueCol`) per
+    * (window, key). */
   def tumblingAgg(
       events: DataFrame,
       tsCol: String,
       keyCol: String,
-      windowDuration: String): DataFrame =
+      windowDuration: String,
+      valueCol: String = "value"): DataFrame =
     events
       .groupBy(window(col(tsCol), windowDuration), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(valueCol).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(keyCol),
         col("n_events"), col("sum_value"))
@@ -33,24 +35,29 @@ object Streaming {
       tsCol: String,
       keyCol: String,
       windowDuration: String,
-      slideDuration: String): DataFrame =
+      slideDuration: String,
+      valueCol: String = "value"): DataFrame =
     events
       .groupBy(window(col(tsCol), windowDuration, slideDuration), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(valueCol).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(keyCol),
         col("n_events"), col("sum_value"))
 
-  /** Session-window aggregate (gap-based sessions). */
+  /** Session-window aggregate (gap-based sessions). `session_end` is
+    * the last event's time plus the gap, Spark's session bound — both
+    * bounds are emitted like the other window builders. */
   def sessionAgg(
       events: DataFrame,
       tsCol: String,
       keyCol: String,
-      gapDuration: String): DataFrame =
+      gapDuration: String,
+      valueCol: String = "value"): DataFrame =
     events
       .groupBy(session_window(col(tsCol), gapDuration), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(valueCol).as("sum_value"))
       .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"), col("sum_value"))
 
   /** Stream-stream (or batch-batch — same logical plan) inner join
@@ -77,14 +84,26 @@ object Streaming {
     val reserved = Seq("__r_key", "__bin")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"streamStreamJoin: column names ${reserved.mkString(", ")} are reserved")
+    // fail at build time, not as an OOM hours in: an unwatermarked
+    // streaming side makes the join state inevictable
+    def watermarked(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case p if p.nodeName == "EventTimeWatermark" => p
+      }.nonEmpty
+    for ((df, side) <- Seq(left -> "left", right -> "right") if df.isStreaming)
+      require(watermarked(df),
+        s"streamStreamJoin: streaming $side side must carry a watermark " +
+          "(withWatermark / readParquetStream) or join state can never be evicted")
     val r = right.withColumnRenamed(keyCol, "__r_key")
+    // dataframe-qualified time refs: with leftTsCol == rightTsCol (the
+    // natural same-schema case) unqualified col() would be ambiguous
     val cond =
-      col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $lookbackSeconds SECOND") &&
-        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $lookaheadSeconds SECOND")
+      r(rightTsCol) >= left(leftTsCol) - expr(s"INTERVAL $lookbackSeconds SECOND") &&
+        r(rightTsCol) <= left(leftTsCol) + expr(s"INTERVAL $lookaheadSeconds SECOND")
     if (left.isStreaming || right.isStreaming)
       // streaming: the state store prunes by watermark, so the plain
       // equi-key + range-filter join is the native efficient shape
-      left.join(r, col(keyCol) === col("__r_key") && cond).drop("__r_key")
+      left.join(r, left(keyCol) === col("__r_key") && cond).drop("__r_key")
     else {
       // batch: the same plan would fan every left row out to ALL
       // same-key right rows before filtering (hot keys × long history
@@ -276,12 +295,17 @@ object Streaming {
             Iterator.empty
           } else {
             val seen = state.getOption.map(_.fps).getOrElse(Nil)
-            val (emit, newSeen) = rows.foldLeft(
-              (List.empty[SimDoc], seen)) { case ((out, s), doc) =>
+            // size tracked through the fold: the common under-cap
+            // insert is then a plain O(1) cons — re-running take(cap)
+            // per emit would copy the whole list each time
+            val (emit, newSeen, _) = rows.foldLeft(
+              (List.empty[SimDoc], seen, seen.size)) { case ((out, s, n), doc) =>
               if (s.exists(fp =>
                   java.lang.Long.bitCount(fp ^ doc.sim) <= maxHamming))
-                (out, s)
-              else (doc :: out, (doc.sim :: s).take(maxStatePerKey))
+                (out, s, n)
+              else if (n >= maxStatePerKey)
+                (doc :: out, (doc.sim :: s).take(maxStatePerKey), n)
+              else (doc :: out, doc.sim :: s, n + 1)
             }
             state.update(NearDedupState(newSeen))
             if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
@@ -392,9 +416,17 @@ object Streaming {
               state.update(TimedNearDedupState(newSeen))
               // drop the shard once the watermark passes its newest
               // entry's window (must stay strictly above the
-              // watermark); newest-first invariant makes head the max
-              if (streamingMode) state.setTimeoutTimestamp(
-                math.max(newSeen.head._2 + ttlMs, wm + 1))
+              // watermark); newest-first invariant makes head the max.
+              // Saturating add: a huge ttl must mean "never expire",
+              // not an overflowed-negative timestamp that would evict
+              // live suppressors on the next watermark tick
+              if (streamingMode) {
+                val newest = newSeen.head._2
+                val fireAt =
+                  if (newest > Long.MaxValue - ttlMs) Long.MaxValue
+                  else newest + ttlMs
+                state.setTimeoutTimestamp(math.max(fireAt, wm + 1))
+              }
             } else state.remove()
             emit.reverseIterator
           }

@@ -37,9 +37,11 @@ class StreamingSpec extends SparkTestBase {
   test("sessionAgg merges events within gap, splits beyond it") {
     val out = Streaming.sessionAgg(events, "ts", "key", "50 minutes")
     val a = out.filter($"key" === "a").collect()
-      .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3))).toSet
-    // 10:05 & 10:50 within 50min gap; 11:10 within 50min of 10:50 → one session
-    assert(a == Set(("2024-01-01 10:05:00.0", 3L, 7.0)))
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(3), r.getDouble(4))).toSet
+    // 10:05 & 10:50 within 50min gap; 11:10 within 50min of 10:50 → one
+    // session; session end = last event (11:10) + 50min gap = 12:00
+    assert(a == Set(("2024-01-01 10:05:00.0", "2024-01-01 12:00:00.0", 3L, 7.0)))
     // NB session windows merge at diff == gap (inclusive), so a 20-minute
     // gap would still merge the 10:50→11:10 pair; 15 minutes splits it
     val short = Streaming.sessionAgg(events, "ts", "key", "15 minutes")

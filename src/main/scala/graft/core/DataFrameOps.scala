@@ -322,6 +322,15 @@ object DataFrameOps {
     * worth engaging. When the hot values aren't known ahead,
     * [[detectHotKeys]] finds them in one bounded-memory pass over the
     * key column.
+    *
+    * MIGRATION (round-9 behavior change): passing `hotKeys` previously
+    * bypassed the broadcast check and always engaged the salted path.
+    * Callers who passed `hotKeys` precisely because the right side's
+    * byte STATS understate its runtime size (compressed scans, selective
+    * filters Catalyst can't size) now get the plain broadcast-eligible
+    * join instead — pin the right side with `right.hint("merge")` /
+    * `hint("shuffle_hash")` to re-engage salting; the hint check in
+    * [[broadcastWouldWin]] respects it.
     */
   def saltedJoin(
       left: DataFrame,

@@ -38,13 +38,26 @@ object RunLog {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
-  /** Quote a possibly database-qualified table name part-by-part:
-    * `db.runlog` → `` `db`.`runlog` `` — backticking the WHOLE string
-    * would create a single literal identifier named "db.runlog" in the
-    * default database while an unquoted DROP targets db.runlog, i.e.
-    * create and drop would silently operate on different tables. */
-  private def quoted(name: String): String =
-    name.split('.').map(p => s"`$p`").mkString(".")
+  /** Fully-quoted, database-qualified DDL/DML names for the (runlog,
+    * reserved-ids) table pair, derived from the SAME parse as
+    * [[cacheKey]] and [[cleanupLocation]] (resolvedName →
+    * parseTableIdentifier). One parse for every face: a raw-string
+    * split on '.' here would send the DDL for a backtick-quoted name
+    * like `` `a.b` `` to database `a` table `b` while the cache key and
+    * cleanup resolve ONE table named "a.b" — create and drop/cleanup
+    * would silently operate on different objects. Backticking each
+    * RESOLVED part (with `` ` `` doubled) keeps dotted and backtick-
+    * carrying table names one literal identifier everywhere; the
+    * reserved-ids suffix is appended to the parsed TABLE part, not the
+    * raw string, so `` `a.b` `` pairs with `` `a.b_reserved_ids` ``
+    * instead of the unparseable `` `a.b`_reserved_ids ``. Qualifying
+    * with the resolved database also pins the pair to ONE database
+    * even if the session's current database changes between calls. */
+  private def quotedNames(spark: SparkSession, tableName: String): (String, String) = {
+    val (db, table) = resolvedName(spark, tableName)
+    def q(s: String) = "`" + s.replace("`", "``") + "`"
+    (s"${q(db)}.${q(table)}", s"${q(db)}.${q(table + "_reserved_ids")}")
+  }
 
   /** Tables this JVM already created-or-verified: createRunlogTable is
     * called create-if-absent from pipelines, and repeating the catalog
@@ -105,10 +118,10 @@ object RunLog {
     val cache = verifiedSet(spark)
     val key = cacheKey(spark, tableName)
     if (cache.contains(key)) return
-    spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoted(tableName)} " +
+    val (runlog, reserved) = quotedNames(spark, tableName)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $runlog " +
       s"(${runlogSchema.toDDL}) USING parquet")
-    val reserved = s"${tableName}_reserved_ids"
-    spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoted(reserved)} " +
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $reserved " +
       s"(${reservedIdsSchema.toDDL}) USING parquet")
     cache.add(key)
   }
@@ -157,11 +170,12 @@ object RunLog {
     * through this API — an external DROP would leave the cache
     * believing the tables exist. */
   def dropRunlogTables(spark: SparkSession, tableName: String = "pipeline_runlog"): Unit = {
-    val reserved = s"${tableName}_reserved_ids"
-    Seq(tableName, reserved).foreach { t =>
-      // resolve the location BEFORE the drop (the catalog forgets it after)
+    val (runlog, reserved) = quotedNames(spark, tableName)
+    Seq(runlog, reserved).foreach { t =>
+      // resolve the location BEFORE the drop (the catalog forgets it
+      // after); the quoted name round-trips through the same parser
       val loc = cleanupLocation(spark, t)
-      spark.sql(s"DROP TABLE IF EXISTS ${quoted(t)}")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
       loc.foreach { l =>
         val fs = l.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(l)) fs.delete(l, true)
@@ -175,8 +189,8 @@ object RunLog {
     * Spark job (union of the two run_id columns) instead of a
     * collect per table. */
   def reserveId(spark: SparkSession, tableName: String = "pipeline_runlog"): Int = {
-    val reserved = s"${tableName}_reserved_ids"
-    val present = Seq(tableName, reserved).filter(spark.catalog.tableExists)
+    val (runlog, reserved) = quotedNames(spark, tableName)
+    val present = Seq(runlog, reserved).filter(spark.catalog.tableExists)
     val maxSeen =
       if (present.isEmpty) 0
       else {
@@ -218,7 +232,7 @@ object RunLog {
     localDf(spark, runlogSchema, Row(
         entry.runId, entry.desc, entry.user, entry.datetime,
         entry.pipelineName, entry.pipelineVersion, entry.config))
-      .write.mode("append").insertInto(tableName)
+      .write.mode("append").insertInto(quotedNames(spark, tableName)._1)
     entry
   }
 
@@ -227,7 +241,7 @@ object RunLog {
     * (reference: pipeline_runlog.py:137-172). */
   def recentRunIds(spark: SparkSession, limit: Int = 1,
       tableName: String = "pipeline_runlog"): Seq[Int] =
-    spark.read.table(tableName)
+    spark.read.table(quotedNames(spark, tableName)._1)
       .orderBy(desc("datetime"))
       .select("run_id")
       .limit(limit)

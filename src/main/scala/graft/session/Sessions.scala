@@ -37,9 +37,23 @@ object Sessions {
         s"Unknown session size '$other'; expected one of small, medium, large, extra-large")
   }
 
+  /** Streaming state-store provider knob for [[createSparkSession]].
+    * `"rocksdb"` pins `spark.sql.streaming.stateStore.providerClass` to
+    * the RocksDB provider — the corpus-scale choice for the stateful
+    * dedup operators ([[graft.streaming.Streaming.nearDedupStream]]):
+    * the default HDFS-backed store holds every key's state on-heap,
+    * RocksDB spills to local disk. `"default"` (or any unknown value →
+    * IllegalArgumentException) leaves Spark's default provider in
+    * place. The conf is read per streaming query at start, so it only
+    * affects queries started on this session. Exercised end-to-end by
+    * StatefulStreamingSpec's pinned RocksDB run. */
+  private[session] val RocksDbProviderClass =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Build a session with the given size preset plus extra configs.
     * `master` defaults to whatever the environment supplies (cluster
-    * deploy) but can be forced to local[N] for tests.
+    * deploy) but can be forced to local[N] for tests. `stateStore`
+    * opts streaming state into RocksDB (see [[RocksDbProviderClass]]).
     */
   def createSparkSession(
       appName: String = "graft",
@@ -47,7 +61,10 @@ object Sessions {
       extraConfigs: Map[String, String] = Map.empty,
       master: Option[String] = None,
       enableHive: Boolean = false,
+      stateStore: String = "default",
   ): SparkSession = {
+    require(stateStore == "default" || stateStore == "rocksdb",
+      s"createSparkSession: stateStore must be 'default' or 'rocksdb', got '$stateStore'")
     var b = SparkSession
       .builder()
       .appName(appName)
@@ -60,6 +77,8 @@ object Sessions {
       .config("spark.dynamicAllocation.shuffleTracking.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
     size.memoryOverhead.foreach(o => b = b.config("spark.executor.memoryOverhead", o))
+    if (stateStore == "rocksdb")
+      b = b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProviderClass)
     master.foreach(m => b = b.config("spark.master", m))
     extraConfigs.foreach { case (k, v) => b = b.config(k, v) }
     if (enableHive) b = b.enableHiveSupport()

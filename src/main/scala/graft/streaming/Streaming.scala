@@ -321,12 +321,15 @@ object Streaming {
       eventTime: java.sql.Timestamp, payload: String)
 
   /** Per-shard state for the event-time variant: (fingerprint, event
-    * time ms) of emitted docs, sorted by event time DESCENDING, capped.
-    * The ordering invariant is what makes the cap evict the
+    * time ms, id) of emitted docs, sorted newest-first by the TOTAL
+    * order (event time, id, fingerprint) descending, capped. The
+    * ordering invariant is what makes the cap evict the
     * oldest-by-EVENT-time entry — arrival-order eviction would make the
     * survivor set differ between live ingest and a reordered backfill
-    * replay. */
-  case class TimedNearDedupState(fps: List[(Long, Long)])
+    * replay — and the id/fingerprint tie-break makes the retained set a
+    * pure function of the delivered data even on equal-timestamp
+    * entries. */
+  case class TimedNearDedupState(fps: List[(Long, Long, Long)])
 
   /** Event-time variant of [[nearDedupStream]]: a doc is suppressed
     * when an EMITTED doc of its shard is within `maxHamming` AND within
@@ -356,9 +359,24 @@ object Streaming {
     * every invocation, and the key's timeout fires once the watermark
     * passes its newest entry's window, removing the shard wholesale.
     * The `maxStatePerKey` cap evicts oldest-by-event-time (the entry
-    * the watermark would prune first), so a replay delivering the same
-    * rows in any order inside the allowed lateness converges on the
-    * same retained set (modulo equal-timestamp ties). In streaming
+    * the watermark would prune first), with equal-timestamp ties broken
+    * by id then fingerprint — a TOTAL order, so the retained set after
+    * any cap eviction is a pure function of the delivered data and a
+    * reordered replay inside the allowed lateness converges on the
+    * identical retained set.
+    *
+    * Cap-pressure drop contract: a doc that is older (by that total
+    * order) than every retained entry of a FULL shard is DROPPED, not
+    * emitted — inserting it would evict it immediately, and emitting
+    * without retention would let a later near-dup through, breaking the
+    * no-two-survivors-in-window invariant. The cap thus acts as a
+    * per-shard data-driven lateness horizon, the same shape as the
+    * watermark drop. Under sustained cap pressure (more than
+    * `maxStatePerKey` distinct survivors inside one ttl window) dedup
+    * degrades to most-recent-window semantics: an EVICTED survivor no
+    * longer suppresses, so a later in-window near-dup of it can emit —
+    * size the cap for the shard's expected within-window cardinality
+    * when the pairwise invariant must be contractual. In streaming
     * mode the input MUST carry a watermark on `eventTime`
     * (EventTimeTimeout requires it); in batch mode (the oracle path)
     * the watermark reads -1, timeouts never fire, nothing is late, and
@@ -391,25 +409,39 @@ object Streaming {
             val wm = if (streamingMode) state.getCurrentWatermarkMs() else -1L
             // the filter preserves the descending-by-event-time invariant
             val live = state.getOption.map(_.fps).getOrElse(Nil)
-              .filter { case (_, ts) => ts >= wm - ttlMs }
+              .filter { case (_, ts, _) => ts >= wm - ttlMs }
             val (emit, newSeen) = rows.foldLeft(
               (List.empty[TimedSimDoc], live)) { case ((out, s), doc) =>
               val t = doc.eventTime.getTime
               if (streamingMode && t < wm)
                 (out, s) // below-watermark: late data is dropped
-              else if (s.exists { case (fp, ts) =>
+              else if (s.exists { case (fp, ts, _) =>
                   math.abs(t - ts) <= ttlMs &&
                     java.lang.Long.bitCount(fp ^ doc.sim) <= maxHamming })
                 (out, s)
               else {
-                // ordered insert keeps the list newest-first, so the
-                // cap drops the oldest-by-event-time entry (free for
-                // in-order streams: the split point is the head)
-                val (newer, older) = s.span(_._2 > t)
-                val merged = newer ::: (doc.sim, t) :: older
-                (doc :: out,
-                  if (merged.lengthCompare(maxStatePerKey) > 0) merged.init
-                  else merged)
+                // ordered insert keeps the list newest-first under the
+                // TOTAL (ts, id, fp) descending order, so the cap drops
+                // the oldest-by-event-time entry with ties broken by id
+                // then fingerprint — deterministic for any delivery
+                // order (free for in-order streams: the split point is
+                // the head)
+                val (newer, older) = s.span { case (fp, ts, id) =>
+                  ts > t || (ts == t &&
+                    (id > doc.id || (id == doc.id && fp > doc.sim)))
+                }
+                if (older.isEmpty && newer.lengthCompare(maxStatePerKey) >= 0)
+                  // cap-pressure drop: older than every retained entry
+                  // of a full shard — would be evicted the instant it
+                  // was inserted, and emitting without retention would
+                  // let a later near-dup through (see scaladoc)
+                  (out, s)
+                else {
+                  val merged = newer ::: (doc.sim, t, doc.id) :: older
+                  (doc :: out,
+                    if (merged.lengthCompare(maxStatePerKey) > 0) merged.init
+                    else merged)
+                }
               }
             }
             if (newSeen.nonEmpty) {

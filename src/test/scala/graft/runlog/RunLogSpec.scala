@@ -80,6 +80,35 @@ class RunLogSpec extends SparkTestBase {
     } finally spark.sql("DROP DATABASE IF EXISTS graft_rl_db CASCADE")
   }
 
+  test("a backtick-quoted dotted name resolves as ONE object on every face") {
+    // Spark's SessionCatalog forbids '.' in actual table names, so a
+    // literal `a.b` can never be created — the regression here is the
+    // SHAPE of the failure. Pre-fix, the DDL path re-split the raw
+    // string on '.', so create targeted database-a/table-b — a
+    // DIFFERENT object than the one the cache key and cleanup resolve
+    // — and could silently succeed against it. One parse now drives
+    // every face: create fails loudly on the single resolved name,
+    // nothing is half-created, drop is a same-object no-op.
+    val dotted = "`graft_rl.dotted`"
+    intercept[org.apache.spark.sql.AnalysisException](
+      RunLog.createRunlogTable(spark, dotted))
+    // no split-brain artifacts: neither a graft_rl database nor any
+    // default-db table materialized from the failed create
+    assert(!spark.catalog.databaseExists("graft_rl"))
+    assert(spark.catalog.listTables("default").collect()
+      .forall(t => !t.name.contains("dotted")))
+    // the drop path resolves the SAME single object — a clean no-op,
+    // not DDL aimed at a differently-parsed name
+    RunLog.dropRunlogTables(spark, dotted)
+    // and the failed create must not have poisoned the cache: a valid
+    // name still creates normally afterwards
+    val ok = "graft_rl_dotted_sibling"
+    RunLog.dropRunlogTables(spark, ok)
+    RunLog.createRunlogTable(spark, ok)
+    assert(spark.catalog.tableExists(ok))
+    RunLog.dropRunlogTables(spark, ok)
+  }
+
   test("drop through a cloned session evicts the shared created-table cache") {
     // cloned sessions share one catalog: session-keyed caching would
     // leave the sibling's entry live after a drop, making its next

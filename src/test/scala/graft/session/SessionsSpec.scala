@@ -32,4 +32,20 @@ class SessionsSpec extends AnyFunSuite {
       extraConfigs = Map("spark.graft.marker" -> "on"))
     assert(s.conf.get("spark.graft.marker") == "on")
   }
+
+  test("stateStore knob pins the RocksDB provider conf (and rejects unknown values)") {
+    val s = Sessions.createSparkSession(
+      appName = "graft-test-session",
+      master = Some("local[2]"),
+      stateStore = "rocksdb")
+    try
+      assert(s.conf.get("spark.sql.streaming.stateStore.providerClass") ==
+        Sessions.RocksDbProviderClass)
+    finally
+      // getOrCreate shares the suite-wide session: restore the default
+      // provider so later streaming suites choose it deliberately
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assertThrows[IllegalArgumentException](
+      Sessions.createSparkSession(stateStore = "hdfs"))
+  }
 }

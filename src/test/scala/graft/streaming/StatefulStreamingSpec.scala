@@ -256,6 +256,99 @@ class StatefulStreamingSpec extends SparkTestBase {
       s"cap must evict B (oldest event time) and keep A to suppress D; got $ids")
   }
 
+  test("nearDedupStreamEventTime cap eviction is deterministic on equal timestamps") {
+    import Streaming.TimedSimDoc
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(3600_000L + min * 60_000L)
+    // B and C share event time t=10 with distant fingerprints and fill
+    // the cap-2 shard; A (t=50) then forces an eviction among the
+    // equal-timestamp pair. The (ts, id, fp) total order must evict B
+    // (smaller id at the tied oldest timestamp) whichever of B/C
+    // arrived first — pre-tie-break, the ordered insert put the
+    // newcomer BEFORE existing equal-ts entries, so which of the tie
+    // survived depended on arrival order, observable through D: a
+    // near-dup of B inside the ttl window that emits iff its
+    // suppressor B was the one evicted.
+    val b = TimedSimDoc("k", 1L, 0L, ts(10), "B")
+    val c = TimedSimDoc("k", 2L, 0xFF00L, ts(10), "C: same ts as B")
+    val a = TimedSimDoc("k", 3L, 0xFF0000L, ts(50), "A: forces the tie eviction")
+    val d = TimedSimDoc("k", 4L, 1L, ts(12), "D: near-dup of B inside ttl")
+    def run(docs: Seq[TimedSimDoc], name: String) =
+      runEvtimeStream(docs, name, ttlMs = 30 * 60_000L,
+        watermarkDelay = "10 hours", maxStatePerKey = 2)
+    val bc = run(Seq(b, c, a, d), "graft_tie_bc")
+    val cb = run(Seq(c, b, a, d), "graft_tie_cb")
+    assert(bc == cb, s"equal-timestamp eviction must not depend on " +
+      s"arrival order; got $bc vs $cb")
+    // B evicted in both orders ⇒ D's suppressor is gone and D emits
+    assert(bc == Seq(1L, 2L, 3L, 4L), s"expected B evicted (smaller id " +
+      s"of the tie) and D emitted in both orders; got $bc")
+  }
+
+  test("nearDedupStreamEventTime cap pressure drops a would-be-evicted doc instead of leaking") {
+    import Streaming.TimedSimDoc
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(3600_000L + min * 60_000L)
+    // shard full at cap 2 with A(t=50), B(t=40); E arrives out-of-order
+    // at t=5 — older than every retained entry, so inserting it would
+    // evict it immediately. Pre-fix, E was emitted AND evicted, so its
+    // near-dup F(t=6, hamming 1 of E) found no suppressor and emitted
+    // too: two within-window survivors. The cap-pressure drop contract
+    // drops both E and F (each older than the full shard's horizon),
+    // keeping the pairwise-survivor invariant intact.
+    val ids = runEvtimeStream(Seq(
+        TimedSimDoc("k", 1L, 0L, ts(50), "A"),
+        TimedSimDoc("k", 2L, 0xFF00L, ts(40), "B"),
+        TimedSimDoc("k", 3L, 0xAA00AAL, ts(5), "E: below the cap horizon"),
+        TimedSimDoc("k", 4L, 0xAA00ABL, ts(6), "F: near-dup of E")),
+      "graft_cappress_dedup", ttlMs = 30 * 60_000L,
+      watermarkDelay = "10 hours", maxStatePerKey = 2)
+    assert(ids == Seq(1L, 2L),
+      s"cap-pressure docs must be dropped, not emitted-then-evicted " +
+        s"(which would leak near-dup pairs); got $ids")
+  }
+
+  test("nearDedupStreamEventTime under a tiny cap: degraded contract stays pinned (fuzz)") {
+    import Streaming.{TimedSimDoc, nearDedupStreamEventTime}
+    import java.sql.Timestamp
+    // with maxStatePerKey far below a shard's within-window cardinality
+    // the pairwise invariant legitimately degrades (an evicted survivor
+    // no longer suppresses). What must STILL hold, in any engine-chosen
+    // group order: (1) conservation — every doc is emitted or dropped
+    // exactly once; (2) every drop is explained — either covered by a
+    // survivor inside its window, or a cap-pressure drop, which can
+    // only hit a doc at-or-below its shard's newest-survivor horizon
+    // (an in-order newest doc is never cap-dropped).
+    val rnd = new scala.util.Random(9012)
+    for (trial <- 1 to 5) {
+      val h = 1 + rnd.nextInt(6)
+      val ttlMs = (5 + rnd.nextInt(30)) * 60_000L
+      val docs = (1 to 200).map { i =>
+        TimedSimDoc(s"s${rnd.nextInt(3)}", i.toLong,
+          rnd.nextLong() & 0xFFFFL,
+          new Timestamp(3600_000L + rnd.nextInt(60) * 60_000L), "")
+      }
+      val out = nearDedupStreamEventTime(
+        docs.toDS(), maxHamming = h, ttlMs = ttlMs, maxStatePerKey = 3)
+        .collect()
+      val keptIds = out.map(_.id).toSet
+      assert(keptIds.size == out.length && keptIds.subsetOf(docs.map(_.id).toSet),
+        s"trial $trial: emitted docs must be distinct corpus members")
+      val survivors = out.groupBy(_.key)
+      for (d <- docs if !keptIds.contains(d.id)) {
+        val shard = survivors.getOrElse(d.key, Array.empty[TimedSimDoc])
+        val covered = shard.exists(s =>
+          math.abs(s.eventTime.getTime - d.eventTime.getTime) <= ttlMs &&
+            java.lang.Long.bitCount(s.sim ^ d.sim) <= h)
+        val belowHorizon =
+          shard.exists(_.eventTime.getTime >= d.eventTime.getTime)
+        assert(covered || belowHorizon,
+          s"trial $trial h=$h ttl=$ttlMs cap=3: dropped doc ${d.id} is " +
+            s"neither covered nor below its shard's survivor horizon")
+      }
+    }
+  }
+
   test("nearDedupStream runs on the RocksDB state store (the 100 TB state path)") {
     // HDFSBackedStateStore holds every key's state on-heap — the
     // bottleneck for corpus-scale streaming dedup. RocksDB spills to

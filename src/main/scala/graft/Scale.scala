@@ -231,6 +231,114 @@ object Scale {
       }
     }
 
+    // --- single-band recall of the streaming near-dedup rung (r9
+    // verdict item 1): nearDedupStream shards by the fingerprint's top
+    // 16-bit block (the single-probe rung of the banding family —
+    // Streaming.shardedFingerprints), so it can only ever compare a
+    // near-dup pair that AGREES on that block, while the batch
+    // operator's multi-band contract (Dedup.simHashNearDuplicates)
+    // catches every within-h pair. This row turns the scaladoc caveat
+    // into a NUMBER: ground truth is the exact all-pairs within-h set
+    // over the SAME kernel fingerprints (documented quadratic oracle
+    // baseline — 1× corpus only, ~18M bit_count comparisons; recall is
+    // a property of the fingerprint distribution, not the corpus size),
+    // measured recall = fraction of within-h pairs whose members share
+    // the top block, per Hamming distance plus the h<=3 total.
+    // Geometry for intuition: h independently-placed flipped bits all
+    // land outside the top 16 with probability (48/64)^h — 1.00 /
+    // 0.75 / 0.56 / 0.42 for h=0..3 — but real corpora skew toward
+    // h=0/1 pairs, so the corpus-weighted number is the one to size
+    // against.
+    if (only.forall(_.contains("stream_band_recall"))) {
+      val docs = scaledDocs(spark, sfDir, 1)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val fps = graft.streaming.Streaming.shardedFingerprints(docs, "doc_id")
+        .toDF().select("id", "sim").localCheckpoint(true)
+      val perH = fps.select(col("id").as("id_a"), col("sim").as("sim_a"))
+        .crossJoin(fps.select(col("id").as("id_b"), col("sim").as("sim_b")))
+        .where(col("id_a") < col("id_b"))
+        .select(expr("bit_count(sim_a ^ sim_b)").cast("long").as("h"),
+          (shiftrightunsigned(col("sim_a"), 48) ===
+            shiftrightunsigned(col("sim_b"), 48)).cast("long").as("same_block"))
+        .where(col("h") <= 3)
+        .groupBy("h")
+        .agg(count(lit(1)).as("n"), sum("same_block").as("caught"))
+        .orderBy("h")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def recallLine(tag: String, n: Long, caught: Long): Unit =
+        println(s"""{"op":"stream_band_recall","h":"$tag"""" +
+          s""","n_within_pairs":$n,"n_same_block":$caught""" +
+          s""","recall_pct":${math.rint(1000.0 * caught / math.max(n, 1)) / 10}}""")
+      perH.foreach { case (h, n, c) => recallLine(h.toString, n, c) }
+      recallLine("le3", perH.map(_._2).sum, perH.map(_._3).sum)
+    }
+
+    // --- streaming state size (r9 verdict item 3): the wall/output
+    // growth rows say nothing about the thing that actually kills
+    // streams — state-store growth. Run both dedups as REAL streams
+    // (AvailableNow over the corpus fingerprints written to parquet;
+    // timeoutMs = 0 on the processing-time variant — armed wall-clock
+    // timers never let AvailableNow terminate) and read the engine's
+    // own accounting from StreamingQueryProgress.stateOperators:
+    // numRowsTotal (live shard keys) and memoryUsedBytes.
+    // max_shard_retained comes from the survivors themselves (in a
+    // bounded run nothing is TTL- or watermark-evicted, so a shard's
+    // state is exactly its survivor fingerprints), confirming the
+    // per-shard ≲ corpus/65536 bound the wall-time rows assume.
+    def streamStateRow(name: String, k: Int, evtime: Boolean): Unit = {
+      if (only.exists(!_.contains(name))) return
+      import spark.implicits._
+      val docs = scaledDocs(spark, sfDir, k)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val base = graft.streaming.Streaming.shardedFingerprints(docs, "doc_id").toDF()
+      val input =
+        if (evtime)
+          base.withColumn("eventTime", timestamp_millis(SparkEntry.evtimeDerivedMs))
+            .select("key", "id", "sim", "eventTime", "payload")
+        else base
+      val inDir = s"target/scale_stream_state/${name}_$k"
+      input.write.mode("overwrite").parquet(inDir)
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(inDir).schema).parquet(inDir)
+      val deduped =
+        if (evtime)
+          graft.streaming.Streaming.nearDedupStreamEventTime(
+            streamed.withWatermark("eventTime", "10 hours")
+              .as[graft.streaming.Streaming.TimedSimDoc],
+            maxHamming = 3, ttlMs = 60L * 60_000L).toDF()
+        else
+          graft.streaming.Streaming.nearDedupStream(
+            streamed.as[graft.streaming.Streaming.SimDoc],
+            maxHamming = 3, timeoutMs = 0).toDF()
+      val qName = s"${name}_$k"
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val q = deduped.writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        sys.error(s"streamStateRow($qName): stream did not finish within 300 s")
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.flatMap(_.stateOperators)
+      val stateRows = if (progs.isEmpty) 0L else progs.map(_.numRowsTotal).max
+      val stateBytes = if (progs.isEmpty) 0L else progs.map(_.memoryUsedBytes).max
+      val out = spark.table(qName)
+      val survivors = out.count()
+      val maxShard = out.groupBy("key").count().agg(max("count")).as[Long].head()
+      println(s"""{"op":"$name","scale":$k""" +
+        s""","secs":${math.rint(secs * 100) / 100},"out_rows":$survivors""" +
+        s""","state_shard_keys":$stateRows,"state_bytes":$stateBytes""" +
+        s""","max_shard_retained":$maxShard}""")
+    }
+    for (k <- Seq(1, bigK); (nm, ev) <- Seq(
+        "stream_state" -> false, "stream_state_evtime" -> true))
+      streamStateRow(nm, k, ev)
+
     // --- forced non-skew salting tax: the measured number behind
     // saltedJoin's broadcast short-circuit (DataFrameOps scaladoc).
     // Lives here rather than in baseline_ratios because the

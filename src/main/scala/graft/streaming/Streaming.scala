@@ -260,10 +260,16 @@ object Streaming {
     * scan in microseconds), so `key` must be a LOCALITY shard, not a
     * constant: use a SimHash band block (e.g. the top 16 bits) to
     * guarantee detection for any near-dup pair agreeing on that block —
-    * the single-probe rung of the banding family. Full multi-band
-    * recall needs one stateful stage per band (Spark allows one
-    * flatMapGroupsWithState per streaming query); run the batch
-    * operator over the retained corpus for contractual recall.
+    * the single-probe rung of the banding family. That rung's recall
+    * is MEASURED, not guessed (SCALE.md `stream_band_recall`, exact
+    * all-pairs ground truth over the standard corpus): 100% of exact
+    * (h=0) pairs, 67% / 54% / 41% at h=1/2/3, 52% of all within-h≤3
+    * pairs — tracking the (48/64)^h geometry of h flips all missing
+    * the probed block. Full multi-band recall needs one stateful stage
+    * per band (Spark allows one flatMapGroupsWithState per streaming
+    * query); run the batch operator over the retained corpus when
+    * recall must be contractual — its banding catches every within-h
+    * pair.
     *
     * Works identically on batch Datasets (per-key state starts empty,
     * iterator order = arrival order), so the batch path oracles the

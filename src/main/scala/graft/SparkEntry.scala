@@ -195,6 +195,22 @@ object SparkEntry {
     }
   }
 
+  /** Planted flip mask for q_stream_dedup_fullrecall's near-dup
+    * family: h = (id % 3) + 1 bits flipped, ALL inside the top 16-bit
+    * block (bits 48/53/58) — exact Hamming h ∈ [1, 3] on pairs that
+    * DISAGREE on the top block, i.e. exactly the pairs
+    * [[graft.streaming.Streaming.nearDedupStream]]'s single-band rung
+    * shards apart and structurally misses (SCALE.md
+    * `stream_band_recall`), and that the full-banding store join of
+    * [[graft.streaming.Streaming.dedupBatchAgainstStore]] must catch
+    * without exception. */
+  private[graft] def crossBlockPlantMask: Column = {
+    def maskFor(h: Int): Long = (0 until h).map(i => 1L << (48 + i * 5)).reduce(_ | _)
+    (1 to 3).foldLeft(lit(0L)) { (acc, h) =>
+      when(pmod(col("id"), lit(3)) + 1 === h, lit(maskFor(h))).otherwise(acc)
+    }
+  }
+
   /** Shared outcome oracle for the q_pipeline_docs128 family, over the
     * post-drop survivor set and the full planted fingerprint set (both
     * carrying an `id` column): zero planted exact copies (ids ≥ 1e6)
@@ -936,6 +952,76 @@ object SparkEntry {
         // the late-drop contract is streaming-only — proven by a real
         // watermarked run, pinned through the oracle (n_late_emitted=0)
         .crossJoin(evtimeLateProbe(s))
+    }),
+
+    "q_stream_dedup_fullrecall" -> ((s, d) => {
+      // FULL-RECALL streaming near-dup dedup
+      // (Streaming.nearDedupStreamFullRecall): batch-equivalence path
+      // calling the EXACT foreachBatch body
+      // (appendBatchToFullRecallStore) over two micro-batches and a
+      // real parquet survivors store. Two plant families over the
+      // documents fingerprints:
+      //   ids +1e6: 50 exact copies of docs 0-49 (h = 0);
+      //   ids +2e6: 50 near-dups of docs 50-99 under
+      //     crossBlockPlantMask — h <= 3 flips all inside the TOP
+      //     16-bit block, the pairs the single-band rung
+      //     (q_stream_dedup) shards apart and structurally misses.
+      // Batch 0 carries the originals, batch 1 both plant families, so
+      // every planted drop must cross micro-batches THROUGH THE STORE.
+      // Invariants (batch-boundary- and order-independent): survivors
+      // pairwise > maxHamming (banded pairing — recall contract pinned
+      // by DedupSpec's planted exact distances, independent of the
+      // store logic under test), every drop inside the within-h
+      // closure of a survivor (duplicateClusters over the full-corpus
+      // pair graph), ZERO survivors of either plant family, and
+      // conservation.
+      import graft.dedup.Dedup
+      val fps0 = Streaming.shardedFingerprints(
+          t(s, d, "documents")
+            .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+          "doc_id")
+        .toDF().select("id", "sim").localCheckpoint(true) // one kernel pass
+      val copies = fps0.filter(col("id") < 50)
+        .select((col("id") + 1000000L).as("id"), col("sim"))
+      val nearDups = fps0.filter(col("id") >= 50 && col("id") < 100)
+        .select((col("id") + 2000000L).as("id"),
+          col("sim").bitwiseXOR(crossBlockPlantMask).as("sim"))
+      val all = fps0.unionByName(copies).unionByName(nearDups)
+        .localCheckpoint(true) // pin ONE corpus for store run + invariants
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_fullrecall_q").toString + "/store"
+      Streaming.appendBatchToFullRecallStore(
+        all.filter(col("id") < 1000000L), store, 0L, maxHamming = 3)
+      Streaming.appendBatchToFullRecallStore(
+        all.filter(col("id") >= 1000000L), store, 1L, maxHamming = 3)
+      val kept = Streaming.readFullRecallStore(s, store)
+        .select("id", "sim").localCheckpoint(true)
+      val dropped = all.join(kept.select("id"), Seq("id"), "left_anti")
+      val badPairs = Dedup.simHashPairs(kept, 3)
+        .agg(count(lit(1)).as("n_bad_pairs"))
+      val clusters = Dedup.duplicateClusters(Dedup.simHashPairs(all, 3))
+      val survivorClusters = clusters.join(kept.select("id"), Seq("id"))
+        .select(col("cluster_id")).distinct()
+        .withColumn("has_survivor", lit(1))
+      // a dropped doc outside the pair graph (null cluster) is equally
+      // an orphan: nothing within h could have explained its drop
+      val orphans = dropped.select("id")
+        .join(clusters, Seq("id"), "left")
+        .join(survivorClusters, Seq("cluster_id"), "left")
+        .agg(coalesce(sum(when(col("has_survivor").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_orphan_drops"))
+      badPairs.crossJoin(orphans)
+        .crossJoin(kept.agg(
+          coalesce(sum(when(col("id") >= 1000000L && col("id") < 2000000L, 1L)
+            .otherwise(0L)), lit(0L)).as("n_copy_survivors"),
+          coalesce(sum(when(col("id") >= 2000000L, 1L).otherwise(0L)), lit(0L))
+            .as("n_crossblock_survivors"),
+          count(lit(1)).as("n_kept")))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+        .crossJoin(all.agg(count(lit(1)).as("n_total")))
+        .select(col("n_bad_pairs"), col("n_orphan_drops"),
+          col("n_copy_survivors"), col("n_crossblock_survivors"),
+          (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
     }),
 
     "q_json_props" -> ((s, d) =>
@@ -1741,6 +1827,13 @@ object SparkEntry {
         |CAST(0 AS BIGINT) AS n_orphan_drops,
         |TRUE AS dropped_planted, TRUE AS conserved,
         |CAST(0 AS BIGINT) AS n_late_emitted""".stripMargin,
+
+    "q_stream_dedup_fullrecall" ->
+      """SELECT CAST(0 AS BIGINT) AS n_bad_pairs,
+        |CAST(0 AS BIGINT) AS n_orphan_drops,
+        |CAST(0 AS BIGINT) AS n_copy_survivors,
+        |CAST(0 AS BIGINT) AS n_crossblock_survivors,
+        |TRUE AS conserved""".stripMargin,
 
     "q_json_props" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -253,6 +253,33 @@ object Dedup {
     simHashPairs(base, maxHamming, maxBucketSize)
   }
 
+  /** Band-bucket array for a 64-bit SimHash fingerprint under the
+    * block-combination index of [[simHashPairs]]: element i is band i's
+    * bucket value, so `posexplode` yields exactly the (band, bucket)
+    * keys the recall contract hashes on — any pair within `maxHamming`
+    * shares at least one untouched block combination (Manku et al.,
+    * WWW'07 §3; reference rdsa analogue has no near-dup machinery).
+    * Public and SHARED by every consumer of the index — batch pairing
+    * here and the streaming full-recall store join
+    * ([[graft.streaming.Streaming.dedupBatchAgainstStore]]) — one
+    * definition, so the banding scheme cannot diverge between the
+    * batch and streaming contracts. */
+  def simHashBandBuckets(sim: Column, maxHamming: Int): Column = {
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"simHashBandBuckets: the block-combination index guarantees " +
+        s"recall only for maxHamming <= 6 (got $maxHamming) — use the " +
+        "128-bit fingerprint ([[simHash128NearDuplicates]]) for larger radii")
+    val (nBlocks, comboSize) = if (maxHamming <= 3) (4, 1) else (8, 2)
+    val blockBits = 64 / nBlocks
+    def block(i: Int): Column =
+      shiftright(sim, i * blockBits).bitwiseAND(lit((1L << blockBits) - 1L))
+    // one bucket expression per block combination; band id = combo index
+    array((0 until nBlocks).combinations(comboSize).toSeq.map {
+      combo => combo.map(block).reduceLeft((acc, b) =>
+        shiftleft(acc, blockBits).bitwiseOR(b))
+    }: _*)
+  }
+
   /** Near-duplicate pairs from PRECOMPUTED 64-bit fingerprints — input
     * must carry (`id`, `sim`) columns. The fingerprint-level half of
     * [[simHashNearDuplicates]] (same recall contract); public so
@@ -263,22 +290,10 @@ object Dedup {
       fingerprints: DataFrame,
       maxHamming: Int,
       maxBucketSize: Int = 1000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 6,
-      s"simHashPairs: the block-combination index guarantees recall " +
-        s"only for maxHamming <= 6 (got $maxHamming) — use the 128-bit " +
-        "fingerprint ([[simHash128NearDuplicates]]) for larger radii")
-    val (nBlocks, comboSize) = if (maxHamming <= 3) (4, 1) else (8, 2)
-    val blockBits = 64 / nBlocks
     val base = fingerprints.select(col("id"), col("sim"))
-    def block(i: Int): Column =
-      shiftright(col("sim"), i * blockBits).bitwiseAND(lit((1L << blockBits) - 1L))
-    // one bucket expression per block combination; band id = combo index
-    val bucketExprs = (0 until nBlocks).combinations(comboSize).toSeq.map {
-      combo => combo.map(block).reduceLeft((acc, b) =>
-        shiftleft(acc, blockBits).bitwiseOR(b))
-    }
     val bandedIds = base.select(col("id"),
-      posexplode(array(bucketExprs: _*)).as(Seq("band", "bucket")))
+      posexplode(simHashBandBuckets(col("sim"), maxHamming))
+        .as(Seq("band", "bucket")))
     val pairs = candidatePairs(bandedIds, maxBucketSize)
     attachPayload(pairs, base.select("id", "sim"), "sim")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))

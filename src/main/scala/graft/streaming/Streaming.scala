@@ -267,9 +267,11 @@ object Streaming {
     * pairs — tracking the (48/64)^h geometry of h flips all missing
     * the probed block. Full multi-band recall needs one stateful stage
     * per band (Spark allows one flatMapGroupsWithState per streaming
-    * query); run the batch operator over the retained corpus when
-    * recall must be contractual — its banding catches every within-h
-    * pair.
+    * query); when recall must be contractual use
+    * [[nearDedupStreamFullRecall]], which moves the survivor set out
+    * of the state store and probes every block combination per
+    * micro-batch — the batch operator's recall contract across the
+    * stream history.
     *
     * Works identically on batch Datasets (per-key state starts empty,
     * iterator order = arrival order), so the batch path oracles the
@@ -469,6 +471,176 @@ object Streaming {
             emit.reverseIterator
           }
       }
+  }
+
+  /** Survivors-store schema for [[nearDedupStreamFullRecall]]:
+    * fingerprints only (16 bytes of data per survivor) — payloads
+    * rejoin by id from the upstream corpus when needed. `batch_id` is
+    * the partition column that makes replays idempotent. */
+  private val fullRecallStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
+
+  /** The survivors store as a DataFrame — empty-with-schema when the
+    * stream has not written yet (first micro-batch), so the first
+    * batch's plan is the same shape as every later one. */
+  def readFullRecallStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) spark.read.schema(fullRecallStoreSchema).parquet(storeDir)
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      fullRecallStoreSchema)
+  }
+
+  /** One micro-batch of the FULL-RECALL streaming near-dedup: dedup
+    * `batch` (columns `id`, `sim`) within itself under the batch
+    * operator's block-combination banding, then against every survivor
+    * the stream has already emitted (the parquet store at `storeDir`),
+    * and return the batch's survivors. Pure batch function — the
+    * [[nearDedupStreamFullRecall]] foreachBatch body and the
+    * correctness oracle's batch-equivalence path both call exactly
+    * this, so the oracle exercises the streaming semantics.
+    *
+    * Recall is CONTRACTUAL, unlike [[nearDedupStream]]'s single-band
+    * rung: both the within-batch pairing and the store join hash on
+    * [[graft.dedup.Dedup.simHashBandBuckets]] (every block
+    * combination), so any pair within `maxHamming` — including pairs
+    * disagreeing on the top 16-bit block that the single-band rung
+    * misses 48% of (SCALE.md `stream_band_recall`) — is guaranteed
+    * compared, within a batch and across batches alike.
+    *
+    * Survivor choice: lowest id per within-batch near-dup cluster
+    * (the batch operator's [[graft.dedup.Dedup.dropNearDuplicates]]
+    * contract), and earlier batches always beat later ones (a batch
+    * survivor within `maxHamming` of ANY store entry is dropped).
+    * Which doc of a cross-batch pair survives therefore depends on
+    * micro-batch boundaries — inherent to any streaming dedup — but
+    * the INVARIANTS (emitted docs pairwise > maxHamming, every drop
+    * within the pair-graph closure of a survivor) hold for every
+    * boundary placement, and a replay of the same batch sequence is
+    * deterministic (see [[nearDedupStreamFullRecall]]).
+    *
+    * Scale shape: the within-batch half is the batch operator's
+    * id-only banded exchange. The store join BROADCASTS the banded
+    * micro-batch (micro-batches are small by construction; bands
+    * multiply it by 4 at h<=3, 28 at h<=6) and streams the store
+    * through map-side — a columnar scan of two long columns with NO
+    * store-side shuffle and no store-side state: the store is plain
+    * parquet, not state-store memory, so state size never bounds the
+    * stream. The scan is the design cost, linear per batch in
+    * survivors-so-far; compact the store (fewer, larger files) as it
+    * grows, and prefer larger micro-batches once the store dwarfs
+    * them — per-survivor cost amortises with batch size. */
+  def dedupBatchAgainstStore(
+      batch: DataFrame,
+      storeDir: String,
+      batchId: Long,
+      maxHamming: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = batch.sparkSession
+    val fps = batch.select(col("id").cast("long").as("id"),
+      col("sim").cast("long").as("sim"))
+    val pairs = graft.dedup.Dedup.simHashPairs(fps, maxHamming, maxBucketSize)
+    val withinBatch = graft.dedup.Dedup.dropNearDuplicates(fps, pairs, "id")
+    // replay safety: a crashed attempt of THIS batch may have written
+    // its partition already — excluding it re-creates the store state
+    // the first attempt saw (deterministic re-run), instead of the
+    // batch deduping against its own partial output and emitting nothing
+    val store = readFullRecallStore(spark, storeDir)
+      .filter(col("batch_id") =!= lit(batchId))
+    def banded(df: DataFrame): DataFrame = df.select(col("id"), col("sim"),
+      posexplode(graft.dedup.Dedup.simHashBandBuckets(col("sim"), maxHamming))
+        .as(Seq("band", "bucket")))
+    val hitIds = banded(store)
+      .join(broadcast(banded(withinBatch).select(col("band"), col("bucket"),
+          col("id").as("n_id"), col("sim").as("n_sim"))),
+        Seq("band", "bucket"))
+      .filter(bit_count(col("sim").bitwiseXOR(col("n_sim"))) <= maxHamming)
+      .select(col("n_id").as("id")).distinct()
+    withinBatch.join(hitIds, Seq("id"), "left_anti")
+  }
+
+  /** [[dedupBatchAgainstStore]] + idempotent store append: survivors
+    * land in partition `batch_id=<batchId>` via dynamic partition
+    * overwrite, so a foreachBatch replay of the same micro-batch
+    * OVERWRITES its own partition instead of doubling it. The
+    * survivors are materialised (localCheckpoint) before the write so
+    * the write plan no longer reads the path it overwrites, and
+    * because [[dedupBatchAgainstStore]] is deterministic given the
+    * prior-batch store, a replay rewrites the identical row set over
+    * any partial files a crashed attempt left (dynamic overwrite
+    * replaces the whole partition directory). */
+  def appendBatchToFullRecallStore(
+      batch: DataFrame,
+      storeDir: String,
+      batchId: Long,
+      maxHamming: Int,
+      maxBucketSize: Int = 1000): Unit = {
+    val survivors =
+      dedupBatchAgainstStore(batch, storeDir, batchId, maxHamming, maxBucketSize)
+        .select(col("id"), col("sim"))
+        .localCheckpoint(eager = true)
+    graft.core.DataFrameOps.smartCoalesce(survivors)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(storeDir)
+  }
+
+  /** FULL-RECALL streaming near-duplicate dedup: the contractual-recall
+    * sibling of [[nearDedupStream]]. That operator holds survivor
+    * fingerprints in the state store under a SINGLE band (the top
+    * 16-bit block) because one stateful stage gets one key — its
+    * recall on cross-block near-dups is measured, not guaranteed
+    * (SCALE.md `stream_band_recall`: 52% of within-h<=3 pairs). This
+    * one moves the survivor set OUT of the state store into a parquet
+    * survivors store and runs the batch operator's full banding per
+    * micro-batch via foreachBatch — every block combination probed, so
+    * the batch recall contract extends across the whole stream
+    * history. The engine's state store carries nothing; exactly-once
+    * comes from the checkpoint (batch replay) plus the store's
+    * per-batch-partition idempotent overwrite
+    * ([[appendBatchToFullRecallStore]]).
+    *
+    * The survivors store IS the output: `storeDir` accumulates one
+    * partition per micro-batch holding the docs that survived, i.e.
+    * reading `storeDir` at any time gives the deduped stream so far
+    * (16 bytes per survivor; join payloads back by id upstream).
+    *
+    * Trade-off vs [[nearDedupStream]], stated plainly: per-batch cost
+    * is a full scan of the survivors store (columnar, two columns,
+    * shuffle-free — see [[dedupBatchAgainstStore]]) instead of an
+    * O(shard) state lookup, bought with contractual recall and
+    * state-store independence. Use the single-band operator for
+    * low-latency high-rate streams that tolerate measured recall; use
+    * this one when recall must be a contract — backfills, compliance
+    * dedup, training-corpus construction.
+    *
+    * `docs` must carry `id` (long, unique across the stream) and `sim`
+    * (64-bit SimHash, e.g. [[shardedFingerprints]] sans key or
+    * [[graft.dedup.Dedup.simHash]]). Works with any trigger; with
+    * `Trigger.AvailableNow` (the default) it terminates after
+    * processing the backlog — the bounded-backfill mode the oracle and
+    * specs run. */
+  def nearDedupStreamFullRecall(
+      docs: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      maxHamming: Int,
+      maxBucketSize: Int = 1000,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => appendBatchToFullRecallStore(
+        batch.toDF(), storeDir, batchId, maxHamming, maxBucketSize)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(body)
+      .start()
   }
 
   /** Running per-key event counter with inactivity expiry: state is a

@@ -496,4 +496,105 @@ class StatefulStreamingSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("click1", "view1"), ("late-hour click", "view2")))
   }
+
+  test("dedupBatchAgainstStore: full banding catches cross-block near-dups; replay overwrites its partition") {
+    import Streaming.{appendBatchToFullRecallStore, readFullRecallStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_fullrecall_batch").toString
+    val store = s"$dir/store"
+    // batch 0: doc 2 is hamming-2 of doc 1 (within-batch drop, lowest
+    // id survives); doc 3 is hamming-16 — distinct
+    appendBatchToFullRecallStore(
+      Seq((1L, 0L), (2L, 3L), (3L, 0x00FFFF0000000000L)).toDF("id", "sim"),
+      store, 0L, maxHamming = 3)
+    // batch 1: doc 10 flips ONLY a top-16-bit-block bit of doc 1
+    // (hamming 1) — the pair nearDedupStream's single-band rung puts in
+    // DIFFERENT shards and misses; doc 11 is fresh
+    val b1 = Seq((10L, 1L << 63), (11L, 0x0F0F0F0FL)).toDF("id", "sim")
+    appendBatchToFullRecallStore(b1, store, 1L, maxHamming = 3)
+    val got = readFullRecallStore(spark, store)
+      .select("id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L), (3L, 0L), (11L, 1L)),
+      "cross-block near-dup 10 must be dropped by the store join")
+    // a crashed attempt's partial partition is replaced wholesale on
+    // replay of the same batchId — idempotence, not doubling
+    Seq((99L, 99L)).toDF("id", "sim")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(1L))
+      .write.partitionBy("batch_id").mode("append").parquet(store)
+    appendBatchToFullRecallStore(b1, store, 1L, maxHamming = 3)
+    val replayed = readFullRecallStore(spark, store)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(replayed == Seq(1L, 3L, 11L),
+      "replay must overwrite the partial partition, not append to it")
+  }
+
+  test("nearDedupStreamFullRecall dedups across micro-batches through the parquet store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fullrecall_stream").toString
+    Seq((1L, 0L), (2L, 0xF0F0L)).toDF("id", "sim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    Thread.sleep(20) // distinct mtimes: the file source orders by them
+    // hamming-1 cross-TOP-block near-dup of doc 1 + one fresh doc
+    Seq((3L, 1L << 63), (4L, 0x3C3C3C3CL)).toDF("id", "sim")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val streamed = spark.readStream
+      .schema("id LONG, sim LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = Streaming.nearDedupStreamFullRecall(
+      streamed, s"$dir/store", s"$dir/ckpt", maxHamming = 3)
+    assert(q.awaitTermination(120000), "stream did not finish within 120 s")
+    val ids = Streaming.readFullRecallStore(spark, s"$dir/store")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L),
+      "doc 3 (cross-block hamming-1 of doc 1) must be dropped by carried store state")
+    // the state store carries NOTHING — the survivor set lives in
+    // parquet, so state never bounds this stream
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    assert(stateRows == 0L, s"expected stateless plan, got $stateRows state rows")
+  }
+
+  test("nearDedupStreamFullRecall invariants hold on random corpora and batch splits (fuzz)") {
+    import Streaming.{appendBatchToFullRecallStore, readFullRecallStore}
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 3) {
+      val base = Vector.fill(40)(rnd.nextLong())
+      val docs = (0 until 120).map { i =>
+        val b = base(rnd.nextInt(base.size))
+        val sim = (0 until rnd.nextInt(6)).foldLeft(b)(
+          (s, _) => s ^ (1L << rnd.nextInt(64)))
+        (i.toLong, sim)
+      }
+      val store = java.nio.file.Files
+        .createTempDirectory(s"graft_fullrecall_fuzz$trial").toString
+      val batches = docs.groupBy(_ => rnd.nextInt(3)).toSeq.sortBy(_._1).map(_._2)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        appendBatchToFullRecallStore(b.toDF("id", "sim"), store, i.toLong, maxHamming = 3)
+      }
+      val kept = readFullRecallStore(spark, store)
+        .select("id", "sim").as[(Long, Long)].collect().toSeq
+      val keptIds = kept.map(_._1).toSet
+      assert(keptIds.subsetOf(docs.map(_._1).toSet))
+      // invariant 1, checked EXACTLY and independently of the banding
+      // machinery (local all-pairs bitCount): survivors pairwise > h
+      for (Seq((ia, sa), (ib, sb)) <- kept.combinations(2))
+        assert(java.lang.Long.bitCount(sa ^ sb) > 3,
+          s"trial $trial: survivors $ia/$ib within hamming 3")
+      // invariant 2: every dropped doc is connected to a survivor in
+      // the exact <=h pair graph over the WHOLE corpus (local BFS) —
+      // a drop is always explained by the stream's emitted history
+      val within = docs.map { case (id, sim) =>
+        id -> docs.collect { case (jd, js)
+          if jd != id && java.lang.Long.bitCount(sim ^ js) <= 3 => jd }.toSet
+      }.toMap
+      for ((id, _) <- docs if !keptIds.contains(id)) {
+        var seen = Set(id); var frontier = Set(id); var hit = false
+        while (frontier.nonEmpty && !hit) {
+          frontier = frontier.flatMap(within).diff(seen)
+          seen ++= frontier
+          hit = frontier.exists(keptIds.contains)
+        }
+        assert(hit, s"trial $trial: dropped doc $id has no survivor in its closure")
+      }
+    }
+  }
 }

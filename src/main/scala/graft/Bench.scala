@@ -444,6 +444,67 @@ object Bench {
         .crossJoin(SparkEntry.evtimeLateProbe(s))
     }),
 
+    "q_stream_dedup_fullrecall" -> ((s, d) => {
+      // hand-written full-recall incremental dedup: hand-rolled 64-bit
+      // fingerprints (word 0 of the raw 128-bit votes), hand-written
+      // 4-block banding, and a two-batch parquet survivors-store loop —
+      // the incremental job a user writes without the library. Plant
+      // mask + invariant oracle are SHARED with the wrapped query
+      // (SparkEntry.crossBlockPlantMask / fullRecallInvariants); the
+      // fingerprint family differs so survivor SETS differ, but the
+      // invariant outputs are the same constants.
+      val par = s.sparkContext.defaultParallelism
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val fps0 = rawSimHash128(docs.repartition(par), "doc_id")
+        .select(col("id"), col("w0").as("sim"))
+        .localCheckpoint(true) // one kernel pass, mirroring the wrapped fence
+      val copies = fps0.filter(col("id") < 50)
+        .select((col("id") + 1000000L).as("id"), col("sim"))
+      val nearDups = fps0.filter(col("id") >= 50 && col("id") < 100)
+        .select((col("id") + 2000000L).as("id"),
+          col("sim").bitwiseXOR(SparkEntry.crossBlockPlantMask).as("sim"))
+      val all = fps0.unionByName(copies).unionByName(nearDups)
+        .localCheckpoint(true)
+      def banded(df: DataFrame): DataFrame = df.select(col("id"), col("sim"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bucket")))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_fullrecall_raw").toString + "/store"
+      def runBatch(batch: DataFrame, batchId: Long): Unit = {
+        val pairs = rawPairs(banded(batch))
+          .join(batch.select(col("id").as("id_a"), col("sim").as("a")), "id_a")
+          .join(batch.select(col("id").as("id_b"), col("sim").as("b")), "id_b")
+          .filter(bit_count(col("a").bitwiseXOR(col("b"))) <= 3)
+        val within = batch.join(
+          pairs.select(col("id_b").as("id")).distinct(), Seq("id"), "left_anti")
+        val prior =
+          if (batchId == 0L) s.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("sim",
+                org.apache.spark.sql.types.LongType))))
+          else s.read.parquet(store).select("id", "sim")
+        val hits = banded(prior)
+          .join(broadcast(banded(within).select(col("band"), col("bucket"),
+            col("id").as("n_id"), col("sim").as("n_sim"))), Seq("band", "bucket"))
+          .filter(bit_count(col("sim").bitwiseXOR(col("n_sim"))) <= 3)
+          .select(col("n_id").as("id")).distinct()
+        within.join(hits, Seq("id"), "left_anti")
+          .localCheckpoint(true) // cut lineage off the store path pre-write
+          .write.mode("append").parquet(store)
+      }
+      runBatch(all.filter(col("id") < 1000000L), 0L)
+      runBatch(all.filter(col("id") >= 1000000L), 1L)
+      // no checkpoint fence on kept: the parquet store is the
+      // materialisation, mirroring the wrapped face
+      val kept = s.read.parquet(store).select("id", "sim")
+      SparkEntry.fullRecallInvariants(all, kept)
+    }),
+
     "q_ngram_lsh" -> ((s, d) => {
       val par = s.sparkContext.defaultParallelism
       val base = rawAugmentedDocs(s, d)

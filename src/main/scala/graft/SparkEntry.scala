@@ -211,6 +211,52 @@ object SparkEntry {
     }
   }
 
+  /** Shared invariant oracle for the q_stream_dedup_fullrecall family
+    * (wrapped query and Bench raw baseline — identical output shape,
+    * only the survivor computation under measurement differs). Over
+    * (`id`, `sim`) corpus and survivor frames: survivors pairwise
+    * > 3 Hamming (banded pairing — recall contract pinned by
+    * DedupSpec's planted exact distances, independent of the store
+    * logic under test), every drop inside the within-h closure of a
+    * survivor (duplicateClusters over the full-corpus pair graph; a
+    * dropped doc OUTSIDE the pair graph is equally an orphan — nothing
+    * within h could have explained its drop), zero survivors of either
+    * plant family, conservation. */
+  private[graft] def fullRecallInvariants(all: DataFrame, kept: DataFrame): DataFrame = {
+    import graft.dedup.Dedup
+    val dropped = all.join(kept.select("id"), Seq("id"), "left_anti")
+    // ONE banded pass over the corpus feeds both checks: survivor bad
+    // pairs are the full-graph pairs with both endpoints kept (pairs
+    // over a subset are a subset of pairs), and the closure check
+    // clusters the same graph — fenced so neither consumer re-bands
+    val pairsAll = Dedup.simHashPairs(all, 3).localCheckpoint(true)
+    val badPairs = pairsAll
+      .join(kept.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(kept.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_bad_pairs"))
+    val clusters = Dedup.duplicateClusters(pairsAll)
+    val survivorClusters = clusters.join(kept.select("id"), Seq("id"))
+      .select(col("cluster_id")).distinct()
+      .withColumn("has_survivor", lit(1))
+    val orphans = dropped.select("id")
+      .join(clusters, Seq("id"), "left")
+      .join(survivorClusters, Seq("cluster_id"), "left")
+      .agg(coalesce(sum(when(col("has_survivor").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("n_orphan_drops"))
+    badPairs.crossJoin(orphans)
+      .crossJoin(kept.agg(
+        coalesce(sum(when(col("id") >= 1000000L && col("id") < 2000000L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_copy_survivors"),
+        coalesce(sum(when(col("id") >= 2000000L, 1L).otherwise(0L)), lit(0L))
+          .as("n_crossblock_survivors"),
+        count(lit(1)).as("n_kept")))
+      .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+      .crossJoin(all.agg(count(lit(1)).as("n_total")))
+      .select(col("n_bad_pairs"), col("n_orphan_drops"),
+        col("n_copy_survivors"), col("n_crossblock_survivors"),
+        (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
+  }
+
   /** Shared outcome oracle for the q_pipeline_docs128 family, over the
     * post-drop survivor set and the full planted fingerprint set (both
     * carrying an `id` column): zero planted exact copies (ids ≥ 1e6)
@@ -975,7 +1021,6 @@ object SparkEntry {
       // closure of a survivor (duplicateClusters over the full-corpus
       // pair graph), ZERO survivors of either plant family, and
       // conservation.
-      import graft.dedup.Dedup
       val fps0 = Streaming.shardedFingerprints(
           t(s, d, "documents")
             .select(col("doc_id").cast("long").as("doc_id"), col("text")),
@@ -994,34 +1039,11 @@ object SparkEntry {
         all.filter(col("id") < 1000000L), store, 0L, maxHamming = 3)
       Streaming.appendBatchToFullRecallStore(
         all.filter(col("id") >= 1000000L), store, 1L, maxHamming = 3)
-      val kept = Streaming.readFullRecallStore(s, store)
-        .select("id", "sim").localCheckpoint(true)
-      val dropped = all.join(kept.select("id"), Seq("id"), "left_anti")
-      val badPairs = Dedup.simHashPairs(kept, 3)
-        .agg(count(lit(1)).as("n_bad_pairs"))
-      val clusters = Dedup.duplicateClusters(Dedup.simHashPairs(all, 3))
-      val survivorClusters = clusters.join(kept.select("id"), Seq("id"))
-        .select(col("cluster_id")).distinct()
-        .withColumn("has_survivor", lit(1))
-      // a dropped doc outside the pair graph (null cluster) is equally
-      // an orphan: nothing within h could have explained its drop
-      val orphans = dropped.select("id")
-        .join(clusters, Seq("id"), "left")
-        .join(survivorClusters, Seq("cluster_id"), "left")
-        .agg(coalesce(sum(when(col("has_survivor").isNull, 1L)
-          .otherwise(0L)), lit(0L)).as("n_orphan_drops"))
-      badPairs.crossJoin(orphans)
-        .crossJoin(kept.agg(
-          coalesce(sum(when(col("id") >= 1000000L && col("id") < 2000000L, 1L)
-            .otherwise(0L)), lit(0L)).as("n_copy_survivors"),
-          coalesce(sum(when(col("id") >= 2000000L, 1L).otherwise(0L)), lit(0L))
-            .as("n_crossblock_survivors"),
-          count(lit(1)).as("n_kept")))
-        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
-        .crossJoin(all.agg(count(lit(1)).as("n_total")))
-        .select(col("n_bad_pairs"), col("n_orphan_drops"),
-          col("n_copy_survivors"), col("n_crossblock_survivors"),
-          (col("n_kept") + col("n_dropped") === col("n_total")).as("conserved"))
+      // no checkpoint fence on kept: the parquet store IS the
+      // materialisation, and its read is deterministic across the
+      // invariant joins
+      val kept = Streaming.readFullRecallStore(s, store).select("id", "sim")
+      fullRecallInvariants(all, kept)
     }),
 
     "q_json_props" -> ((s, d) =>

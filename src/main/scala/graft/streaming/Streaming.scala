@@ -543,7 +543,11 @@ object Streaming {
     val fps = batch.select(col("id").cast("long").as("id"),
       col("sim").cast("long").as("sim"))
     val pairs = graft.dedup.Dedup.simHashPairs(fps, maxHamming, maxBucketSize)
+    // fenced: the within-batch survivors feed BOTH the store probe and
+    // the final anti-join — unfenced, each consumer would re-run the
+    // banded self-join (milliseconds of checkpoint for a halved pass)
     val withinBatch = graft.dedup.Dedup.dropNearDuplicates(fps, pairs, "id")
+      .localCheckpoint(true)
     // replay safety: a crashed attempt of THIS batch may have written
     // its partition already — excluding it re-creates the store state
     // the first attempt saw (deterministic re-run), instead of the

@@ -339,6 +339,60 @@ object Scale {
         "stream_state" -> false, "stream_state_evtime" -> true))
       streamStateRow(nm, k, ev)
 
+    // --- full-recall streaming dedup (r10): nearDedupStreamFullRecall
+    // trades the state store for a parquet survivors store scanned
+    // once per micro-batch — its design cost is batches ×
+    // survivors-so-far, so the row that matters is wall growth across
+    // corpus scales at a FIXED batch count (store scans dominate only
+    // if they outgrow the per-batch banding work). Run the REAL
+    // foreachBatch stream (AvailableNow, maxFilesPerTrigger sized to
+    // ~4 micro-batches so every batch after the first probes a
+    // non-empty store) and report wall, survivors, micro-batches, and
+    // the store's actual on-disk bytes — the "state" a 100 TB stream
+    // would accumulate, priced in cheap parquet instead of executor
+    // memory.
+    def streamFullRecallRow(k: Int, round: Int): Unit = {
+      if (only.exists(!_.contains("stream_fullrecall"))) return
+      val docs = scaledDocs(spark, sfDir, k)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val fps = graft.streaming.Streaming.shardedFingerprints(docs, "doc_id")
+        .toDF().select("id", "sim")
+      val root = s"target/scale_fullrecall/run_${k}_$round"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(rootPath, true) // stale checkpoint would replay as no-ops
+      val inDir = s"$root/in"
+      fps.write.mode("overwrite").parquet(inDir)
+      val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", math.max(1, nFiles / 4))
+        .parquet(inDir)
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streaming.nearDedupStreamFullRecall(
+        streamed, s"$root/store", s"$root/ck", maxHamming = 3)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        sys.error(s"streamFullRecallRow($k): stream did not finish within 300 s")
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.map(_.batchId).distinct.length
+      val survivors = graft.streaming.Streaming
+        .readFullRecallStore(spark, s"$root/store").count()
+      val storeBytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$root/store")).getLength
+      println(s"""{"op":"stream_fullrecall","scale":$k,"round":$round""" +
+        s""","secs":${math.rint(secs * 100) / 100},"out_rows":$survivors""" +
+        s""","micro_batches":$batches,"store_bytes":$storeBytes}""")
+    }
+    // two rounds per scale, warm (round 2) readings are the honest
+    // ones — a cold first stream pays JIT for the whole foreachBatch
+    // path and reads ~2× its warm wall (the r8 bench-noise lesson)
+    for (round <- 1 to 2; k <- Seq(1, bigK)) streamFullRecallRow(k, round)
+
     // --- forced non-skew salting tax: the measured number behind
     // saltedJoin's broadcast short-circuit (DataFrameOps scaladoc).
     // Lives here rather than in baseline_ratios because the

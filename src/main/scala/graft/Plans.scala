@@ -37,7 +37,9 @@ object Plans {
     "q_simhash128" ->
       "128-bit SimHash at the default 8-band rung: both fingerprint words from one fused codegen kernel pass; the 8-bucket explode exchanges (id, band, bucket) only; radii 8-14 switch to the C(16,2)=120-band rung at a measured constant ~2.3x wall cost at 1x (post guard-fix re-measurement, SCALE.md).",
     "q_stream_dedup" ->
-      "Streaming SimHash near-dup dedup (batch-equivalence path): ONE kernel fingerprint pass (the fingerprint frame is checkpoint-fenced, so the dedup and every invariant join read the materialised fingerprints, never re-running the kernel over the corpus), ONE exchange on the shard key into FlatMapGroupsWithState — no payload re-shuffle (PlanShapeSpec pins the single-exchange shape); the survivor set is checkpointed separately to pin the order-dependent survivor choice across the invariant joins.",
+      "Streaming SimHash near-dup dedup (batch-equivalence path): ONE kernel fingerprint pass (the fingerprint frame is checkpoint-fenced, so the dedup and every invariant join read the materialised fingerprints, never re-running the kernel over the corpus), ONE exchange on the shard key into FlatMapGroupsWithState — no payload re-shuffle (PlanShapeSpec pins the single-exchange shape); the survivor set is checkpointed separately to pin the order-dependent survivor choice across the invariant joins. Since r10 the frame (and its evtime sibling) also cross-joins the late-drop probe's 1-row literal (`n_late_emitted`, cached per session — SparkEntry.evtimeLateProbe), adding one more 1-row BroadcastNestedLoopJoin Cross of the same invariant-aggregate shape as the existing ones.",
+    "q_stream_dedup_fullrecall" ->
+      "Full-recall streaming near-dup dedup: the plan below is the invariant-oracle frame over the survivors store the two micro-batch runs wrote; the operator's own per-batch shape is pinned by PlanShapeSpec — the banded micro-batch BROADCASTS into a BroadcastHashJoin on (band, bucket) while the survivors store streams map-side with no exchange (no banded hashpartitioning anywhere: within-batch banding is checkpoint-fenced, the store never shuffles — the property that keeps per-batch cost a columnar scan, not a shuffle, as the store grows to corpus scale).",
   )
 
   def main(args: Array[String]): Unit = {

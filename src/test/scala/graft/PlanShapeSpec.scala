@@ -87,6 +87,34 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the stateful map-groups operator in:\n$plan")
   }
 
+  test("full-recall store probe broadcasts the micro-batch; the store never shuffles") {
+    // dedupBatchAgainstStore's scale contract: the survivors store is
+    // scanned map-side into a broadcast hash join on (band, bucket) —
+    // the STORE side (the big side, survivors-so-far) must reach the
+    // join with no exchange, and the within-batch banding must be
+    // checkpoint-fenced out of this plan entirely, so NO banded
+    // exchange may appear (a banded hashpartitioning here would mean
+    // the store shuffles once per micro-batch — the accidental
+    // quadratic a refactor could reintroduce)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fullrecall_plan").toString
+    val store = s"$root/store"
+    val fps = spark.range(100).select(col("id"),
+      (col("id") * 2654435761L).as("sim"))
+    streaming.Streaming.appendBatchToFullRecallStore(
+      fps.filter(col("id") < 50), store, 0L, maxHamming = 3)
+    val out = streaming.Streaming.dedupBatchAgainstStore(
+      fps.filter(col("id") >= 50), store, 1L, maxHamming = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"store probe must be a broadcast hash join:\n$plan")
+    val bandedExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("band") || l.contains("bucket")).toSeq
+    assert(bandedExchanges.isEmpty,
+      s"store side must not shuffle on bands:\n${bandedExchanges.mkString("\n")}\nin:\n$plan")
+  }
+
   test("saltedJoin short-circuit plans the plain broadcast join; engaged path salts the SMJ keys") {
     val left = spark.range(5000).toDF("k").withColumn("v", col("k") * 2)
     val dim = spark.range(50).toDF("k").withColumn("name", col("k").cast("string"))

@@ -530,9 +530,11 @@ object Streaming {
     * store-side shuffle and no store-side state: the store is plain
     * parquet, not state-store memory, so state size never bounds the
     * stream. The scan is the design cost, linear per batch in
-    * survivors-so-far; compact the store (fewer, larger files) as it
-    * grows, and prefer larger micro-batches once the store dwarfs
-    * them — per-survivor cost amortises with batch size. */
+    * survivors-so-far; compact the store as it grows
+    * ([[compactFullRecallStore]] folds committed-batch partitions
+    * into one, bounding FILE count), and prefer larger micro-batches
+    * once the store dwarfs them — per-survivor cost amortises with
+    * batch size. */
   def dedupBatchAgainstStore(
       batch: DataFrame,
       storeDir: String,
@@ -645,6 +647,83 @@ object Streaming {
       .trigger(trigger)
       .foreachBatch(body)
       .start()
+  }
+
+  /** Highest micro-batch id the stream's checkpoint has COMMITTED, or
+    * None before the first commit — the safe `upToBatchId` bound for
+    * [[compactFullRecallStore]]: a committed batch never replays, so
+    * folding its partition away cannot race a re-execution. Reads the
+    * commit-log file names (plain batch numbers, `N.compact` after log
+    * compaction) directly so it works on a stopped stream. */
+  def lastCommittedBatchId(spark: SparkSession, checkpointDir: String): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).iterator
+      .map(_.getPath.getName.stripSuffix(".compact"))
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+      .maxOption
+  }
+
+  /** Compact the survivors store: fold every `batch_id <= upToBatchId`
+    * partition into ONE partition (`batch_id = upToBatchId`), written
+    * through [[graft.core.DataFrameOps.smartCoalesce]] — the
+    * maintenance op the per-batch scan's linear cost calls for
+    * ([[dedupBatchAgainstStore]] scaladoc): a long-running stream
+    * accumulates one partition of small files per micro-batch, and
+    * scan setup cost grows with FILE count even though bytes stay
+    * linear in survivors.
+    *
+    * Safety contract: `upToBatchId` must not exceed the stream's last
+    * COMMITTED batch ([[lastCommittedBatchId]]) — committed batches
+    * never replay, so their partitions are immutable history; an
+    * UNCOMMITTED batch's replay overwrites its own partition
+    * dynamically, and rows folded out of it into the compacted
+    * partition would duplicate. Run it between stream runs or
+    * concurrently with a live stream writing only higher batch ids;
+    * concurrent READERS of the store may observe vanished files while
+    * the fold deletes old partitions — schedule compaction off the
+    * read path.
+    *
+    * Crash-safe by idempotence, not atomicity: the fold writes the
+    * compacted partition first, then deletes the folded partitions. A
+    * crash between the two leaves survivor rows duplicated (old
+    * partition + compacted copy); re-running the compaction heals —
+    * the rewrite reads through `distinct`, so the converged store is
+    * identical to the no-crash outcome. The streaming dedup itself is
+    * correct even mid-window (the store probe matches candidates by
+    * fingerprint; duplicate store rows cannot un-drop a doc), so the
+    * crash window degrades survivor COUNTS read from the store, never
+    * dedup verdicts. */
+  def compactFullRecallStore(
+      spark: SparkSession, storeDir: String, upToBatchId: Long): Unit = {
+    require(upToBatchId >= 0,
+      s"compactFullRecallStore: upToBatchId must be >= 0, got $upToBatchId")
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(storePath)) return
+    def foldable = fs.listStatus(storePath).iterator
+      .filter(_.isDirectory)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("batch_id=") && {
+          val v = n.stripPrefix("batch_id=")
+          v.forall(_.isDigit) && v.toLong < upToBatchId
+        }
+      }.toSeq
+    val toDelete = foldable
+    // nothing below the bound: a no-op beats rewriting one partition
+    if (toDelete.isEmpty) return
+    val compacted = readFullRecallStore(spark, storeDir)
+      .filter(col("batch_id") <= upToBatchId)
+      .select("id", "sim").distinct() // heals a crashed prior fold's copies
+      .localCheckpoint(eager = true)  // the write must not read its target
+    graft.core.DataFrameOps.smartCoalesce(compacted)
+      .withColumn("batch_id", lit(upToBatchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(storeDir)
+    toDelete.foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Running per-key event counter with inactivity expiry: state is a

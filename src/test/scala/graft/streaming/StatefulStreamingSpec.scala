@@ -551,6 +551,61 @@ class StatefulStreamingSpec extends SparkTestBase {
     val stateRows = Option(q.lastProgress).toSeq
       .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
     assert(stateRows == 0L, s"expected stateless plan, got $stateRows state rows")
+    // the checkpoint's commit log names the safe compaction bound: two
+    // files at maxFilesPerTrigger=1 → batches 0 and 1 committed
+    val committed = Streaming.lastCommittedBatchId(spark, s"$dir/ckpt")
+    assert(committed == Some(1L), s"expected last committed batch 1, got $committed")
+    // compacting up to the committed bound preserves the survivor set
+    // and folds the store to the single bound partition
+    Streaming.compactFullRecallStore(spark, s"$dir/store", committed.get)
+    val folded = Streaming.readFullRecallStore(spark, s"$dir/store")
+      .select("id", "batch_id").as[(Long, Long)].collect().toSeq
+    assert(folded.map(_._1).sorted == Seq(1L, 2L, 4L),
+      "compaction must preserve the survivor set")
+    assert(folded.map(_._2).distinct == Seq(1L),
+      "all survivors must land in the bound partition")
+  }
+
+  test("compactFullRecallStore folds partitions, heals a crashed fold, and later batches still dedup") {
+    import Streaming.{appendBatchToFullRecallStore, compactFullRecallStore, readFullRecallStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_fullrecall_compact").toString
+    val store = s"$dir/store"
+    appendBatchToFullRecallStore(Seq((1L, 0L)).toDF("id", "sim"), store, 0L, 3)
+    appendBatchToFullRecallStore(
+      Seq((2L, 0x00FFFF0000000000L)).toDF("id", "sim"), store, 1L, 3)
+    appendBatchToFullRecallStore(Seq((3L, 0x0F0F0F0FL)).toDF("id", "sim"), store, 2L, 3)
+    val expected = readFullRecallStore(spark, store)
+      .select("id", "sim").as[(Long, Long)].collect().toSet
+    // simulate the crash window: the fold's FIRST half (compacted
+    // partition written — all rows <= 2 landed in batch_id=2) done,
+    // the delete half not — rows now duplicated across partitions
+    readFullRecallStore(spark, store).select("id", "sim")
+      .localCheckpoint(true)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(2L))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(store)
+    assert(readFullRecallStore(spark, store).count() > expected.size,
+      "crash simulation must leave duplicated rows")
+    // re-running the fold heals: exact row set, single partition
+    compactFullRecallStore(spark, store, 2L)
+    val healed = readFullRecallStore(spark, store)
+      .select("id", "sim", "batch_id").as[(Long, Long, Long)].collect().toSeq
+    assert(healed.map(t => (t._1, t._2)).toSet == expected &&
+      healed.size == expected.size,
+      s"healed store must hold the exact pre-crash row set, got $healed")
+    assert(healed.map(_._3).distinct == Seq(2L))
+    // the compacted store still suppresses: a cross-block hamming-1
+    // near-dup of the batch-0 survivor arriving later is dropped
+    appendBatchToFullRecallStore(
+      Seq((10L, 1L << 63), (11L, 0x3C3C3C3CL)).toDF("id", "sim"), store, 3L, 3)
+    val ids = readFullRecallStore(spark, store).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 11L),
+      "near-dup of a compacted survivor must still be dropped")
+    // a fold with nothing below the bound is a no-op (doesn't rewrite)
+    compactFullRecallStore(spark, store, 0L)
+    assert(readFullRecallStore(spark, store).count() == 4L)
   }
 
   test("nearDedupStreamFullRecall invariants hold on random corpora and batch splits (fuzz)") {

@@ -624,6 +624,11 @@ class StatefulStreamingSpec extends SparkTestBase {
       val batches = docs.groupBy(_ => rnd.nextInt(3)).toSeq.sortBy(_._1).map(_._2)
       batches.zipWithIndex.foreach { case (b, i) =>
         appendBatchToFullRecallStore(b.toDF("id", "sim"), store, i.toLong, maxHamming = 3)
+        // randomly interleave maintenance compaction (every batch so
+        // far is "committed" in this synchronous loop): the fold must
+        // be invisible to the dedup contract the invariants assert
+        if (rnd.nextBoolean())
+          Streaming.compactFullRecallStore(spark, store, i.toLong)
       }
       val kept = readFullRecallStore(spark, store)
         .select("id", "sim").as[(Long, Long)].collect().toSeq

@@ -452,7 +452,10 @@ object Bench {
       // mask + invariant oracle are SHARED with the wrapped query
       // (SparkEntry.crossBlockPlantMask / fullRecallInvariants); the
       // fingerprint family differs so survivor SETS differ, but the
-      // invariant outputs are the same constants.
+      // invariant outputs are the same constants. The wrapped face
+      // additionally splits the plants over two batches and folds the
+      // store mid-stream (compactFullRecallStore) — extra work the
+      // hand-written side skips, priced against the wrapped column.
       val par = s.sparkContext.defaultParallelism
       val docs = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))

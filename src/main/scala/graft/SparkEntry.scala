@@ -1012,8 +1012,13 @@ object SparkEntry {
       //     crossBlockPlantMask — h <= 3 flips all inside the TOP
       //     16-bit block, the pairs the single-band rung
       //     (q_stream_dedup) shards apart and structurally misses.
-      // Batch 0 carries the originals, batch 1 both plant families, so
-      // every planted drop must cross micro-batches THROUGH THE STORE.
+      // Batch 0 carries the originals, batch 1 the exact copies,
+      // batch 2 the cross-block near-dups, so every planted drop must
+      // cross micro-batches THROUGH THE STORE — and between batches 1
+      // and 2 the store is COMPACTED (batch 0's partition folded into
+      // batch 1's, the committed-bound maintenance op), so batch 2's
+      // suppression-by-a-folded-survivor puts compaction itself behind
+      // this oracle, not just behind StatefulStreamingSpec.
       // Invariants (batch-boundary- and order-independent): survivors
       // pairwise > maxHamming (banded pairing — recall contract pinned
       // by DedupSpec's planted exact distances, independent of the
@@ -1038,7 +1043,11 @@ object SparkEntry {
       Streaming.appendBatchToFullRecallStore(
         all.filter(col("id") < 1000000L), store, 0L, maxHamming = 3)
       Streaming.appendBatchToFullRecallStore(
-        all.filter(col("id") >= 1000000L), store, 1L, maxHamming = 3)
+        all.filter(col("id") >= 1000000L && col("id") < 2000000L),
+        store, 1L, maxHamming = 3)
+      Streaming.compactFullRecallStore(s, store, 1L)
+      Streaming.appendBatchToFullRecallStore(
+        all.filter(col("id") >= 2000000L), store, 2L, maxHamming = 3)
       // no checkpoint fence on kept: the parquet store IS the
       // materialisation, and its read is deterministic across the
       // invariant joins

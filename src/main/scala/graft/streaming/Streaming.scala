@@ -702,7 +702,7 @@ object Streaming {
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(storePath)) return
-    def foldable = fs.listStatus(storePath).iterator
+    val toDelete = fs.listStatus(storePath).iterator
       .filter(_.isDirectory)
       .filter { st =>
         val n = st.getPath.getName
@@ -711,7 +711,6 @@ object Streaming {
           v.forall(_.isDigit) && v.toLong < upToBatchId
         }
       }.toSeq
-    val toDelete = foldable
     // nothing below the bound: a no-op beats rewriting one partition
     if (toDelete.isEmpty) return
     val compacted = readFullRecallStore(spark, storeDir)

@@ -393,6 +393,57 @@ object Scale {
     // path and reads ~2× its warm wall (the r8 bench-noise lesson)
     for (round <- 1 to 2; k <- Seq(1, bigK)) streamFullRecallRow(k, round)
 
+    // --- compaction effect on the store probe (r10): the claim behind
+    // compactFullRecallStore is that per-batch cost grows with FILE
+    // count (one small-file partition per micro-batch) even though
+    // bytes stay linear in survivors. Measure exactly that: the SAME
+    // rows laid out as 64 batch partitions vs folded into one, probed
+    // by the same micro-batch (dedupBatchAgainstStore with a
+    // non-existent batch id — pure read path, nothing written). Two
+    // timed probes per layout, warm reading honest; file counts
+    // printed so the row is self-describing.
+    if (only.forall(_.contains("fullrecall_compaction"))) {
+      val docs = scaledDocs(spark, sfDir, 1)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val fps = graft.streaming.Streaming.shardedFingerprints(docs, "doc_id")
+        .toDF().select("id", "sim").localCheckpoint(true)
+      val store = "target/scale_fullrecall/compaction/store"
+      val storePath = new org.apache.hadoop.fs.Path(store)
+      val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(storePath, true)
+      // the fragmented layout a 64-micro-batch stream leaves behind:
+      // same survivor rows, one partition (+1 file) per batch
+      fps.withColumn("batch_id", pmod(col("id"), lit(64L)))
+        .repartition(64, col("batch_id"))
+        .write.partitionBy("batch_id").parquet(store)
+      val probe = fps.filter(col("id") < 2000).localCheckpoint(true)
+      def files(): Long = {
+        val it = fs.listFiles(storePath, true)
+        var n = 0L
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      def probeOnce(): Double = {
+        val t0 = System.nanoTime()
+        graft.streaming.Streaming
+          .dedupBatchAgainstStore(probe, store, 999L, maxHamming = 3).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def row(layout: String): Unit = {
+        val nf = files()
+        for (round <- 1 to 2)
+          println(s"""{"op":"fullrecall_compaction","layout":"$layout"""" +
+            s""","round":$round,"store_files":$nf""" +
+            s""","probe_secs":${math.rint(probeOnce() * 100) / 100}}""")
+      }
+      row("fragmented_64")
+      val t0 = System.nanoTime()
+      graft.streaming.Streaming.compactFullRecallStore(spark, store, 63L)
+      println(s"""{"op":"fullrecall_compaction","layout":"fold"""" +
+        s""","fold_secs":${math.rint((System.nanoTime() - t0) / 1e7) / 100}}""")
+      row("compacted")
+    }
+
     // --- forced non-skew salting tax: the measured number behind
     // saltedJoin's broadcast short-circuit (DataFrameOps scaladoc).
     // Lives here rather than in baseline_ratios because the

@@ -534,13 +534,28 @@ object Streaming {
     * ([[compactFullRecallStore]] folds committed-batch partitions
     * into one, bounding FILE count), and prefer larger micro-batches
     * once the store dwarfs them — per-survivor cost amortises with
-    * batch size. */
+    * batch size.
+    *
+    * That last advice is why the broadcast is size-GUARDED, not
+    * unconditional: a backfill-sized micro-batch (the very thing the
+    * amortisation argument recommends) times the band multiplier can
+    * exceed what a driver comfortably broadcasts. When the banded
+    * batch tops `maxBroadcastBandedRows` (counted exactly — the
+    * within-batch survivors are already materialised, so the count is
+    * a cached-partition sweep, times the derived band count), the
+    * probe switches to a shuffle-hash join on (band, bucket): both
+    * sides exchange once, the batch side stays the build side, and
+    * the plan remains skew-tolerant where a giant batch would
+    * otherwise OOM the driver. The default (2M banded rows ≈ 500k
+    * docs at h<=3, ~100 MB serialised) keeps every normal micro-batch
+    * on the broadcast fast path. */
   def dedupBatchAgainstStore(
       batch: DataFrame,
       storeDir: String,
       batchId: Long,
       maxHamming: Int,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      maxBroadcastBandedRows: Long = 2000000L): DataFrame = {
     val spark = batch.sparkSession
     val fps = batch.select(col("id").cast("long").as("id"),
       col("sim").cast("long").as("sim"))
@@ -559,10 +574,15 @@ object Streaming {
     def banded(df: DataFrame): DataFrame = df.select(col("id"), col("sim"),
       posexplode(graft.dedup.Dedup.simHashBandBuckets(col("sim"), maxHamming))
         .as(Seq("band", "bucket")))
+    // band count mirrors simHashBandBuckets' block-combination index
+    val nBands = if (maxHamming <= 3) 4L else 28L
+    val probe = banded(withinBatch).select(col("band"), col("bucket"),
+      col("id").as("n_id"), col("sim").as("n_sim"))
+    val guarded =
+      if (withinBatch.count() * nBands <= maxBroadcastBandedRows) broadcast(probe)
+      else probe.hint("shuffle_hash") // build side stays the batch
     val hitIds = banded(store)
-      .join(broadcast(banded(withinBatch).select(col("band"), col("bucket"),
-          col("id").as("n_id"), col("sim").as("n_sim"))),
-        Seq("band", "bucket"))
+      .join(guarded, Seq("band", "bucket"))
       .filter(bit_count(col("sim").bitwiseXOR(col("n_sim"))) <= maxHamming)
       .select(col("n_id").as("id")).distinct()
     withinBatch.join(hitIds, Seq("id"), "left_anti")
@@ -583,9 +603,11 @@ object Streaming {
       storeDir: String,
       batchId: Long,
       maxHamming: Int,
-      maxBucketSize: Int = 1000): Unit = {
+      maxBucketSize: Int = 1000,
+      maxBroadcastBandedRows: Long = 2000000L): Unit = {
     val survivors =
-      dedupBatchAgainstStore(batch, storeDir, batchId, maxHamming, maxBucketSize)
+      dedupBatchAgainstStore(batch, storeDir, batchId, maxHamming,
+          maxBucketSize, maxBroadcastBandedRows)
         .select(col("id"), col("sim"))
         .localCheckpoint(eager = true)
     graft.core.DataFrameOps.smartCoalesce(survivors)
@@ -636,12 +658,14 @@ object Streaming {
       checkpointDir: String,
       maxHamming: Int,
       maxBucketSize: Int = 1000,
+      maxBroadcastBandedRows: Long = 2000000L,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, batchId) => appendBatchToFullRecallStore(
-        batch.toDF(), storeDir, batchId, maxHamming, maxBucketSize)
+        batch.toDF(), storeDir, batchId, maxHamming, maxBucketSize,
+        maxBroadcastBandedRows)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

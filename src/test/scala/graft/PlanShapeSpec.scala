@@ -113,6 +113,15 @@ class PlanShapeSpec extends SparkTestBase {
       .filter(l => l.contains("band") || l.contains("bucket")).toSeq
     assert(bandedExchanges.isEmpty,
       s"store side must not shuffle on bands:\n${bandedExchanges.mkString("\n")}\nin:\n$plan")
+    // over the broadcast guard, the probe must degrade to a
+    // shuffle-hash join on (band, bucket) — both sides exchange once —
+    // instead of force-broadcasting a backfill-sized banded batch
+    val big = streaming.Streaming.dedupBatchAgainstStore(
+      fps.filter(col("id") >= 50), store, 2L, maxHamming = 3,
+      maxBroadcastBandedRows = 1L)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("ShuffledHashJoin"),
+      s"over-guard probe must plan a shuffle-hash join:\n$bigPlan")
   }
 
   test("saltedJoin short-circuit plans the plain broadcast join; engaged path salts the SMJ keys") {

@@ -16,6 +16,16 @@ object Bench {
     when(length(norm) === 0, array().cast("array<string>"))
       .otherwise(split(norm, "\\s+"))
 
+  /** events load with `ts` normalised to TimestampType. The ONE shared
+    * dispatch (LongType nanos / TIMESTAMP_NTZ / TimestampType) lives in
+    * [[graft.core.DataFrameOps.normalizeEventTs]]; sharing it here is
+    * deliberate and does not breach the no-graft-kernels rule — it is
+    * data-LOAD normalisation applied identically to both sides of every
+    * ratio, not part of any measured operator. */
+  private def rawEvents(s: SparkSession, d: String): DataFrame =
+    graft.core.DataFrameOps.normalizeEventTs(
+      s.read.parquet(s"$d/events.parquet"))
+
   private def rawAugmentedDocs(s: SparkSession, d: String): DataFrame = {
     val docs = s.read.parquet(s"$d/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -195,11 +205,7 @@ object Bench {
         .filter(col("rn") === 1)
         .select(col("doc_id").cast("long"))),
     "q_tumbling" -> ((s, d) => {
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val ev =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val ev = rawEvents(s, d)
       ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
         .select(col("window.start").cast("long").as("window_start"),
@@ -535,10 +541,7 @@ object Bench {
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       val rawStream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-      val converted =
-        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else rawStream
+      val converted = graft.core.DataFrameOps.normalizeEventTs(rawStream)
       val agg = converted.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
@@ -685,11 +688,7 @@ object Bench {
       // a user reaches for without an as-of operator. Intermediate
       // volume is O(left × matching right), vs the library's single
       // union+window pass.
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val ev0 =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val ev0 = rawEvents(s, d)
       val hourly = ev0
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
@@ -915,6 +914,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Durable evidence (ADVICE r10): the driver's tail capture is
+    // capped at 2000 chars, so per-query timings / FAILED / SKIPPED /
+    // ratio lines survive a round only if persisted OUTSIDE the tail.
+    // Every [bench] line is mirrored here and written, with the
+    // UNTRUNCATED result JSON, to BENCHLOG.txt at exit.
+    val benchLog = new StringBuilder
+    def note(msg: String): Unit = {
+      System.err.println(msg)
+      benchLog.append(msg).append('\n')
+    }
+
     def time(fn: => Long): Double = {
       // isolate queries: drop cached relations and nudge the context
       // cleaner so earlier queries' shuffle files don't inflate later
@@ -950,7 +960,7 @@ object Bench {
         val secs = time {
           try { r = fn(spark, sfDir).count(); r }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
+            note(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
         }
         (secs, r)
       }
@@ -974,7 +984,7 @@ object Bench {
           }
           (best, firstRows)
         } else (first, firstRows)
-      System.err.println(f"[bench] $name%-22s $secs%8.2fs  rows=$rows")
+      note(f"[bench] $name%-22s $secs%8.2fs  rows=$rows")
       name -> secs
     }
 
@@ -1016,7 +1026,7 @@ object Bench {
             try SparkEntry.queries(name)(spark, sfDir).count()
             catch { case e: Throwable =>
               ok = false
-              System.err.println(s"[bench] baseline $name wrapped FAILED: ${e.getMessage}")
+              note(s"[bench] baseline $name wrapped FAILED: ${e.getMessage}")
               -1L })
           (secs, ok)
         }
@@ -1026,7 +1036,7 @@ object Bench {
             try fn(spark, sfDir).count()
             catch { case e: Throwable =>
               ok = false
-              System.err.println(s"[bench] baseline $name raw FAILED: ${e.getMessage}")
+              note(s"[bench] baseline $name raw FAILED: ${e.getMessage}")
               -1L })
           (secs, ok)
         }
@@ -1053,7 +1063,7 @@ object Bench {
           rawSecs = better(rawSecs, rawOnce)
         }
         if (wrappedSecs == Double.MaxValue || rawSecs == Double.MaxValue) {
-          System.err.println(
+          note(
             s"[bench] baseline $name SKIPPED: no successful " +
               (if (wrappedSecs == Double.MaxValue) "wrapped" else "raw") + " run")
           None
@@ -1073,7 +1083,7 @@ object Bench {
             rawSecs = better(rawSecs, rawOnce)
             val postRatio = wrappedSecs / math.max(rawSecs, 1e-9)
             if (math.rint(postRatio * 100) != math.rint(preRatio * 100))
-              System.err.println(
+              note(
                 f"[bench] baseline $name adjudication pair changed ratio $preRatio%5.2f -> $postRatio%5.2f")
           }
           // structural retirement of the sub-half-second ratio lottery
@@ -1102,7 +1112,7 @@ object Bench {
           if (lotteryRatio > 1.2 && wrappedSecs < 0.5)
             subHalfSecNoise += name
           val ratio = lotteryRatio
-          System.err.println(
+          note(
             f"[bench] baseline $name%-20s wrapped=$wrappedSecs%6.2fs raw=$rawSecs%6.2fs ratio=$ratio%5.2f" +
               (if (subHalfSecNoise.contains(name)) "  [sub-0.5s noise band]" else ""))
           wrappedBest(name) = wrappedSecs
@@ -1170,6 +1180,12 @@ object Bench {
       .find(_.length <= 1750)
       .getOrElse(render(0))
     println(line)
+    // full, never-truncated artifact: every mirrored [bench] line plus
+    // the complete per-query JSON (render(all) has no omitted_fastest)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCHLOG.txt"),
+      benchLog.toString + render(finalResults.size) + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCHLOG.txt write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

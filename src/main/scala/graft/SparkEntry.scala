@@ -275,17 +275,13 @@ object SparkEntry {
         (col("n_kept") <= col("n_total") - 100L).as("dropped_all_copies"),
         (col("n_kept") >= 1L).as("has_survivors"))
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads via
-    * legacy.parquet.nanosAsLong (LongType nanos) — normalise back to a
-    * proper TimestampType (µs, truncating like DuckDB's ns→µs read). */
-  private def eventsDf(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  /** events.parquet's `ts` has shipped as TIMESTAMP(NANOS) (read as
+    * LongType nanos under legacy.parquet.nanosAsLong) and as
+    * timestamp[us] NTZ across testdata regenerations — normalise every
+    * shape to TimestampType via the shared helper (which throws on
+    * anything unexpected rather than passing junk downstream). */
+  private def eventsDf(s: SparkSession, dir: String): DataFrame =
+    DataFrameOps.normalizeEventTs(t(s, dir, "events"))
 
   /** documents ∪ near-duplicate copies (ids offset by 1,000,000) — makes
     * near-dup detection queries produce guaranteed non-empty output. */
@@ -906,18 +902,14 @@ object SparkEntry {
       // watermarked parquet stream → tumbling agg → AvailableNow into a
       // memory sink; oracle identical to the batch tumbling window.
       // Streams the SOURCE file directly (schema from a footer read) and
-      // converts the nanos ts in-stream — rewriting the table into a
-      // scratch dir first would double the query's IO for no coverage.
+      // normalises ts in-stream — rewriting the table into a scratch
+      // dir first would double the query's IO for no coverage.
       val rawSchema = t(s, d, "events").schema
       // the source is a single file and the streaming file source wants
       // a directory: stream the parent dir with a glob filter
       val rawStream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-      val converted = rawSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => rawStream
-      }
+      val converted = DataFrameOps.normalizeEventTs(rawStream)
       val agg = Streaming.tumblingAgg(
         converted.withWatermark("ts", "1 hour"), "ts", "event_type", "1 hour")
       Streaming.runStreamToMemory(s, agg, "graft_verify_stream")

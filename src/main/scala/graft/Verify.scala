@@ -14,17 +14,25 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // catalog-table queries need a writable, cwd-independent warehouse
       .config("spark.sql.warehouse.dir", "/root/repo/target/verify_warehouse")
-      // events.parquet has TIMESTAMP(NANOS); read as long, convert in-query
+      // events.parquet has shipped as TIMESTAMP(NANOS) in some testdata
+      // generations; this knob surfaces that shape as LongType nanos,
+      // which DataFrameOps.normalizeEventTs converts (harmless when the
+      // current files are timestamp[us])
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("javax.jdo.option.ConnectionURL",
         "jdbc:derby:;databaseName=/root/repo/target/verify_metastore;create=true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A thrown query must become a durable red artifact, not a stderr
+    // line: r10's testdata regeneration broke 5 queries and the round's
+    // correctness file silently SHRANK instead of showing failures.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -40,9 +48,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def writeJson(path: String, kv: Iterable[(String, String)]): Unit =
+      Files.writeString(Paths.get(path),
+        kv.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    writeJson(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
+    writeJson(s"$outDir/_failed.json", failed) // {} when all green
+    val declared = SparkEntry.queries.size
+    println(s"[verify] declared=$declared recorded=${declared - failed.size} " +
+      s"failed=${failed.size}" +
+      (if (failed.isEmpty) "" else failed.keys.mkString(" (", ", ", ")")))
     spark.stop()
   }
 }

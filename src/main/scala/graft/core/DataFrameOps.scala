@@ -513,6 +513,40 @@ object DataFrameOps {
     val rankCol = Windows.rankNumeric(Seq(dateCol), group, ascending)
     df.withColumn("rank", rankCol).filter(col("rank") === 1).drop("rank")
   }
+
+  /** Normalise an event-time column to session-zoned TimestampType
+    * across every physical shape a parquet event table can surface in
+    * Spark:
+    *
+    *   - `LongType` — TIMESTAMP(NANOS) files read under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (Spark has no
+    *     nanosecond timestamp; the legacy knob surfaces raw nanos).
+    *     Converted via integer `div 1000` → `timestamp_micros`, the
+    *     same ns→µs truncation DuckDB applies reading the file.
+    *   - `TimestampNTZType` — `timestamp[us]` parquet with no timezone.
+    *     Cast to TimestampType: under a UTC session timezone the wall
+    *     clock is reinterpreted as the identical instant, which is what
+    *     window aggregation, `withWatermark`, and numeric casts need
+    *     (none of them accept NTZ event time).
+    *   - `TimestampType` — already the shape downstream wants; no-op.
+    *
+    * Anything else throws: silently passing an unexpected type through
+    * is how a testdata regeneration kills a query family downstream of
+    * the read instead of at it.
+    */
+  def normalizeEventTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    requireColumns(df, Seq(tsCol), "normalizeEventTs")
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"normalizeEventTs: column `$tsCol` has unsupported type $other " +
+          "(expected LongType nanos, TimestampNTZType, or TimestampType)")
+    }
+  }
 }
 
 /** Window-spec builders (SURVEY.md §2.7). */

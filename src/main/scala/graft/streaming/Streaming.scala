@@ -651,7 +651,19 @@ object Streaming {
     * [[graft.dedup.Dedup.simHash]]). Works with any trigger; with
     * `Trigger.AvailableNow` (the default) it terminates after
     * processing the backlog — the bounded-backfill mode the oracle and
-    * specs run. */
+    * specs run.
+    *
+    * `compactEveryNBatches` > 0 folds the store in-stream: every Nth
+    * micro-batch, after its survivors land, committed-batch partitions
+    * are compacted into one ([[compactFullRecallStore]]) under the
+    * [[lastCommittedBatchId]] safety bound — the current batch is
+    * never folded (it has not committed and may replay), so the fold
+    * only touches immutable history. This bounds store FILE count for
+    * long-running streams without an external maintenance job; the
+    * fold runs inside foreachBatch, so it delays that one batch's
+    * commit by the rewrite (measured 1.43× probe win per SCALE.md
+    * `fullrecall_compaction`) — pick N so the fold cost amortises,
+    * e.g. 16-64 for minute-scale triggers. 0 (default) disables. */
   def nearDedupStreamFullRecall(
       docs: DataFrame,
       storeDir: String,
@@ -660,12 +672,28 @@ object Streaming {
       maxBucketSize: Int = 1000,
       maxBroadcastBandedRows: Long = 2000000L,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      compactEveryNBatches: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEveryNBatches >= 0,
+      s"nearDedupStreamFullRecall: compactEveryNBatches must be >= 0 " +
+        s"(0 disables), got $compactEveryNBatches")
     val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, batchId) => appendBatchToFullRecallStore(
-        batch.toDF(), storeDir, batchId, maxHamming, maxBucketSize,
-        maxBroadcastBandedRows)
+      (batch, batchId) => {
+        appendBatchToFullRecallStore(
+          batch.toDF(), storeDir, batchId, maxHamming, maxBucketSize,
+          maxBroadcastBandedRows)
+        if (compactEveryNBatches > 0 && batchId > 0 &&
+            batchId % compactEveryNBatches == 0) {
+          // bound by the checkpoint's COMMIT log, not batchId-1: under
+          // a replay the commit log is the only truth about which
+          // partitions are immutable (this batch itself is not)
+          lastCommittedBatchId(batch.sparkSession, checkpointDir)
+            .filter(_ >= 0)
+            .foreach(upTo => compactFullRecallStore(
+              batch.sparkSession, storeDir, math.min(upTo, batchId - 1)))
+        }
+      }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -566,6 +566,39 @@ class StatefulStreamingSpec extends SparkTestBase {
       "all survivors must land in the bound partition")
   }
 
+  test("nearDedupStreamFullRecall auto-compaction folds committed partitions mid-stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fullrecall_auto").toString
+    // five single-file micro-batches with near-dups planted across the
+    // fold boundaries: docs 3/6/7 duplicate earlier-batch survivors, so
+    // the probe must keep working against the FOLDED store
+    val files = Seq(
+      Seq((1L, 0L), (2L, 0xF0F0L)),
+      Seq((3L, 1L << 63), (4L, 0x3C3C3CL)),       // 3 ~ 1 (cross-block h=1)
+      Seq((5L, 0x00FFFF0000000000L)),
+      Seq((6L, 0xF0F1L)),                          // 6 ~ 2 (h=1)
+      Seq((7L, (1L << 63) | 1L), (8L, 0x5A5A5A5AL))) // 7 ~ 1 (h=2)
+    files.foreach { rows =>
+      rows.toDF("id", "sim").coalesce(1).write.mode("append").parquet(s"$dir/in")
+      Thread.sleep(20) // distinct mtimes: the file source orders by them
+    }
+    val streamed = spark.readStream
+      .schema("id LONG, sim LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = Streaming.nearDedupStreamFullRecall(
+      streamed, s"$dir/store", s"$dir/ckpt", maxHamming = 3,
+      compactEveryNBatches = 2)
+    assert(q.awaitTermination(120000), "stream did not finish within 120 s")
+    val got = Streaming.readFullRecallStore(spark, s"$dir/store")
+      .select("id", "batch_id").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1).sorted == Seq(1L, 2L, 4L, 5L, 8L),
+      s"cross-batch near-dups must drop against the folded store, got $got")
+    // folds ran IN-stream at batches 2 (bound 1) and 4 (bound 3): all
+    // partitions below 3 were folded away, leaving exactly {3, 4}
+    assert(got.map(_._2).distinct.sorted == Seq(3L, 4L),
+      s"expected mid-stream folds to leave partitions {3, 4}, got $got")
+  }
+
   test("compactFullRecallStore folds partitions, heals a crashed fold, and later batches still dedup") {
     import Streaming.{appendBatchToFullRecallStore, compactFullRecallStore, readFullRecallStore}
     val dir = java.nio.file.Files.createTempDirectory("graft_fullrecall_compact").toString

@@ -744,6 +744,41 @@ object Bench {
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
     }),
 
+    "q_pq_topk" -> ((s, d) => {
+      // the route a user without PQ takes to the same deliverable:
+      // exact brute-force cosine over the full-width vectors (the scan
+      // PQ exists to shrink 32×), then the identical invariant tail.
+      // At sf0.1 both sides are sub-second — the ratio verifies the
+      // wrapped path (train + encode + ADC) costs no more than the
+      // exact scan it replaces even at toy scale; the design win is
+      // the 8 B/row scan at real scale.
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("query_id"),
+          transform(col("v"), x => x + lit(0.001)).as("q_vec"))
+      val scored = emb
+        .select(col("vec_id").as("corpus_id"), col("v").as("c_vec"))
+        .crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .withColumn("score", rawCosine(col("q_vec"), col("c_vec")))
+      val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id"))
+      val top = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      val wr = Window.partitionBy("query_id").orderBy("rank")
+      top.withColumn("next_score", lead(col("score"), 1).over(wr))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("query_id"), col("rank")).as("n_qr"),
+          (sum(when(col("rank") === 1 &&
+              col("corpus_id") === col("query_id") - 1000000L, 1L)
+            .otherwise(0L)) >= 9L).as("planted_ok"),
+          (sum(when(col("next_score").isNotNull &&
+              col("next_score") > col("score") + 1e-9, 1L)
+            .otherwise(0L)) === 0L).as("order_ok"))
+    }),
+
     "q_ivf_topk" -> ((s, d) => {
       // the hand-written route to the same exact result set (full-probe
       // IVF == exact top-k): broadcast queries, score all, window top-k

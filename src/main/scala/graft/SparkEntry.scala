@@ -822,6 +822,35 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
     }),
 
+    "q_pq_topk" -> ((s, d) => {
+      // product-quantized ADC top-k (Pq.scala): approximate by
+      // construction, so the oracle is the planted-invariant frame —
+      // 10 perturbed copies of corpus vectors (cosine ≈ 0.9999) must
+      // find their source at rank 1 (>= 9/10 tolerated: quantization
+      // is an empirical dial, the floor is the contract), ranks dense,
+      // ADC scores non-increasing in rank
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.001)).as("v"))
+      val top = graft.similarity.Pq.pqTopK(emb, queries, "vec_id", "v",
+        k = 5, m = 8, nCentroids = 64)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      top.withColumn("next_score", lead(col("score"), 1).over(w))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("query_id"), col("rank")).as("n_qr"),
+          (sum(when(col("rank") === 1 &&
+              col("corpus_id") === col("query_id") - 1000000L, 1L)
+            .otherwise(0L)) >= 9L).as("planted_ok"),
+          (sum(when(col("next_score").isNotNull &&
+              col("next_score") > col("score") + 1e-9, 1L)
+            .otherwise(0L)) === 0L).as("order_ok"))
+    }),
+
     "q_lsh_cosine" -> ((s, d) => {
       // candidate generation is recall < 1 by design, so no exact pair
       // oracle; instead 20 planted near-identical vectors (cos ≈ 0.9999)
@@ -1426,6 +1455,10 @@ object SparkEntry {
     "q_lsh_cosine" ->
       """SELECT CAST(0 AS BIGINT) AS n_below_threshold, CAST(0 AS BIGINT) AS n_bad_order,
         |CAST(0 AS BIGINT) AS n_dup_pairs, CAST(20 AS BIGINT) AS n_planted_found""".stripMargin,
+
+    "q_pq_topk" ->
+      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(50 AS BIGINT) AS n_qr,
+        |TRUE AS planted_ok, TRUE AS order_ok""".stripMargin,
 
     "q_melt" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem

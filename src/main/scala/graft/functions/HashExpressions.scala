@@ -327,6 +327,115 @@ object HashKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Product-quantization encode: one read of the vector (normalised
+    * in place by its L2 norm — zero vectors encode unscaled), then per
+    * subspace a k-way squared-L2 argmin against the flattened codebook
+    * (`cb[(s*k + c)*dsub + j]`). m × k × dsub FMAs per row in a tight
+    * loop — the same flop count as ONE dense scan of the vector per
+    * codebook entry, with no per-element lambda dispatch. */
+  def pqEncodeCodes(
+      vec: ArrayData, isFloat: Boolean, cb: Array[Double],
+      m: Int, k: Int, dsub: Int): ArrayData = {
+    val dim = m * dsub
+    val v = new Array[Double](dim)
+    var i = 0
+    var ss = 0.0
+    while (i < dim) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      v(i) = x
+      ss += x * x
+      i += 1
+    }
+    val inv = if (ss == 0.0) 1.0 else 1.0 / math.sqrt(ss)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val vOff = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cOff = (s * k + c) * dsub
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val t = v(vOff + j) * inv - cb(cOff + j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** ADC lookup table for one query vector: lut[s][c] = inner product
+    * of the L2-normalised query's subspace s with codebook entry c —
+    * m × k × dsub FMAs once per query (NOT per scored pair; the
+    * [[graft.similarity.Pq.adcTopK]] plan fences this projection so
+    * the optimizer cannot collapse it into the scoring join and
+    * re-evaluate it per corpus row). */
+  def pqLut(
+      vec: ArrayData, isFloat: Boolean, cb: Array[Double],
+      m: Int, k: Int, dsub: Int): ArrayData = {
+    val dim = m * dsub
+    val v = new Array[Double](dim)
+    var i = 0
+    var ss = 0.0
+    while (i < dim) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      v(i) = x
+      ss += x * x
+      i += 1
+    }
+    val inv = if (ss == 0.0) 1.0 else 1.0 / math.sqrt(ss)
+    val rows = new Array[AnyRef](m)
+    var s = 0
+    while (s < m) {
+      val vOff = s * dsub
+      val row = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cOff = (s * k + c) * dsub
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          d += v(vOff + j) * inv * cb(cOff + j)
+          j += 1
+        }
+        row(c) = d
+        c += 1
+      }
+      rows(s) = new GenericArrayData(row)
+      s += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** ADC score: sum over subspaces of lut[s][code[s]] — m array reads
+    * and adds per corpus row. Codes outside a LUT row's range mean the
+    * code and LUT come from DIFFERENT codebooks (a caller bug): throws
+    * rather than silently scoring garbage. */
+  def pqAdcScore(code: ArrayData, lut: ArrayData): Double = {
+    val m = code.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val row = lut.getArray(i)
+      val c = code.getInt(i)
+      if (c < 0 || c >= row.numElements())
+        throw new IllegalArgumentException(
+          s"pqAdcScore: code $c out of range for a ${row.numElements()}-entry " +
+            "LUT row — code and LUT built from different codebooks")
+      s += row.getDouble(c)
+      i += 1
+    }
+    s
+  }
 }
 
 /** array<long> → array<long> MinHash signature (see [[HashKernels]]). */
@@ -586,6 +695,140 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** array<float|double> → array<int> product-quantization codes: the
+  * vector is L2-normalised in-kernel (one read, no extra pass), split
+  * into `m` subspaces of `dsub` dims, and each subspace argmin-matched
+  * against its `k`-entry codebook (flattened row-major:
+  * cb[(s*k + c)*dsub + j]). The HOF formulation runs m×k interpreted
+  * aggregate() lambdas per row and re-evaluates the argmin argument
+  * twice (array_position + array_min) — measured 17.9× slower than
+  * the exact brute-force scan it is meant to beat; this kernel is one
+  * static call inside whole-stage codegen. NULL on dim mismatch,
+  * mirroring [[CosineSimExpr]]. */
+case class PqEncodeExpr(
+    child: Expression, flatCodebooks: Array[Double], m: Int, k: Int, dsub: Int)
+    extends UnaryExpression {
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true // NULL on dim mismatch
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != m * dsub) null
+    else HashKernels.pqEncodeCodes(arr, isFloat, flatCodebooks, m, k, dsub)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", flatCodebooks, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() != ${m * dsub}) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.HashKernels.pqEncodeCodes($c, $isFloat, $cbRef, $m, $k, $dsub);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** array<float|double> query vector → array<array<double>> ADC lookup
+  * table (see [[HashKernels.pqLut]]). NULL on dim mismatch. */
+case class PqLutExpr(
+    child: Expression, flatCodebooks: Array[Double], m: Int, k: Int, dsub: Int)
+    extends UnaryExpression {
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false),
+    containsNull = false)
+  override def nullable: Boolean = true // NULL on dim mismatch
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != m * dsub) null
+    else HashKernels.pqLut(arr, isFloat, flatCodebooks, m, k, dsub)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", flatCodebooks, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() != ${m * dsub}) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.HashKernels.pqLut($c, $isFloat, $cbRef, $m, $k, $dsub);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+/** (array<int> codes, array<array<double>> per-query LUT) → double ADC
+  * score: sum over subspaces of lut[s][code[s]] — the inner loop of
+  * PQ search, `m` additions per corpus row. NULL when the code and LUT
+  * subspace counts disagree. */
+case class PqAdcScoreExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            ArrayType(ArrayType(org.apache.spark.sql.types.DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<int>, array<array<double>>)")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true // NULL on subspace-count mismatch
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    if (code.numElements() != lut.numElements()) null
+    else HashKernels.pqAdcScore(code, lut)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.HashKernels.pqAdcScore($a, $b);
+      }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScoreExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native kernels. */
 object HashFunctions {
 
@@ -639,4 +882,34 @@ object HashFunctions {
   /** Jaccard similarity of two array<long> hash sets. */
   def hashJaccard(a: Column, b: Column): Column =
     ColumnBridge(HashJaccardExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PQ codes of a vector column against trained codebooks
+    * (codebooks(s)(c)(j); flattened internally). */
+  def pqEncodeNative(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    require(m >= 1, "pqEncodeNative: empty codebooks")
+    val k = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    require(codebooks.forall(s => s.length == k && s.forall(_.length == dsub)),
+      "pqEncodeNative: ragged codebooks")
+    ColumnBridge(PqEncodeExpr(ColumnBridge.expression(vec),
+      codebooks.flatten.flatten, m, k, dsub))
+  }
+
+  /** ADC score of a PQ code column against a per-query LUT column. */
+  def pqAdcScoreNative(code: Column, lut: Column): Column =
+    ColumnBridge(PqAdcScoreExpr(ColumnBridge.expression(code), ColumnBridge.expression(lut)))
+
+  /** ADC lookup table of a query-vector column against trained
+    * codebooks (normalised in-kernel). */
+  def pqLutNative(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    require(m >= 1, "pqLutNative: empty codebooks")
+    val k = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    require(codebooks.forall(s => s.length == k && s.forall(_.length == dsub)),
+      "pqLutNative: ragged codebooks")
+    ColumnBridge(PqLutExpr(ColumnBridge.expression(vec),
+      codebooks.flatten.flatten, m, k, dsub))
+  }
 }

@@ -744,6 +744,14 @@ object Bench {
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
     }),
 
+    "q_ivf_pq_topk" -> ((s, d) => {
+      // same hand-written deliverable as q_pq_topk (exact brute-force
+      // scan): the wrapped side adds IVF routing ON TOP of PQ codes,
+      // so the ratio verifies the composed path stays at-or-under the
+      // exact scan even at toy scale where routing can't win
+      Bench.baselines("q_pq_topk")(s, d)
+    }),
+
     "q_pq_topk" -> ((s, d) => {
       // the route a user without PQ takes to the same deliverable:
       // exact brute-force cosine over the full-width vectors (the scan

@@ -851,6 +851,33 @@ object SparkEntry {
             .otherwise(0L)) === 0L).as("order_ok"))
     }),
 
+    "q_ivf_pq_topk" -> ((s, d) => {
+      // the composed 100 TB ANN shape: IVF routing (nprobe of nlist
+      // cells) + PQ codes (8 B/vector) — same planted-invariant frame
+      // as q_pq_topk, now ALSO crossing the router (the perturbed
+      // query must probe into its source's cell)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.001)).as("v"))
+      val top = graft.similarity.Pq.ivfPqTopK(emb, queries, "vec_id", "v",
+        k = 5, nlist = 16, nprobe = 4, m = 8, nCentroids = 64)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      top.withColumn("next_score", lead(col("score"), 1).over(w))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("query_id"), col("rank")).as("n_qr"),
+          (sum(when(col("rank") === 1 &&
+              col("corpus_id") === col("query_id") - 1000000L, 1L)
+            .otherwise(0L)) >= 9L).as("planted_ok"),
+          (sum(when(col("next_score").isNotNull &&
+              col("next_score") > col("score") + 1e-9, 1L)
+            .otherwise(0L)) === 0L).as("order_ok"))
+    }),
+
     "q_lsh_cosine" -> ((s, d) => {
       // candidate generation is recall < 1 by design, so no exact pair
       // oracle; instead 20 planted near-identical vectors (cos ≈ 0.9999)
@@ -1457,6 +1484,10 @@ object SparkEntry {
         |CAST(0 AS BIGINT) AS n_dup_pairs, CAST(20 AS BIGINT) AS n_planted_found""".stripMargin,
 
     "q_pq_topk" ->
+      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(50 AS BIGINT) AS n_qr,
+        |TRUE AS planted_ok, TRUE AS order_ok""".stripMargin,
+
+    "q_ivf_pq_topk" ->
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(50 AS BIGINT) AS n_qr,
         |TRUE AS planted_ok, TRUE AS order_ok""".stripMargin,
 

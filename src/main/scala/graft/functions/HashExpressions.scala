@@ -336,7 +336,7 @@ object HashKernels {
     * codebook entry, with no per-element lambda dispatch. */
   def pqEncodeCodes(
       vec: ArrayData, isFloat: Boolean, cb: Array[Double],
-      m: Int, k: Int, dsub: Int): ArrayData = {
+      m: Int, k: Int, dsub: Int, normalize: Boolean): ArrayData = {
     val dim = m * dsub
     val v = new Array[Double](dim)
     var i = 0
@@ -347,7 +347,9 @@ object HashKernels {
       ss += x * x
       i += 1
     }
-    val inv = if (ss == 0.0) 1.0 else 1.0 / math.sqrt(ss)
+    // normalize=false is the IVF cell-assignment mode: raw squared-L2
+    // argmin against centroids trained on raw vectors
+    val inv = if (!normalize || ss == 0.0) 1.0 else 1.0 / math.sqrt(ss)
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -706,7 +708,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * static call inside whole-stage codegen. NULL on dim mismatch,
   * mirroring [[CosineSimExpr]]. */
 case class PqEncodeExpr(
-    child: Expression, flatCodebooks: Array[Double], m: Int, k: Int, dsub: Int)
+    child: Expression, flatCodebooks: Array[Double], m: Int, k: Int, dsub: Int,
+    normalize: Boolean = true)
     extends UnaryExpression {
 
   private lazy val isFloat: Boolean = child.dataType match {
@@ -729,7 +732,7 @@ case class PqEncodeExpr(
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     if (arr.numElements() != m * dsub) null
-    else HashKernels.pqEncodeCodes(arr, isFloat, flatCodebooks, m, k, dsub)
+    else HashKernels.pqEncodeCodes(arr, isFloat, flatCodebooks, m, k, dsub, normalize)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -738,7 +741,7 @@ case class PqEncodeExpr(
       if ($c.numElements() != ${m * dsub}) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = graft.functions.HashKernels.pqEncodeCodes($c, $isFloat, $cbRef, $m, $k, $dsub);
+        ${ev.value} = graft.functions.HashKernels.pqEncodeCodes($c, $isFloat, $cbRef, $m, $k, $dsub, $normalize);
       }""")
   }
 
@@ -884,8 +887,11 @@ object HashFunctions {
     ColumnBridge(HashJaccardExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** PQ codes of a vector column against trained codebooks
-    * (codebooks(s)(c)(j); flattened internally). */
-  def pqEncodeNative(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    * (codebooks(s)(c)(j); flattened internally). `normalize = false`
+    * is the raw-L2 argmin mode [[graft.similarity.Ivf]] uses for cell
+    * assignment (m = 1, k = nlist). */
+  def pqEncodeNative(vec: Column, codebooks: Array[Array[Array[Double]]],
+      normalize: Boolean = true): Column = {
     val m = codebooks.length
     require(m >= 1, "pqEncodeNative: empty codebooks")
     val k = codebooks.head.length
@@ -893,7 +899,7 @@ object HashFunctions {
     require(codebooks.forall(s => s.length == k && s.forall(_.length == dsub)),
       "pqEncodeNative: ragged codebooks")
     ColumnBridge(PqEncodeExpr(ColumnBridge.expression(vec),
-      codebooks.flatten.flatten, m, k, dsub))
+      codebooks.flatten.flatten, m, k, dsub, normalize))
   }
 
   /** ADC score of a PQ code column against a per-query LUT column. */

@@ -114,16 +114,16 @@ object Ivf {
     val trainRows = trainSample(sampled, maxTrainRows)
     val centers = localLloyd(trainRows, nlist, maxIter, seed)
 
-    // centroids ride into the scan as literals: narrow argmin, no join
-    val centroidArr = array(centers.map(c => array(c.map(lit): _*)): _*)
+    // centroids ride into the scan as ONE flat reference object inside
+    // the codegen'd argmin kernel (the PQ encoder at m=1, k=nlist,
+    // raw-L2 mode): narrow projection, no join, no interpreted HOF —
+    // the literal-array transform/aggregate formulation this replaces
+    // ran nlist × dim lambda evals per row in the interpreted walker
     val assignments = base
-      .withColumn("__dv", col("vec").cast("array<double>"))
-      .withColumn("__dists", transform(centroidArr, c =>
-        aggregate(zip_with(col("__dv"), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v)))
-      .withColumn("cell",
-        (array_position(col("__dists"), array_min(col("__dists"))) - 1).cast("int"))
-      .drop("__dv", "__dists")
+      .withColumn("cell", element_at(
+        graft.functions.HashFunctions.pqEncodeNative(
+          col("vec").cast("array<double>"), Array(centers),
+          normalize = false), 1))
     val centroids = centers.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")

@@ -173,6 +173,80 @@ object Pq {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** IVF-PQ: coarse routing composed with code compression — the
+    * 100 TB ANN shape. [[Ivf.buildIndex]] assigns every corpus vector
+    * to a cell; each vector is PQ-encoded (RAW vectors, not residuals
+    * — the ScaNN-style variant: one shared codebook, cells only route;
+    * FAISS's residual refinement is a possible extension, traded here
+    * for one codebook and one encode pass); a query ADC-scores only
+    * its `nprobe` closest cells' codes. Scanned fraction ≈
+    * nprobe/nlist of the corpus at `m` bytes per vector — BOTH dials
+    * compound (the full-scan PQ path reads 100% of codes;
+    * full-vector IVF reads 256 B per probed row).
+    *
+    * Scale shape: the probe table (query × nprobe cells, each probe
+    * row carrying the query's m×k-double LUT) is broadcast; the
+    * encoded corpus is hash-joined on `cell`, so the one wide
+    * exchange keys on cell id over m-byte codes, then the bounded
+    * TopK partial aggregation reduces to ≤ k rows per query per
+    * partition. Exact under `nprobe = nlist` + lossless codebooks
+    * (pinned by the spec against brute force). */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 64,
+      nprobe: Int = 8,
+      m: Int = 8,
+      nCentroids: Int = 256,
+      maxIter: Int = 10,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0,
+      maxTrainRows: Int = 100000,
+      queryIdCol: String = "query_id"): DataFrame = {
+    val (assignments, centroids) = Ivf.buildIndex(corpus, idCol, vecCol,
+      nlist, seed, maxIter, trainFraction, maxTrainRows)
+    val codebooks = trainCodebooks(corpus, idCol, vecCol, m, nCentroids,
+      maxIter, seed, maxTrainRows)
+    // assignments already carries (id, vec, cell): encode in place, no
+    // second corpus scan or join
+    val encoded = assignments.select(col("id"), col("cell"),
+      graft.functions.HashFunctions.pqEncodeNative(
+        col("vec").cast("array<double>"), codebooks).as("code"))
+    val q = queries.select(col(idCol).as(queryIdCol),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    // nprobe cells per query by centroid cosine (the Ivf.search
+    // routing), each probe row carrying the query's LUT; fenced for
+    // the same collapse reason as adcTopK. LUT duplication across a
+    // query's nprobe rows is bounded: queries are small by
+    // construction and the LUT is m×k doubles.
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", Similarity.cosine(col("q_vec"), col("centroid")))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(queryIdCol).orderBy(col("c_sim").desc, col("cell"))))
+      .filter(col("rnk") <= nprobe)
+      .select(col(queryIdCol), col("cell"),
+        graft.functions.HashFunctions.pqLutNative(col("q_vec"), codebooks)
+          .as("__lut"))
+      .localCheckpoint(true)
+    val scored = broadcast(probes).join(encoded, Seq("cell"))
+      .filter(col(queryIdCol) =!= col("id"))
+      .select(col(queryIdCol),
+        graft.functions.HashFunctions.pqAdcScoreNative(
+          col("code"), col("__lut")).as("score"),
+        col("id").cast("long").as("corpusId"))
+    val topk = udaf(new Similarity.TopKAggregator(k))
+    scored.groupBy(queryIdCol)
+      .agg(topk(col("score"), col("corpusId")).as("top"))
+      .select(col(queryIdCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(queryIdCol), col("t.corpusId").as("corpus_id"),
+        round(col("t.sim"), 6).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Convenience: train + encode + search in one call. */
   def pqTopK(
       corpus: DataFrame,

@@ -192,6 +192,28 @@ class PlanShapeSpec extends SparkTestBase {
       s"quantization must not shuffle:\n$plan")
   }
 
+  test("PQ ADC scoring scans the corpus in place — broadcast query side, no corpus exchange before the partial top-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3L)
+    val vecs = (0 until 64).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    val cb = similarity.Pq.trainCodebooks(vecs, "id", "vec", m = 2, k = 8)
+    val plan = similarity.Pq.adcTopK(
+        similarity.Pq.encode(vecs, "id", "vec", cb),
+        vecs.filter(col("id") < 2), "id", "vec", cb, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+    // the only hash exchange is the post-partial-agg top-k reduce on
+    // query_id — the corpus-side scan and scoring must not re-shuffle
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1 && hashExchanges.head.contains("query_id"),
+      s"expected exactly one hash exchange (top-k reduce on query_id):\n$plan")
+    assert(plan.contains("partial_topk") || plan.contains("partial"),
+      s"top-k must aggregate partially before the exchange:\n$plan")
+  }
+
   test("deterministic sampling is a filter over the scan — no shuffle, no rand()") {
     val dir = java.nio.file.Files.createTempDirectory("graft_plan_samp").toString
     docs.write.mode("overwrite").parquet(dir)

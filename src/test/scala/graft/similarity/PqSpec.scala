@@ -90,6 +90,40 @@ class PqSpec extends SparkTestBase {
     assert(hits >= 9, s"only $hits/10 planted neighbours at rank 1 (need >= 9)")
   }
 
+  test("ivfPqTopK: full probe + lossless codebooks == brute force exactly") {
+    // nprobe = nlist (every cell probed) and m=1/k=n (lossless PQ):
+    // the composed path must reproduce exact cosine ranking
+    val rnd = new scala.util.Random(13L)
+    val tiny = (0 until 24).map(i => (i.toLong, Array.fill(4)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    val queries = tiny.filter(col("id") < 3)
+    val got = Pq.ivfPqTopK(tiny, queries, "id", "vec", k = 5,
+        nlist = 4, nprobe = 4, m = 1, nCentroids = 24, maxIter = 50)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = Similarity.bruteForceTopK(tiny, queries, "id", "vec", k = 5)
+      .select(col("query_id").cast("long"), col("corpus_id"),
+        col("rank").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"full-probe lossless IVF-PQ must match brute force\n got=$got\n exp=$expected")
+  }
+
+  test("ivfPqTopK: planted neighbours survive routed probing (nprobe < nlist)") {
+    // a perturbed copy routes to the same (or a probed-adjacent) cell
+    // as its source: with nprobe=4 of nlist=8 the planted pair must
+    // still be retrieved at rank 1
+    val queries = corpus.filter(col("id") < 10)
+      .select((col("id") + 1000L).as("id"),
+        transform(col("vec"), x => x + lit(0.001)).as("vec"))
+    val top1 = Pq.ivfPqTopK(corpus, queries, "id", "vec", k = 3,
+        nlist = 8, nprobe = 4, m = 4, nCentroids = 64)
+      .filter(col("rank") === 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    val hits = (0L until 10L).count(i => top1.get(i + 1000L).contains(i))
+    assert(hits >= 9, s"only $hits/10 planted neighbours at rank 1 (need >= 9)")
+  }
+
   test("pqTopK output contract: ranks dense from 1, scores non-increasing, no self") {
     val out = Pq.pqTopK(corpus, corpus.filter(col("id") < 5), "id", "vec",
       k = 4, m = 4, nCentroids = 16)

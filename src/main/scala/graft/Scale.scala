@@ -464,6 +464,58 @@ object Scale {
             li, ord.hint("merge"), Seq("k"), saltFactor = 4))
       }
     }
+
+    // --- ANN quality + compression artifact (r11): the approximate
+    // family's two honest dials, MEASURED — recall@5 against exact
+    // brute force (perturbed-copy queries, the realistic near-match
+    // workload) across the nprobe routing dial, and the parquet byte
+    // footprint of PQ codes vs the raw vectors they replace (the
+    // scan-width reduction that is PQ's entire point at 100 TB).
+    {
+      import graft.similarity.{Pq, Similarity}
+      def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      def queries = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.001)).as("v"))
+      def gate(name: String): Boolean = !only.exists(!_.contains(name))
+      if (gate("ann_recall")) {
+        val exact = Similarity
+          .bruteForceTopK(emb, queries, "vec_id", "v", 5)
+          .localCheckpoint(true)
+        def recallRow(tag: String, approx: DataFrame): Unit = {
+          val r = Similarity.recallAtK(approx, exact, 5).collect()(0)
+          println(s"""{"op":"ann_recall","variant":"$tag"""" +
+            s""","n_queries":${r.getLong(0)},"recall_at_5":${r.getDouble(1)}}""")
+        }
+        recallRow("pq_m8_k64",
+          Pq.pqTopK(emb, queries, "vec_id", "v", 5, m = 8, nCentroids = 64))
+        recallRow("pq_m8_k256",
+          Pq.pqTopK(emb, queries, "vec_id", "v", 5, m = 8, nCentroids = 256))
+        recallRow("pq_m16_k256",
+          Pq.pqTopK(emb, queries, "vec_id", "v", 5, m = 16, nCentroids = 256))
+        for (nprobe <- Seq(2, 4, 8, 16))
+          recallRow(s"ivfpq_nlist16_nprobe$nprobe",
+            Pq.ivfPqTopK(emb, queries, "vec_id", "v", 5,
+              nlist = 16, nprobe = nprobe, m = 8, nCentroids = 64))
+      }
+      if (gate("pq_bytes")) {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_pq_bytes").toString
+        def bytesOf(path: String): Long = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          fs.getContentSummary(p).getLength
+        }
+        emb.write.mode("overwrite").parquet(s"$dir/raw")
+        val cb = Pq.trainCodebooks(emb, "vec_id", "v", m = 8, k = 64)
+        Pq.encode(emb, "vec_id", "v", cb)
+          .write.mode("overwrite").parquet(s"$dir/codes")
+        println(s"""{"op":"pq_bytes","raw_parquet_bytes":${bytesOf(s"$dir/raw")}""" +
+          s""","code_parquet_bytes":${bytesOf(s"$dir/codes")}}""")
+      }
+    }
     spark.stop()
   }
 }

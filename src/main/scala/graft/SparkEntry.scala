@@ -878,6 +878,28 @@ object SparkEntry {
             .otherwise(0L)) === 0L).as("order_ok"))
     }),
 
+    "q_ann_recall" -> ((s, d) => {
+      // the ANN family's evaluation operator, itself behind the
+      // oracle: recall@5 of the PQ path vs exact brute force on 50
+      // perturbed-copy queries. Every stage is deterministic —
+      // hash-ordered bounded train sample, seeded Lloyd, fixed-order
+      // ADC sums, (−sim, corpusId) tie-break in TopKAggregator — so
+      // the measured recall is a constant of (corpus, seed), pinned
+      // like q_lsh_cosine's planted count. SCALE.md `ann_recall` holds
+      // the full dial table (m/k/nprobe) at sf0.1.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val queries = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.001)).as("v"))
+      val exact = graft.similarity.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "v", 5)
+      val pq = graft.similarity.Pq.pqTopK(emb, queries, "vec_id", "v",
+        5, m = 8, nCentroids = 64)
+      graft.similarity.Similarity.recallAtK(pq, exact, 5)
+    }),
+
     "q_lsh_cosine" -> ((s, d) => {
       // candidate generation is recall < 1 by design, so no exact pair
       // oracle; instead 20 planted near-identical vectors (cos ≈ 0.9999)
@@ -1490,6 +1512,9 @@ object SparkEntry {
     "q_ivf_pq_topk" ->
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(50 AS BIGINT) AS n_qr,
         |TRUE AS planted_ok, TRUE AS order_ok""".stripMargin,
+
+    "q_ann_recall" ->
+      "SELECT CAST(50 AS BIGINT) AS n_queries, CAST(0.472 AS DOUBLE) AS mean_recall",
 
     "q_melt" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem

@@ -62,6 +62,34 @@ object Similarity {
       .select(col(queryIdCol), col("corpus_id"), col("sim"), col("rank"))
   }
 
+  /** Recall@k of an approximate top-k result against an exact one —
+    * the evaluation operator for the ANN family ([[Ivf]], [[Pq]],
+    * [[lshCosineCandidates]]): per query, the fraction of the EXACT
+    * top-k corpus ids the approximate result also returned within its
+    * own top k. Both inputs carry (`queryIdCol`, `corpus_id`, `rank`)
+    * — the shape every top-k operator here emits. Output is one row:
+    * (n_queries, mean_recall). Queries absent from `approx` (an ANN
+    * path that returned nothing) count as recall 0, not as missing —
+    * dropping them would inflate the mean exactly when the index is
+    * worst. Shape: two rank filters, a semi join on (query, id), two
+    * narrow aggregations — no full-width payload moves. */
+  def recallAtK(
+      approx: DataFrame,
+      exact: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be >= 1, got $k")
+    val a = approx.filter(col("rank") <= k).select(col(queryIdCol), col("corpus_id"))
+    val e = exact.filter(col("rank") <= k).select(col(queryIdCol), col("corpus_id"))
+    val hits = e.join(a, Seq(queryIdCol, "corpus_id"), "left_semi")
+      .groupBy(queryIdCol).agg(count(lit(1)).as("n_hit"))
+    e.groupBy(queryIdCol).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
+      .agg(count(lit(1)).as("n_queries"), round(avg("recall"), 6).as("mean_recall"))
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of dots with
     * `numPlanes` pseudo-random hyperplanes. Hyperplane components are
     * derived deterministically from xxhash64(plane, dim) mapped to

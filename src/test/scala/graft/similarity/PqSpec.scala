@@ -124,6 +124,24 @@ class PqSpec extends SparkTestBase {
     assert(hits >= 9, s"only $hits/10 planted neighbours at rank 1 (need >= 9)")
   }
 
+  test("recallAtK: exact fractions, missing queries count as zero, rank cutoff respected") {
+    def frame(rows: (Long, Long, Int)*) =
+      rows.toSeq.toDF("query_id", "corpus_id", "rank")
+    val exact = frame((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2))
+    // query 1: one of two exact ids found; query 2: absent from approx
+    // entirely -> recall 0, still counted
+    val approx = frame((1L, 10L, 1), (1L, 99L, 2))
+    val r = Similarity.recallAtK(approx, exact, 2).as[(Long, Double)].head()
+    assert(r == ((2L, 0.25)), s"expected (2, 0.25), got $r")
+    // a hit OUTSIDE the approx top-k must not count: id 11 at rank 3
+    val approx2 = frame((1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3))
+    val r2 = Similarity.recallAtK(approx2, exact, 2).as[(Long, Double)].head()
+    assert(r2 == ((2L, 0.25)), s"rank cutoff violated: $r2")
+    // identical frames -> perfect recall
+    val r3 = Similarity.recallAtK(exact, exact, 2).as[(Long, Double)].head()
+    assert(r3 == ((2L, 1.0)))
+  }
+
   test("pqTopK output contract: ranks dense from 1, scores non-increasing, no self") {
     val out = Pq.pqTopK(corpus, corpus.filter(col("id") < 5), "id", "vec",
       k = 4, m = 4, nCentroids = 16)

@@ -28,6 +28,10 @@ object Plans {
       "Read-back of the partitioned write: PartitionFilters prune on part_key when filtered; row groups sorted by the clustered field.",
     "q_ivf_topk" ->
       "IVF probe search: centroids are plan literals (driver-trained quantizer) — cell assignment is a narrow Project; the only exchanges key on cell / query id for the probe join and top-k aggregate.",
+    "q_pq_topk" ->
+      "PQ ADC search: codes from ONE codegen'd PqEncode call in a narrow Project (8 B per vector, the scan-width cut); the per-query LUT projection is checkpoint-fenced (visible as a LocalTableScan/checkpoint leaf — unfenced, the optimizer collapses it into the join and re-evaluates the m*k*dsub table per corpus row) and BROADCASTS; scoring is the codegen'd PqAdcScore inside the join projection; the only hash exchange is the partial top-k reduce on query_id (PlanShapeSpec pins exactly one).",
+    "q_ivf_pq_topk" ->
+      "IVF-PQ composed: cell assignment AND codes from the same PqEncode kernel family in narrow Projects; the probe table (query routing x per-query LUT, checkpoint-fenced) broadcasts into a BroadcastHashJoin on cell — the one wide movement keys on cell id over m-byte codes; top-k reduces partially before its exchange.",
     "q_quantize" ->
       "int8 quantization: pure narrow Project over the scan (HOF transforms), zero exchanges — the plan a column-wise codec must have.",
     "q_det_sample" ->

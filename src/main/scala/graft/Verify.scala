@@ -1,9 +1,58 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def writeJson(path: String, kv: Iterable[(String, String)]): Unit =
+    Files.writeString(Paths.get(path),
+      kv.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+
+  /** Run every query, writing results under `outDir` and — the part a
+    * round regression depends on — turning each THROWN query into a
+    * durable red artifact: `$outDir/_failed.json` maps query name →
+    * exception class + message ({} when all green). r10's testdata
+    * regeneration broke 5 queries and the correctness file silently
+    * SHRANK (the old catch printed to stderr and moved on); the
+    * declared/recorded/failed summary + artifact make that absence
+    * loud. Returns the failure map for the caller/spec. */
+  private[graft] def runQueries(
+      spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      sfDir: String,
+      outDir: String): Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        failed(name) = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    writeJson(s"$outDir/_failed.json", failed)
+    val declared = queries.size
+    println(s"[verify] declared=$declared recorded=${declared - failed.size} " +
+      s"failed=${failed.size}" +
+      (if (failed.isEmpty) "" else failed.keys.mkString(" (", ", ", ")")))
+    failed.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,40 +72,8 @@ object Verify {
         "jdbc:derby:;databaseName=/root/repo/target/verify_metastore;create=true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    // A thrown query must become a durable red artifact, not a stderr
-    // line: r10's testdata regeneration broke 5 queries and the round's
-    // correctness file silently SHRANK instead of showing failures.
-    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        failed(name) = s"${e.getClass.getName}: ${e.getMessage}"
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    def writeJson(path: String, kv: Iterable[(String, String)]): Unit =
-      Files.writeString(Paths.get(path),
-        kv.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    runQueries(spark, SparkEntry.queries, sfDir, outDir)
     writeJson(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
-    writeJson(s"$outDir/_failed.json", failed) // {} when all green
-    val declared = SparkEntry.queries.size
-    println(s"[verify] declared=$declared recorded=${declared - failed.size} " +
-      s"failed=${failed.size}" +
-      (if (failed.isEmpty) "" else failed.keys.mkString(" (", ", ", ")")))
     spark.stop()
   }
 }

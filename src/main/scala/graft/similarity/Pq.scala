@@ -113,7 +113,9 @@ object Pq {
     * measured 17.9× SLOWER than the exact scan PQ replaces; the kernel
     * is one static call inside whole-stage codegen. The output
     * (id, code) is the scan-side representation ADC search reads, `m`
-    * bytes of payload per vector. */
+    * bytes of payload per vector. float32 and float64 vector columns
+    * are both read natively by the kernel — no cast pass over the
+    * corpus. */
   def encode(
       corpus: DataFrame,
       idCol: String,
@@ -121,7 +123,7 @@ object Pq {
       codebooks: Array[Array[Array[Double]]]): DataFrame =
     corpus.select(col(idCol).as("id"),
       graft.functions.HashFunctions.pqEncodeNative(
-        col(vecCol).cast("array<double>"), codebooks).as("code"))
+        col(vecCol), codebooks).as("code"))
 
   /** Reconstruction of an encoded vector (concatenated codebook
     * entries) — the decoder side of the quantizer, used to measure
@@ -156,7 +158,7 @@ object Pq {
     val withLut = queries
       .select(col(idCol).as(queryIdCol),
         graft.functions.HashFunctions.pqLutNative(
-          col(vecCol).cast("array<double>"), codebooks).as("__lut"))
+          col(vecCol), codebooks).as("__lut"))
       .localCheckpoint(true)
     val scored = broadcast(withLut).crossJoin(encoded)
       .filter(col(queryIdCol) =!= col("id"))
@@ -214,7 +216,7 @@ object Pq {
     // second corpus scan or join
     val encoded = assignments.select(col("id"), col("cell"),
       graft.functions.HashFunctions.pqEncodeNative(
-        col("vec").cast("array<double>"), codebooks).as("code"))
+        col("vec"), codebooks).as("code"))
     val q = queries.select(col(idCol).as(queryIdCol),
       col(vecCol).cast("array<double>").as("q_vec"))
     // nprobe cells per query by centroid cosine (the Ivf.search

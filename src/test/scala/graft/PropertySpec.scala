@@ -80,4 +80,72 @@ class PropertySpec extends SparkTestBase {
       assert(arr.length <= math.max(t.length - 2, 0))
     }
   }
+
+  // ---- PQ kernels vs plain-Scala reference implementations ----
+
+  private val dim = 8
+  private val vecGen: Gen[Array[Double]] =
+    Gen.listOfN(dim, Gen.choose(-5.0, 5.0)).map(_.toArray)
+  // m=2, k=4, dsub=4 — small enough that the reference loop is
+  // obviously correct, structured enough to exercise every index
+  private val cbGen: Gen[Array[Double]] =
+    Gen.listOfN(2 * 4 * 4, Gen.choose(-2.0, 2.0)).map(_.toArray)
+
+  private def refEncode(
+      v0: Array[Double], cb: Array[Double], m: Int, k: Int, dsub: Int,
+      normalize: Boolean): Array[Int] = {
+    val n = math.sqrt(v0.map(x => x * x).sum)
+    val v = if (normalize && n != 0.0) v0.map(_ / n) else v0
+    Array.tabulate(m) { s =>
+      (0 until k).minBy { c =>
+        (0 until dsub).map { j =>
+          val t = v(s * dsub + j) - cb((s * k + c) * dsub + j); t * t
+        }.sum
+      }
+    }
+  }
+
+  test("pqEncodeCodes matches the reference argmin, both modes, incl. zero vector") {
+    for ((v, cb) <- samples(Gen.zip(vecGen, cbGen))) {
+      for (normalize <- Seq(true, false)) {
+        val got = HashKernels.pqEncodeCodes(
+          new GenericArrayData(v), false, cb, 2, 4, 4, normalize)
+          .toIntArray().toSeq
+        assert(got == refEncode(v, cb, 2, 4, 4, normalize).toSeq,
+          s"mismatch for normalize=$normalize v=${v.toSeq}")
+      }
+    }
+    val zero = new GenericArrayData(Array.fill(dim)(0.0))
+    for ((cb) <- samples(cbGen, 5); normalize <- Seq(true, false)) {
+      val got = HashKernels.pqEncodeCodes(zero, false, cb, 2, 4, 4, normalize)
+        .toIntArray().toSeq
+      assert(got == refEncode(Array.fill(dim)(0.0), cb, 2, 4, 4, normalize).toSeq)
+    }
+  }
+
+  test("pqLut matches reference subspace inner products; pqAdcScore sums LUT lookups") {
+    for ((v, cb) <- samples(Gen.zip(vecGen, cbGen))) {
+      val lut = HashKernels.pqLut(new GenericArrayData(v), false, cb, 2, 4, 4)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val nv = if (n != 0.0) v.map(_ / n) else v
+      for (s <- 0 until 2; c <- 0 until 4) {
+        val expected = (0 until 4).map(j => nv(s * 4 + j) * cb((s * 4 + c) * 4 + j)).sum
+        assert(math.abs(lut.getArray(s).getDouble(c) - expected) < 1e-9)
+      }
+      val code = HashKernels.pqEncodeCodes(
+        new GenericArrayData(v), false, cb, 2, 4, 4, true)
+      val score = HashKernels.pqAdcScore(code, lut)
+      val expectedScore = (0 until 2).map(s =>
+        lut.getArray(s).getDouble(code.getInt(s))).sum
+      assert(math.abs(score - expectedScore) < 1e-12)
+    }
+  }
+
+  test("pqAdcScore throws on a code outside the LUT range (codebook mismatch guard)") {
+    val lut = HashKernels.pqLut(
+      new GenericArrayData(Array.fill(dim)(1.0)), false,
+      samples(cbGen, 1).head, 2, 4, 4)
+    val badCode = new GenericArrayData(Array(0, 7)) // 7 >= k=4
+    intercept[IllegalArgumentException](HashKernels.pqAdcScore(badCode, lut))
+  }
 }

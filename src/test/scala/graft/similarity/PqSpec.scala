@@ -124,6 +124,23 @@ class PqSpec extends SparkTestBase {
     assert(hits >= 9, s"only $hits/10 planted neighbours at rank 1 (need >= 9)")
   }
 
+  test("encode on array<float> input (the parquet embedding shape) matches the cast-to-double path") {
+    val floatCorpus = corpus.select(col("id"),
+      col("vec").cast("array<float>").as("vec"))
+    val cb = Pq.trainCodebooks(corpus, "id", "vec", m = 4, k = 16)
+    // encode reads float natively (kernel isFloat branch, no in-plan
+    // cast); float32 rounding can flip a genuine near-tie argmin, so
+    // the comparison baseline is encode(double(float)) — the same
+    // values at the same precision through the double branch
+    val viaFloat = Pq.encode(floatCorpus, "id", "vec", cb)
+      .select("id", "code").as[(Long, Seq[Int])].collect().toMap
+    val viaDouble = Pq.encode(
+        floatCorpus.select(col("id"), col("vec").cast("array<double>").as("vec")),
+        "id", "vec", cb)
+      .select("id", "code").as[(Long, Seq[Int])].collect().toMap
+    assert(viaFloat == viaDouble)
+  }
+
   test("recallAtK: exact fractions, missing queries count as zero, rank cutoff respected") {
     def frame(rows: (Long, Long, Int)*) =
       rows.toSeq.toDF("query_id", "corpus_id", "rank")

@@ -704,8 +704,9 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * cb[(s*k + c)*dsub + j]). The HOF formulation runs m×k interpreted
   * aggregate() lambdas per row and re-evaluates the argmin argument
   * twice (array_position + array_min) — measured 17.9× slower than
-  * the exact brute-force scan it is meant to beat; this kernel is one
-  * static call inside whole-stage codegen. NULL on dim mismatch,
+  * the exact brute-force scan it is meant to beat (SCALE.md r11 ANN
+  * adjudication row); this kernel is one static call inside
+  * whole-stage codegen. NULL on dim mismatch,
   * mirroring [[CosineSimExpr]]. */
 case class PqEncodeExpr(
     child: Expression, flatCodebooks: Array[Double], m: Int, k: Int, dsub: Int,

@@ -110,8 +110,9 @@ object Pq {
     * projection through the codegen'd
     * [[graft.functions.HashFunctions.pqEncodeNative]] kernel — the HOF
     * formulation ran m × k interpreted aggregate() lambdas per row and
-    * measured 17.9× SLOWER than the exact scan PQ replaces; the kernel
-    * is one static call inside whole-stage codegen. The output
+    * measured 17.9× SLOWER than the exact scan PQ replaces (SCALE.md
+    * r11, "ANN recall + compression" / q_ivf_pq_topk adjudication
+    * row); the kernel is one static call inside whole-stage codegen. The output
     * (id, code) is the scan-side representation ADC search reads, `m`
     * bytes of payload per vector. float32 and float64 vector columns
     * are both read natively by the kernel — no cast pass over the
@@ -153,8 +154,9 @@ object Pq {
       queryIdCol: String = "query_id"): DataFrame = {
     // fenced: without the checkpoint the optimizer collapses this
     // projection into the scoring join and re-evaluates the m×k×dsub
-    // LUT per CORPUS row instead of per query (measured: it turned a
-    // sub-second search into 9.7 s at 2000×10 rows)
+    // LUT per CORPUS row instead of per query (measured: a sub-second
+    // search became 9.7 s at 2000×10 rows — SCALE.md r11 adjudication
+    // row)
     val withLut = queries
       .select(col(idCol).as(queryIdCol),
         graft.functions.HashFunctions.pqLutNative(

@@ -239,6 +239,64 @@ object Bench {
         .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice"))
         .filter(substring(md5(concat(lit("s1"), col("o_orderkey").cast("string"))), 1, 8)
           < lit("19999999"))),
+    "q_stratified_sample" -> ((s, d) =>
+      // hand-written per-stratum md5 thresholds (same sampling rule)
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        .filter(col("lang") === "de" ||
+          (col("lang") === "en" &&
+            substring(md5(concat(lit("st"), col("lang"), col("doc_id").cast("string"))), 1, 8) < "40000000") ||
+          (col("lang") === "fr" &&
+            substring(md5(concat(lit("st"), col("lang"), col("doc_id").cast("string"))), 1, 8) < "80000000"))),
+    "q_temperature_mix" -> ((s, d) => {
+      // hand-written n^alpha rate derivation + md5 threshold
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val z = counts.agg(sum(pow(col("n"), 0.5)).as("z"))
+      val rates = counts.crossJoin(broadcast(z))
+        .select(col("lang"), least(lit(1.0),
+          round(lit(200.0) * pow(col("n"), 0.5) / col("z") / col("n"), 6)).as("rate"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(col("rate") >= 1.0 ||
+          substring(md5(concat(lit("tm"), col("lang"), col("doc_id").cast("string"))), 1, 8) <
+            format_string("%08x", floor(col("rate") * 4294967296.0).cast("long")))
+        .select("doc_id", "lang")
+    }),
+    "q_pack_shards" -> ((s, d) =>
+      // hand-written exclusive-cumsum chunking
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .withColumn("shard_id",
+          floor(coalesce(sum(col("n_chars")).over(
+            Window.partitionBy("source").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) / 4000.0)
+            .cast("long"))
+        .select("doc_id", "source", "shard_id")),
+    "q_bloom_semi" -> ((s, d) => {
+      // plain (non-bloom) semi join — what a user writes without the op
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+      val big = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"))
+      li.join(big, li("l_orderkey") === big("o_orderkey"), "left_semi")
+    }),
+    "q_bloom_anti" -> ((s, d) => {
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
+      val big = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey").cast("long").as("o_custkey"))
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+    }),
+    // bloom-prefiltered decontamination vs the SAME hand-written exact
+    // pass q_decontaminate is measured against: the ratio directly
+    // prices what the bloom probe buys (or costs) at this SF
+    "q_bloom_decontaminate" -> ((s, d) => baselines("q_decontaminate")(s, d)),
     "q_quantize" -> ((s, d) => {
       val dv = s.read.parquet(s"$d/embeddings.parquet")
         .select(col("vec_id").cast("long").as("vec_id"),

@@ -119,6 +119,32 @@ object Scale {
         val ev = d.filter(col("doc_id") % 1000 < 2) // ~0.2% plays eval
         Dedup.decontaminate(d, ev, "text", "doc_id", n = 5)
       }
+      run("bloom_decontaminate", k) { d =>
+        val ev = d.filter(col("doc_id") % 1000 < 2)
+        Dedup.bloomDecontaminate(d, ev, "text", "doc_id", n = 5)
+      }
+      // the bloom path's scale claim, measured directly: rows entering
+      // the gram join. The exact pass explodes EVERY train doc
+      // (decont_gram_rows_exact = corpus × avg grams/doc); the bloom
+      // pass explodes only probe survivors (decont_gram_rows_bloom) —
+      // out_rows of these two rows are the before/after join volume.
+      locally {
+        def grams = graft.functions.HashFunctions.shingleHashesNative(
+          graft.text.TextFunctions.tokens(
+            graft.text.TextFunctions.normalizeText(col("text"))), 5)
+        run("decont_gram_rows_exact", k)(d =>
+          d.select(col("doc_id"), explode(grams).as("g")))
+        run("decont_gram_rows_bloom", k) { d =>
+          val evGrams = d.filter(col("doc_id") % 1000 < 2)
+            .select(explode(grams).as("g")).distinct()
+            .collect().map(_.getLong(0))
+          val bytes = graft.functions.BloomFunctions
+            .buildBloomBytesFromKeys(evGrams, 1e-4)
+          d.select(col("doc_id"), grams.as("gs"))
+            .filter(graft.functions.BloomFunctions.bloomAnyContain(col("gs"), bytes))
+            .select(col("doc_id"), explode(col("gs")).as("g"))
+        }
+      }
       run("exact_dedup", k)(d => Dedup.exactDedup(d, "text", "doc_id"))
       run("simhash128_h7_8band", k)(d =>
         Dedup.simHash128NearDuplicates(d, "text", "doc_id")) // default rung

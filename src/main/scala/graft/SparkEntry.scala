@@ -778,6 +778,76 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    "q_stratified_sample" -> ((s, d) =>
+      // per-language deterministic sampling: downweight the dominant
+      // language, keep the rest whole, drop unlisted strata
+      Sampling.deterministicStratifiedSample(
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+        "lang", Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5), "doc_id", salt = "st")),
+
+    "q_temperature_mix" -> ((s, d) =>
+      // multilingual temperature sampling at alpha=0.5 toward ~200 docs;
+      // rates derive in-plan from per-language counts
+      Sampling.temperatureMix(
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+        "lang", "doc_id", alpha = 0.5, targetRows = 200, salt = "tm")
+        .select(col("doc_id"), col("lang"))),
+
+    "q_pack_shards" -> ((s, d) =>
+      // token-budget sharding: cut each source's doc run into ~4000-char
+      // shards by exclusive running weight
+      Sampling.packShards(
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            col("n_chars").cast("long").as("n_chars")),
+        "n_chars", budget = 4000.0, Seq("source"), "doc_id")
+        .select(col("doc_id"), col("source"), col("shard_id"))),
+
+    "q_bloom_semi" -> ((s, d) => {
+      // bloom-prefiltered EXACT semi join: lineitems of high-value orders;
+      // the left scan drops definite non-members before any exchange
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+      val big = t(s, d, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"))
+      DataFrameOps.bloomSemiJoin(li, big, "l_orderkey", "o_orderkey")
+    }),
+
+    "q_bloom_anti" -> ((s, d) => {
+      // bloom-accelerated EXACT anti join: customers who never placed a
+      // high-value order — bloom misses route straight to the output
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
+      val big = t(s, d, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey").cast("long").as("o_custkey"))
+      DataFrameOps.bloomAntiJoin(cust, big, "c_custkey", "o_custkey")
+    }),
+
+    "q_bloom_decontaminate" -> ((s, d) => {
+      // same corpus + plants as q_decontaminate, but through the bloom
+      // prefilter path — output must be bit-identical to the exact pass
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalDf = docs.filter(col("doc_id") < 100)
+      val evalTexts = evalDf
+        .select((col("doc_id") + 100L).as("doc_id"), col("text").as("etext"))
+      val train = docs.filter(col("doc_id") >= 100)
+        .join(evalTexts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") < 110 && col("etext").isNotNull,
+            concat(col("text"), lit(" "), col("etext")))
+            .otherwise(col("text")).as("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      Dedup.bloomDecontaminate(train, evalDf, "text", "doc_id", n = 5, minHits = 1)
+        .select(col("doc_id"))
+    }),
+
     "q_quantize" -> ((s, d) =>
       // qvec rendered as a CSV string: the gate's compare layer hashes
       // scalar cells and cannot hash array values, so the full vector is
@@ -1835,6 +1905,76 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, 'odd' AS source FROM documents
         |WHERE CAST(doc_id AS BIGINT) % 2 = 1
         |  AND substr(md5('odd' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) < '33333333'""".stripMargin,
+
+    "q_stratified_sample" ->
+      // thresholds: 0.25 → 40000000, 0.5 → 80000000; de keeps all; es/zh drop
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+        |WHERE (lang = 'de')
+        |   OR (lang = 'en' AND substr(md5('st' || lang || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) < '40000000')
+        |   OR (lang = 'fr' AND substr(md5('st' || lang || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) < '80000000')""".stripMargin,
+
+    "q_temperature_mix" ->
+      // rate_s = min(1, round(200·√n_s / Σ√n_t / n_s, 6)); the round-to-6
+      // quantisation makes the md5 threshold engine-portable
+      """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT SUM(POW(n, 0.5)) AS z FROM counts),
+        |rates AS (SELECT lang,
+        |            LEAST(1.0, ROUND(200.0 * POW(n, 0.5) / z / n, 6)) AS rate
+        |          FROM counts, tot)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE r.rate >= 1.0
+        |   OR substr(md5('tm' || d.lang || CAST(CAST(d.doc_id AS BIGINT) AS VARCHAR)), 1, 8)
+        |      < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))""".stripMargin,
+
+    "q_pack_shards" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |  CAST(FLOOR(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+        |    PARTITION BY source ORDER BY CAST(doc_id AS BIGINT)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000.0) AS BIGINT) AS shard_id
+        |FROM documents""".stripMargin,
+
+    "q_bloom_semi" ->
+      """SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l.l_quantity AS DOUBLE) AS l_quantity,
+        |  CAST(l.l_linenumber AS BIGINT) AS l_linenumber
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE CAST(o.o_orderkey AS BIGINT) = CAST(l.l_orderkey AS BIGINT)
+        |    AND o.o_totalprice > 450000.0)""".stripMargin,
+
+    "q_bloom_anti" ->
+      """SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE CAST(o.o_custkey AS BIGINT) = CAST(c.c_custkey AS BIGINT)
+        |    AND o.o_totalprice > 450000.0)""".stripMargin,
+
+    "q_bloom_decontaminate" ->
+      // identical oracle to q_decontaminate: the bloom prefilter is
+      // semantics-transparent (no false negatives; exact verify kills
+      // every false positive)
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+        |ev AS (SELECT doc_id, text FROM docs WHERE doc_id < 100),
+        |tr AS (SELECT t.doc_id,
+        |         CASE WHEN t.doc_id < 110 AND e.text IS NOT NULL
+        |              THEN t.text || ' ' || e.text ELSE t.text END AS text
+        |       FROM docs t LEFT JOIN ev e ON e.doc_id = t.doc_id - 100
+        |       WHERE t.doc_id >= 100),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 5
+        |         THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        |         ELSE [array_to_string(toks, ' ')] END) AS g
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM tr)),
+        |evg AS (
+        |  SELECT list_distinct(flatten(list(g))) AS eg
+        |  FROM (SELECT list_distinct(
+        |    CASE WHEN len(toks) >= 5
+        |         THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        |         ELSE [array_to_string(toks, ' ')] END) AS g
+        |  FROM (SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM ev)))
+        |SELECT grams.doc_id FROM grams, evg
+        |WHERE len(list_intersect(grams.g, evg.eg)) < 1""".stripMargin,
 
     "q_semantic_clusters" ->
       """WITH RECURSIVE e0 AS (

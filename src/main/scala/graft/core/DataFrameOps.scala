@@ -547,6 +547,88 @@ object DataFrameOps {
           "(expected LongType nanos, TimestampNTZType, or TimestampType)")
     }
   }
+
+  // ---------------------------------------------------------------
+  // Bloom-prefiltered joins (extension): key-membership probes ahead
+  // of exact semi/anti joins. At 100 TB the left side of a semi join
+  // dominates the shuffle; a bloom built over the right key (one
+  // narrow pass, only filter BITS return to the driver) lets the left
+  // scan drop definite non-members BEFORE any exchange, and the exact
+  // join then corrects the bloom's false positives. Negatives need no
+  // correction — a bloom has none.
+
+  private def bloomOverKey(
+      right: DataFrame, rightKey: String,
+      fpp: Double, expectedItems: Long): Array[Byte] = {
+    requireColumns(right, Seq(rightKey), "bloomJoin")
+    val hashed = right.select(xxhash64(col(rightKey)).as("__graft_bk"))
+    // sizing: prefer the caller's figure, then the optimizer's estimate
+    // (free — no job), and only pay a count() job when the plan admits
+    // no finite estimate. Oversizing is benign (a bigger filter, same
+    // exactness); the estimate is clamped so a nonsense sizeInBytes
+    // can't allocate a gigabyte of bits — undersizing just raises the
+    // false-positive rate the exact join absorbs anyway.
+    val expected: Long =
+      if (expectedItems > 0) expectedItems
+      else {
+        val stats = hashed.queryExecution.optimizedPlan.stats
+        stats.rowCount.map(_.toLong.max(1L)).getOrElse {
+          val bytes = stats.sizeInBytes
+          if (bytes > 0 && bytes < BigInt(1L << 40))
+            (bytes.toLong / 8L).max(1024L).min(1L << 24)
+          else math.max(hashed.count(), 1L)
+        }
+      }
+    graft.functions.BloomFunctions.buildBloomBytes(hashed, "__graft_bk", expected, fpp)
+  }
+
+  /** EXACT semi join, bloom-accelerated: rows of `left` whose
+    * `leftKey` appears in `right`'s `rightKey`. Plan shape: build a
+    * bloom over the right key (narrow aggregate, no shuffle of
+    * `right`), probe `left` at the scan with a codegen'd
+    * `bloom_might_contain(xxhash64(key))`, then exact-semi-join ONLY
+    * the candidates. When the right side is selective, the exchange
+    * carries the candidate fraction of `left` instead of all of it;
+    * the result is exactly `left SEMI JOIN right` because the exact
+    * join removes every bloom false positive.
+    *
+    * Probes are keyed on `xxhash64(key)` on both sides, so any
+    * key type works; an xxhash64 collision can only ADD a candidate
+    * (another false positive the exact join removes), never drop one. */
+  def bloomSemiJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    requireColumns(left, Seq(leftKey), "bloomSemiJoin")
+    val bytes = bloomOverKey(right, rightKey, fpp, expectedItems)
+    val candidates = left.filter(
+      graft.functions.BloomFunctions.bloomMightContain(xxhash64(col(leftKey)), bytes))
+    candidates.join(right, candidates(leftKey) === right(rightKey), "left_semi")
+  }
+
+  /** EXACT anti join, bloom-accelerated: rows of `left` whose
+    * `leftKey` does NOT appear in `right`. Bloom misses are
+    * DEFINITIVE non-members and pass through with zero join work;
+    * only the hit fraction goes through the exact anti join. The two
+    * branches each scan `left` (columnar scans with pushdown are
+    * cheap; the wide exchange the plain anti join would pay on all of
+    * `left` is not), and their union is exactly `left ANTI JOIN
+    * right`. NULL left keys never match an equi-join, so they are
+    * routed straight to the output like the plain anti join does. */
+  def bloomAntiJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    requireColumns(left, Seq(leftKey), "bloomAntiJoin")
+    val bytes = bloomOverKey(right, rightKey, fpp, expectedItems)
+    val probe = graft.functions.BloomFunctions
+      .bloomMightContain(xxhash64(col(leftKey)), bytes)
+    val misses = left.filter(col(leftKey).isNull || !probe)
+    val hits = left.filter(col(leftKey).isNotNull && probe)
+    misses.unionByName(
+      hits.join(right, hits(leftKey) === right(rightKey), "left_anti"))
+  }
+
 }
 
 /** Window-spec builders (SURVEY.md §2.7). */

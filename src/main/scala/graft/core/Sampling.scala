@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus sampling / mixing for training-data pipelines.
@@ -17,8 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  // "g" sorts above every hex digit, so fraction 1.0 keeps all rows even
+  // through a pure string comparison (floor(1.0·2³²) would render as the
+  // 9-char "100000000", which sorts BELOW most 8-char prefixes)
   private def hexThreshold(fraction: Double): String =
-    f"${math.floor(fraction * 4294967296.0).toLong}%08x"
+    if (fraction >= 1.0) "g"
+    else f"${math.floor(fraction * 4294967296.0).toLong}%08x"
 
   /** Deterministic sample of `fraction` of rows, keyed on `keyCol`.
     * Same (key, salt, fraction) → same decision everywhere. Distinct
@@ -63,4 +68,106 @@ object Sampling {
       fractions: Map[Any, Double],
       seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Hash-deterministic stratified sample: each stratum is kept at its
+    * own fraction via the md5-threshold rule of
+    * [[deterministicSample]] (salted per stratum value, so strata draw
+    * independently). Strata absent from `fractions` are sampled at
+    * `defaultFraction` (0 = dropped). Unlike [[stratifiedSample]] the
+    * decision is a pure function of (stratum, key, salt) — stable
+    * across runs, engines and partitionings. */
+  def deterministicStratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      keyCol: String,
+      salt: String = "",
+      defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      "deterministicStratifiedSample: fractions must be in [0, 1]")
+    val threshold: Column = fractions.foldLeft(
+      lit(hexThreshold(defaultFraction))) { case (acc, (stratum, f)) =>
+      when(col(stratumCol) === lit(stratum), lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(
+      substring(md5(concat(lit(salt), col(stratumCol).cast("string"),
+        col(keyCol).cast("string"))), 1, 8) < threshold)
+  }
+
+  /** Temperature-based corpus rebalancing — the multilingual sampling
+    * rule (sample stratum s with probability ∝ n_s^alpha; alpha < 1
+    * flattens the head so low-resource strata keep representation,
+    * cf. the exponential-smoothing mixing popularised by massively
+    * multilingual pretraining). Keeps each stratum at the
+    * deterministic hash rate
+    *
+    *   rate_s = min(1, round(targetRows·n_s^alpha / Σ_t n_t^alpha / n_s, 6))
+    *
+    * so the expected output is ~`targetRows` rows distributed ∝
+    * n_s^alpha (strata capped at rate 1 under-deliver rather than
+    * upsample; this single-pass formulation does NOT re-spread the
+    * capped mass — the standard practice, documented here as a
+    * contract). Rates are derived IN-PLAN: a per-stratum count
+    * aggregate (one row per stratum) plus a one-row normaliser are
+    * broadcast back onto the corpus, so the 100 TB side sees one
+    * narrow pass + a broadcast hash join — no driver collect, no wide
+    * shuffle. The rate is rounded to 6 decimals before thresholding
+    * so the md5 cut-off is reproducible across engines whose `pow`
+    * differs in the last ulp.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      alpha: Double,
+      targetRows: Long,
+      salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureMix: alpha must be in (0, 1], got $alpha")
+    require(targetRows > 0, s"temperatureMix: targetRows must be > 0, got $targetRows")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__graft_n"))
+    val z = counts.agg(sum(pow(col("__graft_n"), alpha)).as("__graft_z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col(stratumCol),
+        least(lit(1.0), round(
+          lit(targetRows.toDouble) * pow(col("__graft_n"), alpha)
+            / col("__graft_z") / col("__graft_n"), 6)).as("__graft_rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(col("__graft_rate") >= 1.0 ||
+        substring(md5(concat(lit(salt), col(stratumCol).cast("string"),
+          col(keyCol).cast("string"))), 1, 8) <
+          format_string("%08x", floor(col("__graft_rate") * 4294967296.0).cast("long")))
+      .drop("__graft_rate")
+  }
+
+  /** Token-budget corpus sharding (sequence-packing's scalable outer
+    * loop): within each `partitionCols` group, rows are laid out in
+    * `orderCol` order and cut into consecutive shards of ~`budget`
+    * total `weightCol` — shard k is the run whose EXCLUSIVE running
+    * weight lands in [k·budget, (k+1)·budget). A shard may overflow by
+    * at most one row's weight: this is cumulative chunking, not greedy
+    * bin-packing — the greedy recurrence ("close the bin when the next
+    * row would overflow") is inherently sequential and cannot
+    * parallelise, while the cumulative rule is one window aggregate
+    * per group. At 100 TB the groups (source, language, date…)
+    * parallelise across executors; a single giant group should be
+    * pre-split with a hash sub-bucket column appended to
+    * `partitionCols` (any deterministic function of the key works —
+    * e.g. a hex digit of md5(key) — at the cost of packing shards per
+    * sub-bucket). */
+  def packShards(
+      df: DataFrame,
+      weightCol: String,
+      budget: Double,
+      partitionCols: Seq[String],
+      orderCol: String,
+      shardCol: String = "shard_id"): DataFrame = {
+    require(budget > 0.0, s"packShards: budget must be > 0, got $budget")
+    require(partitionCols.nonEmpty, "packShards: need at least one partition column")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(shardCol,
+      floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) / budget).cast("long"))
+  }
 }

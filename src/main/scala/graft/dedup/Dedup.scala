@@ -550,6 +550,100 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]] with a bloom prefilter on the train side —
+    * identical output, different (better) 100 TB shape.
+    *
+    * The plain pass explodes EVERY train document into (id, gram)
+    * rows before the eval join: at ~50 grams/doc that is a 50× row
+    * inflation of the corpus just to discover that ~99.9 % of it is
+    * clean. Here the eval gram-hash set is first folded into a bloom
+    * filter (distributed build over the distinct eval grams; only the
+    * filter's bits reach the driver), and each train document answers
+    * "any gram possibly in eval?" with ONE codegen'd in-row loop over
+    * its gram array ([[graft.functions.BloomAnyContainExpr]] — early
+    * exit, no explode, no join). Only the candidate fraction — true
+    * contaminations plus the bloom's `fpp` of false positives — is
+    * exploded and exactly verified against the broadcast eval grams,
+    * so the result matches [[decontaminate]] bit-for-bit: a bloom has
+    * no false negatives, and the exact join removes every false
+    * positive.
+    *
+    * `minHits > 1` still only needs the single-probe prefilter: a doc
+    * with `>= minHits` gram hits certainly has >= 1, so every doc the
+    * exact filter would keep is in the candidate set.
+    *
+    * `fpp` is the PER-GRAM probe rate and it COMPOUNDS per document: a
+    * clean doc with L grams survives the prefilter spuriously with
+    * probability ≈ 1−(1−fpp)^L ≈ L·fpp. The classic sketch default of
+    * 0.01 is therefore wrong for this op — at L≈50 it admits ~40 % of
+    * the clean corpus (measured, SCALE.md r11 bloom rows) and the
+    * prefilter stops filtering. The 1e-4 default prices a ~0.5 %
+    * per-doc candidate rate at L≈50 for only ~2× the filter bits
+    * (bits/key ∝ log(1/fpp)); budget fpp ≈ targetDocRate / L for other
+    * corpora.
+    */
+  def bloomDecontaminate(
+      train: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minHits: Int = 1,
+      fpp: Double = 1e-4,
+      maxDriverGrams: Int = 4 << 20): DataFrame = {
+    require(n >= 1, s"bloomDecontaminate: n must be >= 1, got $n")
+    require(minHits >= 1, s"bloomDecontaminate: minHits must be >= 1, got $minHits")
+    require(maxDriverGrams >= 1,
+      s"bloomDecontaminate: maxDriverGrams must be >= 1, got $maxDriverGrams")
+    def gramArray: Column = graft.functions.HashFunctions.shingleHashesNative(
+      TextFunctions.tokens(TextFunctions.normalizeText(col("__graft_text"))), n)
+    val evalGramsDist = evalDf
+      .select(col(textCol).as("__graft_text"))
+      .select(explode(gramArray).as("__graft_g"))
+      .distinct()
+    // The eval gram set is consumed three times (filter sizing, bloom
+    // build, exact-verify join); by decontaminate's BROADCAST CONTRACT
+    // it fits in executor memory, so the cheapest plan is ONE job that
+    // lands the distinct hashes on the driver (8 B each — bounded by
+    // `maxDriverGrams`, the CollectLimit pattern Ivf.trainSample uses),
+    // then a driver-built bloom and a local-relation verify side. An
+    // eval corpus that overflows the bound falls back to the fully
+    // distributed build: cache the gram set once, count + bloom + join
+    // from the cache.
+    val spark = train.sparkSession
+    val probeCollect = evalGramsDist.limit(maxDriverGrams + 1).collect()
+    val (bloomBytes, evalGrams) =
+      if (probeCollect.length <= maxDriverGrams) {
+        val keys = probeCollect.map(_.getLong(0))
+        val bytes = graft.functions.BloomFunctions.buildBloomBytesFromKeys(keys, fpp)
+        import scala.jdk.CollectionConverters._
+        val local = spark.createDataFrame(
+          keys.map(org.apache.spark.sql.Row(_)).toSeq.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__graft_g",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        (bytes, local)
+      } else {
+        val cached = evalGramsDist
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nGrams = math.max(cached.count(), 1L)
+        (graft.functions.BloomFunctions.buildBloomBytes(cached, "__graft_g", nGrams, fpp),
+          cached)
+      }
+    val candidates = train
+      .select(col(idCol).as("__graft_id"), col(textCol).as("__graft_text"))
+      .select(col("__graft_id"), gramArray.as("__graft_gs"))
+      .filter(graft.functions.BloomFunctions.bloomAnyContain(col("__graft_gs"), bloomBytes))
+    val contaminated = candidates
+      .select(col("__graft_id"), explode(col("__graft_gs")).as("__graft_g"))
+      .join(broadcast(evalGrams), "__graft_g")
+      .groupBy("__graft_id")
+      .agg(count(lit(1)).as("__graft_hits"))
+      .filter(col("__graft_hits") >= minHits)
+      .select(col("__graft_id").as(idCol))
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-wide exact line deduplication (the C4 pattern): split each
     * document on `sep`, keep only the FIRST occurrence of every
     * distinct line — first by (`idCol`, position within the document) —

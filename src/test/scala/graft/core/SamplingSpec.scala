@@ -58,4 +58,74 @@ class SamplingSpec extends SparkTestBase {
     assert(out.filter($"s" === "b").count() == 0)
     assert(out.filter($"s" === "a").count() == 200)
   }
+
+  private def strata = Seq.tabulate(3000)(i =>
+    (i.toLong, if (i % 10 < 8) "big" else if (i % 10 == 8) "mid" else "small"))
+    .toDF("id", "s")
+
+  test("deterministicStratifiedSample: exact endpoints, default drop, stability") {
+    val out = Sampling.deterministicStratifiedSample(
+      strata, "s", Map("big" -> 0.25, "mid" -> 1.0), "id", "t")
+    assert(out.filter($"s" === "small").count() == 0, "unlisted stratum must drop")
+    assert(out.filter($"s" === "mid").count() == 300, "fraction 1.0 keeps all")
+    val nBig = out.filter($"s" === "big").count()
+    assert(nBig > 2400 * 0.25 * 0.7 && nBig < 2400 * 0.25 * 1.3, s"big stratum $nBig")
+    val again = Sampling.deterministicStratifiedSample(
+      strata.repartition(5), "s", Map("big" -> 0.25, "mid" -> 1.0), "id", "t")
+    assert(out.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet, "must be partitioning-stable")
+  }
+
+  test("temperatureMix: alpha=1 reproduces proportional rates; alpha<1 flattens") {
+    // alpha=1: rate_s = target/N for every stratum — uniform thinning
+    val prop = Sampling.temperatureMix(strata, "s", "id", alpha = 1.0,
+      targetRows = 600, salt = "a1")
+    val total = prop.count()
+    assert(total > 600 * 0.7 && total < 600 * 1.3, s"alpha=1 total $total !~ 600")
+    // alpha=0.5: the small stratum's share must EXCEED its raw share
+    val flat = Sampling.temperatureMix(strata, "s", "id", alpha = 0.5,
+      targetRows = 600, salt = "a2")
+    val smallShareFlat = flat.filter($"s" === "small").count().toDouble /
+      math.max(flat.count(), 1)
+    // raw share is 10%; sqrt-flattening lifts it to ~20.7% expected
+    assert(smallShareFlat > 0.15,
+      s"alpha=0.5 small-stratum share $smallShareFlat should beat raw 10%")
+    // deterministic: same args → same rows
+    val again = Sampling.temperatureMix(strata.repartition(7), "s", "id", 0.5, 600, "a2")
+    assert(flat.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+  }
+
+  test("temperatureMix caps rates at 1 instead of upsampling") {
+    // tiny stratum + huge target → its rate caps at 1.0 and it survives whole
+    val out = Sampling.temperatureMix(strata, "s", "id", 0.5, targetRows = 100000)
+    assert(out.filter($"s" === "small").count() == 300)
+    assert(out.count() == 3000)
+  }
+
+  test("packShards: budget rule, per-group reset, overflow bounded by one row") {
+    val d = Seq(
+      ("a", 1L, 30.0), ("a", 2L, 30.0), ("a", 3L, 50.0), ("a", 4L, 10.0),
+      ("b", 1L, 200.0), ("b", 2L, 5.0)).toDF("g", "id", "w")
+    val out = Sampling.packShards(d, "w", budget = 60.0, Seq("g"), "id")
+      .select("g", "id", "shard_id").as[(String, Long, Long)].collect().toSet
+    // group a exclusive cumsums: 0,30,60,110 → shards 0,0,1,1
+    // group b: 0,200 → shards 0,3 (a 200-weight row overflows alone)
+    assert(out == Set(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("a", 4L, 1L),
+      ("b", 1L, 0L), ("b", 2L, 3L)))
+  }
+
+  test("packShards: every shard except a group's last reaches the budget") {
+    val d = Seq.tabulate(500)(i => ("g" + (i % 4), i.toLong, 7.0 + i % 5))
+      .toDF("g", "id", "w")
+    val shards = Sampling.packShards(d, "w", 50.0, Seq("g"), "id")
+      .groupBy("g", "shard_id").agg(sum($"w").as("tot"))
+    val maxShard = shards.groupBy("g").agg(max($"shard_id").as("last"))
+    val nonLast = shards.join(maxShard, Seq("g")).filter($"shard_id" < $"last")
+    // cumulative chunking: a non-final shard's total is within one max
+    // row weight (11 here) of the budget on either side — the boundary
+    // row that crosses the cut belongs to the NEXT shard
+    assert(nonLast.filter($"tot" <= 50.0 - 11.0).count() == 0)
+    assert(nonLast.filter($"tot" >= 50.0 + 11.0).count() == 0)
+  }
 }

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.DataFrameOps
+import graft.dedup.Dedup
+
+class BloomExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bloomOf(keys: Seq[Long], fpp: Double = 0.01): Array[Byte] =
+    BloomFunctions.buildBloomBytes(
+      keys.toDF("k"), "k", math.max(keys.size.toLong, 1), fpp)
+
+  test("bloomMightContain: no false negatives, fpp-bounded false positives") {
+    val members = (0L until 5000L).map(_ * 3)
+    val bytes = bloomOf(members)
+    val probe = spark.range(0, 30000).toDF("k")
+      .withColumn("hit", BloomFunctions.bloomMightContain(col("k"), bytes))
+    val missed = probe.filter(col("k") % 3 === 0 && col("k") < 15000 && !col("hit"))
+    assert(missed.count() == 0, "a bloom filter must never report a false negative")
+    val fpCount = probe.filter(col("k") % 3 =!= 0 && col("hit")).count()
+    val nonMembers = 20000.0
+    assert(fpCount < nonMembers * 0.05,
+      s"false-positive count $fpCount way above nominal 1% of $nonMembers")
+  }
+
+  test("bloomAnyContain matches exists(mightContain) semantics, arrays not exploded") {
+    val members = Seq(100L, 200L, 300L)
+    val bytes = bloomOf(members ++ (0L until 1000L).map(_ + 100000L))
+    val d = Seq(
+      (1L, Seq(1L, 2L, 200L)),  // one member inside
+      (2L, Seq(5L, 6L, 7L)),    // none (modulo fp luck at 1%)
+      (3L, Seq.empty[Long]),    // empty array → false
+      (4L, Seq(100L))           // member alone
+    ).toDF("id", "gs")
+    val out = d.withColumn("hit", BloomFunctions.bloomAnyContain(col("gs"), bytes))
+      .select("id", "hit").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && out(4L), "arrays containing a member must hit")
+    assert(!out(3L), "empty array must miss")
+  }
+
+  test("bloom probes type-check their input") {
+    val d = Seq(("x", Seq("a", "b"))).toDF("s", "arr")
+    val bytes = bloomOf(Seq(1L))
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      d.select(BloomFunctions.bloomMightContain(col("s"), bytes)).collect())
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      d.select(BloomFunctions.bloomAnyContain(col("arr"), bytes)).collect())
+  }
+
+  test("bloom probe survives codegen (plan executes, no fallback crash)") {
+    val bytes = bloomOf((0L until 100L).toSeq)
+    // enough rows that WholeStageCodegen compiles and runs the probe
+    val n = spark.range(0, 10000).toDF("k")
+      .filter(BloomFunctions.bloomMightContain(col("k"), bytes))
+      .count()
+    assert(n >= 100, s"all 100 members must pass the probe, got $n")
+  }
+
+  test("bloomSemiJoin equals the plain semi join exactly") {
+    val left = spark.range(0, 5000).toDF("k")
+      .withColumn("payload", col("k") * 2)
+    val right = spark.range(0, 5000).toDF("rk").filter(col("rk") % 50 === 0)
+    val expected = left.join(right, left("k") === right("rk"), "left_semi")
+    val actual = DataFrameOps.bloomSemiJoin(left, right, "k", "rk", fpp = 0.01)
+    assertDfEqual(actual, expected)
+  }
+
+  test("bloomAntiJoin equals the plain anti join exactly, nulls pass through") {
+    val left = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (50L, "c"), (null, "d"), (999L, "e"))
+      .toDF("k", "v")
+    val right = spark.range(0, 100).toDF("rk").filter(col("rk") % 50 === 0)
+    val expected = left.join(right, left("k") === right("rk"), "left_anti")
+    val actual = DataFrameOps.bloomAntiJoin(left, right, "k", "rk")
+    assertDfEqual(actual, expected)
+    assert(actual.filter(col("v") === "d").count() == 1, "null key row must survive")
+  }
+
+  test("bloomAntiJoin at fpp extremes still exact (bloom only routes, never decides)") {
+    val left = spark.range(0, 2000).toDF("k")
+    val right = spark.range(0, 2000).toDF("rk").filter(col("rk") % 4 === 0)
+    val expected = left.join(right, left("k") === right("rk"), "left_anti")
+    // fpp 0.5 → tiny filter, many false positives → exact join does the work
+    val actual = DataFrameOps.bloomAntiJoin(left, right, "k", "rk", fpp = 0.5)
+    assertDfEqual(actual, expected)
+  }
+
+  test("bloomDecontaminate output is bit-identical to exact decontaminate") {
+    val base = Seq.tabulate(60)(i =>
+      (i.toLong, s"document number $i carries tokens t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f"))
+    val evalDf = Seq(
+      (1000L, "secret benchmark passage alpha beta gamma delta epsilon zeta"),
+      (1001L, "another held out sequence one two three four five six")).toDF("id", "text")
+    // plant eval text into three train docs
+    val train = base.map { case (id, t) =>
+      if (id % 20 == 3) (id, t + " secret benchmark passage alpha beta gamma delta epsilon zeta")
+      else (id, t)
+    }.toDF("id", "text")
+    val exact = Dedup.decontaminate(train, evalDf, "text", "id", n = 5)
+      .select("id").as[Long].collect().toSet
+    val bloomed = Dedup.bloomDecontaminate(train, evalDf, "text", "id", n = 5)
+      .select("id").as[Long].collect().toSet
+    assert(bloomed == exact)
+    assert(!bloomed.contains(3L) && !bloomed.contains(23L) && !bloomed.contains(43L),
+      "planted contaminations must be removed")
+    assert(bloomed.size == 57, "clean docs must all survive")
+  }
+
+  test("bloomDecontaminate at fpp 0.5 still exact (verification absorbs false positives)") {
+    val train = Seq.tabulate(40)(i =>
+      (i.toLong, s"clean text piece u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")).toDF("id", "text")
+    val evalDf = Seq((9000L, "totally disjoint eval words qq ww ee rr tt yy")).toDF("id", "text")
+    assert(Dedup.bloomDecontaminate(train, evalDf, "text", "id", n = 5, fpp = 0.5)
+      .count() == 40)
+  }
+}

@@ -274,6 +274,29 @@ object Bench {
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) / 4000.0)
             .cast("long"))
         .select("doc_id", "source", "shard_id")),
+    "q_pack_greedy" -> ((s, d) => {
+      // hand-written secondary-sort greedy packing (same algorithm a
+      // user would write directly)
+      val src = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
+        org.apache.spark.sql.types.StructField("shard_id",
+          org.apache.spark.sql.types.LongType, nullable = false))
+      src.repartition(col("source"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+        .mapPartitions { rows =>
+          var cur: String = null; var shard = 0L; var fill = 0.0
+          rows.map { r =>
+            val g = r.getString(1); val w = r.getLong(2).toDouble
+            if (g != cur) { cur = g; shard = 0L; fill = w }
+            else if (fill + w > 4000.0) { shard += 1; fill = w }
+            else fill += w
+            org.apache.spark.sql.Row(r.getLong(0), g, r.getLong(2), shard)
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
+        .select("doc_id", "source", "shard_id")
+    }),
     "q_bloom_semi" -> ((s, d) => {
       // plain (non-bloom) semi join — what a user writes without the op
       val li = s.read.parquet(s"$d/lineitem.parquet")
@@ -622,6 +645,50 @@ object Bench {
           col("window_end").cast("long").as("window_end"),
           col("event_type"), col("n_events"),
           round(col("sum_value"), 6).as("sum_value"))
+    }),
+
+    "q_stream_decontaminate" -> ((s, d) => {
+      // hand-written streaming decontamination: HOF 5-gram strings +
+      // array_intersect against a literal eval-gram array — the
+      // stateless filter a Spark engineer writes without the library's
+      // bloom/sorted-set kernels, over the SAME real stream
+      def gramsOf(c: Column): Column = {
+        val toks = rawToks(rawNorm(c))
+        array_distinct(filter(
+          transform(sequence(lit(1), greatest(size(toks) - 4, lit(1))),
+            i => concat_ws(" ", slice(toks, i, lit(5)))),
+          g => length(g) > 0))
+      }
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalDf = docs.filter(col("doc_id") < 100)
+      val evalGrams = evalDf.select(explode(gramsOf(col("text"))).as("g"))
+        .distinct().collect().map(_.getString(0))
+      val evalTexts = evalDf
+        .select((col("doc_id") + 100L).as("doc_id"), col("text").as("etext"))
+      val rawSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val planted = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .filter(col("doc_id") >= 100)
+        .join(evalTexts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") < 110 && col("etext").isNotNull,
+            concat(col("text"), lit(" "), col("etext")))
+            .otherwise(col("text")).as("text"))
+      val clean = planted.filter(
+        size(array_intersect(gramsOf(col("text")),
+          lit(evalGrams))) < 1)
+      val q = clean.writeStream.format("memory")
+        .queryName("graft_bench_raw_decon").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_decontaminate raw baseline: stream did not finish within 120 s")
+      }
+      s.table("graft_bench_raw_decon").select(col("doc_id"))
     }),
 
     "q_cluster_rep" -> ((s, d) => {

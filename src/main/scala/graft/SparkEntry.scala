@@ -805,6 +805,16 @@ object SparkEntry {
         "n_chars", budget = 4000.0, Seq("source"), "doc_id")
         .select(col("doc_id"), col("source"), col("shard_id"))),
 
+    "q_pack_greedy" -> ((s, d) =>
+      // EXACT greedy packing: shard closes when the next doc would
+      // overflow; sequential per source, parallel across sources
+      Sampling.packShardsGreedy(
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            col("n_chars").cast("long").as("n_chars")),
+        "n_chars", budget = 4000.0, Seq("source"), "doc_id")
+        .select(col("doc_id"), col("source"), col("shard_id"))),
+
     "q_bloom_semi" -> ((s, d) => {
       // bloom-prefiltered EXACT semi join: lineitems of high-value orders;
       // the left scan drops definite non-members before any exchange
@@ -1065,6 +1075,33 @@ object SparkEntry {
           col("window_end").cast("long").as("window_end"),
           col("event_type"), col("n_events"),
           round(col("sum_value"), 6).as("sum_value"))
+    }),
+
+    "q_stream_decontaminate" -> ((s, d) => {
+      // ACTUAL streaming decontamination: documents streamed from the
+      // source file, plants applied via a stream-static left join, then
+      // the stateless bloom + exact-sorted-set filter. Output is the
+      // clean doc set — identical to batch decontaminate, so the exact
+      // q_decontaminate oracle applies verbatim.
+      val batchDocs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalDf = batchDocs.filter(col("doc_id") < 100)
+      val evalTexts = evalDf
+        .select((col("doc_id") + 100L).as("doc_id"), col("text").as("etext"))
+      val rawSchema = t(s, d, "documents").schema
+      val docsStream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .filter(col("doc_id") >= 100)
+        .join(evalTexts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") < 110 && col("etext").isNotNull,
+            concat(col("text"), lit(" "), col("etext")))
+            .otherwise(col("text")).as("text"))
+      val clean = Streaming.decontaminateStream(
+        docsStream, evalDf, "text", n = 5, minHits = 1)
+      Streaming.runStreamToMemory(s, clean, "graft_stream_decon", outputMode = "append")
+        .select(col("doc_id"))
     }),
 
     "q_stream_dedup" -> ((s, d) => {
@@ -1934,6 +1971,23 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000.0) AS BIGINT) AS shard_id
         |FROM documents""".stripMargin,
 
+    "q_pack_greedy" ->
+      // the greedy recurrence, replayed exactly: row n+1 of each group
+      // extends row n's (shard, fill) state through a recursive CTE
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(n_chars AS BIGINT) AS w,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY CAST(doc_id AS BIGINT)) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, source, w, rn, CAST(0 AS BIGINT) AS shard_id, CAST(w AS DOUBLE) AS fill
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.doc_id, b.source, b.w, b.rn,
+        |    CASE WHEN p.fill + b.w > 4000.0 THEN p.shard_id + 1 ELSE p.shard_id END,
+        |    CASE WHEN p.fill + b.w > 4000.0 THEN CAST(b.w AS DOUBLE) ELSE p.fill + b.w END
+        |  FROM base b JOIN packed p ON b.source = p.source AND b.rn = p.rn + 1)
+        |SELECT doc_id, source, shard_id FROM packed""".stripMargin,
+
     "q_bloom_semi" ->
       """SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
         |  CAST(l.l_quantity AS DOUBLE) AS l_quantity,
@@ -2068,6 +2122,32 @@ object SparkEntry {
         |CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 AS window_end,
         |event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_decontaminate" ->
+      // exact oracle, shared shape with q_decontaminate: the streaming
+      // filter must reproduce the batch decontamination set exactly
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+        |ev AS (SELECT doc_id, text FROM docs WHERE doc_id < 100),
+        |tr AS (SELECT t.doc_id,
+        |         CASE WHEN t.doc_id < 110 AND e.text IS NOT NULL
+        |              THEN t.text || ' ' || e.text ELSE t.text END AS text
+        |       FROM docs t LEFT JOIN ev e ON e.doc_id = t.doc_id - 100
+        |       WHERE t.doc_id >= 100),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 5
+        |         THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        |         ELSE [array_to_string(toks, ' ')] END) AS g
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM tr)),
+        |evg AS (
+        |  SELECT list_distinct(flatten(list(g))) AS eg
+        |  FROM (SELECT list_distinct(
+        |    CASE WHEN len(toks) >= 5
+        |         THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        |         ELSE [array_to_string(toks, ' ')] END) AS g
+        |  FROM (SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM ev)))
+        |SELECT grams.doc_id FROM grams, evg
+        |WHERE len(list_intersect(grams.g, evg.eg)) < 1""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT CAST(0 AS BIGINT) AS n_bad_pairs,

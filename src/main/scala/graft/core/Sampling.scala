@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,5 +169,50 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn(shardCol,
       floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) / budget).cast("long"))
+  }
+
+  /** EXACT greedy bin-packing variant of [[packShards]]: a shard closes
+    * when the NEXT row would push it past `budget`, so no shard ever
+    * overflows (a single row heavier than the budget gets a shard to
+    * itself). The greedy recurrence is sequential WITHIN a group but
+    * embarrassingly parallel ACROSS groups, so this is one shuffle on
+    * `partitionCols` + an ordered per-partition streaming pass
+    * (secondary-sort pattern: repartition on the group key, sort
+    * partitions by (group, order), walk each group run carrying
+    * (shard, fill) — O(1) state, no per-group materialisation).
+    * Prefer [[packShards]] when approximate shard sizes are fine —
+    * it needs no repartition of the full corpus beyond the window's
+    * own shuffle and tolerates giant groups via sub-bucketing. */
+  def packShardsGreedy(
+      df: DataFrame,
+      weightCol: String,
+      budget: Double,
+      partitionCols: Seq[String],
+      orderCol: String,
+      shardCol: String = "shard_id"): DataFrame = {
+    require(budget > 0.0, s"packShardsGreedy: budget must be > 0, got $budget")
+    require(partitionCols.nonEmpty, "packShardsGreedy: need at least one partition column")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        shardCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val keyIdx = partitionCols.map(df.schema.fieldIndex)
+    val wIdx = df.schema.fieldIndex(weightCol)
+    val sorted = df
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols :+ orderCol).map(col): _*)
+    sorted.mapPartitions { rows =>
+      var curKey: Seq[Any] = null
+      var shard = 0L
+      var fill = 0.0
+      rows.map { r =>
+        val key = keyIdx.map(r.get)
+        // null weight = weightless row: joins the current shard
+        val w = Option(r.get(wIdx)).map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.0)
+        if (key != curKey) { curKey = key; shard = 0L; fill = w }
+        else if (fill + w > budget) { shard += 1; fill = w }
+        else fill += w
+        Row.fromSeq(r.toSeq :+ shard)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

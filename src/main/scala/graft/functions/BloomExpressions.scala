@@ -61,6 +61,21 @@ object BloomKernels {
     }
     false
   }
+
+  /** EXACT membership count: how many elements of `arr` appear in the
+    * sorted key array — binary search per element, no explode, no
+    * join. The exact sibling of [[anyContain]] for key sets small
+    * enough to ride along with the plan. */
+  def sortedSetCount(keys: Array[Long], arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(keys, arr.getLong(i)) >= 0) hits += 1
+      i += 1
+    }
+    hits
+  }
 }
 
 /** long -> boolean: does the key possibly belong to the filter's set? */
@@ -117,6 +132,34 @@ case class BloomAnyContainExpr(child: Expression, filterBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** array<long> -> int: EXACT count of elements found in a sorted key
+  * set carried with the expression. With the bloom probes this
+  * completes a stateless decontamination predicate: bloom rejects the
+  * clean bulk cheaply, this settles the hits exactly — no explode, no
+  * join, no state, which is what a STREAMING filter needs. */
+case class SortedSetCountExpr(child: Expression, sortedKeys: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_set_count"
+
+  override def nullSafeEval(input: Any): Any =
+    BloomKernels.sortedSetCount(sortedKeys, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSortedKeys", sortedKeys, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BloomKernels.sortedSetCount($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedSetCountExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for bloom building and probing. */
 object BloomFunctions {
 
@@ -158,4 +201,12 @@ object BloomFunctions {
   /** Fused any-element probe of an array<long> column. */
   def bloomAnyContain(arr: Column, filterBytes: Array[Byte]): Column =
     ColumnBridge(BloomAnyContainExpr(ColumnBridge.expression(arr), filterBytes))
+
+  /** Exact membership count of an array<long> column against a key
+    * set (sorted internally — pass any order). */
+  def sortedSetCount(arr: Column, keys: Array[Long]): Column = {
+    val sorted = keys.clone()
+    java.util.Arrays.sort(sorted)
+    ColumnBridge(SortedSetCountExpr(ColumnBridge.expression(arr), sorted))
+  }
 }

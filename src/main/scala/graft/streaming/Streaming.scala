@@ -136,6 +136,55 @@ object Streaming {
       .parquet(path)
       .withWatermark(tsCol, watermarkDelay)
 
+  /** Streaming train/eval decontamination as a STATELESS filter: keep
+    * only documents sharing fewer than `minHits` token `n`-grams with
+    * the static eval corpus — [[graft.dedup.Dedup.bloomDecontaminate]]
+    * semantics, re-shaped for a stream.
+    *
+    * The batch operator verifies bloom candidates with an explode +
+    * join + per-doc aggregate; none of those are stateless, and a
+    * streaming aggregate would drag in watermarks and a state store
+    * for what is logically a per-row predicate. Instead the eval side
+    * (small by the decontamination contract, enforced via
+    * `maxDriverGrams`) is collected ONCE at plan-build time into two
+    * driver structures that ride the plan as references: a bloom
+    * filter (cheap first probe, rejects the clean bulk) and the exact
+    * sorted gram-hash set
+    * ([[graft.functions.SortedSetCountExpr]] — binary search per
+    * gram, settles every bloom hit exactly). The result is one
+    * codegen'd filter: no explode, no join, no state store, exact —
+    * and because And short-circuits, a clean document pays only the
+    * bloom probe. Works identically on a batch frame (same plan).
+    */
+  def decontaminateStream(
+      stream: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      n: Int = 8,
+      minHits: Int = 1,
+      fpp: Double = 1e-4,
+      maxDriverGrams: Int = 4 << 20): DataFrame = {
+    require(n >= 1, s"decontaminateStream: n must be >= 1, got $n")
+    require(minHits >= 1, s"decontaminateStream: minHits must be >= 1, got $minHits")
+    def grams(c: Column): Column = graft.functions.HashFunctions.shingleHashesNative(
+      graft.text.TextFunctions.tokens(graft.text.TextFunctions.normalizeText(c)), n)
+    val evalKeys = evalDf
+      .select(explode(grams(col(textCol))).as("__graft_g"))
+      .distinct()
+      .limit(maxDriverGrams + 1)
+      .collect().map(_.getLong(0))
+    require(evalKeys.length <= maxDriverGrams,
+      s"decontaminateStream: eval corpus exceeds maxDriverGrams=$maxDriverGrams " +
+        "distinct grams; a stateless stream filter needs the exact set driver-side — " +
+        "raise the bound or decontaminate in batch (bloomDecontaminate)")
+    val bloomBytes = graft.functions.BloomFunctions
+      .buildBloomBytesFromKeys(evalKeys, fpp)
+    val gs = grams(col(textCol))
+    stream.filter(
+      !graft.functions.BloomFunctions.bloomAnyContain(gs, bloomBytes) ||
+        graft.functions.BloomFunctions.sortedSetCount(gs, evalKeys) < minHits)
+  }
+
   // ------------------------------------------------- custom state
   // KeyValueGroupedDataset.flatMapGroupsWithState — per-key state the
   // built-in windowed aggregations can't express.

@@ -115,6 +115,37 @@ class SamplingSpec extends SparkTestBase {
       ("b", 1L, 0L), ("b", 2L, 3L)))
   }
 
+  test("packShardsGreedy: exact greedy semantics, no overflow, per-group reset") {
+    val d = Seq(
+      ("a", 1L, 30.0), ("a", 2L, 30.0), ("a", 3L, 50.0), ("a", 4L, 10.0),
+      ("b", 1L, 200.0), ("b", 2L, 5.0)).toDF("g", "id", "w")
+    val out = Sampling.packShardsGreedy(d, "w", budget = 60.0, Seq("g"), "id")
+      .select("g", "id", "shard_id").as[(String, Long, Long)].collect().toSet
+    // a: 30 | +30=60 stays | +50 would be 110 → new shard 50 | +10=60 stays
+    // b: 200 alone (over budget) | +5 would be 205 → new shard
+    assert(out == Set(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("a", 4L, 1L),
+      ("b", 1L, 0L), ("b", 2L, 1L)))
+  }
+
+  test("packShardsGreedy: no multi-row shard exceeds the budget; ids consecutive") {
+    val d = Seq.tabulate(600)(i => ("g" + (i % 3), i.toLong, 7.0 + i % 5))
+      .toDF("g", "id", "w")
+    val packed = Sampling.packShardsGreedy(d, "w", 50.0, Seq("g"), "id")
+    val shards = packed.groupBy("g", "shard_id")
+      .agg(sum($"w").as("tot"), count(lit(1)).as("n"))
+    assert(shards.filter($"tot" > 50.0 && $"n" > 1).count() == 0,
+      "greedy packing must never overflow a multi-row shard")
+    // consecutive shard ids 0..max per group (greedy never skips)
+    val perGroup = shards.groupBy("g")
+      .agg(max($"shard_id").as("mx"), count(lit(1)).as("n"))
+    assert(perGroup.filter($"mx" =!= $"n" - 1).count() == 0)
+    // stable under input repartitioning
+    val again = Sampling.packShardsGreedy(d.repartition(11), "w", 50.0, Seq("g"), "id")
+      .select("g", "id", "shard_id").as[(String, Long, Long)].collect().toSet
+    assert(again == packed.select("g", "id", "shard_id")
+      .as[(String, Long, Long)].collect().toSet)
+  }
+
   test("packShards: every shard except a group's last reaches the budget") {
     val d = Seq.tabulate(500)(i => ("g" + (i % 4), i.toLong, 7.0 + i % 5))
       .toDF("g", "id", "w")

@@ -41,6 +41,19 @@ class BloomExpressionsSpec extends SparkTestBase {
     assert(!out(3L), "empty array must miss")
   }
 
+  test("sortedSetCount: exact per-element membership counts, any input key order") {
+    val keys = Array(50L, 10L, 30L) // unsorted on purpose
+    val d = Seq(
+      (1L, Seq(10L, 20L, 30L)),       // two members
+      (2L, Seq(10L, 10L)),            // duplicate elements count per occurrence
+      (3L, Seq(99L)),                 // none
+      (4L, Seq.empty[Long])
+    ).toDF("id", "gs")
+    val out = d.withColumn("n", BloomFunctions.sortedSetCount(col("gs"), keys))
+      .select("id", "n").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 2, 2L -> 2, 3L -> 0, 4L -> 0))
+  }
+
   test("bloom probes type-check their input") {
     val d = Seq(("x", Seq("a", "b"))).toDF("s", "arr")
     val bytes = bloomOf(Seq(1L))

@@ -60,4 +60,60 @@ class StreamingSpec extends SparkTestBase {
       result.orderBy("window_start", "key"),
       batch.orderBy("window_start", "key"))
   }
+
+  test("decontaminateStream equals batch decontaminate across micro-batches") {
+    import graft.dedup.Dedup
+    val mk = (id: Long, t: String) => (id, t)
+    val evalDf = Seq(
+      mk(900L, "held out benchmark alpha beta gamma delta epsilon"),
+      mk(901L, "another eval passage one two three four five")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      mk(1L, "clean doc aa bb cc dd ee ff gg"),
+      mk(2L, "poisoned text held out benchmark alpha beta gamma delta epsilon tail"))
+    val batch2 = Seq(
+      mk(3L, "another clean one hh ii jj kk ll mm"),
+      mk(4L, "also poisoned one two three four five suffix words here"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_stream").toString
+    batch1.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/in")
+    Thread.sleep(20)
+    batch2.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/in")
+    val streamed = spark.readStream
+      .schema(batch1.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val got = Streaming.runStreamToMemory(spark,
+        Streaming.decontaminateStream(streamed, evalDf, "text", n = 5),
+        "graft_decon_stream_sink", outputMode = "append")
+      .select("doc_id").as[Long].collect().toSet
+    val want = Dedup.decontaminate(
+        (batch1 ++ batch2).toDF("doc_id", "text"), evalDf, "text", "doc_id", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got == Set(1L, 3L), "poisoned docs must be filtered out of the stream")
+  }
+
+  test("decontaminateStream minHits thresholds on EXACT gram counts, not bloom hits") {
+    // doc 11 shares exactly ONE 3-gram with eval; doc 12 shares two
+    val evalDf = Seq((900L, "xx yy zz qq ww ee")).toDF("doc_id", "text")
+    val docs = Seq(
+      (11L, "xx yy zz aa bb cc dd"),
+      (12L, "xx yy zz qq rr yy zz qq ww uu"),
+      (13L, "totally unrelated words pp oo nn")).toDF("doc_id", "text")
+    // minHits=2: only the two-gram overlap goes
+    val keep2 = Streaming.decontaminateStream(docs, evalDf, "text", n = 3, minHits = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keep2 == Set(11L, 13L))
+    // minHits=1: both overlapping docs go
+    val keep1 = Streaming.decontaminateStream(docs, evalDf, "text", n = 3, minHits = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keep1 == Set(13L))
+  }
+
+  test("decontaminateStream refuses an eval corpus over the driver bound") {
+    val evalDf = Seq((1L, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text")
+    val docs = Seq((2L, "x y z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Streaming.decontaminateStream(docs, evalDf, "text", n = 3, maxDriverGrams = 2))
+    assert(e.getMessage.contains("maxDriverGrams"))
+  }
 }

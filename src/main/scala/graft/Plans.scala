@@ -44,6 +44,12 @@ object Plans {
       "Streaming SimHash near-dup dedup (batch-equivalence path): ONE kernel fingerprint pass (the fingerprint frame is checkpoint-fenced, so the dedup and every invariant join read the materialised fingerprints, never re-running the kernel over the corpus), ONE exchange on the shard key into FlatMapGroupsWithState — no payload re-shuffle (PlanShapeSpec pins the single-exchange shape); the survivor set is checkpointed separately to pin the order-dependent survivor choice across the invariant joins. Since r10 the frame (and its evtime sibling) also cross-joins the late-drop probe's 1-row literal (`n_late_emitted`, cached per session — SparkEntry.evtimeLateProbe), adding one more 1-row BroadcastNestedLoopJoin Cross of the same invariant-aggregate shape as the existing ones.",
     "q_stream_dedup_fullrecall" ->
       "Full-recall streaming near-dup dedup: the plan below is the invariant-oracle frame over the survivors store the two micro-batch runs wrote; the operator's own per-batch shape is pinned by PlanShapeSpec — the banded micro-batch BROADCASTS into a BroadcastHashJoin on (band, bucket) while the survivors store streams map-side with no exchange (no banded hashpartitioning anywhere: within-batch banding is checkpoint-fenced, the store never shuffles — the property that keeps per-batch cost a columnar scan, not a shuffle, as the store grows to corpus scale).",
+    "q_bloom_decontaminate" ->
+      "Bloom-prefiltered decontamination: the train side is scanned with the codegen'd bloom_any_contain Filter directly over the gram-kernel Project (no explode before the probe); only bloom candidates reach the explode + broadcast gram join, and the final anti join is the same shape as the exact pass. The eval side appears as a LocalTableScan — the driver-built gram set (bounded by maxDriverGrams) broadcast into the verify join. SCALE.md r11: 94x join-volume cut at 8x corpus.",
+    "q_bloom_semi" ->
+      "Bloom-prefiltered EXACT semi join: bloom_might_contain(xxhash64(key)) is a Filter on the left SCAN — candidates are pruned before any exchange; the exact semi join then removes false positives. At sf0.01 AQE broadcasts the right side either way; the operator's case is a right side too big to broadcast, where the left exchange carries only the candidate fraction.",
+    "q_pack_greedy" ->
+      "Exact greedy packing: Exchange hashpartitioning(source) + Sort(source, doc_id) + MapPartitions — the secondary-sort pattern; one shuffle of the corpus, O(1) state in the partition walk, no window buffering.",
   )
 
   def main(args: Array[String]): Unit = {

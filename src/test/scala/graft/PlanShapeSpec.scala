@@ -223,4 +223,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("exchange"), s"sampling shuffled:\n$plan")
     assert(!plan.contains("rand("), s"sampling must be RNG-free:\n$plan")
   }
+
+  test("bloom semi join probes at the scan: candidate filter BEFORE the only left exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_bloom").toString
+    spark.range(2000).toDF("k").write.mode("overwrite").parquet(s"$dir/left")
+    spark.range(0, 2000, 40).toDF("rk").write.mode("overwrite").parquet(s"$dir/right")
+    val left = spark.read.parquet(s"$dir/left")
+    val right = spark.read.parquet(s"$dir/right")
+    val out = core.DataFrameOps.bloomSemiJoin(left, right, "k", "rk")
+    // force a shuffled join so the probe-vs-exchange ordering is visible
+    val plan = out.hint("shuffle_hash")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"probe expression missing from the plan:\n$plan")
+    // the probe must sit under a Filter on the scan side, not above a join
+    val probeLine = plan.linesIterator.indexWhere(l =>
+      l.contains("Filter") && l.contains("bloom_might_contain"))
+    assert(probeLine >= 0, s"probe is not a scan-side Filter:\n$plan")
+  }
+
+  test("stateless streaming decontamination plans zero exchanges and zero state ops") {
+    import spark.implicits._
+    val evalDf = Seq((1L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_decon").toString
+    Seq((2L, "xx yy zz")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val out = streaming.Streaming.decontaminateStream(
+      spark.read.parquet(dir), evalDf, "text", n = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"),
+      s"stateless decon filter must not shuffle:\n$plan")
+    assert(plan.contains("bloom_any_contain") && plan.contains("sorted_set_count"),
+      s"both probe kernels must appear in the one filter:\n$plan")
+  }
 }

@@ -542,6 +542,41 @@ object Scale {
           s""","code_parquet_bytes":${bytesOf(s"$dir/codes")}}""")
       }
     }
+
+    // --- bloom semi join in its OWN regime (r11): the bench ratio at
+    // sf0.1 measures the operator against a broadcastable right side —
+    // precisely the case it is NOT for. Here broadcast is disabled
+    // (emulating a right side beyond the threshold) and the left is
+    // 20M rows with 5 % semi-join selectivity: the plain semi join
+    // must shuffle the whole left; the bloom path ships only the
+    // candidate fraction through the exchange. bloom_semi_candidates'
+    // out_rows IS the exchanged-row evidence (true hits + fpp).
+    {
+      val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(thresholdKey)
+      spark.conf.set(thresholdKey, "-1")
+      try {
+        val keyspace = 1000000L
+        def left = spark.range(20000000L)
+          .select((col("id") % keyspace).as("k"), col("id").as("payload"))
+        // 50k distinct keys spread over the keyspace → 5 % of left rows hit
+        def right = spark.range(50000L).select((col("id") * 20L).as("rk"))
+        for (round <- 1 to 2) {
+          timed("bloom_semi_plain_noBC", "round" -> round.toLong)(() => {
+            val l = left; val r = right
+            l.join(r, l("k") === r("rk"), "left_semi")
+          })
+          timed("bloom_semi_bloom_noBC", "round" -> round.toLong)(() =>
+            graft.core.DataFrameOps.bloomSemiJoin(left, right, "k", "rk"))
+        }
+        timed("bloom_semi_candidates")(() => {
+          val bytes = graft.functions.BloomFunctions.buildBloomBytes(
+            right.select(xxhash64(col("rk")).as("h")), "h", 50000L, 0.01)
+          left.filter(graft.functions.BloomFunctions
+            .bloomMightContain(xxhash64(col("k")), bytes))
+        })
+      } finally spark.conf.set(thresholdKey, prev)
+    }
     spark.stop()
   }
 }

@@ -594,7 +594,14 @@ object DataFrameOps {
     *
     * Probes are keyed on `xxhash64(key)` on both sides, so any
     * key type works; an xxhash64 collision can only ADD a candidate
-    * (another false positive the exact join removes), never drop one. */
+    * (another false positive the exact join removes), never drop one.
+    *
+    * Measured in the no-broadcast regime (SCALE.md r11 bloom_semi
+    * rows: 20M-row left, 5 % selectivity): 1,194,840 of 20M rows
+    * through the left exchange — a 16.7× exchange-volume cut — and
+    * 1.49 s → 1.08 s warm wall time vs the plain semi join. Against a
+    * BROADCASTABLE right side the plain join is already optimal and
+    * this operator only adds the build job (bench sub-0.5 s band). */
   def bloomSemiJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,

@@ -105,13 +105,27 @@ object Ivf {
     require(nlist >= 1, s"buildIndex: nlist must be >= 1, got $nlist")
     require(maxTrainRows >= 1,
       s"buildIndex: maxTrainRows must be >= 1, got $maxTrainRows")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val sampled =
       if (trainFraction >= 1.0) base
       else base.sample(withReplacement = false, trainFraction, seed)
-    val trainRows = trainSample(sampled, maxTrainRows)
+    buildIndexFromSample(base, nlist, maxIter, seed,
+      trainSample(sampled, maxTrainRows))
+  }
+
+  /** [[buildIndex]] continuation from an already-collected train
+    * sample — lets [[graft.similarity.Pq.ivfPqTopK]] feed the router
+    * and the PQ codebooks from ONE bounded sampling job instead of
+    * paying the TakeOrdered + collect twice. `base` must carry
+    * (id, vec). */
+  private[similarity] def buildIndexFromSample(
+      base: DataFrame,
+      nlist: Int,
+      maxIter: Int,
+      seed: Long,
+      trainRows: Array[Array[Double]]): (DataFrame, DataFrame) = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val centers = localLloyd(trainRows, nlist, maxIter, seed)
 
     // centroids ride into the scan as ONE flat reference object inside

@@ -74,8 +74,24 @@ object Pq {
     // the sample is bounded by maxTrainRows anyway
     val base = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val sample = Ivf.trainSample(base, maxTrainRows)
-    require(sample.nonEmpty, "trainCodebooks: empty corpus")
+    trainCodebooksFromSample(Ivf.trainSample(base, maxTrainRows), m, k, maxIter, seed)
+  }
+
+  /** [[trainCodebooks]] continuation from an already-collected sample
+    * (shared with the IVF router by [[ivfPqTopK]] — one sampling job,
+    * two quantizers). The input arrays are cloned before the in-place
+    * normalisation, so a caller may reuse the raw sample. */
+  private[similarity] def trainCodebooksFromSample(
+      raw: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      maxIter: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    require(m >= 1, s"trainCodebooks: m must be >= 1, got $m")
+    require(k >= 1 && k <= 256,
+      s"trainCodebooks: k must be in [1, 256] (one byte per code), got $k")
+    require(raw.nonEmpty, "trainCodebooks: empty corpus")
+    val sample = raw.map(_.clone())
     sample.foreach { v =>
       var ss = 0.0
       var i = 0
@@ -210,10 +226,22 @@ object Pq {
       trainFraction: Double = 1.0,
       maxTrainRows: Int = 100000,
       queryIdCol: String = "query_id"): DataFrame = {
-    val (assignments, centroids) = Ivf.buildIndex(corpus, idCol, vecCol,
-      nlist, seed, maxIter, trainFraction, maxTrainRows)
-    val codebooks = trainCodebooks(corpus, idCol, vecCol, m, nCentroids,
-      maxIter, seed, maxTrainRows)
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"ivfPqTopK: trainFraction must be in (0, 1], got $trainFraction")
+    // ONE bounded sampling job (TakeOrdered + collect) feeds BOTH
+    // quantizers — router centroids and PQ codebooks. Two separate
+    // trainSample calls measured as the bulk of the wrapped-vs-raw gap
+    // at toy scale (isolated q_ivf_pq_topk 1.5x before, each sampling
+    // job re-scanning the corpus for a bounded slice).
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val sampled =
+      if (trainFraction >= 1.0) base
+      else base.sample(withReplacement = false, trainFraction, seed)
+    val trainRows = Ivf.trainSample(sampled, maxTrainRows)
+    val (assignments, centroids) =
+      Ivf.buildIndexFromSample(base, nlist, maxIter, seed, trainRows)
+    val codebooks = trainCodebooksFromSample(trainRows, m, nCentroids, maxIter, seed)
     // assignments already carries (id, vec, cell): encode in place, no
     // second corpus scan or join
     val encoded = assignments.select(col("id"), col("cell"),

@@ -21,7 +21,10 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_salted_join", "q_salted_join_skew",
     "q_cosine_topk_scalable", "q_lsh_cosine", "q_runlog", "q_pipeline_docs",
     "q_simhash128", "q_pipeline_docs128", "q_stream_dedup",
-    "q_stream_dedup_evtime", "q_stream_dedup_fullrecall")
+    "q_stream_dedup_evtime", "q_stream_dedup_fullrecall",
+    "q_bloom_semi", "q_bloom_anti", "q_bloom_decontaminate",
+    "q_stratified_sample", "q_temperature_mix", "q_pack_shards",
+    "q_pack_greedy", "q_stream_decontaminate")
 
   // q_asof_join reads the events table, which needs the nanos-timestamp
   // session config like q_stream_exec — checked here with the config set

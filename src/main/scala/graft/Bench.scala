@@ -372,6 +372,48 @@ object Bench {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q_dedup_against" -> ((s, d) => {
+      // hand-written cross-corpus LSH: same shape as the q_minhash_dedup
+      // raw but banding BOTH corpora and joining across them
+      val par = s.sparkContext.defaultParallelism
+      def gramify(df: DataFrame): DataFrame = df
+        .repartition(par)
+        .withColumn("toks", rawToks(rawNorm(col("text"))))
+        .withColumn("sh", array_distinct(filter(
+          transform(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3)))),
+          x => length(x) > 0)))
+        .withColumn("hs", transform(col("sh"), x => xxhash64(x)))
+        .filter(size(col("hs")) > 0)
+        .select("doc_id", "hs")
+        .repartition(par)
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") < 250)
+      val fresh = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" extra tail token")).as("text")))
+      val fb = gramify(fresh)
+      val rb = gramify(ref)
+      val fBand = rawBanded(rawMinHashSig(fb, "doc_id", "hs", 64), "doc_id", 16, 4)
+      val rBand = rawBanded(rawMinHashSig(rb, "doc_id", "hs", 64), "doc_id", 16, 4)
+      val ok = rBand.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n")).filter(col("n") <= 1000).drop("n")
+      val rCapped = rBand.join(ok, Seq("band", "bucket"), "left_semi")
+      val pairs = fBand.as("n").join(rCapped.as("r"),
+          col("n.band") === col("r.band") && col("n.bucket") === col("r.bucket"))
+        .select(col("n.id").as("id_a"), col("r.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val dropped = pairs
+        .join(fb.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(rb.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+        .withColumn("jaccard", rawJaccard(col("hs_a"), col("hs_b")))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("id_a").as("doc_id")).distinct()
+      fresh.join(dropped, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    }),
+
     "q_simhash_dedup" -> ((s, d) => {
       val par = s.sparkContext.defaultParallelism
       val toksDf = rawAugmentedDocs(s, d)

@@ -575,6 +575,24 @@ object Scale {
           left.filter(graft.functions.BloomFunctions
             .bloomMightContain(xxhash64(col("k")), bytes))
         })
+        // exchange BYTES via the RunMetricsProbe listener — the direct
+        // form of the volume argument (plain must shuffle the whole
+        // left; bloom ships candidates only)
+        if (!only.exists(!_.contains("bloom_semi_bytes"))) {
+          def bytesRow(variant: String, df: org.apache.spark.sql.DataFrame): Unit = {
+            spark.catalog.clearCache()
+            val mtr = graft.observability.RunMetricsProbe.measure(df)
+            println(s"""{"op":"bloom_semi_bytes","variant":"$variant"""" +
+              s""","shuffle_write_bytes":${mtr.shuffleWriteBytes}""" +
+              s""","rows":${mtr.rows},"secs":${mtr.wallMs / 1000.0}}""")
+          }
+          bytesRow("plain", {
+            val l = left; val r = right
+            l.join(r, l("k") === r("rk"), "left_semi")
+          })
+          bytesRow("bloom",
+            graft.core.DataFrameOps.bloomSemiJoin(left, right, "k", "rk"))
+        }
       } finally spark.conf.set(thresholdKey, prev)
     }
     spark.stop()

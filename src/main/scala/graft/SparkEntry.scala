@@ -704,6 +704,23 @@ object SparkEntry {
       Dedup.minHashNearDuplicates(augmentedDocs(s, d), "text", "doc_id", threshold = 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    "q_dedup_against" -> ((s, d) => {
+      // cross-corpus near-dedup (incremental-ingest shape): the fresh
+      // batch carries 50 perturbed copies of ref docs; same exact-recall
+      // argument as q_minhash_dedup (16x4 banding recalls every >=0.7
+      // pair on this corpus), so the survivor set equals the all-pairs
+      // NOT EXISTS oracle
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") < 250)
+      val fresh = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" extra tail token")).as("text")))
+      Dedup.minHashDedupAgainst(fresh, ref, "text", "doc_id", threshold = 0.7)
+        .select(col("doc_id"))
+    }),
+
     "q_simhash_dedup" -> ((s, d) =>
       // simhash hamming depends on xxhash64 (engine-internal), so the
       // oracle checks the precision invariants the operator guarantees:
@@ -1528,6 +1545,31 @@ object SparkEntry {
         |FROM sh l, sh r
         |WHERE l.doc_id < r.doc_id AND len(l.grams) > 0 AND len(r.grams) > 0
         |  AND CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)) >= 0.7""".stripMargin,
+
+    "q_dedup_against" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+        |ref AS (SELECT doc_id, text FROM docs WHERE doc_id < 250),
+        |fresh AS (SELECT doc_id, text FROM docs WHERE doc_id >= 250
+        |          UNION ALL
+        |          SELECT doc_id + 1000000, text || ' extra tail token' FROM docs WHERE doc_id < 50),
+        |gf AS (SELECT doc_id, list_distinct(
+        |         CASE WHEN len(toks) >= 3
+        |              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]
+        |              ELSE [array_to_string(toks, ' ')] END) AS grams
+        |       FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |             FROM fresh WHERE len(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0)),
+        |gr AS (SELECT doc_id, list_distinct(
+        |         CASE WHEN len(toks) >= 3
+        |              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]
+        |              ELSE [array_to_string(toks, ' ')] END) AS grams
+        |       FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |             FROM ref WHERE len(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0))
+        |SELECT f.doc_id FROM fresh f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM gf, gr
+        |  WHERE gf.doc_id = f.doc_id AND len(gf.grams) > 0 AND len(gr.grams) > 0
+        |    AND CAST(len(list_intersect(gf.grams, gr.grams)) AS DOUBLE)
+        |        / len(list_distinct(gf.grams || gr.grams)) >= 0.7)""".stripMargin,
 
     "q_ngram_lsh" ->
       """WITH raw AS (

@@ -136,6 +136,29 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     */
+  /** Staged signature pipeline shared by the self- and cross-corpus
+    * MinHash operators: tokens → shingles → hashes → signature, each
+    * landed as a real column so no regex split / string hash is
+    * re-evaluated inside a downstream lambda. repartition() spreads
+    * the CPU-heavy narrow pass across all cores even when the source
+    * is a single small file (and acts as a projection fence); the
+    * trailing exchange holds the computed hs/sig columns so every
+    * consumer (banding + verification payload joins) hits
+    * ReusedExchange instead of re-running tokenisation + hashing. */
+  private def minHashBase(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame = df
+    .select(col(idCol).as("id"), col(textCol).as("text"))
+    .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    .withColumn("toks", TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))
+    .withColumn("hs",
+      graft.functions.HashFunctions.shingleHashesNative(col("toks"), shingleSize))
+    .filter(size(col("hs")) > 0)
+    .withColumn("sig",
+      graft.functions.HashFunctions.minHashSignatureNative(col("hs"), numHashes))
+    .select("id", "hs", "sig")
+    .repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def minHashNearDuplicates(
       df: DataFrame,
       textCol: String,
@@ -148,26 +171,7 @@ object Dedup {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands)")
     val rows = numHashes / bands
-    // Staged materialisation: tokens → shingles → hashes → signature,
-    // each landed as a real column so no regex split / string hash is
-    // re-evaluated inside a downstream lambda. repartition() spreads the
-    // CPU-heavy narrow pass across all cores even when the source is a
-    // single small file (and acts as a projection fence).
-    val base = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("toks", TextFunctions.tokens(TextFunctions.normalizeText(col("text"))))
-      .withColumn("hs",
-        graft.functions.HashFunctions.shingleHashesNative(col("toks"), shingleSize))
-      .filter(size(col("hs")) > 0)
-      .withColumn("sig",
-        graft.functions.HashFunctions.minHashSignatureNative(col("hs"), numHashes))
-      // materialisation fence: base feeds banding AND both verification
-      // payload joins; this exchange holds the computed hs/sig columns
-      // so the three consumers hit ReusedExchange instead of re-running
-      // tokenisation + hashing per consumer
-      .select("id", "hs", "sig")
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val base = minHashBase(df, textCol, idCol, numHashes, shingleSize)
 
     val pairs = candidatePairs(banded(base, bands, rows), maxBucketSize)
     // verification over the 64-bit shingle-hash sets: equal to the
@@ -177,6 +181,65 @@ object Dedup {
         graft.functions.HashFunctions.hashJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Cross-corpus near-dedup — the incremental-ingest shape: remove
+    * from `df` (the NEW batch) every document within `threshold`
+    * Jaccard of ANY document in `ref` (the existing corpus). Candidate
+    * generation is the same banded MinHash exchange as
+    * [[minHashNearDuplicates]], but joined ACROSS the two corpora:
+    * both sides band to (id, band, bucket) — id-only payloads — and
+    * only same-bucket cross pairs verify by exact hash-set Jaccard.
+    * At 100 TB the ref side's banding can be computed once and reused
+    * across ingests (it is a deterministic function of the text);
+    * the per-batch cost is the NEW side's narrow signature pass plus
+    * a bucket join whose ref side is prunable to the buckets the
+    * batch actually touches. Hot ref buckets are capped at
+    * `maxBucketSize` like the self-join path.
+    *
+    * Returns the surviving rows of `df`, schema unchanged.
+    */
+  def minHashDedupAgainst(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+    val rows = numHashes / bands
+    val newBase = minHashBase(df, textCol, idCol, numHashes, shingleSize)
+    val refBase = minHashBase(ref, textCol, idCol, numHashes, shingleSize)
+    val newBanded = banded(newBase, bands, rows)
+    val refBanded = {
+      val b = banded(refBase, bands, rows)
+      if (maxBucketSize <= 0) b
+      else {
+        val ok = b.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bucket_n"))
+          .filter(col("__bucket_n") <= maxBucketSize)
+          .drop("__bucket_n")
+        b.join(ok, Seq("band", "bucket"), "left_semi")
+      }
+    }
+    val pairs = newBanded.as("n")
+      .join(refBanded.as("r"),
+        col("n.band") === col("r.band") && col("n.bucket") === col("r.bucket"))
+      .select(col("n.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val dropped = pairs
+      .join(newBase.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(refBase.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("jaccard",
+        graft.functions.HashFunctions.hashJaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as(idCol))
+      .distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash of a text column: per-token xxhash64, each bit votes

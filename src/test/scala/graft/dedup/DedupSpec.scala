@@ -407,4 +407,32 @@ class DedupSpec extends SparkTestBase {
     val out = Dedup.dedupLines(docs, "text", "id").collect()
     assert(out.head.getString(1) == "z line\na line\nm line")
   }
+
+  test("minHashDedupAgainst drops fresh docs near a ref doc, keeps the rest") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different reference material about spark physical plans")
+    ).toDF("id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today ok"), // near-dup of ref 1
+      (11L, "entirely novel content about bloom filters and bin packing methods"),
+      (12L, "")  // no grams -> can never match, must survive
+    ).toDF("id", "text")
+    val out = Dedup.minHashDedupAgainst(fresh, ref, "text", "id", threshold = 0.6)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(11L, 12L))
+  }
+
+  test("minHashDedupAgainst never drops when ref is disjoint; schema passes through") {
+    val ref = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("id", "text")
+    val fresh = Seq(
+      (20L, "one two three four five six seven eight"),
+      (21L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("id", "text")
+      .withColumn("extra", col("id") * 2)
+    val out = Dedup.minHashDedupAgainst(fresh, ref, "text", "id")
+    assert(out.columns.toSeq == Seq("id", "text", "extra"),
+      "survivor schema must be the input schema")
+    assert(out.count() == 2)
+  }
 }

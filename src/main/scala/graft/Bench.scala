@@ -297,6 +297,44 @@ object Bench {
         }(org.apache.spark.sql.Encoders.row(schema))
         .select("doc_id", "source", "shard_id")
     }),
+    "q_quota_sample" -> ((s, d) =>
+      // hand-written rank-filter quota
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(
+            md5(concat(lit("q"), col("lang"), col("doc_id").cast("string"))),
+            col("doc_id"))))
+        .filter(col("rn") <= 20).drop("rn")),
+    "q_pack_assemble" -> ((s, d) => {
+      // hand-written greedy pack (text carried through the partition
+      // walk, same as the wrapped path) + ordered-concat aggregate
+      val src = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("text"), col("n_chars").cast("long").as("n_chars"))
+      val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
+        org.apache.spark.sql.types.StructField("shard_id",
+          org.apache.spark.sql.types.LongType, nullable = false))
+      val packed = src.repartition(col("source"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+        .mapPartitions { rows =>
+          var cur: String = null; var shard = 0L; var fill = 0.0
+          rows.map { r =>
+            val g = r.getString(1); val w = r.getLong(3).toDouble
+            if (g != cur) { cur = g; shard = 0L; fill = w }
+            else if (fill + w > 4000.0) { shard += 1; fill = w }
+            else fill += w
+            org.apache.spark.sql.Row(r.getLong(0), g, r.getString(2), r.getLong(3), shard)
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
+      packed.groupBy("source", "shard_id")
+        .agg(
+          concat_ws("\n\n", transform(
+            sort_array(collect_list(struct(col("doc_id").as("o"), col("text").as("t")))),
+            x => x.getField("t"))).as("packed_text"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_weight"))
+    }),
     "q_bloom_semi" -> ((s, d) => {
       // plain (non-bloom) semi join — what a user writes without the op
       val li = s.read.parquet(s"$d/lineitem.parquet")

@@ -832,6 +832,26 @@ object SparkEntry {
         "n_chars", budget = 4000.0, Seq("source"), "doc_id")
         .select(col("doc_id"), col("source"), col("shard_id"))),
 
+    "q_quota_sample" -> ((s, d) =>
+      // exact-N-per-stratum deterministic quota: 20 docs per language
+      Sampling.quotaSample(
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang")),
+        "lang", n = 20, "doc_id", salt = "q")),
+
+    "q_pack_assemble" -> ((s, d) => {
+      // greedy packing materialised: one row per shard with ordered
+      // concatenated member texts — the sequence a packing pipeline ships
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("text"), col("n_chars").cast("long").as("n_chars"))
+      val packed = Sampling.packShardsGreedy(
+        docs, "n_chars", budget = 4000.0, Seq("source"), "doc_id")
+      Sampling.assembleShards(packed, "text", "n_chars", Seq("source"), "doc_id")
+        .select(col("source"), col("shard_id"), col("packed_text"),
+          col("n_docs"), col("total_weight"))
+    }),
+
     "q_bloom_semi" -> ((s, d) => {
       // bloom-prefiltered EXACT semi join: lineitems of high-value orders;
       // the left scan drops definite non-members before any exchange
@@ -2029,6 +2049,31 @@ object SparkEntry {
         |    CASE WHEN p.fill + b.w > 4000.0 THEN CAST(b.w AS DOUBLE) ELSE p.fill + b.w END
         |  FROM base b JOIN packed p ON b.source = p.source AND b.rn = p.rn + 1)
         |SELECT doc_id, source, shard_id FROM packed""".stripMargin,
+
+    "q_quota_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('q' || lang || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), CAST(doc_id AS BIGINT)) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin,
+
+    "q_pack_assemble" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text, CAST(n_chars AS BIGINT) AS w,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY CAST(doc_id AS BIGINT)) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, source, text, w, rn, CAST(0 AS BIGINT) AS shard_id, CAST(w AS DOUBLE) AS fill
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.doc_id, b.source, b.text, b.w, b.rn,
+        |    CASE WHEN p.fill + b.w > 4000.0 THEN p.shard_id + 1 ELSE p.shard_id END,
+        |    CASE WHEN p.fill + b.w > 4000.0 THEN CAST(b.w AS DOUBLE) ELSE p.fill + b.w END
+        |  FROM base b JOIN packed p ON b.source = p.source AND b.rn = p.rn + 1)
+        |SELECT source, shard_id,
+        |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text,
+        |  COUNT(*) AS n_docs, SUM(w) AS total_weight
+        |FROM packed GROUP BY 1, 2""".stripMargin,
 
     "q_bloom_semi" ->
       """SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,

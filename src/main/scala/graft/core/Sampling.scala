@@ -171,6 +171,57 @@ object Sampling {
       floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) / budget).cast("long"))
   }
 
+  /** Exact-N-per-stratum deterministic sample: keep the `n` rows of
+    * each stratum whose salted md5 ranks lowest — a fixed-size quota
+    * (eval-set construction, per-language caps) where the fractional
+    * samplers can only hit a quota in expectation. Deterministic in
+    * (stratum, key, salt); one shuffle on the stratum key and a
+    * rank-filter window. A stratum with fewer than `n` rows keeps all
+    * of them. */
+  def quotaSample(
+      df: DataFrame,
+      stratumCol: String,
+      n: Int,
+      keyCol: String,
+      salt: String = ""): DataFrame = {
+    require(n >= 1, s"quotaSample: n must be >= 1, got $n")
+    val rank = row_number().over(
+      Window.partitionBy(col(stratumCol))
+        .orderBy(md5(concat(lit(salt), col(stratumCol).cast("string"),
+          col(keyCol).cast("string"))), col(keyCol)))
+    df.withColumn("__graft_qrank", rank)
+      .filter(col("__graft_qrank") <= n)
+      .drop("__graft_qrank")
+  }
+
+  /** Materialise the shards [[packShardsGreedy]]/[[packShards]]
+    * assigned: one row per (group, shard) with the member texts
+    * concatenated IN `orderCol` ORDER (sort_array over (order, text)
+    * structs — collect_list alone has no order contract), plus member
+    * count and total weight. The output row is the training sequence
+    * a packing pipeline ships; the agg is one shuffle on
+    * (group, shard). A shard's packed text lives in one row — budget
+    * and group sizing must keep it executor-memory-sane, which the
+    * packing budget already enforces. */
+  def assembleShards(
+      df: DataFrame,
+      textCol: String,
+      weightCol: String,
+      partitionCols: Seq[String],
+      orderCol: String,
+      shardCol: String = "shard_id",
+      sep: String = "\n\n"): DataFrame = {
+    require(partitionCols.nonEmpty, "assembleShards: need at least one partition column")
+    df.groupBy((partitionCols :+ shardCol).map(col): _*)
+      .agg(
+        concat_ws(sep,
+          transform(
+            sort_array(collect_list(struct(col(orderCol).as("o"), col(textCol).as("t")))),
+            x => x.getField("t"))).as("packed_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("total_weight"))
+  }
+
   /** EXACT greedy bin-packing variant of [[packShards]]: a shard closes
     * when the NEXT row would push it past `budget`, so no shard ever
     * overflows (a single row heavier than the budget gets a shard to

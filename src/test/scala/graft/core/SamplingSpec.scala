@@ -115,6 +115,36 @@ class SamplingSpec extends SparkTestBase {
       ("b", 1L, 0L), ("b", 2L, 3L)))
   }
 
+  test("quotaSample: exactly n per stratum, small strata whole, deterministic") {
+    val d = Seq.tabulate(500)(i => (i.toLong, if (i < 480) "big" else "tiny"))
+      .toDF("id", "s")
+    val out = Sampling.quotaSample(d, "s", n = 50, "id", salt = "z")
+    assert(out.filter($"s" === "big").count() == 50)
+    assert(out.filter($"s" === "tiny").count() == 20, "undersized stratum keeps all")
+    val again = Sampling.quotaSample(d.repartition(9), "s", 50, "id", "z")
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // a different salt draws a (mostly) different quota from the big stratum
+    val other = Sampling.quotaSample(d, "s", 50, "id", "w")
+      .filter($"s" === "big").select("id").as[Long].collect().toSet
+    val overlap = other.intersect(
+      out.filter($"s" === "big").select("id").as[Long].collect().toSet).size
+    assert(overlap < 30, s"salts should draw mostly independent quotas, overlap=$overlap")
+  }
+
+  test("assembleShards: ordered concat per shard, counts and weights") {
+    val d = Seq(
+      ("a", 3L, "c3", 10.0), ("a", 1L, "c1", 10.0), ("a", 2L, "c2", 10.0),
+      ("b", 1L, "x", 5.0)).toDF("g", "id", "text", "w")
+      .withColumn("shard_id", lit(0L))
+    val out = Sampling.assembleShards(d, "text", "w", Seq("g"), "id")
+      .select("g", "shard_id", "packed_text", "n_docs", "total_weight")
+      .as[(String, Long, String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("a", 0L, "c1\n\nc2\n\nc3", 3L, 30.0),
+      ("b", 0L, "x", 1L, 5.0)))
+  }
+
   test("packShardsGreedy: exact greedy semantics, no overflow, per-group reset") {
     val d = Seq(
       ("a", 1L, 30.0), ("a", 2L, 30.0), ("a", 3L, 50.0), ("a", 4L, 10.0),

@@ -175,9 +175,18 @@ object Sampling {
     * each stratum whose salted md5 ranks lowest — a fixed-size quota
     * (eval-set construction, per-language caps) where the fractional
     * samplers can only hit a quota in expectation. Deterministic in
-    * (stratum, key, salt); one shuffle on the stratum key and a
-    * rank-filter window. A stratum with fewer than `n` rows keeps all
-    * of them. */
+    * (stratum, key, salt); a stratum with fewer than `n` rows keeps
+    * all of them.
+    *
+    * Scale shape: a bare rank window would sort EVERY row of a
+    * stratum through one task — a billion-row language would serialise
+    * on a single core. Instead each input partition first prunes to
+    * its local n smallest ranks per stratum (bounded heap, the same
+    * partial-top-k move as
+    * [[graft.similarity.Similarity.bruteForceTopKScalable]]), so the
+    * exact rank window only sees ≤ n × partitions × strata rows. The
+    * per-partition buffer is O(n × strata seen in that partition) —
+    * quotas are small and strata few by the op's nature. */
   def quotaSample(
       df: DataFrame,
       stratumCol: String,
@@ -185,13 +194,36 @@ object Sampling {
       keyCol: String,
       salt: String = ""): DataFrame = {
     require(n >= 1, s"quotaSample: n must be >= 1, got $n")
+    val rankCol = "__graft_qm"
+    val withRank = df.withColumn(rankCol,
+      md5(concat(lit(salt), col(stratumCol).cast("string"),
+        col(keyCol).cast("string"))))
+    val sIdx = withRank.schema.fieldIndex(stratumCol)
+    val mIdx = withRank.schema.fieldIndex(rankCol)
+    val kIdx = withRank.schema.fieldIndex(keyCol)
+    // local prune: per partition, keep the n smallest (md5, key) rows
+    // of each stratum — a superset of the global winners (any global
+    // top-n row is in its partition's top-n)
+    val pruned = withRank.mapPartitions { rows =>
+      val ord = Ordering.Tuple2(Ordering.String, Ordering.String)
+      // max-heap on (md5, key): peek = worst survivor, evict on better
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[((String, String), Row)]]
+      rows.foreach { r =>
+        val rank = (r.getString(mIdx), String.valueOf(r.get(kIdx)))
+        val heap = heaps.getOrElseUpdate(r.get(sIdx),
+          scala.collection.mutable.PriorityQueue.empty(Ordering.by(
+            (x: ((String, String), Row)) => x._1)(ord)))
+        if (heap.size < n) heap.enqueue((rank, r))
+        else if (ord.lt(rank, heap.head._1)) { heap.dequeue(); heap.enqueue((rank, r)) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._2))
+    }(org.apache.spark.sql.Encoders.row(withRank.schema))
     val rank = row_number().over(
-      Window.partitionBy(col(stratumCol))
-        .orderBy(md5(concat(lit(salt), col(stratumCol).cast("string"),
-          col(keyCol).cast("string"))), col(keyCol)))
-    df.withColumn("__graft_qrank", rank)
+      Window.partitionBy(col(stratumCol)).orderBy(col(rankCol), col(keyCol)))
+    pruned.withColumn("__graft_qrank", rank)
       .filter(col("__graft_qrank") <= n)
-      .drop("__graft_qrank")
+      .drop("__graft_qrank", rankCol)
   }
 
   /** Materialise the shards [[packShardsGreedy]]/[[packShards]]

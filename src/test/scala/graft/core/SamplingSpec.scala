@@ -132,6 +132,19 @@ class SamplingSpec extends SparkTestBase {
     assert(overlap < 30, s"salts should draw mostly independent quotas, overlap=$overlap")
   }
 
+  test("quotaSample equals the naive rank window (local prune is a pure optimisation)") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Seq.tabulate(800)(i => (i.toLong, "s" + (i % 7), "p" + i)).toDF("id", "s", "payload")
+    val naive = d.withColumn("rn", row_number().over(
+        Window.partitionBy($"s").orderBy(
+          md5(concat(lit("eq"), $"s", $"id".cast("string"))), $"id")))
+      .filter($"rn" <= 13).drop("rn")
+      .select("id").as[Long].collect().toSet
+    val scalable = Sampling.quotaSample(d.repartition(6), "s", 13, "id", "eq")
+      .select("id").as[Long].collect().toSet
+    assert(scalable == naive)
+  }
+
   test("assembleShards: ordered concat per shard, counts and weights") {
     val d = Seq(
       ("a", 3L, "c3", 10.0), ("a", 1L, "c1", 10.0), ("a", 2L, "c2", 10.0),

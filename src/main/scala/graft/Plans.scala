@@ -50,6 +50,10 @@ object Plans {
       "Bloom-prefiltered EXACT semi join: bloom_might_contain(xxhash64(key)) is a Filter on the left SCAN — candidates are pruned before any exchange; the exact semi join then removes false positives. At sf0.01 AQE broadcasts the right side either way; the operator's case is a right side too big to broadcast, where the left exchange carries only the candidate fraction.",
     "q_pack_greedy" ->
       "Exact greedy packing: Exchange hashpartitioning(source) + Sort(source, doc_id) + MapPartitions — the secondary-sort pattern; one shuffle of the corpus, O(1) state in the partition walk, no window buffering.",
+    "q_dedup_against" ->
+      "Cross-corpus near-dedup: BOTH corpora reduce to id-only (band, bucket) rows before the one wide join; hash-set payloads re-join only onto candidate pairs; the final left_anti keys on the (small) dropped-id set. No text or signature ever crosses the bucket exchange.",
+    "q_quota_sample" ->
+      "Exact-N quota: MapPartitions local top-n prune FIRST (bounded heap per stratum), so the exact rank Window's exchange carries <= n x partitions x strata rows — a billion-row stratum never serialises through one task.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -297,6 +297,13 @@ object Bench {
         }(org.apache.spark.sql.Encoders.row(schema))
         .select("doc_id", "source", "shard_id")
     }),
+    "q_split" -> ((s, d) => {
+      def h = substring(md5(concat(lit("sp"), col("doc_id").cast("string"))), 1, 8)
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("split",
+          when(h < "cccccccc", "train").when(h < "e6666666", "val").otherwise("test"))
+    }),
     "q_quota_sample" -> ((s, d) =>
       // hand-written rank-filter quota
       s.read.parquet(s"$d/documents.parquet")

@@ -832,6 +832,12 @@ object SparkEntry {
         "n_chars", budget = 4000.0, Seq("source"), "doc_id")
         .select(col("doc_id"), col("source"), col("shard_id"))),
 
+    "q_split" -> ((s, d) =>
+      // deterministic 80/10/10 split: same row -> same split, any engine
+      Sampling.deterministicSplit(
+        t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id")),
+        "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "sp")),
+
     "q_quota_sample" -> ((s, d) =>
       // exact-N-per-stratum deterministic quota: 20 docs per language
       Sampling.quotaSample(
@@ -2049,6 +2055,14 @@ object SparkEntry {
         |    CASE WHEN p.fill + b.w > 4000.0 THEN CAST(b.w AS DOUBLE) ELSE p.fill + b.w END
         |  FROM base b JOIN packed p ON b.source = p.source AND b.rn = p.rn + 1)
         |SELECT doc_id, source, shard_id FROM packed""".stripMargin,
+
+    "q_split" ->
+      // thresholds: floor(0.8*2^32)=0xcccccccc, floor(0.9*2^32)=0xe6666666
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN substr(md5('sp' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5('sp' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q_quota_sample" ->
       """SELECT doc_id, lang FROM (

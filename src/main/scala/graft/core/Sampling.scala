@@ -171,6 +171,33 @@ object Sampling {
       floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) / budget).cast("long"))
   }
 
+  /** Deterministic dataset split (train/val/test): every row gets a
+    * split label from where its salted md5 prefix falls in the
+    * cumulative fraction ranges — one narrow pass, no shuffle, and the
+    * SAME row lands in the same split on every run, engine, and
+    * partitioning (the property that keeps eval sets stable across
+    * pipeline reruns). Fractions must sum to 1 (±1e-9); the last split
+    * absorbs the rounding tail so the ranges cover every hash. */
+  def deterministicSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "",
+      splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "deterministicSplit: need at least two splits")
+    require(splits.forall(_._2 > 0.0), "deterministicSplit: fractions must be > 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"deterministicSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val hash = substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 8)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // CASE hash < t1 -> s1 WHEN hash < t2 -> s2 ... ELSE last
+    val labeled = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1)) { case (((name, _), upper), acc) =>
+      when(hash < lit(hexThreshold(upper)), lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, labeled)
+  }
+
   /** Exact-N-per-stratum deterministic sample: keep the `n` rows of
     * each stratum whose salted md5 ranks lowest — a fixed-size quota
     * (eval-set construction, per-language caps) where the fractional

@@ -115,6 +115,24 @@ class SamplingSpec extends SparkTestBase {
       ("b", 1L, 0L), ("b", 2L, 3L)))
   }
 
+  test("deterministicSplit: covering, proportional, partitioning-stable") {
+    val d = spark.range(0, 4000).toDF("id")
+    val out = Sampling.deterministicSplit(
+      d, "id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "s1")
+    assert(out.count() == 4000, "every row must get a label")
+    val byLabel = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 4000 * 0.8 * 0.9 && byLabel("train") < 4000 * 0.8 * 1.1)
+    assert(byLabel("val") > 4000 * 0.1 * 0.6 && byLabel("val") < 4000 * 0.1 * 1.4)
+    val again = Sampling.deterministicSplit(
+        d.repartition(7), "id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "s1")
+      .filter($"split" === "val").select("id").as[Long].collect().toSet
+    assert(again == out.filter($"split" === "val").select("id").as[Long].collect().toSet)
+    assertThrows[IllegalArgumentException](
+      Sampling.deterministicSplit(d, "id", Seq(("a", 0.5), ("b", 0.4))))
+  }
+
   test("quotaSample: exactly n per stratum, small strata whole, deterministic") {
     val d = Seq.tabulate(500)(i => (i.toLong, if (i < 480) "big" else "tiny"))
       .toDF("id", "s")

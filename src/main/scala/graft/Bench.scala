@@ -1154,6 +1154,83 @@ object Bench {
           round(avg("quality"), 6).as("avg_quality"),
           sum(size(toks).cast("long")).as("total_tokens"))
     }),
+
+    // hand-written TF-IDF: same tf → df → join-back shape any Spark
+    // user would write; measures the relevance family's wrapper tax
+    "q_tfidf" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val n = docs.count().toDouble
+      val tf = docs
+        .select(col("doc_id"), explode(rawToks(rawNorm(col("text")))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df_docs"))
+      tf.join(dfreq, "word")
+        .select(col("doc_id"), col("word"), col("tf"), col("df_docs"),
+          round(col("tf") * log(lit(n) / col("df_docs")), 6).as("tfidf"))
+    }),
+
+    "q_bm25" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val (k1, b) = (1.2, 0.75)
+      val n = docs.count().toDouble
+      val toks = docs.select(col("doc_id"), rawToks(rawNorm(col("text"))).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val avgdl = toks.agg(avg("dl")).head().getDouble(0)
+      val terms = array(Seq("dup", "vector", "scan").map(lit): _*)
+      val post = toks
+        .select(col("doc_id"), col("dl"),
+          explode(filter(col("toks"), t => array_contains(terms, t))).as("word"))
+        .groupBy("doc_id", "dl", "word").agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = post.groupBy("word").agg(count(lit(1)).cast("double").as("dfd"))
+      val idf = log(lit(1.0) + (lit(n) - col("dfd") + 0.5) / (col("dfd") + 0.5))
+      val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+      post.join(dfreq, "word")
+        .groupBy("doc_id")
+        .agg(round(sum(idf * col("tf") * lit(k1 + 1.0) / norm), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    }),
+
+    "q_inverted_index" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val n = docs.count()
+      val maxDf = math.floor(n * 0.79).toLong
+      docs.select(col("doc_id"), explode(rawToks(rawNorm(col("text")))).as("word"))
+        .distinct()
+        .groupBy("word")
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+        .withColumn("df_docs", size(col("postings")).cast("long"))
+        .filter(col("df_docs") >= 30L && col("df_docs") <= maxDf)
+        .select(col("word"), col("df_docs"),
+          md5(concat_ws(",", transform(col("postings"), x => x.cast("string"))))
+            .as("postings_md5"))
+    }),
+
+    "q_bigram_pmi" -> ((s, d) => {
+      val toks = s.read.parquet(s"$d/documents.parquet")
+        .select(rawToks(rawNorm(col("text"))).as("toks"))
+      val bigrams = toks.select(explode(
+        when(size(col("toks")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1))))).as("bigram"))
+      val uni = toks.select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).cast("double").as("c"))
+      val totalUni = uni.agg(sum("c")).head().getDouble(0)
+      val totalBig = math.max(bigrams.count(), 1L).toDouble
+      val big = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20L)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      big
+        .join(uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2"), "w2")
+        .select(col("w1"), col("w2"), col("n"),
+          round(log((col("n") / lit(totalBig)) /
+            ((col("c1") / lit(totalUni)) * (col("c2") / lit(totalUni)))), 6).as("pmi"))
+    }),
   )
 
   def main(args: Array[String]): Unit = {

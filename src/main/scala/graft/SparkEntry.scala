@@ -1536,6 +1536,30 @@ object SparkEntry {
         .select(col("doc_id"),
           round(TextFunctions.dupNgramFrac(col("toks"), 3), 6).as("dup_ngram_frac"),
           round(TextFunctions.topTokenFrac(col("toks")), 6).as("top_token_frac"))),
+
+    // ------------------------------------------- text relevance family
+    "q_tfidf" -> ((s, d) =>
+      text.Relevance.tfIdf(
+        t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text")),
+
+    "q_bm25" -> ((s, d) =>
+      text.Relevance.bm25TopK(
+        t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text", Seq("dup", "vector", "scan"), k = 20)),
+
+    "q_inverted_index" -> ((s, d) =>
+      // postings arrays projected through an order-pinned md5 so the
+      // full list content is hash-checked through a scalar column
+      text.Relevance.invertedIndex(
+        t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text", minDf = 30L, maxDfFrac = 0.79)
+        .select(col("word"), col("df_docs"),
+          md5(concat_ws(",", transform(col("postings"), x => x.cast("string"))))
+            .as("postings_md5"))),
+
+    "q_bigram_pmi" -> ((s, d) =>
+      text.Relevance.bigramPmi(t(s, d, "documents"), "text", minCount = 20L)),
   )
 
   // =================================================================
@@ -2398,5 +2422,64 @@ object SparkEntry {
         |CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
         |event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM sess GROUP BY event_type, sid""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT word, count(*) AS df_docs FROM tf GROUP BY 1 HAVING count(*) >= 1)
+        |SELECT tf.doc_id, tf.word, tf.tf, dfreq.df_docs,
+        |  round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfreq.df_docs), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (word)""".stripMargin,
+
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM dl),
+        |post AS (
+        |  SELECT doc_id, word, count(*)::DOUBLE AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS word FROM toks) WHERE word IN ('dup', 'vector', 'scan')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT word, count(*)::DOUBLE AS dfd FROM post GROUP BY 1)
+        |SELECT doc_id, round(sum(
+        |    ln(1 + (stats.n - dfreq.dfd + 0.5) / (dfreq.dfd + 0.5))
+        |    * post.tf * 2.2 / (post.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+        |FROM post JOIN dfreq USING (word) JOIN dl USING (doc_id), stats
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        |    FROM documents)),
+        |idx AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS df_docs,
+        |    md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS postings_md5
+        |  FROM pairs GROUP BY word)
+        |SELECT * FROM idx
+        |WHERE df_docs >= 30 AND df_docs <= CAST(floor((SELECT count(*) FROM documents) * 0.79) AS BIGINT)""".stripMargin,
+
+    "q_bigram_pmi" ->
+      """WITH t AS (
+        |  SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |big AS (
+        |  SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, greatest(len(toks)-1, 0))]) AS bigram
+        |  FROM t),
+        |uni AS (
+        |  SELECT word, count(*)::DOUBLE AS c FROM (SELECT unnest(toks) AS word FROM t) GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS nb FROM big),
+        |totu AS (SELECT sum(c) AS nu FROM uni),
+        |bc AS (
+        |  SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2, count(*) AS n
+        |  FROM big GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT w1, w2, n,
+        |  round(ln((n / tot.nb) / ((u1.c / totu.nu) * (u2.c / totu.nu))), 6) AS pmi
+        |FROM bc, tot, totu
+        |JOIN uni u1 ON bc.w1 = u1.word
+        |JOIN uni u2 ON bc.w2 = u2.word""".stripMargin,
   )
 }

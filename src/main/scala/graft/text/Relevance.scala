@@ -1,0 +1,193 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions.{normalizeText, tokens}
+
+/** Term-relevance operators for corpus analytics and retrieval-shaped
+  * training-data work: TF-IDF weighting, BM25 ranked search, inverted
+  * index construction, and bigram collocation mining (PMI).
+  *
+  * Design for 100 TB:
+  *   - Tokenisation is a narrow codegen'd projection (no UDFs); the
+  *     only wide stages are hash aggregations on (doc, term) / term
+  *     keys, all with map-side partial aggregation, so shuffle volume
+  *     is bounded by the DISTINCT (doc, term) count, not token count.
+  *   - Term-level side tables (document frequencies, unigram counts)
+  *     are vocabulary-sized — orders of magnitude smaller than the
+  *     corpus — so AQE converts the joins back onto them to broadcast
+  *     joins at runtime; nothing here forces a sort-merge.
+  *   - BM25 filters the exploded tokens to the query's terms BEFORE
+  *     the (doc, term) aggregation: the per-query shuffle carries only
+  *     matching postings, not the corpus vocabulary.
+  *   - All floating-point outputs are rounded at the edge (6 dp) so
+  *     results are engine-portable and oracle-checkable.
+  *
+  * Reference scope: rdsa-utils has no retrieval ops; this family is
+  * part of the LLM-pipeline extension surface (SURVEY.md §6).
+  */
+object Relevance {
+
+  /** Per-document term frequencies over whitespace tokens of the
+    * normalised text: (idCol, word, tf). One shuffle, keyed on
+    * (idCol, word), partial-aggregated map-side. */
+  def docTermFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(normalizeText(col(textCol)))).as("word"))
+      .groupBy(idCol, "word")
+      .agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF weights per (document, term):
+    * `tfidf = tf · ln(N / df)` with `df` = number of documents
+    * containing the term and `N` = corpus size.
+    *
+    * Plan: tf aggregation on (doc, word) → df aggregation on word
+    * (vocabulary-sized) → join back on word. The df side is tiny
+    * relative to the corpus, so AQE broadcasts it; `N` is one
+    * count-star over the input (parquet metadata at scan level when
+    * the input is an unfiltered table).
+    *
+    * `minDf` drops hapax-style noise terms before the join (and
+    * shrinks the join's build side). Output columns:
+    * (idCol, word, tf, df_docs, tfidf). */
+  def tfIdf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1, s"tfIdf: minDf must be >= 1, got $minDf")
+    val nDocs = df.count()
+    val tf = docTermFrequencies(df, idCol, textCol)
+    val docFreq = tf.groupBy("word")
+      .agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDf)
+    tf.join(docFreq, "word")
+      .select(col(idCol), col("word"), col("tf"), col("df_docs"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df_docs")), 6).as("tfidf"))
+  }
+
+  /** BM25 ranked retrieval: score every document against a bag of
+    * query terms and return the top `k`.
+    *
+    * `score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))`
+    * with the standard `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    *
+    * Scale discipline: the exploded token stream is filtered to the
+    * query's terms FIRST, so the (doc, term) aggregation and every
+    * stage after it carry only matching postings — for selective
+    * queries that is a ~vocabulary-fold cut in shuffle volume versus
+    * scoring the full tf matrix. Doc lengths are a narrow projection;
+    * `avgdl` and `N` are one scalar aggregate. The final top-k plans
+    * as TakeOrderedAndProject (no global sort).
+    *
+    * Scores are rounded to 6 dp BEFORE ranking and tie-broken by
+    * document id, so the returned top-k is engine-portable.
+    * Output: (idCol, score), descending. */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: need at least one query term")
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    val nDocs = df.count().toDouble
+    val terms = queryTerms.map(_.toLowerCase).distinct
+
+    val toks = df.select(col(idCol), tokens(normalizeText(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val avgdl = toks.agg(avg("dl")).head().getDouble(0)
+
+    val termArr = array(terms.map(lit): _*)
+    val postings = toks
+      .select(col(idCol), col("dl"),
+        explode(filter(col("toks"), t => array_contains(termArr, t))).as("word"))
+      .groupBy(col(idCol), col("dl"), col("word"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // dl rides the grouping key (it is functionally dependent on the id),
+    // saving a join back onto docLen
+    val docFreq = postings.groupBy("word").agg(count(lit(1)).cast("double").as("dfd"))
+
+    val idf = log(lit(1.0) + (lit(nDocs) - col("dfd") + 0.5) / (col("dfd") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+    postings.join(docFreq, "word")
+      .groupBy(idCol)
+      .agg(round(sum(idf * col("tf") * lit(k1 + 1.0) / norm), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Inverted index: term → sorted posting list of document ids, with
+    * document frequency. `maxDfFrac` drops terms appearing in more
+    * than that fraction of documents (stopword-class terms whose
+    * posting lists would otherwise approach corpus size — the
+    * standard df cap that keeps per-term state bounded at scale);
+    * `minDf` drops hapax noise.
+    *
+    * Plan: distinct (word, doc) pairs (one shuffle, map-side
+    * combined) → per-word collect_list + sort. Posting lists are the
+    * op's OUTPUT, so their size is inherent — the df cap is the knob
+    * that bounds the worst key. Output:
+    * (word, df_docs, postings: array&lt;long&gt; sorted ascending). */
+  def invertedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 1L,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"invertedIndex: maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val nDocs = df.count()
+    val maxDf = math.floor(nDocs * maxDfFrac).toLong
+    df.select(col(idCol), explode(tokens(normalizeText(col(textCol)))).as("word"))
+      .distinct()
+      .groupBy("word")
+      .agg(sort_array(collect_list(col(idCol).cast("long"))).as("postings"))
+      .withColumn("df_docs", size(col("postings")).cast("long"))
+      .filter(col("df_docs") >= minDf && col("df_docs") <= maxDf)
+      .select("word", "df_docs", "postings")
+  }
+
+  /** Bigram collocations scored by pointwise mutual information:
+    * `pmi(x,y) = ln( p(x y) / (p(x)·p(y)) )` over adjacent-token
+    * bigrams, keeping pairs seen at least `minCount` times. The
+    * standard phrase-mining pass (e.g. for merging multi-word
+    * entities before tokenisation).
+    *
+    * Bigrams are built inside one codegen'd projection (transform
+    * over the token array — no self-join); counts are two hash
+    * aggregations (bigrams, unigrams) and the unigram side is
+    * vocabulary-sized, so both joins back onto it broadcast under
+    * AQE. Output: (w1, w2, n, pmi) with pmi rounded to 6 dp. */
+  def bigramPmi(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, s"bigramPmi: minCount must be >= 1, got $minCount")
+    val toks = df.select(tokens(normalizeText(col(textCol))).as("toks"))
+    val bigrams = toks.select(explode(
+      when(size(col("toks")) < 2, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1))))).as("bigram"))
+    val uni = toks.select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("double").as("c"))
+    val totalUni = uni.agg(sum("c")).head().getDouble(0)
+    // probabilities are over ALL bigram occurrences, so the total is
+    // taken before the min-count prune
+    val totalBig = math.max(bigrams.count(), 1L).toDouble
+    val big = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    big
+      .join(uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c1"), "w1")
+      .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2"), "w2")
+      .select(col("w1"), col("w2"), col("n"),
+        round(log((col("n") / lit(totalBig)) /
+          ((col("c1") / lit(totalUni)) * (col("c2") / lit(totalUni)))), 6).as("pmi"))
+  }
+}

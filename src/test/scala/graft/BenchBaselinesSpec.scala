@@ -25,7 +25,8 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_bloom_semi", "q_bloom_anti", "q_bloom_decontaminate",
     "q_stratified_sample", "q_temperature_mix", "q_pack_shards",
     "q_pack_greedy", "q_stream_decontaminate", "q_dedup_against",
-    "q_quota_sample", "q_pack_assemble", "q_split")
+    "q_quota_sample", "q_pack_assemble", "q_split",
+    "q_tfidf", "q_bm25", "q_inverted_index", "q_bigram_pmi")
 
   // q_asof_join reads the events table, which needs the nanos-timestamp
   // session config like q_stream_exec — checked here with the config set

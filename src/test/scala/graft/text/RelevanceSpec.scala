@@ -1,0 +1,95 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RelevanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 4 docs, tiny controlled vocabulary so every expected value is
+  // hand-computable
+  private def docs = Seq(
+    (1L, "spark joins data"),
+    (2L, "spark spark filters"),
+    (3L, "data data data joins"),
+    (4L, "filters")
+  ).toDF("doc_id", "text")
+
+  test("docTermFrequencies counts per (doc, word)") {
+    val tf = Relevance.docTermFrequencies(docs, "doc_id", "text")
+    val m = tf.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m((1L, "spark")) == 1L)
+    assert(m((2L, "spark")) == 2L)
+    assert(m((3L, "data")) == 3L)
+    assert(m.size == 8)
+  }
+
+  test("tfIdf matches hand-computed ln(N/df) weights") {
+    val out = Relevance.tfIdf(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(3), r.getDouble(4))).toMap
+    // N=4; df(spark)=2, df(data)=2, df(joins)=2, df(filters)=2
+    val w = math.log(4.0 / 2.0)
+    assert(out((2L, "spark"))._1 == 2L)
+    assert(math.abs(out((2L, "spark"))._2 - BigDecimal(2 * w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(out((3L, "data"))._2 - BigDecimal(3 * w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("tfIdf minDf prunes rare terms") {
+    val extra = Seq((5L, "zzz_unique")).toDF("doc_id", "text")
+    val out = Relevance.tfIdf(docs.union(extra), "doc_id", "text", minDf = 2L)
+    assert(!out.select("word").as[String].collect().contains("zzz_unique"))
+  }
+
+  test("bm25TopK ranks the term-dense short doc first and respects k") {
+    val top = Relevance.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 2)
+    val rows = top.collect()
+    assert(rows.length == 2)
+    // doc 2 has tf=2 and is short -> highest BM25 for "spark"
+    assert(rows.head.getLong(0) == 2L)
+    assert(rows.head.getDouble(1) > rows(1).getDouble(1))
+    // only docs containing the term score
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(Set(1L, 2L)))
+  }
+
+  test("bm25TopK multi-term scores sum per doc") {
+    val one = Relevance.bm25TopK(docs, "doc_id", "text", Seq("joins"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val two = Relevance.bm25TopK(docs, "doc_id", "text", Seq("joins", "filters"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1 contains joins but not filters: same score in both runs
+    assert(math.abs(one(1L) - two(1L)) < 1e-6)
+    // doc 4 only matches the second query
+    assert(!one.contains(4L) && two.contains(4L))
+  }
+
+  test("invertedIndex returns sorted postings and applies df caps") {
+    val idx = Relevance.invertedIndex(docs, "doc_id", "text")
+    val m = idx.collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(m("spark") == ((2L, Seq(1L, 2L))))
+    assert(m("data") == ((2L, Seq(1L, 3L))))
+    // cap at 25% of 4 docs = df <= 1: every term here has df 2 -> empty
+    assert(Relevance.invertedIndex(docs, "doc_id", "text", maxDfFrac = 0.25).count() == 0)
+    // minDf = 3 also empties it
+    assert(Relevance.invertedIndex(docs, "doc_id", "text", minDf = 3L).count() == 0)
+  }
+
+  test("bigramPmi finds the collocation and matches hand-computed pmi") {
+    val corpus = Seq(
+      "new york is big", "new york runs fast", "big data runs", "is new data"
+    ).toDF("text")
+    val out = Relevance.bigramPmi(corpus, "text", minCount = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // "new york" occurs 2x; unigrams: new=3, york=2; 14 tokens, 10 bigrams
+    val expected = math.log((2.0 / 10.0) / ((3.0 / 14.0) * (2.0 / 14.0)))
+    assert(out.keySet == Set(("new", "york")))
+    assert(math.abs(out(("new", "york"))._2 - BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(("new", "york"))._1 == 2L)
+  }
+
+  test("bigramPmi handles one-token and empty docs") {
+    val corpus = Seq("solo", "", "a b a b").toDF("text")
+    val out = Relevance.bigramPmi(corpus, "text", minCount = 2L)
+    // "a b" occurs twice; no crash on the degenerate docs
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet == Set(("a", "b")))
+  }
+}

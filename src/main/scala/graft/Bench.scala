@@ -1231,6 +1231,55 @@ object Bench {
           round(log((col("n") / lit(totalBig)) /
             ((col("c1") / lit(totalUni)) * (col("c2") / lit(totalUni)))), 6).as("pmi"))
     }),
+
+    "q_chunk" -> ((s, d) => {
+      val (chunkTokens, stride) = (16, 12)
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          rawToks(rawNorm(col("text"))).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), size(col("toks")), lit(stride)),
+            st => slice(col("toks"), st, lit(chunkTokens)))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          size(col("col")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("col")).as("chunk_text"))
+    }),
+
+    "q_fuzzy_join" -> ((s, d) => {
+      val a = s.read.parquet(s"$d/part.parquet")
+        .select(col("p_name").as("name_a")).distinct()
+      val b = s.read.parquet(s"$d/part.parquet")
+        .select(col("p_name").as("name_b")).distinct()
+      a.join(b,
+          substring(a("name_a"), 1, 1) === substring(b("name_b"), 1, 1) &&
+            abs(length(a("name_a")) - length(b("name_b"))) <= 3 &&
+            levenshtein(a("name_a"), b("name_b")) <= 3)
+        .withColumn("distance", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("name_a") < col("name_b"))
+    }),
+
+    "q_gap_fill" -> ((s, d) => {
+      val iv = 3600L
+      val bucket = (floor(unix_timestamp(col("ts")) / iv) * iv).cast("long")
+      val buckets = rawEvents(s, d)
+        .select(col("event_type"), bucket.as("bucket_start"),
+          col("value").cast("double").as("v"))
+        .groupBy("event_type", "bucket_start")
+        .agg(count(lit(1)).as("n_events"), round(sum("v"), 6).as("sum_value"))
+      val spine = buckets.groupBy("event_type")
+        .agg(min("bucket_start").as("lo"), max("bucket_start").as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(iv))).as("bucket_start"))
+      val w = Window.partitionBy("event_type").orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(buckets, Seq("event_type", "bucket_start"), "left")
+        .select(col("event_type"), col("bucket_start"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+          last("sum_value", ignoreNulls = true).over(w).as("ffill_value"))
+    }),
   )
 
   def main(args: Array[String]): Unit = {

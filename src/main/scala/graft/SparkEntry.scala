@@ -1560,6 +1560,22 @@ object SparkEntry {
 
     "q_bigram_pmi" -> ((s, d) =>
       text.Relevance.bigramPmi(t(s, d, "documents"), "text", minCount = 20L)),
+
+    "q_chunk" -> ((s, d) =>
+      text.Chunker.chunkDocuments(
+        t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 16, overlapTokens = 4)),
+
+    "q_fuzzy_join" -> ((s, d) => {
+      val a = t(s, d, "part").select(col("p_name").as("name_a")).distinct()
+      val b = t(s, d, "part").select(col("p_name").as("name_b")).distinct()
+      operators.FuzzyJoin.fuzzyJoin(a, b, "name_a", "name_b", maxDistance = 3)
+        .filter(col("name_a") < col("name_b"))
+    }),
+
+    "q_gap_fill" -> ((s, d) =>
+      operators.TimeSeries.fillGaps(
+        eventsDf(s, d), "event_type", "ts", "value", intervalSec = 3600L)),
   )
 
   // =================================================================
@@ -2481,5 +2497,38 @@ object SparkEntry {
         |FROM bc, tot, totu
         |JOIN uni u1 ON bc.w1 = u1.word
         |JOIN uni u2 ON bc.w2 = u2.word""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT doc_id, CAST((u.s - 1) / 12 AS BIGINT) AS chunk_id,
+        |  CAST(len(toks[u.s : u.s + 15]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[u.s : u.s + 15], ' ') AS chunk_text
+        |FROM t, unnest(generate_series(1, len(toks), 12)) AS u(s)""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+        |FROM n a JOIN n b ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        |  AND levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name < b.p_name""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+        |    count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT event_type, unnest(generate_series(min(bucket_start), max(bucket_start), 3600)) AS bucket_start
+        |  FROM b GROUP BY event_type),
+        |f AS (SELECT sp.event_type, sp.bucket_start, b.n_events, b.sum_value
+        |      FROM sp LEFT JOIN b USING (event_type, bucket_start))
+        |SELECT event_type, bucket_start, coalesce(n_events, 0) AS n_events,
+        |  coalesce(sum_value, 0.0) AS sum_value,
+        |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+        |FROM f""".stripMargin,
   )
 }

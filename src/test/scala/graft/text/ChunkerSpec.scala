@@ -1,0 +1,43 @@
+package graft.text
+
+import graft.SparkTestBase
+
+class ChunkerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunkDocuments windows with overlap and covers every token") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Chunker.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .orderBy("chunk_id").collect()
+    // stride 3: starts 1,4,7,10 -> chunks of 4,4,4,1 tokens
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(out.head.getString(3) == "t1 t2 t3 t4")
+    assert(out(1).getString(3) == "t4 t5 t6 t7")
+    assert(out.last.getString(3) == "t10")
+  }
+
+  test("chunkDocuments: short docs emit one chunk, empty docs none") {
+    val docs = Seq((1L, "just three tokens"), (2L, "   ")).toDF("doc_id", "text")
+    val out = Chunker.chunkDocuments(docs, "doc_id", "text", chunkTokens = 16, overlapTokens = 4)
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L && rows.head.getLong(2) == 3L)
+  }
+
+  test("chunkDocuments: zero overlap partitions tokens exactly") {
+    val docs = Seq((1L, (1 to 9).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Chunker.chunkDocuments(docs, "doc_id", "text", chunkTokens = 3, overlapTokens = 0)
+    assert(out.count() == 3)
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0) == 9L)
+  }
+
+  test("chunkDocuments validates parameters") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Chunker.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlapTokens = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Chunker.chunkDocuments(docs, "doc_id", "text", chunkTokens = 0)
+    }
+  }
+}

@@ -1576,6 +1576,25 @@ object SparkEntry {
     "q_gap_fill" -> ((s, d) =>
       operators.TimeSeries.fillGaps(
         eventsDf(s, d), "event_type", "ts", "value", intervalSec = 3600L)),
+
+    "q_scd2" -> ((s, d) =>
+      operators.Scd.scdType2(
+        t(s, d, "orders").select(col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderdate"), col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus")),
+        "o_custkey", Seq("o_orderdate", "o_orderkey"), Seq("o_orderstatus"))),
+
+    "q_rolling" -> ((s, d) =>
+      operators.TimeSeries.rollingAgg(
+        eventsDf(s, d).withColumn("event_id", col("event_id").cast("long")),
+        "event_type", "ts", "value", windowSec = 3600L, extraCols = Seq("event_id"))),
+
+    "q_session_leaders" -> ((s, d) =>
+      operators.TimeSeries.sessionLeaders(
+        eventsDf(s, d), "user_id", "ts", gapSec = 1800L,
+        orderCols = Seq("ts", "event_id"))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"))),
   )
 
   // =================================================================
@@ -2530,5 +2549,33 @@ object SparkEntry {
         |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_start
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
         |FROM f""".stripMargin,
+
+    "q_scd2" ->
+      """WITH m AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+        |    lag(o_orderstatus) OVER w AS prev
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |c AS (SELECT * FROM m WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderstatus)
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w2 AS valid_to,
+        |  lead(o_orderdate) OVER w2 IS NULL AS is_current
+        |FROM c WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_rolling" ->
+      """SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  count(*) OVER w AS n_win,
+        |  round(sum(value) OVER w, 6) AS sum_win
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_session_leaders" ->
+      """WITH m AS (SELECT event_id, user_id, event_type,
+        |  lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |  floor(epoch(ts)) AS e
+        |FROM events)
+        |SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id, event_type
+        |FROM m WHERE prev IS NULL OR e - prev > 1800""".stripMargin,
   )
 }

@@ -54,4 +54,56 @@ object TimeSeries {
       coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
       last("sum_value", ignoreNulls = true).over(w).as("ffill_value"))
   }
+
+  /** Trailing time-range window features per series key: for every
+    * event, the count and sum of `valueCol` over the inclusive
+    * `[t − windowSec, t]` range of the same key — the standard
+    * rolling-feature pass (rate limits, momentum, activity scores).
+    *
+    * The frame is a RANGE frame on epoch seconds, so simultaneous
+    * events are in each other's frame regardless of intra-second
+    * order — the result is deterministic without a tiebreak. One
+    * exchange + sort per key, streamed frame evaluation (no per-row
+    * self-join). */
+  def rollingAgg(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      windowSec: Long,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    require(windowSec > 0, s"rollingAgg: windowSec must be positive, got $windowSec")
+    val w = Window.partitionBy(keyCol).orderBy(col("__graft_epoch"))
+      .rangeBetween(-windowSec, 0)
+    df
+      .withColumn("__graft_epoch", unix_timestamp(col(tsCol)))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win", round(sum(col(valueCol).cast("double")).over(w), 6))
+      .select((Seq(keyCol) ++ extraCols ++ Seq("__graft_epoch", "n_win", "sum_win")).map(col): _*)
+      .withColumnRenamed("__graft_epoch", "epoch_s")
+  }
+
+  /** Session-leading events: keep each event that OPENS a burst — the
+    * first of its key, or any whose gap from the previous event of
+    * the same key exceeds `gapSec`. The batch debounce/throttle that
+    * pairs with the session-window streaming aggregations.
+    *
+    * `orderCols` must order events uniquely per key (append a
+    * tiebreak id after the timestamp). One exchange + sort per key. */
+  def sessionLeaders(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSec: Long,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(gapSec > 0, s"sessionLeaders: gapSec must be positive, got $gapSec")
+    val order = if (orderCols.isEmpty) Seq(tsCol) else orderCols
+    val w = Window.partitionBy(keyCol).orderBy(order.map(col): _*)
+    val prev = lag(unix_timestamp(col(tsCol)), 1).over(w)
+    df
+      .withColumn("__graft_gap_prev", prev)
+      .filter(col("__graft_gap_prev").isNull ||
+        unix_timestamp(col(tsCol)) - col("__graft_gap_prev") > gapSec)
+      .drop("__graft_gap_prev")
+  }
 }

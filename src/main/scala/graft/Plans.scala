@@ -54,6 +54,16 @@ object Plans {
       "Cross-corpus near-dedup: BOTH corpora reduce to id-only (band, bucket) rows before the one wide join; hash-set payloads re-join only onto candidate pairs; the final left_anti keys on the (small) dropped-id set. No text or signature ever crosses the bucket exchange.",
     "q_quota_sample" ->
       "Exact-N quota: MapPartitions local top-n prune FIRST (bounded heap per stratum), so the exact rank Window's exchange carries <= n x partitions x strata rows — a billion-row stratum never serialises through one task.",
+    "q_bm25" ->
+      "BM25 search: the query-term filter sits INSIDE the token explode's input (filter() HOF on the array before explode), so the (doc, term) exchange carries only matching postings; the vocabulary-sized df side broadcasts under AQE; the final top-k is TakeOrderedAndProject, not a global Sort.",
+    "q_fuzzy_join" ->
+      "Blocked fuzzy join: an EQUI-join on the 1-char prefix key (hash-partitioned, AQE-broadcastable) with the sound length-band + levenshtein predicates as join filters — no BroadcastNestedLoopJoin/cartesian anywhere in the plan.",
+    "q_chunk" ->
+      "Document chunking: scan -> one narrow Project (sequence + slice inside transform) -> Generate(posexplode) -> Project, ZERO exchanges — chunking pipelines with the parquet scan at any corpus size.",
+    "q_scd2" ->
+      "SCD type-2: ONE Exchange on the dimension key and ONE Sort on (key, date, orderkey) feed both window passes (the change-filter preserves partitioning and order, so the lead() pass re-uses them) — a single shuffle builds the full history.",
+    "q_gap_fill" ->
+      "Gap fill: (key, bucket) hash aggregation with partial combine -> per-key bounds aggregate -> sequence/explode spine (rows ~ keys x buckets, never driver-side) -> equi left join -> one window sort per key for the forward fill.",
   )
 
   def main(args: Array[String]): Unit = {

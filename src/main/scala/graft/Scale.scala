@@ -595,6 +595,75 @@ object Scale {
         }
       } finally spark.conf.set(thresholdKey, prev)
     }
+
+    // --- BM25 postings prefilter (r11b): Relevance.bm25TopK filters
+    // the exploded tokens to the query's terms BEFORE the (doc, term)
+    // aggregation, so its exchange carries only matching postings. The
+    // naive formulation aggregates the FULL tf matrix and filters
+    // after — its exchange carries every distinct (doc, term) pair.
+    // shuffle_write_bytes of the two variants is the before/after
+    // volume; the gap grows with vocabulary size while the prefiltered
+    // side grows only with query-term hit count.
+    if (!only.exists(!_.contains("bm25_bytes"))) {
+      val docs = scaledDocs(spark, sfDir, bigK)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true) // both variants read the same materialised corpus
+      val terms = Seq("dup", "vector", "scan")
+      def bytesRow(variant: String, df: DataFrame): Unit = {
+        spark.catalog.clearCache()
+        val mtr = graft.observability.RunMetricsProbe.measure(df)
+        println(s"""{"op":"bm25_bytes","variant":"$variant","scale":$bigK""" +
+          s""","shuffle_write_bytes":${mtr.shuffleWriteBytes}""" +
+          s""","rows":${mtr.rows},"secs":${mtr.wallMs / 1000.0}}""")
+      }
+      bytesRow("prefiltered",
+        graft.text.Relevance.bm25TopK(docs, "doc_id", "text", terms, k = 20))
+      // query terms arriving as DATA (a 3-row table) instead of plan
+      // literals: the semi filter is now a join ABOVE the aggregation,
+      // nothing pushes below the shuffle, and the full (doc, term)
+      // matrix crosses the exchange — the shape a user gets when the
+      // query set comes from another DataFrame
+      bytesRow("terms_as_table", {
+        import graft.text.TextFunctions.{normalizeText, tokens}
+        import spark.implicits._
+        val (k1, b) = (1.2, 0.75)
+        val n = docs.count().toDouble
+        val toks = docs.select(col("doc_id"), tokens(normalizeText(col("text"))).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("double"))
+        val avgdl = toks.agg(avg("dl")).head().getDouble(0)
+        val termsDf = terms.toDF("word")
+        val post = toks
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("word"))
+          .groupBy("doc_id", "dl", "word").agg(count(lit(1)).cast("double").as("tf"))
+          .join(termsDf, "word")
+        val dfreq = post.groupBy("word").agg(count(lit(1)).cast("double").as("dfd"))
+        val idf = log(lit(1.0) + (lit(n) - col("dfd") + 0.5) / (col("dfd") + 0.5))
+        val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+        post.join(dfreq, "word")
+          .groupBy("doc_id")
+          .agg(round(sum(idf * col("tf") * lit(k1 + 1.0) / norm), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      })
+      bytesRow("full_tf", {
+        import graft.text.TextFunctions.{normalizeText, tokens}
+        val (k1, b) = (1.2, 0.75)
+        val n = docs.count().toDouble
+        val toks = docs.select(col("doc_id"), tokens(normalizeText(col("text"))).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("double"))
+        val avgdl = toks.agg(avg("dl")).head().getDouble(0)
+        val post = toks
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("word"))
+          .groupBy("doc_id", "dl", "word").agg(count(lit(1)).cast("double").as("tf"))
+          .filter(col("word").isin(terms: _*))
+        val dfreq = post.groupBy("word").agg(count(lit(1)).cast("double").as("dfd"))
+        val idf = log(lit(1.0) + (lit(n) - col("dfd") + 0.5) / (col("dfd") + 0.5))
+        val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+        post.join(dfreq, "word")
+          .groupBy("doc_id")
+          .agg(round(sum(idf * col("tf") * lit(k1 + 1.0) / norm), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      })
+    }
     spark.stop()
   }
 }

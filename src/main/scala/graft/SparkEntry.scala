@@ -1595,6 +1595,30 @@ object SparkEntry {
         orderCols = Seq("ts", "event_id"))
         .select(col("event_id").cast("long").as("event_id"),
           col("user_id").cast("long").as("user_id"), col("event_type"))),
+
+    "q_winsorize" -> ((s, d) =>
+      core.Stats.winsorize(t(s, d, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", lowP = 0.05, highP = 0.95)
+        .select("l_returnflag", "l_extendedprice", "l_extendedprice_wins")),
+
+    "q_anomaly" -> ((s, d) =>
+      core.Stats.zscoreOutliers(eventsDf(s, d), Seq("event_type"), "value")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("z"), col("is_outlier"))),
+
+    "q_transitions" -> ((s, d) =>
+      operators.EventAnalytics.transitionMatrix(
+        eventsDf(s, d), "user_id", "event_type", Seq("ts", "event_id"))
+        .select(col("from_state"), col("to_state"), col("n"), col("p"))),
+
+    "q_retention" -> ((s, d) =>
+      operators.EventAnalytics.cohortRetention(
+        eventsDf(s, d), "user_id", "ts", bucketSec = 604800L)),
+
+    "q_funnel" -> ((s, d) =>
+      operators.EventAnalytics.funnel(
+        eventsDf(s, d), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))),
   )
 
   // =================================================================
@@ -2577,5 +2601,42 @@ object SparkEntry {
         |FROM events)
         |SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id, event_type
         |FROM m WHERE prev IS NULL OR e - prev > 1800""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo,
+        |  quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, l.l_extendedprice,
+        |  round(least(greatest(l.l_extendedprice, lo), hi), 6) AS l_extendedprice_wins
+        |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
+
+    "q_anomaly" ->
+      """WITH m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd FROM events GROUP BY 1),
+        |z AS (SELECT CAST(event_id AS BIGINT) AS event_id, e.event_type,
+        |  CASE WHEN sd IS NULL OR sd = 0 THEN 0.0 ELSE round((value - mu) / sd, 6) END AS z
+        |  FROM events e JOIN m USING (event_type))
+        |SELECT event_id, event_type, z, abs(z) > 3.0 AS is_outlier FROM z""".stripMargin,
+
+    "q_transitions" ->
+      """WITH p AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state FROM events),
+        |c AS (SELECT from_state, to_state, count(*) AS n FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_state), 6) AS p FROM c""".stripMargin,
+
+    "q_retention" ->
+      """WITH b AS (SELECT user_id, CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS bucket FROM events),
+        |c AS (SELECT user_id, bucket, min(bucket) OVER (PARTITION BY user_id) AS cohort_start FROM b),
+        |d AS (SELECT DISTINCT user_id, cohort_start,
+        |  CAST((bucket - cohort_start) / 604800 AS BIGINT) AS "offset" FROM c)
+        |SELECT cohort_start, "offset", count(*) AS n_active FROM d GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type AS s FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE s = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id) WHERE s = 'view' AND t > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id) WHERE s = 'purchase' AND t > t2 GROUP BY 1)
+        |SELECT 1 AS step, 'signup' AS step_name, (SELECT count(*) FROM s1) AS n_entities
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
   )
 }

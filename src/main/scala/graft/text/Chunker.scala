@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.text.TextFunctions.{normalizeText, tokens}
+import graft.text.TextFunctions.normTokens
 
 /** Context-window document chunking: split each document into
   * fixed-size overlapping token windows, preserving provenance — the
@@ -34,7 +34,7 @@ object Chunker {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"chunkDocuments: overlapTokens must be in [0, chunkTokens), got $overlapTokens")
     val stride = chunkTokens - overlapTokens
-    val toks = tokens(normalizeText(col(textCol)))
+    val toks = normTokens(col(textCol))
     df
       .select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) > 0)

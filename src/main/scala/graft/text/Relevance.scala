@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.text.TextFunctions.{normalizeText, tokens}
+import graft.text.TextFunctions.normTokens
 
 /** Term-relevance operators for corpus analytics and retrieval-shaped
   * training-data work: TF-IDF weighting, BM25 ranked search, inverted
@@ -33,7 +33,7 @@ object Relevance {
     * normalised text: (idCol, word, tf). One shuffle, keyed on
     * (idCol, word), partial-aggregated map-side. */
   def docTermFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(tokens(normalizeText(col(textCol)))).as("word"))
+    df.select(col(idCol), explode(normTokens(col(textCol))).as("word"))
       .groupBy(idCol, "word")
       .agg(count(lit(1)).as("tf"))
 
@@ -58,9 +58,10 @@ object Relevance {
     require(minDf >= 1, s"tfIdf: minDf must be >= 1, got $minDf")
     val nDocs = df.count()
     val tf = docTermFrequencies(df, idCol, textCol)
-    val docFreq = tf.groupBy("word")
-      .agg(count(lit(1)).as("df_docs"))
-      .filter(col("df_docs") >= minDf)
+    val docFreqAll = tf.groupBy("word").agg(count(lit(1)).as("df_docs"))
+    // df_docs >= 1 holds by construction — skip the vacuous Filter node
+    val docFreq =
+      if (minDf > 1L) docFreqAll.filter(col("df_docs") >= minDf) else docFreqAll
     tf.join(docFreq, "word")
       .select(col(idCol), col("word"), col("tf"), col("df_docs"),
         round(col("tf") * log(lit(nDocs.toDouble) / col("df_docs")), 6).as("tfidf"))
@@ -96,7 +97,7 @@ object Relevance {
     val nDocs = df.count().toDouble
     val terms = queryTerms.map(_.toLowerCase).distinct
 
-    val toks = df.select(col(idCol), tokens(normalizeText(col(textCol))).as("toks"))
+    val toks = df.select(col(idCol), normTokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
     val avgdl = toks.agg(avg("dl")).head().getDouble(0)
 
@@ -141,7 +142,7 @@ object Relevance {
       s"invertedIndex: maxDfFrac must be in (0, 1], got $maxDfFrac")
     val nDocs = df.count()
     val maxDf = math.floor(nDocs * maxDfFrac).toLong
-    df.select(col(idCol), explode(tokens(normalizeText(col(textCol)))).as("word"))
+    df.select(col(idCol), explode(normTokens(col(textCol))).as("word"))
       .distinct()
       .groupBy("word")
       .agg(sort_array(collect_list(col(idCol).cast("long"))).as("postings"))
@@ -166,7 +167,7 @@ object Relevance {
       textCol: String,
       minCount: Long = 2L): DataFrame = {
     require(minCount >= 1, s"bigramPmi: minCount must be >= 1, got $minCount")
-    val toks = df.select(tokens(normalizeText(col(textCol))).as("toks"))
+    val toks = df.select(normTokens(col(textCol)).as("toks"))
     val bigrams = toks.select(explode(
       when(size(col("toks")) < 2, array().cast("array<string>"))
         .otherwise(transform(

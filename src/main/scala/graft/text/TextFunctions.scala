@@ -32,6 +32,17 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 
+  /** Tokens of the NORMALISED text — the composition
+    * `tokens(normalizeText(_))` without the redundant second trim
+    * (normalizeText already trims, and the extra trim shows up twice
+    * per row in the codegen'd CASE WHEN). Use this form whenever the
+    * input is raw text headed for normalised tokenisation. */
+  def normTokens(text: Column): Column = {
+    val n = normalizeText(text)
+    when(length(n) === 0, array().cast("array<string>"))
+      .otherwise(split(n, "\\s+"))
+  }
+
   /** Document fingerprint: md5 of the normalised text. Stable across
     * engines (hex md5), unlike engine-internal hash functions. */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
@@ -114,7 +125,7 @@ object TextFunctions {
       textCol: String,
       topN: Int = 1000): org.apache.spark.sql.DataFrame = {
     require(topN > 0, "wordFrequencies: topN must be positive")
-    df.select(explode(tokens(normalizeText(col(textCol)))).as("word"))
+    df.select(explode(normTokens(col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word"))

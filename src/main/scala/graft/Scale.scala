@@ -596,6 +596,41 @@ object Scale {
       } finally spark.conf.set(thresholdKey, prev)
     }
 
+    // --- contiguous-id assignment (r11b): the naive global
+    // row_number() sorts the WHOLE frame in one task (a single
+    // reduce partition — the scale-killer the operator exists to
+    // avoid); the partition-offset pattern keeps every sort parallel
+    // and moves only a numPartitions-row offsets frame to the driver.
+    // Same 20M-row frame, identical output ids (IdsSpec pins
+    // equality); wall-clock + max single-task input are the evidence.
+    if (!only.exists(!_.contains("assign_ids"))) {
+      // k = id·48271 mod 20M is a bijection (gcd(48271, 2e7) = 1): a
+      // scrambled UNIQUE key, as the operator's contract requires
+      val frame = spark.range(20000000L)
+        .select((col("id") * 48271L % 20000000L).as("k"))
+        .localCheckpoint(true)
+      def row(variant: String, df: DataFrame): Unit = {
+        spark.catalog.clearCache()
+        // consume row_id through a sum FILTERED on its value — a bare
+        // count() lets the optimizer prune the window/join entirely
+        // (and count-over-ungrouped-agg one-row-plans fold away too);
+        // the filter forces the sum, which doubles as a correctness
+        // pin: both variants must pass the n(n-1)/2 check
+        val expected = 20000000L * (20000000L - 1) / 2
+        val mtr = graft.observability.RunMetricsProbe
+          .measure(df.agg(sum(col("row_id")).as("s"))
+            .filter(col("s") === expected))
+        require(mtr.rows == 1, s"assign_ids $variant: id-sum check failed")
+        println(s"""{"op":"assign_ids","variant":"$variant"""" +
+          s""","shuffle_write_bytes":${mtr.shuffleWriteBytes}""" +
+          s""","secs":${mtr.wallMs / 1000.0}}""")
+      }
+      row("partition_offset",
+        graft.operators.Ids.assignContiguousIds(frame, Seq("k"), numPartitions = Some(32)))
+      row("naive_global_window",
+        graft.operators.Ids.assignContiguousIdsNaive(frame, Seq("k")))
+    }
+
     // --- BM25 postings prefilter (r11b): Relevance.bm25TopK filters
     // the exploded tokens to the query's terms BEFORE the (doc, term)
     // aggregation, so its exchange carries only matching postings. The

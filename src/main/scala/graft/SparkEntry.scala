@@ -1619,6 +1619,26 @@ object SparkEntry {
       operators.EventAnalytics.funnel(
         eventsDf(s, d), "user_id", "ts", "event_type",
         Seq("signup", "view", "purchase"))),
+
+    "q_crosstab" -> ((s, d) =>
+      core.Profiling.crosstab(
+        t(s, d, "events").select((col("user_id") % 10).cast("long").as("user_bucket"),
+          col("event_type")),
+        "user_bucket", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))),
+
+    "q_histogram" -> ((s, d) =>
+      core.Profiling.histogram(t(s, d, "lineitem"), "l_extendedprice", nBins = 20)),
+
+    "q_profile" -> ((s, d) =>
+      core.Profiling.profileNumeric(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_discount", "l_tax"))),
+
+    "q_assign_ids" -> ((s, d) =>
+      operators.Ids.assignContiguousIds(
+        t(s, d, "orders").select(col("o_orderkey").cast("long").as("o_orderkey")),
+        Seq("o_orderkey"))
+        .select("o_orderkey", "row_id")),
   )
 
   // =================================================================
@@ -2638,5 +2658,39 @@ object SparkEntry {
         |SELECT 1 AS step, 'signup' AS step_name, (SELECT count(*) FROM s1) AS n_entities
         |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "q_crosstab" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_histogram" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+        |b AS (SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bin
+        |      FROM lineitem, s WHERE l_extendedprice >= lo AND l_extendedprice <= hi)
+        |SELECT bin, round(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
+        |  round(lo + (bin + 1) * ((hi - lo) / 20), 6) AS bin_hi, count(*) AS n
+        |FROM b, s GROUP BY bin, lo, hi""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
+        |  count(*) - count(l_quantity) AS n_null, count(DISTINCT l_quantity) AS n_distinct,
+        |  min(l_quantity::DOUBLE) AS min, max(l_quantity::DOUBLE) AS max,
+        |  round(avg(l_quantity), 6) AS mean, round(stddev_samp(l_quantity), 6) AS std FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(l_discount), count(*) - count(l_discount), count(DISTINCT l_discount),
+        |  min(l_discount::DOUBLE), max(l_discount::DOUBLE), round(avg(l_discount), 6), round(stddev_samp(l_discount), 6) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax', count(l_tax), count(*) - count(l_tax), count(DISTINCT l_tax),
+        |  min(l_tax::DOUBLE), max(l_tax::DOUBLE), round(avg(l_tax), 6), round(stddev_samp(l_tax), 6) FROM lineitem""".stripMargin,
+
+    "q_assign_ids" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
+        |FROM orders""".stripMargin,
   )
 }

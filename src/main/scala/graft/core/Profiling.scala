@@ -1,0 +1,85 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators: contingency tables, equal-width
+  * histograms, and per-column numeric summaries — the first-look
+  * passes run over a new table before anything else touches it.
+  *
+  * Scale shape: each is ONE hash aggregation (pivot/bin/summary) with
+  * map-side combine; histograms take one extra bounds aggregate when
+  * bounds aren't supplied. Output sizes are bins × groups /
+  * categories² / columns — never corpus-sized.
+  */
+object Profiling {
+
+  /** Contingency table: counts of `colCol` values per `rowCol` value,
+    * one output column per entry of `colValues` (explicit values —
+    * no distinct-scan job, stable output schema). Empty cells are 0. */
+  def crosstab(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String,
+      colValues: Seq[String]): DataFrame = {
+    require(colValues.nonEmpty, "crosstab: need at least one pivot value")
+    require(colValues.distinct.size == colValues.size, "crosstab: pivot values must be distinct")
+    val pivoted = df.groupBy(rowCol).pivot(colCol, colValues).count()
+    colValues.foldLeft(pivoted)((d, v) =>
+      d.withColumn(v, coalesce(col(s"`$v`"), lit(0L))))
+  }
+
+  /** Equal-width histogram of `valueCol`: `nBins` bins over
+    * [lo, hi] (computed in one bounds aggregate when not supplied;
+    * the max value clamps into the last bin). Output per non-empty
+    * bin: (bin, bin_lo, bin_hi, n) with bounds rounded to 6 dp. */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      bounds: Option[(Double, Double)] = None): DataFrame = {
+    require(nBins > 0, s"histogram: nBins must be positive, got $nBins")
+    val v = col(valueCol).cast("double")
+    val (lo, hi) = bounds.getOrElse {
+      val r = df.agg(min(v), max(v)).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    require(hi > lo, s"histogram: need max > min, got [$lo, $hi]")
+    val width = (hi - lo) / nBins
+    val bin = least(floor((v - lo) / width), lit(nBins - 1)).cast("long")
+    df.filter(v >= lo && v <= hi)
+      .select(bin.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        round(lit(lo) + col("bin") * width, 6).as("bin_lo"),
+        round(lit(lo) + (col("bin") + 1) * width, 6).as("bin_hi"),
+        col("n"))
+  }
+
+  /** Long-format numeric profile: one row per column with count,
+    * null count, distinct count, min/max, mean and sample stddev
+    * (round 6). All columns profile in ONE aggregation pass over the
+    * table (a single scan), then unpivot driver-side-free via a
+    * literal-struct explode. */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric: need at least one column")
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(count(v).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(v).as(s"${c}__min"), max(v).as(s"${c}__max"),
+        round(avg(v), 6).as(s"${c}__mean"),
+        round(stddev_samp(v), 6).as(s"${c}__std"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col(s"${c}__n").as("n"),
+        col(s"${c}__nn").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min"), col(s"${c}__max").as("max"),
+        col(s"${c}__mean").as("mean"), col(s"${c}__std").as("std"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+}

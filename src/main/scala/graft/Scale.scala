@@ -596,6 +596,43 @@ object Scale {
       } finally spark.conf.set(thresholdKey, prev)
     }
 
+    // --- Z-order clustering (r11b): the same 20M-row 2-D frame
+    // written three ways (unsorted / sorted on x only / Z-ordered on
+    // (x, y)), then scanned with the same selective 2-D range filter.
+    // parquet row-group min/max stats drive the skipping, so
+    // inputBytes IS the pruning evidence; small row groups (1 MiB)
+    // emulate the many-row-group layout a 100 TB table has.
+    if (!only.exists(!_.contains("zorder_bytes"))) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_zorder_scale").toString
+      val frame = spark.range(20000000L)
+        .select((col("id") * 48271L % 4096L).cast("double").as("x"),
+          (col("id") * 69621L % 4096L).cast("double").as("y"),
+          col("id").as("payload"))
+      val opts = Map("parquet.block.size" -> (1024 * 1024).toString)
+      frame.write.options(opts).mode("overwrite").parquet(s"$dir/unsorted")
+      frame.repartitionByRange(32, col("x")).sortWithinPartitions("x")
+        .write.options(opts).mode("overwrite").parquet(s"$dir/sorted_x")
+      val z = graft.io.ZOrder.zOrderKey(frame, Seq("x", "y"), bits = 8,
+        bounds = Map("x" -> ((0.0, 4096.0)), "y" -> ((0.0, 4096.0))))
+      frame.withColumn("__z", z).repartitionByRange(32, col("__z"))
+        .sortWithinPartitions("__z").drop("__z")
+        .write.options(opts).mode("overwrite").parquet(s"$dir/zorder")
+      val shapes: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "x_range" -> (col("x") >= 1000 && col("x") < 1100),
+        "y_range" -> (col("y") >= 2000 && col("y") < 2100),
+        "x_and_y" -> (col("x") >= 1000 && col("x") < 1100 &&
+          col("y") >= 2000 && col("y") < 2100))
+      for (layout <- Seq("unsorted", "sorted_x", "zorder");
+           (shape, pred) <- shapes) {
+        spark.catalog.clearCache()
+        val mtr = graft.observability.RunMetricsProbe.measure(
+          spark.read.parquet(s"$dir/$layout").filter(pred))
+        println(s"""{"op":"zorder_bytes","layout":"$layout","filter":"$shape"""" +
+          s""","input_bytes":${mtr.inputBytes},"rows":${mtr.rows}""" +
+          s""","secs":${mtr.wallMs / 1000.0}}""")
+      }
+    }
+
     // --- contiguous-id assignment (r11b): the naive global
     // row_number() sorts the WHOLE frame in one task (a single
     // reduce partition — the scale-killer the operator exists to

@@ -1639,6 +1639,20 @@ object SparkEntry {
         t(s, d, "orders").select(col("o_orderkey").cast("long").as("o_orderkey")),
         Seq("o_orderkey"))
         .select("o_orderkey", "row_id")),
+
+    "q_zorder" -> ((s, d) => {
+      // layout changes row ORDER only — the 2-D filtered read-back must
+      // match the plain filter regardless of clustering
+      val target = s"$scratch/zorder_tbl"
+      io.ZOrder.writeZOrdered(
+        t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_quantity"),
+        target, Seq("l_extendedprice", "l_quantity"), numFiles = Some(8))
+      s.read.parquet(target)
+        .filter(col("l_extendedprice") >= 20000 && col("l_extendedprice") < 40000 &&
+          col("l_quantity") >= 10 && col("l_quantity") < 20)
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_extendedprice"), col("l_quantity"))
+    }),
   )
 
   // =================================================================
@@ -2692,5 +2706,11 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
         |FROM orders""".stripMargin,
+
+    "q_zorder" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, l_extendedprice, l_quantity
+        |FROM lineitem
+        |WHERE l_extendedprice >= 20000 AND l_extendedprice < 40000
+        |  AND l_quantity >= 10 AND l_quantity < 20""".stripMargin,
   )
 }

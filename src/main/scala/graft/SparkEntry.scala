@@ -1640,6 +1640,21 @@ object SparkEntry {
         Seq("o_orderkey"))
         .select("o_orderkey", "row_id")),
 
+    "q_scd2_merge" -> ((s, d) => {
+      // incremental merge must be indistinguishable from the full
+      // rebuild — same oracle SQL as a from-scratch scdType2 over the
+      // whole log (the append-only split guarantees the contract)
+      val orders = t(s, d, "orders").select(
+        col("o_custkey").cast("long").as("o_custkey"), col("o_orderdate"),
+        col("o_orderkey").cast("long").as("o_orderkey"), col("o_orderstatus"))
+      val old = orders.filter(col("o_orderdate") < "1996-01-01")
+      val updates = orders.filter(col("o_orderdate") >= "1996-01-01")
+      operators.Scd.scdType2Merge(
+        operators.Scd.scdType2(old, "o_custkey",
+          Seq("o_orderdate", "o_orderkey"), Seq("o_orderstatus")),
+        updates, "o_custkey", Seq("o_orderdate", "o_orderkey"), Seq("o_orderstatus"))
+    }),
+
     "q_zorder" -> ((s, d) => {
       // layout changes row ORDER only — the 2-D filtered read-back must
       // match the plain filter regardless of clustering
@@ -2706,6 +2721,17 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
         |FROM orders""".stripMargin,
+
+    "q_scd2_merge" ->
+      """WITH m AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+        |    lag(o_orderstatus) OVER w AS prev
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |c AS (SELECT * FROM m WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderstatus)
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w2 AS valid_to,
+        |  lead(o_orderdate) OVER w2 IS NULL AS is_current
+        |FROM c WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "q_zorder" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, l_extendedprice, l_quantity

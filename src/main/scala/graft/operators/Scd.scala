@@ -52,4 +52,45 @@ object Scd {
       .select((keyCol +: attrCols).map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
+
+  /** Incrementally merge an update batch into an existing type-2
+    * history — the production shape: a daily batch touches a sliver
+    * of keys, so recomputing only the OPEN intervals plus the updates
+    * beats rebuilding history from the full change log.
+    *
+    * Contract (append-only): every update row's `orderCols.head` must
+    * be STRICTLY greater than its key's open `valid_from` — the
+    * standard incremental-load invariant. Under it, this merge is
+    * exactly equivalent to `scdType2` over the combined log
+    * (q_scd2_merge pins that equivalence against the full-rebuild
+    * oracle).
+    *
+    * Plan: closed intervals pass through untouched (no shuffle on the
+    * history bulk beyond the union); each key's open interval is
+    * re-expressed as its opening change event and re-run through
+    * `scdType2` together with the updates — the windowed work is
+    * sized by open-keys + batch, not by history. */
+  def scdType2Merge(
+      history: DataFrame,
+      updates: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      attrCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "scdType2Merge: need at least one ordering column")
+    val tsCol = orderCols.head
+    val openEvents = orderCols.tail.foldLeft(
+      history.filter(col("is_current"))
+        .select((keyCol +: attrCols).map(col) :+ col("valid_from").as(tsCol): _*)) {
+      // tiebreak columns are not retained in history output; the
+      // append-only contract makes them irrelevant across the
+      // boundary (strictly larger first order column), so typed
+      // nulls — which sort FIRST ascending — stand in safely
+      (d, c) => d.withColumn(c, lit(null).cast(updates.schema(c).dataType))
+    }
+    val cols = (keyCol +: orderCols) ++ attrCols
+    val combined = openEvents.select(cols.map(col): _*)
+      .unionByName(updates.select(cols.map(col): _*))
+    history.filter(!col("is_current"))
+      .unionByName(scdType2(combined, keyCol, orderCols, attrCols))
+  }
 }

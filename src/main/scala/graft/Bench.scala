@@ -1260,6 +1260,29 @@ object Bench {
         .filter(col("name_a") < col("name_b"))
     }),
 
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_custkey").cast("long").as("o_custkey"), col("o_orderdate"),
+          col("o_orderkey").cast("long").as("o_orderkey"), col("o_orderstatus"))
+        .withColumn("prev", lag("o_orderstatus", 1).over(w))
+        .filter(col("prev").isNull || !(col("prev") <=> col("o_orderstatus")))
+        .withColumn("valid_from", col("o_orderdate"))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("o_custkey", "o_orderstatus", "valid_from", "valid_to", "is_current")
+    }),
+
+    "q_rolling" -> ((s, d) => {
+      val e = rawEvents(s, d).withColumn("event_id", col("event_id").cast("long"))
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+      val w = Window.partitionBy("event_type").orderBy("epoch_s")
+        .rangeBetween(-3600L, 0)
+      e.withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("sum_win", round(sum(col("value").cast("double")).over(w), 6))
+        .select("event_type", "event_id", "epoch_s", "n_win", "sum_win")
+    }),
+
     "q_gap_fill" -> ((s, d) => {
       val iv = 3600L
       val bucket = (floor(unix_timestamp(col("ts")) / iv) * iv).cast("long")

@@ -596,6 +596,29 @@ object Scale {
       } finally spark.conf.set(thresholdKey, prev)
     }
 
+    // --- incremental SCD merge (r11b): history built from a 20M-row
+    // change log, then a 100k-row update batch applied two ways — the
+    // incremental claim is that merge cost tracks open-keys + batch,
+    // not history size. Identical outputs (ScdSpec equivalence pin).
+    if (!only.exists(o => !o.contains("scd_merge_incremental") &&
+        !o.contains("scd_merge_full_rebuild"))) {
+      import graft.operators.Scd
+      val log = spark.range(20000000L).select(
+        (col("id") % 500000L).as("k"), col("id").as("t"),
+        (col("id") % 7L).cast("string").as("state"))
+        .localCheckpoint(true)
+      val batch = spark.range(20000000L, 20100000L).select(
+        (col("id") % 500000L).as("k"), col("id").as("t"),
+        ((col("id") + 3L) % 7L).cast("string").as("state"))
+        .localCheckpoint(true)
+      val history = Scd.scdType2(log, "k", Seq("t"), Seq("state"))
+        .localCheckpoint(true)
+      timed("scd_merge_incremental")(() =>
+        Scd.scdType2Merge(history, batch, "k", Seq("t"), Seq("state")))
+      timed("scd_merge_full_rebuild")(() =>
+        Scd.scdType2(log.unionByName(batch), "k", Seq("t"), Seq("state")))
+    }
+
     // --- Z-order clustering (r11b): the same 20M-row 2-D frame
     // written three ways (unsorted / sorted on x only / Z-ordered on
     // (x, y)), then scanned with the same selective 2-D range filter.

@@ -27,22 +27,23 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_pack_greedy", "q_stream_decontaminate", "q_dedup_against",
     "q_quota_sample", "q_pack_assemble", "q_split",
     "q_tfidf", "q_bm25", "q_inverted_index", "q_bigram_pmi",
-    "q_chunk", "q_fuzzy_join")
+    "q_chunk", "q_fuzzy_join", "q_scd2")
 
   // q_asof_join reads the events table, which needs the nanos-timestamp
   // session config like q_stream_exec — checked here with the config set
   // for the read (runtime-settable legacy conf)
-  test("raw baseline produces identical results to wrapped: q_gap_fill") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      val wrapped = SparkEntry.queries("q_gap_fill")(spark, sfDir)
-      val raw = Bench.baselines("q_gap_fill")(spark, sfDir)
-      assert(wrapped.columns.toSeq == raw.columns.toSeq)
-      def multiset(d: org.apache.spark.sql.DataFrame) =
-        d.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
-      assert(multiset(wrapped) == multiset(raw))
-    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-  }
+  for (name <- Seq("q_gap_fill", "q_rolling"))
+    test(s"raw baseline produces identical results to wrapped: $name") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      try {
+        val wrapped = SparkEntry.queries(name)(spark, sfDir)
+        val raw = Bench.baselines(name)(spark, sfDir)
+        assert(wrapped.columns.toSeq == raw.columns.toSeq)
+        def multiset(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+        assert(multiset(wrapped) == multiset(raw))
+      } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
 
   test("raw baseline produces identical results to wrapped: q_asof_join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1640,6 +1640,13 @@ object SparkEntry {
         Seq("o_orderkey"))
         .select("o_orderkey", "row_id")),
 
+    "q_sessionize" -> ((s, d) =>
+      operators.TimeSeries.sessionize(
+        eventsDf(s, d), "user_id", "ts", gapSec = 1800L,
+        orderCols = Seq("ts", "event_id"))
+        .groupBy(col("user_id").cast("long").as("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))),
+
     "q_scd2_merge" -> ((s, d) => {
       // incremental merge must be indistinguishable from the full
       // rebuild — same oracle SQL as a from-scratch scdType2 over the
@@ -2721,6 +2728,19 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
         |FROM orders""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH m AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(floor(epoch(ts))) OVER w IS NULL
+        |       OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
+        |       THEN 1 ELSE 0 END AS newsess
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, value,
+        |  sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM m)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, session_id,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_scd2_merge" ->
       """WITH m AS (

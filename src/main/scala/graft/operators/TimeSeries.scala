@@ -83,6 +83,31 @@ object TimeSeries {
       .withColumnRenamed("__graft_epoch", "epoch_s")
   }
 
+  /** Assign gap-based session ids: an event opens a new session when
+    * its gap from the previous event of the same key exceeds
+    * `gapSec`; `session_id` is the 0-based running session count per
+    * key (cumulative sum of the open flags — one exchange + sort per
+    * key, the batch twin of the streaming session windows). */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSec: Long,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(gapSec > 0, s"sessionize: gapSec must be positive, got $gapSec")
+    val order = if (orderCols.isEmpty) Seq(tsCol) else orderCols
+    val w = Window.partitionBy(keyCol).orderBy(order.map(col): _*)
+    val prev = lag(unix_timestamp(col(tsCol)), 1).over(w)
+    df
+      .withColumn("__graft_new",
+        when(prev.isNull || unix_timestamp(col(tsCol)) - prev > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("__graft_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("__graft_new")
+  }
+
   /** Session-leading events: keep each event that OPENS a burst — the
     * first of its key, or any whose gap from the previous event of
     * the same key exceeds `gapSec`. The batch debounce/throttle that

@@ -32,6 +32,20 @@ class TimeSeriesRollingSpec extends SparkTestBase {
     assert(out(1L) == 3.0 && out(2L) == 3.0)
   }
 
+  test("sessionize assigns 0-based gap sessions per key") {
+    val df = Seq(
+      ("a", 1L, ts(0L)), ("a", 2L, ts(10L)), ("a", 3L, ts(100L)), ("a", 4L, ts(105L)),
+      ("b", 5L, ts(3L))
+    ).toDF("k", "id", "t")
+    val out = TimeSeries.sessionize(df, "k", "t", gapSec = 30L, orderCols = Seq("t", "id"))
+      .select("id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+    // leaders are exactly the first event of each session
+    val leaders = TimeSeries.sessionLeaders(df, "k", "t", gapSec = 30L,
+      orderCols = Seq("t", "id")).select("id").as[Long].collect().toSet
+    assert(leaders == Set(1L, 3L, 5L))
+  }
+
   test("sessionLeaders keeps burst openers only") {
     val df = Seq(
       ("a", 1L, ts(0L)), ("a", 2L, ts(10L)), ("a", 3L, ts(100L)), ("a", 4L, ts(105L)),

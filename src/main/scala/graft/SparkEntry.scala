@@ -1640,6 +1640,23 @@ object SparkEntry {
         Seq("o_orderkey"))
         .select("o_orderkey", "row_id")),
 
+    "q_stream_debounce" -> ((s, d) => {
+      // the debounce STATE FUNCTION in batch mode (one group call per
+      // key == the streaming path with cross-batch carry, proven in
+      // DebounceStreamSpec) — behind the same EXACT oracle as
+      // q_session_leaders, not an invariant check
+      import s.implicits._
+      val evs = eventsDf(s, d).select(
+        col("user_id").cast("string").as("key"),
+        unix_timestamp(col("ts")).as("epochSec"),
+        col("event_id").cast("long").as("id"),
+        col("event_type").as("payload")).as[Streaming.TimedEvent]
+      Streaming.debounceStream(evs, gapSec = 1800L)
+        .toDF().select(col("id").as("event_id"),
+          col("key").cast("long").as("user_id"),
+          col("payload").as("event_type"))
+    }),
+
     "q_sessionize" -> ((s, d) =>
       operators.TimeSeries.sessionize(
         eventsDf(s, d), "user_id", "ts", gapSec = 1800L,
@@ -2728,6 +2745,14 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
         |FROM orders""".stripMargin,
+
+    "q_stream_debounce" ->
+      """WITH m AS (SELECT event_id, user_id, event_type,
+        |  lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |  floor(epoch(ts)) AS e
+        |FROM events)
+        |SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id, event_type
+        |FROM m WHERE prev IS NULL OR e - prev > 1800""".stripMargin,
 
     "q_sessionize" ->
       """WITH m AS (SELECT user_id, ts, event_id, value,

@@ -857,6 +857,62 @@ object Streaming {
       }
   }
 
+  /** Timestamped keyed event for [[debounceStream]]. */
+  case class TimedEvent(key: String, epochSec: Long, id: Long, payload: String)
+
+  /** Per-key last-seen event time (epoch seconds). */
+  case class DebounceState(lastSeen: Long)
+
+  /** Streaming debounce: emit only burst-OPENING events — the first
+    * of a key, or any whose gap from the key's previous event exceeds
+    * `gapSec`. The streaming twin of
+    * [[graft.operators.TimeSeries.sessionLeaders]]: state is ONE long
+    * per key (last seen event time), so state size is keys × ~32 B
+    * regardless of throughput — the cheapest possible stateful shape.
+    *
+    * Rows inside a micro-batch are processed in (epochSec, id) order
+    * (the group iterator itself is unordered); across batches the
+    * file source's arrival order stands in for event order, the same
+    * contract as the dedup family. Works identically on batch
+    * Datasets, where one group call sees all rows — exactly
+    * sessionLeaders — so the SQL oracle checks the state function
+    * itself (q_stream_debounce).
+    *
+    * `timeoutMs` as in [[dedupStream]]: 0 keeps keys forever
+    * (AvailableNow-safe); positive evicts idle keys (their next event
+    * re-opens a burst — the correct debounce semantics for an evicted
+    * key anyway, since eviction implies a long gap). */
+  def debounceStream(
+      events: Dataset[TimedEvent],
+      gapSec: Long,
+      timeoutMs: Long = 0): Dataset[TimedEvent] = {
+    require(gapSec > 0, s"debounceStream: gapSec must be positive, got $gapSec")
+    require(timeoutMs >= 0,
+      s"debounceStream: timeoutMs must be >= 0 (0 keeps keys forever), got $timeoutMs")
+    import events.sparkSession.implicits._
+    val timeoutConf = idleTtlConf(timeoutMs)
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[DebounceState, TimedEvent](
+        OutputMode.Append(), timeoutConf) {
+        case (_, rows, state: GroupState[DebounceState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.epochSec, e.id))
+            val last0 = state.getOption.map(_.lastSeen)
+            val (emit, lastN) = sorted.foldLeft(
+              (List.empty[TimedEvent], last0)) { case ((out, last), e) =>
+              val opens = last.forall(l => e.epochSec - l > gapSec)
+              (if (opens) e :: out else out, Some(e.epochSec))
+            }
+            lastN.foreach(l => state.update(DebounceState(l)))
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            emit.reverseIterator
+          }
+      }
+  }
+
   /** Run a streaming aggregate over a bounded file source to completion
     * into an in-memory table and return the result — used by tests to
     * prove the streaming path executes (batch equivalence proves the

@@ -168,6 +168,66 @@ object Bench {
     * formulations). Every raw query produces IDENTICAL results to its
     * wrapped counterpart (pinned by BenchBaselinesSpec). */
   private[graft] def baselines: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_expectations" -> ((s, d) => {
+      // hand-written single-pass suite: one agg + inline, the plan the
+      // wrapper compiles to (the one-scan-vs-N-scans WIN is measured
+      // separately in SCALE.md's expectations_passes row)
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val n = count(lit(1)).cast("double")
+      def frac(c: String, pred: Column) = {
+        val nn = count(col(c)).cast("double")
+        when(nn === 0.0, 1.0)
+          .otherwise(sum(when(col(c).isNotNull && pred, 1.0).otherwise(0.0)) / nn)
+      }
+      val one = li.agg(
+        round(when(n === 0.0, 1.0).otherwise(count(col("l_quantity")).cast("double") / n), 6).as("m0"),
+        round(when(count(col("l_orderkey")) === 0, 1.0)
+          .otherwise(countDistinct(col("l_orderkey")).cast("double") /
+            count(col("l_orderkey")).cast("double")), 6).as("m1"),
+        round(frac("l_discount", col("l_discount").cast("double").between(0.0, 0.1)), 6).as("m2"),
+        round(frac("l_linestatus", col("l_linestatus").rlike("^[OF]$")), 6).as("m3"),
+        round(frac("l_returnflag", col("l_returnflag").isin("A", "N", "R")), 6).as("m4"),
+        round(n, 6).as("m5"),
+        round(avg(col("l_quantity").cast("double")), 6).as("m6"))
+      one.select(inline(array(
+        struct(lit("not_null").as("check"), lit("l_quantity").as("column"),
+          col("m0").as("metric"), (col("m0") >= 1.0).as("passed")),
+        struct(lit("unique").as("check"), lit("l_orderkey").as("column"),
+          col("m1").as("metric"), (col("m1") === 1.0).as("passed")),
+        struct(lit("between").as("check"), lit("l_discount").as("column"),
+          col("m2").as("metric"), (col("m2") >= 1.0).as("passed")),
+        struct(lit("matches").as("check"), lit("l_linestatus").as("column"),
+          col("m3").as("metric"), (col("m3") >= 1.0).as("passed")),
+        struct(lit("in_set").as("check"), lit("l_returnflag").as("column"),
+          col("m4").as("metric"), (col("m4") >= 1.0).as("passed")),
+        struct(lit("min_rows").as("check"), lit("*").as("column"),
+          col("m5").as("metric"), (col("m5") >= 1000.0).as("passed")),
+        struct(lit("mean_between").as("check"), lit("l_quantity").as("column"),
+          col("m6").as("metric"), col("m6").between(20.0, 30.0).as("passed")))))
+    }),
+    "q_drift_cat" -> ((s, d) => {
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      val cutoff = to_date(lit("1995-01-01"))
+      val eps = 1e-6
+      val key = coalesce(col("o_orderpriority").cast("string"), lit("(null)"))
+        .as("category")
+      val refC = orders.filter(col("o_orderdate") < cutoff).select(key)
+        .groupBy("category").agg(count(lit(1)).as("n_ref"))
+      val curC = orders.filter(col("o_orderdate") >= cutoff).select(key)
+        .groupBy("category").agg(count(lit(1)).as("n_cur"))
+      val j = refC.join(curC, Seq("category"), "full_outer")
+        .select(col("category"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val tot = j.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"),
+        count(lit(1)).as("k"))
+      j.crossJoin(broadcast(tot))
+        .withColumn("pr", (col("n_ref") + eps) / (col("tr") + col("k") * eps))
+        .withColumn("pc", (col("n_cur") + eps) / (col("tc") + col("k") * eps))
+        .select(col("category"), col("n_ref"), col("n_cur"),
+          round(col("pr"), 6).as("p_ref"), round(col("pc"), 6).as("p_cur"),
+          round((col("pc") - col("pr")) * log(col("pc") / col("pr")), 6).as("psi_term"),
+          round(col("pc") * log(col("pc") / col("pr")), 6).as("kl_term"))
+    }),
     "q_melt" -> ((s, d) => {
       val li = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_orderkey").cast("long").as("l_orderkey"),

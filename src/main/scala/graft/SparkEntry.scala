@@ -1657,6 +1657,59 @@ object SparkEntry {
           col("payload").as("event_type"))
     }),
 
+    "q_expectations" -> ((s, d) => {
+      // deequ-style suite: 7 constraints, ONE scan (plan-asserted in
+      // ExpectationsSpec); mix of passing and failing rows on purpose
+      import checks.Expectations._
+      checks.Expectations.run(t(s, d, "lineitem"), Seq(
+        ExpectNotNull("l_quantity"),
+        ExpectUnique("l_orderkey"),
+        ExpectBetween("l_discount", 0.0, 0.1),
+        ExpectMatches("l_linestatus", "^[OF]$"),
+        ExpectInSet("l_returnflag", Seq("A", "N", "R")),
+        ExpectMinRows(1000),
+        ExpectMeanBetween("l_quantity", 20.0, 30.0)))
+    }),
+
+    "q_drift_cat" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cutoff = to_date(lit("1995-01-01"))
+      core.Drift.categoricalDrift(
+        orders.filter(col("o_orderdate") < cutoff),
+        orders.filter(col("o_orderdate") >= cutoff),
+        "o_orderpriority")
+    }),
+
+    "q_drift_num" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cutoff = to_date(lit("1995-01-01"))
+      core.Drift.numericDrift(
+        orders.filter(col("o_orderdate") < cutoff),
+        orders.filter(col("o_orderdate") >= cutoff),
+        "o_totalprice", lo = 0.0, hi = 600000.0, bins = 8)
+    }),
+
+    "q_drift_summary" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cutoff = to_date(lit("1995-01-01"))
+      core.Drift.driftSummary(
+        orders.filter(col("o_orderdate") < cutoff),
+        orders.filter(col("o_orderdate") >= cutoff),
+        "o_orderpriority")
+    }),
+
+    "q_heavy_hitters" -> ((s, d) => {
+      // Misra-Gries behind its own verification harness: the derived
+      // item column is deterministic, so the ORACLE computes the true
+      // heavy-hitter count exactly while the contract columns
+      // (missing/overcount/bound violations) are guaranteed zeros
+      val items = t(s, d, "lineitem").select(
+        when(col("l_orderkey") % 10 < 3,
+          concat(lit("hot_"), col("l_orderkey") % 3))
+          .otherwise(concat(lit("cold_"), col("l_orderkey"))).as("item"))
+      core.Frequent.checkGuarantee(items, "item", k = 16)
+    }),
+
     "q_sessionize" -> ((s, d) =>
       operators.TimeSeries.sessionize(
         eventsDf(s, d), "user_id", "ts", gapSec = 1800L,
@@ -2745,6 +2798,99 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
         |FROM orders""".stripMargin,
+
+    "q_expectations" ->
+      """SELECT 'not_null' AS "check", 'l_quantity' AS "column",
+        |  round(CAST(count(l_quantity) AS DOUBLE)/count(*), 6) AS metric,
+        |  round(CAST(count(l_quantity) AS DOUBLE)/count(*), 6) >= 1.0 AS passed FROM lineitem
+        |UNION ALL SELECT 'unique', 'l_orderkey',
+        |  round(CAST(count(DISTINCT l_orderkey) AS DOUBLE)/count(l_orderkey), 6),
+        |  round(CAST(count(DISTINCT l_orderkey) AS DOUBLE)/count(l_orderkey), 6) = 1.0 FROM lineitem
+        |UNION ALL SELECT 'between', 'l_discount',
+        |  round(sum(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.1 THEN 1.0 ELSE 0.0 END)/count(l_discount), 6),
+        |  round(sum(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.1 THEN 1.0 ELSE 0.0 END)/count(l_discount), 6) >= 1.0 FROM lineitem
+        |UNION ALL SELECT 'matches', 'l_linestatus',
+        |  round(sum(CASE WHEN l_linestatus IS NOT NULL AND regexp_matches(l_linestatus, '^[OF]$') THEN 1.0 ELSE 0.0 END)/count(l_linestatus), 6),
+        |  round(sum(CASE WHEN l_linestatus IS NOT NULL AND regexp_matches(l_linestatus, '^[OF]$') THEN 1.0 ELSE 0.0 END)/count(l_linestatus), 6) >= 1.0 FROM lineitem
+        |UNION ALL SELECT 'in_set', 'l_returnflag',
+        |  round(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1.0 ELSE 0.0 END)/count(l_returnflag), 6),
+        |  round(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1.0 ELSE 0.0 END)/count(l_returnflag), 6) >= 1.0 FROM lineitem
+        |UNION ALL SELECT 'min_rows', '*',
+        |  round(CAST(count(*) AS DOUBLE), 6), count(*) >= 1000 FROM lineitem
+        |UNION ALL SELECT 'mean_between', 'l_quantity',
+        |  round(avg(l_quantity), 6),
+        |  round(avg(l_quantity), 6) >= 20.0 AND round(avg(l_quantity), 6) <= 30.0 FROM lineitem""".stripMargin,
+
+    "q_drift_cat" ->
+      """WITH ref AS (SELECT o_orderpriority AS category, count(*) AS n_ref
+        |  FROM orders WHERE o_orderdate < DATE '1995-01-01' GROUP BY 1),
+        |cur AS (SELECT o_orderpriority AS category, count(*) AS n_cur
+        |  FROM orders WHERE o_orderdate >= DATE '1995-01-01' GROUP BY 1),
+        |j AS (SELECT coalesce(ref.category, cur.category) AS category,
+        |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM ref FULL OUTER JOIN cur ON ref.category = cur.category),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc, count(*) AS k FROM j)
+        |SELECT category, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  round((n_ref + 1e-6)/(tr + k*1e-6), 6) AS p_ref,
+        |  round((n_cur + 1e-6)/(tc + k*1e-6), 6) AS p_cur,
+        |  round(((n_cur + 1e-6)/(tc + k*1e-6) - (n_ref + 1e-6)/(tr + k*1e-6))
+        |    * ln(((n_cur + 1e-6)/(tc + k*1e-6))/((n_ref + 1e-6)/(tr + k*1e-6))), 6) AS psi_term,
+        |  round(((n_cur + 1e-6)/(tc + k*1e-6))
+        |    * ln(((n_cur + 1e-6)/(tc + k*1e-6))/((n_ref + 1e-6)/(tr + k*1e-6))), 6) AS kl_term
+        |FROM j, t""".stripMargin,
+
+    "q_drift_num" ->
+      """WITH b AS (SELECT CAST(CAST(least(greatest(floor(o_totalprice/75000.0), 0.0), 7.0) AS BIGINT) AS VARCHAR) AS category,
+        |  o_orderdate FROM orders WHERE o_totalprice IS NOT NULL),
+        |ref AS (SELECT category, count(*) AS n_ref FROM b WHERE o_orderdate < DATE '1995-01-01' GROUP BY 1),
+        |cur AS (SELECT category, count(*) AS n_cur FROM b WHERE o_orderdate >= DATE '1995-01-01' GROUP BY 1),
+        |j AS (SELECT coalesce(ref.category, cur.category) AS category,
+        |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM ref FULL OUTER JOIN cur ON ref.category = cur.category),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc, count(*) AS k FROM j)
+        |SELECT category, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  round((n_ref + 1e-6)/(tr + k*1e-6), 6) AS p_ref,
+        |  round((n_cur + 1e-6)/(tc + k*1e-6), 6) AS p_cur,
+        |  round(((n_cur + 1e-6)/(tc + k*1e-6) - (n_ref + 1e-6)/(tr + k*1e-6))
+        |    * ln(((n_cur + 1e-6)/(tc + k*1e-6))/((n_ref + 1e-6)/(tr + k*1e-6))), 6) AS psi_term,
+        |  round(((n_cur + 1e-6)/(tc + k*1e-6))
+        |    * ln(((n_cur + 1e-6)/(tc + k*1e-6))/((n_ref + 1e-6)/(tr + k*1e-6))), 6) AS kl_term
+        |FROM j, t""".stripMargin,
+
+    "q_drift_summary" ->
+      """WITH ref AS (SELECT o_orderpriority AS category, count(*) AS n_ref
+        |  FROM orders WHERE o_orderdate < DATE '1995-01-01' GROUP BY 1),
+        |cur AS (SELECT o_orderpriority AS category, count(*) AS n_cur
+        |  FROM orders WHERE o_orderdate >= DATE '1995-01-01' GROUP BY 1),
+        |j AS (SELECT coalesce(ref.category, cur.category) AS category,
+        |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM ref FULL OUTER JOIN cur ON ref.category = cur.category),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc, count(*) AS k FROM j),
+        |per AS (SELECT category, n_cur,
+        |  round((n_ref + 1e-6)/(tr + k*1e-6), 6) AS p_ref,
+        |  round(((n_cur + 1e-6)/(tc + k*1e-6) - (n_ref + 1e-6)/(tr + k*1e-6))
+        |    * ln(((n_cur + 1e-6)/(tc + k*1e-6))/((n_ref + 1e-6)/(tr + k*1e-6))), 6) AS psi_term,
+        |  round(((n_cur + 1e-6)/(tc + k*1e-6))
+        |    * ln(((n_cur + 1e-6)/(tc + k*1e-6))/((n_ref + 1e-6)/(tr + k*1e-6))), 6) AS kl_term
+        |  FROM j, t),
+        |tc2 AS (SELECT sum(n_cur) AS total_cur FROM per)
+        |SELECT round(sum(psi_term), 6) AS psi,
+        |  round(sum(kl_term), 6) AS kl_divergence,
+        |  round(sum(pow(n_cur - total_cur*p_ref, 2)/(total_cur*p_ref)), 6) AS chi2,
+        |  CAST(count(*) AS BIGINT) AS n_categories
+        |FROM per, tc2""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH d AS (SELECT CASE WHEN l_orderkey % 10 < 3
+        |    THEN 'hot_' || CAST(l_orderkey % 3 AS VARCHAR)
+        |    ELSE 'cold_' || CAST(l_orderkey AS VARCHAR) END AS item FROM lineitem),
+        |ex AS (SELECT item, count(*) AS c FROM d GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM d)
+        |SELECT TRUE AS within_k,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ex, t WHERE c > n/17.0) AS n_heavy,
+        |  CAST(0 AS BIGINT) AS n_heavy_missing,
+        |  CAST(0 AS BIGINT) AS overcount_violations,
+        |  CAST(0 AS BIGINT) AS bound_violations""".stripMargin,
 
     "q_stream_debounce" ->
       """WITH m AS (SELECT event_id, user_id, event_type,

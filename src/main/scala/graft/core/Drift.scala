@@ -1,0 +1,129 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ColumnNotInDataframeError
+
+/** Distribution-drift metrics between two corpus snapshots — the
+  * standard gate before a refreshed training corpus replaces the last
+  * one: PSI (population stability index), KL divergence, and a
+  * chi-square statistic, per category and summarised.
+  *
+  * Scale shape: each input is reduced by ONE grouped aggregation to
+  * category cardinality (partial + final hash agg — the 100 TB corpus
+  * crosses the wire as one row per category per partition); the
+  * full-outer category join and the total-count cross joins operate on
+  * those tiny aggregates (AQE broadcasts them), and every metric term
+  * is a narrow projection. Nothing downstream of the two scans is
+  * corpus-sized. The numeric variant buckets values with explicit
+  * caller-fixed breaks FIRST (a narrow projection), so it rides the
+  * same category path — and fixed breaks are the deliberate contract:
+  * quantile-derived breaks would make the metric depend on the
+  * snapshot that computed them, which is exactly the
+  * non-reproducibility drift gates exist to prevent.
+  *
+  * Zero-count smoothing: both proportions are computed as
+  * (n + eps) / (N + K·eps) over the UNION of categories (K = union
+  * cardinality), so log terms stay finite when a category exists in
+  * only one snapshot — the additive-smoothing analogue both engines
+  * can reproduce bit-for-bit.
+  */
+object Drift {
+
+  private def requireCol(df: DataFrame, c: String, what: String): Unit =
+    if (!df.columns.contains(c))
+      throw new ColumnNotInDataframeError(s"$what: column `$c` not in dataframe")
+
+  /** Per-category drift between `ref` and `cur` on `keyCol` (nulls
+    * surface as the "(null)" category). One row per category in either
+    * snapshot: counts, smoothed proportions, and the PSI / KL(cur‖ref)
+    * contribution of that category (all rounded 6 dp). */
+  def categoricalDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      keyCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    requireCol(ref, keyCol, "categoricalDrift(ref)")
+    requireCol(cur, keyCol, "categoricalDrift(cur)")
+    require(eps > 0, s"categoricalDrift: eps must be positive, got $eps")
+    val key = coalesce(col(keyCol).cast("string"), lit("(null)")).as("category")
+    val refCounts = ref.select(key).groupBy("category")
+      .agg(count(lit(1)).as("n_ref"))
+    val curCounts = cur.select(key).groupBy("category")
+      .agg(count(lit(1)).as("n_cur"))
+    histogramDrift(refCounts, curCounts, eps)
+  }
+
+  /** Numeric drift on `valueCol` via `bins` equi-width buckets over the
+    * caller-fixed [lo, hi) range; out-of-range values clamp into the
+    * edge buckets (totals stay equal to the non-null counts), nulls are
+    * dropped. Category labels are the bucket indices "0".."bins-1". */
+  def numericDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    requireCol(ref, valueCol, "numericDrift(ref)")
+    requireCol(cur, valueCol, "numericDrift(cur)")
+    require(bins > 0, s"numericDrift: bins must be positive, got $bins")
+    require(lo < hi, s"numericDrift: need lo < hi, got ($lo, $hi)")
+    val width = (hi - lo) / bins
+    def bucketed(df: DataFrame, as: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(least(greatest(
+          floor((col(valueCol).cast("double") - lo) / width), lit(0L)),
+        lit(bins - 1L)).cast("string").as("category"))
+      .groupBy("category").agg(count(lit(1)).as(as))
+    histogramDrift(bucketed(ref, "n_ref"), bucketed(cur, "n_cur"), eps)
+  }
+
+  /** Core: join two (category, count) frames on the category union and
+    * emit per-category smoothed proportions + PSI / KL terms. */
+  private def histogramDrift(
+      refCounts: DataFrame,
+      curCounts: DataFrame,
+      eps: Double): DataFrame = {
+    val joined = refCounts.join(curCounts, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(
+      sum("n_ref").as("__t_ref"), sum("n_cur").as("__t_cur"),
+      count(lit(1)).as("__k"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("p_ref",
+        (col("n_ref") + eps) / (col("__t_ref") + col("__k") * eps))
+      .withColumn("p_cur",
+        (col("n_cur") + eps) / (col("__t_cur") + col("__k") * eps))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p_cur"), 6).as("p_cur"),
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)
+          .as("psi_term"),
+        round(col("p_cur") * log(col("p_cur") / col("p_ref")), 6).as("kl_term"))
+  }
+
+  /** One-row summary gate: total PSI, KL(cur‖ref), chi-square statistic
+    * (expected counts from smoothed ref proportions), and the category
+    * count. The conventional read: PSI < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted. */
+  def driftSummary(
+      ref: DataFrame,
+      cur: DataFrame,
+      keyCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    val per = categoricalDrift(ref, cur, keyCol, eps)
+    val totals = per.agg(sum("n_cur").as("__t_cur"))
+    per.crossJoin(broadcast(totals))
+      .withColumn("__e", col("__t_cur") * col("p_ref"))
+      .agg(
+        round(sum("psi_term"), 6).as("psi"),
+        round(sum("kl_term"), 6).as("kl_divergence"),
+        round(sum(pow(col("n_cur") - col("__e"), 2) / col("__e")), 6).as("chi2"),
+        count(lit(1)).as("n_categories"))
+  }
+}

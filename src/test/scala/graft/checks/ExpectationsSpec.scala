@@ -1,0 +1,75 @@
+package graft.checks
+
+import graft.SparkTestBase
+import graft.checks.Expectations._
+import org.apache.spark.sql.Row
+
+class ExpectationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", 1, "X1"), ("b", 2, "X2"), ("c", 3, "X3"),
+    ("d", 4, "Y4"), (null, 5, "X5")).toDF("s", "n", "code")
+
+  test("run computes every metric in one pass, long-format") {
+    val out = Expectations.run(df, Seq(
+      ExpectNotNull("s"),
+      ExpectUnique("n"),
+      ExpectBetween("n", 1, 4),
+      ExpectMatches("code", "^X"),
+      ExpectInSet("s", Seq("a", "b", "c", "d")),
+      ExpectMinRows(3),
+      ExpectMeanBetween("n", 2.5, 3.5))).collect()
+    assert(out.length == 7)
+    val byCheck = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(byCheck(("not_null", "s")) == (0.8, false))
+    assert(byCheck(("unique", "n")) == (1.0, true))
+    assert(byCheck(("between", "n")) == (0.8, false))
+    assert(byCheck(("matches", "code")) == (0.8, false))
+    // in_set is over NON-NULL values only: 4/4
+    assert(byCheck(("in_set", "s")) == (1.0, true))
+    assert(byCheck(("min_rows", "*")) == (5.0, true))
+    assert(byCheck(("mean_between", "n")) == (3.0, true))
+  }
+
+  test("suite is ONE aggregation pass: a single scan in the plan") {
+    val suite = Seq(ExpectNotNull("s"), ExpectUnique("n"),
+      ExpectBetween("n", 0, 10), ExpectMinRows(1))
+    val plan = Expectations.run(df, suite).queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("LocalTableScan"))
+    assert(scans == 1, s"expected one scan for 4 constraints, got $scans:\n$plan")
+  }
+
+  test("empty / all-null columns are vacuously satisfied, count still real") {
+    val empty = Seq.empty[(String, Int)].toDF("s", "n")
+    val out = Expectations.run(empty, Seq(ExpectNotNull("s"), ExpectBetween("n", 0, 1),
+      ExpectUnique("n"), ExpectMinRows(1))).collect()
+    val byCheck = out.map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(byCheck("not_null") == (1.0, true))
+    assert(byCheck("between") == (1.0, true))
+    assert(byCheck("unique") == (1.0, true))
+    assert(byCheck("min_rows") == (0.0, false))
+  }
+
+  test("thresholds relax fraction checks") {
+    val out = Expectations.run(df, Seq(ExpectNotNull("s", threshold = 0.75),
+      ExpectMatches("code", "^X", threshold = 0.5))).collect()
+    assert(out.forall(_.getBoolean(3)))
+  }
+
+  test("validate and requireValid surface failures") {
+    val (ok, failures) = validate(df, Seq(ExpectNotNull("s"), ExpectUnique("n")))
+    assert(!ok && failures == Seq("not_null(s)=0.8"))
+    intercept[graft.PipelineError] {
+      requireValid(df, Seq(ExpectNotNull("s")))
+    }
+    requireValid(df, Seq(ExpectUnique("n")))
+  }
+
+  test("unknown column names the column") {
+    val e = intercept[graft.ColumnNotInDataframeError](
+      Expectations.run(df, Seq(ExpectNotNull("zzz"))))
+    assert(e.getMessage.contains("zzz"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.core
+
+import graft.SparkTestBase
+
+class DriftSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("categoricalDrift: identical distributions have ~zero PSI/KL") {
+    val ref = Seq("a", "a", "b", "b", "c").toDF("k")
+    val cur = Seq("a", "a", "b", "b", "c").toDF("k")
+    val out = Drift.categoricalDrift(ref, cur, "k").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("psi_term")) < 1e-9)
+      assert(math.abs(r.getAs[Double]("kl_term")) < 1e-9)
+      assert(r.getAs[Double]("p_ref") == r.getAs[Double]("p_cur"))
+    }
+  }
+
+  test("categoricalDrift matches a hand-computed shifted case") {
+    // ref: a×8 b×2; cur: a×2 b×8 — strong shift
+    val ref = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).toDF("k")
+    val cur = (Seq.fill(2)("a") ++ Seq.fill(8)("b")).toDF("k")
+    val eps = 1e-6
+    val out = Drift.categoricalDrift(ref, cur, "k", eps).collect()
+      .map(r => r.getAs[String]("category") -> r).toMap
+    def p(nn: Long) = (nn + eps) / (10 + 2 * eps)
+    val expA = BigDecimal((p(2) - p(8)) * math.log(p(2) / p(8)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a").getAs[Double]("psi_term") == expA)
+    assert(out("a").getAs[Long]("n_ref") == 8L)
+    assert(out("a").getAs[Long]("n_cur") == 2L)
+    // symmetric shift: both categories contribute equal PSI
+    assert(out("a").getAs[Double]("psi_term") ==
+      out("b").getAs[Double]("psi_term"))
+  }
+
+  test("one-sided categories stay finite via smoothing") {
+    val ref = Seq("a", "a", "b").toDF("k")
+    val cur = Seq("a", "c", "c").toDF("k")
+    val rows = Drift.categoricalDrift(ref, cur, "k").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("psi_term").isNaN)
+      assert(!r.getAs[Double]("psi_term").isInfinite)
+    }
+    val b = rows.find(_.getAs[String]("category") == "b").get
+    assert(b.getAs[Long]("n_cur") == 0L)
+  }
+
+  test("nulls become the (null) category") {
+    val ref = Seq(Some("a"), None, None).toDF("k")
+    val cur = Seq(Some("a"), None).toDF("k")
+    val cats = Drift.categoricalDrift(ref, cur, "k").collect()
+      .map(_.getAs[String]("category")).toSet
+    assert(cats == Set("a", "(null)"))
+  }
+
+  test("numericDrift: clamping keeps totals, bucket ids are stable") {
+    val ref = Seq(-5.0, 0.5, 1.5, 2.5, 99.0).toDF("v") // clamps: -5→0, 99→3
+    val cur = Seq(0.1, 0.2, 3.9).toDF("v")
+    val out = Drift.numericDrift(ref, cur, "v", lo = 0.0, hi = 4.0, bins = 4)
+      .collect().map(r => r.getAs[String]("category") -> r).toMap
+    assert(out("0").getAs[Long]("n_ref") == 2L) // -5 clamped + 0.5
+    assert(out("3").getAs[Long]("n_ref") == 1L) // 99 clamped
+    assert(out("0").getAs[Long]("n_cur") == 2L)
+    assert(out.values.map(_.getAs[Long]("n_ref")).sum == 5L)
+    assert(out.values.map(_.getAs[Long]("n_cur")).sum == 3L)
+  }
+
+  test("driftSummary: shifted distribution reads as drifted, identical as stable") {
+    val ref = (Seq.fill(80)("a") ++ Seq.fill(20)("b")).toDF("k")
+    val cur = (Seq.fill(20)("a") ++ Seq.fill(80)("b")).toDF("k")
+    val row = Drift.driftSummary(ref, cur, "k").collect()(0)
+    assert(row.getAs[Double]("psi") > 0.25, "strong shift must exceed the 0.25 bar")
+    assert(row.getAs[Double]("kl_divergence") > 0.0)
+    assert(row.getAs[Double]("chi2") > 0.0)
+    assert(row.getAs[Long]("n_categories") == 2L)
+    val same = Drift.driftSummary(ref, ref, "k").collect()(0)
+    assert(math.abs(same.getAs[Double]("psi")) < 1e-9)
+  }
+
+  test("inputs reduce before the join: no corpus-sized exchange") {
+    val ref = (1 to 1000).map(i => s"c${i % 7}").toDF("k")
+    val cur = (1 to 1000).map(i => s"c${i % 5}").toDF("k")
+    val plan = Drift.categoricalDrift(ref, cur, "k")
+      .queryExecution.executedPlan.toString
+    // the only hash exchanges allowed are the two category aggregations
+    // + the full-outer join of category-sized frames
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.contains("Exchange hashpartitioning(category"),
+      s"unexpected plan:\n$plan")
+  }
+
+  test("bad args throw") {
+    val d = Seq("a").toDF("k")
+    intercept[graft.ColumnNotInDataframeError](
+      Drift.categoricalDrift(d, d, "zzz"))
+    intercept[IllegalArgumentException](
+      Drift.numericDrift(d.withColumnRenamed("k", "v"),
+        d.withColumnRenamed("k", "v"), "v", 1.0, 0.0, 4))
+  }
+}

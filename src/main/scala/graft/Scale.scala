@@ -759,6 +759,70 @@ object Scale {
           .orderBy(col("score").desc, col("doc_id")).limit(20)
       })
     }
+
+    // --- expectation-suite pass economy: the single-agg compilation vs
+    // one job per constraint, same 7 constraints, k-replicated lineitem
+    // MATERIALISED TO PARQUET first so the scan cost is real (a crossJoin
+    // input would make re-reads free and hide exactly the cost the
+    // one-pass design removes). input_bytes is the claim: N passes read
+    // the corpus N times.
+    if (!only.exists(o => !o.contains("expectations_passes") && !o.contains("mg_bytes"))) {
+      val tmp = "/root/repo/target/scale_expect_tmp"
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .crossJoin(spark.range(bigK).select(col("id").as("__rep")))
+        .withColumn("l_orderkey", col("l_orderkey") * bigK + col("__rep"))
+        .drop("__rep")
+        .write.mode("overwrite").parquet(tmp)
+      def bigLi = spark.read.parquet(tmp)
+
+      def ioRow(op: String, variant: String, df: DataFrame): Unit = {
+        spark.catalog.clearCache()
+        System.gc()
+        val mtr = graft.observability.RunMetricsProbe.measure(df)
+        println(s"""{"op":"$op","variant":"$variant","scale":$bigK""" +
+          s""","input_bytes":${mtr.inputBytes}""" +
+          s""","shuffle_write_bytes":${mtr.shuffleWriteBytes}""" +
+          s""","rows":${mtr.rows},"secs":${mtr.wallMs / 1000.0}}""")
+      }
+
+      if (!only.exists(!_.contains("expectations_passes"))) {
+        import graft.checks.Expectations._
+        val suite = Seq(
+          ExpectNotNull("l_quantity"), ExpectUnique("l_orderkey"),
+          ExpectBetween("l_discount", 0.0, 0.1),
+          ExpectMatches("l_linestatus", "^[OF]$"),
+          ExpectInSet("l_returnflag", Seq("A", "N", "R")),
+          ExpectMinRows(1000), ExpectMeanBetween("l_quantity", 20.0, 30.0))
+        ioRow("expectations_passes", "one_pass",
+          graft.checks.Expectations.run(bigLi, suite))
+        ioRow("expectations_passes", "n_passes",
+          suite.map(e => graft.checks.Expectations.run(bigLi, Seq(e)))
+            .reduce(_.union(_)))
+        // HLL uniqueness: the suite collapses to ONE scan with a
+        // counter-width shuffle — no per-distinct-value exchange at all
+        ioRow("expectations_passes", "one_pass_approx",
+          graft.checks.Expectations.run(bigLi, suite.map {
+            case u: graft.checks.Expectations.ExpectUnique =>
+              u.copy(exact = false)
+            case e => e
+          }))
+      }
+
+      // --- Misra-Gries vs exact heavy hitters at high cardinality: the
+      // exact path shuffles one row PER DISTINCT ITEM (cardinality grows
+      // with the corpus); MG shuffles k counters per map task (constant).
+      // shuffle_write_bytes is the scale claim, measured directly.
+      if (!only.exists(!_.contains("mg_bytes"))) {
+        def items = bigLi.select(when(col("l_orderkey") % 10 < 3,
+            concat(lit("hot_"), col("l_orderkey") % 3))
+          .otherwise(concat(lit("cold_"), col("l_orderkey"))).as("item"))
+        ioRow("mg_bytes", "misra_gries",
+          graft.core.Frequent.frequentItems(items, "item", 16))
+        ioRow("mg_bytes", "exact_topk", items
+          .groupBy("item").agg(count(lit(1)).as("est_count"))
+          .orderBy(col("est_count").desc, col("item")).limit(16))
+      }
+    }
     spark.stop()
   }
 }

@@ -39,10 +39,22 @@ object Expectations {
   final case class ExpectNotNull(column: String, threshold: Double = 1.0)
       extends Expectation { val name = "not_null" }
 
-  /** Distinct non-null values / non-null rows must equal 1.0 (exact). */
-  final case class ExpectUnique(column: String) extends Expectation {
-    val name = "unique"
-  }
+  /** Distinct non-null values / non-null rows must equal 1.0.
+    *
+    * `exact = true` computes a true `count_distinct` — Spark executes
+    * it as a grouped pre-aggregation on `column`, i.e. a shuffle of one
+    * row per distinct value. The compiler therefore gives each exact
+    * uniqueness check its OWN narrow pass (see [[run]]): folding it
+    * into the shared aggregation would drag every other metric's
+    * buffer through that per-distinct-value exchange (measured 29.5 MB
+    * vs 11.1 MB shuffle on the SCALE.md expectations_passes row).
+    * `exact = false` uses HyperLogLog++ (`approx_count_distinct`,
+    * relative error `rsd`) which stays inside the shared single pass —
+    * the 100 TB default when "is this column a key" tolerates ~2 %
+    * error. */
+  final case class ExpectUnique(
+      column: String, exact: Boolean = true, rsd: Double = 0.02)
+      extends Expectation { val name = "unique" }
 
   /** Fraction of NON-NULL values inside [lo, hi] must be >= `threshold`
     * (nulls are the not_null check's business, not this one's). */
@@ -70,9 +82,19 @@ object Expectations {
   final case class ExpectMeanBetween(column: String, lo: Double, hi: Double)
       extends Expectation { val name = "mean_between" }
 
-  /** Compile the suite into one aggregation pass. Returns one row per
-    * expectation: `check` (name), `column`, `metric` (rounded 6 dp),
-    * `passed`. Row order follows `expectations`. */
+  /** Compile the suite into the minimal number of passes. Returns one
+    * row per expectation: `check` (name), `column`, `metric` (rounded
+    * 6 dp), `passed`.
+    *
+    * Pass plan: every metric except exact uniqueness is a narrow
+    * aggregate (counter-width shuffle) — they all share ONE scan. Each
+    * exact [[ExpectUnique]] column gets its OWN pass carrying only the
+    * `count_distinct` buffers, because the grouped pre-aggregation
+    * Spark uses for exact distinct shuffles one row per distinct value
+    * and must not be widened by unrelated metric buffers. Total scans:
+    * 1 + (distinct exact-unique columns); 1 when the suite has none
+    * (or uses `exact = false`). Row order: shared-pass rows first (in
+    * suite order), then exact-unique rows. */
   def run(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     require(expectations.nonEmpty, "Expectations.run: empty suite")
     val needed = expectations.map(_.column).filter(_ != "*").distinct
@@ -81,6 +103,19 @@ object Expectations {
       throw new ColumnNotInDataframeError(
         s"Expectations.run: column(s) ${missing.mkString(", ")} not in dataframe")
 
+    val (exactUniques, shared) = expectations.partition {
+      case ExpectUnique(_, true, _) => true
+      case _                        => false
+    }
+    val frames =
+      (if (shared.nonEmpty) Seq(compile(df, shared)) else Nil) ++
+        exactUniques.groupBy(_.column).toSeq.sortBy(_._1)
+          .map { case (_, es) => compile(df, es) }
+    frames.reduce(_.union(_))
+  }
+
+  /** One aggregation pass over `df` for `expectations`. */
+  private def compile(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     val n = count(lit(1)).cast("double")
     // Fraction-of-non-null metrics divide by count(col); on an empty or
     // all-null column the denominator is 0 — define the metric as 1.0
@@ -95,10 +130,11 @@ object Expectations {
         val m = e match {
           case ExpectNotNull(c, _) =>
             when(n === 0.0, 1.0).otherwise(count(col(c)).cast("double") / n)
-          case ExpectUnique(c) =>
+          case ExpectUnique(c, exact, rsd) =>
+            val dc = if (exact) countDistinct(col(c))
+                     else approx_count_distinct(col(c), rsd)
             when(count(col(c)) === 0, 1.0)
-              .otherwise(countDistinct(col(c)).cast("double") /
-                count(col(c)).cast("double"))
+              .otherwise(dc.cast("double") / count(col(c)).cast("double"))
           case ExpectBetween(c, lo, hi, _) =>
             fracNonNull(c, col(c).cast("double").between(lo, hi))
           case ExpectMatches(c, re, _) => fracNonNull(c, col(c).rlike(re))
@@ -113,7 +149,9 @@ object Expectations {
       val m = col(s"__m$i")
       val passed = e match {
         case ExpectNotNull(_, t)      => m >= t
-        case ExpectUnique(_)          => m === 1.0
+        case u: ExpectUnique          =>
+          // approx distinct can legitimately read slightly over 1.0
+          if (u.exact) m === 1.0 else m >= 1.0 - u.rsd
         case ExpectBetween(_, _, _, t) => m >= t
         case ExpectMatches(_, _, t)   => m >= t
         case ExpectInSet(_, _, t)     => m >= t

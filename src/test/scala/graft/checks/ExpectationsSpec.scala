@@ -33,12 +33,39 @@ class ExpectationsSpec extends SparkTestBase {
     assert(byCheck(("mean_between", "n")) == (3.0, true))
   }
 
-  test("suite is ONE aggregation pass: a single scan in the plan") {
-    val suite = Seq(ExpectNotNull("s"), ExpectUnique("n"),
+  test("suite without exact-unique is ONE aggregation pass (single scan)") {
+    val suite = Seq(ExpectNotNull("s"), ExpectUnique("n", exact = false),
       ExpectBetween("n", 0, 10), ExpectMinRows(1))
     val plan = Expectations.run(df, suite).queryExecution.executedPlan.toString
     val scans = plan.linesIterator.count(_.contains("LocalTableScan"))
     assert(scans == 1, s"expected one scan for 4 constraints, got $scans:\n$plan")
+  }
+
+  test("exact-unique gets its own narrow pass, not folded into the shared agg") {
+    val suite = Seq(ExpectNotNull("s"), ExpectUnique("n"),
+      ExpectBetween("n", 0, 10), ExpectMinRows(1))
+    val plan = Expectations.run(df, suite).queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("LocalTableScan"))
+    assert(scans == 2, s"expected shared pass + distinct pass, got $scans:\n$plan")
+    // the shared pass must NOT contain a grouped pre-aggregation: the
+    // only keyed HashAggregates allowed are the distinct pass's own
+    val keyedAggs = plan.linesIterator
+      .count(l => l.contains("HashAggregate(keys=[n#") && !l.contains("keys=[]"))
+    assert(keyedAggs <= 2, s"narrow metrics leaked into the distinct exchange:\n$plan")
+    // approx variant of the same suite collapses back to one scan
+    val approxPlan = Expectations.run(df,
+      suite.map { case u: ExpectUnique => u.copy(exact = false); case e => e })
+      .queryExecution.executedPlan.toString
+    assert(approxPlan.linesIterator.count(_.contains("LocalTableScan")) == 1)
+  }
+
+  test("approx unique agrees with exact on key-like and duplicated columns") {
+    val keys = (1 to 500).map(i => (i, i % 50)).toDF("k", "dup")
+    val out = Expectations.run(keys, Seq(
+      ExpectUnique("k", exact = false), ExpectUnique("dup", exact = false)))
+      .collect().map(r => r.getString(1) -> r.getBoolean(3)).toMap
+    assert(out("k"), "HLL should pass a true key within rsd")
+    assert(!out("dup"), "10x duplication must fail even approximately")
   }
 
   test("empty / all-null columns are vacuously satisfied, count still real") {

@@ -1710,6 +1710,35 @@ object SparkEntry {
       core.Frequent.checkGuarantee(items, "item", k = 16)
     }),
 
+    "q_snapshot_diff" -> ((s, d) => {
+      // both corpus versions derived deterministically from documents,
+      // so the full-outer diff has an exact SQL mirror
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val nw = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      operators.Diff.snapshotDiff(docs, nw, "doc_id", Seq("text"))
+    }),
+
+    "q_stream_drift" -> ((s, d) => {
+      // two-stage drift monitor in batch mode (stage 1 is the SAME
+      // single stateful agg the streaming path runs — DriftStreamSpec
+      // proves batch ≡ stream on it): ref proportions from the first
+      // half of January, per-day PSI over the second half
+      val ev = eventsDf(s, d)
+      val cutoff = to_timestamp(lit("2024-01-15 00:00:00"))
+      val refP = core.Drift.referenceProportions(
+        ev.filter(col("ts") < cutoff), "event_type")
+      val counts = Streaming.windowedCategoryCounts(
+        ev.filter(col("ts") >= cutoff), "ts", "event_type", "1 day")
+      core.Drift.driftPerWindow(counts, refP)
+        .select(col("window_start").cast("long").as("window_start"),
+          col("psi"), col("n_events"))
+    }),
+
     "q_sessionize" -> ((s, d) =>
       operators.TimeSeries.sessionize(
         eventsDf(s, d), "user_id", "ts", gapSec = 1800L,
@@ -2891,6 +2920,41 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_heavy_missing,
         |  CAST(0 AS BIGINT) AS overcount_violations,
         |  CAST(0 AS BIGINT) AS bound_violations""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+        |nw AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM docs WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM docs WHERE doc_id % 11 = 0)
+        |SELECT coalesce(docs.doc_id, nw.doc_id) AS doc_id,
+        |  CASE WHEN docs.doc_id IS NULL THEN 'added'
+        |       WHEN nw.doc_id IS NULL THEN 'removed'
+        |       WHEN docs.text = nw.text OR (docs.text IS NULL AND nw.text IS NULL)
+        |         THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM docs FULL OUTER JOIN nw ON docs.doc_id = nw.doc_id""".stripMargin,
+
+    "q_stream_drift" ->
+      """WITH ref AS (SELECT event_type AS category, count(*) AS nr
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+        |reft AS (SELECT sum(nr) AS tr, count(*) AS kk FROM ref),
+        |refp AS (SELECT category, (nr + 1e-6)/(tr + kk*1e-6) AS p_ref FROM ref, reft),
+        |cur AS (SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS window_start,
+        |    event_type AS category, count(*) AS n
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1, 2),
+        |wins AS (SELECT DISTINCT window_start FROM cur),
+        |grid AS (SELECT window_start, category, p_ref FROM wins CROSS JOIN refp),
+        |j AS (SELECT g.window_start, g.category, g.p_ref, coalesce(cur.n, 0) AS n
+        |  FROM grid g LEFT JOIN cur
+        |    ON g.window_start = cur.window_start AND g.category = cur.category),
+        |tot AS (SELECT window_start, sum(n) AS t, count(*) AS kk FROM j GROUP BY 1)
+        |SELECT j.window_start,
+        |  round(sum(((n + 1e-6)/(t + kk*1e-6) - p_ref)
+        |    * ln(((n + 1e-6)/(t + kk*1e-6))/p_ref)), 6) AS psi,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM j JOIN tot USING(window_start) GROUP BY j.window_start""".stripMargin,
 
     "q_stream_debounce" ->
       """WITH m AS (SELECT event_id, user_id, event_type,

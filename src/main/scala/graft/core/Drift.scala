@@ -107,6 +107,69 @@ object Drift {
         round(col("p_cur") * log(col("p_cur") / col("p_ref")), 6).as("kl_term"))
   }
 
+  /** Smoothed reference proportions for a categorical column — the
+    * broadcast-sized frame the windowed/streaming drift path probes:
+    * `(category, p_ref)` with the same (n+eps)/(N+K·eps) smoothing as
+    * [[categoricalDrift]]. */
+  def referenceProportions(
+      ref: DataFrame,
+      keyCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    requireCol(ref, keyCol, "referenceProportions")
+    val key = coalesce(col(keyCol).cast("string"), lit("(null)")).as("category")
+    val counts = ref.select(key).groupBy("category")
+      .agg(count(lit(1)).as("n_ref"))
+    val totals = counts.agg(sum("n_ref").as("__t"), count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("category"),
+        ((col("n_ref") + eps) / (col("__t") + col("__k") * eps)).as("p_ref"))
+  }
+
+  /** PSI per time window from per-(window, category) counts — the
+    * batch finisher of the two-stage streaming drift monitor (stage 1,
+    * [[graft.streaming.Streaming.windowedCategoryCounts]], is the
+    * single stateful streaming aggregation; THIS stage runs per
+    * micro-batch in `foreachBatch` or downstream of the sink, the
+    * standard split because chained stateful aggregations are what
+    * streaming engines restrict).
+    *
+    * The category universe is the REFERENCE's (the fixed taxonomy a
+    * monitor alarms against): each window is scored over a
+    * window × ref-category grid (ref is broadcast-sized), with
+    * observed categories outside the reference ignored. Output one row
+    * per window: `(window_start, psi, n_events)`.
+    *
+    * Scale shape: `counts` is already window × category sized (the
+    * corpus reduction happened in stage 1's streaming agg); everything
+    * here joins frames of that size or smaller — window-count-sized
+    * exchanges, broadcast ref. */
+  def driftPerWindow(
+      counts: DataFrame,
+      refProportions: DataFrame,
+      eps: Double = 1e-6): DataFrame = {
+    Seq("window_start", "category", "n").foreach(requireCol(counts, _, "driftPerWindow"))
+    // re-alias the counts attributes so the wins-side self-reference
+    // cannot produce conflicting exprIds (memory-sink sources trip the
+    // usual auto-dedup)
+    val c = counts.select(col("window_start").as("__cw"),
+      col("category").as("__cc"), col("n").cast("long").as("__cn"))
+    val grid = c.select(col("__cw").as("window_start")).distinct()
+      .crossJoin(broadcast(refProportions))
+    val j = grid.join(c,
+        col("window_start") === col("__cw") && col("category") === col("__cc"),
+        "left")
+      .select(col("window_start"), col("category"), col("p_ref"),
+        coalesce(col("__cn"), lit(0L)).as("n"))
+    val tot = j.groupBy("window_start")
+      .agg(sum("n").as("__t"), count(lit(1)).as("__k"))
+    j.join(tot, "window_start")
+      .withColumn("__p_cur", (col("n") + eps) / (col("__t") + col("__k") * eps))
+      .groupBy("window_start")
+      .agg(round(sum((col("__p_cur") - col("p_ref"))
+          * log(col("__p_cur") / col("p_ref"))), 6).as("psi"),
+        sum("n").as("n_events"))
+  }
+
   /** One-row summary gate: total PSI, KL(cur‖ref), chi-square statistic
     * (expected counts from smoothed ref proportions), and the category
     * count. The conventional read: PSI < 0.1 stable, 0.1–0.25 drifting,

@@ -29,6 +29,28 @@ object Streaming {
         col("window.end").as("window_end"), col(keyCol),
         col("n_events"), col("sum_value"))
 
+  /** Stage 1 of the two-stage drift monitor: per-(window, category)
+    * counts — a SINGLE stateful aggregation, so it runs unchanged as a
+    * watermarked streaming query (append mode emits each window once
+    * the watermark passes). Stage 2 —
+    * [[graft.core.Drift.driftPerWindow]] against broadcast
+    * [[graft.core.Drift.referenceProportions]] — runs per micro-batch
+    * in `foreachBatch` or downstream of the sink; the split is
+    * deliberate, because the PSI reduction is a second aggregation and
+    * chained stateful aggs are what streaming engines restrict. Batch
+    * ≡ stream on the same input (DriftStreamSpec). Nulls bucket to
+    * "(null)" like the batch drift family. */
+  def windowedCategoryCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDuration: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowDuration),
+        coalesce(col(keyCol).cast("string"), lit("(null)")).as("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("category"), col("n"))
+
   /** Sliding-window aggregate. */
   def slidingAgg(
       events: DataFrame,

@@ -70,6 +70,16 @@ object Plans {
       "Contiguous ids: range exchange (checkpoint-fenced) + one hashpartitioning(pid) exchange feed the PARALLEL per-partition Sort+Window; the offsets branch partial-aggregates to numPartitions rows before its exchange, and the only Exchange SinglePartition in the plan is the window over that numPartitions-row offsets frame (32 rows) — the corpus itself never passes through one task, which is what the naive global row_number does (measured 3.4x slower at 20M rows, and a straggler/OOM wall at cluster scale — SCALE.md).",
     "q_zorder" ->
       "Z-ordered read-back: the 2-D filter sits as PushedFilters on the scan of the Z-clustered files; row-group min/max stats stay tight in BOTH clustered dimensions (measured 34x byte cut vs unsorted, SCALE.md zorder_bytes).",
+    "q_expectations" ->
+      "Expectation-suite compilation: exactly TWO scans of lineitem — the shared pass is partial/final HashAggregate with keys=[] (counter-width shuffle, every narrow metric folded in), the exact-unique pass is the grouped count_distinct pre-aggregation carrying ONLY count buffers. No metric buffer rides the per-distinct-value exchange (the first-cut single-agg folding measured 29.5 MB vs 11.1 MB shuffle, SCALE.md expectations_passes); the inline explode of the suite rows is driver-scale.",
+    "q_drift_cat" ->
+      "Categorical drift: each snapshot reduces to category cardinality via partial/final HashAggregate BEFORE any join; the full-outer join and the totals cross-join operate on category-sized frames (AQE broadcasts); PSI/KL terms are a narrow Project. Nothing downstream of the two scans is corpus-sized.",
+    "q_heavy_hitters" ->
+      "Misra-Gries summary: ObjectHashAggregate partial_misragries before a SinglePartition exchange carrying <= k counters per map task (949 B measured vs 10.2 MB for exact top-k, SCALE.md mg_bytes); the exact-count side of the verification harness is the expensive ground truth a production run would omit.",
+    "q_snapshot_diff" ->
+      "Snapshot diff: ONE full-outer SortMergeJoin on the id; both exchanges carry (id, payload-struct, marker) — the compare columns folded into a single struct below the join — and the status classification is a narrow null-safe Project above it.",
+    "q_stream_drift" ->
+      "Two-stage drift monitor: stage 1 is the same partial/final windowed HashAggregate the streaming path runs (corpus reduces to window x category before anything else); stage 2 joins that against a BROADCAST reference-proportions frame and reduces per window — every post-stage-1 exchange is window-count-sized.",
   )
 
   def main(args: Array[String]): Unit = {

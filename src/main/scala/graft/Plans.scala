@@ -80,6 +80,10 @@ object Plans {
       "Snapshot diff: ONE full-outer SortMergeJoin on the id; both exchanges carry (id, payload-struct, marker) — the compare columns folded into a single struct below the join — and the status classification is a narrow null-safe Project above it.",
     "q_stream_drift" ->
       "Two-stage drift monitor: stage 1 is the same partial/final windowed HashAggregate the streaming path runs (corpus reduces to window x category before anything else); stage 2 joins that against a BROADCAST reference-proportions frame and reduces per window — every post-stage-1 exchange is window-count-sized.",
+    "q_join_cardinality" ->
+      "Join pre-flight: both corpora reduce to per-key counts (partial/final HashAggregate) BEFORE the diagnosis join — the join operates at key cardinality, and TakeOrderedAndProject bounds the answer; the quadratic join being diagnosed never runs.",
+    "q_qcut" ->
+      "Equi-depth bucketing: ONE grouped percentile aggregation produces the (numBuckets-1)-element bounds array, broadcast back over the corpus; bucket assignment is a narrow array-fold Project. No Window operator anywhere — the ntile formulation would sort the corpus through one partition per group.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1739,6 +1739,33 @@ object SparkEntry {
           col("psi"), col("n_events"))
     }),
 
+    "q_join_cardinality" -> ((s, d) => {
+      // pre-flight explosion diagnosis of the classic quadratic case:
+      // a self-join on a non-unique key
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"))
+      operators.JoinDiagnostics.joinCardinalityByKey(li, li,
+        Seq("l_orderkey"), topN = 20)
+    }),
+
+    "q_impute" -> ((s, d) => {
+      // nulls planted deterministically so the oracle can mirror them
+      val d0 = t(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("price"))
+      core.Stats.imputeNulls(d0, Seq("o_orderpriority"), "price")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("price_imputed"))
+    }),
+
+    "q_qcut" -> ((s, d) =>
+      core.Stats.quantileDiscretize(
+        t(s, d, "orders").select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice")),
+        "o_totalprice", numBuckets = 4)
+        .select(col("o_orderkey"), col("o_totalprice_bucket").as("bucket"))),
+
     "q_sessionize" -> ((s, d) =>
       operators.TimeSeries.sessionize(
         eventsDf(s, d), "user_id", "ts", gapSec = 1800L,
@@ -2920,6 +2947,32 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_heavy_missing,
         |  CAST(0 AS BIGINT) AS overcount_violations,
         |  CAST(0 AS BIGINT) AS bound_violations""".stripMargin,
+
+    "q_join_cardinality" ->
+      """WITH c AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, CAST(n AS BIGINT) AS n_left, CAST(n AS BIGINT) AS n_right,
+        |  CAST(n*n AS BIGINT) AS out_rows
+        |FROM c ORDER BY out_rows DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q_impute" ->
+      """WITH d AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority,
+        |  round(coalesce(price, avg(price) OVER (PARTITION BY o_orderpriority)), 6)
+        |    AS price_imputed
+        |FROM d""".stripMargin,
+
+    "q_qcut" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |  quantile_cont(o_totalprice, 0.5) AS q2,
+        |  quantile_cont(o_totalprice, 0.75) AS q3 FROM orders)
+        |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST((CASE WHEN o_totalprice > q1 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_totalprice > q3 THEN 1 ELSE 0 END) AS INT) AS bucket
+        |FROM orders, b""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),

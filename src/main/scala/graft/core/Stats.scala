@@ -60,4 +60,82 @@ object Stats {
       .withColumn("is_outlier", abs(col("z")) > threshold)
       .drop("__graft_mu", "__graft_sd")
   }
+
+  /** Fill nulls in `valueCol` with the per-group mean or (exact,
+    * interpolated) median of the NON-NULL values — new column
+    * `<valueCol>_imputed` (rounded 6 dp). Groups whose values are ALL
+    * null stay null (no global fallback — that silent cross-group
+    * leak is the bug imputation audits look for; run a global pass
+    * with `groupCols = Nil` explicitly if that is what you want).
+    *
+    * Scale shape: a grouped aggregation to group cardinality + a join
+    * back (AQE broadcasts the group-sized side) + a narrow coalesce —
+    * NOT `avg(...).over(partitionBy(group))`, which shuffles the whole
+    * corpus into one partition per group value and dies on
+    * low-cardinality keys at scale. */
+  def imputeNulls(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      strategy: String = "mean"): DataFrame = {
+    val allowed = Set("mean", "median")
+    require(allowed.contains(strategy),
+      s"imputeNulls: strategy '$strategy' not in ${allowed.mkString(", ")}")
+    val v = col(valueCol).cast("double")
+    val fillExpr = if (strategy == "mean") avg(v) else percentile(v, lit(0.5))
+    val out = s"${valueCol}_imputed"
+    if (groupCols.isEmpty) {
+      val fill = df.agg(fillExpr.as("__graft_fill"))
+      df.crossJoin(broadcast(fill))
+        .withColumn(out, round(coalesce(v, col("__graft_fill")), 6))
+        .drop("__graft_fill")
+    } else {
+      val fills = df.groupBy(groupCols.map(col): _*)
+        .agg(fillExpr.as("__graft_fill"))
+      df.join(fills, groupCols, "left")
+        .withColumn(out, round(coalesce(v, col("__graft_fill")), 6))
+        .drop("__graft_fill")
+    }
+  }
+
+  /** Equi-depth bucketing: adds `<valueCol>_bucket` in 0..numBuckets-1
+    * from the column's own (per-group) quantile bounds. A value lands
+    * in bucket = count of interior quantile bounds strictly below it —
+    * ties at a bound go LOW, nulls get null.
+    *
+    * Scale shape: the bounds are ONE grouped aggregation producing a
+    * (numBuckets-1)-element array per group, joined back (broadcast at
+    * group cardinality) and applied as a narrow array fold — unlike
+    * `ntile`, which sorts the whole corpus through one partition per
+    * group. `exact = true` uses interpolated exact percentiles
+    * (per-group sort state inside the agg); `exact = false` swaps the
+    * sketch (`percentile_approx`), the 100 TB default. */
+  def quantileDiscretize(
+      df: DataFrame,
+      valueCol: String,
+      numBuckets: Int,
+      groupCols: Seq[String] = Nil,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(numBuckets >= 2,
+      s"quantileDiscretize: numBuckets must be >= 2, got $numBuckets")
+    val v = col(valueCol).cast("double")
+    val ps = array((1 until numBuckets).map(i =>
+      lit(i.toDouble / numBuckets)): _*)
+    val boundsExpr =
+      if (exact) percentile(v, ps) else percentile_approx(v, ps, lit(accuracy))
+    val out = s"${valueCol}_bucket"
+    val bucketOf = when(v.isNull, lit(null))
+      .otherwise(size(filter(col("__graft_bounds"), b => v > b)))
+    if (groupCols.isEmpty) {
+      val bounds = df.agg(boundsExpr.as("__graft_bounds"))
+      df.crossJoin(broadcast(bounds))
+        .withColumn(out, bucketOf.cast("int")).drop("__graft_bounds")
+    } else {
+      val bounds = df.groupBy(groupCols.map(col): _*)
+        .agg(boundsExpr.as("__graft_bounds"))
+      df.join(bounds, groupCols)
+        .withColumn(out, bucketOf.cast("int")).drop("__graft_bounds")
+    }
+  }
 }

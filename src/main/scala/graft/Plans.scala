@@ -84,6 +84,12 @@ object Plans {
       "Join pre-flight: both corpora reduce to per-key counts (partial/final HashAggregate) BEFORE the diagnosis join — the join operates at key cardinality, and TakeOrderedAndProject bounds the answer; the quadratic join being diagnosed never runs.",
     "q_qcut" ->
       "Equi-depth bucketing: ONE grouped percentile aggregation produces the (numBuckets-1)-element bounds array, broadcast back over the corpus; bucket assignment is a narrow array-fold Project. No Window operator anywhere — the ntile formulation would sort the corpus through one partition per group.",
+    "q_topk_group" ->
+      "Per-group top-k rows: a per-partition bounded-heap prune (MapPartitions, O(k x groups) memory) feeds the exact rank window, so the window sorts <= k x partitions x groups rows instead of the corpus — the bare-window formulation serialises each whole group through one task.",
+    "q_argmax_group" ->
+      "Argmax row per group: ONE max_by grouped aggregation — partial SortAggregate (struct buffers are sort-based, the sort is partition-local on the group key) ships a single candidate row per group per map task through the exchange; no Window operator in the plan.",
+    "q_pivot_wide" ->
+      "Explicit-values pivot compiled to conditional aggregation: ONE partial/final HashAggregate whose pivot columns are just aggregate buffers — Spark's own .pivot (PivotFirst) would aggregate twice with a second exchange, and a values-less pivot adds an eager distinct scan just to mint the schema.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1766,6 +1766,40 @@ object SparkEntry {
         "o_totalprice", numBuckets = 4)
         .select(col("o_orderkey"), col("o_totalprice_bucket").as("bucket"))),
 
+    "q_topk_group" -> ((s, d) =>
+      core.Ranking.topKPerGroup(
+        t(s, d, "orders").select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice")),
+        Seq("o_orderpriority"), "o_totalprice", k = 5,
+        tieCol = "o_orderkey", rankCol = "rnk")),
+
+    "q_argmax_group" -> ((s, d) =>
+      core.Ranking.argmaxPerGroup(
+        t(s, d, "orders").select(col("o_orderpriority"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice"), col("o_orderdate")),
+        Seq("o_orderpriority"), "o_totalprice", tieCol = "o_orderkey")),
+
+    "q_pivot_wide" -> ((s, d) =>
+      core.DataFrameOps.pivotWide(
+        t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity")),
+        Seq("l_returnflag"), "l_linestatus", "l_quantity", Seq("F", "O"))
+        .select(col("l_returnflag"), round(col("F"), 2).as("qty_f"),
+          round(col("O"), 2).as("qty_o"))),
+
+    "q_freq_encode" -> ((s, d) =>
+      core.Encode.frequencyEncode(
+        t(s, d, "orders").select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority")),
+        Seq("o_orderpriority"))),
+
+    "q_target_encode" -> ((s, d) =>
+      core.Encode.targetEncode(
+        t(s, d, "orders").select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice")),
+        "o_orderpriority", "o_totalprice", smoothing = 20.0)),
+
     "q_sessionize" -> ((s, d) =>
       operators.TimeSeries.sessionize(
         eventsDf(s, d), "user_id", "ts", gapSec = 1800L,
@@ -2973,6 +3007,38 @@ object SparkEntry {
         |      + CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END
         |      + CASE WHEN o_totalprice > q3 THEN 1 ELSE 0 END) AS INT) AS bucket
         |FROM orders, b""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |FROM orders QUALIFY rnk <= 5""".stripMargin,
+
+    "q_argmax_group" ->
+      """SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  o_totalprice, o_orderdate
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey DESC) = 1""".stripMargin,
+
+    "q_pivot_wide" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_freq_encode" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS o_orderpriority_freq
+        |FROM orders""".stripMargin,
+
+    "q_target_encode" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority, o_totalprice,
+        |  round((sum(o_totalprice) OVER (PARTITION BY o_orderpriority)
+        |      + 20.0 * avg(o_totalprice) OVER ())
+        |    / (count(o_totalprice) OVER (PARTITION BY o_orderpriority) + 20.0), 6)
+        |    AS o_orderpriority_enc
+        |FROM orders""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),

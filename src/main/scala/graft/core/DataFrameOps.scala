@@ -68,6 +68,46 @@ object DataFrameOps {
     df.unpivot(idVars.map(col).toArray, valueVars.map(col).toArray, varName, valueName)
   }
 
+  /** Long→wide pivot, the inverse of [[melt]]: one output column per
+    * entry of `pivotValues`, holding `agg` of `valueCol` over the
+    * matching `pivotCol` rows. `agg` ∈ sum|avg|min|max|count|first.
+    *
+    * `pivotValues` is REQUIRED, not discovered: a values-less
+    * `pivot` runs an eager distinct job over the pivot column first —
+    * a full extra corpus scan at 100 TB — and an unbounded value set
+    * would mint an unbounded schema anyway. Compiled as conditional
+    * aggregation (`agg(when(pivot = v, value))` per value) rather
+    * than Spark's `.pivot`, whose PivotFirst path aggregates TWICE —
+    * once on (group, pivot), then again on group — costing a second
+    * exchange; here the plan is ONE partial/final HashAggregate and
+    * the pivot columns are just aggregate buffers. Rows whose pivot
+    * value isn't listed fall out, like a dashboard's fixed columns. */
+  def pivotWide(
+      df: DataFrame,
+      groupCols: Seq[String],
+      pivotCol: String,
+      valueCol: String,
+      pivotValues: Seq[String],
+      agg: String = "sum"): DataFrame = {
+    require(groupCols.nonEmpty, "pivotWide: need at least one group column")
+    require(pivotValues.nonEmpty, "pivotWide: pivotValues must be explicit and non-empty")
+    requireColumns(df, groupCols :+ pivotCol :+ valueCol, "pivotWide")
+    val aggExpr: Column => Column = agg match {
+      case "sum"   => sum
+      case "avg"   => avg
+      case "min"   => min
+      case "max"   => max
+      case "count" => count
+      case "first" => first(_, ignoreNulls = true)
+      case other => throw new IllegalArgumentException(
+        s"pivotWide: unsupported agg '$other' (use sum|avg|min|max|count|first)")
+    }
+    val matched = pivotValues.map(v =>
+      aggExpr(when(col(pivotCol) === lit(v), col(valueCol))).as(v))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(matched.head, matched.tail: _*)
+  }
+
   /** #5 Collect a DataFrame to a driver-side list — eager. 1 column →
     * flat values; n columns → rows as Seq. Driver-side by design (small
     * results only). Reference: rdsa_utils/helpers/pyspark.py:219-232.

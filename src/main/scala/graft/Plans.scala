@@ -90,6 +90,10 @@ object Plans {
       "Argmax row per group: ONE max_by grouped aggregation — partial SortAggregate (struct buffers are sort-based, the sort is partition-local on the group key) ships a single candidate row per group per map task through the exchange; no Window operator in the plan.",
     "q_pivot_wide" ->
       "Explicit-values pivot compiled to conditional aggregation: ONE partial/final HashAggregate whose pivot columns are just aggregate buffers — Spark's own .pivot (PivotFirst) would aggregate twice with a second exchange, and a values-less pivot adds an eager distinct scan just to mint the schema.",
+    "q_hll_merge" ->
+      "Incremental distinct: the sketch agg's shuffle rows are fixed-width HLL sketches (ObjectHashAggregate partial/final), merge aggregates AT FINE-GROUP CARDINALITY — the history table is never rescanned; the exact countDistinct sits in a separate branch only because the oracle demands it.",
+    "q_jaro_sim" ->
+      "Blocked fuzzy self-match: the equi-join on the 3-char blocking key replaces the cross join, and the O(len^2) Jaro-Winkler kernel runs INSIDE WholeStageCodegen above it (native doGenCode expression, no UDF fence) — only blocked candidate pairs ever reach it.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1800,6 +1800,42 @@ object SparkEntry {
           col("o_orderpriority"), col("o_totalprice")),
         "o_orderpriority", "o_totalprice", smoothing = 20.0)),
 
+    "q_hll_merge" -> ((s, d) => {
+      // incremental distinct: monthly sketches merged per priority; the
+      // merged estimate must sit inside the HLL error bar of the exact
+      // count the oracle recomputes
+      val base = t(s, d, "orders").select(col("o_orderpriority"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      val fine = core.Sketches.hllSketches(base,
+        Seq("o_orderpriority", "month"), "o_custkey")
+      val merged = core.Sketches.withEstimate(
+        core.Sketches.mergeSketches(fine, Seq("o_orderpriority")))
+      val exact = base.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      exact
+        .join(merged.select(col("o_orderpriority"), col("approx_distinct")),
+          Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_exact"),
+          when(abs(col("approx_distinct") - col("n_exact")) /
+            col("n_exact") > 0.05, 1L).otherwise(0L).as("rel_err_violation"))
+    }),
+
+    "q_jaro_sim" -> ((s, d) => {
+      // blocked fuzzy self-match: first-3-char blocking keys keep the
+      // O(len^2)-per-pair kernel off the cross join; the kernel itself
+      // is the native codegen JaroWinklerExpr
+      val p = t(s, d, "part").select(col("p_partkey").cast("long").as("k"),
+        col("p_name"), substring(col("p_name"), 1, 3).as("blk"))
+      val a = p.select(col("k").as("key_a"), col("p_name").as("name_a"), col("blk"))
+      val b = p.select(col("k").as("key_b"), col("p_name").as("name_b"), col("blk"))
+      a.join(b, "blk").filter(col("key_a") < col("key_b"))
+        .withColumn("jw", functions.StringSimilarity.jaroWinkler(
+          col("name_a"), col("name_b")))
+        .filter(col("jw") >= 0.93)
+        .select(col("key_a"), col("key_b"), round(col("jw"), 9).as("jw"))
+    }),
+
     "q_sessionize" -> ((s, d) =>
       operators.TimeSeries.sessionize(
         eventsDf(s, d), "user_id", "ts", gapSec = 1800L,
@@ -3039,6 +3075,20 @@ object SparkEntry {
         |    / (count(o_totalprice) OVER (PARTITION BY o_orderpriority) + 20.0), 6)
         |    AS o_orderpriority_enc
         |FROM orders""".stripMargin,
+
+    "q_jaro_sim" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k, p_name,
+        |  substr(p_name, 1, 3) AS blk FROM part)
+        |SELECT a.k AS key_a, b.k AS key_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS jw
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93""".stripMargin,
+
+    "q_hll_merge" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |  CAST(0 AS BIGINT) AS rel_err_violation
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),

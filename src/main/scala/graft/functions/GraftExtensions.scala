@@ -91,6 +91,18 @@ object GraftFunctions {
         HyperplaneBucketExpr(args.head, intArg(args(1), "dim"),
           intArg(args(2), "numPlanes"), intArg(args(3), "seed"))
       }),
+    ("jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      { args =>
+        require(args.size == 2, "jaro_winkler(a, b)")
+        JaroWinklerExpr(args.head, args(1))
+      }),
+    ("jaro",
+      new ExpressionInfo(classOf[JaroExpr].getName, "jaro"),
+      { args =>
+        require(args.size == 2, "jaro(a, b)")
+        JaroExpr(args.head, args(1))
+      }),
   )
 
   /** Register the functions on a live session (idempotent). */

@@ -32,6 +32,10 @@ class GraftExtensionsSpec extends SparkTestBase {
     val bbCol = Seq(Seq(1L, 2L, 3L, 4L)).toDF("sig")
       .select(HashFunctions.bandBucketsNative($"sig", 2, 2).as("b")).head()
     assert(bb.getSeq[Long](0) == bbCol.getSeq[Long](0))
+    val jwRow = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw, jaro('MARTHA', 'MARHTA') AS j").head()
+    assert(math.abs(jwRow.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jwRow.getDouble(1) - 0.9444444444444445) < 1e-12)
     val th = spark.sql(
       """SELECT token_hashes(array('a', 'b', 'a')) AS th,
         |       shingle_hashes(array('a', 'b', 'c'), 2) AS sh""".stripMargin).head()
@@ -65,8 +69,8 @@ class GraftExtensionsSpec extends SparkTestBase {
     // the injectFunction route is exercised structurally: same builders
     assert(GraftFunctions.descriptors.map(_._1).sorted ==
       Seq("band_buckets", "cosine_sim", "hash_jaccard", "hyperplane_bucket",
-        "minhash_signature", "ngram_hashes", "shingle_hashes", "simhash128",
-        "simhash64", "token_hashes"))
+        "jaro", "jaro_winkler", "minhash_signature", "ngram_hashes",
+        "shingle_hashes", "simhash128", "simhash64", "token_hashes"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 }

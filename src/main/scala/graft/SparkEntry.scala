@@ -1821,6 +1821,17 @@ object SparkEntry {
             col("n_exact") > 0.05, 1L).otherwise(0L).as("rel_err_violation"))
     }),
 
+    "q_corr_matrix" -> ((s, d) =>
+      core.Profiling.corrMatrix(
+        t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    "q_weighted_sample" -> ((s, d) =>
+      core.Sampling.weightedSample(
+        t(s, d, "orders").select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice")),
+        "o_totalprice", n = 200, keyCol = "o_orderkey")),
+
     "q_jaro_sim" -> ((s, d) => {
       // blocked fuzzy self-match: first-3-char blocking keys keep the
       // O(len^2)-per-pair kernel off the cross join; the kernel itself
@@ -3075,6 +3086,28 @@ object SparkEntry {
         |    / (count(o_totalprice) OVER (PARTITION BY o_orderpriority) + 20.0), 6)
         |    AS o_orderpriority_enc
         |FROM orders""".stripMargin,
+
+    "q_corr_matrix" ->
+      """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+        |UNION ALL SELECT 'l_quantity', 'l_discount',
+        |  round(corr(l_quantity, l_discount), 6) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', 'l_tax',
+        |  round(corr(l_quantity, l_tax), 6) FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |  round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |  round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+        |UNION ALL SELECT 'l_discount', 'l_tax',
+        |  round(corr(l_discount, l_tax), 6) FROM lineitem""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH w AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice,
+        |  -ln((('0x' || substr(md5(CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)),
+        |        1, 8))::BIGINT + 1.0) / 4294967296.0) / o_totalprice AS k
+        |  FROM orders WHERE o_totalprice > 0)
+        |SELECT o_orderkey, o_totalprice FROM w
+        |ORDER BY k, o_orderkey LIMIT 200""".stripMargin,
 
     "q_jaro_sim" ->
       """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k, p_name,

@@ -82,4 +82,31 @@ object Profiling {
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /** Pairwise Pearson correlations of `cols`, long format — one row
+    * per unordered pair (col_a, col_b, corr rounded 6 dp), pairs in
+    * input order. All n·(n-1)/2 correlations compute in ONE
+    * aggregation pass over a single scan (each is just a 6-number
+    * moment buffer with map-side partial combine) — the naive
+    * one-pair-per-job loop scans the table quadratically often. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"corrMatrix: column(s) ${missing.mkString(", ")} not in dataframe")
+    val pairs = for {
+      i <- cols.indices
+      j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a).cast("double"), col(b).cast("double")), 6)
+        .as(s"${a}__${b}")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"${a}__${b}").as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
 }

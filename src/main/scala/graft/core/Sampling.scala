@@ -325,4 +325,36 @@ object Sampling {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    * Spirakis A-ES): each row draws a key `-ln(u) / w` from a
+    * deterministic uniform `u ∈ (0, 1]` — the first 8 md5 hex digits
+    * of (salt, key), so the SAME rows win on every run, engine, and
+    * partitioning (like [[deterministicSplit]]) — and the `n`
+    * smallest keys are the sample. Inclusion probability is
+    * proportional to weight at each of the n sequential draws
+    * (the A-ES guarantee). Rows with null/non-positive weight are
+    * excluded (they'd get an infinite key anyway).
+    *
+    * Scale shape: a narrow projection then a global top-n — Spark
+    * plans `TakeOrderedAndProject`, per-partition bounded top-n
+    * before the single-partition merge, so the full corpus is never
+    * globally sorted. `n` must be driver-modest (it's a sample). */
+  def weightedSample(
+      df: DataFrame,
+      weightCol: String,
+      n: Int,
+      keyCol: String,
+      salt: String = ""): DataFrame = {
+    require(n >= 1, s"weightedSample: n must be >= 1, got $n")
+    val w = col(weightCol).cast("double")
+    val u = (conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"))),
+      1, 8), 16, 10).cast("double") + 1.0) / 4294967296.0
+    val esKey = -log(u) / w
+    df.filter(w.isNotNull && w > 0.0)
+      .withColumn("__graft_es", esKey)
+      .orderBy(col("__graft_es").asc, col(keyCol).asc)
+      .limit(n)
+      .drop("__graft_es")
+  }
 }

@@ -36,4 +36,22 @@ class ProfilingSpec extends SparkTestBase {
     assert(out("a") == ((3L, 0L, 3L, 1.0, 3.0)))
     assert(out("b") == ((2L, 1L, 1L, 10.0, 10.0)))
   }
+
+  test("corrMatrix: all pairs in one pass, exact on constructed correlations") {
+    val df = (1 to 50).map(i =>
+      (i.toDouble, 2.0 * i + 1, -3.0 * i, (i % 2).toDouble))
+      .toDF("x", "y_pos", "y_neg", "noise")
+    val out = Profiling.corrMatrix(df, Seq("x", "y_pos", "y_neg", "noise"))
+    val m = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.size == 6, "n*(n-1)/2 pairs")
+    assert(m(("x", "y_pos")) == 1.0)
+    assert(m(("x", "y_neg")) == -1.0)
+    assert(m(("y_pos", "y_neg")) == -1.0)
+    // single aggregation pass: exactly one partial/final exchange
+    val plan = Profiling.corrMatrix(df, Seq("x", "y_pos", "y_neg"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"one-pass violated:\n$plan")
+    intercept[IllegalArgumentException](Profiling.corrMatrix(df, Seq("x")))
+  }
 }

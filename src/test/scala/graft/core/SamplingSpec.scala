@@ -220,4 +220,34 @@ class SamplingSpec extends SparkTestBase {
     assert(nonLast.filter($"tot" <= 50.0 - 11.0).count() == 0)
     assert(nonLast.filter($"tot" >= 50.0 + 11.0).count() == 0)
   }
+
+  test("weightedSample: deterministic, partitioning-invariant, weight-sensitive") {
+    val df = (1L to 300L).map(i => (i, if (i == 7L) 1000.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "w", 20, "id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.weightedSample(df.repartition(13), "w", 20, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same sample regardless of partitioning")
+    assert(s1.size == 20)
+    // the 1000x-weighted row wins a slot under (almost) any salt
+    val hits = (1 to 10).count(s => Sampling.weightedSample(df, "w", 20, "id",
+      salt = s.toString).collect().map(_.getLong(0)).contains(7L))
+    assert(hits >= 9, s"w=1000 row sampled only $hits/10 times")
+  }
+
+  test("weightedSample: non-positive and null weights excluded; n > rows keeps all") {
+    val df = Seq((1L, Some(2.0)), (2L, Some(-1.0)), (3L, None), (4L, Some(0.5)))
+      .toDF("id", "w")
+    val out = Sampling.weightedSample(df, "w", 10, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 4L))
+  }
+
+  test("weightedSample plans as TakeOrderedAndProject — no global sort") {
+    val df = (1L to 100L).map(i => (i, 1.0)).toDF("id", "w")
+    val plan = Sampling.weightedSample(df, "w", 5, "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort leaked:\n$plan")
+  }
 }

@@ -823,6 +823,84 @@ object Scale {
           .orderBy(col("est_count").desc, col("item")).limit(16))
       }
     }
+
+    // --- r11c rows: per-group top-k, pivot compilation, HLL sketches.
+    // Inputs MATERIALISED to parquet first (a crossJoin-inflated input
+    // makes scans free and hides IO; see SCALE.md measurement notes).
+    if (!only.exists(o => !o.contains("topk_group") && !o.contains("pivot_agg")
+        && !o.contains("hll_distinct"))) {
+      val tmp = "/root/repo/target/scale_r11c_tmp"
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .crossJoin(spark.range(bigK).select(col("id").as("__rep")))
+        .select(monotonically_increasing_id().as("id"),
+          col("l_extendedprice").as("v"))
+        .write.mode("overwrite").parquet(tmp)
+      def base = spark.read.parquet(tmp)
+
+      def ioRow2(op: String, variant: String, df: DataFrame): Unit = {
+        if (only.exists(!_.contains(op))) return
+        spark.catalog.clearCache()
+        System.gc()
+        val mtr = graft.observability.RunMetricsProbe.measure(df)
+        println(s"""{"op":"$op","variant":"$variant","scale":$bigK""" +
+          s""","input_bytes":${mtr.inputBytes}""" +
+          s""","shuffle_write_bytes":${mtr.shuffleWriteBytes}""" +
+          s""","rows":${mtr.rows},"secs":${mtr.wallMs / 1000.0}}""")
+      }
+
+      // ONE giant group (90% of rows) — the regime where the bare rank
+      // window serialises on a single task and the per-partition heap
+      // prune does not
+      def topkIn = base.select(
+        when(col("id") % 10 < 9, lit("giant"))
+          .otherwise(concat(lit("g"), col("id") % 97)).as("g"),
+        col("id"), col("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      for (round <- 1 to 2) {
+        ioRow2("topk_group", s"window_r$round", topkIn
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5))
+        ioRow2("topk_group", s"pruned_r$round",
+          graft.core.Ranking.topKPerGroup(topkIn, Seq("g"), "v", 5, "id"))
+      }
+
+      // the probe's count() action lets Catalyst PRUNE unreferenced
+      // aggregate buffers (measured: pivot collapsed to distinct-k) and
+      // short-circuit a global aggregate to "1 row" without running it
+      // (measured: 7.4 s of pivot counted in 0.07 s); checksum every
+      // column (bit_xor — order-independent, can't overflow under ANSI)
+      // and FILTER on the checksum so count() must evaluate it
+      def checksum(df: DataFrame): DataFrame = {
+        val cs = df.columns.map(c => bit_xor(xxhash64(col(c))).as(s"cs_$c"))
+        df.agg(cs.head, cs.tail: _*)
+          .where(df.columns.map(c => col(s"cs_$c").isNotNull).reduce(_ || _))
+      }
+
+      // same grouped result, two compilations: Spark's PivotFirst
+      // (aggregate twice, exchange twice — see the pre-rewrite
+      // q_pivot_wide plan) vs conditional aggregation
+      def pvIn = base.select((col("id") % 1000000).as("k"),
+        concat(lit("p"), col("id") % 5).as("p"), col("v"))
+      val pvVals = (0 until 5).map(i => s"p$i")
+      for (round <- 1 to 2) {
+        ioRow2("pivot_agg", s"pivot_first_r$round", checksum(
+          pvIn.groupBy("k").pivot("p", pvVals).agg(sum(col("v")))))
+        ioRow2("pivot_agg", s"cond_agg_r$round", checksum(
+          graft.core.DataFrameOps.pivotWide(pvIn, Seq("k"), "p", "v", pvVals)))
+      }
+
+      // distinct counting at high cardinality: exact shuffles one row
+      // per distinct value; the sketch shuffles fixed-width state
+      def hIn = base.select((col("id") % 7).as("g"), (col("id") % 3000000).as("u"))
+      for (round <- 1 to 2) {
+        ioRow2("hll_distinct", s"exact_r$round", checksum(
+          hIn.groupBy("g").agg(count_distinct(col("u")).as("n"))))
+        ioRow2("hll_distinct", s"sketch_r$round", checksum(
+          graft.core.Sketches.withEstimate(
+            graft.core.Sketches.hllSketches(hIn, Seq("g"), "u"))
+            .drop("hll_sketch")))
+      }
+    }
     spark.stop()
   }
 }

@@ -1363,6 +1363,71 @@ object Bench {
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
           last("sum_value", ignoreNulls = true).over(w).as("ffill_value"))
     }),
+
+    "q_topk_group" -> ((s, d) => {
+      // the bare rank window every Spark user writes first: the whole
+      // table shuffles into one task per priority and sorts there. At
+      // sf0.1 the 5 groups still fit a core; the structural gap is the
+      // SCALE.md topk_group row (2.9× at 8×, one 90% group)
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 5)
+    }),
+
+    "q_pivot_wide" -> ((s, d) => {
+      // Spark's own .pivot with explicit values — the PivotFirst plan
+      // that aggregates twice (shuffle cut measured in SCALE.md
+      // pivot_agg); same rounding tail as the wrapped query
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      li.groupBy("l_returnflag").pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .select(col("l_returnflag"), round(col("F"), 2).as("qty_f"),
+          round(col("O"), 2).as("qty_o"))
+    }),
+
+    "q_corr_matrix" -> ((s, d) => {
+      // one aggregation JOB per pair — the loop a user writes from the
+      // corr() doc; six scans of the table instead of one
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        li.agg(round(corr(col(a).cast("double"), col(b).cast("double")), 6)
+          .as("corr"))
+          .select(lit(a).as("col_a"), lit(b).as("col_b"), col("corr"))
+      }.reduce(_ unionByName _)
+    }),
+
+    "q_freq_encode" -> ((s, d) => {
+      // count-over-window: every corpus row shuffles into one task per
+      // category value — the formulation the encoder exists to avoid
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"))
+      val w = Window.partitionBy("o_orderpriority")
+      o.withColumn("o_orderpriority_freq", count(lit(1)).over(w))
+    }),
+
+    "q_target_encode" -> ((s, d) => {
+      // window formulation of the same smoothed encoding: sum/count
+      // windows per category plus a global-mean window over ()
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+      val t = col("o_totalprice").cast("double")
+      val wc = Window.partitionBy("o_orderpriority")
+      val wg = Window.partitionBy()
+      o.withColumn("o_orderpriority_enc",
+        round((sum(t).over(wc) + lit(20.0) * avg(t).over(wg)) /
+          (count(t).over(wc) + lit(20.0)), 6))
+    }),
   )
 
   def main(args: Array[String]): Unit = {

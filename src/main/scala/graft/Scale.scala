@@ -828,7 +828,7 @@ object Scale {
     // Inputs MATERIALISED to parquet first (a crossJoin-inflated input
     // makes scans free and hides IO; see SCALE.md measurement notes).
     if (!only.exists(o => !o.contains("topk_group") && !o.contains("pivot_agg")
-        && !o.contains("hll_distinct"))) {
+        && !o.contains("hll_distinct") && !o.contains("encode_path"))) {
       val tmp = "/root/repo/target/scale_r11c_tmp"
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .crossJoin(spark.range(bigK).select(col("id").as("__rep")))
@@ -887,6 +887,28 @@ object Scale {
           pvIn.groupBy("k").pivot("p", pvVals).agg(sum(col("v")))))
         ioRow2("pivot_agg", s"cond_agg_r$round", checksum(
           graft.core.DataFrameOps.pivotWide(pvIn, Seq("k"), "p", "v", pvVals)))
+      }
+
+      // categorical encoding: count/avg-over-window shuffles every
+      // corpus row into one task per category value (a 90%-hot
+      // category serialises); the grouped-agg + broadcast-join path
+      // exchanges category-cardinality rows. This is the structural
+      // row behind q_freq_encode/q_target_encode's toy-scale ratios
+      // (~2.0 there: 5 small categories, fixed job overhead dominates)
+      def encIn = base.select(
+        when(col("id") % 10 < 9, lit("hot"))
+          .otherwise(concat(lit("c"), col("id") % 97)).as("cat"),
+        col("v"))
+      val ew = org.apache.spark.sql.expressions.Window.partitionBy("cat")
+      for (r <- 1 to 2) {
+        ioRow2("encode_path", s"window_r$r", checksum(
+          encIn.withColumn("cat_enc",
+            round((sum(col("v")).over(ew) + lit(20.0) *
+              avg(col("v")).over(
+                org.apache.spark.sql.expressions.Window.partitionBy())) /
+              (count(col("v")).over(ew) + lit(20.0)), 6))))
+        ioRow2("encode_path", s"agg_join_r$r", checksum(
+          graft.core.Encode.targetEncode(encIn, "cat", "v", smoothing = 20.0)))
       }
 
       // distinct counting at high cardinality: exact shuffles one row

@@ -43,8 +43,12 @@ object Encode {
       val outCol = s"${c}_freq"
       val counts = df.groupBy(col(c).as("__graft_cat"))
         .agg(count(lit(1)).as("__graft_n"))
+      // explicit broadcast, not AQE: AQE's SMJ→BHJ conversion still
+      // WRITES the corpus's map-side shuffle before converting
+      // (measured in SCALE.md encode_path); the category side is
+      // small by the op's nature, so plan the broadcast up front
       val joined = acc
-        .join(counts, acc.col(c) <=> counts.col("__graft_cat"), "left")
+        .join(broadcast(counts), acc.col(c) <=> counts.col("__graft_cat"), "left")
         .drop("__graft_cat")
       if (normalize)
         joined.withColumn(outCol, round(col("__graft_n") / total, 9))
@@ -75,7 +79,7 @@ object Encode {
       .agg(sum(t).as("__graft_sum"), count(t).as("__graft_cnt"))
     val enc = df
       .crossJoin(broadcast(global))
-      .join(stats, df.col(catCol) <=> stats.col("__graft_cat"), "left")
+      .join(broadcast(stats), df.col(catCol) <=> stats.col("__graft_cat"), "left")
       .drop("__graft_cat")
     enc.withColumn(s"${catCol}_enc",
         round((coalesce(col("__graft_sum"), lit(0.0)) +

@@ -27,7 +27,9 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_pack_greedy", "q_stream_decontaminate", "q_dedup_against",
     "q_quota_sample", "q_pack_assemble", "q_split",
     "q_tfidf", "q_bm25", "q_inverted_index", "q_bigram_pmi",
-    "q_chunk", "q_fuzzy_join", "q_scd2")
+    "q_chunk", "q_fuzzy_join", "q_scd2",
+    "q_topk_group", "q_pivot_wide", "q_corr_matrix",
+    "q_freq_encode", "q_target_encode")
 
   // q_asof_join reads the events table, which needs the nanos-timestamp
   // session config like q_stream_exec — checked here with the config set

@@ -1821,6 +1821,44 @@ object SparkEntry {
             col("n_exact") > 0.05, 1L).otherwise(0L).as("rel_err_violation"))
     }),
 
+    "q_stream_hh" -> ((s, d) => {
+      // per-window trending items (batch formulation of the streaming
+      // MG agg — HeavyHittersStreamSpec pins batch ≡ stream): derived
+      // item column is deterministic, so the oracle recomputes
+      // n_events/n_heavy exactly; the violation counters are
+      // contractual zeros
+      val ev = eventsDf(s, d).select(col("ts"),
+        when(col("user_id") % 10 < 3,
+          concat(lit("hot_"), col("user_id") % 3))
+          .otherwise(concat(lit("cold_"), col("user_id"))).as("item"))
+      Streaming.windowedHeavyHittersCheck(ev, "ts", "item", "1 day", k = 16)
+        .select(col("window_start").cast("long").as("window_start"),
+          col("n_events"), col("n_heavy"), col("n_heavy_missing"),
+          col("overcount_violations"), col("bound_violations"))
+    }),
+
+    "q_agg_state" -> ((s, d) => {
+      // incremental roll-up: monthly state tables merged to priority,
+      // decoded, and cross-checked against the oracle's raw recompute
+      val base = t(s, d, "orders").select(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_totalprice"))
+      val daily = core.AggState.build(base,
+        Seq("o_orderpriority", "month"), "o_totalprice")
+      val fin = core.AggState.finish(
+        core.AggState.merge(daily, Seq("o_orderpriority")))
+      val exact = base.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_totalprice")).as("nd"))
+      fin.join(exact, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"),
+          // 2 dp: the ~1e9 sums sit at double's ~1e-7 absolute
+          // precision, so 6 dp would hash on summation-order noise
+          round(col("sum"), 2).as("sum_v"), col("min").as("min_v"),
+          col("max").as("max_v"), col("mean").as("mean_v"),
+          when(abs(col("approx_distinct") - col("nd")) / col("nd") > 0.05, 1L)
+            .otherwise(0L).as("distinct_violation"))
+    }),
+
     "q_corr_matrix" -> ((s, d) =>
       core.Profiling.corrMatrix(
         t(s, d, "lineitem"),
@@ -3090,6 +3128,32 @@ object SparkEntry {
         |    / (count(o_totalprice) OVER (PARTITION BY o_orderpriority) + 20.0), 6)
         |    AS o_orderpriority_enc
         |FROM orders""".stripMargin,
+
+    "q_stream_hh" ->
+      """WITH d AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+        |    AS window_start,
+        |  CASE WHEN user_id % 10 < 3 THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |       ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS item FROM events),
+        |ex AS (SELECT window_start, item, count(*) AS c FROM d GROUP BY 1, 2),
+        |t AS (SELECT window_start, sum(c) AS n FROM ex GROUP BY 1)
+        |SELECT t.window_start, CAST(t.n AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN ex.c > t.n / 17.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_heavy,
+        |  CAST(0 AS BIGINT) AS n_heavy_missing,
+        |  CAST(0 AS BIGINT) AS overcount_violations,
+        |  CAST(0 AS BIGINT) AS bound_violations
+        |FROM ex JOIN t USING (window_start)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_agg_state" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(o_totalprice) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_v,
+        |  min(o_totalprice) AS min_v,
+        |  max(o_totalprice) AS max_v,
+        |  round(sum(o_totalprice) / count(o_totalprice), 6) AS mean_v,
+        |  CAST(0 AS BIGINT) AS distinct_violation
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_corr_matrix" ->
       """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,

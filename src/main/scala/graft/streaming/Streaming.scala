@@ -51,6 +51,71 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("category"), col("n"))
 
+  /** Per-window Misra-Gries heavy hitters: `(window_start, item,
+    * est_count, rank)` per tumbling window — trending items over an
+    * event stream without per-distinct-item state. Identical in batch
+    * and as a watermarked streaming aggregation: the MG Aggregator is
+    * mergeable, so it runs as real partial/final streaming state with
+    * O(k) PER WINDOW (an exact windowed count would hold one state row
+    * per distinct item per window — unbounded on id-like items). The
+    * estimate contract is [[graft.core.Frequent]]'s: `est ≤ true ≤
+    * est + n_window/(k+1)`, every item above `n_window/(k+1)`
+    * guaranteed present. */
+  def windowedHeavyHitters(
+      events: DataFrame,
+      tsCol: String,
+      itemCol: String,
+      windowDuration: String,
+      k: Int): DataFrame = {
+    val mg = udaf(new graft.core.Frequent.MisraGries(k))
+    val item = coalesce(col(itemCol).cast("string"), lit("(null)"))
+    events
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(mg(item).as("__mg"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("__mg")).as(Seq("__pos", "__e")))
+      .select(col("window_start"), col("__e.item").as("item"),
+        col("__e.cnt").as("est_count"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Batch verification of [[windowedHeavyHitters]]'s contract, one
+    * row per window: `n_events`, `n_heavy` (items with true count >
+    * n_window/(k+1)) and the three contractually-zero violation
+    * counters (heavy item missing, estimate above truth, estimate more
+    * than the bound below truth). Computes exact windowed counts — the
+    * expensive ground truth a production stream would NOT compute. */
+  def windowedHeavyHittersCheck(
+      events: DataFrame,
+      tsCol: String,
+      itemCol: String,
+      windowDuration: String,
+      k: Int): DataFrame = {
+    val item = coalesce(col(itemCol).cast("string"), lit("(null)"))
+    val exact = events
+      .groupBy(window(col(tsCol), windowDuration), item.as("item"))
+      .agg(count(lit(1)).as("true_count"))
+      .select(col("window.start").as("window_start"), col("item"),
+        col("true_count"))
+    val totals = exact.groupBy("window_start")
+      .agg(sum("true_count").as("n_events"))
+    val rep = windowedHeavyHitters(events, tsCol, itemCol, windowDuration, k)
+    val bound = col("n_events") / (k + 1.0)
+    exact
+      .join(rep.select(col("window_start"), col("item"), col("est_count")),
+        Seq("window_start", "item"), "left")
+      .join(totals, Seq("window_start"))
+      .groupBy(col("window_start"), col("n_events"))
+      .agg(
+        sum(when(col("true_count") > bound, 1L).otherwise(0L)).as("n_heavy"),
+        sum(when(col("true_count") > bound && col("est_count").isNull, 1L)
+          .otherwise(0L)).as("n_heavy_missing"),
+        sum(when(col("est_count") > col("true_count"), 1L).otherwise(0L))
+          .as("overcount_violations"),
+        sum(when(col("true_count") - coalesce(col("est_count"), lit(0L)) > bound,
+          1L).otherwise(0L)).as("bound_violations"))
+  }
+
   /** Sliding-window aggregate. */
   def slidingAgg(
       events: DataFrame,

@@ -1837,6 +1837,17 @@ object SparkEntry {
           col("overcount_violations"), col("bound_violations"))
     }),
 
+    "q_ks_drift" -> ((s, d) => {
+      // exact two-sample KS between two real price distributions; the
+      // oracle recomputes the same sup via a window cumsum
+      val o = t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"))
+      core.Drift.ksStatistic(
+        o.filter(col("o_orderpriority") === "1-URGENT"),
+        o.filter(col("o_orderpriority") === "2-HIGH"),
+        "o_totalprice")
+    }),
+
     "q_agg_state" -> ((s, d) => {
       // incremental roll-up: monthly state tables merged to priority,
       // decoded, and cross-checked against the oracle's raw recompute
@@ -3144,6 +3155,23 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS bound_violations
         |FROM ex JOIN t USING (window_start)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH r AS (SELECT o_totalprice AS v FROM orders
+        |    WHERE o_orderpriority = '1-URGENT'),
+        |c AS (SELECT o_totalprice AS v FROM orders
+        |    WHERE o_orderpriority = '2-HIGH'),
+        |g AS (SELECT v, sum(nr) AS nr, sum(nc) AS nc FROM (
+        |    SELECT v, 1 AS nr, 0 AS nc FROM r
+        |    UNION ALL SELECT v, 0, 1 FROM c) u GROUP BY v),
+        |cum AS (SELECT v, sum(nr) OVER (ORDER BY v) AS cr,
+        |    sum(nc) OVER (ORDER BY v) AS cc FROM g),
+        |t AS (SELECT (SELECT count(*) FROM r) AS tr,
+        |    (SELECT count(*) FROM c) AS tc)
+        |SELECT CAST(tr AS BIGINT) AS n_ref, CAST(tc AS BIGINT) AS n_cur,
+        |  round(max(abs(cr / CAST(tr AS DOUBLE) - cc / CAST(tc AS DOUBLE))), 9)
+        |    AS ks_stat
+        |FROM cum, t GROUP BY tr, tc""".stripMargin,
 
     "q_agg_state" ->
       """SELECT o_orderpriority,

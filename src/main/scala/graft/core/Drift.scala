@@ -189,4 +189,59 @@ object Drift {
         round(sum(pow(col("n_cur") - col("__e"), 2) / col("__e")), 6).as("chi2"),
         count(lit(1)).as("n_categories"))
   }
+
+  /** EXACT two-sample Kolmogorov-Smirnov statistic
+    * `D = sup_x |F_ref(x) − F_cur(x)|` for a numeric column — the
+    * binning-free complement to [[numericDrift]]'s PSI (PSI over fixed
+    * bins can miss a pure location shift inside one bin; KS cannot).
+    * One row: `(n_ref, n_cur, ks_stat)` (9 dp). Nulls are excluded.
+    *
+    * Scale shape: the naive formulation needs a cumulative sum over
+    * ALL values in global order — `sum() OVER (ORDER BY v)` is a
+    * single-partition window. Instead: reduce to per-DISTINCT-value
+    * (n_ref, n_cur) counts (one grouped agg), then the same two-level
+    * partition-offset pattern as [[graft.operators.Ids]]: range
+    * repartition on the value, per-partition local cumulative sums in
+    * parallel, per-partition totals (a numPartitions-sized frame)
+    * prefix-summed and broadcast back. The range exchange over
+    * distinct values is the only wide movement; the checkpoint fences
+    * the ranged frame so both consumers see one set of range bounds. */
+  def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    requireCol(ref, valueCol, "ksStatistic(ref)")
+    requireCol(cur, valueCol, "ksStatistic(cur)")
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, r: Long, c: Long) = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("v"), lit(r).as("nr"), lit(c).as("nc"))
+    val g = side(ref, 1L, 0L).unionByName(side(cur, 0L, 1L))
+      .groupBy("v").agg(sum("nr").as("nr"), sum("nc").as("nc"))
+    val nParts = ref.sparkSession.sparkContext.defaultParallelism
+    val ranged = g.repartitionByRange(nParts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val wLocal = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged
+      .withColumn("__cr", sum("nr").over(wLocal))
+      .withColumn("__cc", sum("nc").over(wLocal))
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum("nr").as("__pr"), sum("nc").as("__pc"))
+      .withColumn("__or", coalesce(sum("__pr").over(wOff), lit(0L)))
+      .withColumn("__oc", coalesce(sum("__pc").over(wOff), lit(0L)))
+    val totals = offsets
+      .agg(sum("__pr").as("__tr"), sum("__pc").as("__tc"))
+    local
+      .join(broadcast(offsets.select("__pid", "__or", "__oc")), "__pid")
+      .crossJoin(broadcast(totals))
+      .agg(
+        first(col("__tr")).as("n_ref"),
+        first(col("__tc")).as("n_cur"),
+        round(max(abs(
+          (col("__cr") + col("__or")).cast("double") / col("__tr") -
+            (col("__cc") + col("__oc")).cast("double") / col("__tc"))), 9)
+          .as("ks_stat"))
+  }
 }

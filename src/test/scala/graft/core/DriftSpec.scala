@@ -100,4 +100,40 @@ class DriftSpec extends SparkTestBase {
       Drift.numericDrift(d.withColumnRenamed("k", "v"),
         d.withColumnRenamed("k", "v"), "v", 1.0, 0.0, 4))
   }
+
+  test("ksStatistic: hand-computed sup, identity → 0, disjoint → 1") {
+    import org.apache.spark.sql.functions.col
+    // ref {1,2,3,4}, cur {3,4,5,6}: sup at v=2 → |2/4 - 0/4| = 0.5
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val row = Drift.ksStatistic(ref, cur, "v").head()
+    assert(row.getAs[Long]("n_ref") == 4L && row.getAs[Long]("n_cur") == 4L)
+    assert(row.getAs[Double]("ks_stat") == 0.5)
+    assert(Drift.ksStatistic(ref, ref, "v").head().getAs[Double]("ks_stat") == 0.0)
+    val hi = Seq(100.0, 101.0).toDF("v")
+    assert(Drift.ksStatistic(ref, hi, "v").head().getAs[Double]("ks_stat") == 1.0)
+    // nulls excluded
+    val withNull = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None).toDF("v")
+    assert(Drift.ksStatistic(withNull, cur, "v").head().getAs[Long]("n_ref") == 4L)
+  }
+
+  test("ksStatistic matches the single-partition naive cumsum on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(5)
+    val ref = Seq.fill(400)(rng.nextGaussian()).toDF("v").repartition(7)
+    val cur = Seq.fill(300)(rng.nextGaussian() + 0.3).toDF("v").repartition(3)
+    val fast = Drift.ksStatistic(ref, cur, "v").head().getAs[Double]("ks_stat")
+    val u = ref.select(col("v"), lit(1L).as("nr"), lit(0L).as("nc"))
+      .unionByName(cur.select(col("v"), lit(0L).as("nr"), lit(1L).as("nc")))
+      .groupBy("v").agg(sum("nr").as("nr"), sum("nc").as("nc"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = u
+      .withColumn("cr", sum("nr").over(w)).withColumn("cc", sum("nc").over(w))
+      .agg(round(max(abs(col("cr") / 400.0 - col("cc") / 300.0)), 9))
+      .head().getDouble(0)
+    assert(fast == naive, s"fast=$fast naive=$naive")
+    assert(fast > 0.1 && fast < 0.4, s"shifted gaussians: $fast")
+  }
 }

@@ -94,6 +94,12 @@ object Plans {
       "Incremental distinct: the sketch agg's shuffle rows are fixed-width HLL sketches (ObjectHashAggregate partial/final), merge aggregates AT FINE-GROUP CARDINALITY — the history table is never rescanned; the exact countDistinct sits in a separate branch only because the oracle demands it.",
     "q_jaro_sim" ->
       "Blocked fuzzy self-match: the equi-join on the 3-char blocking key replaces the cross join, and the O(len^2) Jaro-Winkler kernel runs INSIDE WholeStageCodegen above it (native doGenCode expression, no UDF fence) — only blocked candidate pairs ever reach it.",
+    "q_ks_drift" ->
+      "Exact distributed KS: per-distinct-value counts (partial/final HashAggregate), a RANGE exchange over distinct values, parallel per-partition cumsums (Window keyed on partition id — NOT the single-partition global-order window), and broadcast prefix offsets; the final sup is a one-row aggregate.",
+    "q_weighted_sample" ->
+      "Deterministic A-ES sample: a narrow md5-derived key projection feeding TakeOrderedAndProject — per-partition bounded top-n then a single merge of n candidates; the corpus is never globally sorted.",
+    "q_corr_matrix" ->
+      "All pairwise correlations in ONE pass: a single partial/final aggregate carrying six moment buffers over one scan, exploded to long format by a literal-struct projection — the per-pair loop would scan the table n(n-1)/2 times.",
   )
 
   def main(args: Array[String]): Unit = {

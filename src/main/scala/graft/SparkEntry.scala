@@ -1837,6 +1837,12 @@ object SparkEntry {
           col("overcount_violations"), col("bound_violations"))
     }),
 
+    "q_perplexity" -> ((s, d) =>
+      text.Relevance.unigramPerplexity(
+        t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"),
+          col("text")),
+        "doc_id", "text")),
+
     "q_ks_drift" -> ((s, d) => {
       // exact two-sample KS between two real price distributions; the
       // oracle recomputes the same sup via a window cumsum
@@ -3155,6 +3161,22 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS bound_violations
         |FROM ex JOIN t USING (window_start)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_perplexity" ->
+      """WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    unnest(regexp_split_to_array(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |dt AS (SELECT doc_id, word, count(*) AS nd FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT word, sum(nd) AS c FROM dt GROUP BY 1),
+        |st AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+        |sc AS (SELECT doc_id, CAST(sum(nd) AS BIGINT) AS n_tokens,
+        |    round(exp(-sum(nd * ln((c + 1.0) / (n + 1.0 * v))) / sum(nd)), 6)
+        |      AS perplexity
+        |  FROM dt JOIN vocab USING (word) CROSS JOIN st GROUP BY 1)
+        |SELECT d.doc_id, sc.n_tokens, sc.perplexity
+        |FROM (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        |LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     "q_ks_drift" ->
       """WITH r AS (SELECT o_totalprice AS v FROM orders

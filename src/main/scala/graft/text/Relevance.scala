@@ -191,4 +191,45 @@ object Relevance {
         round(log((col("n") / lit(totalBig)) /
           ((col("c1") / lit(totalUni)) * (col("c2") / lit(totalUni)))), 6).as("pmi"))
   }
+
+  /** Unigram-LM perplexity quality score (the CCNet-style filter):
+    * train an add-α smoothed unigram model — on the corpus itself, or
+    * on `lmCounts` (a `(word, c)` frame from a reference corpus, e.g.
+    * Wikipedia token counts) — and score every document by
+    * `exp(−Σ n_w·ln p(w) / Σ n_w)`. Low perplexity ≈ fluent,
+    * in-distribution text; the extremes (boilerplate at the bottom,
+    * garbage at the top) are what the filter cuts. Output:
+    * `(idCol, n_tokens, perplexity)` (6 dp); empty documents score
+    * null.
+    *
+    * Scale shape: per-(doc, word) counts first, so the vocabulary join
+    * moves doc-DISTINCT-term rows, not one row per token occurrence;
+    * the vocabulary aggregate is word-cardinality; N and V ride in a
+    * broadcast 1-row frame. No window, no collect. */
+  def unigramPerplexity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 1.0,
+      lmCounts: Option[DataFrame] = None): DataFrame = {
+    require(alpha > 0.0, s"unigramPerplexity: alpha must be > 0, got $alpha")
+    val dt = docTermFrequencies(df, idCol, textCol)
+      .withColumnRenamed("tf", "nd")
+    val vocab = lmCounts.getOrElse(
+      dt.groupBy("word").agg(sum("nd").as("c")))
+    val stats = vocab.agg(sum("c").as("__N"), count(lit(1)).as("__V"))
+    // LEFT join: with an external LM, out-of-vocabulary words take the
+    // unseen mass α/(N + αV) instead of silently dropping
+    val scored = dt.join(vocab, Seq("word"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("__lp",
+        log((coalesce(col("c"), lit(0L)) + lit(alpha)) /
+          (col("__N") + lit(alpha) * col("__V"))))
+      .groupBy(idCol)
+      .agg(sum("nd").as("n_tokens"),
+        round(exp(-sum(col("nd") * col("__lp")) / sum(col("nd"))), 6)
+          .as("perplexity"))
+    df.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+  }
 }

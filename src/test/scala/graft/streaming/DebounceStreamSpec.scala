@@ -28,7 +28,10 @@ class DebounceStreamSpec extends SparkTestBase {
     // batch 1 ends at t=50; batch 2 starts at t=60 (gap 10 <= 30: suppressed)
     Seq(TimedEvent("k", 0L, 1L, "p"), TimedEvent("k", 50L, 2L, "p")).toDS()
       .write.mode("overwrite").parquet(s"$dir/in")
-    Thread.sleep(20)
+    // FileStreamSource orders files by modification time (ties broken
+    // by random part-file name): a full second keeps batch 1's files
+    // strictly earlier even under suite load — 20 ms flaked in-suite
+    Thread.sleep(1000)
     Seq(TimedEvent("k", 60L, 3L, "p"), TimedEvent("k", 200L, 4L, "p")).toDS()
       .write.mode("append").parquet(s"$dir/in")
     val streamed = spark.readStream

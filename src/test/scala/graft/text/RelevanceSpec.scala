@@ -92,4 +92,43 @@ class RelevanceSpec extends SparkTestBase {
     // "a b" occurs twice; no crash on the degenerate docs
     assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet == Set(("a", "b")))
   }
+
+  test("unigramPerplexity: in-distribution docs score low, rare-word docs high") {
+    val corpus = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat")) :+
+      (100L, "zyzzyva qwerty xylem") :+ (200L, ""))
+      .toDF("doc_id", "text")
+    val out = Relevance.unigramPerplexity(corpus, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[java.lang.Long]("n_tokens")),
+          Option(r.getAs[java.lang.Double]("perplexity")))).toMap
+    assert(out(200L) == ((None, None)), "empty doc scores null")
+    assert(out(1L)._1.contains(6L))
+    assert(out(100L)._2.get > 3 * out(1L)._2.get,
+      s"rare-word doc must score far higher: ${out(100L)} vs ${out(1L)}")
+    // all common docs identical
+    assert(out(1L) == out(20L))
+  }
+
+  test("unigramPerplexity against an external LM: OOV takes the unseen mass") {
+    val lm = Seq(("the", 100L), ("cat", 50L)).toDF("word", "c")
+    val docs = Seq((1L, "the cat"), (2L, "the zonk")).toDF("doc_id", "text")
+    val out = Relevance.unigramPerplexity(docs, "doc_id", "text",
+      lmCounts = Some(lm))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("perplexity")).toMap
+    // N=150, V=2: p(the)=101/152, p(cat)=51/152, p(zonk)=1/152
+    val p1 = math.exp(-(math.log(101.0 / 152) + math.log(51.0 / 152)) / 2)
+    val p2 = math.exp(-(math.log(101.0 / 152) + math.log(1.0 / 152)) / 2)
+    assert(math.abs(out(1L) - p1) < 1e-6)
+    assert(math.abs(out(2L) - p2) < 1e-6)
+    assert(out(2L) > out(1L))
+  }
+
+  test("unigramPerplexity plan: no window, vocab join at doc-distinct-term grain") {
+    val corpus = (1 to 50).map(i => (i.toLong, s"w${i % 7} w${i % 5} w${i % 7}"))
+      .toDF("doc_id", "text")
+    val plan = Relevance.unigramPerplexity(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked:\n$plan")
+  }
 }

@@ -828,7 +828,8 @@ object Scale {
     // Inputs MATERIALISED to parquet first (a crossJoin-inflated input
     // makes scans free and hides IO; see SCALE.md measurement notes).
     if (!only.exists(o => !o.contains("topk_group") && !o.contains("pivot_agg")
-        && !o.contains("hll_distinct") && !o.contains("encode_path"))) {
+        && !o.contains("hll_distinct") && !o.contains("encode_path")
+        && !o.contains("ks_path"))) {
       val tmp = "/root/repo/target/scale_r11c_tmp"
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .crossJoin(spark.range(bigK).select(col("id").as("__rep")))
@@ -837,11 +838,14 @@ object Scale {
         .write.mode("overwrite").parquet(tmp)
       def base = spark.read.parquet(tmp)
 
-      def ioRow2(op: String, variant: String, df: DataFrame): Unit = {
+      // by-name df: ksStatistic localCheckpoints EAGERLY at
+      // construction — a strict parameter would run the heavy ranged
+      // stage before the probe's listener attaches
+      def ioRow2(op: String, variant: String, df: => DataFrame): Unit = {
         if (only.exists(!_.contains(op))) return
         spark.catalog.clearCache()
         System.gc()
-        val mtr = graft.observability.RunMetricsProbe.measure(df)
+        val mtr = graft.observability.RunMetricsProbe.measureLazy(spark, () => df)
         println(s"""{"op":"$op","variant":"$variant","scale":$bigK""" +
           s""","input_bytes":${mtr.inputBytes}""" +
           s""","shuffle_write_bytes":${mtr.shuffleWriteBytes}""" +
@@ -909,6 +913,37 @@ object Scale {
               (count(col("v")).over(ew) + lit(20.0)), 6))))
         ioRow2("encode_path", s"agg_join_r$r", checksum(
           graft.core.Encode.targetEncode(encIn, "cat", "v", smoothing = 20.0)))
+      }
+
+      // exact KS: the naive cumulative sum is a single-partition
+      // global-order window (one task sorts+walks every distinct
+      // value); the operator's partition-offset path keeps the cumsum
+      // parallel. ~3M distinct doubles after the value agg.
+      def ksRef = base.filter(col("id") % 2 === 0).select(col("v"))
+      def ksCur = base.filter(col("id") % 2 === 1)
+        .select((col("v") * 1.001).as("v"))
+      for (r <- 1 to 2) {
+        // adaptive default at 1.8M distinct → cached single-task walk
+        ioRow2("ks_path", s"adaptive_r$r",
+          graft.core.Drift.ksStatistic(ksRef, ksCur, "v"))
+        // forced distributed path (the beyond-one-task insurance)
+        ioRow2("ks_path", s"offset_forced_r$r",
+          graft.core.Drift.ksStatistic(ksRef, ksCur, "v",
+            distinctThreshold = 0L))
+        ioRow2("ks_path", s"global_window_r$r", {
+          val u = ksRef.select(col("v"), lit(1L).as("nr"), lit(0L).as("nc"))
+            .unionByName(ksCur.select(col("v"), lit(0L).as("nr"), lit(1L).as("nc")))
+            .groupBy("v").agg(sum("nr").as("nr"), sum("nc").as("nc"))
+          val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+          val tot = u.agg(sum("nr").as("tr"), sum("nc").as("tc"))
+          u.withColumn("cr", sum("nr").over(w)).withColumn("cc", sum("nc").over(w))
+            .crossJoin(broadcast(tot))
+            .agg(first(col("tr")).as("n_ref"), first(col("tc")).as("n_cur"),
+              round(max(abs(col("cr").cast("double") / col("tr") -
+                col("cc").cast("double") / col("tc"))), 9).as("ks_stat"))
+        })
       }
 
       // distinct counting at high cardinality: exact shuffles one row

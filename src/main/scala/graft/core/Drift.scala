@@ -206,42 +206,118 @@ object Drift {
     * prefix-summed and broadcast back. The range exchange over
     * distinct values is the only wide movement; the checkpoint fences
     * the ranged frame so both consumers see one set of range bounds. */
-  def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+  def ksStatistic(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      distinctThreshold: Long = 16000000L): DataFrame = {
     requireCol(ref, valueCol, "ksStatistic(ref)")
     requireCol(cur, valueCol, "ksStatistic(cur)")
     import org.apache.spark.sql.expressions.Window
+    val spark = ref.sparkSession
+    import spark.implicits._
     def side(df: DataFrame, r: Long, c: Long) = df
       .select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
       .select(col("v"), lit(r).as("nr"), lit(c).as("nc"))
-    val g = side(ref, 1L, 0L).unionByName(side(cur, 0L, 1L))
+    // path selection reads only parquet metadata: raw row counts bound
+    // the distinct-value count. No value-grain pre-pass, no cache, no
+    // checkpoint — each of those costs a second materialisation that
+    // measured SLOWER than the naive window (SCALE.md ks_path
+    // iterations).
+    val bound = ref.count() + cur.count()
+    def g: DataFrame = side(ref, 1L, 0L).unionByName(side(cur, 0L, 1L))
       .groupBy("v").agg(sum("nr").as("nr"), sum("nc").as("nc"))
-    val nParts = ref.sparkSession.sparkContext.defaultParallelism
-    val ranged = g.repartitionByRange(nParts, col("v"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val wLocal = Window.partitionBy("__pid").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged
-      .withColumn("__cr", sum("nr").over(wLocal))
-      .withColumn("__cc", sum("nc").over(wLocal))
-    val wOff = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy("__pid")
-      .agg(sum("nr").as("__pr"), sum("nc").as("__pc"))
-      .withColumn("__or", coalesce(sum("__pr").over(wOff), lit(0L)))
-      .withColumn("__oc", coalesce(sum("__pc").over(wOff), lit(0L)))
-    val totals = offsets
-      .agg(sum("__pr").as("__tr"), sum("__pc").as("__tc"))
-    local
-      .join(broadcast(offsets.select("__pid", "__or", "__oc")), "__pid")
-      .crossJoin(broadcast(totals))
-      .agg(
-        first(col("__tr")).as("n_ref"),
-        first(col("__tc")).as("n_cur"),
-        round(max(abs(
-          (col("__cr") + col("__or")).cast("double") / col("__tr") -
-            (col("__cc") + col("__oc")).cast("double") / col("__tc"))), 9)
-          .as("ks_stat"))
+    if (bound <= distinctThreshold) {
+      // small-cardinality regime: ONE task walking the value-grain
+      // rows in order beats any distributed cumsum (the range
+      // exchange alone re-samples the agg). Totals come from a
+      // whole-frame window over the SAME single partition — the
+      // entire statistic is one job, one lineage, one consumption.
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // totals via a second consumption of the SAME canonical agg
+      // subplan: AQE plans a ReusedExchange for the broadcast branch,
+      // so the value agg is shuffled once (an in-query whole-frame
+      // window column measured +12 MB — it rides the singleton
+      // exchange at full width)
+      val totals = g.agg(
+        coalesce(sum("nr"), lit(0L)).as("__tr"),
+        coalesce(sum("nc"), lit(0L)).as("__tc"))
+      val row = g
+        .withColumn("__cr", sum("nr").over(w))
+        .withColumn("__cc", sum("nc").over(w))
+        .crossJoin(broadcast(totals))
+        .agg(
+          coalesce(first(col("__tr")), lit(0L)).as("n_ref"),
+          coalesce(first(col("__tc")), lit(0L)).as("n_cur"),
+          max(when(col("__tr") > 0 && col("__tc") > 0, abs(
+            col("__cr").cast("double") / col("__tr") -
+              col("__cc").cast("double") / col("__tc")))).as("sup"))
+        .head()
+      val (tr0, tc0) = (row.getLong(0), row.getLong(1))
+      val sup0 =
+        if (tr0 == 0L || tc0 == 0L || row.isNullAt(2)) Option.empty[Double]
+        else Some(BigDecimal(row.getDouble(2))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      return Seq((tr0, tc0, sup0)).toDF("n_ref", "n_cur", "ks_stat")
+    }
+    // beyond one task's capacity — totals via two counted scans, then
+    // the four-number partition reduction below
+    val tr = ref.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull).count()
+    val tc = cur.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull).count()
+    if (tr == 0L || tc == 0L)
+      return Seq((tr, tc, Option.empty[Double]))
+        .toDF("n_ref", "n_cur", "ks_stat")
+    val sup =
+        {
+          // beyond one task's capacity: range-exchange the values and
+          // reduce each partition to FOUR numbers in one pass. With
+          // the partition offset pending, every local deviation shifts
+          // by the same per-partition constant, so sup|d_i + shift_p|
+          // is attained at the partition's max or min d_i — no
+          // offsets join back over the data, no checkpoint.
+          val nParts = spark.sparkContext.defaultParallelism
+          val wLocal = Window.partitionBy("__pid").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val perPart = g
+            .repartitionByRange(nParts, col("v"))
+            .withColumn("__pid", spark_partition_id())
+            .withColumn("__cr", sum("nr").over(wLocal))
+            .withColumn("__cc", sum("nc").over(wLocal))
+            .withColumn("__d",
+              col("__cr").cast("double") / tr -
+                col("__cc").cast("double") / tc)
+            .groupBy("__pid")
+            .agg(
+              max_by(struct(col("__cr"), col("__cc")), col("__d")).as("atMax"),
+              min_by(struct(col("__cr"), col("__cc")), col("__d")).as("atMin"),
+              sum("nr").as("pr"), sum("nc").as("pc"))
+            .orderBy("__pid")
+            .collect()
+          var offR = 0L
+          var offC = 0L
+          var s = 0.0
+          perPart.foreach { r =>
+            // exact re-evaluation at the two candidates: global
+            // integer cumsums divided once — the arithmetic a global
+            // cumsum (and the SQL oracle) performs
+            for (cand <- Seq(r.getStruct(r.fieldIndex("atMax")),
+                r.getStruct(r.fieldIndex("atMin")))) {
+              val d = math.abs(
+                (cand.getLong(0) + offR).toDouble / tr -
+                  (cand.getLong(1) + offC).toDouble / tc)
+              s = math.max(s, d)
+            }
+            offR += r.getAs[Long]("pr")
+            offC += r.getAs[Long]("pc")
+          }
+          s
+        }
+    val rounded = BigDecimal(sup)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((tr, tc, Some(rounded))).toDF("n_ref", "n_cur", "ks_stat")
   }
 }

@@ -40,8 +40,18 @@ object RunMetricsProbe {
     * narrow plan still reports a few hundred shuffle bytes. Read
     * kilobytes-and-up as plan shuffle, bytes as the action's own
     * reduce. */
-  def measure(df: DataFrame): RunMetrics = {
-    val sc = df.sparkSession.sparkContext
+  def measure(df: DataFrame): RunMetrics =
+    measureLazy(df.sparkSession, () => df)
+
+  /** [[measure]] with CONSTRUCTION inside the listener window: use for
+    * frames whose builder runs eager work (e.g. an eager
+    * `localCheckpoint` fence) that a strict argument would execute
+    * before the listener attaches — measured to hide a 9.8 MB ranged
+    * exchange entirely (SCALE.md ks_path). */
+  def measureLazy(
+      spark: org.apache.spark.sql.SparkSession,
+      mk: () => DataFrame): RunMetrics = {
+    val sc = spark.sparkContext
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val input = new AtomicLong
@@ -62,7 +72,7 @@ object RunMetricsProbe {
     sc.addSparkListener(listener)
     try {
       val t0 = System.nanoTime()
-      val rows = df.count()
+      val rows = mk().count()
       val wallMs = (System.nanoTime() - t0) / 1000000L
       // drain: listener events arrive async — wait until the stage
       // counter is stable across two consecutive polls (max ~2 s)

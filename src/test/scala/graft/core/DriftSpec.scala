@@ -124,6 +124,10 @@ class DriftSpec extends SparkTestBase {
     val ref = Seq.fill(400)(rng.nextGaussian()).toDF("v").repartition(7)
     val cur = Seq.fill(300)(rng.nextGaussian() + 0.3).toDF("v").repartition(3)
     val fast = Drift.ksStatistic(ref, cur, "v").head().getAs[Double]("ks_stat")
+    // force the distributed partition-offset path: identical result
+    val forced = Drift.ksStatistic(ref, cur, "v", distinctThreshold = 0L)
+      .head().getAs[Double]("ks_stat")
+    assert(forced == fast, s"offset path diverged: $forced vs $fast")
     val u = ref.select(col("v"), lit(1L).as("nr"), lit(0L).as("nc"))
       .unionByName(cur.select(col("v"), lit(0L).as("nr"), lit(1L).as("nc")))
       .groupBy("v").agg(sum("nr").as("nr"), sum("nc").as("nc"))

@@ -95,7 +95,7 @@ object Plans {
     "q_jaro_sim" ->
       "Blocked fuzzy self-match: the equi-join on the 3-char blocking key replaces the cross join, and the O(len^2) Jaro-Winkler kernel runs INSIDE WholeStageCodegen above it (native doGenCode expression, no UDF fence) — only blocked candidate pairs ever reach it.",
     "q_ks_drift" ->
-      "Exact distributed KS: per-distinct-value counts (partial/final HashAggregate), a RANGE exchange over distinct values, parallel per-partition cumsums (Window keyed on partition id — NOT the single-partition global-order window), and broadcast prefix offsets; the final sup is a one-row aggregate.",
+      "Exact KS, adaptive: per-distinct-value counts (partial/final HashAggregate) then — below the 16M-distinct threshold metadata row counts bound — ONE ordered walk of the value-grain frame (measured fastest to 1.8M distinct; SCALE.md ks_path); above it, a range exchange with per-partition four-number reduction keeps every exchange value-grain-wide at any cardinality.",
     "q_weighted_sample" ->
       "Deterministic A-ES sample: a narrow md5-derived key projection feeding TakeOrderedAndProject — per-partition bounded top-n then a single merge of n candidates; the corpus is never globally sorted.",
     "q_corr_matrix" ->

@@ -1837,6 +1837,20 @@ object SparkEntry {
           col("overcount_violations"), col("bound_violations"))
     }),
 
+    "q_link_records" -> ((s, d) => {
+      // entity resolution against a deterministically-dirtied copy
+      // (last name-char dropped): every perturbed record must re-link
+      // to its source through the blocked weighted-jw score
+      val a = t(s, d, "part").filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").cast("long").as("id"), col("p_name"),
+          col("p_type"), substring(col("p_name"), 1, 3).as("blk"))
+      val b = a.select((col("id") + 1000000L).as("id"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("p_name"),
+        col("p_type"), col("blk"))
+      operators.Linkage.linkRecords(a, b, "id", "blk",
+        Seq("p_name" -> 0.7, "p_type" -> 0.3), threshold = 0.9)
+    }),
+
     "q_perplexity" -> ((s, d) =>
       text.Relevance.unigramPerplexity(
         t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"),
@@ -3161,6 +3175,20 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS bound_violations
         |FROM ex JOIN t USING (window_start)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_link_records" ->
+      """WITH a AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_name, p_type,
+        |    substr(p_name, 1, 3) AS blk FROM part WHERE p_partkey % 10 = 0),
+        |b AS (SELECT id + 1000000 AS id,
+        |    substr(p_name, 1, len(p_name) - 1) AS p_name, p_type, blk FROM a)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round((0.7 * jaro_winkler_similarity(a.p_name, b.p_name)
+        |       + 0.3 * jaro_winkler_similarity(a.p_type, b.p_type)) / 1.0, 9)
+        |    AS score
+        |FROM a JOIN b ON a.blk = b.blk
+        |WHERE (0.7 * jaro_winkler_similarity(a.p_name, b.p_name)
+        |     + 0.3 * jaro_winkler_similarity(a.p_type, b.p_type)) / 1.0 >= 0.9"""
+        .stripMargin,
 
     "q_perplexity" ->
       """WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

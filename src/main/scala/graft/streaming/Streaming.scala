@@ -116,6 +116,38 @@ object Streaming {
           1L).otherwise(0L)).as("bound_violations"))
   }
 
+  /** Streaming maintenance of a [[graft.core.AggState]] state table:
+    * each micro-batch reduces to one state row per group
+    * (n/sum/min/max + HLL sketch via `AggState.build`) written to its
+    * own `batch_id` partition of `stateDir` — a replayed batch
+    * OVERWRITES its partition (dynamic partition overwrite, the same
+    * idempotency move as the full-recall dedup store), so
+    * exactly-once holds under checkpoint recovery without any state
+    * store. Reading `stateDir` through `AggState.merge`/`finish` at
+    * ANY time yields the metrics over the whole stream so far; the
+    * stream itself only ever shuffles state rows, never history.
+    * Caller starts/stops the returned query. */
+  def aggStateStream(
+      events: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      stateDir: String,
+      checkpointDir: String,
+      lgConfigK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.core.AggState.build(batch.toDF(), groupCols, valueCol, lgConfigK)
+          .withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(stateDir)
+        ()
+      }
+      .start()
+
   /** Sliding-window aggregate. */
   def slidingAgg(
       events: DataFrame,

@@ -48,6 +48,28 @@ class AggStateSpec extends SparkTestBase {
     assert(top == direct)
   }
 
+  test("streaming maintenance: multi-batch state table equals the batch build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggstate_stream").toString
+    raw.filter(col("day") < "d5").write.mode("overwrite").parquet(s"$dir/in")
+    Thread.sleep(1000)
+    raw.filter(col("day") >= "d5").write.mode("append").parquet(s"$dir/in")
+    val streamed = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = graft.streaming.Streaming.aggStateStream(
+      streamed, Seq("g"), "v", s"$dir/state", s"$dir/ckpt")
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val states = spark.read.parquet(s"$dir/state")
+    assert(states.select("batch_id").distinct().count() >= 2,
+      "state table must hold one partition per micro-batch")
+    val merged = AggState.finish(AggState.merge(states, Seq("g")))
+      .select("g", "n", "sum", "min", "max", "mean")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val direct = AggState.finish(AggState.build(raw, Seq("g"), "v"))
+      .select("g", "n", "sum", "min", "max", "mean")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(merged == direct)
+  }
+
   test("empty-state mean is null; missing columns throw") {
     val empty = AggState.build(
       raw.filter(col("v") < 0), Seq("g"), "v")

@@ -100,6 +100,10 @@ object Plans {
       "Deterministic A-ES sample: a narrow md5-derived key projection feeding TakeOrderedAndProject — per-partition bounded top-n then a single merge of n candidates; the corpus is never globally sorted.",
     "q_corr_matrix" ->
       "All pairwise correlations in ONE pass: a single partial/final aggregate carrying six moment buffers over one scan, exploded to long format by a literal-struct projection — the per-pair loop would scan the table n(n-1)/2 times.",
+    "q_link_records" ->
+      "Blocked record linkage: the only wide movement is the equi-join exchange on the blocking key; the weighted multi-field Jaro-Winkler score is a narrow codegen'd projection over candidate pairs (native kernels, no UDF fence) with the threshold filter directly above it.",
+    "q_perplexity" ->
+      "Unigram LM scoring: per-(doc, word) counts first (partial/final HashAggregate), so the vocabulary join moves doc-distinct-term rows instead of per-token occurrences; N/V ride a broadcast 1-row frame; per-doc entropy is one grouped agg — no window anywhere.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1823,7 +1823,8 @@ object SparkEntry {
 
     "q_stream_hh" -> ((s, d) => {
       // per-window trending items (batch formulation of the streaming
-      // MG agg — HeavyHittersStreamSpec pins batch ≡ stream): derived
+      // MG agg — HeavyHittersStreamSpec replays it as a real stream
+      // and pins the estimate contract): derived
       // item column is deterministic, so the oracle recomputes
       // n_events/n_heavy exactly; the violation counters are
       // contractual zeros

@@ -26,14 +26,17 @@ class DebounceStreamSpec extends SparkTestBase {
   test("debounceStream remembers lastSeen across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_debounce").toString
     // batch 1 ends at t=50; batch 2 starts at t=60 (gap 10 <= 30: suppressed)
+    // ONE file per write: a 2-row local Dataset writes one part file
+    // PER PARTITION with near-identical mtimes, and FileStreamSource
+    // breaks mtime ties by the random UUID part name — the two rows of
+    // a batch could then split across micro-batches in either order
+    // (the in-suite flake this spec had twice). coalesce(1) plus the
+    // 1 s mtime gap pins file order = batch order.
     Seq(TimedEvent("k", 0L, 1L, "p"), TimedEvent("k", 50L, 2L, "p")).toDS()
-      .write.mode("overwrite").parquet(s"$dir/in")
-    // FileStreamSource orders files by modification time (ties broken
-    // by random part-file name): a full second keeps batch 1's files
-    // strictly earlier even under suite load — 20 ms flaked in-suite
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
     Thread.sleep(1000)
     Seq(TimedEvent("k", 60L, 3L, "p"), TimedEvent("k", 200L, 4L, "p")).toDS()
-      .write.mode("append").parquet(s"$dir/in")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
     val streamed = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[TimedEvent]].schema)
       .option("maxFilesPerTrigger", "1")

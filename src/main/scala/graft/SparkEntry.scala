@@ -1838,6 +1838,27 @@ object SparkEntry {
           col("overcount_violations"), col("bound_violations"))
     }),
 
+    "q_cdc_apply" -> ((s, d) => {
+      // derived changeset: %5 updated (seq 1), %35 then deleted
+      // (seq 2 — latest wins over the update), %11 inserted as new
+      // keys; the oracle reconstructs the final snapshot directly
+      val snap = t(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("id"),
+        col("o_orderpriority").as("priority"),
+        col("o_totalprice").as("price"))
+      val upd = snap.filter(col("id") % 5 === 0)
+        .select(col("id"), lit("U").as("op"), lit(1L).as("seq"),
+          col("priority"), (col("price") + 1000.0).as("price"))
+      val del = snap.filter(col("id") % 35 === 0)
+        .select(col("id"), lit("D").as("op"), lit(2L).as("seq"),
+          col("priority"), col("price"))
+      val ins = snap.filter(col("id") % 11 === 0)
+        .select((col("id") + 2000000L).as("id"), lit("I").as("op"),
+          lit(1L).as("seq"), col("priority"), lit(42.0).as("price"))
+      operators.Cdc.applyChangeSet(snap,
+        upd.unionByName(del).unionByName(ins), "id")
+    }),
+
     "q_link_records" -> ((s, d) => {
       // entity resolution against a deterministically-dirtied copy
       // (last name-char dropped): every perturbed record must re-link
@@ -3176,6 +3197,16 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS bound_violations
         |FROM ex JOIN t USING (window_start)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH snap AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |    o_orderpriority AS priority, o_totalprice AS price FROM orders)
+        |SELECT id, priority,
+        |  CASE WHEN id % 5 = 0 THEN price + 1000.0 ELSE price END AS price
+        |FROM snap WHERE id % 35 <> 0
+        |UNION ALL
+        |SELECT id + 2000000, priority, 42.0 FROM snap WHERE id % 11 = 0"""
+        .stripMargin,
 
     "q_link_records" ->
       """WITH a AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_name, p_type,

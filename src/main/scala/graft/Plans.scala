@@ -104,6 +104,8 @@ object Plans {
       "Blocked record linkage: the only wide movement is the equi-join exchange on the blocking key; the weighted multi-field Jaro-Winkler score is a narrow codegen'd projection over candidate pairs (native kernels, no UDF fence) with the threshold filter directly above it.",
     "q_perplexity" ->
       "Unigram LM scoring: per-(doc, word) counts first (partial/final HashAggregate), so the vocabulary join moves doc-distinct-term rows instead of per-token occurrences; N/V ride a broadcast 1-row frame; per-doc entropy is one grouped agg — no window anywhere.",
+    "q_cdc_apply" ->
+      "CDC apply: the changeset reduces to one winning event per key in a max_by SortAggregate (map-side combine — a hot key ships one candidate per task, no per-key window sort), then ONE outer join applies it; the snapshot side never shuffles when the reduced changeset broadcasts.",
   )
 
   def main(args: Array[String]): Unit = {

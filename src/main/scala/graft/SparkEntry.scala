@@ -1838,6 +1838,20 @@ object SparkEntry {
           col("overcount_violations"), col("bound_violations"))
     }),
 
+    "q_sorted_neighborhood" -> ((s, d) => {
+      // rank-adjacency blocking + codegen jw scoring over the pairs
+      val p = t(s, d, "part").filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").cast("long").as("id"), col("p_name"))
+      val pairs = operators.Linkage.sortedNeighborhoodPairs(
+        p, "id", Seq("p_name", "id"), window = 2)
+      val a = p.select(col("id").as("id_a"), col("p_name").as("name_a"))
+      val b = p.select(col("id").as("id_b"), col("p_name").as("name_b"))
+      pairs.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), col("rank_gap"),
+          round(functions.StringSimilarity.jaroWinkler(
+            col("name_a"), col("name_b")), 9).as("jw"))
+    }),
+
     "q_cdc_apply" -> ((s, d) => {
       // derived changeset: %5 updated (seq 1), %35 then deleted
       // (seq 2 — latest wins over the update), %11 inserted as new
@@ -3197,6 +3211,16 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS bound_violations
         |FROM ex JOIN t USING (window_start)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_name FROM part
+        |    WHERE p_partkey % 10 = 0),
+        |r AS (SELECT id, p_name,
+        |    row_number() OVER (ORDER BY p_name, id) AS rn FROM p)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS jw
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 2""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH snap AS (SELECT CAST(o_orderkey AS BIGINT) AS id,

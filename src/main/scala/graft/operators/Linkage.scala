@@ -67,4 +67,41 @@ object Linkage {
       .filter(col("__score") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__score"), 9).as("score"))
   }
+
+  /** Sorted-neighborhood candidate pairs (the classical complement to
+    * equi-blocking): sort the table on `sortCols` and emit every pair
+    * of rows at rank distance ≤ `window` — catches near-matches that
+    * straddle an equi-block boundary ("acme corp" / "acmecorp" block
+    * apart on substr but sort adjacent). Output `(id_a, id_b,
+    * rank_gap)` with id_a the lower-ranked row; `sortCols` must be a
+    * unique total order (end with the id), the
+    * [[Ids.assignContiguousIds]] contract.
+    *
+    * Scale shape: ranks come from the contiguous-id partition-offset
+    * pattern (no single-task global window), and the O(n·window) pair
+    * generation is TWO equi-joins at rank-block grain (same block +
+    * adjacent block — any pair within `window` spans at most two
+    * `window`-sized blocks), never a rank-range theta join. */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      sortCols: Seq[String],
+      window: Int): DataFrame = {
+    require(window >= 1, s"sortedNeighborhoodPairs: window must be >= 1, got $window")
+    check(df, idCol +: sortCols, "sortedNeighborhoodPairs")
+    val ranked = Ids.assignContiguousIds(df.select((idCol +: sortCols)
+        .distinct.map(col): _*), sortCols, "__sn_rank")
+      .select(col(idCol), col("__sn_rank"),
+        (col("__sn_rank") / window).cast("long").as("__sn_blk"))
+    val a = ranked.select(col(idCol).as("id_a"), col("__sn_rank").as("__ra"),
+      col("__sn_blk").as("__ba"))
+    val b = ranked.select(col(idCol).as("id_b"), col("__sn_rank").as("__rb"),
+      col("__sn_blk").as("__bb"))
+    val same = a.join(b, col("__ba") === col("__bb"))
+    val adjacent = a.join(b, col("__ba") + 1 === col("__bb"))
+    same.unionByName(adjacent)
+      .withColumn("rank_gap", (col("__rb") - col("__ra")).cast("long"))
+      .filter(col("rank_gap") > 0 && col("rank_gap") <= window)
+      .select(col("id_a"), col("id_b"), col("rank_gap"))
+  }
 }

@@ -49,6 +49,27 @@ class LinkageSpec extends SparkTestBase {
     assert(score == 0.5, s"null city must zero its half: $score")
   }
 
+  test("sortedNeighborhoodPairs: exactly the rank-adjacent pairs, any partitioning") {
+    val df = (1L to 50L).map(i => (i, f"name_${i}%03d")).toDF("id", "name")
+      .repartition(7)
+    val pairs = Linkage.sortedNeighborhoodPairs(df, "id", Seq("name", "id"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // sorted order == id order here; every (i, j) with 0 < j-i <= 3
+    val want = (for {
+      i <- 1L to 50L; j <- (i + 1) to math.min(i + 3, 50L)
+    } yield (i, j, j - i)).toSet
+    assert(pairs == want, s"got ${pairs.size}, want ${want.size}")
+  }
+
+  test("sortedNeighborhoodPairs catches matches equi-blocking separates") {
+    val df = Seq((1L, "acme corp"), (2L, "acmecorp"), (3L, "zzz far away"))
+      .toDF("id", "name")
+    // substr(1,5) blocks differ ("acme " vs "acmec") — but they sort adjacent
+    val pairs = Linkage.sortedNeighborhoodPairs(df, "id", Seq("name", "id"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("bad args throw") {
     intercept[IllegalArgumentException](
       Linkage.linkRecords(a, b, "id", "blk", Nil, 0.5))

@@ -1931,6 +1931,12 @@ object SparkEntry {
         t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    "q_weighted_sample_group" -> ((s, d) =>
+      core.Sampling.weightedSamplePerGroup(
+        t(s, d, "orders").select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice")),
+        "o_orderpriority", "o_totalprice", n = 50, keyCol = "o_orderkey")),
+
     "q_weighted_sample" -> ((s, d) =>
       core.Sampling.weightedSample(
         t(s, d, "orders").select(col("o_orderkey").cast("long").as("o_orderkey"),
@@ -3302,6 +3308,16 @@ object SparkEntry {
         |  round(corr(l_extendedprice, l_tax), 6) FROM lineitem
         |UNION ALL SELECT 'l_discount', 'l_tax',
         |  round(corr(l_discount, l_tax), 6) FROM lineitem""".stripMargin,
+
+    "q_weighted_sample_group" ->
+      """WITH w AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    o_orderpriority, o_totalprice,
+        |  -ln((('0x' || substr(md5(CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)),
+        |        1, 8))::BIGINT + 1.0) / 4294967296.0) / o_totalprice AS k
+        |  FROM orders WHERE o_totalprice > 0)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice FROM w
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY k, o_orderkey) <= 50""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH w AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice,

@@ -357,4 +357,30 @@ object Sampling {
       .limit(n)
       .drop("__graft_es")
   }
+
+  /** [[weightedSample]] per stratum: the `n` smallest deterministic
+    * A-ES keys of each group win (weight-proportional inclusion
+    * within every stratum, same md5-derived reproducibility). The
+    * global top-n's `TakeOrderedAndProject` has no per-group
+    * equivalent, so the bounded selection is
+    * [[Ranking.topKPerGroup]]'s per-partition heap prune — the rank
+    * window never sees more than n × partitions × strata rows, and a
+    * billion-row stratum never serialises through one task. */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      stratumCol: String,
+      weightCol: String,
+      n: Int,
+      keyCol: String,
+      salt: String = ""): DataFrame = {
+    require(n >= 1, s"weightedSamplePerGroup: n must be >= 1, got $n")
+    val w = col(weightCol).cast("double")
+    val u = (conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"))),
+      1, 8), 16, 10).cast("double") + 1.0) / 4294967296.0
+    Ranking.topKPerGroup(
+      df.filter(w.isNotNull && w > 0.0).withColumn("__graft_es", -log(u) / w),
+      Seq(stratumCol), "__graft_es", n,
+      tieCol = keyCol, descending = false, rankCol = "__graft_esrank")
+      .drop("__graft_es", "__graft_esrank")
+  }
 }

@@ -244,6 +244,28 @@ class SamplingSpec extends SparkTestBase {
     assert(out == Set(1L, 4L))
   }
 
+  test("weightedSamplePerGroup: per-stratum quotas, deterministic, weight-aware") {
+    val df = ((1L to 200L).map(i => ("s1", i, if (i == 7L) 500.0 else 1.0)) ++
+      (201L to 260L).map(i => ("s2", i, 1.0)) ++
+      Seq(("s3", 300L, 1.0)))
+      .toDF("g", "id", "w")
+    val out = Sampling.weightedSamplePerGroup(df, "g", "w", 10, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byG = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG("s1").size == 10 && byG("s2").size == 10)
+    assert(byG("s3") == Set(300L), "short stratum keeps all rows")
+    assert(byG("s1").contains(7L), "500x weight must win a slot")
+    val again = Sampling.weightedSamplePerGroup(df.repartition(9), "g", "w", 10, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == out.toSet, "partitioning-invariant")
+    // per-stratum draw must equal the global weightedSample restricted
+    // to that stratum (same keys, same ordering rule)
+    val globalS2 = Sampling.weightedSample(
+      df.filter($"g" === "s2"), "w", 10, "id")
+      .collect().map(_.getLong(1)).toSet
+    assert(byG("s2") == globalS2)
+  }
+
   test("weightedSample plans as TakeOrderedAndProject — no global sort") {
     val df = (1L to 100L).map(i => (i, 1.0)).toDF("id", "w")
     val plan = Sampling.weightedSample(df, "w", 5, "id")

@@ -105,7 +105,7 @@ object Plans {
     "q_perplexity" ->
       "Unigram LM scoring: per-(doc, word) counts first (partial/final HashAggregate), so the vocabulary join moves doc-distinct-term rows instead of per-token occurrences; N/V ride a broadcast 1-row frame; per-doc entropy is one grouped agg — no window anywhere.",
     "q_cdc_apply" ->
-      "CDC apply: the changeset reduces to one winning event per key in a max_by SortAggregate (map-side combine — a hot key ships one candidate per task, no per-key window sort), then ONE outer join applies it; the snapshot side never shuffles when the reduced changeset broadcasts.",
+      "CDC apply: the changeset reduces to one winning event per key via per-column scalar max_by — a partial/final SortAggregate (string payloads keep max_by sort-based; the sort is partition-LOCAL and the map-side combine still ships one candidate per key per task), then ONE outer join applies it. Unlike the window formulation, no task ever materialises a whole hot key's events.",
   )
 
   def main(args: Array[String]): Unit = {

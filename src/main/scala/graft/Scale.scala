@@ -829,7 +829,7 @@ object Scale {
     // makes scans free and hides IO; see SCALE.md measurement notes).
     if (!only.exists(o => !o.contains("topk_group") && !o.contains("pivot_agg")
         && !o.contains("hll_distinct") && !o.contains("encode_path")
-        && !o.contains("ks_path"))) {
+        && !o.contains("ks_path") && !o.contains("cdc_latest"))) {
       val tmp = "/root/repo/target/scale_r11c_tmp"
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .crossJoin(spark.range(bigK).select(col("id").as("__rep")))
@@ -913,6 +913,34 @@ object Scale {
               (count(col("v")).over(ew) + lit(20.0)), 6))))
         ioRow2("encode_path", s"agg_join_r$r", checksum(
           graft.core.Encode.targetEncode(encIn, "cat", "v", smoothing = 20.0)))
+      }
+
+      // CDC apply on a HOT-KEY changeset (90% of 4.8M events hit one
+      // key): the operator reduces the changeset with max_by (one
+      // candidate per key per map task); the window formulation sorts
+      // the hot key's millions of events through one task
+      def cdcSnap = base.select((col("id") % 150000).as("id"))
+        .distinct().withColumn("payload", col("id").cast("double"))
+      def cdcChanges = base.select(
+        when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 150000).as("id"),
+        lit("U").as("op"), col("id").as("seq"), col("v").as("payload"))
+      for (r <- 1 to 2) {
+        ioRow2("cdc_latest", s"argmax_r$r", checksum(
+          graft.operators.Cdc.applyChangeSet(cdcSnap, cdcChanges, "id")))
+        ioRow2("cdc_latest", s"window_r$r", checksum {
+          val snapDf = cdcSnap
+          val wk = org.apache.spark.sql.expressions.Window
+            .partitionBy("id").orderBy(col("seq").desc)
+          val latest = cdcChanges
+            .withColumn("__rn", row_number().over(wk)).filter(col("__rn") === 1)
+            .select(col("id").as("__cdc_id"), col("op").as("__cdc_op"),
+              col("payload").as("__cdc_payload"))
+          snapDf.join(latest, snapDf("id") === col("__cdc_id"), "full_outer")
+            .filter(col("__cdc_op").isNull || col("__cdc_op") =!= "D")
+            .select(coalesce(snapDf("id"), col("__cdc_id")).as("id"),
+              when(col("__cdc_op").isin("I", "U"), col("__cdc_payload"))
+                .otherwise(snapDf("payload")).as("payload"))
+        })
       }
 
       // exact KS: the naive cumulative sum is a single-partition

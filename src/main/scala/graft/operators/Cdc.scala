@@ -42,10 +42,18 @@ object Cdc {
     if (missing.nonEmpty)
       throw new ColumnNotInDataframeError(
         s"applyChangeSet: column(s) ${missing.distinct.mkString(", ")} missing")
-    // latest event per key: one max_by agg, never a per-key window sort
-    val latest = graft.core.Ranking.argmaxPerGroup(
-      changes.select((idCol +: opCol +: seqCol +: payload).map(col): _*),
-      Seq(idCol), seqCol, tieCol = seqCol)
+    // latest event per key: per-column scalar max_by keyed on the
+    // (unique-per-key) sequence — every column independently picks the
+    // same winning event, and scalar buffers keep the aggregate in
+    // HashAggregate (a struct-payload max_by degrades to
+    // SortAggregate, which measured SLOWER than even the hot-key
+    // window sort at 8× — SCALE.md cdc_latest); never a per-key
+    // window sort, and a hot key ships one candidate per map task
+    val latest = changes
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col(opCol), col(seqCol)).as(opCol),
+        payload.map(c => max_by(col(c), col(seqCol)).as(c)): _*)
     val ch = latest.select(
       col(idCol).as("__cdc_id") +: col(opCol).as("__cdc_op") +:
         payload.map(c => col(c).as(s"__cdc_$c")): _*)

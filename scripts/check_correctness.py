@@ -16,6 +16,26 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Oracle output types the driver's typed hasher is known to treat identically
+# to the Spark parquet types. Anything else (HUGEINT from integer SUM,
+# DECIMAL, UBIGINT, ...) hashes differently even when every value matches —
+# exactly what failed q_sessionize/q_pack_assemble in round 11 while this
+# replica (fetchall -> Python int) stayed green. List element types count.
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "FLOAT", "BOOLEAN", "VARCHAR",
+                 "DATE", "TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_NS"}
+
+
+def type_lint(rel):
+    """Return [(col, type)] entries whose type is outside ALLOWED_TYPES."""
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        base = str(typ)
+        while base.endswith("[]"):  # allow lists of allowed scalars
+            base = base[:-2]
+        if base not in ALLOWED_TYPES:
+            bad.append((col, str(typ)))
+    return bad
+
 
 def canon(v):
     if v is None:
@@ -56,6 +76,18 @@ def main(sf_dir, out_dir):
             continue
         entry["rows_match"] = len(spark_rows) == len(ora_rows)
         entry["schema_match"] = spark_cols == ora_cols
+        bad_types = type_lint(ora_rel)
+        if bad_types:
+            entry["oracle_type_lint"] = [f"{c}: {t}" for c, t in bad_types]
+        # Per-column oracle-vs-spark type divergence: warning only (the driver
+        # tolerates e.g. timestamp precision differences), but it is the first
+        # place to look when the driver disagrees with this replica.
+        stypes = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
+        otypes = dict(zip(ora_rel.columns, map(str, ora_rel.types)))
+        mism = [f"{c}: spark={stypes[c]} oracle={otypes[c]}"
+                for c in stypes if c in otypes and stypes[c] != otypes[c]]
+        if mism:
+            entry["type_mismatch_warn"] = mism
         if entry["schema_match"]:
             scol = spark_rel.columns
             ocol = ora_rel.columns
@@ -89,13 +121,24 @@ def main(sf_dir, out_dir):
                 results[name] = {"error": str(e)}
 
     ok = sum(1 for r in results.values()
-             if r.get("hash_match") or (r.get("rows_only") and r.get("rows_match")))
+             if (r.get("hash_match") or (r.get("rows_only") and r.get("rows_match")))
+             and not r.get("oracle_type_lint"))
     bad = {k: v for k, v in results.items()
-           if not (v.get("hash_match") or (v.get("rows_only") and v.get("rows_match")))}
+           if not (v.get("hash_match") or (v.get("rows_only") and v.get("rows_match")))
+           or v.get("oracle_type_lint")}
+    warns = {k: v["type_mismatch_warn"] for k, v in results.items()
+             if v.get("type_mismatch_warn")}
     print(json.dumps(results, indent=1, default=str))
     print(f"\n=== {ok}/{len(results)} queries pass ===")
+    if warns:
+        print("TYPE WARNINGS (driver may hash these differently):")
+        for k in sorted(warns):
+            print(f"  {k}: {warns[k]}")
     if bad:
         print("FAILING:", ", ".join(sorted(bad)))
+        for k in sorted(bad):
+            if bad[k].get("oracle_type_lint"):
+                print(f"  {k} oracle_type_lint: {bad[k]['oracle_type_lint']}")
         sys.exit(1)
 
 

@@ -1293,14 +1293,14 @@ object Bench {
     }),
 
     "q_chunk" -> ((s, d) => {
-      val (chunkTokens, stride) = (16, 12)
+      val (chunkTokens, stride, overlap) = (16, 12, 4)
       s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"),
           rawToks(rawNorm(col("text"))).as("toks"))
         .filter(size(col("toks")) > 0)
         .select(col("doc_id"),
           posexplode(transform(
-            sequence(lit(1), size(col("toks")), lit(stride)),
+            sequence(lit(1), greatest(size(col("toks")) - lit(overlap), lit(1)), lit(stride)),
             st => slice(col("toks"), st, lit(chunkTokens)))))
         .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
           size(col("col")).cast("long").as("n_tokens"),
@@ -1405,28 +1405,38 @@ object Bench {
       }.reduce(_ unionByName _)
     }),
 
+    // Encode raws are the EQUIVALENT hand-written grouped-agg +
+    // broadcast-join plans (what a Spark engineer would write), so the
+    // wrapped/raw ratio measures wrapper tax like every other pair in
+    // the suite. The window anti-pattern formulation lives in SCALE.md
+    // (encode_path row) as the scale evidence it is — at sf0.1's five
+    // categories on local[32] it happens to be the faster local plan,
+    // which made the old ratios read design-for-scale cost, not tax.
     "q_freq_encode" -> ((s, d) => {
-      // count-over-window: every corpus row shuffles into one task per
-      // category value — the formulation the encoder exists to avoid
       val o = s.read.parquet(s"$d/orders.parquet")
         .select(col("o_orderkey").cast("long").as("o_orderkey"),
           col("o_orderpriority"))
-      val w = Window.partitionBy("o_orderpriority")
-      o.withColumn("o_orderpriority_freq", count(lit(1)).over(w))
+      val counts = o.groupBy(col("o_orderpriority").as("cat"))
+        .agg(count(lit(1)).as("n"))
+      o.join(broadcast(counts), o("o_orderpriority") <=> counts("cat"), "left")
+        .select(o("o_orderkey"), o("o_orderpriority"),
+          col("n").as("o_orderpriority_freq"))
     }),
 
     "q_target_encode" -> ((s, d) => {
-      // window formulation of the same smoothed encoding: sum/count
-      // windows per category plus a global-mean window over ()
       val o = s.read.parquet(s"$d/orders.parquet")
         .select(col("o_orderkey").cast("long").as("o_orderkey"),
           col("o_orderpriority"), col("o_totalprice"))
       val t = col("o_totalprice").cast("double")
-      val wc = Window.partitionBy("o_orderpriority")
-      val wg = Window.partitionBy()
-      o.withColumn("o_orderpriority_enc",
-        round((sum(t).over(wc) + lit(20.0) * avg(t).over(wg)) /
-          (count(t).over(wc) + lit(20.0)), 6))
+      val g = o.agg(avg(t).as("gmean"))
+      val stats = o.groupBy(col("o_orderpriority").as("cat"))
+        .agg(sum(t).as("tsum"), count(t).as("tcnt"))
+      o.crossJoin(broadcast(g))
+        .join(broadcast(stats), o("o_orderpriority") <=> stats("cat"), "left")
+        .select(o("o_orderkey"), o("o_orderpriority"), o("o_totalprice"),
+          round((coalesce(col("tsum"), lit(0.0)) + lit(20.0) * col("gmean")) /
+            (coalesce(col("tcnt"), lit(0L)) + lit(20.0)), 6)
+            .as("o_orderpriority_enc"))
     }),
   )
 

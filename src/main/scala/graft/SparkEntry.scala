@@ -2547,7 +2547,7 @@ object SparkEntry {
         |  FROM base b JOIN packed p ON b.source = p.source AND b.rn = p.rn + 1)
         |SELECT source, shard_id,
         |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text,
-        |  COUNT(*) AS n_docs, SUM(w) AS total_weight
+        |  COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS total_weight
         |FROM packed GROUP BY 1, 2""".stripMargin,
 
     "q_bloom_semi" ->
@@ -2926,7 +2926,7 @@ object SparkEntry {
         |SELECT doc_id, CAST((u.s - 1) / 12 AS BIGINT) AS chunk_id,
         |  CAST(len(toks[u.s : u.s + 15]) AS BIGINT) AS n_tokens,
         |  array_to_string(toks[u.s : u.s + 15], ' ') AS chunk_text
-        |FROM t, unnest(generate_series(1, len(toks), 12)) AS u(s)""".stripMargin,
+        |FROM t, unnest(generate_series(1, greatest(len(toks) - 4, 1), 12)) AS u(s)""".stripMargin,
 
     "q_fuzzy_join" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
@@ -3391,8 +3391,8 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS newsess
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, value,
-        |  sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM m)
+        |  CAST(sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM m)
         |SELECT CAST(user_id AS BIGINT) AS user_id, session_id,
         |  count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,

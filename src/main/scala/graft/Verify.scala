@@ -72,8 +72,18 @@ object Verify {
         "jdbc:derby:;databaseName=/root/repo/target/verify_metastore;create=true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    runQueries(spark, SparkEntry.queries, sfDir, outDir)
-    writeJson(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (same contract as Bench/
+    // Scale) — single-operator iteration without the ~100 s full sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only.fold(SparkEntry.queries)(names => {
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+      SparkEntry.queries.filter { case (n, _) => names(n) }
+    })
+    runQueries(spark, queries, sfDir, outDir)
+    writeJson(s"$outDir/oracle_sql.json",
+      only.fold(SparkEntry.oracleSql)(names => SparkEntry.oracleSql.filter { case (n, _) => names(n) }))
     spark.stop()
   }
 }

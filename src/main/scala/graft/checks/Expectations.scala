@@ -144,14 +144,25 @@ object Expectations {
         }
         round(m, 6).as(s"__m$i")
     }
-    val one = df.agg(metricExprs.head, metricExprs.tail: _*)
+    // Exact uniqueness must NOT be judged from the 6-dp-rounded ratio: at
+    // ~2M+ rows a handful of duplicates rounds to 1.0 and the check would
+    // silently pass. Compute the verdict in-aggregate as an exact long
+    // comparison; the rounded ratio stays as the REPORTED metric only.
+    // Catalyst shares the countDistinct buffer with the metric expression.
+    val passExprs: Seq[Column] = expectations.zipWithIndex.collect {
+      case (ExpectUnique(c, true, _), i) =>
+        (count(col(c)) === 0 || countDistinct(col(c)) === count(col(c)))
+          .as(s"__p$i")
+    }
+    val one = df.agg((metricExprs ++ passExprs).head,
+      (metricExprs ++ passExprs).tail: _*)
     val rows = expectations.zipWithIndex.map { case (e, i) =>
       val m = col(s"__m$i")
       val passed = e match {
         case ExpectNotNull(_, t)      => m >= t
         case u: ExpectUnique          =>
           // approx distinct can legitimately read slightly over 1.0
-          if (u.exact) m === 1.0 else m >= 1.0 - u.rsd
+          if (u.exact) col(s"__p$i") else m >= 1.0 - u.rsd
         case ExpectBetween(_, _, _, t) => m >= t
         case ExpectMatches(_, _, t)   => m >= t
         case ExpectInSet(_, _, t)     => m >= t

@@ -42,6 +42,9 @@ object Profiling {
     val v = col(valueCol).cast("double")
     val (lo, hi) = bounds.getOrElse {
       val r = df.agg(min(v), max(v)).head()
+      if (r.isNullAt(0))
+        throw new IllegalArgumentException(
+          s"histogram: no non-null values in '$valueCol' to derive bounds from; pass bounds explicitly")
       (r.getDouble(0), r.getDouble(1))
     }
     require(hi > lo, s"histogram: need max > min, got [$lo, $hi]")

@@ -44,6 +44,9 @@ object ZOrder {
             max(col(c).cast("double")).as(s"${c}__hi")))
         val r = df.agg(aggs.head, aggs.tail: _*).head()
         cols.zipWithIndex.map { case (c, i) =>
+          if (r.isNullAt(2 * i))
+            throw new IllegalArgumentException(
+              s"zOrderKey: no non-null values in '$c' to derive bounds from; pass bounds explicitly")
           c -> ((r.getDouble(2 * i), r.getDouble(2 * i + 1)))
         }.toMap
       }

@@ -21,7 +21,10 @@ object Chunker {
   /** Chunk `textCol` into windows of `chunkTokens` whitespace tokens
     * advancing by `chunkTokens − overlapTokens` per step; the last
     * window may be shorter. Documents shorter than one window emit a
-    * single chunk; empty documents emit none.
+    * single chunk; empty documents emit none. A window start inside
+    * the previous window's overlap region is not emitted — such a
+    * chunk would be a strict suffix of its predecessor (pure
+    * duplicated text in RAG/training output).
     *
     * Output: (idCol, chunk_id 0-based, n_tokens, chunk_text). */
   def chunkDocuments(
@@ -40,7 +43,11 @@ object Chunker {
       .filter(size(col("toks")) > 0)
       .select(col(idCol),
         posexplode(transform(
-          sequence(lit(1), size(col("toks")), lit(stride)),
+          // end bound size−overlap: a start past it yields a strict
+          // suffix of the previous chunk (duplicate text), not new content
+          sequence(lit(1),
+            greatest(size(col("toks")) - lit(overlapTokens), lit(1)),
+            lit(stride)),
           st => slice(col("toks"), st, lit(chunkTokens)))))
       .select(col(idCol), col("pos").cast("long").as("chunk_id"),
         size(col("col")).cast("long").as("n_tokens"),

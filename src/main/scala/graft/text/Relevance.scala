@@ -99,7 +99,12 @@ object Relevance {
 
     val toks = df.select(col(idCol), normTokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
-    val avgdl = toks.agg(avg("dl")).head().getDouble(0)
+    // avg over an empty corpus is null — return an empty (id, score)
+    // frame instead of NPE-ing on getDouble
+    val avgdlRow = toks.agg(avg("dl")).head()
+    if (avgdlRow.isNullAt(0))
+      return df.select(col(idCol), lit(0.0).as("score")).limit(0)
+    val avgdl = avgdlRow.getDouble(0)
 
     val termArr = array(terms.map(lit): _*)
     val postings = toks

@@ -99,4 +99,18 @@ class ExpectationsSpec extends SparkTestBase {
       Expectations.run(df, Seq(ExpectNotNull("zzz"))))
     assert(e.getMessage.contains("zzz"))
   }
+
+  test("exact uniqueness is judged unrounded: one duplicate in 2M rows fails") {
+    // 2M rows with a single duplicated key: the ratio 1999999/2000000
+    // rounds to 1.0 at 6 dp — the verdict must come from the exact
+    // countDistinct === count comparison, not the reported metric
+    val big = spark.range(2000000L)
+      .selectExpr("CASE WHEN id = 1999999 THEN 0 ELSE id END AS k")
+    val out = Expectations.run(big, Seq(ExpectUnique("k", exact = true))).head()
+    assert(out.getDouble(2) == 1.0)      // reported metric DOES round to 1.0
+    assert(!out.getBoolean(3))           // ... but the check still fails
+    val clean = Expectations.run(spark.range(2000000L).toDF("k"),
+      Seq(ExpectUnique("k", exact = true))).head()
+    assert(clean.getBoolean(3))
+  }
 }

@@ -54,4 +54,14 @@ class ProfilingSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).size == 1, s"one-pass violated:\n$plan")
     intercept[IllegalArgumentException](Profiling.corrMatrix(df, Seq("x")))
   }
+
+  test("histogram on empty / all-null input raises a clear error, not NPE") {
+    val empty = Seq.empty[(Long, java.lang.Double)].toDF("id", "v")
+    val e = intercept[IllegalArgumentException](Profiling.histogram(empty, "v", 4))
+    assert(e.getMessage.contains("no non-null values"))
+    val allNull = Seq((1L, null: java.lang.Double)).toDF("id", "v")
+    intercept[IllegalArgumentException](Profiling.histogram(allNull, "v", 4))
+    // explicit bounds still work on thin data
+    assert(Profiling.histogram(allNull, "v", 4, bounds = Some((0.0, 1.0))).count() == 0)
+  }
 }

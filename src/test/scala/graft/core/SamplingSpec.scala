@@ -272,4 +272,52 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"global sort leaked:\n$plan")
   }
+
+  test("null keys are sampled, not silently dropped") {
+    // 1000 null-key rows among 2000: nulls must appear in the sample at
+    // ~the same rate as everything else (they hash via a sentinel), and
+    // fraction 1.0 must agree with the hashed path in keeping them all
+    val df = spark.range(0, 2000)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN id END AS k", "id AS payload")
+    // nulls all share ONE sentinel hash, so at 0.5 they are kept
+    // all-or-none per salt; md5("ns1" + sentinel) = 3c511df3 < 0.5 ⇒ kept,
+    // md5("ns" + sentinel) = d7b14422 ≥ 0.5 ⇒ dropped — both legitimate,
+    // neither silent (pre-fix, EVERY salt dropped them)
+    val kept = Sampling.deterministicSample(df, "k", 0.5, "ns1")
+      .filter($"k".isNull).count()
+    assert(kept == 1000L, s"null-key rows not sampled as a sentinel key: $kept")
+    val dropped = Sampling.deterministicSample(df, "k", 0.5, "ns")
+      .filter($"k".isNull).count()
+    assert(dropped == 0L)
+    assert(Sampling.deterministicSample(df, "k", 1.0, "ns").count() == 2000)
+
+    // deterministicSplit: null keys land in ONE split by their sentinel
+    // hash (not force-routed to the last split) and none are lost
+    val split = Sampling.deterministicSplit(df, "k",
+      Seq("train" -> 0.8, "test" -> 0.2), "sp")
+    assert(split.count() == 2000)
+    assert(split.filter($"k".isNull).count() == 1000)
+
+    // stratified: a null stratum samples at the default fraction's rate
+    val strat = Sampling.deterministicStratifiedSample(
+      df.selectExpr("CASE WHEN payload % 2 = 0 THEN 'a' END AS g", "payload"),
+      "g", Map("a" -> 1.0), "payload", defaultFraction = 1.0)
+    assert(strat.count() == 2000, "null-stratum rows dropped at defaultFraction=1.0")
+  }
+
+  test("quotaSample: duplicate (stratum, key) rows keep a partitioning-independent payload") {
+    // n=1 over a stratum holding ONLY two rows duplicated on (g, k) but
+    // differing in payload — their md5 ranks tie exactly, so without the
+    // full-row-hash tie-break the survivor depended on input partitioning
+    val df = (Seq(("dup", 1L, "payload-A"), ("dup", 1L, "payload-B")) ++
+      (2L to 40L).map(i => ("other", i, s"p$i"))).toDF("g", "k", "t")
+    def survivor(d: org.apache.spark.sql.DataFrame) =
+      Sampling.quotaSample(d, "g", 1, "k", "qd")
+        .filter($"g" === "dup").select("t").as[String].collect().toSet
+    val a = survivor(df.repartition(1))
+    val b = survivor(df.repartition(13, $"t"))
+    val c = survivor(df.orderBy($"t".desc).repartition(5))
+    assert(a.size == 1 && a == b && b == c,
+      s"duplicate survivor depends on partitioning: $a vs $b vs $c")
+  }
 }

@@ -50,4 +50,10 @@ class ZOrderSpec extends SparkTestBase {
     assert(back.count() == 500)
     assert(back.agg(sum("a")).head().getDouble(0) == (1 to 500).map(_.toDouble).sum)
   }
+
+  test("zOrderKey on empty input raises a clear error, not NPE") {
+    val empty = Seq.empty[(Double, Double)].toDF("a", "b")
+    val e = intercept[IllegalArgumentException](ZOrder.zOrderKey(empty, Seq("a", "b")))
+    assert(e.getMessage.contains("no non-null values"))
+  }
 }

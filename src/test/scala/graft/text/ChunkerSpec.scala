@@ -9,12 +9,31 @@ class ChunkerSpec extends SparkTestBase {
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
     val out = Chunker.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
       .orderBy("chunk_id").collect()
-    // stride 3: starts 1,4,7,10 -> chunks of 4,4,4,1 tokens
-    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
-    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L, 1L))
+    // stride 3, start bound 10−1=9: starts 1,4,7 — a start at 10 would
+    // emit "t10", a strict suffix of the previous chunk (duplicate text)
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L))
     assert(out.head.getString(3) == "t1 t2 t3 t4")
     assert(out(1).getString(3) == "t4 t5 t6 t7")
-    assert(out.last.getString(3) == "t10")
+    assert(out.last.getString(3) == "t7 t8 t9 t10")
+  }
+
+  test("chunkDocuments never emits a chunk that is a suffix of its predecessor") {
+    // doc lengths chosen to land starts at every position mod stride
+    val docs = (5 to 40).map(n => (n.toLong, (1 to n).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Chunker.chunkDocuments(docs, "doc_id", "text", chunkTokens = 8, overlapTokens = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, chunks) =>
+      chunks.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!(a.getString(3) endsWith b.getString(3)),
+            s"chunk '${b.getString(3)}' duplicates the tail of '${a.getString(3)}'")
+        case _ =>
+      }
+      // every token still covered: last chunk ends at the doc's last token
+      assert(chunks.last.getString(3).split(" ").last == s"x${chunks.head.getLong(0)}")
+    }
   }
 
   test("chunkDocuments: short docs emit one chunk, empty docs none") {

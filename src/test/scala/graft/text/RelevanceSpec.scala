@@ -131,4 +131,10 @@ class RelevanceSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window leaked:\n$plan")
   }
+
+  test("bm25TopK on an empty corpus returns an empty frame, not NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Relevance.bm25TopK(empty, "doc_id", "text", Seq("anything"))
+    assert(out.columns.toSeq == Seq("doc_id", "score") && out.count() == 0)
+  }
 }

@@ -1001,6 +1001,42 @@ object SparkEntry {
             .otherwise(0L)) === 0L).as("order_ok"))
     }),
 
+    "q_ann_persist" -> ((s, d) => {
+      // train-once/serve-many: the IVF-PQ artifacts round-trip parquet
+      // (AnnIndex) and the search served from the LOADED index must be
+      // bit-identical to the freshly-trained one under the same seed
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.001)).as("v"))
+      val (centers, codebooks) = graft.similarity.Pq.trainIvfPq(
+        emb, "vec_id", "v", nlist = 16, m = 8, nCentroids = 64)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ann_index").toString
+      graft.similarity.AnnIndex.save(s, centers, codebooks, root)
+      val (lc, lcb) = graft.similarity.AnnIndex.load(s, root)
+      val fresh = graft.similarity.Pq.ivfPqTopKFromArtifacts(
+        emb, queries, "vec_id", "v", k = 5, centers = centers,
+        codebooks = codebooks, nprobe = 4)
+      val loaded = graft.similarity.Pq.ivfPqTopKFromArtifacts(
+        emb, queries, "vec_id", "v", k = 5, centers = lc,
+        codebooks = lcb, nprobe = 4)
+      val centersOk = lc.length == centers.length &&
+        lc.zip(centers).forall { case (a, b) => a.sameElements(b) }
+      val cbOk = lcb.length == codebooks.length &&
+        lcb.zip(codebooks).forall { case (a, b) =>
+          a.length == b.length &&
+            a.zip(b).forall { case (x, y) => x.sameElements(y) } }
+      val diffs = loaded.except(fresh).count() + fresh.except(loaded).count()
+      loaded.agg(
+        count(lit(1)).as("n_rows"),
+        lit(diffs == 0).as("results_identical"),
+        lit(centersOk).as("centers_roundtrip"),
+        lit(cbOk).as("codebooks_roundtrip"))
+    }),
+
     "q_ann_recall" -> ((s, d) => {
       // the ANN family's evaluation operator, itself behind the
       // oracle: recall@5 of the PQ path vs exact brute force on 50
@@ -2148,6 +2184,10 @@ object SparkEntry {
     "q_ivf_pq_topk" ->
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(50 AS BIGINT) AS n_qr,
         |TRUE AS planted_ok, TRUE AS order_ok""".stripMargin,
+
+    "q_ann_persist" ->
+      """SELECT CAST(50 AS BIGINT) AS n_rows, TRUE AS results_identical,
+        |TRUE AS centers_roundtrip, TRUE AS codebooks_roundtrip""".stripMargin,
 
     "q_ann_recall" ->
       "SELECT CAST(50 AS BIGINT) AS n_queries, CAST(0.472 AS DOUBLE) AS mean_recall",

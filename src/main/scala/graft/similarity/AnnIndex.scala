@@ -1,0 +1,93 @@
+package graft.similarity
+
+import org.apache.spark.sql.SparkSession
+
+/** Parquet persistence for trained ANN artifacts — the IVF coarse
+  * centroids and PQ codebooks of [[Pq.trainIvfPq]] — so a pipeline
+  * trains ONCE and every later run (or a different engine reading the
+  * same files) reuses the index instead of re-running the sampling
+  * scan + driver k-means per job. Same round-trip pattern as the
+  * persistable HLL sketches (graft.core.Sketches): fixed-width rows,
+  * plain parquet, no engine-private serialisation.
+  *
+  * Layout under `root`:
+  *   root/centroids — (cell INT, centroid ARRAY&lt;DOUBLE&gt;), one row
+  *     per coarse cell, cells contiguous 0..nlist−1
+  *   root/codebooks — (subspace INT, code INT, centroid
+  *     ARRAY&lt;DOUBLE&gt;), one row per codebook entry, (subspace, code)
+  *     contiguous over [0, m) × [0, k)
+  *
+  * Doubles round-trip parquet bit-exactly, so a loaded index
+  * reproduces the trained one's cell assignments and ADC scores
+  * EXACTLY ([[Pq.ivfPqTopKFromArtifacts]] over a load equals the
+  * freshly-trained search under the same seed — pinned by AnnIndexSpec
+  * and the q_ann_persist oracle). Artifacts are driver-modest by the
+  * quantizers' nature (nlist × dim + m × k × dim/m doubles), so the
+  * loads collect bounded tables, never corpus data.
+  */
+object AnnIndex {
+
+  /** Persist a trained artifact pair under `root` (overwrites). */
+  def save(
+      spark: SparkSession,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      root: String): Unit = {
+    import spark.implicits._
+    require(centers.nonEmpty, "AnnIndex.save: empty centroid table")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "AnnIndex.save: empty codebooks")
+    centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    (for {
+      (cb, s) <- codebooks.toSeq.zipWithIndex
+      (c, i) <- cb.toSeq.zipWithIndex
+    } yield (s, i, c.toSeq))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+  }
+
+  /** Load the coarse centroids written by [[save]], validating the
+    * cell ids are the contiguous range the assignment kernel indexes
+    * by. */
+  def loadCenters(spark: SparkSession, root: String): Array[Array[Double]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$root/centroids")
+      .select($"cell".cast("int"), $"centroid".cast("array<double>"))
+      .as[(Int, Array[Double])].collect()
+    require(rows.nonEmpty, s"AnnIndex.loadCenters: no centroids at $root/centroids")
+    require(rows.map(_._1).sorted.sameElements(rows.indices),
+      s"AnnIndex.loadCenters: cell ids not contiguous 0..${rows.length - 1}")
+    rows.sortBy(_._1).map(_._2)
+  }
+
+  /** Load the PQ codebooks written by [[save]], validating
+    * (subspace, code) covers a full m × k grid. */
+  def loadCodebooks(spark: SparkSession, root: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$root/codebooks")
+      .select($"subspace".cast("int"), $"code".cast("int"),
+        $"centroid".cast("array<double>"))
+      .as[(Int, Int, Array[Double])].collect()
+    require(rows.nonEmpty, s"AnnIndex.loadCodebooks: no codebooks at $root/codebooks")
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    require(rows.length == m * k,
+      s"AnnIndex.loadCodebooks: expected full $m x $k grid, got ${rows.length} rows")
+    val out = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (s, c, v) =>
+      require(out(s)(c) == null,
+        s"AnnIndex.loadCodebooks: duplicate (subspace=$s, code=$c)")
+      out(s)(c) = v
+    }
+    out
+  }
+
+  /** [[loadCenters]] + [[loadCodebooks]] in one call. */
+  def load(
+      spark: SparkSession,
+      root: String): (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    (loadCenters(spark, root), loadCodebooks(spark, root))
+}

@@ -226,22 +226,90 @@ object Pq {
       trainFraction: Double = 1.0,
       maxTrainRows: Int = 100000,
       queryIdCol: String = "query_id"): DataFrame = {
+    val (centers, codebooks) = trainIvfPq(corpus, idCol, vecCol, nlist, m,
+      nCentroids, maxIter, seed, trainFraction, maxTrainRows)
+    ivfPqTopKFromArtifacts(corpus, queries, idCol, vecCol, k, centers,
+      codebooks, nprobe, queryIdCol)
+  }
+
+  /** Train the IVF-PQ artifact pair — router centroids + PQ codebooks —
+    * WITHOUT searching: the index-build half of [[ivfPqTopK]], exposed
+    * so a pipeline can train once, persist via [[AnnIndex.save]], and
+    * serve every later run through [[ivfPqTopKFromArtifacts]]. ONE
+    * bounded sampling job (TakeOrdered + collect) feeds BOTH quantizers
+    * — two separate trainSample calls measured as the bulk of the
+    * wrapped-vs-raw gap at toy scale, each re-scanning the corpus for a
+    * bounded slice. */
+  def trainIvfPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 64,
+      m: Int = 8,
+      nCentroids: Int = 256,
+      maxIter: Int = 10,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0,
+      maxTrainRows: Int = 100000): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     require(trainFraction > 0 && trainFraction <= 1.0,
-      s"ivfPqTopK: trainFraction must be in (0, 1], got $trainFraction")
-    // ONE bounded sampling job (TakeOrdered + collect) feeds BOTH
-    // quantizers — router centroids and PQ codebooks. Two separate
-    // trainSample calls measured as the bulk of the wrapped-vs-raw gap
-    // at toy scale (isolated q_ivf_pq_topk 1.5x before, each sampling
-    // job re-scanning the corpus for a bounded slice).
+      s"trainIvfPq: trainFraction must be in (0, 1], got $trainFraction")
     val base = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     val sampled =
       if (trainFraction >= 1.0) base
       else base.sample(withReplacement = false, trainFraction, seed)
     val trainRows = Ivf.trainSample(sampled, maxTrainRows)
-    val (assignments, centroids) =
-      Ivf.buildIndexFromSample(base, nlist, maxIter, seed, trainRows)
+    val centers = Ivf.localLloyd(trainRows, nlist, maxIter, seed)
     val codebooks = trainCodebooksFromSample(trainRows, m, nCentroids, maxIter, seed)
+    (centers, codebooks)
+  }
+
+  /** [[ivfPqTopK]] from PRE-TRAINED artifacts (e.g. loaded via
+    * [[AnnIndex]]): identical search pipeline, ZERO training jobs — no
+    * sampling scan, no driver k-means. The production shape: train
+    * once, persist, and every subsequent run (or a different engine
+    * reading the same parquet artifacts) reuses the index. Under a
+    * fixed seed the loaded artifacts reproduce the freshly-trained
+    * search bit-for-bit (doubles round-trip parquet exactly; pinned by
+    * AnnIndexSpec and q_ann_persist). */
+  def ivfPqTopKFromArtifacts(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int = 8,
+      queryIdCol: String = "query_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // same map-side argmin assignment as Ivf.buildIndexFromSample
+    val assignments = base.withColumn("cell", element_at(
+      graft.functions.HashFunctions.pqEncodeNative(
+        col("vec"), Array(centers), normalize = false), 1))
+    val centroids = centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+    ivfPqSearch(assignments, centroids, queries, idCol, vecCol, codebooks,
+      k, nprobe, queryIdCol)
+  }
+
+  /** The shared IVF-PQ search tail: encode in place off `assignments`
+    * (id, vec, cell) — no second corpus scan — route each query to its
+    * `nprobe` cells, ADC-score only those cells' codes. */
+  private def ivfPqSearch(
+      assignments: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nprobe: Int,
+      queryIdCol: String): DataFrame = {
     // assignments already carries (id, vec, cell): encode in place, no
     // second corpus scan or join
     val encoded = assignments.select(col("id"), col("cell"),

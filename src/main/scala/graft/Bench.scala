@@ -1543,6 +1543,16 @@ object Bench {
     // warm pairs — auto-annotated in the artifact (see the lottery
     // comment in the ratio loop) instead of adjudicated by hand
     val subHalfSecNoise = scala.collection.mutable.Set.empty[String]
+    // Ratios > 1.2 that are the DOCUMENTED pre-crossover cost of a
+    // scale-correct design, each backed by an isolated SCALE.md artifact
+    // row measuring the regime where the design pays off — annotated in
+    // the artifact so the reading is standing evidence, not a fresh
+    // flag every round. Currently: the bloom decontamination prefilter
+    // (SCALE.md "Bloom-prefiltered decontamination", r12
+    // re-adjudication — on one node with a broadcastable eval side the
+    // exact path is also map-side and the ~14-probe bloom loses; its
+    // regime is eval sets too large to broadcast).
+    val scaleAdjudicated = Set("q_bloom_decontaminate")
     val ratios = baselines.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (!resultMap.contains(name)) None
       else {
@@ -1653,7 +1663,9 @@ object Bench {
           val ratio = lotteryRatio
           note(
             f"[bench] baseline $name%-20s wrapped=$wrappedSecs%6.2fs raw=$rawSecs%6.2fs ratio=$ratio%5.2f" +
-              (if (subHalfSecNoise.contains(name)) "  [sub-0.5s noise band]" else ""))
+              (if (subHalfSecNoise.contains(name)) "  [sub-0.5s noise band]" else "") +
+              (if (scaleAdjudicated.contains(name) && ratio > 1.2)
+                 "  [pre-crossover by design: SCALE.md scale_adjudicated]" else ""))
           wrappedBest(name) = wrappedSecs
           Some(name -> math.rint(ratio * 100) / 100)
         }
@@ -1701,6 +1713,13 @@ object Bench {
       if (subHalfSecNoise.isEmpty) ""
       else subHalfSecNoise.toSeq.sorted.map("\"" + _ + "\"")
         .mkString(""","sub_halfsec_noise":[""", ",", "]")
+    val adjudicatedFlagged = ratios.collect {
+      case (name, r) if scaleAdjudicated.contains(name) && r > 1.2 => name
+    }
+    val adjudicatedJson =
+      if (adjudicatedFlagged.isEmpty) ""
+      else adjudicatedFlagged.sorted.map("\"" + _ + "\"")
+        .mkString(""","scale_adjudicated":[""", ",", "]")
     val ratioJson = ratios.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -1713,7 +1732,7 @@ object Bench {
       val omitted =
         if (dropped.isEmpty) ""
         else s""","omitted_fastest":{"n":${dropped.size},"sec":${fmt(dropped.map(_._2).sum)}}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"queries":$qs$omitted,"baseline_ratios":$ratioJson$noiseJson,"suite_cold":$suiteColdJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"queries":$qs$omitted,"baseline_ratios":$ratioJson$noiseJson$adjudicatedJson,"suite_cold":$suiteColdJson,"sf":"$sfName"}"""
     }
     val line = Iterator.range(finalResults.size, 0, -5).map(render)
       .find(_.length <= 1750)

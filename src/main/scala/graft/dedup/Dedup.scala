@@ -644,6 +644,17 @@ object Dedup {
     * per-doc candidate rate at L≈50 for only ~2× the filter bits
     * (bits/key ∝ log(1/fpp)); budget fpp ≈ targetDocRate / L for other
     * corpora.
+    *
+    * REGIME RULE (measured, SCALE.md r12 re-adjudication): while the
+    * eval gram set is small enough to broadcast, [[decontaminate]]'s
+    * explode + broadcast-join is ALSO map-side — one hash probe per
+    * gram — and beats this prefilter's ~⌈log₂(1/fpp)⌉ ≈ 14 probes per
+    * gram on a single node at every multiplier tried (×1–×32; the
+    * join-volume cut grows 94×→107× but applies to a memory-speed
+    * probe). Prefer [[decontaminate]] in that regime; switch here when
+    * the eval side CANNOT broadcast, where the exact path must shuffle
+    * the full corpus-gram explosion and the candidate cut applies to
+    * exchange bytes.
     */
   def bloomDecontaminate(
       train: DataFrame,

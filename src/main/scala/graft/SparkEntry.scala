@@ -1548,6 +1548,18 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    "q_substring_dedup" -> ((s, d) =>
+      // sub-document exact span dedup (Lee et al., ACL 2022 shape):
+      // duplicated 8-token windows are cut wherever they recur, first
+      // occurrence kept — catches verbatim boilerplate document-level
+      // MinHash never sees
+      dedup.SubstringDedup.dedupSubstrings(
+        t(s, d, "documents"), "doc_id", "text", k = 8)),
+
+    "q_substring_profile" -> ((s, d) =>
+      dedup.SubstringDedup.substringDupProfile(
+        t(s, d, "documents"), "doc_id", "text", k = 8)),
+
     "q_dedup_lines" -> ((s, d) => {
       // corpus-wide line dedup: the single-line synthetic docs are
       // re-chunked into 8-token lines first, so cross-document duplicate
@@ -1583,6 +1595,20 @@ object SparkEntry {
       text.Relevance.bm25TopK(
         t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text")),
         "doc_id", "text", Seq("dup", "vector", "scan"), k = 20)),
+
+    "q_hybrid_search" -> ((s, d) => {
+      // two-retriever RAG shape over the shared doc_id/vec_id space:
+      // BM25 lexical top-20 fused (RRF) with cosine top-20 of vec 0
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("doc_id"), col("embedding"))
+      val qv = emb.filter(col("doc_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      text.Relevance.hybridTopK(docs, emb, "doc_id", "text", "embedding",
+        Seq("dup", "vector", "scan"), qv, k = 10, nPerList = 20)
+    }),
 
     "q_inverted_index" -> ((s, d) =>
       // postings arrays projected through an order-pinned md5 so the
@@ -2145,6 +2171,56 @@ object SparkEntry {
         |  FROM (SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM ev)))
         |SELECT grams.doc_id FROM grams, evg
         |WHERE len(list_intersect(grams.g, evg.eg)) < 1""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (
+        |  SELECT doc_id, u.p AS pos, toks[u.p] AS tok
+        |  FROM toks, unnest(generate_series(1, len(toks))) AS u(p)),
+        |win AS (
+        |  SELECT doc_id, u.s AS start, array_to_string(toks[u.s : u.s + 7], ' ') AS w
+        |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(s)
+        |  WHERE len(toks) >= 8),
+        |dup AS (
+        |  SELECT w, min(doc_id * 100000 + start) AS firstkey
+        |  FROM win GROUP BY w HAVING count(*) > 1),
+        |removed AS (
+        |  SELECT DISTINCT win.doc_id, gs.p AS pos
+        |  FROM win JOIN dup ON win.w = dup.w, unnest(generate_series(win.start, win.start + 7)) AS gs(p)
+        |  WHERE win.doc_id * 100000 + win.start <> dup.firstkey),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = t.doc_id AND r.pos = t.pos)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_deduped, count(*) AS kept_n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  coalesce(reb.text_deduped, '') AS text_deduped,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(reb.kept_n, 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id""".stripMargin,
+
+    "q_substring_profile" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |win AS (
+        |  SELECT doc_id, array_to_string(toks[u.s : u.s + 7], ' ') AS w
+        |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(s)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT w FROM win GROUP BY w HAVING count(*) > 1),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_dup FROM win
+        |  WHERE w IN (SELECT w FROM dup) GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  CAST(greatest(len(t.toks) - 7, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  CASE WHEN len(t.toks) - 7 <= 0 THEN 0.0
+        |       ELSE round(coalesce(p.n_dup, 0) / CAST(len(t.toks) - 7 AS DOUBLE), 6)
+        |  END AS dup_fraction
+        |FROM toks t LEFT JOIN perdoc p ON t.doc_id = p.doc_id""".stripMargin,
 
     "q_dedup_lines" ->
       """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2926,6 +3002,37 @@ object SparkEntry {
         |    * post.tf * 2.2 / (post.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
         |FROM post JOIN dfreq USING (word) JOIN dl USING (doc_id), stats
         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM dl),
+        |post AS (
+        |  SELECT doc_id, word, count(*)::DOUBLE AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS word FROM toks) WHERE word IN ('dup', 'vector', 'scan')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT word, count(*)::DOUBLE AS dfd FROM post GROUP BY 1),
+        |lex0 AS (
+        |  SELECT doc_id, round(sum(
+        |      ln(1 + (stats.n - dfreq.dfd + 0.5) / (dfreq.dfd + 0.5))
+        |      * post.tf * 2.2 / (post.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+        |  FROM post JOIN dfreq USING (word) JOIN dl USING (doc_id), stats
+        |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM lex0),
+        |sem0 AS (
+        |  SELECT vec_id AS doc_id, round(list_cosine_similarity(
+        |    CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+        |  FROM embeddings ORDER BY score DESC, doc_id LIMIT 20),
+        |sem AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sem0),
+        |fused AS (
+        |  SELECT doc_id, 1.0 / (60 + rnk) AS contrib FROM lex
+        |  UNION ALL SELECT doc_id, 1.0 / (60 + rnk) FROM sem)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sum(contrib), 6) AS rrf_score,
+        |  CAST(row_number() OVER (ORDER BY round(sum(contrib), 6) DESC, doc_id) AS INT) AS rank
+        |FROM fused GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_inverted_index" ->
       """WITH pairs AS (

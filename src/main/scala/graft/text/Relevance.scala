@@ -237,4 +237,76 @@ object Relevance {
     df.select(col(idCol)).distinct()
       .join(scored, Seq(idCol), "left")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse N ranked lists into one ranking by
+    * `score(d) = Σ_i 1 / (c + rank_i(d))` — the standard hybrid-
+    * retrieval combiner (lexical + vector lists in RAG stacks) that
+    * needs NO score calibration between systems, only ranks. Each
+    * input carries (idCol, rankCol with rank 1 = best); a document
+    * missing from a list simply contributes nothing for it. Scores are
+    * rounded to 6 dp and tie-broken by id, so the fused ranking is
+    * engine-portable. Output: (idCol, rrf_score, rank), rank 1 = best,
+    * top `k` rows.
+    *
+    * Scale shape: the inputs are top-N lists — already bounded — so
+    * the union + groupBy shuffles at most lists × N rows and the final
+    * top-k plans as TakeOrderedAndProject. The corpus never enters
+    * this operator; its cost lives in the upstream retrievers. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      c: Double = 60.0): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k > 0, s"rrfFuse: k must be positive, got $k")
+    require(c >= 0.0, s"rrfFuse: c must be >= 0, got $c")
+    val contribs = rankings
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(c) + col(rankCol).cast("double"))).as("__rrf_c")))
+      .reduce(_ unionByName _)
+    contribs.groupBy(idCol)
+      .agg(round(sum(col("__rrf_c")), 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_score").desc, col(idCol))).cast("int"))
+  }
+
+  /** Hybrid lexical + vector retrieval: BM25 top-`nPerList` over
+    * `docs` fused (RRF) with cosine top-`nPerList` of `queryVec` over
+    * `emb` — the two-retriever RAG shape, joined on a shared id space.
+    * Both candidate lists are bounded TakeOrderedAndProject scans;
+    * the fusion is rank-only (see [[rrfFuse]]), so nothing about the
+    * two systems' score scales needs calibrating. Output:
+    * (idCol, rrf_score, rank), top `k`. */
+  def hybridTopK(
+      docs: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVec: Array[Double],
+      k: Int = 10,
+      nPerList: Int = 20,
+      c: Double = 60.0): DataFrame = {
+    require(queryVec.nonEmpty, "hybridTopK: empty query vector")
+    val lexRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol))
+    val lex = bm25TopK(docs, idCol, textCol, queryTerms, nPerList)
+      .withColumn("rnk", row_number().over(lexRank))
+    val qv = typedLit(queryVec.toSeq)
+    val sem = emb
+      .select(col(idCol),
+        round(graft.similarity.Similarity.cosine(
+          col(vecCol).cast("array<double>"), qv), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(nPerList)
+      .withColumn("rnk", row_number().over(lexRank))
+    rrfFuse(Seq(lex.select(col(idCol), col("rnk")),
+      sem.select(col(idCol), col("rnk"))), idCol, "rnk", k, c)
+  }
 }

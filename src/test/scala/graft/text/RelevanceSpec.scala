@@ -137,4 +137,42 @@ class RelevanceSpec extends SparkTestBase {
     val out = Relevance.bm25TopK(empty, "doc_id", "text", Seq("anything"))
     assert(out.columns.toSeq == Seq("doc_id", "score") && out.count() == 0)
   }
+
+  test("rrfFuse: hand-computed fusion, missing docs contribute nothing") {
+    // list A ranks docs 1,2,3; list B ranks 2,1,4
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rnk")
+    val b = Seq((2L, 1), (1L, 2), (4L, 3)).toDF("doc_id", "rnk")
+    val out = Relevance.rrfFuse(Seq(a, b), "doc_id", "rnk", k = 4, c = 60.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def rr(ranks: Int*) = BigDecimal(ranks.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // docs 1 and 2 tie exactly (ranks {1,2} in both orders): id breaks it
+    assert(out.toSeq == Seq(
+      (1L, rr(1, 2), 1), (2L, rr(2, 1), 2), (3L, rr(3), 3), (4L, rr(3), 4)))
+  }
+
+  test("rrfFuse: k truncates and single-list fusion preserves order") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rnk")
+    val out = Relevance.rrfFuse(Seq(a), "doc_id", "rnk", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(out == Seq((10L, 1), (20L, 2)))
+    intercept[IllegalArgumentException](Relevance.rrfFuse(Nil, "doc_id", "rnk", 1))
+  }
+
+  test("hybridTopK fuses the lexical and vector lists over a shared id space") {
+    val docs = Seq(
+      (1L, "query term match twice query term"),
+      (2L, "query term once"),
+      (3L, "nothing relevant at all")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(0.0, 1.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.9, 0.1)))
+      .toDF("doc_id", "vec")
+    val out = Relevance.hybridTopK(docs, emb, "doc_id", "text", "vec",
+      Seq("query"), Array(1.0, 0.0), k = 3, nPerList = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    // doc 2: lexical rank 2 + semantic rank 1 wins over doc 1 (lex 1, sem 3)
+    // and doc 3 (sem 2 only)
+    assert(out.head == ((2L, 1)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+  }
 }

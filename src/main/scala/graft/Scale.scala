@@ -146,6 +146,33 @@ object Scale {
         }
       }
       run("exact_dedup", k)(d => Dedup.exactDedup(d, "text", "doc_id"))
+      // span dedup's scale claim: wall grows ~linearly with the corpus
+      // (one map-side-combined window exchange), and the removal join is
+      // bounded by TRUE duplication — substring_dup_windows' out_rows is
+      // the duplicated-window count entering the position explode,
+      // vs corpus × windows/doc for a naive all-windows path.
+      // the filter on text_deduped defeats count()'s column pruning —
+      // without it the string reassembly agg is optimised away and the
+      // row under-reports (the RunMetricsProbe lesson)
+      run("substring_dedup", k)(d =>
+        graft.dedup.SubstringDedup.dedupSubstrings(d, "doc_id", "text", 8)
+          .filter(length(col("text_deduped")) >= 0))
+      // the hashKeys scale path: 8 B window keys from the codegen
+      // kernel instead of materialised window strings (~k x corpus)
+      run("substring_dedup_hashed", k)(d =>
+        graft.dedup.SubstringDedup.dedupSubstrings(d, "doc_id", "text", 8,
+          hashKeys = true)
+          .filter(length(col("text_deduped")) >= 0))
+      run("substring_dup_windows", k) { d =>
+        val toks = graft.text.TextFunctions.normTokens(col("text"))
+        d.select(col("doc_id"), toks.as("tk"))
+          .filter(size(col("tk")) >= 8)
+          .select(explode(transform(
+            sequence(lit(1), size(col("tk")) - lit(7)),
+            st => concat_ws(" ", slice(col("tk"), st, lit(8))))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+      }
       run("simhash128_h7_8band", k)(d =>
         Dedup.simHash128NearDuplicates(d, "text", "doc_id")) // default rung
       run("simhash128_h8_120band", k)(d =>

@@ -34,15 +34,26 @@ import graft.text.TextFunctions.normTokens
   *      map-side combined, and only windows with count > 1 survive the
   *      aggregation — output is true-duplication-sized;
   *   3. only DUPLICATED windows explode into covered token positions
-  *      (bounded by dup volume × k, not corpus × k), and the removal
-  *      is a left_anti join at (doc, position) grain;
-  *   4. reassembly is one groupBy(doc) of kept tokens — the same
-  *      exchange grain as the corpus itself.
-  * The window key shuffled in step 2 is the window's TOKEN STRING, so
-  * the decision is exact (no hash-collision false removals); at 100 TB
-  * swap the key for xxhash64(window) to shuffle 8 B keys — the
-  * documented trade (collision odds ~2⁻⁶⁴) — without touching any
-  * other step.
+  *      (bounded by dup volume × k, not corpus × k), collect_set-folded
+  *      to ONE removal-position array per affected doc;
+  *   4. reassembly is a NARROW array filter over the token array —
+  *      the removal sets join back at affected-doc grain (AQE
+  *      broadcasts them when small) and no corpus-grain token explode,
+  *      anti-join, or collect_list exchange exists anywhere (the first
+  *      formulation paid all three; the array-filter rewrite measured
+  *      4.09 → 3.13 s at the SCALE.md substring_dedup ×1 row).
+  * The window key shuffled in step 2 is the window's TOKEN STRING by
+  * default, so the decision is exact (no hash-collision false
+  * removals); `hashKeys = true` swaps it for the native codegen'd
+  * position-preserving window hash ([[graft.functions.HashFunctions
+  * .windowHashesNative]]) — 8 B keys through the exchange and no
+  * window-string materialisation in the plan at all, at the
+  * documented ~2⁻⁶⁴-per-pair collision trade (a collision removes a
+  * non-duplicated span). Identical output on collision-free corpora
+  * (spec-pinned); measured 1.7× end-to-end at the SCALE.md
+  * substring_dedup_hashed rows (3.13 → 1.86 s ×1, 7.53 → 4.92 s ×8) —
+  * the key for 100 TB, where the window strings are ~k× the corpus
+  * over the wire.
   *
   * Output: (idCol, text_deduped, n_tokens, n_removed), text rebuilt
   * from surviving tokens in position order, single-space joined over
@@ -50,32 +61,39 @@ import graft.text.TextFunctions.normTokens
   */
 object SubstringDedup {
 
+  /** (doc, 1-based start, window key) rows; key is the window string
+    * (exact) or its native k-gram hash (8 B, scale path). */
+  private def windowRows(
+      toks: DataFrame, k: Int, hashKeys: Boolean): DataFrame = {
+    val wins =
+      if (hashKeys)
+        graft.functions.HashFunctions.windowHashesNative(col("__sd_toks"), k)
+      else
+        transform(
+          sequence(lit(1), size(col("__sd_toks")) - lit(k - 1)),
+          st => concat_ws(" ", slice(col("__sd_toks"), st, lit(k))))
+    toks
+      .filter(size(col("__sd_toks")) >= k)
+      .select(col("__sd_id"),
+        posexplode(wins).as(Seq("__sd_start0", "__sd_w")))
+      .select(col("__sd_id"), (col("__sd_start0") + 1).as("__sd_start"),
+        col("__sd_w"))
+  }
+
   def dedupSubstrings(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8,
+      hashKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"dedupSubstrings: k must be >= 1, got $k")
 
-    // (doc, pos, token) — the grain reassembly re-aggregates
     val toks = df
       .select(col(idCol).cast("long").as("__sd_id"),
         normTokens(col(textCol)).as("__sd_toks"))
       .filter(size(col("__sd_toks")) > 0)
-    val tokRows = toks
-      .select(col("__sd_id"),
-        posexplode(col("__sd_toks")).as(Seq("__sd_pos", "__sd_tok")))
 
-    // (window, doc, start): start is 1-based over 1..len−k+1
-    val windows = toks
-      .filter(size(col("__sd_toks")) >= k)
-      .select(col("__sd_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("__sd_toks")) - lit(k - 1)),
-          st => concat_ws(" ", slice(col("__sd_toks"), st, lit(k)))))
-          .as(Seq("__sd_start0", "__sd_w")))
-      .select(col("__sd_id"), (col("__sd_start0") + 1).as("__sd_start"),
-        col("__sd_w"))
+    val windows = windowRows(toks, k, hashKeys)
 
     // duplicated windows + their corpus-wide first occurrence; the
     // exchange keys on the window and the agg is map-side combined, so
@@ -91,42 +109,33 @@ object SubstringDedup {
 
     // every NON-FIRST occurrence of a duplicated window → its covered
     // positions (dup-volume × k rows, not corpus × k)
-    // distinct output names: tokRows and removed share lineage (both
-    // derive from toks), so a by-name equality would resolve to the
-    // SAME attribute and degenerate to a trivially-true predicate
-    val removed = windows
+    // every NON-FIRST occurrence of a duplicated window → its covered
+    // 1-based positions, collect_set-folded (set semantics dedup the
+    // overlap map-side) to one removal array per affected doc. The
+    // rename avoids resolving against toks' shared-lineage attribute.
+    val removedSets = windows
       .join(dupFirst, "__sd_w")
       .filter(!(col("__sd_id") === col("__sd_fid") &&
         col("__sd_start") === col("__sd_fstart")))
       .select(col("__sd_id").as("__sd_rid"),
         explode(sequence(col("__sd_start"), col("__sd_start") + lit(k - 1)))
           .as("__sd_pos1"))
-      .distinct()
+      .groupBy("__sd_rid")
+      .agg(collect_set(col("__sd_pos1")).as("__sd_rm"))
 
-    val kept = tokRows
-      .join(removed,
-        col("__sd_id") === col("__sd_rid") &&
-          col("__sd_pos") + 1 === col("__sd_pos1"),
-        "left_anti")
-
-    val rebuilt = kept
-      .groupBy("__sd_id")
-      .agg(
-        concat_ws(" ",
-          transform(
-            sort_array(collect_list(struct(col("__sd_pos"), col("__sd_tok")))),
-            x => x.getField("__sd_tok"))).as("text_deduped"),
-        count(lit(1)).as("__sd_kept"))
-
-    // docs whose every token was removed drop out of `rebuilt` — keep
-    // them as empty strings so the output has one row per input doc
+    // reassembly is a narrow array filter: keep token i unless i+1 is a
+    // removed position; per-element array_contains over the (small)
+    // removal set — no token explode, no anti-join, no collect_list
     toks
-      .select(col("__sd_id"), size(col("__sd_toks")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("__sd_id"), "left")
+      .join(removedSets, col("__sd_id") === col("__sd_rid"), "left")
       .select(col("__sd_id").as(idCol),
-        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__sd_kept"), lit(0L))).as("n_removed"))
+        concat_ws(" ",
+          when(col("__sd_rm").isNull, col("__sd_toks"))
+            .otherwise(filter(col("__sd_toks"),
+              (_, i) => !array_contains(col("__sd_rm"), i + 1))))
+          .as("text_deduped"),
+        size(col("__sd_toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__sd_rm")), lit(0)).cast("long").as("n_removed"))
   }
 
   /** Span-level duplication profile WITHOUT rewriting text: per doc,
@@ -141,19 +150,15 @@ object SubstringDedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8,
+      hashKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"substringDupProfile: k must be >= 1, got $k")
     val toks = df
       .select(col(idCol).cast("long").as("__sd_id"),
         normTokens(col(textCol)).as("__sd_toks"))
       .filter(size(col("__sd_toks")) > 0)
-    val windows = toks
-      .filter(size(col("__sd_toks")) >= k)
-      .select(col("__sd_id"),
-        explode(transform(
-          sequence(lit(1), size(col("__sd_toks")) - lit(k - 1)),
-          st => concat_ws(" ", slice(col("__sd_toks"), st, lit(k)))))
-          .as("__sd_w"))
+    val windows = windowRows(toks, k, hashKeys)
+      .select(col("__sd_id"), col("__sd_w"))
     val dupW = windows.groupBy("__sd_w")
       .agg(count(lit(1)).as("__sd_n"))
       .filter(col("__sd_n") > 1)

@@ -134,6 +134,34 @@ object HashKernels {
     new GenericArrayData(arr)
   }
 
+  /** POSITION-preserving k-token window hashes: element i is the hash
+    * of the window starting at token i (k tokens joined with a single
+    * space — the same key [[shingleHashes]] hashes, WITHOUT its
+    * sort+dedup), length n−k+1; empty for docs shorter than k. The
+    * substring-dedup key shape: start alignment matters, so order and
+    * multiplicity must survive. The window string is built once in a
+    * reused builder and never leaves the kernel — 8 B per window reach
+    * the plan instead of ~k tokens of text. */
+  def windowHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val count = math.max(n - (k - 1), 0)
+    val out = new Array[Long](count)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens.getUTF8String(j).toString)
+        j += 1
+      }
+      out(i) = hashString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Jaccard of two long arrays treated as sets. Inputs produced by
     * [[ngramHashes]]/[[shingleHashes]] are sorted+distinct, enabling an
     * allocation-free merge walk; unsorted inputs fall back to hashing.
@@ -567,6 +595,31 @@ case class ShingleHashesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** array<string> tokens → array<long>: POSITION-preserving k-token
+  * window hashes (element i = hash of the window starting at i),
+  * length n−k+1 — the substring-dedup key shape. */
+case class WindowHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.windowHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.windowHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
+    copy(child = newChild)
+}
+
 /** array<string> tokens → array<long>: per-token xxhash64, order and
   * multiplicity preserved (the SimHash input shape). */
 case class TokenHashesExpr(child: Expression)
@@ -881,6 +934,13 @@ object HashFunctions {
   def shingleHashesNative(tokens: Column, k: Int = 3): Column = {
     require(k >= 1, s"shingleHashesNative: k must be >= 1, got $k")
     ColumnBridge(ShingleHashesExpr(ColumnBridge.expression(tokens), k))
+  }
+
+  /** Position-preserving k-token window hashes of an array<string>
+    * column (element i = hash of the window starting at i). */
+  def windowHashesNative(tokens: Column, k: Int): Column = {
+    require(k >= 1, s"windowHashesNative: k must be >= 1, got $k")
+    ColumnBridge(WindowHashesExpr(ColumnBridge.expression(tokens), k))
   }
 
   /** Jaccard similarity of two array<long> hash sets. */

@@ -89,4 +89,18 @@ class SubstringDedupSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       SubstringDedup.dedupSubstrings(docs, "doc_id", "text", k = 0))
   }
+
+  test("hashKeys scale path produces identical output to the exact string-key path") {
+    val docs = (1L to 80L)
+      .map(i => (i, if (i % 4 == 0) s"shared span of text here u$i tail" else s"unique words u$i only here"))
+      .toDF("doc_id", "text")
+    def run(hash: Boolean) =
+      SubstringDedup.dedupSubstrings(docs, "doc_id", "text", k = 4, hashKeys = hash)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(run(true) == run(false))
+    def prof(hash: Boolean) =
+      SubstringDedup.substringDupProfile(docs, "doc_id", "text", k = 4, hashKeys = hash)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(prof(true) == prof(false))
+  }
 }

@@ -106,4 +106,26 @@ class HashExpressionsSpec extends SparkTestBase {
     assert(row.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
     assert(row.getLong(1) == 0L)
   }
+
+  test("native windowHashes equals xxhash64 of each k-window string, position-aligned") {
+    val both = Seq(
+      (1L, "a b c d e"),   // 3 windows at k=3
+      (2L, "a b"),         // shorter than k: empty
+      (3L, "x y z"),       // exactly one window
+      (4L, "a b c a b c")) // repeated windows must BOTH appear (no dedup)
+      .toDF("id", "text")
+      .withColumn("toks", graft.text.TextFunctions.tokens($"text"))
+      .withColumn("native", HashFunctions.windowHashesNative($"toks", 3))
+      .withColumn("hof", when(size($"toks") < 3, array().cast("array<bigint>"))
+        .otherwise(transform(
+          sequence(lit(1), size($"toks") - lit(2)),
+          st => xxhash64(concat_ws(" ", slice($"toks", st, lit(3)))))))
+    both.select("id", "native", "hof").collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"mismatch for id ${r.getLong(0)}")
+    }
+    // length contract: n - k + 1, floored at 0
+    val lens = both.select($"id", size($"native")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lens == Map(1L -> 3, 2L -> 0, 3L -> 1, 4L -> 4))
+  }
 }

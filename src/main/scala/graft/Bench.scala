@@ -1547,12 +1547,15 @@ object Bench {
     // scale-correct design, each backed by an isolated SCALE.md artifact
     // row measuring the regime where the design pays off — annotated in
     // the artifact so the reading is standing evidence, not a fresh
-    // flag every round. Currently: the bloom decontamination prefilter
-    // (SCALE.md "Bloom-prefiltered decontamination", r12
-    // re-adjudication — on one node with a broadcastable eval side the
-    // exact path is also map-side and the ~14-probe bloom loses; its
-    // regime is eval sets too large to broadcast).
-    val scaleAdjudicated = Set("q_bloom_decontaminate")
+    // flag every round. The bloom family: each prefilter pays a local
+    // cost when the right/eval side would broadcast anyway (the bench
+    // regime), and wins when it cannot — bloom_decontaminate's regime
+    // rule in SCALE.md "Bloom-prefiltered decontamination" (r12
+    // re-adjudication), bloom semi/anti's 16.7×-row / 15.5×-byte
+    // exchange cut with broadcast disabled in SCALE.md "q_bloom_semi /
+    // q_bloom_anti" (r11, RunMetricsProbe-measured).
+    val scaleAdjudicated =
+      Set("q_bloom_decontaminate", "q_bloom_semi", "q_bloom_anti")
     val ratios = baselines.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (!resultMap.contains(name)) None
       else {

@@ -1548,6 +1548,24 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    "q_contamination_report" -> ((s, d) => {
+      // the audit half of the q_decontaminate frame: WHICH eval docs
+      // leaked into WHICH train docs, with shared-gram counts
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalDf = docs.filter(col("doc_id") < 100)
+      val evalTexts = evalDf
+        .select((col("doc_id") + 100L).as("doc_id"), col("text").as("etext"))
+      val train = docs.filter(col("doc_id") >= 100)
+        .join(evalTexts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") < 110 && col("etext").isNotNull,
+            concat(col("text"), lit(" "), col("etext")))
+            .otherwise(col("text")).as("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      Dedup.contaminationReport(train, evalDf, "text", "doc_id", n = 5, minHits = 1)
+    }),
+
     "q_substring_dedup" -> ((s, d) =>
       // sub-document exact span dedup (Lee et al., ACL 2022 shape):
       // duplicated 8-token windows are cut wherever they recur, first
@@ -2171,6 +2189,30 @@ object SparkEntry {
         |  FROM (SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM ev)))
         |SELECT grams.doc_id FROM grams, evg
         |WHERE len(list_intersect(grams.g, evg.eg)) < 1""".stripMargin,
+
+    "q_contamination_report" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+        |ev AS (SELECT doc_id, text FROM docs WHERE doc_id < 100),
+        |tr AS (SELECT t.doc_id,
+        |         CASE WHEN t.doc_id < 110 AND e.text IS NOT NULL
+        |              THEN t.text || ' ' || e.text ELSE t.text END AS text
+        |       FROM docs t LEFT JOIN ev e ON e.doc_id = t.doc_id - 100
+        |       WHERE t.doc_id >= 100),
+        |trg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 5
+        |         THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        |         ELSE [array_to_string(toks, ' ')] END)) AS g
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM tr)),
+        |evg AS (
+        |  SELECT doc_id AS eval_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 5
+        |         THEN [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+        |         ELSE [array_to_string(toks, ' ')] END)) AS g
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM ev))
+        |SELECT trg.doc_id, evg.eval_id, count(*) AS n_shared_grams
+        |FROM trg JOIN evg ON trg.g = evg.g
+        |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin,
 
     "q_substring_dedup" ->
       """WITH toks AS (

@@ -613,6 +613,51 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-pair contamination AUDIT — the artifact [[decontaminate]]'s
+    * anti-join discards: for every (train doc, eval doc) pair sharing
+    * at least `minHits` distinct n-gram shingles, the shared-gram
+    * count. A leakage investigation needs WHICH eval items leaked into
+    * WHICH train docs (to fix the upstream source or rescore the
+    * benchmark), not just the cleaned corpus. Gram construction is
+    * identical to [[decontaminate]] (per-doc distinct shingle hashes;
+    * sub-n docs contribute one whole-doc shingle), so every pair
+    * reported here is a doc the cleaner would drop and vice versa (at
+    * the same `minHits`; pair-grain hits are at least doc-grain hits).
+    *
+    * Scale shape: same as the exact cleaner — the eval side is small
+    * by the op's nature and broadcasts; the train side explodes to
+    * (id, gram) and joins map-side, then one exchange aggregates at
+    * PAIR grain, whose cardinality is true-contamination-sized.
+    * Output: (idCol = train id, eval_id, n_shared_grams), one row per
+    * contaminated pair. */
+  def contaminationReport(
+      train: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minHits: Int = 1,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(n >= 1, s"contaminationReport: n must be >= 1, got $n")
+    require(minHits >= 1, s"contaminationReport: minHits must be >= 1, got $minHits")
+    def gramRows(df: DataFrame): DataFrame = df
+      .select(col(idCol).cast("long").as("__graft_id"), col(textCol).as("__graft_text"))
+      .withColumn("__graft_toks",
+        TextFunctions.tokens(TextFunctions.normalizeText(col("__graft_text"))))
+      .select(col("__graft_id"),
+        explode(graft.functions.HashFunctions.shingleHashesNative(col("__graft_toks"), n))
+          .as("__graft_g"))
+    val evalGrams = gramRows(evalDf)
+      .select(col("__graft_id").as("eval_id"), col("__graft_g"))
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    gramRows(train)
+      .join(evalSide, "__graft_g")
+      .groupBy(col("__graft_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minHits)
+      .select(col("__graft_id").as(idCol), col("eval_id"), col("n_shared_grams"))
+  }
+
   /** [[decontaminate]] with a bloom prefilter on the train side —
     * identical output, different (better) 100 TB shape.
     *

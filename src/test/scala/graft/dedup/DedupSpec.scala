@@ -435,4 +435,30 @@ class DedupSpec extends SparkTestBase {
       "survivor schema must be the input schema")
     assert(out.count() == 2)
   }
+
+  test("contaminationReport names the leaking pairs with shared-gram counts") {
+    val train = df("id BIGINT, text STRING",
+      Seq(1L, "a b c d e f"),   // shares 4 distinct 3-grams with eval 9
+      Seq(2L, "x y z a b c"),   // shares only "a b c" with eval 9
+      Seq(3L, "totally clean words here"))
+    val ev = df("id BIGINT, text STRING",
+      Seq(9L, "a b c d e f"),
+      Seq(8L, "x y z nothing shared"))   // shares "x y z" with train 2
+    val out = Dedup.contaminationReport(train, ev, "text", "id", n = 3, minHits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 9L) -> 4L, (2L, 9L) -> 1L, (2L, 8L) -> 1L))
+    // minHits prunes weak pairs; agreement with decontaminate at doc grain
+    val strict = Dedup.contaminationReport(train, ev, "text", "id", n = 3, minHits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 9L)))
+    val cleanedIds = Dedup.decontaminate(train, ev, "text", "id", n = 3)
+      .select("id").as[Long].collect().toSet
+    val flaggedIds = out.keySet.map(_._1)
+    assert(cleanedIds == Set(1L, 2L, 3L) -- flaggedIds)
+    // shuffle path matches broadcast path
+    val shuffled = Dedup.contaminationReport(train, ev, "text", "id", n = 3,
+      broadcastEval = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(shuffled == out)
+  }
 }

@@ -288,8 +288,9 @@ object Bench {
     "q_pushdown_read" -> ((s, d) =>
       s.read.parquet(s"$d/lineitem.parquet")
         .select("l_orderkey", "l_shipdate", "l_returnflag", "l_quantity")
+        // dateRange end is EXCLUSIVE in the wrapped reader (and oracle)
         .filter(col("l_shipdate") >= lit("1995-01-01") &&
-          col("l_shipdate") <= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-01-01") &&
           col("l_returnflag").isin("A", "N"))
         .select(col("l_orderkey").cast("long").as("l_orderkey"),
           col("l_shipdate").cast("date").as("ship_date"),
@@ -1437,6 +1438,113 @@ object Bench {
           round((coalesce(col("tsum"), lit(0.0)) + lit(20.0) * col("gmean")) /
             (coalesce(col("tcnt"), lit(0L)) + lit(20.0)), 6)
             .as("o_orderpriority_enc"))
+    }),
+
+    "q_substring_dedup" -> ((s, d) => {
+      // equivalent hand-written span dedup (exact string keys): window
+      // agg -> dup minima -> removal position sets -> in-place filter
+      val k = 8
+      val toks = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          rawToks(rawNorm(col("text"))).as("tk"))
+        .filter(size(col("tk")) > 0)
+      val wins = toks.filter(size(col("tk")) >= k)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("tk")) - lit(k - 1)),
+          st => concat_ws(" ", slice(col("tk"), st, lit(k)))))
+          .as(Seq("s0", "w")))
+        .select(col("doc_id"), (col("s0") + 1).as("st"), col("w"))
+      val dup = wins.groupBy("w")
+        .agg(count(lit(1)).as("n"), min(struct(col("doc_id"), col("st"))).as("f"))
+        .filter(col("n") > 1)
+        .select(col("w"), col("f.doc_id").as("fd"), col("f.st").as("fs"))
+      val rm = wins.join(dup, "w")
+        .filter(!(col("doc_id") === col("fd") && col("st") === col("fs")))
+        .select(col("doc_id").as("rid"),
+          explode(sequence(col("st"), col("st") + lit(k - 1))).as("p"))
+        .groupBy("rid").agg(collect_set("p").as("rm"))
+      toks.join(rm, col("doc_id") === col("rid"), "left")
+        .select(col("doc_id"),
+          concat_ws(" ", when(col("rm").isNull, col("tk"))
+            .otherwise(filter(col("tk"),
+              (_, i) => !array_contains(col("rm"), i + 1)))).as("text_deduped"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+    }),
+
+    "q_hybrid_search" -> ((s, d) => {
+      // equivalent hand-written two-retriever fusion: BM25 top-20 (the
+      // q_bm25 raw plan) + HOF-cosine top-20 of vec 0, RRF-combined
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val (k1, b) = (1.2, 0.75)
+      val n = docs.count().toDouble
+      val toks = docs.select(col("doc_id"), rawToks(rawNorm(col("text"))).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val avgdl = toks.agg(avg("dl")).head().getDouble(0)
+      val terms = array(Seq("dup", "vector", "scan").map(lit): _*)
+      val post = toks
+        .select(col("doc_id"), col("dl"),
+          explode(filter(col("toks"), t => array_contains(terms, t))).as("word"))
+        .groupBy("doc_id", "dl", "word").agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = post.groupBy("word").agg(count(lit(1)).cast("double").as("dfd"))
+      val idf = log(lit(1.0) + (lit(n) - col("dfd") + 0.5) / (col("dfd") + 0.5))
+      val nrm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = post.join(dfreq, "word")
+        .groupBy("doc_id")
+        .agg(round(sum(idf * col("tf") * lit(k1 + 1.0) / nrm), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rnk", row_number().over(w))
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("doc_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val qv = typedLit(emb.filter(col("doc_id") === 0)
+        .head().getSeq[Double](1).toSeq)
+      val sem = emb
+        .select(col("doc_id"), round(rawCosine(col("v"), qv), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rnk", row_number().over(w))
+      lex.select(col("doc_id"), (lit(1.0) / (lit(60.0) + col("rnk"))).as("c"))
+        .unionByName(sem.select(col("doc_id"),
+          (lit(1.0) / (lit(60.0) + col("rnk"))).as("c")))
+        .groupBy("doc_id").agg(round(sum(col("c")), 6).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rrf_score").desc, col("doc_id"))).cast("int"))
+    }),
+
+    "q_contamination_report" -> ((s, d) => {
+      // equivalent hand-written pair audit on the same planted frame:
+      // distinct 5-gram strings per doc, broadcast eval side, pair agg
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val evalDf = docs.filter(col("doc_id") < 100)
+      val evalTexts = evalDf
+        .select((col("doc_id") + 100L).as("doc_id"), col("text").as("etext"))
+      val train = docs.filter(col("doc_id") >= 100)
+        .join(evalTexts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") < 110 && col("etext").isNotNull,
+            concat(col("text"), lit(" "), col("etext")))
+            .otherwise(col("text")).as("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      def grams(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val tk = rawToks(rawNorm(col("text")))
+        df.select(col("doc_id"),
+          explode(array_distinct(
+            when(size(tk) >= 5, transform(
+              sequence(lit(1), size(tk) - lit(4)),
+              st => concat_ws(" ", slice(tk, st, lit(5)))))
+              .otherwise(array(concat_ws(" ", tk))))).as("g"))
+      }
+      grams(train)
+        .join(broadcast(grams(evalDf).withColumnRenamed("doc_id", "eval_id")), "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .filter(col("n_shared_grams") >= 1)
     }),
   )
 

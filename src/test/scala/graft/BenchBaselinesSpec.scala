@@ -29,12 +29,17 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_tfidf", "q_bm25", "q_inverted_index", "q_bigram_pmi",
     "q_chunk", "q_fuzzy_join", "q_scd2",
     "q_topk_group", "q_pivot_wide", "q_corr_matrix",
-    "q_freq_encode", "q_target_encode")
+    "q_freq_encode", "q_target_encode",
+    "q_substring_dedup", "q_hybrid_search", "q_contamination_report",
+    "q_first_obs", "q_window_running", "q_melt", "q_rank_numeric",
+    "q_median_price", "q_weighted_arith", "q_ivf_pq_topk", "q_exact_dedup",
+    "q_drift_cat", "q_pushdown_read", "q_quantize", "q_pq_topk",
+    "q_det_sample", "q_expectations")
 
   // q_asof_join reads the events table, which needs the nanos-timestamp
   // session config like q_stream_exec — checked here with the config set
   // for the read (runtime-settable legacy conf)
-  for (name <- Seq("q_gap_fill", "q_rolling"))
+  for (name <- Seq("q_gap_fill", "q_rolling", "q_tumbling"))
     test(s"raw baseline produces identical results to wrapped: $name") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       try {
@@ -57,6 +62,15 @@ class BenchBaselinesSpec extends SparkTestBase {
         d.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
       assert(multiset(wrapped) == multiset(raw))
     } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+  }
+
+  test("every Bench baseline is parity-pinned by this spec") {
+    val pinned = targets.toSet ++ Seq("q_gap_fill", "q_rolling", "q_tumbling",
+      "q_asof_join",
+      "q_stream_exec") // q_stream_exec: bench-exercised, see class doc
+    val unpinned = Bench.baselines.keySet -- pinned
+    assert(unpinned.isEmpty,
+      s"baselines without a parity pin: ${unpinned.toSeq.sorted.mkString(", ")}")
   }
 
   for (name <- targets) {

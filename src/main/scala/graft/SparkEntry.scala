@@ -1578,6 +1578,16 @@ object SparkEntry {
       dedup.SubstringDedup.substringDupProfile(
         t(s, d, "documents"), "doc_id", "text", k = 8)),
 
+    "q_substring_dedup_incr" -> ((s, d) => {
+      // incremental ingest: docs < 250 are the already-ingested base,
+      // the rest arrive as a batch and are span-cleaned against it
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      dedup.SubstringDedup.dedupSubstringsAgainst(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", k = 8)
+    }),
+
     "q_dedup_lines" -> ((s, d) => {
       // corpus-wide line dedup: the single-line synthetic docs are
       // re-chunked into 8-token lines first, so cross-document duplicate
@@ -2243,6 +2253,47 @@ object SparkEntry {
         |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
         |  CAST(len(t.toks) - coalesce(reb.kept_n, 0) AS BIGINT) AS n_removed
         |FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id""".stripMargin,
+
+    "q_substring_dedup_incr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |nw AS (
+        |  SELECT doc_id, u.s AS start, array_to_string(toks[u.s : u.s + 7], ' ') AS w
+        |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(s)
+        |  WHERE len(toks) >= 8 AND doc_id >= 250),
+        |bw AS (
+        |  SELECT DISTINCT array_to_string(toks[u.s : u.s + 7], ' ') AS w
+        |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(s)
+        |  WHERE len(toks) >= 8 AND doc_id < 250),
+        |vs_base AS (
+        |  SELECT doc_id, start FROM nw WHERE w IN (SELECT w FROM bw)),
+        |dup AS (
+        |  SELECT w, min(doc_id * 100000 + start) AS firstkey
+        |  FROM nw GROUP BY w HAVING count(*) > 1),
+        |in_batch AS (
+        |  SELECT nw.doc_id, nw.start FROM nw JOIN dup ON nw.w = dup.w
+        |  WHERE nw.doc_id * 100000 + nw.start <> dup.firstkey),
+        |occ AS (SELECT * FROM vs_base UNION ALL SELECT * FROM in_batch),
+        |removed AS (
+        |  SELECT DISTINCT occ.doc_id, gs.p AS pos
+        |  FROM occ, unnest(generate_series(occ.start, occ.start + 7)) AS gs(p)),
+        |tok AS (
+        |  SELECT doc_id, u.p AS pos, toks[u.p] AS tok
+        |  FROM toks, unnest(generate_series(1, len(toks))) AS u(p)
+        |  WHERE doc_id >= 250),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = t.doc_id AND r.pos = t.pos)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_deduped, count(*) AS kept_n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  coalesce(reb.text_deduped, '') AS text_deduped,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(reb.kept_n, 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id
+        |WHERE t.doc_id >= 250""".stripMargin,
 
     "q_substring_profile" ->
       """WITH toks AS (

@@ -138,6 +138,94 @@ object SubstringDedup {
         coalesce(size(col("__sd_rm")), lit(0)).cast("long").as("n_removed"))
   }
 
+  /** Incremental [[dedupSubstrings]] — clean a NEW batch against an
+    * already-ingested BASE corpus: any k-token window of a new doc
+    * that appears anywhere in `base` is cut (the base holds the first
+    * occurrence by definition), and, when `withinBatch` (default),
+    * windows duplicated WITHIN the batch are additionally cut
+    * first-occurrence-kept, so ingesting a batch leaves the combined
+    * corpus span-deduplicated without ever rewriting base documents.
+    *
+    * Scale shape — the asymmetry is the point (base ≫ batch): the
+    * batch's distinct window keys BROADCAST onto one scan of the
+    * base (map-side semi probe — base windows never shuffle), and the
+    * matched-key set that comes back is bounded by the batch, not the
+    * base. Everything else reuses [[dedupSubstrings]]' machinery:
+    * map-side-combined window agg over the BATCH only, collect_set
+    * removal arrays, narrow array-filter rebuild. `hashKeys = true`
+    * probes with 8 B kernel hashes (the 100 TB key — base window
+    * strings never materialise).
+    *
+    * Output: one row per non-empty new doc —
+    * (idCol, text_deduped, n_tokens, n_removed). */
+  def dedupSubstringsAgainst(
+      base: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      withinBatch: Boolean = true,
+      hashKeys: Boolean = false): DataFrame = {
+    require(k >= 1, s"dedupSubstringsAgainst: k must be >= 1, got $k")
+
+    def tokFrame(df: DataFrame): DataFrame = df
+      .select(col(idCol).cast("long").as("__sd_id"),
+        normTokens(col(textCol)).as("__sd_toks"))
+      .filter(size(col("__sd_toks")) > 0)
+
+    val newToks = tokFrame(newDocs)
+    val newWindows = windowRows(newToks, k, hashKeys)
+
+    // batch-distinct keys broadcast onto ONE base scan; only matched
+    // keys (bounded by the batch) come back through an exchange
+    val newKeys = newWindows.select(col("__sd_w")).distinct()
+    val matched = windowRows(tokFrame(base), k, hashKeys)
+      .join(broadcast(newKeys), Seq("__sd_w"), "left_semi")
+      .select(col("__sd_w")).distinct()
+
+    // every new-window occurrence matching base is removed; within the
+    // batch, non-first duplicates are removed too (first survives —
+    // unless the base also holds the span, in which case all copies go)
+    val vsBase = newWindows
+      .join(matched, Seq("__sd_w"), "left_semi")
+      .select(col("__sd_id"), col("__sd_start"))
+    val removedOcc =
+      if (!withinBatch) vsBase
+      else {
+        val dupFirst = newWindows
+          .groupBy("__sd_w")
+          .agg(count(lit(1)).as("__sd_n"),
+            min(struct(col("__sd_id"), col("__sd_start"))).as("__sd_first"))
+          .filter(col("__sd_n") > 1)
+          .select(col("__sd_w"),
+            col("__sd_first.__sd_id").as("__sd_fid"),
+            col("__sd_first.__sd_start").as("__sd_fstart"))
+        val inBatch = newWindows
+          .join(dupFirst, "__sd_w")
+          .filter(!(col("__sd_id") === col("__sd_fid") &&
+            col("__sd_start") === col("__sd_fstart")))
+          .select(col("__sd_id"), col("__sd_start"))
+        vsBase.union(inBatch)
+      }
+    val removedSets = removedOcc
+      .select(col("__sd_id").as("__sd_rid"),
+        explode(sequence(col("__sd_start"), col("__sd_start") + lit(k - 1)))
+          .as("__sd_pos1"))
+      .groupBy("__sd_rid")
+      .agg(collect_set(col("__sd_pos1")).as("__sd_rm"))
+
+    newToks
+      .join(removedSets, col("__sd_id") === col("__sd_rid"), "left")
+      .select(col("__sd_id").as(idCol),
+        concat_ws(" ",
+          when(col("__sd_rm").isNull, col("__sd_toks"))
+            .otherwise(filter(col("__sd_toks"),
+              (_, i) => !array_contains(col("__sd_rm"), i + 1))))
+          .as("text_deduped"),
+        size(col("__sd_toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__sd_rm")), lit(0)).cast("long").as("n_removed"))
+  }
+
   /** Span-level duplication profile WITHOUT rewriting text: per doc,
     * window counts and the fraction of its k-token windows that are
     * corpus-duplicated (in any position) — the cheap diagnostic pass a

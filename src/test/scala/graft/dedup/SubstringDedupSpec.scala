@@ -103,4 +103,53 @@ class SubstringDedupSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
     assert(prof(true) == prof(false))
   }
+
+  test("dedupSubstringsAgainst: base spans cut entirely, batch dups keep first") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "intro alpha beta gamma outro"),      // base span: cut, no survivor
+      (11L, "fresh shared span here first"),       // batch-dup span: first kept
+      (12L, "again fresh shared span here too"),   // hmm: "shared span here" dup
+      (13L, "nothing in common at all")).toDF("doc_id", "text")
+    val out = SubstringDedup.dedupSubstringsAgainst(base, batch, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(10L) == (("intro outro", 3L)))
+    assert(out(11L) == (("fresh shared span here first", 0L)))
+    // "shared span here" (tokens 3..5 of doc 12 at positions 2..4 in its text?) —
+    // doc 12 = "again fresh shared span here too": windows incl "shared span here"
+    // duplicated vs doc 11 (earlier id) -> doc 12 loses those 3 tokens... but
+    // overlapping windows "fresh shared span"/"span here too"? "fresh shared span"
+    // also appears in doc 11 -> both dup windows cut union {2,3,4,5} of doc 12
+    assert(out(12L) == (("again too", 4L)))
+    assert(out(13L) == (("nothing in common at all", 0L)))
+  }
+
+  test("dedupSubstringsAgainst: withinBatch=false cuts only base matches") {
+    val base = Seq((1L, "x y z w")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c pad"), (11L, "tail a b c")).toDF("doc_id", "text")
+    val out = SubstringDedup.dedupSubstringsAgainst(base, batch, "doc_id", "text",
+      k = 3, withinBatch = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(10L -> 0L, 11L -> 0L))
+    val withDups = SubstringDedup.dedupSubstringsAgainst(base, batch, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(withDups == Map(10L -> 0L, 11L -> 3L))
+  }
+
+  test("dedupSubstringsAgainst: hashKeys parity and short docs pass through") {
+    val base = (1L to 30L).map(i => (i, s"base span common text b$i")).toDF("doc_id", "text")
+    val batch = (100L to 130L)
+      .map(i => (i, if (i % 3 == 0) s"u$i base span common text tail" else s"u$i short"))
+      .toDF("doc_id", "text")
+    def run(hash: Boolean) =
+      SubstringDedup.dedupSubstringsAgainst(base, batch, "doc_id", "text", k = 4,
+        hashKeys = hash)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val exact = run(false)
+    assert(run(true) == exact)
+    // "u$i short" docs have < 4 tokens: unchanged
+    assert(exact.filter(_._2.endsWith("short")).forall(_._3 == 0L))
+  }
 }

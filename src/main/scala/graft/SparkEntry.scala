@@ -688,6 +688,23 @@ object SparkEntry {
       Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
         .select(col("doc_id").cast("long").as("doc_id"))),
 
+    "q_dedup_quality" -> ((s, d) => {
+      // measured precision/recall of a blocked pair generator (here:
+      // docs sharing >= 1 exact 8-token window) vs exact char-3-gram
+      // Jaccard ground truth at 0.7 — the dial-tuning harness
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val wins = docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.HashFunctions.windowHashesNative(
+          graft.text.TextFunctions.normTokens(col("text")), 8))).as("w"))
+      val cand = wins.as("l")
+        .join(wins.as("r"),
+          col("l.w") === col("r.w") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+        .distinct()
+      Dedup.pairQuality(docs, cand, "text", "doc_id", n = 3, threshold = 0.7)
+    }),
+
     "q_ngram_pairs" -> ((s, d) =>
       // all-pairs exactness baseline — deliberately bounded to a slice
       // (doc_id < 1000) so the quadratic baseline stays tractable at
@@ -2613,6 +2630,40 @@ object SparkEntry {
         |  SELECT doc_id, row_number() OVER (
         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "q_dedup_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wd AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[u.s : u.s + 7], ' ') AS w
+        |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(s)
+        |  WHERE len(toks) >= 8),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM wd l JOIN wd r ON l.w = r.w AND l.doc_id < r.doc_id),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    [substr(t, i, 3) FOR i IN range(1, greatest(len(t) - 2, 1) + 1)],
+        |    x -> len(x) = 3)) AS grams
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents)),
+        |truth AS (
+        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM g l, g r WHERE l.doc_id < r.doc_id
+        |    AND CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+        |        / len(list_distinct(l.grams || r.grams)) >= 0.7),
+        |hits AS (
+        |  SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
+        |counts AS (
+        |  SELECT (SELECT count(*) FROM cand) AS nc,
+        |         (SELECT count(*) FROM truth) AS nt,
+        |         (SELECT count(*) FROM hits) AS nh)
+        |SELECT CAST(nc AS BIGINT) AS n_candidates, CAST(nt AS BIGINT) AS n_truth,
+        |  CAST(nh AS BIGINT) AS n_hits,
+        |  CASE WHEN nc = 0 THEN 1.0 ELSE round(CAST(nh AS DOUBLE) / nc, 6) END AS precision,
+        |  CASE WHEN nt = 0 THEN 1.0 ELSE round(CAST(nh AS DOUBLE) / nt, 6) END AS recall
+        |FROM counts""".stripMargin,
 
     "q_ngram_pairs" ->
       """WITH g AS (

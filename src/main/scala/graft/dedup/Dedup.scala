@@ -1005,4 +1005,52 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Candidate-pair QUALITY evaluation — precision/recall of any
+    * blocked near-duplicate pair generator (MinHash/SimHash/window-
+    * sharing/...) against the exact all-pairs n-gram Jaccard ground
+    * truth on the same corpus: the dedup-side counterpart of
+    * [[graft.similarity.Similarity.recallAtK]], for choosing banding /
+    * threshold dials with MEASURED recall instead of the theoretical
+    * S-curve. Candidate pairs are canonicalised (unordered, self-pairs
+    * dropped, deduplicated) and restricted to ids present in `docs`.
+    *
+    * EVALUATION-ONLY: the ground truth is the quadratic
+    * [[ngramJaccardAllPairs]] — run it on a deterministic sample
+    * (e.g. [[graft.core.Sampling.deterministicSample]]), never the
+    * full corpus; the candidate generator under test runs at scale,
+    * only its evaluation is sampled. Empty sides are vacuous (1.0).
+    *
+    * Output (one row): n_candidates, n_truth, n_hits,
+    * precision = hits/candidates, recall = hits/truth (round 6). */
+  def pairQuality(
+      docs: DataFrame,
+      candidates: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val truth = ngramJaccardAllPairs(docs, textCol, idCol, n, threshold)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+    val ids = docs.select(col(idCol).cast("long").as("__pq_id")).distinct()
+    val cand = candidates
+      .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+      .join(ids.withColumnRenamed("__pq_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(ids.withColumnRenamed("__pq_id", "id_b"), Seq("id_b"), "left_semi")
+    val hits = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // evaluation frame is sample-sized by contract: three eager counts
+    val (nc, nt, nh) = (cand.count(), truth.count(), hits.count())
+    def ratio(num: Long, den: Long): Double =
+      if (den == 0L) 1.0
+      else BigDecimal(num.toDouble / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nc, nt, nh, ratio(nh, nc), ratio(nh, nt)))
+      .toDF("n_candidates", "n_truth", "n_hits", "precision", "recall")
+  }
 }

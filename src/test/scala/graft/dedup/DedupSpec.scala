@@ -461,4 +461,28 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(shuffled == out)
   }
+
+  test("pairQuality: hand-computed precision/recall, canonicalisation, vacuous empties") {
+    // docs 1-2 near-identical (jaccard ~1), 3 unrelated, 4 near-dup of 1
+    val docs = df("id BIGINT, text STRING",
+      Seq(1L, "the quick brown fox jumps over the lazy dog"),
+      Seq(2L, "the quick brown fox jumps over the lazy dog"),
+      Seq(3L, "completely different content lives here instead"),
+      Seq(4L, "the quick brown fox jumps over the lazy cat"))
+    // truth at 0.8 with char-3-grams: {1-2, 1-4, 2-4}; candidates below
+    // deliberately: one true pair (2,1 reversed + dup), one false (1,3),
+    // one self (3,3), one outside the universe (1, 99)
+    val cand = df("id_a BIGINT, id_b BIGINT",
+      Seq(2L, 1L), Seq(1L, 2L), Seq(1L, 3L), Seq(3L, 3L), Seq(1L, 99L))
+    val r = Dedup.pairQuality(docs, cand, "text", "id", n = 3, threshold = 0.8).head()
+    assert(r.getLong(0) == 2L)   // canonical candidates: {1-2, 1-3}
+    assert(r.getLong(1) == 3L)   // truth pairs
+    assert(r.getLong(2) == 1L)   // hits
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.333333)
+    // vacuous sides
+    val none = df("id_a BIGINT, id_b BIGINT")
+    val r2 = Dedup.pairQuality(docs, none, "text", "id", n = 3, threshold = 0.8).head()
+    assert(r2.getLong(0) == 0L && r2.getDouble(3) == 1.0 && r2.getDouble(4) == 0.0)
+  }
 }

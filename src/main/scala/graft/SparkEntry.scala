@@ -688,6 +688,11 @@ object SparkEntry {
       Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
         .select(col("doc_id").cast("long").as("doc_id"))),
 
+    "q_script_profile" -> ((s, d) =>
+      text.TextFunctions.scriptProfile(
+        t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text")),
+
     "q_dedup_quality" -> ((s, d) => {
       // measured precision/recall of a blocked pair generator (here:
       // docs sharing >= 1 exact 8-token window) vs exact char-3-gram
@@ -2630,6 +2635,38 @@ object SparkEntry {
         |  SELECT doc_id, row_number() OVER (
         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "q_script_profile" ->
+      """WITH b AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    regexp_replace(text, '\s+', '', 'g') AS body
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(body) AS n,
+        |    CASE WHEN len(body) = 0 THEN 0.0 ELSE round(len(regexp_replace(body, '[^\p{Latin}]', '', 'g'))::DOUBLE / len(body), 6) END AS latin_frac,
+        |    CASE WHEN len(body) = 0 THEN 0.0 ELSE round(len(regexp_replace(body, '[^\p{Cyrillic}]', '', 'g'))::DOUBLE / len(body), 6) END AS cyrillic_frac,
+        |    CASE WHEN len(body) = 0 THEN 0.0 ELSE round(len(regexp_replace(body, '[^\p{Han}]', '', 'g'))::DOUBLE / len(body), 6) END AS han_frac,
+        |    CASE WHEN len(body) = 0 THEN 0.0 ELSE round(len(regexp_replace(body, '[^\p{Arabic}]', '', 'g'))::DOUBLE / len(body), 6) END AS arabic_frac,
+        |    CASE WHEN len(body) = 0 THEN 0.0 ELSE round(len(regexp_replace(body, '[^\p{Greek}]', '', 'g'))::DOUBLE / len(body), 6) END AS greek_frac,
+        |    CASE WHEN len(body) = 0 THEN 0.0 ELSE round(len(regexp_replace(body, '[^\p{Hangul}]', '', 'g'))::DOUBLE / len(body), 6) END AS hangul_frac,
+        |    CASE WHEN len(body) = 0 THEN 0.0 ELSE round(len(regexp_replace(body, '[^\p{Hiragana}\p{Katakana}]', '', 'g'))::DOUBLE / len(body), 6) END AS kana_frac,
+        |    CASE WHEN len(body) = 0 THEN 0.0 ELSE round(len(regexp_replace(body, '[^0-9]', '', 'g'))::DOUBLE / len(body), 6) END AS digit_frac
+        |  FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  latin_frac, cyrillic_frac, han_frac, arabic_frac, greek_frac,
+        |  hangul_frac, kana_frac, digit_frac,
+        |  CASE WHEN n = 0 THEN 'none'
+        |       WHEN greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac,
+        |            greek_frac, hangul_frac, kana_frac, digit_frac) = 0.0 THEN 'other'
+        |       WHEN latin_frac = greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac, greek_frac, hangul_frac, kana_frac, digit_frac) THEN 'latin'
+        |       WHEN cyrillic_frac = greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac, greek_frac, hangul_frac, kana_frac, digit_frac) THEN 'cyrillic'
+        |       WHEN han_frac = greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac, greek_frac, hangul_frac, kana_frac, digit_frac) THEN 'han'
+        |       WHEN arabic_frac = greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac, greek_frac, hangul_frac, kana_frac, digit_frac) THEN 'arabic'
+        |       WHEN greek_frac = greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac, greek_frac, hangul_frac, kana_frac, digit_frac) THEN 'greek'
+        |       WHEN hangul_frac = greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac, greek_frac, hangul_frac, kana_frac, digit_frac) THEN 'hangul'
+        |       WHEN kana_frac = greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac, greek_frac, hangul_frac, kana_frac, digit_frac) THEN 'kana'
+        |       ELSE 'digit' END AS dominant_script
+        |FROM m""".stripMargin,
 
     "q_dedup_quality" ->
       """WITH toks AS (

@@ -94,17 +94,17 @@ object Relevance {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: need at least one query term")
     require(k > 0, s"bm25TopK: k must be positive, got $k")
-    val nDocs = df.count().toDouble
     val terms = queryTerms.map(_.toLowerCase).distinct
 
     val toks = df.select(col(idCol), normTokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
+    // N and avgdl in ONE scalar-aggregate job (they were two scans);
     // avg over an empty corpus is null — return an empty (id, score)
     // frame instead of NPE-ing on getDouble
-    val avgdlRow = toks.agg(avg("dl")).head()
-    if (avgdlRow.isNullAt(0))
+    val statsRow = toks.agg(count(lit(1)).cast("double"), avg("dl")).head()
+    if (statsRow.isNullAt(1))
       return df.select(col(idCol), lit(0.0).as("score")).limit(0)
-    val avgdl = avgdlRow.getDouble(0)
+    val (nDocs, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
 
     val termArr = array(terms.map(lit): _*)
     val postings = toks

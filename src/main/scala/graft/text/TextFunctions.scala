@@ -152,4 +152,54 @@ object TextFunctions {
     }
     best._1
   }
+
+  /** The major Unicode script classes [[scriptProfile]] measures, as
+    * (name, Java regex character class). Declaration order is the
+    * dominant-script tiebreak order. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "\\p{IsLatin}",
+    "cyrillic" -> "\\p{IsCyrillic}",
+    "han" -> "\\p{IsHan}",
+    "arabic" -> "\\p{IsArabic}",
+    "greek" -> "\\p{IsGreek}",
+    "hangul" -> "\\p{IsHangul}",
+    "kana" -> "\\p{IsHiragana}\\p{IsKatakana}",
+    "digit" -> "0-9")
+
+  /** Per-document Unicode-SCRIPT profile — the char-level routing
+    * complement of [[langId]] (marker voting separates languages
+    * WITHIN a script; this catches wrong-script and mixed-script docs
+    * with no language profiles at all): the fraction of non-whitespace
+    * characters in each major script class, plus the dominant script
+    * (highest fraction; ties and all-zero rows resolve by
+    * [[scriptClasses]] order and to "other" respectively; empty docs
+    * report "none"). Pure narrow projection — a handful of codegen'd
+    * regex passes per row, zero exchanges; pipelines with the scan at
+    * any corpus size.
+    *
+    * Output: (idCol, n_chars, <script>_frac × 8 rounded 6 dp,
+    * dominant_script). */
+  def scriptProfile(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val body = regexp_replace(col(textCol), "\\s+", "")
+    val n = length(body)
+    val fracs = scriptClasses.map { case (name, cls) =>
+      name -> when(n === 0, 0.0)
+        .otherwise(round(
+          length(regexp_replace(body, s"[^$cls]", "")).cast("double") / n, 6))
+    }
+    val dominant = {
+      val best = fracs.tail.foldLeft((lit(fracs.head._1), fracs.head._2)) {
+        case ((bl, bs), (name, f)) =>
+          (when(f > bs, lit(name)).otherwise(bl), when(f > bs, f).otherwise(bs))
+      }
+      when(n === 0, "none").when(best._2 === 0.0, "other").otherwise(best._1)
+    }
+    df.select(
+      (col(idCol) +: n.cast("long").as("n_chars") +:
+        fracs.map { case (name, f) => f.as(s"${name}_frac") }) :+
+        dominant.as("dominant_script"): _*)
+  }
 }

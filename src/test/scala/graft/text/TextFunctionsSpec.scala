@@ -99,4 +99,30 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(rep(TextFunctions.topTokenFrac, "buy buy buy now") == 0.75)
     assert(rep(TextFunctions.topTokenFrac, "") == 0.0)
   }
+
+  test("scriptProfile: hand-computed fractions, dominance, edge docs") {
+    val docs = Seq(
+      (1L, "hello world"),             // 10 latin chars, all latin
+      (2L, "\u043f\u0440\u0438\u0432\u0435\u0442 ok"), // 6 cyrillic + 2 latin
+      (3L, "12345"),                    // all digits
+      (4L, "   "),                      // empty after whitespace strip
+      (5L, "!!! ???")).toDF("doc_id", "text") // no script chars at all
+    val out = TextFunctions.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 10L)
+    assert(out(1L).getDouble(2) == 1.0)                  // latin_frac
+    assert(out(1L).getString(10) == "latin")
+    assert(out(2L).getDouble(2) == 0.25)                 // 2/8 latin
+    assert(out(2L).getDouble(3) == 0.75)                 // 6/8 cyrillic
+    assert(out(2L).getString(10) == "cyrillic")
+    assert(out(3L).getDouble(9) == 1.0 && out(3L).getString(10) == "digit")
+    assert(out(4L).getLong(1) == 0L && out(4L).getString(10) == "none")
+    assert(out(5L).getString(10) == "other")
+  }
+
+  test("scriptProfile dominance ties break by scriptClasses order") {
+    val docs = Seq((1L, "ab \u0432\u0433")).toDF("doc_id", "text") // 2 latin, 2 cyrillic
+    val r = TextFunctions.scriptProfile(docs, "doc_id", "text").head()
+    assert(r.getString(10) == "latin") // first in declaration order wins ties
+  }
 }

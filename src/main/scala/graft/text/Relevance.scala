@@ -244,10 +244,12 @@ object Relevance {
     * retrieval combiner (lexical + vector lists in RAG stacks) that
     * needs NO score calibration between systems, only ranks. Each
     * input carries (idCol, rankCol with rank 1 = best); a document
-    * missing from a list simply contributes nothing for it. Scores are
-    * rounded to 6 dp and tie-broken by id, so the fused ranking is
-    * engine-portable. Output: (idCol, rrf_score, rank), rank 1 = best,
-    * top `k` rows.
+    * missing from a list simply contributes nothing for it, and a
+    * document appearing more than once WITHIN a list (a malformed
+    * ranking) counts only its best rank rather than summing duplicate
+    * contributions. Scores are rounded to 6 dp and tie-broken by id,
+    * so the fused ranking is engine-portable. Output:
+    * (idCol, rrf_score, rank), rank 1 = best, top `k` rows.
     *
     * Scale shape: the inputs are top-N lists — already bounded — so
     * the union + groupBy shuffles at most lists × N rows and the final
@@ -263,8 +265,8 @@ object Relevance {
     require(k > 0, s"rrfFuse: k must be positive, got $k")
     require(c >= 0.0, s"rrfFuse: c must be >= 0, got $c")
     val contribs = rankings
-      .map(_.select(col(idCol),
-        (lit(1.0) / (lit(c) + col(rankCol).cast("double"))).as("__rrf_c")))
+      .map(_.groupBy(col(idCol)).agg(min(col(rankCol).cast("double")).as("__rrf_r"))
+        .select(col(idCol), (lit(1.0) / (lit(c) + col("__rrf_r"))).as("__rrf_c")))
       .reduce(_ unionByName _)
     contribs.groupBy(idCol)
       .agg(round(sum(col("__rrf_c")), 6).as("rrf_score"))

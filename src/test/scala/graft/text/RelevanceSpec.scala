@@ -175,4 +175,13 @@ class RelevanceSpec extends SparkTestBase {
     assert(out.head == ((2L, 1)))
     assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
   }
+
+  test("rrfFuse: duplicate ids within one list count only their best rank") {
+    val a = Seq((1L, 1), (1L, 3), (2L, 2)).toDF("doc_id", "rnk") // malformed: 1 twice
+    val out = Relevance.rrfFuse(Seq(a), "doc_id", "rnk", k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def rr(r: Int) = BigDecimal(1.0 / (60 + r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(1L -> rr(1), 2L -> rr(2)))
+  }
 }

@@ -1600,6 +1600,24 @@ object SparkEntry {
       dedup.SubstringDedup.substringDupProfile(
         t(s, d, "documents"), "doc_id", "text", k = 8)),
 
+    "q_stream_substring" -> ((s, d) => {
+      // streaming span dedup, batch-equivalence path: the EXACT
+      // foreachBatch body (appendSubstringBatch) over two id-ordered
+      // micro-batches and a real parquet window store — ordered
+      // arrival reproduces the batch operator bit-for-bit, so the
+      // oracle IS q_substring_dedup's SQL
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sss_q").toString
+      Streaming.appendSubstringBatch(docs.filter(col("doc_id") < 250),
+        s"$dir/store", s"$dir/out", 0L, "doc_id", "text", k = 8)
+      Streaming.appendSubstringBatch(docs.filter(col("doc_id") >= 250),
+        s"$dir/store", s"$dir/out", 1L, "doc_id", "text", k = 8)
+      s.read.parquet(s"$dir/out")
+        .select("doc_id", "text_deduped", "n_tokens", "n_removed")
+    }),
+
     "q_substring_dedup_incr" -> ((s, d) => {
       // incremental ingest: docs < 250 are the already-ingested base,
       // the rest arrive as a batch and are span-cleaned against it
@@ -2245,6 +2263,36 @@ object SparkEntry {
         |SELECT trg.doc_id, evg.eval_id, count(*) AS n_shared_grams
         |FROM trg JOIN evg ON trg.g = evg.g
         |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin,
+
+    "q_stream_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (
+        |  SELECT doc_id, u.p AS pos, toks[u.p] AS tok
+        |  FROM toks, unnest(generate_series(1, len(toks))) AS u(p)),
+        |win AS (
+        |  SELECT doc_id, u.s AS start, array_to_string(toks[u.s : u.s + 7], ' ') AS w
+        |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(s)
+        |  WHERE len(toks) >= 8),
+        |dup AS (
+        |  SELECT w, min(doc_id * 100000 + start) AS firstkey
+        |  FROM win GROUP BY w HAVING count(*) > 1),
+        |removed AS (
+        |  SELECT DISTINCT win.doc_id, gs.p AS pos
+        |  FROM win JOIN dup ON win.w = dup.w, unnest(generate_series(win.start, win.start + 7)) AS gs(p)
+        |  WHERE win.doc_id * 100000 + win.start <> dup.firstkey),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = t.doc_id AND r.pos = t.pos)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_deduped, count(*) AS kept_n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  coalesce(reb.text_deduped, '') AS text_deduped,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(reb.kept_n, 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id""".stripMargin,
 
     "q_substring_dedup" ->
       """WITH toks AS (

@@ -61,6 +61,12 @@ import graft.text.TextFunctions.normTokens
   */
 object SubstringDedup {
 
+  /** (id, non-empty token array) projection shared by every entry. */
+  private def tokFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("__sd_id"),
+        normTokens(col(textCol)).as("__sd_toks"))
+      .filter(size(col("__sd_toks")) > 0)
+
   /** (doc, 1-based start, window key) rows; key is the window string
     * (exact) or its native k-gram hash (8 B, scale path). */
   private def windowRows(
@@ -88,11 +94,7 @@ object SubstringDedup {
       hashKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"dedupSubstrings: k must be >= 1, got $k")
 
-    val toks = df
-      .select(col(idCol).cast("long").as("__sd_id"),
-        normTokens(col(textCol)).as("__sd_toks"))
-      .filter(size(col("__sd_toks")) > 0)
-
+    val toks = tokFrame(df, idCol, textCol)
     val windows = windowRows(toks, k, hashKeys)
 
     // duplicated windows + their corpus-wide first occurrence; the
@@ -168,18 +170,40 @@ object SubstringDedup {
       hashKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"dedupSubstringsAgainst: k must be >= 1, got $k")
 
-    def tokFrame(df: DataFrame): DataFrame = df
-      .select(col(idCol).cast("long").as("__sd_id"),
-        normTokens(col(textCol)).as("__sd_toks"))
-      .filter(size(col("__sd_toks")) > 0)
-
-    val newToks = tokFrame(newDocs)
-    val newWindows = windowRows(newToks, k, hashKeys)
-
     // batch-distinct keys broadcast onto ONE base scan; only matched
     // keys (bounded by the batch) come back through an exchange
+    val baseKeys = windowRows(tokFrame(base, idCol, textCol), k, hashKeys)
+      .select(col("__sd_w"))
+    dedupSubstringsAgainstKeys(baseKeys, newDocs, idCol, textCol, k,
+      withinBatch, hashKeys)
+  }
+
+  /** [[dedupSubstringsAgainst]] with the base corpus pre-reduced to its
+    * WINDOW KEYS — the shape an incremental/streaming pipeline holds
+    * between runs (e.g. [[graft.streaming.Streaming]]'s substring
+    * store): 8 B per distinct base window instead of the base text.
+    * `baseKeys`' single column must hold keys built the same way
+    * (`hashKeys` and `k` must match the producer); duplicates in it
+    * are harmless. Plan shape is [[dedupSubstringsAgainst]]'s —
+    * batch-distinct keys broadcast onto one map-side scan of the base
+    * keys, the matched set bounded by the batch. */
+  def dedupSubstringsAgainstKeys(
+      baseKeys: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      withinBatch: Boolean = true,
+      hashKeys: Boolean = false): DataFrame = {
+    require(k >= 1, s"dedupSubstringsAgainstKeys: k must be >= 1, got $k")
+    require(baseKeys.columns.length == 1,
+      s"dedupSubstringsAgainstKeys: baseKeys must have exactly one column, " +
+        s"got ${baseKeys.columns.mkString(", ")}")
+    val newToks = tokFrame(newDocs, idCol, textCol)
+    val newWindows = windowRows(newToks, k, hashKeys)
     val newKeys = newWindows.select(col("__sd_w")).distinct()
-    val matched = windowRows(tokFrame(base), k, hashKeys)
+    val matched = baseKeys
+      .select(col(baseKeys.columns.head).as("__sd_w"))
       .join(broadcast(newKeys), Seq("__sd_w"), "left_semi")
       .select(col("__sd_w")).distinct()
 
@@ -226,6 +250,18 @@ object SubstringDedup {
         coalesce(size(col("__sd_rm")), lit(0)).cast("long").as("n_removed"))
   }
 
+  /** Distinct window keys of a corpus — what an incremental pipeline
+    * persists between runs (feed back via
+    * [[dedupSubstringsAgainstKeys]]). */
+  def windowKeys(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      hashKeys: Boolean = false): DataFrame =
+    windowRows(tokFrame(docs, idCol, textCol), k, hashKeys)
+      .select(col("__sd_w").as("w")).distinct()
+
   /** Span-level duplication profile WITHOUT rewriting text: per doc,
     * window counts and the fraction of its k-token windows that are
     * corpus-duplicated (in any position) — the cheap diagnostic pass a
@@ -241,10 +277,7 @@ object SubstringDedup {
       k: Int = 8,
       hashKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"substringDupProfile: k must be >= 1, got $k")
-    val toks = df
-      .select(col(idCol).cast("long").as("__sd_id"),
-        normTokens(col(textCol)).as("__sd_toks"))
-      .filter(size(col("__sd_toks")) > 0)
+    val toks = tokFrame(df, idCol, textCol)
     val windows = windowRows(toks, k, hashKeys)
       .select(col("__sd_id"), col("__sd_w"))
     val dupW = windows.groupBy("__sd_w")

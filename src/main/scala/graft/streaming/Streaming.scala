@@ -945,6 +945,123 @@ object Streaming {
     toDelete.foreach(st => fs.delete(st.getPath, true))
   }
 
+  // ------- streaming EXACT-SUBSTRING (span) dedup -------
+  //
+  // The streaming extension of graft.dedup.SubstringDedup: every
+  // micro-batch is span-cleaned against ALL window keys the stream has
+  // seen (the parquet window store — 8 B kernel hashes, never the
+  // text), then the batch's own window keys are appended. Same
+  // architecture as the full-recall near-dedup above: the engine's
+  // state store carries NOTHING, exactly-once comes from the
+  // checkpoint plus per-batch-partition idempotent overwrite, and the
+  // per-batch cost is one map-side columnar scan of the key store
+  // (probed by the broadcast batch keys — the store never shuffles).
+  //
+  // Semantics: with micro-batches arriving in id order, the
+  // accumulated output is BIT-IDENTICAL to the batch operator over the
+  // union (the batch keeps the minimum (doc, start) occurrence, which
+  // under ordered arrival always lives in the earliest batch) — the
+  // q_stream_substring oracle IS the batch oracle. Under out-of-order
+  // arrival the first-SEEN span survives instead (inherent to any
+  // streaming dedup; same caveat as nearDedupStreamFullRecall).
+
+  private[graft] val substringStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
+
+  /** The window-key store as a DataFrame — empty-with-schema before
+    * the first write, so every batch's plan has one shape. */
+  def readSubstringStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) spark.read.schema(substringStoreSchema).parquet(storeDir)
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      substringStoreSchema)
+  }
+
+  /** One micro-batch of the streaming span dedup: clean `batch`
+    * (columns `idCol`, `textCol`) against the key store (excluding
+    * this batch's own partition — replay safety, see
+    * [[dedupBatchAgainstStore]]) and within itself, first occurrence
+    * kept. Pure batch function; the [[substringDedupStream]]
+    * foreachBatch body and the oracle's batch-equivalence path both
+    * call exactly this. */
+  def substringDedupBatch(
+      batch: DataFrame,
+      storeDir: String,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    val storeKeys = readSubstringStore(batch.sparkSession, storeDir)
+      .filter(col("batch_id") =!= lit(batchId))
+      .select("w")
+    graft.dedup.SubstringDedup.dedupSubstringsAgainstKeys(
+      storeKeys, batch, idCol, textCol, k, withinBatch = true, hashKeys = true)
+  }
+
+  /** [[substringDedupBatch]] + idempotent store/output append: the
+    * cleaned rows land in `outDir/batch_id=<id>` and the batch's
+    * ORIGINAL distinct window keys in `storeDir/batch_id=<id>`, both
+    * via dynamic partition overwrite so a replay rewrites rather than
+    * doubles. The ORIGINAL keys (not the cleaned text's) enter the
+    * store: a span cut from this batch was still SEEN here or earlier,
+    * and any later occurrence must keep being cut. Reading `outDir` at
+    * any time gives the span-deduped stream so far. */
+  def appendSubstringBatch(
+      batch: DataFrame,
+      storeDir: String,
+      outDir: String,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): Unit = {
+    val cleaned = substringDedupBatch(batch, storeDir, batchId, idCol, textCol, k)
+      .localCheckpoint(eager = true) // the writes must not re-run the clean
+    graft.core.DataFrameOps.smartCoalesce(cleaned)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(outDir)
+    val keys = graft.dedup.SubstringDedup
+      .windowKeys(batch, idCol, textCol, k, hashKeys = true)
+      .localCheckpoint(eager = true)
+    graft.core.DataFrameOps.smartCoalesce(keys)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(storeDir)
+  }
+
+  /** Streaming exact-substring dedup: foreachBatch over
+    * [[appendSubstringBatch]]. `docs` must carry `idCol` (unique
+    * across the stream) and `textCol`. `Trigger.AvailableNow`
+    * (default) terminates after the backlog — the bounded-backfill
+    * mode the spec runs; the output accumulates under `outDir`,
+    * partitioned by micro-batch. */
+  def substringDedupStream(
+      docs: DataFrame,
+      storeDir: String,
+      outDir: String,
+      checkpointDir: String,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) =>
+        appendSubstringBatch(batch.toDF(), storeDir, outDir, batchId,
+          idCol, textCol, k)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(body)
+      .start()
+  }
+
   /** Running per-key event counter with inactivity expiry: state is a
     * single long; keys idle past `timeoutMs` are dropped (bounded state
     * at 100 TB stream scale). Emits (key, runningCount) per batch.

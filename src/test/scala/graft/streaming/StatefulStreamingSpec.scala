@@ -690,4 +690,41 @@ class StatefulStreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("substringDedupStream span-cleans micro-batches through the window store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sss_stream").toString
+    val b0 = Seq((1L, "alpha beta gamma delta unique one"),
+      (2L, "totally different content here now"))
+    val b1 = Seq((10L, "pre alpha beta gamma post here"),   // span from batch 0: cut
+      (11L, "fresh span of text first"),                     // batch-local dup: first kept
+      (12L, "again fresh span of text tail"))
+    b0.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    Thread.sleep(20) // distinct mtimes: the file source orders by them
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val streamed = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = Streaming.substringDedupStream(
+      streamed, s"$dir/store", s"$dir/out", s"$dir/ckpt", "doc_id", "text", k = 3)
+    assert(q.awaitTermination(120000), "stream did not finish within 120 s")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("doc_id", "text_deduped", "n_tokens", "n_removed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val streamedOut = rows(spark.read.parquet(s"$dir/out"))
+    // ordered micro-batches reproduce the batch operator bit-for-bit
+    val batchOut = rows(graft.dedup.SubstringDedup.dedupSubstrings(
+      (b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text", k = 3, hashKeys = true))
+    assert(streamedOut == batchOut, s"stream $streamedOut vs batch $batchOut")
+    assert(streamedOut.exists(r => r._1 == 10L && r._2 == "pre post here" && r._4 == 3L))
+    // the engine's state store carries nothing
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    assert(stateRows == 0L, s"expected stateless plan, got $stateRows state rows")
+    // replaying a batch overwrites its partitions instead of doubling
+    Streaming.appendSubstringBatch(b1.toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/out", 1L, "doc_id", "text", k = 3)
+    assert(rows(spark.read.parquet(s"$dir/out")) == batchOut,
+      "replay must be idempotent")
+  }
 }

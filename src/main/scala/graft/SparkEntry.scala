@@ -791,6 +791,31 @@ object SparkEntry {
         .select(col("doc_id"), col("doc_len"))
     }),
 
+    "q_pii_profile" -> ((s, d) =>
+      // audit counterpart of q_scrub over the SAME injected frame:
+      // count, don't rewrite
+      text.TextFunctions.piiProfile(
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .withColumn("x", when(col("doc_id") % 10 === 0,
+            concat(col("text"),
+              lit(" contact bob@example.com via https://ex.io/a?k=12345 ref 99887766551")))
+            .otherwise(col("text"))),
+        "doc_id", "x")),
+
+    "q_mix_tokens" -> ((s, d) => {
+      // token-budget corpus mix: half of src0's ~1.4k tokens, all of
+      // src1 (budget above its total), none of src2 (budget 0)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+      def src(name: String) = docs.filter(col("source") === name)
+      core.Sampling.mixCorporaByTokens(
+        Seq(("src0", src("src0"), 700L), ("src1", src("src1"), 2000L),
+          ("src2", src("src2"), 0L)),
+        "doc_id", "text", salt = "mx")
+        .select(col("doc_id"), col("source"))
+    }),
+
     "q_scrub" -> ((s, d) =>
       // PII scrub over documents, with synthetic URL/email/number spans
       // injected into every 10th doc so the masks are exercised
@@ -2787,6 +2812,41 @@ object SparkEntry {
         |  SELECT doc_id, doc_len, row_number() OVER (
         |    PARTITION BY cluster ORDER BY doc_len DESC, doc_id) AS rn FROM lab)
         |SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len FROM rep WHERE rn = 1""".stripMargin,
+
+    "q_pii_profile" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CASE WHEN CAST(doc_id AS BIGINT) % 10 = 0
+        |      THEN text || ' contact bob@example.com via https://ex.io/a?k=12345 ref 99887766551'
+        |      ELSE text END AS x
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(x, 'https?://\S+')) AS BIGINT) AS n_urls,
+        |    CAST(len(regexp_extract_all(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(x, '[0-9]{7,}')) AS BIGINT) AS n_numbers
+        |  FROM t)
+        |SELECT doc_id, n_urls, n_emails, n_numbers,
+        |  (n_urls + n_emails + n_numbers) > 0 AS any_pii FROM m""".stripMargin,
+
+    "q_mix_tokens" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |r AS (
+        |  SELECT source,
+        |    round(least(1.0, CAST(CASE source WHEN 'src0' THEN 700
+        |                                      WHEN 'src1' THEN 2000
+        |                                      ELSE 0 END AS DOUBLE)
+        |      / greatest(CAST(sum(ntok) AS DOUBLE), 1.0)), 6) AS rate
+        |  FROM d GROUP BY source)
+        |SELECT d.doc_id, d.source
+        |FROM d JOIN r USING (source)
+        |WHERE r.rate >= 1.0 OR
+        |  substr(md5('mx' || d.source || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |    printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))""".stripMargin,
 
     "q_scrub" ->
       """WITH t AS (

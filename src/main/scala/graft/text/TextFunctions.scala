@@ -60,6 +60,33 @@ object TextFunctions {
     regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
   }
 
+  /** PII/noise AUDIT — the measuring counterpart of [[scrubText]]:
+    * per-document match counts for the same three patterns (URLs,
+    * emails, 7+-digit runs), counted INDEPENDENTLY on the raw text
+    * (scrubText replaces sequentially, so an email inside a URL query
+    * string scrubs as one URL but counts under both patterns here),
+    * plus an `any_pii` flag. The decide-before-rewriting pass: profile
+    * the corpus with this narrow zero-exchange projection, route only
+    * the flagged slice through the scrub rewrite. Patterns use no
+    * lookaround — Java regex and RE2 agree, so counts are
+    * oracle-checkable. Output: (idCol, n_urls, n_emails, n_numbers,
+    * any_pii). */
+  def piiProfile(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val urls = regexp_count(t, lit("https?://\\S+"))
+    val emails = regexp_count(t,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+    val nums = regexp_count(t, lit("[0-9]{7,}"))
+    df.select(col(idCol),
+      urls.cast("long").as("n_urls"),
+      emails.cast("long").as("n_emails"),
+      nums.cast("long").as("n_numbers"),
+      (urls + emails + nums > 0).as("any_pii"))
+  }
+
   /** Quality score in [0,1]: blends length, punctuation density,
     * stopword ratio and mean token length — the standard cheap quality
     * heuristics applied before LLM training. Deterministic arithmetic.

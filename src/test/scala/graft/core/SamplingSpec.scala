@@ -320,4 +320,31 @@ class SamplingSpec extends SparkTestBase {
     assert(a.size == 1 && a == b && b == c,
       s"duplicate survivor depends on partitioning: $a vs $b vs $c")
   }
+
+  test("mixCorporaByTokens: per-source rates from token budgets, deterministic") {
+    // source a: 100 docs x 10 tokens = 1000 tokens, budget 250 -> rate 0.25
+    // source b: 50 docs, budget above total -> keep all
+    // source c: budget 0 -> drop all
+    val a = (1L to 100L).map(i => (i, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("id", "text")
+    val b = (201L to 250L).map(i => (i, "w1 w2 w3 w4")).toDF("id", "text")
+    val c = (301L to 320L).map(i => (i, "x1 x2")).toDF("id", "text")
+    val out = Sampling.mixCorporaByTokens(
+      Seq(("a", a, 250L), ("b", b, 10000L), ("c", c, 0L)), "id", "text", "s")
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("b") == 50L)
+    assert(!bySrc.contains("c"))
+    val na = bySrc.getOrElse("a", 0L)
+    assert(na > 100 * 0.25 * 0.4 && na < 100 * 0.25 * 2.2,
+      s"source a kept $na of ~25 expected docs")
+    // deterministic and partitioning-stable
+    val again = Sampling.mixCorporaByTokens(
+      Seq(("a", a.repartition(7), 250L), ("b", b, 10000L), ("c", c, 0L)),
+      "id", "text", "s")
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // expected token mass of the kept sample ~ budget
+    val toks = out.filter($"source" === "a").count() * 10
+    assert(toks == na * 10)
+  }
 }

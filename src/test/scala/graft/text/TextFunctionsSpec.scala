@@ -125,4 +125,19 @@ class TextFunctionsSpec extends SparkTestBase {
     val r = TextFunctions.scriptProfile(docs, "doc_id", "text").head()
     assert(r.getString(10) == "latin") // first in declaration order wins ties
   }
+
+  test("piiProfile counts independently and agrees with scrubText's patterns") {
+    val docs = Seq(
+      (1L, "visit https://a.io/x and https://b.io/y mail me bob@x.co num 12345678"),
+      (2L, "clean text with short 123 number"),
+      (3L, "https://u.io/q?email=a@b.co")).toDF("doc_id", "text")
+    val out = TextFunctions.piiProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2L, 1L, 1L, true)))
+    assert(out(2L) == ((0L, 0L, 0L, false)))
+    // the email inside the URL counts under BOTH patterns (independent
+    // counting; scrubText would rewrite it as one URL)
+    assert(out(3L) == ((1L, 1L, 0L, true)))
+  }
 }

@@ -1034,12 +1034,51 @@ object Streaming {
       .mode("overwrite").parquet(storeDir)
   }
 
+  /** Fold the window store's committed-batch partitions into one —
+    * the [[compactFullRecallStore]] analogue for the substring store:
+    * bounds FILE count for long-running streams, and the distinct
+    * pass heals duplicate keys across batches (every batch writes its
+    * own windows, so spans recurring across batches store one key per
+    * batch until folded). Only partitions at or below `upToBatchId`
+    * (the checkpoint's committed bound — never the running batch) are
+    * touched. */
+  def compactSubstringStore(
+      spark: SparkSession, storeDir: String, upToBatchId: Long): Unit = {
+    require(upToBatchId >= 0,
+      s"compactSubstringStore: upToBatchId must be >= 0, got $upToBatchId")
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(storePath)) return
+    val toDelete = fs.listStatus(storePath).iterator
+      .filter(_.isDirectory)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("batch_id=") && {
+          val v = n.stripPrefix("batch_id=")
+          v.forall(_.isDigit) && v.toLong < upToBatchId
+        }
+      }.toSeq
+    if (toDelete.isEmpty) return
+    val compacted = readSubstringStore(spark, storeDir)
+      .filter(col("batch_id") <= upToBatchId)
+      .select("w").distinct() // cross-batch duplicate keys fold to one
+      .localCheckpoint(eager = true) // the write must not read its target
+    graft.core.DataFrameOps.smartCoalesce(compacted)
+      .withColumn("batch_id", lit(upToBatchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(storeDir)
+    toDelete.foreach(st => fs.delete(st.getPath, true))
+  }
+
   /** Streaming exact-substring dedup: foreachBatch over
     * [[appendSubstringBatch]]. `docs` must carry `idCol` (unique
     * across the stream) and `textCol`. `Trigger.AvailableNow`
     * (default) terminates after the backlog — the bounded-backfill
     * mode the spec runs; the output accumulates under `outDir`,
-    * partitioned by micro-batch. */
+    * partitioned by micro-batch. `compactEveryNBatches` > 0 folds the
+    * window store in-stream under the committed-batch safety bound
+    * (same contract as [[nearDedupStreamFullRecall]]'s knob). */
   def substringDedupStream(
       docs: DataFrame,
       storeDir: String,
@@ -1049,12 +1088,24 @@ object Streaming {
       textCol: String,
       k: Int = 8,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      compactEveryNBatches: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEveryNBatches >= 0,
+      s"substringDedupStream: compactEveryNBatches must be >= 0 " +
+        s"(0 disables), got $compactEveryNBatches")
     val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, batchId) =>
+      (batch, batchId) => {
         appendSubstringBatch(batch.toDF(), storeDir, outDir, batchId,
           idCol, textCol, k)
+        if (compactEveryNBatches > 0 && batchId > 0 &&
+            batchId % compactEveryNBatches == 0) {
+          lastCommittedBatchId(batch.sparkSession, checkpointDir)
+            .filter(_ >= 0)
+            .foreach(upTo => compactSubstringStore(
+              batch.sparkSession, storeDir, math.min(upTo, batchId - 1)))
+        }
+      }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

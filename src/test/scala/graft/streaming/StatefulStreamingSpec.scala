@@ -727,4 +727,43 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(rows(spark.read.parquet(s"$dir/out")) == batchOut,
       "replay must be idempotent")
   }
+
+  test("substringDedupStream auto-compaction folds the window store mid-stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sss_auto").toString
+    // four single-file batches; batch 3's doc repeats batch 0's span, so
+    // the cut must keep working against the FOLDED store
+    val files = Seq(
+      Seq((1L, "alpha beta gamma delta start")),
+      Seq((2L, "entirely different words here")),
+      Seq((3L, "more unrelated content again")),
+      Seq((10L, "pre alpha beta gamma post")))
+    files.foreach { rows =>
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/in")
+      Thread.sleep(20) // distinct mtimes: the file source orders by them
+    }
+    val streamed = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = Streaming.substringDedupStream(
+      streamed, s"$dir/store", s"$dir/out", s"$dir/ckpt", "doc_id", "text",
+      k = 3, compactEveryNBatches = 2)
+    assert(q.awaitTermination(120000), "stream did not finish within 120 s")
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "text_deduped").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "pre post",
+      s"batch-3 span must be cut against the folded store, got ${out(10L)}")
+    // the fold at batch 2 (bound 1) left partitions {1, 2, 3} at most;
+    // partition 0 must be gone and the full key set preserved
+    val parts = Streaming.readSubstringStore(spark, s"$dir/store")
+      .select("batch_id").distinct().as[Long].collect().sorted.toSeq
+    assert(!parts.contains(0L), s"partition 0 should be folded away, got $parts")
+    val allKeys = Streaming.readSubstringStore(spark, s"$dir/store")
+      .select("w").distinct().count()
+    val expectKeys = graft.dedup.SubstringDedup.windowKeys(
+      files.flatten.toDF("doc_id", "text"), "doc_id", "text", k = 3,
+      hashKeys = true).count()
+    assert(allKeys == expectKeys, "compaction must preserve the key set")
+  }
 }

@@ -75,7 +75,8 @@ object TextFunctions {
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val t = col(textCol)
+    // null text profiles as empty (all counts 0), not as null counts
+    val t = coalesce(col(textCol), lit(""))
     val urls = regexp_count(t, lit("https?://\\S+"))
     val emails = regexp_count(t,
       lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
@@ -210,7 +211,8 @@ object TextFunctions {
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val body = regexp_replace(col(textCol), "\\s+", "")
+    // null text profiles as the empty doc ("none"), not as null fracs
+    val body = regexp_replace(coalesce(col(textCol), lit("")), "\\s+", "")
     val n = length(body)
     val fracs = scriptClasses.map { case (name, cls) =>
       name -> when(n === 0, 0.0)

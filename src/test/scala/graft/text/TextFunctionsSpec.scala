@@ -140,4 +140,14 @@ class TextFunctionsSpec extends SparkTestBase {
     // counting; scrubText would rewrite it as one URL)
     assert(out(3L) == ((1L, 1L, 0L, true)))
   }
+
+  test("piiProfile and scriptProfile treat null text as empty, not null output") {
+    val docs = Seq((1L, null: String), (2L, "plain text")).toDF("doc_id", "text")
+    val pii = TextFunctions.piiProfile(docs, "doc_id", "text")
+      .filter($"doc_id" === 1L).head()
+    assert(pii.getLong(1) == 0L && !pii.getBoolean(4))
+    val sp = TextFunctions.scriptProfile(docs, "doc_id", "text")
+      .filter($"doc_id" === 1L).head()
+    assert(sp.getLong(1) == 0L && sp.getString(10) == "none")
+  }
 }

@@ -107,7 +107,7 @@ object Plans {
     "q_cdc_apply" ->
       "CDC apply: the changeset reduces to one winning event per key via per-column scalar max_by — a partial/final SortAggregate (string payloads keep max_by sort-based; the sort is partition-LOCAL and the map-side combine still ships one candidate per key per task), then ONE outer join applies it. Unlike the window formulation, no task ever materialises a whole hot key's events.",
     "q_substring_dedup" ->
-      "Exact span dedup: duplicate discovery is ONE exchange keyed on the window string with partial_count/partial_min map-side combine — unique windows (the bulk) die in the partial agg; only duplicated windows explode into covered positions, so the (doc, pos) left_anti join is bounded by true duplication volume; reassembly aggregates at corpus grain.",
+      "Exact span dedup: duplicate discovery is ONE exchange keyed on the window with partial_count/partial_min map-side combine — unique windows (the bulk) die in the partial agg; only duplicated windows explode into covered positions, collect_set-folded to one removal array per AFFECTED doc (broadcast back); reassembly is a narrow in-place array filter — no token explode, no anti-join, no collect_list anywhere.",
     "q_hybrid_search" ->
       "RRF hybrid retrieval: both candidate lists are bounded before fusion — BM25 ends in TakeOrderedAndProject and the cosine list likewise — so the fusion union/groupBy moves at most lists x N rows; the corpus appears only inside the two retriever subplans.",
   )

@@ -1167,6 +1167,31 @@ object SparkEntry {
           col("event_type"), col("n_events"),
           round(col("sum_value"), 6).as("sum_value"))),
 
+    "q_stream_distinct" -> ((s, d) => {
+      // windowed HLL distinct (distinct users per hour per type) at
+      // O(sketch) state — estimates are partial-merge-shape-dependent
+      // within HLL error, so the oracle pins the CONTRACT: window set
+      // complete + every estimate within 5·RSE of exact
+      val ev = eventsDf(s, d)
+      val approx = Streaming.windowedDistinctCounts(
+        ev, "ts", "event_type", "user_id", "1 hour", lgK = 12)
+      val exact = ev
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("exact_distinct"))
+      val rse = 1.04 / math.sqrt(1 << 12)
+      approx.join(exact, Seq("window_start", "event_type"), "full_outer")
+        .agg(
+          count(lit(1)).as("n_windows"),
+          (sum(when(col("approx_distinct").isNull ||
+            col("exact_distinct").isNull, 1L).otherwise(0L)) === 0L)
+            .as("windows_complete"),
+          (max(abs(col("approx_distinct") - col("exact_distinct")) /
+            greatest(col("exact_distinct").cast("double"), lit(1.0))) <=
+            lit(5.0 * rse)).as("within_error"))
+    }),
+
     "q_sliding" -> ((s, d) =>
       Streaming.slidingAgg(eventsDf(s, d), "ts", "event_type", "1 hour", "30 minutes")
         .select(col("window_start").cast("long").as("window_start"),
@@ -3070,6 +3095,12 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |unnest(generate_series(0, CAST(octet_length(encode(text)) // 64 AS BIGINT))) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "q_stream_distinct" ->
+      """SELECT CAST((SELECT count(*) FROM (
+        |    SELECT DISTINCT date_trunc('hour', ts), event_type FROM events)) AS BIGINT)
+        |  AS n_windows,
+        |TRUE AS windows_complete, TRUE AS within_error""".stripMargin,
 
     "q_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

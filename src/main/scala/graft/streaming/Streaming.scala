@@ -29,6 +29,40 @@ object Streaming {
         col("window.end").as("window_end"), col(keyCol),
         col("n_events"), col("sum_value"))
 
+  /** Distinct-count per tumbling event-time window at O(sketch) state
+    * — "distinct users per hour per event type" as ONE windowed HLL
+    * aggregation. The exact formulation (`count_distinct` behind a
+    * window) keeps a state row per DISTINCT VALUE per open window —
+    * corpus-cardinality streaming state, the thing that OOMs at 100 TB
+    * — while the sketch keeps ≤ 2^lgK registers per (window, key)
+    * whatever the value cardinality (the batch-side evidence is
+    * SCALE.md's hll_distinct row: 1,572× shuffle cut). Same plan batch
+    * and stream: groupBy(window, key) + hll_sketch_agg; run it behind
+    * `withWatermark` on a stream and append mode emits each window
+    * once the watermark passes. Estimates carry the standard HLL
+    * relative error (~1.04/√2^lgK) and — like any distributed HLL —
+    * depend on partial-merge shape only within that error, so pin
+    * CONTRACTS (within-error vs exact), not bit-equality.
+    *
+    * Output: (window_start, window_end, keyCol, approx_distinct). */
+  def windowedDistinctCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21,
+      s"windowedDistinctCounts: lgK must be in [4, 21], got $lgK")
+    events
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK)))
+        .as("approx_distinct"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol),
+        col("approx_distinct"))
+  }
+
   /** Stage 1 of the two-stage drift monitor: per-(window, category)
     * counts — a SINGLE stateful aggregation, so it runs unchanged as a
     * watermarked streaming query (append mode emits each window once

@@ -116,4 +116,41 @@ class StreamingSpec extends SparkTestBase {
       Streaming.decontaminateStream(docs, evalDf, "text", n = 3, maxDriverGrams = 2))
     assert(e.getMessage.contains("maxDriverGrams"))
   }
+
+  test("windowedDistinctCounts: small windows exact, stream agrees with batch contract") {
+    // 3 distinct users for key a in the 10:00 window (u1 twice), 1 in 11:00
+    val ev = Seq(
+      (ts("2024-01-01 10:05:00"), "a", "u1"),
+      (ts("2024-01-01 10:15:00"), "a", "u1"),
+      (ts("2024-01-01 10:25:00"), "a", "u2"),
+      (ts("2024-01-01 10:50:00"), "a", "u3"),
+      (ts("2024-01-01 11:10:00"), "a", "u9"),
+      (ts("2024-01-01 10:20:00"), "b", "u1")
+    ).toDF("ts", "key", "uid")
+    val out = Streaming.windowedDistinctCounts(ev, "ts", "key", "uid", "1 hour")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(2)) -> r.getLong(3)).toMap
+    // at these cardinalities the sketch is in sparse mode: exact
+    assert(out == Map(
+      ("2024-01-01 10:00:00.0", "a") -> 3L,
+      ("2024-01-01 11:00:00.0", "a") -> 1L,
+      ("2024-01-01 10:00:00.0", "b") -> 1L))
+
+    // same plan behind a watermark on a real stream: window set matches
+    // the batch run and every estimate stays within HLL error of exact
+    val dir = java.nio.file.Files.createTempDirectory("graft_wdc").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val streamed = Streaming.readParquetStream(spark, dir, ev.schema, "ts", "10 minutes")
+    val streamRes = Streaming.runStreamToMemory(spark,
+      Streaming.windowedDistinctCounts(streamed, "ts", "key", "uid", "1 hour"),
+      "graft_wdc_test")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(2)) -> r.getLong(3)).toMap
+    assert(streamRes.keySet == out.keySet)
+    streamRes.foreach { case (k, est) =>
+      val exact = out(k)
+      assert(math.abs(est - exact) <= math.max(1L, math.ceil(exact * 0.1).toLong),
+        s"window $k estimate $est vs exact $exact")
+    }
+    intercept[IllegalArgumentException](
+      Streaming.windowedDistinctCounts(ev, "ts", "key", "uid", "1 hour", lgK = 2))
+  }
 }

@@ -1006,6 +1006,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Leakage-safe train/val/test split: every member of a
+    * near-duplicate CLUSTER lands in the SAME split. Splitting rows
+    * independently lets a training document's near-copy sit in the
+    * test set and leak evaluation signal — the dedup-side failure mode
+    * of naive splitting; here the split key is the cluster
+    * REPRESENTATIVE (minimum reachable id over `pairs`, via
+    * [[duplicateClusters]]), hashed through
+    * [[graft.core.Sampling.deterministicSplit]]'s md5 rule. Rows
+    * outside the pair graph split independently by their own id.
+    * Deterministic across runs/engines/partitionings, and stable as
+    * the corpus grows while cluster representatives persist.
+    *
+    * Scale shape: star-contraction clustering over the pair graph
+    * (true-duplicate-sized; driver union-find short-circuit under
+    * `duplicateClusters`' edge bound), ONE join of the cluster map
+    * onto the corpus (AQE broadcasts it when small), then the narrow
+    * md5 labeling — no corpus-grain state beyond the join. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      salt: String = "",
+      splitCol: String = "split"): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .select(col("id").as("__graft_cid"), col("cluster_id"))
+    val keyed = df
+      .join(clusters, col(idCol).cast("long") === col("__graft_cid"), "left")
+      .withColumn("__graft_skey",
+        coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .drop("__graft_cid", "cluster_id")
+    graft.core.Sampling
+      .deterministicSplit(keyed, "__graft_skey", splits, salt, splitCol)
+      .drop("__graft_skey")
+  }
+
   /** Candidate-pair QUALITY evaluation — precision/recall of any
     * blocked near-duplicate pair generator (MinHash/SimHash/window-
     * sharing/...) against the exact all-pairs n-gram Jaccard ground

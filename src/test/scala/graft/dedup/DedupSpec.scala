@@ -485,4 +485,27 @@ class DedupSpec extends SparkTestBase {
     val r2 = Dedup.pairQuality(docs, none, "text", "id", n = 3, threshold = 0.8).head()
     assert(r2.getLong(0) == 0L && r2.getDouble(3) == 1.0 && r2.getDouble(4) == 0.0)
   }
+
+  test("leakageSafeSplit: cluster members share a split, chains included") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // chain 1-2-5 (transitive), pair 7-8, everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplit(docs, "id", pairs,
+      Seq("train" -> 0.5, "test" -> 0.5), salt = "s9")
+    assert(out.count() == 200, "every row must be labeled")
+    val byId = out.select("id", "split").as[(Long, String)].collect().toMap
+    assert(Set(byId(1L), byId(2L), byId(5L)).size == 1, "chain must share a split")
+    assert(byId(7L) == byId(8L))
+    // split key is the cluster representative: singleton rows match a
+    // plain deterministicSplit under the same salt
+    val plain = graft.core.Sampling.deterministicSplit(
+      docs.filter($"id" > 10), "id", Seq(("train", 0.5), ("test", 0.5)), "s9")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    plain.foreach { case (id, sp) => assert(byId(id) == sp) }
+    // partitioning-stable
+    val again = Dedup.leakageSafeSplit(docs.repartition(13), "id",
+      pairs.repartition(3), Seq("train" -> 0.5, "test" -> 0.5), salt = "s9")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(again == byId)
+  }
 }

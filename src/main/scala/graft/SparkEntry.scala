@@ -978,6 +978,20 @@ object SparkEntry {
           concat_ws(",", col("qvec")).as("qvec_csv"))),
 
     // ------------------------------------------------- similarity
+    "q_matryoshka" -> ((s, d) => {
+      // MRL serving tier: brute-force top-5 over 16-dim truncated +
+      // renormed prefixes — cosine over renormed prefixes equals
+      // cosine over raw prefixes, which is what the oracle computes
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val tr = Similarity.truncateNormalize(emb, "v", dims = 16)
+      Similarity.bruteForceTopK(tr, tr.filter(col("vec_id") < 10), "vec_id", "v", k = 5)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
+    }),
+
     "q_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -3093,6 +3107,16 @@ object SparkEntry {
         |  array_to_string(CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
         |       ELSE list_transform(e, x -> CAST(round(x / scale) AS INTEGER)) END, ',') AS qvec_csv
         |FROM s""".stripMargin,
+
+    "q_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[])[1:16] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[])[1:16] AS cv FROM embeddings),
+        |s AS (SELECT query_id, corpus_id, list_cosine_similarity(qv, cv) AS sim
+        |      FROM q CROSS JOIN c WHERE query_id <> corpus_id),
+        |r AS (SELECT query_id, corpus_id, sim,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rnk FROM s)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id,
+        |  round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -23,6 +23,34 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Matryoshka truncation (MRL, Kusupati et al., NeurIPS 2022): keep
+    * the first `dims` dimensions of `vecCol`, L2-renormalised — the
+    * serving pattern where one nested-prefix embedding model feeds
+    * multiple cost tiers, and a dims/D-width prefix scan approximates
+    * the full-dim ranking (cosine over renormed prefixes EQUALS cosine
+    * over raw prefixes, so ranking quality is purely the model's
+    * prefix-nesting property). Zero-vector prefixes pass through
+    * un-divided; vectors shorter than `dims` keep their full length
+    * (slice semantics). Narrow projection, zero exchanges — at corpus
+    * scale this is a dims/D scan-width cut before any ANN machinery,
+    * composable with [[graft.similarity.Pq]] on the truncated space. */
+  def truncateNormalize(
+      df: org.apache.spark.sql.DataFrame,
+      vecCol: String,
+      dims: Int,
+      outCol: String = ""): org.apache.spark.sql.DataFrame = {
+    require(dims >= 1, s"truncateNormalize: dims must be >= 1, got $dims")
+    val out = if (outCol.isEmpty) vecCol else outCol
+    val sliced = slice(col(vecCol).cast("array<double>"), 1, dims)
+    val n = sqrt(aggregate(sliced, lit(0.0), (acc, x) => acc + x * x))
+    // HOF note: the norm sub-expression re-evaluates per element (the
+    // Pq.l2normalize caveat) — dims × the slice-sum per row, fine at
+    // MRL's small dims; for large-dims hot paths normalise in-kernel
+    // like the PQ encoder does.
+    df.withColumn(out,
+      when(n === 0.0, sliced).otherwise(transform(sliced, x => x / n)))
+  }
+
   /** Cosine similarity of two vector columns — native single-pass
     * kernel (array<float|double> inputs); FP-order-identical to the
     * HOF form [[cosineHof]], which is kept for generic numeric arrays

@@ -139,4 +139,30 @@ class SimilaritySpec extends SparkTestBase {
     // only (1,2) has cosine >= 0.9 in this fixture
     assert(out.forall { case (a, b, sim) => (a, b) == (1L, 2L) && sim > 0.9 })
   }
+
+  test("truncateNormalize: unit prefixes, cosine invariance, zero/short vectors") {
+    val vs = Seq(
+      (1L, Array(3.0, 4.0, 100.0, -7.0)),
+      (2L, Array(0.0, 0.0, 5.0, 5.0)),   // zero PREFIX at dims=2
+      (3L, Array(1.0)))                   // shorter than dims
+      .toDF("id", "v")
+    val out = Similarity.truncateNormalize(vs, "v", dims = 2, outCol = "t")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(math.abs(out(1L).map(x => x * x).sum - 1.0) < 1e-12)
+    assert(math.abs(out(1L)(0) - 0.6) < 1e-12 && math.abs(out(1L)(1) - 0.8) < 1e-12)
+    assert(out(2L) == Seq(0.0, 0.0), "zero prefix passes through un-divided")
+    assert(out(3L) == Seq(1.0), "short vectors keep their full length")
+    // cosine over renormed prefixes == cosine over raw prefixes
+    val rnd = new scala.util.Random(5L)
+    val many = (1L to 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian()))).toDF("id", "v")
+    val tr = Similarity.truncateNormalize(many, "v", 4, "t")
+    val a = Similarity.bruteForceTopK(tr.select($"id", $"t".as("v")),
+        tr.filter($"id" <= 3).select($"id", $"t".as("v")), "id", "v", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val raw = many.select($"id", org.apache.spark.sql.functions.slice($"v", 1, 4).as("v"))
+    val b = Similarity.bruteForceTopK(raw, raw.filter($"id" <= 3), "id", "v", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b, "renormalisation must not change the cosine ranking")
+    intercept[IllegalArgumentException](Similarity.truncateNormalize(vs, "v", 0))
+  }
 }

@@ -978,6 +978,20 @@ object SparkEntry {
           concat_ws(",", col("qvec")).as("qvec_csv"))),
 
     // ------------------------------------------------- similarity
+    "q_embedding_drift" -> ((s, d) => {
+      // encoder/mix shift monitor: first half of the embedding table
+      // as reference, second half (with a deterministic +0.05 shift on
+      // the first dimension) as current — both metrics must move
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val ref = emb.filter(col("vec_id") < 250)
+      val cur = emb.filter(col("vec_id") >= 250)
+        .select(col("vec_id"),
+          transform(col("v"), (x, i) => when(i === 0, x + 0.05).otherwise(x)).as("v"))
+      core.Drift.embeddingDrift(ref, cur, "v")
+    }),
+
     "q_matryoshka" -> ((s, d) => {
       // MRL serving tier: brute-force top-5 over 16-dim truncated +
       // renormed prefixes — cosine over renormed prefixes equals
@@ -3107,6 +3121,21 @@ object SparkEntry {
         |  array_to_string(CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
         |       ELSE list_transform(e, x -> CAST(round(x / scale) AS INTEGER)) END, ',') AS qvec_csv
         |FROM s""".stripMargin,
+
+    "q_embedding_drift" ->
+      """WITH r AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 250),
+        |c AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END) AS v
+        |      FROM embeddings WHERE vec_id >= 250),
+        |cr AS (SELECT gs.p AS p, avg(v[gs.p]) AS m FROM r, unnest(generate_series(1, len(v))) AS gs(p) GROUP BY 1),
+        |cc AS (SELECT gs.p AS p, avg(v[gs.p]) AS m FROM c, unnest(generate_series(1, len(v))) AS gs(p) GROUP BY 1),
+        |cz AS (SELECT sum(cr.m * cc.m) / (sqrt(sum(cr.m * cr.m)) * sqrt(sum(cc.m * cc.m))) AS cos
+        |       FROM cr JOIN cc USING (p)),
+        |sr AS (SELECT count(*) AS n_ref, avg(sqrt(list_sum(list_transform(v, x -> x * x)))) AS mn FROM r),
+        |sc AS (SELECT count(*) AS n_cur, avg(sqrt(list_sum(list_transform(v, x -> x * x)))) AS mn FROM c)
+        |SELECT CAST(sr.n_ref AS BIGINT) AS n_ref, CAST(sc.n_cur AS BIGINT) AS n_cur,
+        |  round(cz.cos, 6) AS centroid_cosine,
+        |  round(sr.mn, 6) AS mean_norm_ref, round(sc.mn, 6) AS mean_norm_cur
+        |FROM sr, sc, cz""".stripMargin,
 
     "q_matryoshka" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[])[1:16] AS qv FROM embeddings WHERE vec_id < 10),

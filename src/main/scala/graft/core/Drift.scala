@@ -320,4 +320,50 @@ object Drift {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     Seq((tr, tc, Some(rounded))).toDF("n_ref", "n_cur", "ks_stat")
   }
+
+  /** EMBEDDING drift — the drift family extended to vector columns:
+    * compare a current embedding set against a reference via (a) the
+    * cosine between the two mean vectors (semantic-centre shift — the
+    * first thing that moves when an upstream encoder or corpus mix
+    * changes) and (b) the mean L2 norms of each side (scale/collapse
+    * shift, invisible to the centroid cosine). Route the per-row norm
+    * through [[numericDrift]] for a binned PSI when a distributional
+    * read is needed; this op is the cheap always-on monitor.
+    *
+    * Scale shape: per-row norms are a narrow projection; each centroid
+    * is ONE exchange at DIMENSION cardinality (dim rows, whatever the
+    * corpus size); the final combine crosses three ≤dim-row frames.
+    * An empty side yields null metrics (nothing to compare) rather
+    * than throwing — callers gate on n_ref/n_cur.
+    *
+    * Output (one row): n_ref, n_cur, centroid_cosine, mean_norm_ref,
+    * mean_norm_cur (round 6). */
+  def embeddingDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      vecCol: String): DataFrame = {
+    def parts(df: DataFrame, tag: String): (DataFrame, DataFrame) = {
+      val v = col(vecCol).cast("array<double>")
+      val perRow = df.select(v.as("__ed_v"),
+        sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)).as("__ed_n"))
+      val scalar = perRow.agg(count(lit(1)).as(s"n_$tag"),
+        avg(col("__ed_n")).as(s"__ed_mn_$tag"))
+      val centroid = perRow
+        .select(posexplode(col("__ed_v")).as(Seq("__ed_p", "__ed_x")))
+        .groupBy("__ed_p").agg(avg(col("__ed_x")).as(s"__ed_m_$tag"))
+      (scalar, centroid)
+    }
+    val (sRef, cRef) = parts(ref, "ref")
+    val (sCur, cCur) = parts(cur, "cur")
+    val cos = cRef.join(cCur, "__ed_p")
+      .agg((sum(col("__ed_m_ref") * col("__ed_m_cur")) /
+        (sqrt(sum(col("__ed_m_ref") * col("__ed_m_ref"))) *
+          sqrt(sum(col("__ed_m_cur") * col("__ed_m_cur")))))
+        .as("__ed_cos"))
+    sRef.crossJoin(sCur).crossJoin(cos)
+      .select(col("n_ref"), col("n_cur"),
+        round(col("__ed_cos"), 6).as("centroid_cosine"),
+        round(col("__ed_mn_ref"), 6).as("mean_norm_ref"),
+        round(col("__ed_mn_cur"), 6).as("mean_norm_cur"))
+  }
 }

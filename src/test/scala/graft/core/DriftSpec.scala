@@ -140,4 +140,22 @@ class DriftSpec extends SparkTestBase {
     assert(fast == naive, s"fast=$fast naive=$naive")
     assert(fast > 0.1 && fast < 0.4, s"shifted gaussians: $fast")
   }
+
+  test("embeddingDrift: hand-computed centroid cosine and norms, identity, empty side") {
+    val ref = Seq(Array(1.0, 0.0), Array(0.0, 1.0)).toDF("v")
+    val cur = Seq(Array(1.0, 0.0), Array(1.0, 0.0)).toDF("v")
+    val r = Drift.embeddingDrift(ref, cur, "v").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    // centroids (0.5, 0.5) vs (1, 0): cos = 0.5 / (sqrt(0.5) * 1)
+    assert(math.abs(r.getDouble(2) - BigDecimal(0.5 / math.sqrt(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    // identical sets: cosine exactly 1, norms equal
+    val same = Drift.embeddingDrift(ref, ref, "v").head()
+    assert(same.getDouble(2) == 1.0)
+    // empty side: null metrics, counts intact
+    val empty = Seq.empty[Array[Double]].toDF("v")
+    val e = Drift.embeddingDrift(ref, empty, "v").head()
+    assert(e.getLong(0) == 2L && e.getLong(1) == 0L && e.isNullAt(2) && e.isNullAt(4))
+  }
 }

@@ -693,6 +693,21 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text")),
         "doc_id", "text")),
 
+    "q_cluster_sizes" -> ((s, d) => {
+      // duplication topology over the window-sharing pair graph
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val wins = docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.HashFunctions.windowHashesNative(
+          graft.text.TextFunctions.normTokens(col("text")), 8))).as("w"))
+      val pairs = wins.as("l")
+        .join(wins.as("r"),
+          col("l.w") === col("r.w") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+        .distinct()
+      Dedup.clusterSizeProfile(pairs)
+    }),
+
     "q_leakage_split" -> ((s, d) => {
       // leakage-safe 80/20 split: docs sharing an 8-token window (the
       // near-dup pair graph) must land in the SAME split
@@ -2811,6 +2826,28 @@ object SparkEntry {
         |       WHEN kana_frac = greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac, greek_frac, hangul_frac, kana_frac, digit_frac) THEN 'kana'
         |       ELSE 'digit' END AS dominant_script
         |FROM m""".stripMargin,
+
+    "q_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wd AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[u.s : u.s + 7], ' ') AS w
+        |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(s)
+        |  WHERE len(toks) >= 8),
+        |p AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM wd l JOIN wd r ON l.w = r.w AND l.doc_id < r.doc_id),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size DESC""".stripMargin,
 
     "q_leakage_split" ->
       """WITH RECURSIVE toks AS (

@@ -1006,6 +1006,24 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplication-topology report: the size distribution of the
+    * near-duplicate clusters `pairs` induces — (cluster_size,
+    * n_clusters, n_docs), descending by size. The shape of this
+    * histogram is the dedup planning signal: a fat tail of giant
+    * clusters means boilerplate/mirror content (dedup recovers a lot
+    * of budget, bucket caps matter); all-pairs-of-two means organic
+    * near-dups. Only docs appearing in the pair graph count —
+    * singletons are the corpus remainder. One exchange over the
+    * cluster map (true-duplicate-sized), then cluster-count-sized
+    * aggregation. */
+  def clusterSizeProfile(pairs: DataFrame): DataFrame =
+    duplicateClusters(pairs)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size").desc)
+
   /** Leakage-safe train/val/test split: every member of a
     * near-duplicate CLUSTER lands in the SAME split. Splitting rows
     * independently lets a training document's near-copy sit in the

@@ -508,4 +508,12 @@ class DedupSpec extends SparkTestBase {
       .select("id", "split").as[(Long, String)].collect().toMap
     assert(again == byId)
   }
+
+  test("clusterSizeProfile: chain merges into one cluster, histogram exact") {
+    // chain 1-2-5 (size 3), pair 7-8 (size 2), pair 9-10 (size 2)
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L), (9L, 10L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterSizeProfile(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((3L, 1L, 3L), (2L, 2L, 4L)))
+  }
 }

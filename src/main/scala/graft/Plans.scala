@@ -110,6 +110,8 @@ object Plans {
       "Exact span dedup: duplicate discovery is ONE exchange keyed on the window with partial_count/partial_min map-side combine — unique windows (the bulk) die in the partial agg; only duplicated windows explode into covered positions, collect_set-folded to one removal array per AFFECTED doc (broadcast back); reassembly is a narrow in-place array filter — no token explode, no anti-join, no collect_list anywhere.",
     "q_hybrid_search" ->
       "RRF hybrid retrieval: both candidate lists are bounded before fusion — BM25 ends in TakeOrderedAndProject and the cosine list likewise — so the fusion union/groupBy moves at most lists x N rows; the corpus appears only inside the two retriever subplans.",
+    "q_image_features" ->
+      "Real ImageIO decode: scan -> DeserializeToObject -> MapPartitions (one decoder context per partition) -> SerializeFromObject -> Project, ZERO exchanges — decode is embarrassingly parallel, so media feature extraction pipelines with the parquet scan at any corpus size; blob-heavy inputs size tasks via files.maxPartitionBytes, not a shuffle.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1220,6 +1220,32 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.syntheticMediaTable(t(s, d, "documents"), "doc_id", "text"), stride = 64)),
 
+    // Real ImageIO decode: generated PNG payloads round-trip through
+    // encode → decode → pixel stats; the oracle recomputes the stats in
+    // closed form from the id (solid-colour fixture contract).
+    "q_image_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticImageTable(t(s, d, "documents"), "doc_id"))
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("double").as("mean_r"),
+          element_at(col("features"), 4).cast("double").as("mean_g"),
+          element_at(col("features"), 5).cast("double").as("mean_b"))),
+
+    // Real resize: bilinear rescale + PNG re-encode, then decode AGAIN
+    // and verify geometry and (solid-colour-invariant) channel means.
+    "q_resize_images" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.resizeImages(
+          Multimodal.syntheticImageTable(t(s, d, "documents"), "doc_id"), 8, 6))
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("double").as("mean_r"),
+          element_at(col("features"), 4).cast("double").as("mean_g"),
+          element_at(col("features"), 5).cast("double").as("mean_b"))),
+
     // ------------------------------------------ streaming (batch mode)
     "q_tumbling" -> ((s, d) =>
       Streaming.tumblingAgg(eventsDf(s, d), "ts", "event_type", "1 hour")
@@ -3229,6 +3255,24 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |unnest(generate_series(0, CAST(octet_length(encode(text)) // 64 AS BIGINT))) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "q_image_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |CAST(doc_id % 29 + 2 AS BIGINT) AS width,
+        |CAST(doc_id % 13 + 2 AS BIGINT) AS height,
+        |CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_r,
+        |CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_g,
+        |CAST((doc_id * 29) % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin,
+
+    "q_resize_images" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |CAST(8 AS BIGINT) AS width,
+        |CAST(6 AS BIGINT) AS height,
+        |CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_r,
+        |CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_g,
+        |CAST((doc_id * 29) % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin,
 
     "q_stream_distinct" ->
       """SELECT CAST((SELECT count(*) FROM (

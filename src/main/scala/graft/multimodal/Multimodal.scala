@@ -1,6 +1,11 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,17 +13,20 @@ import org.apache.spark.sql.types._
   *
   * Media payloads are opaque `binary` columns carried next to typed
   * metadata — the same physical layout the big multimodal training
-  * corpora use in parquet. The Spark-side plumbing (schema, batched
-  * per-partition processing, feature schema, partition sizing) is real
-  * and tested; the actual image/audio DECODE step is a clearly-marked
-  * deterministic STUB (`fakeDecode`) because no media codec libraries
-  * exist in this environment — swap `decodeFn` for a real decoder
-  * (e.g. javacv / TwelveMonkeys) in production.
+  * corpora use in parquet. The image path is REAL: `decodeImage` /
+  * `imageFeatures` / `resizeImages` decode, analyse and rescale actual
+  * PNG/JPEG/BMP/GIF bytes through the JDK's `javax.imageio.ImageIO`
+  * (no external codec dependency). Payloads ImageIO cannot decode
+  * (audio/video/arbitrary blobs — no JDK codec exists) fall back to a
+  * deterministic byte-histogram feature so the distributed plumbing is
+  * exercised end-to-end for every media type.
   *
-  * Scale notes: feature extraction is `mapPartitions` (narrow, no
-  * shuffle); binary-heavy tables should be read with a smaller
+  * Scale notes: feature extraction and resize are `mapPartitions`
+  * (narrow, no shuffle) with one decoder context per partition;
+  * binary-heavy tables should be read with a smaller
   * `spark.sql.files.maxPartitionBytes` so one task's batch of blobs
-  * fits in executor memory.
+  * fits in executor memory. `ImageIO.setUseCache(false)` keeps decode
+  * purely in-memory (no executor-local tmp files).
   */
 object Multimodal {
 
@@ -52,18 +60,96 @@ object Multimodal {
         lit("stub").as("codec"),
       ).as("meta"))
 
-  /** Feature row produced by the decode/extract stage. */
-  val featureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("byte_len", IntegerType),
-    StructField("features", ArrayType(FloatType)),
-  ))
+  /** Typed rows for the generated-image table. */
+  case class MediaMeta(width: Int, height: Int, duration_ms: Option[Long], codec: String)
+  case class MediaRow(media_id: Long, content: Array[Byte], media_type: String, meta: MediaMeta)
 
-  /** STUB decode: a real implementation would decode the codec and
-    * produce pixel/sample tensors. This deterministic fake produces a
-    * 16-bin byte histogram normalised to [0,1] — enough to exercise the
-    * full distributed plumbing (batching, schema, downstream ANN).
+  /** Encode a solid-colour RGB PNG entirely in the JDK — the
+    * deterministic image fixture generator (executors each encode their
+    * own partition's rows; nothing is collected). */
+  def encodeSolidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "encodeSolidPng: dimensions must be positive")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    ImageIO.setUseCache(false)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Generate a media table of REAL PNG payloads, one per input row, with
+    * id-derived geometry and fill colour (so downstream decode results are
+    * closed-form functions of the id — oracle-checkable without an image
+    * library on the oracle side):
+    * width = id%29+2, height = id%13+2, rgb = (id*7, id*13, id*29) % 256.
     */
+  def syntheticImageTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (math.floorMod(id, 29L) + 2L).toInt
+          val h = (math.floorMod(id, 13L) + 2L).toInt
+          val r = math.floorMod(id * 7L, 256L).toInt
+          val g = math.floorMod(id * 13L, 256L).toInt
+          val b = math.floorMod(id * 29L, 256L).toInt
+          MediaRow(id, encodeSolidPng(w, h, r, g, b), "image",
+            MediaMeta(w, h, None, "png"))
+        }
+      }
+      .toDF()
+  }
+
+  /** Decode an image payload via JDK ImageIO (PNG/JPEG/BMP/GIF/TIFF).
+    * Returns None for null/undecodable bytes — never throws, so a few
+    * corrupt blobs in a 100 TB corpus don't fail the task. */
+  def decodeImage(content: Array[Byte]): Option[BufferedImage] =
+    if (content == null || content.length < 8) None
+    else
+      try {
+        ImageIO.setUseCache(false)
+        Option(ImageIO.read(new ByteArrayInputStream(content)))
+      } catch { case _: Exception => None }
+
+  /** Real image feature vector from decoded pixels:
+    * [width, height, meanR, meanG, meanB, meanLuma]. Channel means are
+    * computed in integer/double space (exact for 8-bit channels). */
+  def imageFeatures(img: BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF
+        sg += (p >> 8) & 0xFF
+        sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    Array(w.toFloat, h.toFloat,
+      (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+      ((sr + sg + sb) / (3.0 * n)).toFloat)
+  }
+
+  /** Fallback feature for payloads with no JDK codec (audio/video/blob):
+    * a 16-bin byte histogram normalised to [0,1] — deterministic and
+    * cheap, keeping every media type flowing through one pipeline. */
   def fakeDecode(content: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     if (content != null) {
@@ -79,17 +165,30 @@ object Multimodal {
     bins
   }
 
-  /** Per-partition batched feature extraction — the Scala analogue of a
-    * pandas `mapInPandas` UDF: one decoder instance per partition,
-    * rows streamed through it lazily (no per-row setup cost, bounded
-    * memory). `decodeFn` defaults to the stub.
-    */
+  /** Default decoder: real ImageIO decode when the bytes are an image the
+    * JDK can read; byte-histogram fallback otherwise. */
+  def decodeContent(content: Array[Byte]): Array[Float] =
+    decodeImage(content).map(imageFeatures).getOrElse(fakeDecode(content))
+
+  /** Feature row produced by the decode/extract stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("byte_len", IntegerType),
+    StructField("features", ArrayType(FloatType)),
+  ))
+
   /** Typed feature row — keeps extraction in the Dataset lane. */
   case class MediaFeatures(media_id: Long, byte_len: Int, features: Seq[Float])
 
+  /** Per-partition batched feature extraction — the Scala analogue of a
+    * pandas `mapInPandas` UDF: one decoder instance per partition,
+    * rows streamed through it lazily (no per-row setup cost, bounded
+    * memory). `decodeFn` defaults to [[decodeContent]] (real ImageIO
+    * for images, byte histogram for everything else).
+    */
   def extractFeatures(
       media: DataFrame,
-      decodeFn: Array[Byte] => Array[Float] = fakeDecode): DataFrame = {
+      decodeFn: Array[Byte] => Array[Float] = decodeContent): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     // Dataset.mapPartitions with encoders (not df.rdd + createDataFrame):
@@ -99,7 +198,7 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder setup happens here (stub needs none)
+        // per-partition decoder setup happens here (ImageIO is static)
         rows.map { case (id, content) =>
           MediaFeatures(id,
             if (content == null) 0 else content.length,
@@ -109,29 +208,58 @@ object Multimodal {
       .toDF()
   }
 
-  /** STUB resize: a real implementation decodes, rescales pixels and
-    * re-encodes. The deterministic fake rewrites the metadata to the
-    * target geometry and truncates/extends the payload proportionally —
-    * enough to exercise the plumbing (schema stability, narrow pass,
-    * metadata consistency) that a javacv-backed decoder would slot
-    * into. Image-typed rows only; other media pass through unchanged.
+  /** Rescale a decoded image to the target geometry (bilinear). */
+  def rescale(img: BufferedImage, width: Int, height: Int): BufferedImage = {
+    val out = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, width, height, null)
+    } finally g.dispose()
+    out
+  }
+
+  /** REAL resize: image-typed rows whose payload ImageIO can decode are
+    * rescaled to (width, height) with bilinear interpolation and
+    * re-encoded as PNG, and their `meta.width`/`meta.height` updated;
+    * all other rows (non-image media, undecodable payloads) pass through
+    * unchanged. Narrow `mapPartitions` — schema-stable, no shuffle; one
+    * graphics context per row is required by AWT but all allocation is
+    * in-memory (headless-safe — BufferedImage needs no display).
     */
   def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
     require(width > 0 && height > 0, "resizeImages: target must be positive")
-    val isImage = col("media_type") === "image"
-    media
-      .withColumn("content",
-        when(isImage,
-          // proportional payload truncation stands in for re-encoding
-          expr(s"substring(content, 1, greatest(int(octet_length(content) * " +
-            s"least($width * $height / greatest(meta.width * meta.height, 1), 1.0)), 1))"))
-          .otherwise(col("content")))
-      .withColumn("meta",
-        when(isImage,
-          struct(lit(width).as("width"), lit(height).as("height"),
-            col("meta.duration_ms").as("duration_ms"),
-            col("meta.codec").as("codec")))
-          .otherwise(col("meta")))
+    val schema = media.schema
+    val ci = schema.fieldIndex("content")
+    val ti = schema.fieldIndex("media_type")
+    val mi = schema.fieldIndex("meta")
+    val metaSchema = schema(mi).dataType.asInstanceOf[StructType]
+    val wi = metaSchema.fieldIndex("width")
+    val hi = metaSchema.fieldIndex("height")
+    implicit val enc = Encoders.row(schema)
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        val isImage = !row.isNullAt(ti) && row.getString(ti) == "image"
+        val decoded =
+          if (isImage) decodeImage(row.getAs[Array[Byte]](ci)) else None
+        decoded match {
+          case Some(img) =>
+            val bytes = encodePng(rescale(img, width, height))
+            val vals = row.toSeq.toArray
+            vals(ci) = bytes
+            val meta = row.getStruct(mi)
+            if (meta != null) {
+              val mvals = meta.toSeq.toArray
+              mvals(wi) = width
+              mvals(hi) = height
+              vals(mi) = Row.fromSeq(mvals.toIndexedSeq)
+            }
+            Row.fromSeq(vals.toIndexedSeq)
+          case None => row
+        }
+      }
+    }
   }
 
   /** Deterministic frame sampling for video-typed rows: pick every

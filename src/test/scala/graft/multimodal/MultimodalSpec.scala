@@ -39,15 +39,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.getSeq[Float](2) == expected)
   }
 
-  test("resizeImages rewrites image metadata, leaves other media untouched") {
-    val m = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
-    val out = Multimodal.resizeImages(m, 64, 48)
+  test("encodeSolidPng → decodeImage round-trips geometry and pixels") {
+    val bytes = Multimodal.encodeSolidPng(10, 6, 200, 50, 7)
+    val img = Multimodal.decodeImage(bytes).get
+    assert(img.getWidth == 10 && img.getHeight == 6)
+    val p = img.getRGB(9, 5)
+    assert(((p >> 16) & 0xFF) == 200 && ((p >> 8) & 0xFF) == 50 && (p & 0xFF) == 7)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageFeatures: real decoded width/height/channel means") {
+    val bytes = Multimodal.encodeSolidPng(8, 4, 120, 60, 30)
+    val f = Multimodal.imageFeatures(Multimodal.decodeImage(bytes).get)
+    assert(f.toSeq == Seq(8f, 4f, 120f, 60f, 30f, 70f)) // (120+60+30)/3
+  }
+
+  test("syntheticImageTable generates decodable PNGs with id-derived stats") {
+    val m = Multimodal.syntheticImageTable(docs, "doc_id")
+    assert(m.columns.toSeq == Seq("media_id", "content", "media_type", "meta"))
+    val row = m.filter($"media_id" === 5).select("content", "meta.width", "meta.height").head()
+    val img = Multimodal.decodeImage(row.getAs[Array[Byte]](0)).get
+    assert(img.getWidth == 7 && img.getHeight == 7)    // 5%29+2, 5%13+2
+    assert(row.getInt(1) == 7 && row.getInt(2) == 7)
+    val p = img.getRGB(0, 0)
+    assert(((p >> 16) & 0xFF) == 35 && ((p >> 8) & 0xFF) == 65 && (p & 0xFF) == 145)
+  }
+
+  test("extractFeatures decodes real images via ImageIO (6-d stats vector)") {
+    val m = Multimodal.syntheticImageTable(docs, "doc_id")
+    val f = Multimodal.extractFeatures(m)
+    val row = f.filter($"media_id" === 2).head()
+    // id 2: w=4, h=4, rgb=(14,26,58), luma=(14+26+58)/3
+    assert(row.getSeq[Float](2) == Seq(4f, 4f, 14f, 26f, 58f, 98f / 3.0f))
+  }
+
+  test("resizeImages really rescales decodable images, passes others through") {
+    val m = Multimodal.syntheticImageTable(docs, "doc_id")
+    val out = Multimodal.resizeImages(m, 4, 3)
     assert(out.schema == m.schema) // plumbing: schema stable
-    val img = out.filter($"media_id" === 0).select("meta.width", "meta.height").head()
-    assert(img.getInt(0) == 64 && img.getInt(1) == 48)
-    val audio = out.filter($"media_id" === 1).select("meta.width").head()
-    assert(audio.getInt(0) == 2) // doc_id 1 % 1920 + 1, unchanged
-    val audioContent = out.filter($"media_id" === 1).select("content").head()
+    val row = out.filter($"media_id" === 5).select("content", "meta.width", "meta.height").head()
+    val img = Multimodal.decodeImage(row.getAs[Array[Byte]](0)).get
+    assert(img.getWidth == 4 && img.getHeight == 3)
+    assert(row.getInt(1) == 4 && row.getInt(2) == 3)
+    val p = img.getRGB(2, 1) // solid colour survives bilinear rescale exactly
+    assert(((p >> 16) & 0xFF) == 35 && ((p >> 8) & 0xFF) == 65 && (p & 0xFF) == 145)
+
+    // text-byte payloads (undecodable) and non-image media pass through
+    val fake = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
+    val out2 = Multimodal.resizeImages(fake, 64, 48)
+    val img0 = out2.filter($"media_id" === 0).select("content", "meta.width").head()
+    assert(new String(img0.getAs[Array[Byte]](0), "UTF-8") == "image doc zero")
+    assert(img0.getInt(1) == 1) // 0 % 1920 + 1, unchanged: payload not an image
+    val audioContent = out2.filter($"media_id" === 1).select("content").head()
     assert(new String(audioContent.getAs[Array[Byte]](0), "UTF-8") == "audio doc one")
     assertThrows[IllegalArgumentException](Multimodal.resizeImages(m, 0, 10))
   }

@@ -2412,13 +2412,15 @@ object SparkEntry {
         |  SELECT doc_id, u.s AS start, array_to_string(toks[u.s : u.s + 7], ' ') AS w
         |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(s)
         |  WHERE len(toks) >= 8),
-        |dup AS (
-        |  SELECT w, min(doc_id * 100000 + start) AS firstkey
-        |  FROM win GROUP BY w HAVING count(*) > 1),
+        |dupocc AS (
+        |  SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY w ORDER BY doc_id, start) AS rn,
+        |    count(*) OVER (PARTITION BY w) AS cnt
+        |  FROM win),
         |removed AS (
-        |  SELECT DISTINCT win.doc_id, gs.p AS pos
-        |  FROM win JOIN dup ON win.w = dup.w, unnest(generate_series(win.start, win.start + 7)) AS gs(p)
-        |  WHERE win.doc_id * 100000 + win.start <> dup.firstkey),
+        |  SELECT DISTINCT d.doc_id, gs.p AS pos
+        |  FROM dupocc d, unnest(generate_series(d.start, d.start + 7)) AS gs(p)
+        |  WHERE d.cnt > 1 AND d.rn > 1),
         |kept AS (
         |  SELECT t.doc_id, t.pos, t.tok FROM tok t
         |  WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = t.doc_id AND r.pos = t.pos)),
@@ -2442,13 +2444,15 @@ object SparkEntry {
         |  SELECT doc_id, u.s AS start, array_to_string(toks[u.s : u.s + 7], ' ') AS w
         |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS u(s)
         |  WHERE len(toks) >= 8),
-        |dup AS (
-        |  SELECT w, min(doc_id * 100000 + start) AS firstkey
-        |  FROM win GROUP BY w HAVING count(*) > 1),
+        |dupocc AS (
+        |  SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY w ORDER BY doc_id, start) AS rn,
+        |    count(*) OVER (PARTITION BY w) AS cnt
+        |  FROM win),
         |removed AS (
-        |  SELECT DISTINCT win.doc_id, gs.p AS pos
-        |  FROM win JOIN dup ON win.w = dup.w, unnest(generate_series(win.start, win.start + 7)) AS gs(p)
-        |  WHERE win.doc_id * 100000 + win.start <> dup.firstkey),
+        |  SELECT DISTINCT d.doc_id, gs.p AS pos
+        |  FROM dupocc d, unnest(generate_series(d.start, d.start + 7)) AS gs(p)
+        |  WHERE d.cnt > 1 AND d.rn > 1),
         |kept AS (
         |  SELECT t.doc_id, t.pos, t.tok FROM tok t
         |  WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = t.doc_id AND r.pos = t.pos)),
@@ -2475,12 +2479,13 @@ object SparkEntry {
         |  WHERE len(toks) >= 8 AND doc_id < 250),
         |vs_base AS (
         |  SELECT doc_id, start FROM nw WHERE w IN (SELECT w FROM bw)),
-        |dup AS (
-        |  SELECT w, min(doc_id * 100000 + start) AS firstkey
-        |  FROM nw GROUP BY w HAVING count(*) > 1),
+        |dupocc AS (
+        |  SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY w ORDER BY doc_id, start) AS rn,
+        |    count(*) OVER (PARTITION BY w) AS cnt
+        |  FROM nw),
         |in_batch AS (
-        |  SELECT nw.doc_id, nw.start FROM nw JOIN dup ON nw.w = dup.w
-        |  WHERE nw.doc_id * 100000 + nw.start <> dup.firstkey),
+        |  SELECT doc_id, start FROM dupocc WHERE cnt > 1 AND rn > 1),
         |occ AS (SELECT * FROM vs_base UNION ALL SELECT * FROM in_batch),
         |removed AS (
         |  SELECT DISTINCT occ.doc_id, gs.p AS pos

@@ -620,9 +620,20 @@ object Dedup {
     * WHICH train docs (to fix the upstream source or rescore the
     * benchmark), not just the cleaned corpus. Gram construction is
     * identical to [[decontaminate]] (per-doc distinct shingle hashes;
-    * sub-n docs contribute one whole-doc shingle), so every pair
-    * reported here is a doc the cleaner would drop and vice versa (at
-    * the same `minHits`; pair-grain hits are at least doc-grain hits).
+    * sub-n docs contribute one whole-doc shingle). Equivalence with the
+    * cleaner holds ONLY at `minHits = 1`: there, the set of train ids
+    * in this report is exactly the set the cleaner drops. For
+    * `minHits > 1` the grains diverge — [[decontaminate]] counts a
+    * train doc's distinct grams against the UNION of all eval grams,
+    * so a doc sharing one gram with each of several eval docs is
+    * dropped by the cleaner yet produces no pair reaching `minHits`
+    * here (doc-grain hits are >= the max pair-grain hits, not the
+    * other way round). Note the union-grain hit count is NOT
+    * reconstructible from pair rows either (a gram shared with two
+    * eval docs appears in two pairs — summing double-counts it). To
+    * audit a `minHits > 1` cleaning run: use [[decontaminate]] itself
+    * for the doc-grain drop decision, and this report at
+    * `minHits = 1` for the per-eval-item attribution of those drops.
     *
     * Scale shape: same as the exact cleaner — the eval side is small
     * by the op's nature and broadcasts; the train side explodes to
@@ -640,8 +651,10 @@ object Dedup {
       broadcastEval: Boolean = true): DataFrame = {
     require(n >= 1, s"contaminationReport: n must be >= 1, got $n")
     require(minHits >= 1, s"contaminationReport: minHits must be >= 1, got $minHits")
+    // id columns keep their original type (as decontaminate does) — a
+    // lossy cast here would silently collapse non-numeric ids onto null
     def gramRows(df: DataFrame): DataFrame = df
-      .select(col(idCol).cast("long").as("__graft_id"), col(textCol).as("__graft_text"))
+      .select(col(idCol).as("__graft_id"), col(textCol).as("__graft_text"))
       .withColumn("__graft_toks",
         TextFunctions.tokens(TextFunctions.normalizeText(col("__graft_text"))))
       .select(col("__graft_id"),
@@ -1074,6 +1087,10 @@ object Dedup {
     * (e.g. [[graft.core.Sampling.deterministicSample]]), never the
     * full corpus; the candidate generator under test runs at scale,
     * only its evaluation is sampled. Empty sides are vacuous (1.0).
+    * The sample contract is ENFORCED (the [[graft.similarity.Ivf]]
+    * `maxTrainRows` pattern): `docs` exceeding `maxDocs` rows fails
+    * fast with the remedy in the message — a silent O(n²) cross join
+    * over a full corpus is never reachable.
     *
     * Output (one row): n_candidates, n_truth, n_hits,
     * precision = hits/candidates, recall = hits/truth (round 6). */
@@ -1083,7 +1100,16 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxDocs: Int = 100000): DataFrame = {
+    require(maxDocs >= 1, s"pairQuality: maxDocs must be >= 1, got $maxDocs")
+    // one cheap count gate before the quadratic truth (limit+count keeps
+    // the gate itself O(maxDocs): stop scanning once the bound is passed)
+    val over = docs.select(col(idCol)).limit(maxDocs + 1).count()
+    require(over <= maxDocs,
+      s"pairQuality: docs has > $maxDocs rows — the exact all-pairs ground " +
+        s"truth is quadratic and must run on a sample. Pass a deterministic " +
+        s"sample (Sampling.deterministicSample) or raise maxDocs explicitly.")
     val truth = ngramJaccardAllPairs(docs, textCol, idCol, n, threshold)
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))

@@ -321,6 +321,22 @@ class SamplingSpec extends SparkTestBase {
       s"duplicate survivor depends on partitioning: $a vs $b vs $c")
   }
 
+  test("quotaSample: map columns are fingerprint-safe (hashed via to_json)") {
+    // Spark prohibits xxhash64 over MapType — the tie-break fingerprint
+    // must route map-bearing columns through to_json, not reject the frame
+    val d = (1L to 30L).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("g", "k")
+      .withColumn("m", map(lit("x"), $"k"))
+      .withColumn("nested", struct(map(lit("y"), $"k").as("inner")))
+    val out = Sampling.quotaSample(d, "g", 5, "k", "mp")
+    assert(out.count() == 10)
+    assert(out.columns.toSeq == Seq("g", "k", "m", "nested"))
+    // still deterministic under repartitioning
+    val again = Sampling.quotaSample(d.repartition(7), "g", 5, "k", "mp")
+    assert(out.select("k").as[Long].collect().toSet ==
+      again.select("k").as[Long].collect().toSet)
+  }
+
   test("mixCorporaByTokens: per-source rates from token budgets, deterministic") {
     // source a: 100 docs x 10 tokens = 1000 tokens, budget 250 -> rate 0.25
     // source b: 50 docs, budget above total -> keep all

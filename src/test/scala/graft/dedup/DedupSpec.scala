@@ -486,6 +486,16 @@ class DedupSpec extends SparkTestBase {
     assert(r2.getLong(0) == 0L && r2.getDouble(3) == 1.0 && r2.getDouble(4) == 0.0)
   }
 
+  test("pairQuality enforces the quadratic-truth sample bound (maxDocs)") {
+    val docs = (1L to 10L).map(i => (i, s"doc number $i words")).toDF("id", "text")
+    val cand = df("id_a BIGINT, id_b BIGINT")
+    val e = intercept[IllegalArgumentException](
+      Dedup.pairQuality(docs, cand, "text", "id", maxDocs = 5))
+    assert(e.getMessage.contains("quadratic") && e.getMessage.contains("sample"))
+    // at or under the bound it runs; raising the bound explicitly also runs
+    assert(Dedup.pairQuality(docs, cand, "text", "id", maxDocs = 10).count() == 1)
+  }
+
   test("leakageSafeSplit: cluster members share a split, chains included") {
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("id", "text")
     // chain 1-2-5 (transitive), pair 7-8, everything else singleton

@@ -653,6 +653,43 @@ object SparkEntry {
           "instance_type", "pipeline_cost")
     }),
 
+    "q_event_sweep" -> ((s, d) => {
+      // directory sweep over a fixture logs tree (reference
+      // process_pyspark_logs): 3 parseable runs in the rolling-event-log
+      // layout, one corrupt run (no app-end → skipped, counted), one
+      // decoy file and one non-events file (never picked up)
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      val base = s"$scratch/event_sweep"
+      def write(id: String, lines: Seq[String]): Unit = {
+        val dir = Paths.get(s"$base/eventlog_v2_spark-$id")
+        Files.createDirectories(dir)
+        Files.write(dir.resolve(s"events_1_spark-$id"),
+          lines.mkString("\n").getBytes("UTF-8"))
+      }
+      def run(app: String, ts: Long, end: Long, nExec: Int, cores: Int,
+          mem: String, overhead: String): Seq[String] =
+        Seq(s"""{"Event":"SparkListenerApplicationStart","Timestamp":$ts,"App Name":"$app"}""") ++
+          Seq.fill(nExec)(s"""{"Event":"SparkListenerExecutorAdded","Executor Info":{"Total Cores":$cores}}""") ++
+          Seq(s"""{"Event":"SparkListenerStageSubmitted","Properties":{"spark.executor.memory":"$mem","spark.yarn.executor.memoryOverhead":"$overhead","spark.executor.cores":"$cores"}}""",
+            s"""{"Event":"SparkListenerApplicationEnd","Timestamp":$end}""")
+      write("0001", run("AlphaPipeline", 1700000000000L, 1700003600000L, 2, 4, "4g", "2g"))
+      write("0002", run("BetaPipeline", 1700100000000L, 1700107200000L, 3, 2, "8g", "0g"))
+      write("0003", run("AlphaPipeline", 1700200000000L, 1700201800000L, 1, 4, "2g", "0g"))
+      write("0bad", Seq("""{"Event":"SparkListenerApplicationStart","Timestamp":1,"App Name":"Broken"}"""))
+      Files.write(Paths.get(s"$base/notalog.txt"), "decoy".getBytes("UTF-8"))
+      Files.write(Paths.get(s"$base/eventlog_v2_spark-0001/appstatus_1"),
+        "not an events file".getBytes("UTF-8"))
+      val (logs, errs) = graft.observability.EventLogSweep.processLogs(s, base)
+      val sorted = graft.observability.EventLogSweep.filterAndSortByAppName(logs)
+      sorted.zipWithIndex.map { case (r, i) =>
+        (i + 1L, r.pipeline.get, r.timestamp.get, r.total_time_ms,
+          r.total_cores.toLong, r.total_memory_gb.toLong, r.instance_type,
+          r.pipeline_cost, errs.size.toLong)
+      }.toDF("sweep_rank", "pipeline", "ts_ms", "total_time_ms", "total_cores",
+        "total_memory_gb", "instance_type", "pipeline_cost", "n_errors")
+    }),
+
     // ------------------------------------------------ text analysis
     "q_token_counts" -> ((s, d) =>
       t(s, d, "documents")
@@ -2769,6 +2806,21 @@ object SparkEntry {
       """SELECT 'ExamplePipeline' AS pipeline, CAST(100000 AS BIGINT) AS total_time_ms,
         |CAST(8 AS BIGINT) AS total_cores, CAST(12 AS BIGINT) AS total_memory_gb,
         |'t4g.2xlarge' AS instance_type, CAST(0.0093 AS DOUBLE) AS pipeline_cost""".stripMargin,
+
+    // constant-output oracle: instance choice and cost are closed-form
+    // from the packaged public price table (cheapest fit) and the
+    // fixture's start/end timestamps; the corrupt fixture log counts
+    // as the one sweep error
+    "q_event_sweep" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'AlphaPipeline', CAST(1700200000000 AS BIGINT), CAST(1800000 AS BIGINT),
+        |   CAST(4 AS BIGINT), CAST(2 AS BIGINT), 't4g.xlarge', CAST(0.084 AS DOUBLE), CAST(1 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'BetaPipeline', CAST(1700100000000 AS BIGINT), CAST(7200000 AS BIGINT),
+        |   CAST(6 AS BIGINT), CAST(24 AS BIGINT), 'm5a.2xlarge', CAST(0.86 AS DOUBLE), CAST(1 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'AlphaPipeline', CAST(1700000000000 AS BIGINT), CAST(3600000 AS BIGINT),
+        |   CAST(8 AS BIGINT), CAST(12 AS BIGINT), 't4g.2xlarge', CAST(0.336 AS DOUBLE), CAST(1 AS BIGINT))
+        |) AS t(sweep_rank, pipeline, ts_ms, total_time_ms, total_cores,
+        |       total_memory_gb, instance_type, pipeline_cost, n_errors)""".stripMargin,
 
     "q_token_counts" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

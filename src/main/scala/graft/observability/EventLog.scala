@@ -251,3 +251,100 @@ object Ec2Pricing {
       surchargeApplied = applyEmrSurcharge)
   }
 }
+
+/** Directory-sweep reporting over Spark event logs — the batch loop a
+  * platform team runs over a logs bucket to cost every pipeline run.
+  *
+  * Reference semantics: helpers/pyspark_log_parser/parser.py:209-428
+  * (find_pyspark_log_files / process_pyspark_logs /
+  * filter_and_sort_logs_by_app_name / logs_to_dataframe). All scheme-
+  * generic via Hadoop FileSystem (file://, hdfs://, s3a://, gs://).
+  *
+  * Scale shape: the sweep is LOG-COUNT-scale, not corpus-scale — a
+  * bucket holds hundreds of event logs, each parsed once on the
+  * driver exactly as the reference does; the resulting frame is tiny
+  * (one row per run). Nothing here touches table data.
+  */
+object EventLogSweep {
+
+  /** One fully-parsed run: metrics + cheapest-fit cost. */
+  case class LogRecord(
+      file_path: String,
+      pipeline: Option[String],
+      timestamp: Option[Long],
+      start_time: Option[Long],
+      end_time: Option[Long],
+      total_time_ms: Long,
+      total_executors: Int,
+      total_cores: Int,
+      memory_per_executor_gb: Int,
+      total_memory_gb: Int,
+      instance_type: String,
+      instance_family: String,
+      ec2_price: Double,
+      cost_per_hour: Double,
+      runtime_hours: Double,
+      ec2_cost: Double,
+      emr_surcharge: Double,
+      pipeline_cost: Double)
+
+  /** find_pyspark_log_files parity (parser.py:209-246): files under
+    * `folder` living in an `eventlog_v2_spark-*` directory whose name
+    * contains `events_1_spark` (the Spark rolling-event-log layout). */
+  def findLogFiles(spark: SparkSession, folder: String): Seq[String] =
+    FileOps.walkFiles(spark, folder)
+      .filter { p =>
+        val parts = p.split('/')
+        parts.length >= 2 &&
+          parts(parts.length - 2).startsWith("eventlog_v2_spark-") &&
+          parts.last.contains("events_1_spark")
+      }
+      .sorted
+
+  /** process_pyspark_logs parity (parser.py:249-309): find every log
+    * under `folder`, parse it, and attach the cheapest-fit cost
+    * estimate. Logs that fail to parse (truncated, no app end event)
+    * are skipped with their error recorded, never failing the sweep. */
+  def processLogs(
+      spark: SparkSession,
+      folder: String,
+      applyEmrSurcharge: Boolean = true): (Seq[LogRecord], Seq[(String, String)]) = {
+    val (good, bad) = findLogFiles(spark, folder).partitionMap { path =>
+      try {
+        val s = EventLogParser.parseLogFile(spark, path)
+        val c = Ec2Pricing.pipelineCost(s, applyEmrSurcharge)
+        Left(LogRecord(path, s.pipelineName, s.timestamp, s.startTime, s.endTime,
+          s.totalTimeMs, s.totalExecutors, s.totalCores, s.memoryPerExecutorGb,
+          s.totalMemoryGb, c.instance.instanceType, c.instance.family,
+          c.instance.ec2Price, c.costPerHour, c.runtimeHours, c.ec2Cost,
+          c.emrSurcharge, c.pipelineCost))
+      } catch {
+        case e: Exception => Right(path -> String.valueOf(e.getMessage))
+      }
+    }
+    (good, bad)
+  }
+
+  /** filter_and_sort_logs_by_app_name parity (parser.py:312-364):
+    * optional exact pipeline-name filter, then sort by timestamp
+    * (latest first by default; absent timestamps sort last). */
+  def filterAndSortByAppName(
+      logs: Seq[LogRecord],
+      appName: Option[String] = None,
+      orderByLatest: Boolean = true): Seq[LogRecord] = {
+    val filtered = appName match {
+      case Some(n) => logs.filter(_.pipeline.contains(n))
+      case None    => logs
+    }
+    val asc = filtered.sortBy(r => (r.timestamp.isEmpty, r.timestamp.getOrElse(0L)))
+    if (orderByLatest) asc.reverse else asc
+  }
+
+  /** logs_to_dataframe parity (parser.py:367-428): one flat row per
+    * run (the Spark analogue of pd.json_normalize over the nested
+    * metric dicts). */
+  def logsToDataFrame(spark: SparkSession, logs: Seq[LogRecord]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    logs.toDF()
+  }
+}

@@ -248,6 +248,33 @@ object FileOps {
     } finally zos.close()
   }
 
+  /** Zip a (possibly remote) directory into a (possibly remote) zip in
+    * ONE streaming pass — reference cdp/helpers/s3_utils.py:1838
+    * (zip_s3_directory_to_s3), scheme-generic: both sides go through
+    * the Hadoop FileSystem (file://, hdfs://, s3a://, gs://), no local
+    * staging, memory O(copy buffer) regardless of directory size.
+    * Entry names are source-relative; files stream in sorted order so
+    * the archive layout is deterministic. */
+  def zipDirectoryToRemote(
+      spark: SparkSession,
+      sourceDir: String,
+      outputZip: String): Unit = {
+    val srcFs = fs(spark, sourceDir)
+    val qualifiedSrc = srcFs.makeQualified(new Path(sourceDir)).toString
+    val out = fs(spark, outputZip).create(new Path(outputZip), true)
+    val zos = new ZipOutputStream(new BufferedOutputStream(out))
+    try {
+      walkFiles(spark, sourceDir).sorted.foreach { p =>
+        val rel = p.stripPrefix(qualifiedSrc).dropWhile(_ == '/')
+        zos.putNextEntry(new ZipEntry(rel))
+        val in = srcFs.open(new Path(p))
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, zos, 65536, false)
+        finally in.close()
+        zos.closeEntry()
+      }
+    } finally zos.close()
+  }
+
   // ------------------------------------------------- path validation
   // Bucket-name / S3-path validation rules are pure string logic in the
   // reference (cdp/helpers/s3_utils.py:64-176) — ported semantics.

@@ -106,6 +106,14 @@ object Tables {
     spark.catalog.listTables(db).collect().map(_.name).toSeq
   }
 
+  /** Column names of a catalog table, in schema order — reference
+    * gcp/helpers/gcp_utils.py:34-40 (get_table_columns). Accepts any
+    * identifier [[extractDatabaseName]] accepts. */
+  def tableColumns(spark: SparkSession, tableName: String): Seq[String] = {
+    val (db, tbl) = extractDatabaseName(spark, tableName)
+    spark.catalog.listColumns(s"$db.$tbl").collect().map(_.name).toSeq
+  }
+
   /** Split `catalog.db.table` / `db.table` / `table` (defaulting to the
     * current database). Returns (database, table). */
   def extractDatabaseName(spark: SparkSession, tableIdentifier: String): (String, String) =

@@ -113,4 +113,28 @@ class FileOpsSpec extends SparkTestBase {
       assert(set == Set("a.txt", "sub/b.txt"))
     } finally zf.close()
   }
+
+  test("zipDirectoryToRemote streams a FileSystem dir into a FileSystem zip") {
+    // both ends through the Hadoop FS (file:// stands in for s3a/gs) —
+    // remote-dir -> remote-zip with no local staging dir in between
+    val dir = tmpDir()
+    FileOps.writeTextFile(spark, s"$dir/src/a.txt", "alpha")
+    FileOps.writeTextFile(spark, s"$dir/src/sub/b.txt", "beta")
+    val zipPath = s"$dir/out/archive.zip"
+    FileOps.zipDirectoryToRemote(spark, s"$dir/src", zipPath)
+    assert(FileOps.fileExists(spark, zipPath))
+    val zf = new java.util.zip.ZipFile(zipPath)
+    try {
+      val entries = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        zf.entries().asIterator()).asScala.map(_.getName).toSet
+      // the Hadoop RawLocalFileSystem writes .crc siblings; real object
+      // stores don't — accept them but require the payload entries
+      assert(Set("a.txt", "sub/b.txt").subsetOf(entries.filterNot(_.contains(".crc"))))
+      def read(name: String): String = {
+        val in = zf.getInputStream(zf.getEntry(name))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      assert(read("a.txt") == "alpha" && read("sub/b.txt") == "beta")
+    } finally zf.close()
+  }
 }

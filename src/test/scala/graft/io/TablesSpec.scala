@@ -109,4 +109,13 @@ class TablesSpec extends SparkTestBase {
     Seq((1, "a")).toDF("id", "v").write.mode("overwrite").saveAsTable("graft_t5")
     assert(Tables.getTablesInDatabase(spark).contains("graft_t5"))
   }
+
+  test("tableColumns lists schema-ordered column names (get_table_columns parity)") {
+    Seq((1, "a", 2.0)).toDF("id", "v", "w")
+      .write.mode("overwrite").saveAsTable("graft_t6")
+    assert(Tables.tableColumns(spark, "graft_t6") == Seq("id", "v", "w"))
+    assert(Tables.tableColumns(spark, "default.graft_t6") == Seq("id", "v", "w"))
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      Tables.tableColumns(spark, "no_such_table_anywhere"))
+  }
 }

@@ -1664,6 +1664,28 @@ object Bench {
     // q_bloom_anti" (r11, RunMetricsProbe-measured).
     val scaleAdjudicated =
       Set("q_bloom_decontaminate", "q_bloom_semi", "q_bloom_anti")
+    // Benchmark-design rule (SCALE.md): measured inputs are MATERIALIZED
+    // to parquet before timing. q_target_encode's sf0.1 wall sits in the
+    // sub-0.5 s band where the ratio is a lottery (r12 verdict item 6) —
+    // its wrapped/raw pair runs on a 16× materialized orders table so
+    // the reading is evidence, not noise. Both sides see the same dir.
+    val scaledPairDirs: Map[String, String] = {
+      val want = Seq("q_target_encode")
+        .filter(n => resultMap.contains(n) && baselines.contains(n))
+      want.map { n =>
+        val dir = s"/root/repo/target/bench_scaled/${new java.io.File(sfDir).getName}_x16"
+        val out = s"$dir/orders.parquet"
+        if (!new java.io.File(out).exists()) {
+          val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          (0 until 16).map(i => o.withColumn("o_orderkey",
+              col("o_orderkey").cast("long") + lit(i * 100000000L)))
+            .reduce(_ unionByName _)
+            .repartition(32).write.mode("overwrite").parquet(out)
+          note(s"[bench] materialized 16x orders for $n at $out")
+        }
+        n -> dir
+      }.toMap
+    }
     val ratios = baselines.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (!resultMap.contains(name)) None
       else {
@@ -1680,10 +1702,11 @@ object Bench {
         // its timing must NOT enter the min — that would silently report a
         // flattering (or meaningless) ratio for a broken query. Mirrors the
         // (Double, Long) pattern of the timed-run path above.
+        val pairDir = scaledPairDirs.getOrElse(name, sfDir)
         def wrappedOnce: (Double, Boolean) = {
           var ok = true
           val secs = time(
-            try SparkEntry.queries(name)(spark, sfDir).count()
+            try SparkEntry.queries(name)(spark, pairDir).count()
             catch { case e: Throwable =>
               ok = false
               note(s"[bench] baseline $name wrapped FAILED: ${e.getMessage}")
@@ -1693,7 +1716,7 @@ object Bench {
         def rawOnce: (Double, Boolean) = {
           var ok = true
           val secs = time(
-            try fn(spark, sfDir).count()
+            try fn(spark, pairDir).count()
             catch { case e: Throwable =>
               ok = false
               note(s"[bench] baseline $name raw FAILED: ${e.getMessage}")
@@ -1774,10 +1797,13 @@ object Bench {
           val ratio = lotteryRatio
           note(
             f"[bench] baseline $name%-20s wrapped=$wrappedSecs%6.2fs raw=$rawSecs%6.2fs ratio=$ratio%5.2f" +
+              (if (scaledPairDirs.contains(name)) "  [16x materialized input]" else "") +
               (if (subHalfSecNoise.contains(name)) "  [sub-0.5s noise band]" else "") +
               (if (scaleAdjudicated.contains(name) && ratio > 1.2)
                  "  [pre-crossover by design: SCALE.md scale_adjudicated]" else ""))
-          wrappedBest(name) = wrappedSecs
+          // scaled pairs measure a DIFFERENT input size — their warm
+          // wrapped best must not fold into the per-query sf report
+          if (!scaledPairDirs.contains(name)) wrappedBest(name) = wrappedSecs
           Some(name -> math.rint(ratio * 100) / 100)
         }
       }

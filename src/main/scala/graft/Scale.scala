@@ -1013,6 +1013,84 @@ object Scale {
             .drop("hll_sketch")))
       }
     }
+
+    // --- r13 grain rows: clusterSizeProfile / leakageSafeSplit /
+    // windowedDistinctCounts. Each proves its claimed exchange grain
+    // with a two-point scale measurement on MATERIALIZED inputs.
+    locally {
+      // synthetic pair graph at fixed density: every 50th doc pairs with
+      // its neighbour; every 500th chains two pairs (non-trivial clusters)
+      def pairsFor(docs: DataFrame): DataFrame = {
+        val base = docs.select(col("doc_id").cast("long").as("id_a"))
+        base.filter(col("id_a") % 50 === 0)
+          .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+          .unionByName(base.filter(col("id_a") % 500 === 0)
+            .select((col("id_a") + 1).as("id_a"), (col("id_a") + 2).as("id_b")))
+      }
+      for (k <- Seq(1, bigK)) {
+        def docs = scaledDocs(spark, sfDir, k)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val pdir = s"target/scale_r13/pairs_$k"
+        pairsFor(docs).write.mode("overwrite").parquet(pdir)
+        def pairs = spark.read.parquet(pdir)
+        val nPairs = pairs.count()
+        // cluster_size_profile touches ONLY the pair graph — wall must
+        // track n_pairs, corpus size never appears in the plan
+        timed("cluster_size_profile", "scale" -> k.toLong, "n_pairs" -> nPairs)(
+          () => Dedup.clusterSizeProfile(pairs))
+        // leakage_split: clustering at pair-graph grain + ONE corpus
+        // join (AQE-broadcastable cluster map) + narrow md5 labeling
+        timed("leakage_split", "scale" -> k.toLong, "n_pairs" -> nPairs)(
+          () => Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "r13"))
+      }
+    }
+
+    // windowedDistinctCounts register-state row: a REAL watermarked
+    // stream (AvailableNow, memory sink); the state operator must hold
+    // (windows × keys) sketch rows — NOT one row per distinct value,
+    // which is what the exact formulation would keep and what OOMs at
+    // corpus scale. n_distinct_pairs is the state the exact plan would
+    // hold; state_rows is what the HLL plan actually held.
+    def windowedDistinctRow(k: Int): Unit = {
+      if (only.exists(!_.contains("windowed_distinct_state"))) return
+      import spark.implicits._
+      val n = 500000L * k
+      val inDir = s"target/scale_r13/events_$k"
+      spark.range(n).select(
+        timestamp_millis(lit(1700000000000L) + (col("id") % 86400L) * 1000L).as("ts"),
+        (col("id") % 4).cast("string").as("etype"),
+        col("id").as("user_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(inDir)
+      val streamed = spark.readStream
+        .schema(spark.read.parquet(inDir).schema).parquet(inDir)
+      val agg = graft.streaming.Streaming.windowedDistinctCounts(
+        streamed.withWatermark("ts", "1 hour"), "ts", "etype", "user_id",
+        "1 hour", lgK = 12)
+      val qName = s"wds_$k"
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(qName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000)) {
+        q.stop(); sys.error(s"windowedDistinctRow($k): stream did not finish")
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.flatMap(_.stateOperators)
+      val stateRows = if (progs.isEmpty) 0L else progs.map(_.numRowsTotal).max
+      val nDistinctPairs = spark.read.parquet(inDir)
+        .select(window(col("ts"), "1 hour"), col("etype"), col("user_id"))
+        .distinct().count()
+      println(s"""{"op":"windowed_distinct_state","scale":$k""" +
+        s""","secs":${math.rint(secs * 100) / 100}""" +
+        s""","state_rows":$stateRows,"n_distinct_pairs":$nDistinctPairs}""")
+    }
+    for (k <- Seq(1, bigK)) windowedDistinctRow(k)
+
     spark.stop()
   }
 }

@@ -42,7 +42,10 @@ object Streaming {
     * once the watermark passes. Estimates carry the standard HLL
     * relative error (~1.04/√2^lgK) and — like any distributed HLL —
     * depend on partial-merge shape only within that error, so pin
-    * CONTRACTS (within-error vs exact), not bit-equality.
+    * CONTRACTS (within-error vs exact), not bit-equality. Measured:
+    * SCALE.md "r12-family exchange grains" windowed_distinct_state
+    * row — the real watermarked stream held exactly windows × keys
+    * state rows (100) at both 500k and 4M distinct values.
     *
     * Output: (window_start, window_end, keyCol, approx_distinct). */
   def windowedDistinctCounts(

@@ -1270,6 +1270,31 @@ object SparkEntry {
           element_at(col("features"), 4).cast("double").as("mean_g"),
           element_at(col("features"), 5).cast("double").as("mean_b"))),
 
+    // Perceptual image dedup over REAL decoded pixels: patterned PNGs
+    // (one per doc id, diverse dHashes), exact copies planted at
+    // id+1000000 for ids < 50. Everything is deterministic (decode →
+    // dHash → banded pairing has no RNG), so the invariant frame pins
+    // constants: every plant found at hamming 0, zero false pairs
+    // among the 200 distinct patterns at radius 3.
+    "q_image_dedup" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .filter(col("doc_id") < 200)
+      val base = Multimodal.syntheticPatternTable(ids, "doc_id")
+      val dups = base.filter(col("media_id") < 50)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val pairs = Multimodal.imageNearDuplicates(
+        base.unionByName(dups), maxHamming = 3)
+      val agg = pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("id_b") - col("id_a") === 1000000L &&
+          col("hamming") === 0, 1L).otherwise(0L)), lit(0L)).as("n_planted_found"),
+        coalesce(max(col("hamming")), lit(-1)).as("max_hamming"))
+      agg.select(col("n_pairs"), col("n_planted_found"),
+        col("max_hamming").cast("long").as("max_hamming"))
+    }),
+
     // Real resize: bilinear rescale + PNG re-encode, then decode AGAIN
     // and verify geometry and (solid-colour-invariant) channel means.
     "q_resize_images" -> ((s, d) =>
@@ -3321,6 +3346,11 @@ object SparkEntry {
         |CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_g,
         |CAST((doc_id * 29) % 256 AS DOUBLE) AS mean_b
         |FROM documents""".stripMargin,
+
+    "q_image_dedup" ->
+      """SELECT CAST(50 AS BIGINT) AS n_pairs,
+        |CAST(50 AS BIGINT) AS n_planted_found,
+        |CAST(0 AS BIGINT) AS max_hamming""".stripMargin,
 
     "q_resize_images" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,

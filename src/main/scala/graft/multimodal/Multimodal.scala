@@ -111,6 +111,47 @@ object Multimodal {
       .toDF()
   }
 
+  /** Patterned-PNG fixture: a 36×32 image holding a 9×8 grid of
+    * id-seeded brightness cells (4×4 px each), so the perceptual hash
+    * of each image is a DIVERSE deterministic function of the id —
+    * the solid-colour fixture's dHash is degenerate (all images hash
+    * to the same value because no adjacent-pixel comparison ever
+    * differs). Cell brightness is a murmur-style MIX of (id, cx, cy) —
+    * a linear formula makes every adjacent-cell difference a constant,
+    * which correlates the hashes across ids (measured: 1,675 false
+    * pairs at radius 3 over 200 images before the mix). */
+  def syntheticPatternTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = new BufferedImage(36, 32, BufferedImage.TYPE_INT_RGB)
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 9) {
+              var h = id * 0x9E3779B97F4A7C15L + cx * 0xC2B2AE3D27D4EB4FL +
+                cy * 0x165667B19E3779F9L
+              h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+              val v = math.floorMod(h, 251L).toInt
+              val rgb = (v << 16) | (v << 8) | v
+              var dy = 0
+              while (dy < 4) {
+                var dx = 0
+                while (dx < 4) { img.setRGB(cx * 4 + dx, cy * 4 + dy, rgb); dx += 1 }
+                dy += 1
+              }
+              cx += 1
+            }
+            cy += 1
+          }
+          MediaRow(id, encodePng(img), "image", MediaMeta(36, 32, None, "png"))
+        }
+      }
+      .toDF()
+  }
+
   /** Decode an image payload via JDK ImageIO (PNG/JPEG/BMP/GIF/TIFF).
     * Returns None for null/undecodable bytes — never throws, so a few
     * corrupt blobs in a 100 TB corpus don't fail the task. */
@@ -261,6 +302,63 @@ object Multimodal {
       }
     }
   }
+
+  /** 64-bit difference hash (dHash) of a decoded image: rescale to a
+    * 9×8 grayscale thumbnail (bilinear — the same [[rescale]] kernel
+    * as [[resizeImages]]), then bit (y·8 + x) is set iff
+    * gray(x+1, y) > gray(x, y). Invariant to global brightness/
+    * contrast shifts (only adjacent-pixel ORDER matters) and to
+    * resolution (everything is compared on the 9×8 thumbnail) — the
+    * standard perceptual fingerprint for image near-dup detection. */
+  def dHash(img: BufferedImage): Long = {
+    val t = rescale(img, 9, 8)
+    def gray(x: Int, y: Int): Int = {
+      val p = t.getRGB(x, y)
+      ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Perceptual fingerprints for image payloads: (`id`, `sim`) rows —
+    * the column contract [[graft.dedup.Dedup.simHashPairs]] consumes,
+    * so persisted image fingerprints re-pair without re-decoding the
+    * corpus. Narrow `mapPartitions` decode; rows whose payload ImageIO
+    * cannot decode are DROPPED (they have no perceptual identity —
+    * run text/byte dedup on those instead). */
+  def imageDHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, content) =>
+        decodeImage(content).map(img => (id, dHash(img)))
+      })
+      .toDF("id", "sim")
+  }
+
+  /** Image near-duplicate pairs: dHash fingerprints through the SAME
+    * block-combination band index as text SimHash
+    * ([[graft.dedup.Dedup.simHashPairs]] — any pair within
+    * `maxHamming` shares an untouched block combination, so recall is
+    * contractual and NO all-pairs comparison ever runs). One narrow
+    * decode pass + the banded (id, band, bucket) exchange — the same
+    * scale shape as the text dedup family. Output:
+    * (id_a, id_b, hamming). */
+  def imageNearDuplicates(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    graft.dedup.Dedup.simHashPairs(imageDHashes(media), maxHamming, maxBucketSize)
 
   /** Deterministic frame sampling for video-typed rows: pick every
     * `stride`-th byte offset as a fake "frame" marker — placeholder for

@@ -96,6 +96,49 @@ class MultimodalSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](Multimodal.resizeImages(m, 0, 10))
   }
 
+  test("dHash: deterministic, brightness-invariant, copy-detecting") {
+    def patterned(seed: Long, shift: Int = 0): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(36, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (cy <- 0 until 8; cx <- 0 until 9) {
+        val v0 = math.floorMod(seed * 2654435761L + cx * 97L + cy * 31L, 200L).toInt
+        val v = math.min(v0 + shift, 255)
+        for (dy <- 0 until 4; dx <- 0 until 4)
+          img.setRGB(cx * 4 + dx, cy * 4 + dy, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val h1 = Multimodal.dHash(patterned(7))
+    assert(h1 == Multimodal.dHash(patterned(7)), "dHash must be deterministic")
+    // global brightness shift preserves adjacent-pixel order → same hash
+    assert(h1 == Multimodal.dHash(patterned(7, shift = 20)))
+    // a different pattern must differ
+    assert(h1 != Multimodal.dHash(patterned(8)))
+    // encode → decode round-trip preserves the hash (PNG is lossless)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(patterned(7), "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.dHash(Multimodal.decodeImage(bytes).get) == h1)
+  }
+
+  test("imageNearDuplicates: planted copies found via banded pairing, no all-pairs") {
+    val ids = (0L until 40L).map(Tuple1(_)).toDF("doc_id")
+    val base = Multimodal.syntheticPatternTable(ids, "doc_id")
+    // plant exact copies of ids 0-4 at +1000
+    val dups = base.filter($"media_id" < 5)
+      .withColumn("media_id", $"media_id" + 1000L)
+    val pairs = Multimodal.imageNearDuplicates(base.unionByName(dups), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = pairs.filter { case (a, b, h) => b - a == 1000L && h == 0 }
+    assert(planted.length == 5, s"expected 5 planted pairs, got ${pairs.toSeq}")
+    // undecodable payloads are dropped, not failed
+    val withJunk = base.unionByName(
+      Multimodal.syntheticMediaTable(docs, "doc_id", "text"))
+    assert(Multimodal.imageDHashes(withJunk).count() == 40)
+  }
+
   test("sampleFrames emits floor(bytes/stride)+1 frames for video rows only") {
     val m = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, stride = 10)

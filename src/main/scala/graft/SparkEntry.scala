@@ -1276,6 +1276,19 @@ object SparkEntry {
     // dHash → banded pairing has no RNG), so the invariant frame pins
     // constants: every plant found at hamming 0, zero false pairs
     // among the 200 distinct patterns at radius 3.
+    // Real javax.sound WAV decode: square-wave fixtures round-trip
+    // encode → decode → frame/RMS stats; oracle recomputes them in
+    // closed form from the id (a ±A square wave has RMS exactly A).
+    "q_audio_features" -> ((s, d) =>
+      Multimodal.extractAudioFeatures(
+        Multimodal.syntheticAudioTable(t(s, d, "documents"), "doc_id"))
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("rms"), 6).as("rms"))),
+
     "q_image_dedup" -> ((s, d) => {
       import s.implicits._
       val ids = t(s, d, "documents")
@@ -3345,6 +3358,15 @@ object SparkEntry {
         |CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_r,
         |CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_g,
         |CAST((doc_id * 29) % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin,
+
+    "q_audio_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |CAST(8000 AS BIGINT) AS sample_rate,
+        |CAST(1 AS BIGINT) AS channels,
+        |CAST(800 + doc_id % 800 AS BIGINT) AS n_frames,
+        |round((800 + doc_id % 800) * 1000.0 / 8000, 6) AS duration_ms,
+        |CAST(1000 * (1 + doc_id % 8) AS DOUBLE) AS rms
         |FROM documents""".stripMargin,
 
     "q_image_dedup" ->

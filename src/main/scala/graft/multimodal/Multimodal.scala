@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   * Media payloads are opaque `binary` columns carried next to typed
   * metadata — the same physical layout the big multimodal training
   * corpora use in parquet. The image path is REAL: `decodeImage` /
-  * `imageFeatures` / `resizeImages` decode, analyse and rescale actual
-  * PNG/JPEG/BMP/GIF bytes through the JDK's `javax.imageio.ImageIO`
-  * (no external codec dependency). Payloads ImageIO cannot decode
-  * (audio/video/arbitrary blobs — no JDK codec exists) fall back to a
-  * deterministic byte-histogram feature so the distributed plumbing is
-  * exercised end-to-end for every media type.
+  * `imageFeatures` / `resizeImages` / `dHash` decode, analyse, rescale
+  * and perceptually fingerprint actual PNG/JPEG/BMP/GIF bytes through
+  * the JDK's `javax.imageio.ImageIO` (no external codec dependency).
+  * The audio path is REAL for the JDK's PCM container codecs:
+  * `decodeAudio` parses WAV/AIFF/AU through `javax.sound.sampled`
+  * (rate/channels/frames/duration/RMS). Payloads with no JDK codec
+  * (MP3/OGG, video, arbitrary blobs) fall back to a deterministic
+  * byte-histogram feature so the distributed plumbing is exercised
+  * end-to-end for every media type.
   *
   * Scale notes: feature extraction and resize are `mapPartitions`
   * (narrow, no shuffle) with one decoder context per partition;
@@ -359,6 +362,110 @@ object Multimodal {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame =
     graft.dedup.Dedup.simHashPairs(imageDHashes(media), maxHamming, maxBucketSize)
+
+  // ------------------------------------------------------------ audio
+
+  /** Encode a mono 16-bit PCM WAV entirely in the JDK (RIFF header +
+    * little-endian samples) — the audio fixture generator. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, "encodeWavPcm16: sampleRate must be positive")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                  // PCM
+      .putShort(1)                  // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)       // byte rate
+      .putShort(2)                  // block align
+      .putShort(16)                 // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Decoded-audio stats. `rms` is over 16-bit signed mono PCM. */
+  case class AudioStats(
+      sample_rate: Int, channels: Int, n_frames: Long,
+      duration_ms: Double, rms: Double)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/
+    * AU — the PCM container formats the JDK ships codecs for; MP3/OGG
+    * have no JDK codec and return None, falling back to the byte-
+    * histogram path like any other codec-less payload). Never throws:
+    * corrupt blobs in a 100 TB corpus must not fail the task. */
+  def decodeAudio(content: Array[Byte]): Option[AudioStats] =
+    if (content == null || content.length < 44) None
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(content))
+        try {
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val durationMs = frames * 1000.0 / fmt.getSampleRate
+          // RMS only for the fixture contract's shape (16-bit mono PCM);
+          // other shapes report -1 (stats still real)
+          val rms =
+            if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+              val bytes = ais.readAllBytes()
+              val bb = java.nio.ByteBuffer.wrap(bytes).order(
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN)
+              var sumSq = 0.0
+              var n = 0L
+              while (bb.remaining() >= 2) {
+                val s = bb.getShort.toDouble
+                sumSq += s * s
+                n += 1
+              }
+              if (n == 0) 0.0 else math.sqrt(sumSq / n)
+            } else -1.0
+          Some(AudioStats(fmt.getSampleRate.toInt, fmt.getChannels, frames,
+            durationMs, rms))
+        } finally ais.close()
+      } catch { case _: Exception => None }
+
+  /** Audio fixture table: mono 8 kHz square-wave WAVs whose decoded
+    * stats are closed-form in the id (oracle-checkable without an
+    * audio library): n_frames = 800 + id%800, amplitude = 1000·(1 +
+    * id%8) — a ±A square wave has RMS exactly A at any length. */
+  def syntheticAudioTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (800L + math.floorMod(id, 800L)).toInt
+          val amp = (1000L * (1L + math.floorMod(id, 8L))).toShort
+          val samples = Array.tabulate(n)(i =>
+            if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+          MediaRow(id, encodeWavPcm16(8000, samples), "audio",
+            MediaMeta(0, 0, Some(n * 1000L / 8000L), "wav"))
+        }
+      }
+      .toDF()
+  }
+
+  /** Per-partition batched audio feature extraction — same narrow
+    * mapPartitions shape as [[extractFeatures]]; undecodable payloads
+    * are dropped (no JDK codec → no audio identity). */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, content) =>
+        decodeAudio(content).map(a =>
+          (id, a.sample_rate, a.channels, a.n_frames, a.duration_ms, a.rms))
+      })
+      .toDF("media_id", "sample_rate", "channels", "n_frames",
+        "duration_ms", "rms")
+  }
 
   /** Deterministic frame sampling for video-typed rows: pick every
     * `stride`-th byte offset as a fake "frame" marker — placeholder for

@@ -139,6 +139,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.imageDHashes(withJunk).count() == 40)
   }
 
+  test("encodeWavPcm16 → decodeAudio round-trips frames, rate and RMS") {
+    val samples = Array.tabulate(1600)(i => if ((i / 4) % 2 == 0) 3000 else -3000)
+      .map(_.toShort)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    val a = Multimodal.decodeAudio(wav).get
+    assert(a.sample_rate == 8000 && a.channels == 1)
+    assert(a.n_frames == 1600L)
+    assert(a.duration_ms == 200.0)
+    assert(a.rms == 3000.0) // ±A square wave: RMS exactly A
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    assert(Multimodal.decodeAudio("definitely not audio bytes at all".getBytes).isEmpty)
+    // an image payload is not audio either
+    assert(Multimodal.decodeAudio(Multimodal.encodeSolidPng(8, 8, 1, 2, 3)).isEmpty)
+  }
+
+  test("syntheticAudioTable + extractAudioFeatures: closed-form stats per id") {
+    val m = Multimodal.syntheticAudioTable(docs, "doc_id")
+    val f = Multimodal.extractAudioFeatures(m)
+    val r = f.filter($"media_id" === 5).head()
+    // id 5: n = 805, amp = 6000
+    assert(r.getAs[Long]("n_frames") == 805L)
+    assert(r.getAs[Double]("duration_ms") == 805 * 1000.0 / 8000)
+    assert(r.getAs[Double]("rms") == 6000.0)
+    assert(r.getAs[Int]("sample_rate") == 8000 && r.getAs[Int]("channels") == 1)
+    // undecodable payloads are dropped, not failed
+    val junk = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
+    assert(Multimodal.extractAudioFeatures(junk).count() == 0)
+  }
+
   test("sampleFrames emits floor(bytes/stride)+1 frames for video rows only") {
     val m = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, stride = 10)

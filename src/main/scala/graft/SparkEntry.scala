@@ -8,7 +8,7 @@ import graft.checks.Checks
 import graft.methods.Averaging
 import graft.dedup.Dedup
 import graft.similarity.{Quantize, Similarity}
-import graft.text.TextFunctions
+import graft.text.{TextFunctions, UrlFunctions}
 import graft.multimodal.Multimodal
 import graft.streaming.Streaming
 import graft.io.Tables
@@ -33,6 +33,26 @@ object SparkEntry {
 
   /** Scratch dir for queries that exercise write paths. */
   private val scratch = "/root/repo/target/verify_tmp"
+
+  /** Synthetic web-corpus frame for the URL/domain family: one URL per
+    * doc over a 12-host pool (plain, multi-part-suffix, bare-label and
+    * IP hosts; slot 7 is the blocklist fixture, slots 3/11 share a
+    * registrable domain). Deterministic in doc_id so the oracles pin
+    * expected values via parallel constant lists. */
+  private def urlDocs(s: SparkSession, d: String): DataFrame = {
+    val hosts = Seq(
+      "news.example.com", "blog.sample.org", "shop.acme.co.uk",
+      "data.mirror.net", "example.com.au", "weird.deep.site.co.jp",
+      "cdn.images.io", "www.blocked.com", "localhost", "192.168.10.1",
+      "docs.example.ac.uk", "big.mirror.net")
+    t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("url", concat(
+        when(col("doc_id") % 5 === 0, "http").otherwise("https"),
+        lit("://"),
+        element_at(array(hosts.map(lit): _*), (col("doc_id") % 12).cast("int") + 1),
+        lit("/p/"), col("doc_id")))
+  }
 
   /** Shared invariant oracle for the streaming near-dedup family —
     * used by both q_stream_dedup and its Bench raw baseline so the
@@ -689,6 +709,23 @@ object SparkEntry {
       }.toDF("sweep_rank", "pipeline", "ts_ms", "total_time_ms", "total_cores",
         "total_memory_gb", "instance_type", "pipeline_cost", "n_errors")
     }),
+
+    // --------------------------------------- URL / domain curation
+    "q_url_parse" -> ((s, d) =>
+      urlDocs(s, d).select(col("doc_id"),
+        UrlFunctions.urlProtocol(col("url")).as("protocol"),
+        UrlFunctions.urlHost(col("url")).as("host"),
+        UrlFunctions.urlPath(col("url")).as("path"),
+        UrlFunctions.urlDomain(col("url")).as("domain"))),
+
+    "q_domain_profile" -> ((s, d) =>
+      UrlFunctions.domainProfile(
+        UrlFunctions.filterBlockedDomains(urlDocs(s, d), "url",
+          Seq("blocked.com")), "url")),
+
+    "q_domain_quota" -> ((s, d) =>
+      UrlFunctions.domainQuota(urlDocs(s, d), "url", n = 5, "doc_id",
+        salt = "dq").select("doc_id")),
 
     // ------------------------------------------------ text analysis
     "q_token_counts" -> ((s, d) =>
@@ -2859,6 +2896,41 @@ object SparkEntry {
         |   CAST(8 AS BIGINT), CAST(12 AS BIGINT), 't4g.2xlarge', CAST(0.336 AS DOUBLE), CAST(1 AS BIGINT))
         |) AS t(sweep_rank, pipeline, ts_ms, total_time_ms, total_cores,
         |       total_memory_gb, instance_type, pipeline_cost, n_errors)""".stripMargin,
+
+    // oracle pins the EXPECTED host→domain mapping via parallel
+    // constant lists instead of re-implementing the eTLD+1 heuristic
+    "q_url_parse" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END AS protocol,
+        |(['news.example.com','blog.sample.org','shop.acme.co.uk','data.mirror.net',
+        |  'example.com.au','weird.deep.site.co.jp','cdn.images.io','www.blocked.com',
+        |  'localhost','192.168.10.1','docs.example.ac.uk','big.mirror.net'])[CAST(doc_id % 12 AS INT)+1] AS host,
+        |'/p/' || doc_id AS path,
+        |(['example.com','sample.org','acme.co.uk','mirror.net',
+        |  'example.com.au','site.co.jp','images.io','blocked.com',
+        |  'localhost','192.168.10.1','example.ac.uk','mirror.net'])[CAST(doc_id % 12 AS INT)+1] AS domain
+        |FROM documents""".stripMargin,
+
+    "q_domain_profile" ->
+      """WITH u AS (
+        |  SELECT (['example.com','sample.org','acme.co.uk','mirror.net',
+        |    'example.com.au','site.co.jp','images.io','blocked.com',
+        |    'localhost','192.168.10.1','example.ac.uk','mirror.net'])[CAST(doc_id % 12 AS INT)+1] AS domain
+        |  FROM documents)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM u WHERE domain <> 'blocked.com' GROUP BY domain""".stripMargin,
+
+    "q_domain_quota" ->
+      """WITH u AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    (['example.com','sample.org','acme.co.uk','mirror.net',
+        |     'example.com.au','site.co.jp','images.io','blocked.com',
+        |     'localhost','192.168.10.1','example.ac.uk','mirror.net'])[CAST(doc_id % 12 AS INT)+1] AS domain
+        |  FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
+        |    ORDER BY md5('dq' || domain || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM u) WHERE rn <= 5""".stripMargin,
 
     "q_token_counts" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -112,6 +112,8 @@ object Plans {
       "RRF hybrid retrieval: both candidate lists are bounded before fusion — BM25 ends in TakeOrderedAndProject and the cosine list likewise — so the fusion union/groupBy moves at most lists x N rows; the corpus appears only inside the two retriever subplans.",
     "q_image_features" ->
       "Real ImageIO decode: scan -> DeserializeToObject -> MapPartitions (one decoder context per partition) -> SerializeFromObject -> Project, ZERO exchanges — decode is embarrassingly parallel, so media feature extraction pipelines with the parquet scan at any corpus size; blob-heavy inputs size tasks via files.maxPartitionBytes, not a shuffle.",
+    "q_keyword_tag" ->
+      "Aho-Corasick blocklist tag: keyword_matches is a codegen'd call into the driver-built automaton riding the task binary (addReferenceObj) — the whole tag+filter is a narrow Filter/Project over the scan with ZERO exchanges and cost flat in pattern count (SCALE.md keyword_scan: one pass vs the HOF form's per-pattern rescan).",
   )
 
   def main(args: Array[String]): Unit = {

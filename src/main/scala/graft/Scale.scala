@@ -1091,6 +1091,40 @@ object Scale {
     }
     for (k <- Seq(1, bigK)) windowedDistinctRow(k)
 
+    // Aho-Corasick claim: ONE pass over the text regardless of how many
+    // patterns the blocklist holds — wall stays flat as P grows, where
+    // the HOF form (filter(patterns, p -> contains(text, p))) rescans
+    // the document once per pattern and grows linearly in P. Both
+    // variants read the same materialised corpus and are consumed
+    // through the size(matched) filter (count()-pruning guard). The
+    // whole block is gated so a targeted run of OTHER rows doesn't pay
+    // the corpus materialisation.
+    if (only.forall(o =>
+      o.contains("keyword_scan_automaton") || o.contains("keyword_scan_hof"))) {
+      val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "merge", "batch", "spark", "line", "sort",
+        "window", "order", "data", "column", "join", "small", "customer",
+        "query", "big", "group", "stream", "vector", "filter")
+      val phrases = (for (a <- vocab; b <- vocab) yield s"$a $b").distinct
+      val docs = scaledDocs(spark, sfDir, bigK)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      docs.count() // materialise OUTSIDE the timed rows
+      for (p <- Seq(8, 64, 256)) {
+        val pats = phrases.take(p)
+        timed("keyword_scan_automaton", "patterns" -> p.toLong)(() =>
+          graft.text.Keywords.tagKeywords(docs, "text", pats)
+            .where(size(col("matched")) > 0).select(col("doc_id")))
+        timed("keyword_scan_hof", "patterns" -> p.toLong)(() => {
+          val arr = array(pats.distinct.sorted.map(lit): _*)
+          docs.select(col("doc_id"),
+            array_sort(filter(arr, x => contains(lower(col("text")), x)))
+              .as("matched"))
+            .where(size(col("matched")) > 0).select(col("doc_id"))
+        })
+      }
+    }
+
     spark.stop()
   }
 }

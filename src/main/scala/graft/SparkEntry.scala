@@ -54,6 +54,16 @@ object SparkEntry {
         lit("/p/"), col("doc_id")))
   }
 
+  /** Keyword-curation fixtures over the documents vocabulary: nested
+    * patterns ("scan" inside "slow scan") exercise Aho-Corasick output
+    * inheritance, "table value"/"value table" share letters both ways,
+    * "zzzqx" never matches (pins the profile's zero row). Oracles
+    * re-express each as contains(lower(text), pattern). */
+  private val keywordPatterns = Seq(
+    "slow scan", "scan", "big table", "customer query",
+    "table value", "value table", "vector", "zzzqx")
+  private val keywordBlocklist = Seq("slow scan", "customer query", "vector")
+
   /** Shared invariant oracle for the streaming near-dedup family —
     * used by both q_stream_dedup and its Bench raw baseline so the
     * row shape cannot diverge. Checks, over (key, id, sim) frames:
@@ -726,6 +736,23 @@ object SparkEntry {
     "q_domain_quota" -> ((s, d) =>
       UrlFunctions.domainQuota(urlDocs(s, d), "url", n = 5, "doc_id",
         salt = "dq").select("doc_id")),
+
+    // ------------------------------------ keyword curation (Aho-Corasick)
+    "q_keyword_tag" -> ((s, d) => {
+      val tagged = graft.text.Keywords.tagKeywords(
+        t(s, d, "documents"), "text", keywordPatterns)
+      tagged.where(size(col("matched")) > 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("matched"))
+    }),
+
+    "q_keyword_filter" -> ((s, d) =>
+      graft.text.Keywords.filterBlockedKeywords(
+        t(s, d, "documents"), "text", keywordBlocklist)
+        .select(col("doc_id").cast("long").as("doc_id"))),
+
+    "q_keyword_profile" -> ((s, d) =>
+      graft.text.Keywords.keywordProfile(
+        t(s, d, "documents"), "text", keywordPatterns)),
 
     // ------------------------------------------------ text analysis
     "q_token_counts" -> ((s, d) =>
@@ -2931,6 +2958,28 @@ object SparkEntry {
         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
         |    ORDER BY md5('dq' || domain || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM u) WHERE rn <= 5""".stripMargin,
+
+    "q_keyword_tag" ->
+      """SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  list_sort(list(DISTINCT p.pattern)) AS matched
+        |FROM documents d
+        |JOIN (VALUES ('slow scan'),('scan'),('big table'),('customer query'),
+        |             ('table value'),('value table'),('vector'),('zzzqx')) p(pattern)
+        |  ON contains(lower(d.text), p.pattern)
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "q_keyword_filter" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (VALUES ('slow scan'),('customer query'),('vector')) b(w)
+        |  WHERE contains(lower(d.text), b.w))""".stripMargin,
+
+    "q_keyword_profile" ->
+      """SELECT p.pattern,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents d
+        |   WHERE contains(lower(d.text), p.pattern)) AS n_docs
+        |FROM (VALUES ('slow scan'),('scan'),('big table'),('customer query'),
+        |             ('table value'),('value table'),('vector'),('zzzqx')) p(pattern)""".stripMargin,
 
     "q_token_counts" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -114,6 +114,8 @@ object Plans {
       "Real ImageIO decode: scan -> DeserializeToObject -> MapPartitions (one decoder context per partition) -> SerializeFromObject -> Project, ZERO exchanges — decode is embarrassingly parallel, so media feature extraction pipelines with the parquet scan at any corpus size; blob-heavy inputs size tasks via files.maxPartitionBytes, not a shuffle.",
     "q_keyword_tag" ->
       "Aho-Corasick blocklist tag: keyword_matches is a codegen'd call into the driver-built automaton riding the task binary (addReferenceObj) — the whole tag+filter is a narrow Filter/Project over the scan with ZERO exchanges and cost flat in pattern count (SCALE.md keyword_scan: one pass vs the HOF form's per-pattern rescan).",
+    "q_ann_index_scan" ->
+      "Materialised-index serve: the code-table scan carries PartitionFilters [cell IN (...)] — only the probed cells' files are read (125x fewer bytes than the raw-vector re-encode path, SCALE.md ann_serve_bytes); scoring is the same broadcast-LUT ADC join + bounded top-k partial agg as q_ivf_pq_topk, with NO vector column anywhere in the serve plan.",
   )
 
   def main(args: Array[String]): Unit = {

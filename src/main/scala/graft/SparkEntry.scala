@@ -1246,6 +1246,40 @@ object SparkEntry {
         lit(cbOk).as("codebooks_roundtrip"))
     }),
 
+    "q_ann_index_scan" -> ((s, d) => {
+      // the FULLY materialised index: artifacts + cell-partitioned
+      // encoded corpus persisted once; serving reads only the probed
+      // cells' code files (static cell IN (...) partition filter) and
+      // must be bit-identical to the fresh from-artifacts search
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.001)).as("v"))
+      val (centers, codebooks) = graft.similarity.Pq.trainIvfPq(
+        emb, "vec_id", "v", nlist = 16, m = 8, nCentroids = 64)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ann_encoded").toString
+      graft.similarity.AnnIndex.save(s, centers, codebooks, root)
+      graft.similarity.AnnIndex.saveEncodedCorpus(
+        emb, "vec_id", "v", centers, codebooks, root)
+      val served = graft.similarity.AnnIndex.searchEncodedCorpus(
+        s, root, queries, "vec_id", "v", k = 5, nprobe = 4)
+      val fresh = graft.similarity.Pq.ivfPqTopKFromArtifacts(
+        emb, queries, "vec_id", "v", k = 5, centers = centers,
+        codebooks = codebooks, nprobe = 4)
+      val pf = served.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+      val pruned = pf.contains("cell#") &&
+        (pf.contains(" IN ") || pf.contains("INSET"))
+      val diffs = served.except(fresh).count() + fresh.except(served).count()
+      served.agg(
+        count(lit(1)).as("n_rows"),
+        lit(diffs == 0).as("results_identical"),
+        lit(pruned).as("scan_pruned"))
+    }),
+
     "q_ann_recall" -> ((s, d) => {
       // the ANN family's evaluation operator, itself behind the
       // oracle: recall@5 of the PQ path vs exact brute force on 50
@@ -2708,6 +2742,10 @@ object SparkEntry {
     "q_ann_persist" ->
       """SELECT CAST(50 AS BIGINT) AS n_rows, TRUE AS results_identical,
         |TRUE AS centers_roundtrip, TRUE AS codebooks_roundtrip""".stripMargin,
+
+    "q_ann_index_scan" ->
+      """SELECT CAST(50 AS BIGINT) AS n_rows, TRUE AS results_identical,
+        |TRUE AS scan_pruned""".stripMargin,
 
     "q_ann_recall" ->
       "SELECT CAST(50 AS BIGINT) AS n_queries, CAST(0.472 AS DOUBLE) AS mean_recall",

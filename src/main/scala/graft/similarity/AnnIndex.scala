@@ -90,4 +90,60 @@ object AnnIndex {
       spark: SparkSession,
       root: String): (Array[Array[Double]], Array[Array[Array[Double]]]) =
     (loadCenters(spark, root), loadCodebooks(spark, root))
+
+  /** Materialise the ENCODED corpus under the same index root: one
+    * wide vector scan computes (id, cell, code) via the codegen
+    * kernels, written cell-PARTITIONED parquet (`root/encoded`). This
+    * is the other half of train-once/serve-many: [[save]] persists the
+    * quantizers, this persists their application, so serving reads
+    * m-byte codes instead of re-scanning and re-encoding 256 B vectors
+    * per query batch — and because `cell` is the partition key, a
+    * search's broadcast probe join dynamic-partition-prunes the
+    * unprobed cells at the file level (~nprobe/nlist of the index
+    * touched, on top of the 32× code-vs-vector width cut). */
+  def saveEncodedCorpus(
+      corpus: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      root: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    base.select(col("id"),
+      element_at(graft.functions.HashFunctions.pqEncodeNative(
+        col("vec"), Array(centers), normalize = false), 1).as("cell"),
+      graft.functions.HashFunctions.pqEncodeNative(
+        col("vec"), codebooks).as("code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/encoded")
+  }
+
+  /** Serve IVF-PQ top-k from a FULLY materialised index (artifacts via
+    * [[load]], codes via the `root/encoded` table): zero training
+    * jobs, zero vector scans — the plan reads only the probed cells'
+    * code files. Bit-identical to [[Pq.ivfPqTopKFromArtifacts]] over
+    * the original corpus (ints and doubles round-trip parquet exactly;
+    * pinned by AnnIndexSpec and q_ann_index_scan). */
+  def searchEncodedCorpus(
+      spark: SparkSession,
+      root: String,
+      queries: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 8,
+      queryIdCol: String = "query_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val (centers, codebooks) = load(spark, root)
+    val encoded = spark.read.parquet(s"$root/encoded")
+      .select(col("id").cast("long").as("id"), col("cell").cast("int").as("cell"),
+        col("code").cast("array<int>").as("code"))
+    val centroids = centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+    Pq.ivfPqSearchEncoded(encoded, centroids, queries, idCol, vecCol,
+      codebooks, k, nprobe, queryIdCol, pruneCells = true)
+  }
 }

@@ -315,6 +315,31 @@ object Pq {
     val encoded = assignments.select(col("id"), col("cell"),
       graft.functions.HashFunctions.pqEncodeNative(
         col("vec"), codebooks).as("code"))
+    ivfPqSearchEncoded(encoded, centroids, queries, idCol, vecCol,
+      codebooks, k, nprobe, queryIdCol)
+  }
+
+  /** The search tail from an ALREADY-ENCODED corpus (id, cell, code) —
+    * the serve path of a materialised index ([[AnnIndex
+    * .saveEncodedCorpus]]): no vector scan at all, only the m-byte
+    * codes move. With `pruneCells` the distinct probed cells (≤
+    * queries × nprobe, and ≤ nlist — driver-bounded by construction)
+    * are collected off the checkpointed probe table and pushed as a
+    * static `cell IN (...)` scan filter, so a cell-partitioned parquet
+    * index reads ONLY the probed cells' files (DPP declines here: the
+    * broadcast side carries no selective predicate, so the static
+    * push is the reliable pruning path — pinned in AnnIndexSpec). */
+  private[similarity] def ivfPqSearchEncoded(
+      encoded: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nprobe: Int,
+      queryIdCol: String,
+      pruneCells: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as(queryIdCol),
       col(vecCol).cast("array<double>").as("q_vec"))
     // nprobe cells per query by centroid cosine (the Ivf.search
@@ -332,7 +357,14 @@ object Pq {
         graft.functions.HashFunctions.pqLutNative(col("q_vec"), codebooks)
           .as("__lut"))
       .localCheckpoint(true)
-    val scored = broadcast(probes).join(encoded, Seq("cell"))
+    val toScan =
+      if (!pruneCells) encoded
+      else {
+        val cells = probes.select(col("cell")).distinct()
+          .collect().map(r => Int.box(r.getInt(0))).toSeq
+        encoded.filter(col("cell").isin(cells: _*))
+      }
+    val scored = broadcast(probes).join(toScan, Seq("cell"))
       .filter(col(queryIdCol) =!= col("id"))
       .select(col(queryIdCol),
         graft.functions.HashFunctions.pqAdcScoreNative(

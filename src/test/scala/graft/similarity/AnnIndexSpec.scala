@@ -77,4 +77,39 @@ class AnnIndexSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       AnnIndex.save(spark, Array.empty[Array[Double]], Array(Array(Array(1.0))), root))
   }
+
+  test("searchEncodedCorpus from the materialised index equals the fresh search") {
+    val (centers, codebooks) =
+      Pq.trainIvfPq(corpus, "id", "vec", nlist = 8, m = 4, nCentroids = 16)
+    val root = tmpRoot()
+    AnnIndex.save(spark, centers, codebooks, root)
+    AnnIndex.saveEncodedCorpus(corpus, "id", "vec", centers, codebooks, root)
+    val queries = corpus.filter($"id" < 5).selectExpr("id + 1000 AS id", "vec")
+    val fresh = Pq.ivfPqTopKFromArtifacts(corpus, queries, "id", "vec", k = 3,
+      centers = centers, codebooks = codebooks, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val served = AnnIndex.searchEncodedCorpus(spark, root, queries,
+      "id", "vec", k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(served == fresh)
+  }
+
+  test("encoded-corpus search reads only probed cells (partition pruning)") {
+    val (centers, codebooks) =
+      Pq.trainIvfPq(corpus, "id", "vec", nlist = 8, m = 4, nCentroids = 16)
+    val root = tmpRoot()
+    AnnIndex.save(spark, centers, codebooks, root)
+    AnnIndex.saveEncodedCorpus(corpus, "id", "vec", centers, codebooks, root)
+    val queries = corpus.filter($"id" < 2).selectExpr("id + 1000 AS id", "vec")
+    val df = AnnIndex.searchEncodedCorpus(spark, root, queries,
+      "id", "vec", k = 3, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probed cell set must reach the scan as a SELECTIVE partition
+    // filter (cell IN (...) / INSET), not just the join's isnotnull
+    // residue — that is what skips unprobed cells' files
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters in plan:\n$plan"))
+    assert(pf.contains("cell#") && (pf.contains(" IN ") || pf.contains("INSET")),
+      s"no selective cell pruning in: $pf")
+  }
 }

@@ -1472,6 +1472,19 @@ object Bench {
           coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
     }),
 
+    "q_keyword_tag" -> ((s, d) => {
+      // raw form: per-pattern HOF contains rescan (the plan a user
+      // writes without the automaton) — identical output; the automaton
+      // vs P-linear-rescan gap is measured in SCALE.md keyword_scan
+      val pats = SparkEntry.keywordPatterns.distinct.sorted
+      val arr = array(pats.map(lit): _*)
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          array_sort(filter(arr, x => contains(lower(col("text")), x)))
+            .as("matched"))
+        .where(size(col("matched")) > 0)
+    }),
+
     "q_hybrid_search" -> ((s, d) => {
       // equivalent hand-written two-retriever fusion: BM25 top-20 (the
       // q_bm25 raw plan) + HOF-cosine top-20 of vec 0, RRF-combined

@@ -59,7 +59,7 @@ object SparkEntry {
     * inheritance, "table value"/"value table" share letters both ways,
     * "zzzqx" never matches (pins the profile's zero row). Oracles
     * re-express each as contains(lower(text), pattern). */
-  private val keywordPatterns = Seq(
+  private[graft] val keywordPatterns = Seq(
     "slow scan", "scan", "big table", "customer query",
     "table value", "value table", "vector", "zzzqx")
   private val keywordBlocklist = Seq("slow scan", "customer query", "vector")

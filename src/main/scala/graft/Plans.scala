@@ -116,6 +116,8 @@ object Plans {
       "Aho-Corasick blocklist tag: keyword_matches is a codegen'd call into the driver-built automaton riding the task binary (addReferenceObj) — the whole tag+filter is a narrow Filter/Project over the scan with ZERO exchanges and cost flat in pattern count (SCALE.md keyword_scan: one pass vs the HOF form's per-pattern rescan).",
     "q_ann_index_scan" ->
       "Materialised-index serve: the code-table scan carries PartitionFilters [cell IN (...)] — only the probed cells' files are read (125x fewer bytes than the raw-vector re-encode path, SCALE.md ann_serve_bytes); scoring is the same broadcast-LUT ADC join + bounded top-k partial agg as q_ivf_pq_topk, with NO vector column anywhere in the serve plan.",
+    "q_pipeline_curation" ->
+      "Composed curation: domain blocklist + Aho-Corasick keyword blocklist + quality gate all FUSE into one narrow Filter/Project over the scan (three curation stages, zero exchanges between them); the only exchanges are the exact-dedup fingerprint window and the final domain-cardinality aggregate.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -46,7 +46,7 @@ object SparkEntry {
       "cdn.images.io", "www.blocked.com", "localhost", "192.168.10.1",
       "docs.example.ac.uk", "big.mirror.net")
     t(s, d, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .withColumn("url", concat(
         when(col("doc_id") % 5 === 0, "http").otherwise("https"),
         lit("://"),
@@ -754,7 +754,60 @@ object SparkEntry {
       graft.text.Keywords.keywordProfile(
         t(s, d, "documents"), "text", keywordPatterns)),
 
+    "q_pipeline_curation" -> ((s, d) => {
+      // the r13 web-curation front door composed end-to-end: domain
+      // blocklist (eTLD+1-wide) → Aho-Corasick keyword blocklist →
+      // quality gate → exact dedup → per-domain corpus stats. Every
+      // stage is a narrow filter until the one dedup window and the
+      // domain-cardinality aggregate.
+      val docs = urlDocs(s, d)
+      val afterUrl = UrlFunctions.filterBlockedDomains(
+        docs, "url", Seq("blocked.com"))
+      val afterKw = graft.text.Keywords.filterBlockedKeywords(
+        afterUrl, "text", keywordBlocklist)
+      val gated = afterKw
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+      graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
+        .groupBy(UrlFunctions.urlDomain(col("url")).as("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality"), 6).as("avg_quality"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"))
+    }),
+
     // ------------------------------------------------ text analysis
+    "q_bigram_perplexity" -> ((s, d) =>
+      graft.text.Relevance.bigramPerplexity(
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text")),
+
+    "q_subword_vocab" -> ((s, d) =>
+      graft.text.Subword.buildWordVocab(
+        t(s, d, "documents"), "text", maxWords = 20)),
+
+    "q_subword_counts" -> ((s, d) => {
+      // the greedy matcher end-to-end under the two closed-form
+      // vocabularies: every corpus word (1 piece per word — the count
+      // IS the token count) and characters only (len(word) pieces —
+      // the count IS the no-space char count). The interesting middle
+      // (prefix-vs-whole greedy, ## continuations, unk rollback) is
+      // pinned in SubwordSpec.
+      val words = graft.text.Subword
+        .buildWordVocab(t(s, d, "documents"), "text", maxWords = 100000)
+        .collect().map(_.getString(0)).toSeq
+      val chars = graft.text.Subword.charFallback(words)
+      t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        graft.text.Subword.subwordCount(
+          TextFunctions.normalizeText(col("text")), words)
+          .cast("long").as("n_word_pieces"),
+        graft.text.Subword.subwordCount(
+          TextFunctions.normalizeText(col("text")), chars)
+          .cast("long").as("n_char_pieces"))
+    }),
+
     "q_token_counts" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc_id"),
@@ -2996,6 +3049,93 @@ object SparkEntry {
         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
         |    ORDER BY md5('dq' || domain || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM u) WHERE rn <= 5""".stripMargin,
+
+    "q_pipeline_curation" ->
+      """WITH u AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+        |    (['example.com','sample.org','acme.co.uk','mirror.net',
+        |      'example.com.au','site.co.jp','images.io','blocked.com',
+        |      'localhost','192.168.10.1','example.ac.uk','mirror.net'])[CAST(doc_id % 12 AS INT)+1] AS domain
+        |  FROM documents),
+        |f AS (
+        |  SELECT * FROM u WHERE domain <> 'blocked.com'
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM (VALUES ('slow scan'),('customer query'),('vector')) b(w)
+        |      WHERE contains(lower(u.text), b.w))),
+        |m AS (
+        |  SELECT doc_id, text, domain,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM f),
+        |m2 AS (
+        |  SELECT doc_id, text, domain, toks,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    greatest(CAST(len(toks) AS DOUBLE), 1.0) AS safen,
+        |    CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on'], t))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nchar_nospace
+        |  FROM m),
+        |q AS (
+        |  SELECT doc_id, text, domain, ntok,
+        |    round((least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+        |      + (1.0 - least(punct / greatest(CAST(len(text) AS DOUBLE), 1.0) * 4.0, 1.0))
+        |      + least(nstop / safen * 4.0, 1.0)
+        |      + (CASE WHEN nchar_nospace / safen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
+        |  FROM m2),
+        |g AS (SELECT * FROM q WHERE quality >= 0.5),
+        |dd AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |    FROM g) WHERE rn = 1)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(quality), 6) AS avg_quality,
+        |  CAST(sum(CAST(ntok AS BIGINT)) AS BIGINT) AS total_tokens
+        |FROM dd GROUP BY 1""".stripMargin,
+
+    "q_subword_vocab" ->
+      """SELECT piece, CAST(count(*) AS BIGINT) AS c FROM (
+        |  SELECT unnest(regexp_split_to_array(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS piece
+        |  FROM documents WHERE len(trim(text)) > 0)
+        |GROUP BY 1 ORDER BY c DESC, piece LIMIT 20""".stripMargin,
+
+    "q_subword_counts" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_word_pieces,
+        |  CAST(len(regexp_replace(lower(text), '\s', '', 'g')) AS BIGINT) AS n_char_pieces
+        |FROM documents""".stripMargin,
+
+    "q_bigram_perplexity" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS arr
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(arr) AS w,
+        |    unnest(generate_series(1, len(arr))) AS i FROM base),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |ust AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+        |bg AS (
+        |  SELECT a.doc_id, a.w AS prev, b.w AS w
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |cb AS (SELECT prev, w, count(*) AS cbw FROM bg GROUP BY 1, 2),
+        |cp AS (SELECT prev, sum(cbw) AS cpre FROM cb GROUP BY 1),
+        |ev AS (SELECT doc_id, prev, w, count(*) AS nd FROM bg GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT ev.doc_id, CAST(sum(nd) AS BIGINT) AS n_bigrams,
+        |    round(exp(-sum(nd * ln(
+        |      0.7 * (CAST(cbw AS DOUBLE) / CAST(cpre AS DOUBLE)) +
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+        |        ((CAST(c AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + 1.0 * CAST(v AS DOUBLE)))
+        |    )) / sum(nd)), 6) AS bigram_perplexity
+        |  FROM ev JOIN cb USING (prev, w) JOIN cp USING (prev)
+        |    JOIN uni ON uni.w = ev.w CROSS JOIN ust
+        |  GROUP BY 1)
+        |SELECT d.doc_id, sc.n_bigrams, sc.bigram_perplexity
+        |FROM (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        |LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     "q_keyword_tag" ->
       """SELECT CAST(d.doc_id AS BIGINT) AS doc_id,

@@ -107,7 +107,18 @@ object AnnIndex {
       vecCol: String,
       centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
-      root: String): Unit = {
+      root: String): Unit =
+    encodeFrame(corpus, idCol, vecCol, centers, codebooks)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/encoded")
+
+  /** The shared (id, cell, code) encode projection — one narrow pass
+    * through the codegen kernels. */
+  private def encodeFrame(
+      corpus: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
@@ -116,8 +127,26 @@ object AnnIndex {
         col("vec"), Array(centers), normalize = false), 1).as("cell"),
       graft.functions.HashFunctions.pqEncodeNative(
         col("vec"), codebooks).as("code"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/encoded")
   }
+
+  /** Append a DELTA corpus to an existing encoded index — incremental
+    * index growth without retraining or re-encoding the base: new
+    * vectors are assigned to the FROZEN cells and codebooks (the
+    * standard incremental-IVF contract; recall for the delta matches
+    * the base as long as the trained distribution still covers it) and
+    * land in the same cell-partitioned layout, so serving picks them
+    * up with no further work. Caller contract: delta ids must be
+    * disjoint from everything already in the index — the searcher does
+    * not dedup. */
+  def appendEncodedCorpus(
+      corpus: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      root: String): Unit =
+    encodeFrame(corpus, idCol, vecCol, centers, codebooks)
+      .write.mode("append").partitionBy("cell").parquet(s"$root/encoded")
 
   /** Serve IVF-PQ top-k from a FULLY materialised index (artifacts via
     * [[load]], codes via the `root/encoded` table): zero training

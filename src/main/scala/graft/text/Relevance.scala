@@ -238,6 +238,66 @@ object Relevance {
       .join(scored, Seq(idCol), "left")
   }
 
+  /** Interpolated bigram-LM perplexity — the next rung of the CCNet
+    * quality ladder above [[unigramPerplexity]] (KenLM-style filters
+    * use 5-grams; the bigram model is the Jelinek-Mercer-interpolated
+    * version whose semantics stay exactly oracle-checkable):
+    * `p(w | prev) = λ·c(prev,w)/c(prev,·) + (1−λ)·(c(w)+α)/(N+αV)`,
+    * scored as `exp(−Σ ln p / (n−1))` over a document's `n−1` ordered
+    * bigram events. Self-trained on the scored corpus, so every event's
+    * MLE term is positive; the smoothed unigram term keeps the mix
+    * nonzero for any λ < 1. Documents with fewer than two tokens score
+    * null. Output: `(idCol, n_bigrams, bigram_perplexity)` (6 dp).
+    *
+    * Scale shape: bigram events come from a NARROW zip_with over the
+    * token array (slice n−1 ∥ slice from 2) — no window, no
+    * per-token shuffle; events aggregate to per-(doc, prev, w) counts
+    * before any join, so the bigram-count join moves doc-DISTINCT-
+    * bigram rows; c(prev,·) folds from the bigram counts (no second
+    * corpus pass); N/V ride a broadcast 1-row frame. The two big
+    * exchanges share the (prev, w) key grain. */
+  def bigramPerplexity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.7,
+      alpha: Double = 1.0): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"bigramPerplexity: lambda must be in (0, 1], got $lambda")
+    require(alpha > 0.0, s"bigramPerplexity: alpha must be > 0, got $alpha")
+    val toksC = normTokens(col(textCol))
+    val prs = df
+      .withColumn("__toks", toksC)
+      .where(size(col("__toks")) >= 2)
+      .withColumn("__pairs", zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("w"))))
+      .select(col(idCol), explode(col("__pairs")).as("__pr"))
+      .select(col(idCol), col("__pr.prev").as("prev"), col("__pr.w").as("w"))
+    val uni = df.select(explode(normTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val stats = uni.agg(sum("c").as("__N"), count(lit(1)).as("__V"))
+    val cb = prs.groupBy("prev", "w").agg(count(lit(1)).as("cbw"))
+    val cp = cb.groupBy("prev").agg(sum("cbw").as("cpre"))
+    val ev = prs.groupBy(idCol, "prev", "w").agg(count(lit(1)).as("nd"))
+    val scored = ev
+      .join(cb, Seq("prev", "w"))
+      .join(cp, Seq("prev"))
+      .join(uni, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__lp", log(
+        lit(lambda) * (col("cbw").cast("double") / col("cpre").cast("double")) +
+          lit(1.0 - lambda) *
+            ((col("c") + lit(alpha)) / (col("__N") + lit(alpha) * col("__V")))))
+      .groupBy(idCol)
+      .agg(sum("nd").as("n_bigrams"),
+        round(exp(-sum(col("nd") * col("__lp")) / sum(col("nd"))), 6)
+          .as("bigram_perplexity"))
+    df.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * fuse N ranked lists into one ranking by
     * `score(d) = Σ_i 1 / (c + rank_i(d))` — the standard hybrid-

@@ -94,6 +94,27 @@ class AnnIndexSpec extends SparkTestBase {
     assert(served == fresh)
   }
 
+  test("appendEncodedCorpus: served union equals fresh search over base + delta") {
+    val base = corpus.filter($"id" < 100)
+    val delta = corpus.filter($"id" >= 100)
+      .selectExpr("id + 10000 AS id", "vec")
+    val union = base.unionByName(delta)
+    val (centers, codebooks) =
+      Pq.trainIvfPq(base, "id", "vec", nlist = 8, m = 4, nCentroids = 16)
+    val root = tmpRoot()
+    AnnIndex.save(spark, centers, codebooks, root)
+    AnnIndex.saveEncodedCorpus(base, "id", "vec", centers, codebooks, root)
+    AnnIndex.appendEncodedCorpus(delta, "id", "vec", centers, codebooks, root)
+    val queries = corpus.filter($"id" < 5).selectExpr("id + 1000 AS id", "vec")
+    val fresh = Pq.ivfPqTopKFromArtifacts(union, queries, "id", "vec", k = 3,
+      centers = centers, codebooks = codebooks, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val served = AnnIndex.searchEncodedCorpus(spark, root, queries,
+      "id", "vec", k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(served == fresh)
+  }
+
   test("encoded-corpus search reads only probed cells (partition pruning)") {
     val (centers, codebooks) =
       Pq.trainIvfPq(corpus, "id", "vec", nlist = 8, m = 4, nCentroids = 16)

@@ -124,6 +124,56 @@ class RelevanceSpec extends SparkTestBase {
     assert(out(2L) > out(1L))
   }
 
+  test("bigramPerplexity: hand-computed interpolated model, short docs null") {
+    val docs = Seq((1L, "a b a b c"), (2L, "b a"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Relevance.bigramPerplexity(docs, "doc_id", "text",
+      lambda = 0.7, alpha = 1.0)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[java.lang.Long]("n_bigrams")),
+          Option(r.getAs[java.lang.Double]("bigram_perplexity")))).toMap
+    assert(out(3L) == ((None, None)), "1-token doc scores null")
+    assert(out(4L) == ((None, None)), "empty doc scores null")
+    assert(out(1L)._1.contains(4L) && out(2L)._1.contains(1L))
+    // independent brute force over the same corpus
+    val toks = Map(1L -> Seq("a", "b", "a", "b", "c"), 2L -> Seq("b", "a"))
+    val allToks = toks.values.flatten.toSeq ++ Seq("solo")
+    val uni = allToks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val n = allToks.size.toDouble
+    val v = uni.size.toDouble
+    val bgs = toks.values.toSeq.flatMap(ws => ws.zip(ws.tail))
+    val cb = bgs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val cp = bgs.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    def ppl(id: Long): Double = {
+      val ws = toks(id)
+      val lps = ws.zip(ws.tail).map { case (p, w) =>
+        math.log(0.7 * (cb((p, w)) / cp(p)) + (1.0 - 0.7) * ((uni(w) + 1.0) / (n + v)))
+      }
+      math.exp(-lps.sum / lps.size)
+    }
+    assert(math.abs(out(1L)._2.get - ppl(1L)) < 1e-5, s"${out(1L)} vs ${ppl(1L)}")
+    assert(math.abs(out(2L)._2.get - ppl(2L)) < 1e-5)
+  }
+
+  test("bigramPerplexity: degenerate repetition scores lower than mixed text") {
+    // "a a a a ..." has one bigram type with probability ~1 — the model
+    // finds it maximally predictable; varied text scores higher
+    val docs = ((1 to 10).map(i => (i.toLong, "a a a a a a")) :+
+      (100L, "q w e r t y")).toDF("doc_id", "text")
+    val out = Relevance.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[java.lang.Double]("bigram_perplexity")).toMap
+    assert(out(1L) < out(100L))
+  }
+
+  test("bigramPerplexity plan: no window — bigrams from a narrow zip_with") {
+    val corpus = (1 to 50).map(i => (i.toLong, s"w${i % 7} w${i % 5} w${i % 7}"))
+      .toDF("doc_id", "text")
+    val plan = Relevance.bigramPerplexity(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked:\n$plan")
+  }
+
   test("unigramPerplexity plan: no window, vocab join at doc-distinct-term grain") {
     val corpus = (1 to 50).map(i => (i.toLong, s"w${i % 7} w${i % 5} w${i % 7}"))
       .toDF("doc_id", "text")

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.SubwordMatcher
+import org.apache.spark.unsafe.types.UTF8String
+
+class SubwordSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def toks(text: String, vocab: Seq[String]): Seq[String] =
+    Seq(text).toDF("t")
+      .select(Subword.subwordTokenize($"t", vocab))
+      .as[Seq[String]].head()
+
+  test("greedy longest-match: whole word beats prefix decomposition") {
+    assert(toks("unable", Seq("un", "unable", "##able")) == Seq("unable"))
+    assert(toks("unable", Seq("un", "##able")) == Seq("un", "##able"))
+    assert(toks("unable", Seq("u", "un", "##a", "##able", "##ble")) ==
+      Seq("un", "##able"))
+  }
+
+  test("continuation pieces require ##; missing cursor match yields one unk") {
+    // "able" alone cannot continue after "un" — needs "##able"
+    assert(toks("unable", Seq("un", "able")) == Seq("[UNK]"))
+    assert(toks("xyz abc", Seq("x", "##y", "##z", "a", "##b", "##c")) ==
+      Seq("x", "##y", "##z", "a", "##b", "##c"))
+    assert(toks("xyq", Seq("x", "##y")) == Seq("[UNK]"))
+  }
+
+  test("closed forms: all-words vocab = 1 piece/word; char vocab = len pieces") {
+    val docs = Seq("scan the table", "merge sort scan").toDF("t")
+    val words = Seq("scan", "the", "table", "merge", "sort")
+    val one = docs.select(Subword.subwordCount($"t", words).as("n"))
+      .as[Int].collect()
+    assert(one.toSeq == Seq(3, 3))
+    val chars = Subword.charFallback(words)
+    val lens = docs.select(Subword.subwordCount($"t", chars).as("n"))
+      .as[Int].collect()
+    assert(lens.toSeq == Seq("scanthetable".length, "mergesortscan".length))
+  }
+
+  test("tokenize and count agree; empty and null text") {
+    val vocab = Seq("ab", "##c", "a", "##b")
+    val df = Seq(Some("abc ab a"), Some(""), Some("   "), None).toDF("t")
+    val got = df.select(
+      Subword.subwordTokenize($"t", vocab).as("p"),
+      Subword.subwordCount($"t", vocab).as("n")).collect()
+    assert(got(0).getSeq[String](0) == Seq("ab", "##c", "ab", "a"))
+    assert(got(0).getInt(1) == 4)
+    assert(got(1).getSeq[String](0) == Seq.empty && got(1).getInt(1) == 0)
+    assert(got(2).getSeq[String](0) == Seq.empty && got(2).getInt(1) == 0)
+    assert(got(3).isNullAt(0) && got(3).isNullAt(1))
+  }
+
+  test("buildWordVocab: frequency cut, deterministic ties, minCount") {
+    val docs = Seq("b a a", "a b c", "C c").toDF("t") // norm lowercases
+    val v = Subword.buildWordVocab(docs, "t", maxWords = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // counts: a=3, b=2, c=3 → top-2 with tie (a,c) by word asc → a, c
+    assert(v == Seq(("a", 3L), ("c", 3L)))
+    val v2 = Subword.buildWordVocab(docs, "t", maxWords = 10, minCount = 3L)
+      .collect().map(_.getString(0)).toSeq
+    assert(v2 == Seq("a", "c"))
+  }
+
+  test("matcher rejects degenerate vocabularies") {
+    intercept[IllegalArgumentException](new SubwordMatcher(Array.empty, "[UNK]"))
+    intercept[IllegalArgumentException](new SubwordMatcher(Array("a", "##"), "[UNK]"))
+    // unk survives even when unk itself is not in the vocab
+    val m = new SubwordMatcher(Array("q"), "[UNK]")
+    val out = m.tokenize(UTF8String.fromString("zz q"))
+    assert((0 until out.numElements()).map(i => out.getUTF8String(i).toString) ==
+      Seq("[UNK]", "q"))
+  }
+}

@@ -1472,6 +1472,41 @@ object Bench {
           coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
     }),
 
+    "q_bigram_perplexity" -> ((s, d) => {
+      // raw form: ordered bigrams via posexplode + lag WINDOW (the
+      // plan a user writes first) — one per-token shuffle on doc_id
+      // that the wrapped operator's narrow zip_with avoids entirely
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val toks = docs
+        .select(col("doc_id"), posexplode(rawToks(rawNorm(col("text"))))
+          .as(Seq("i", "w")))
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val prs = toks
+        .withColumn("prev", lag(col("w"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("prev"), col("w"))
+      val uni = docs.select(explode(rawToks(rawNorm(col("text")))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val stats = uni.agg(sum("c").as("__N"), count(lit(1)).as("__V"))
+      val cb = prs.groupBy("prev", "w").agg(count(lit(1)).as("cbw"))
+      val cp = cb.groupBy("prev").agg(sum("cbw").as("cpre"))
+      val ev = prs.groupBy("doc_id", "prev", "w").agg(count(lit(1)).as("nd"))
+      val scored = ev
+        .join(cb, Seq("prev", "w")).join(cp, Seq("prev")).join(uni, Seq("w"))
+        .crossJoin(broadcast(stats))
+        .withColumn("__lp", log(
+          lit(0.7) * (col("cbw").cast("double") / col("cpre").cast("double")) +
+            lit(1.0 - 0.7) *
+              ((col("c") + lit(1.0)) / (col("__N") + lit(1.0) * col("__V")))))
+        .groupBy("doc_id")
+        .agg(sum("nd").as("n_bigrams"),
+          round(exp(-sum(col("nd") * col("__lp")) / sum(col("nd"))), 6)
+            .as("bigram_perplexity"))
+      docs.select(col("doc_id")).distinct()
+        .join(scored, Seq("doc_id"), "left")
+    }),
+
     "q_keyword_tag" -> ((s, d) => {
       // raw form: per-pattern HOF contains rescan (the plan a user
       // writes without the automaton) — identical output; the automaton

@@ -1191,6 +1191,25 @@ object Scale {
             .where(size(col("matched")) > 0).select(col("doc_id"))
         })
       }
+
+      // subword tokenizer throughput (r13): the greedy WordPiece count
+      // kernel vs the regex BPE-ish count — both narrow codegen'd
+      // scans; the row shows the vocab-driven matcher costs the same
+      // order as the regex it upgrades. Consumed through a filter on
+      // the count (count()-pruning guard).
+      locally {
+        val words = graft.text.Subword
+          .buildWordVocab(docs, "text", maxWords = 100000)
+          .collect().map(_.getString(0)).toSeq
+        val v = words ++ graft.text.Subword.charFallback(words)
+        timed("subword_count_kernel")(() =>
+          docs.select(graft.text.Subword.subwordCount(
+            graft.text.TextFunctions.normalizeText(col("text")), v).as("n"))
+            .where(col("n") >= 0))
+        timed("subword_count_regex")(() =>
+          docs.select(graft.text.TextFunctions.bpeTokenCount(col("text")).as("n"))
+            .where(col("n") >= 0))
+      }
     }
 
     spark.stop()

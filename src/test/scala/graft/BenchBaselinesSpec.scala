@@ -31,7 +31,7 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_topk_group", "q_pivot_wide", "q_corr_matrix",
     "q_freq_encode", "q_target_encode",
     "q_substring_dedup", "q_hybrid_search", "q_contamination_report",
-    "q_keyword_tag",
+    "q_keyword_tag", "q_bigram_perplexity",
     "q_first_obs", "q_window_running", "q_melt", "q_rank_numeric",
     "q_median_price", "q_weighted_arith", "q_ivf_pq_topk", "q_exact_dedup",
     "q_drift_cat", "q_pushdown_read", "q_quantize", "q_pq_topk",

@@ -754,6 +754,12 @@ object SparkEntry {
       graft.text.Keywords.keywordProfile(
         t(s, d, "documents"), "text", keywordPatterns)),
 
+    "q_keyword_mask" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"),
+        graft.text.Keywords.maskKeywords(
+          TextFunctions.normalizeText(col("text")), keywordPatterns)
+          .as("masked"))),
+
     "q_pipeline_curation" -> ((s, d) => {
       // the r13 web-curation front door composed end-to-end: domain
       // blocklist (eTLD+1-wide) → Aho-Corasick keyword blocklist →
@@ -3049,6 +3055,13 @@ object SparkEntry {
         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY domain
         |    ORDER BY md5('dq' || domain || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM u) WHERE rn <= 5""".stripMargin,
+
+    "q_keyword_mask" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  regexp_replace(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+        |    '(customer query|table value|value table|big table|slow scan|vector|zzzqx|scan)',
+        |    '<MASK>', 'g') AS masked
+        |FROM documents""".stripMargin,
 
     "q_pipeline_curation" ->
       """WITH u AS (

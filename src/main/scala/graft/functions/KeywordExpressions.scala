@@ -127,6 +127,44 @@ final class AhoCorasick(rawPatterns: Array[String], val caseInsensitive: Boolean
     new GenericArrayData(res)
   }
 
+  /** Replace every leftmost-longest non-overlapping pattern occurrence
+    * with `replacement` — dictionary masking (badword masking, term
+    * normalisation) in the same one-pass scan. Semantics are EXACTLY
+    * those of a regex alternation ordered longest-first under
+    * leftmost-first matching (`(p1|p2|…)` with the branches sorted by
+    * length descending): at each position take the longest match
+    * starting there, then resume after its end — which is what makes
+    * the operator oracle-checkable against `regexp_replace`. Patterns
+    * are LITERAL strings (never interpreted as regex). */
+  def maskAll(text: UTF8String, replacement: String): UTF8String = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return text
+    // best(start) = longest pattern length matching at start
+    val best = new Array[Int](n)
+    var state = 0
+    var i = 0
+    while (i < n) {
+      state = step(state, fold(s.charAt(i)))
+      val out = outArr(state)
+      var j = 0
+      while (j < out.length) {
+        val len = patterns(out(j)).length
+        val st = i - len + 1
+        if (len > best(st)) best(st) = len
+        j += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      if (best(i) > 0) { sb.append(replacement); i += best(i) }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** True iff ANY pattern occurs — early-exits on the first hit, the
     * fast path for blocklist filtering. */
   def containsAny(text: UTF8String): Boolean = {
@@ -170,6 +208,38 @@ case class KeywordMatchesExpr(
   }
 
   override protected def withNewChildInternal(newChild: Expression): KeywordMatchesExpr =
+    copy(child = newChild)
+}
+
+/** string → string with every leftmost-longest pattern occurrence
+  * replaced (see [[AhoCorasick.maskAll]]). */
+case class KeywordMaskExpr(
+    child: Expression,
+    patterns: Seq[String],
+    caseInsensitive: Boolean,
+    replacement: String)
+    extends UnaryExpression {
+
+  @transient private lazy val ac =
+    new AhoCorasick(patterns.toArray, caseInsensitive)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "keyword_mask"
+
+  override def nullSafeEval(input: Any): Any =
+    ac.maskAll(input.asInstanceOf[UTF8String], replacement)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ahoCorasick", ac, classOf[AhoCorasick].getName)
+    val repRef = ctx.addReferenceObj("maskReplacement", replacement, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"$acRef.maskAll($c, $repRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KeywordMaskExpr =
     copy(child = newChild)
 }
 

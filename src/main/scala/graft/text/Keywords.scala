@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{KeywordContainsExpr, KeywordMatchesExpr}
+import graft.functions.{KeywordContainsExpr, KeywordMaskExpr, KeywordMatchesExpr}
 
 /** Multi-pattern keyword curation — the blocklist/taglist stage of a
   * web-corpus pipeline (C4's badword filter, Gopher's topic lists).
@@ -39,6 +39,20 @@ object Keywords {
       caseInsensitive: Boolean = true): Column =
     ColumnBridge(KeywordContainsExpr(
       ColumnBridge.expression(text), patterns, caseInsensitive))
+
+  /** Replace every leftmost-longest non-overlapping pattern occurrence
+    * with `replacement` — dictionary masking (badword masking, term
+    * normalisation) in one automaton pass. Exactly the semantics of
+    * `regexp_replace(text, '(p1|p2|…)', replacement, 'g')` with the
+    * alternation branches sorted longest-first; patterns are literal,
+    * never regex. Null text → null. */
+  def maskKeywords(
+      text: Column,
+      patterns: Seq[String],
+      replacement: String = "<MASK>",
+      caseInsensitive: Boolean = true): Column =
+    ColumnBridge(KeywordMaskExpr(
+      ColumnBridge.expression(text), patterns, caseInsensitive, replacement))
 
   /** Tag every row with the sorted distinct patterns its text
     * contains (`outCol`, array&lt;string&gt;; null text → empty array). */

@@ -51,6 +51,35 @@ class KeywordsSpec extends SparkTestBase {
     assert(prof == Map("scan" -> 2L, "slow scan" -> 1L, "zzz" -> 0L))
   }
 
+  private def mask(text: String, ps: Seq[String]): String =
+    Seq(text).toDF("t")
+      .select(Keywords.maskKeywords($"t", ps, "<M>"))
+      .as[String].head()
+
+  test("maskKeywords: leftmost-longest, adjacency, nesting, case folding") {
+    assert(mask("a slow scan here", pats) == "a <M> <M>re")
+    // leftmost "ab"-style overlap: the earlier match wins, scan resumes after
+    assert(mask("ushers", Seq("she", "hers")) == "u<M>rs")
+    // longest at the same start beats the nested shorter
+    assert(mask("slow scan", Seq("slow scan", "slow")) == "<M>")
+    assert(mask("SLOW SCAN", Seq("slow scan")) == "<M>")
+    assert(mask("xyz", pats) == "xyz")
+    assert(mask("", pats) == "")
+  }
+
+  test("maskKeywords agrees with longest-first regex alternation on random text") {
+    val ps = Seq("scan", "slow scan", "an", "ca", "he", "she", "hers")
+    val rx = ("(" + ps.sortBy(p => (-p.length, p))
+      .map(java.util.regex.Pattern.quote).mkString("|") + ")").r
+    val rnd = new scala.util.Random(13)
+    val vocab = Array("scan", "slow", "she", "hers", "x", "a", "c", " ")
+    (1 to 200).foreach { _ =>
+      val text = Array.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length))).mkString
+      val want = rx.replaceAllIn(text.toLowerCase, "<M>")
+      assert(mask(text.toLowerCase, ps) == want, s"text='$text'")
+    }
+  }
+
   test("automaton agrees with per-pattern contains on random text") {
     val rnd = new scala.util.Random(7)
     val vocab = Array("scan", "slow", "big", "table", "he", "she", "rs", "x")

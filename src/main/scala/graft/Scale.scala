@@ -1167,8 +1167,9 @@ object Scale {
     // through the size(matched) filter (count()-pruning guard). The
     // whole block is gated so a targeted run of OTHER rows doesn't pay
     // the corpus materialisation.
-    if (only.forall(o =>
-      o.contains("keyword_scan_automaton") || o.contains("keyword_scan_hof"))) {
+    if (only.forall(o => Seq("keyword_scan_automaton", "keyword_scan_hof",
+      "subword_count_kernel", "subword_count_regex", "curation_pipeline")
+      .exists(o.contains))) {
       val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
         "value", "part", "hash", "merge", "batch", "spark", "line", "sort",
         "window", "order", "data", "column", "join", "small", "customer",
@@ -1209,6 +1210,42 @@ object Scale {
         timed("subword_count_regex")(() =>
           docs.select(graft.text.TextFunctions.bpeTokenCount(col("text")).as("n"))
             .where(col("n") >= 0))
+      }
+
+      // composed curation pipeline at x1/x8: three fused narrow filter
+      // stages + one dedup window + a domain-cardinality aggregate —
+      // the wall must track the corpus linearly (no hidden
+      // super-linear exchange anywhere in the composition)
+      locally {
+        val hosts = Seq("news.example.com", "blog.sample.org",
+          "shop.acme.co.uk", "data.mirror.net", "example.com.au",
+          "weird.deep.site.co.jp", "cdn.images.io", "www.blocked.com",
+          "localhost", "192.168.10.1", "docs.example.ac.uk",
+          "big.mirror.net")
+        val blockWords = Seq("slow scan", "customer query", "vector")
+        for (k <- Seq(1, bigK)) {
+          def curated() = {
+            val d = scaledDocs(spark, sfDir, k)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .withColumn("url", concat(lit("https://"),
+                element_at(array(hosts.map(lit): _*),
+                  (col("doc_id") % 12).cast("int") + 1),
+                lit("/p/"), col("doc_id")))
+            val afterUrl = graft.text.UrlFunctions.filterBlockedDomains(
+              d, "url", Seq("blocked.com"))
+            val afterKw = graft.text.Keywords.filterBlockedKeywords(
+              afterUrl, "text", blockWords)
+            val gated = afterKw
+              .withColumn("quality",
+                graft.text.TextFunctions.qualityScore(col("text")))
+              .filter(col("quality") >= 0.5)
+            graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
+              .groupBy(graft.text.UrlFunctions.urlDomain(col("url"))
+                .as("domain"))
+              .agg(count(lit(1)).as("n_docs"))
+          }
+          timed("curation_pipeline", "scale" -> k.toLong)(() => curated())
+        }
       }
     }
 

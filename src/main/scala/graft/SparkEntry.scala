@@ -814,6 +814,19 @@ object SparkEntry {
           .cast("long").as("n_char_pieces"))
     }),
 
+    "q_bigram_perplexity_lm" -> ((s, d) => {
+      // the production CCNet shape: the reference LM trains on a CLEAN
+      // half (even doc_ids), every document scores against it — unseen
+      // bigrams degrade to the smoothed unigram, unseen words take the
+      // unseen mass
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      graft.text.Relevance.bigramPerplexity(docs, "doc_id", "text",
+        lmBigrams = Some(graft.text.Relevance.bigramCounts(ref, "text")),
+        lmUnigrams = Some(graft.text.Relevance.unigramCounts(ref, "text")))
+    }),
+
     "q_token_counts" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc_id"),
@@ -3145,6 +3158,41 @@ object SparkEntry {
         |    )) / sum(nd)), 6) AS bigram_perplexity
         |  FROM ev JOIN cb USING (prev, w) JOIN cp USING (prev)
         |    JOIN uni ON uni.w = ev.w CROSS JOIN ust
+        |  GROUP BY 1)
+        |SELECT d.doc_id, sc.n_bigrams, sc.bigram_perplexity
+        |FROM (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        |LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "q_bigram_perplexity_lm" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS arr
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(arr) AS w,
+        |    unnest(generate_series(1, len(arr))) AS i FROM base),
+        |rtoks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        |uni AS (SELECT w, count(*) AS c FROM rtoks GROUP BY 1),
+        |ust AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+        |rbg AS (
+        |  SELECT a.w AS prev, b.w AS w
+        |  FROM rtoks a JOIN rtoks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |cb AS (SELECT prev, w, count(*) AS cbw FROM rbg GROUP BY 1, 2),
+        |cp AS (SELECT prev, sum(cbw) AS cpre FROM cb GROUP BY 1),
+        |bg AS (
+        |  SELECT a.doc_id, a.w AS prev, b.w AS w
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |ev AS (SELECT doc_id, prev, w, count(*) AS nd FROM bg GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT ev.doc_id, CAST(sum(nd) AS BIGINT) AS n_bigrams,
+        |    round(exp(-sum(nd * ln(
+        |      0.7 * (CASE WHEN cbw IS NULL OR cpre IS NULL THEN 0.0
+        |        ELSE CAST(cbw AS DOUBLE) / CAST(cpre AS DOUBLE) END) +
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+        |        ((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + 1.0 * CAST(v AS DOUBLE)))
+        |    )) / sum(nd)), 6) AS bigram_perplexity
+        |  FROM ev LEFT JOIN cb USING (prev, w) LEFT JOIN cp USING (prev)
+        |    LEFT JOIN uni ON uni.w = ev.w CROSS JOIN ust
         |  GROUP BY 1)
         |SELECT d.doc_id, sc.n_bigrams, sc.bigram_perplexity
         |FROM (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d

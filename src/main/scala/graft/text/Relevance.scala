@@ -244,10 +244,14 @@ object Relevance {
     * version whose semantics stay exactly oracle-checkable):
     * `p(w | prev) = λ·c(prev,w)/c(prev,·) + (1−λ)·(c(w)+α)/(N+αV)`,
     * scored as `exp(−Σ ln p / (n−1))` over a document's `n−1` ordered
-    * bigram events. Self-trained on the scored corpus, so every event's
-    * MLE term is positive; the smoothed unigram term keeps the mix
-    * nonzero for any λ < 1. Documents with fewer than two tokens score
-    * null. Output: `(idCol, n_bigrams, bigram_perplexity)` (6 dp).
+    * bigram events. Trains on the scored corpus itself, or scores
+    * against an EXTERNAL reference LM (`lmBigrams` = (prev, w, cbw),
+    * `lmUnigrams` = (w, c) — e.g. counts from a held-out clean corpus,
+    * the production CCNet shape): out-of-LM bigrams degrade to the
+    * smoothed unigram term, out-of-LM words take the unseen mass
+    * α/(N+αV), so the mix stays nonzero for any λ < 1. Documents with
+    * fewer than two tokens score null. Output:
+    * `(idCol, n_bigrams, bigram_perplexity)` (6 dp).
     *
     * Scale shape: bigram events come from a NARROW zip_with over the
     * token array (slice n−1 ∥ slice from 2) — no window, no
@@ -256,40 +260,79 @@ object Relevance {
     * bigram rows; c(prev,·) folds from the bigram counts (no second
     * corpus pass); N/V ride a broadcast 1-row frame. The two big
     * exchanges share the (prev, w) key grain. */
-  def bigramPerplexity(
+  /** Ordered bigram events of each row's normalised tokens via the
+    * NARROW zip_with shape (rows with <2 tokens drop), carrying
+    * `keepCols` through: output keepCols ++ (prev, w). */
+  private def explodedBigrams(
       df: DataFrame,
-      idCol: String,
       textCol: String,
-      lambda: Double = 0.7,
-      alpha: Double = 1.0): DataFrame = {
-    require(lambda > 0.0 && lambda <= 1.0,
-      s"bigramPerplexity: lambda must be in (0, 1], got $lambda")
-    require(alpha > 0.0, s"bigramPerplexity: alpha must be > 0, got $alpha")
-    val toksC = normTokens(col(textCol))
-    val prs = df
-      .withColumn("__toks", toksC)
+      keepCols: Seq[String]): DataFrame =
+    df.withColumn("__toks", normTokens(col(textCol)))
       .where(size(col("__toks")) >= 2)
       .withColumn("__pairs", zip_with(
         slice(col("__toks"), lit(1), size(col("__toks")) - 1),
         slice(col("__toks"), lit(2), size(col("__toks")) - 1),
         (a, b) => struct(a.as("prev"), b.as("w"))))
-      .select(col(idCol), explode(col("__pairs")).as("__pr"))
-      .select(col(idCol), col("__pr.prev").as("prev"), col("__pr.w").as("w"))
-    val uni = df.select(explode(normTokens(col(textCol))).as("w"))
+      .select(keepCols.map(col) :+ explode(col("__pairs")).as("__pr"): _*)
+      .select(keepCols.map(col) :+ col("__pr.prev").as("prev")
+        :+ col("__pr.w").as("w"): _*)
+
+  /** Corpus unigram counts (w, c) over normalised tokens — the
+    * reference-LM builder for [[bigramPerplexity]]'s `lmUnigrams`. */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(normTokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Corpus bigram counts (prev, w, cbw) over ordered normalised
+    * tokens — the reference-LM builder for [[bigramPerplexity]]'s
+    * `lmBigrams`. Narrow pair construction, one bigram-vocabulary
+    * aggregation. */
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame =
+    explodedBigrams(df, textCol, Nil)
+      .groupBy("prev", "w").agg(count(lit(1)).as("cbw"))
+
+  def bigramPerplexity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.7,
+      alpha: Double = 1.0,
+      lmBigrams: Option[DataFrame] = None,
+      lmUnigrams: Option[DataFrame] = None): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"bigramPerplexity: lambda must be in (0, 1], got $lambda")
+    require(alpha > 0.0, s"bigramPerplexity: alpha must be > 0, got $alpha")
+    require(lmBigrams.isDefined == lmUnigrams.isDefined,
+      "bigramPerplexity: provide BOTH lmBigrams (prev, w, cbw) and " +
+        "lmUnigrams (w, c), or neither (self-trained)")
+    val prs = explodedBigrams(df, textCol, Seq(idCol))
+    val uni = lmUnigrams
+      .map(_.select(col("w"), col("c").cast("long").as("c")))
+      .getOrElse(unigramCounts(df, textCol))
     val stats = uni.agg(sum("c").as("__N"), count(lit(1)).as("__V"))
-    val cb = prs.groupBy("prev", "w").agg(count(lit(1)).as("cbw"))
+    val cb = lmBigrams
+      .map(_.select(col("prev"), col("w"), col("cbw").cast("long").as("cbw")))
+      .getOrElse(prs.groupBy("prev", "w").agg(count(lit(1)).as("cbw")))
     val cp = cb.groupBy("prev").agg(sum("cbw").as("cpre"))
     val ev = prs.groupBy(idCol, "prev", "w").agg(count(lit(1)).as("nd"))
+    // LEFT joins so out-of-LM events keep scoring: an unseen bigram's
+    // MLE term is 0 (the λ mix degrades to the smoothed unigram), an
+    // unseen word takes the unseen unigram mass α/(N + αV) — mirroring
+    // unigramPerplexity's OOV contract. Self-trained inputs always
+    // match, so the left joins are inner in effect there.
     val scored = ev
-      .join(cb, Seq("prev", "w"))
-      .join(cp, Seq("prev"))
-      .join(uni, Seq("w"))
+      .join(cb, Seq("prev", "w"), "left")
+      .join(cp, Seq("prev"), "left")
+      .join(uni, Seq("w"), "left")
       .crossJoin(broadcast(stats))
+      .withColumn("__mle",
+        when(col("cpre").isNull || col("cbw").isNull, lit(0.0))
+          .otherwise(col("cbw").cast("double") / col("cpre").cast("double")))
       .withColumn("__lp", log(
-        lit(lambda) * (col("cbw").cast("double") / col("cpre").cast("double")) +
+        lit(lambda) * col("__mle") +
           lit(1.0 - lambda) *
-            ((col("c") + lit(alpha)) / (col("__N") + lit(alpha) * col("__V")))))
+            ((coalesce(col("c"), lit(0L)) + lit(alpha)) /
+              (col("__N") + lit(alpha) * col("__V")))))
       .groupBy(idCol)
       .agg(sum("nd").as("n_bigrams"),
         round(exp(-sum(col("nd") * col("__lp")) / sum(col("nd"))), 6)

@@ -156,6 +156,25 @@ class RelevanceSpec extends SparkTestBase {
     assert(math.abs(out(2L)._2.get - ppl(2L)) < 1e-5)
   }
 
+  test("bigramPerplexity against an external LM: OOV degrades gracefully") {
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "b q")).toDF("doc_id", "text")
+    val out = Relevance.bigramPerplexity(docs, "doc_id", "text",
+      lmBigrams = Some(Relevance.bigramCounts(ref, "text")),
+      lmUnigrams = Some(Relevance.unigramCounts(ref, "text")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[java.lang.Double]("bigram_perplexity"))
+      .toMap
+    // ref: uni a=2 b=2 (N=4, V=2); bigrams (a,b)=2 (b,a)=1; cp a→2 b→1
+    // doc1 "a b": p = .7·(2/2) + .3·(2+1)/6; one bigram → ppl = 1/p
+    val p1 = 1.0 / (0.7 * 1.0 + (1.0 - 0.7) * (3.0 / 6.0))
+    // doc2 "b q": (b,q) unseen → MLE 0; q OOV → unseen mass (0+1)/6
+    val p2 = 1.0 / ((1.0 - 0.7) * (1.0 / 6.0))
+    assert(math.abs(out(1L) - p1) < 1e-6)
+    assert(math.abs(out(2L) - p2) < 1e-6)
+    assert(out(2L) > out(1L))
+  }
+
   test("bigramPerplexity: degenerate repetition scores lower than mixed text") {
     // "a a a a ..." has one bigram type with probability ~1 — the model
     // finds it maximally predictable; varied text scores higher

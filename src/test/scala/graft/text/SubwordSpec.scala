@@ -65,6 +65,50 @@ class SubwordSpec extends SparkTestBase {
     assert(v2 == Seq("a", "c"))
   }
 
+  test("kernel agrees with an independent greedy reference on random input") {
+    def refTokenize(text: String, vocab: Set[String], unk: String): Seq[String] = {
+      def word(w: String): Seq[String] = {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var pos = 0
+        var first = true
+        while (pos < w.length) {
+          val cands = (w.length - pos).to(1, -1).iterator
+            .map(l => (if (first) "" else "##") + w.substring(pos, pos + l))
+            .find(vocab.contains)
+          cands match {
+            case None => return Seq(unk)
+            case Some(p) =>
+              out += p
+              pos += (if (first) p.length else p.length - 2)
+              first = false
+          }
+        }
+        out.toSeq
+      }
+      text.trim match {
+        case "" => Seq.empty
+        case t => t.split("\\s+").toSeq.flatMap(word)
+      }
+    }
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abcd"
+    (1 to 100).foreach { _ =>
+      val vocab = (1 to (2 + rnd.nextInt(10))).map { _ =>
+        val l = 1 + rnd.nextInt(3)
+        val core = Array.fill(l)(alphabet(rnd.nextInt(4))).mkString
+        if (rnd.nextBoolean()) core else s"##$core"
+      }.distinct.filter(_ != "##")
+      if (vocab.nonEmpty) {
+        val text = Array.fill(rnd.nextInt(12))(
+          if (rnd.nextInt(5) == 0) " " else alphabet(rnd.nextInt(4)).toString)
+          .mkString
+        val got = toks(text, vocab)
+        val want = refTokenize(text, vocab.toSet, "[UNK]")
+        assert(got == want, s"text='$text' vocab=$vocab")
+      }
+    }
+  }
+
   test("matcher rejects degenerate vocabularies") {
     intercept[IllegalArgumentException](new SubwordMatcher(Array.empty, "[UNK]"))
     intercept[IllegalArgumentException](new SubwordMatcher(Array("a", "##"), "[UNK]"))

@@ -776,8 +776,14 @@ object SparkEntry {
         .filter(col("quality") >= 0.5)
       graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
         .groupBy(UrlFunctions.urlDomain(col("url")).as("domain"))
+        // avg over micro-unit LONGS, not doubles: float summation order is
+        // run-dependent in both engines and can flip the 6-dp round at a
+        // boundary (flaked once in r13 verify); the integer sum is exact,
+        // so the final single division is bit-deterministic on both sides
         .agg(count(lit(1)).as("n_docs"),
-          round(avg("quality"), 6).as("avg_quality"),
+          round(sum(round(col("quality") * 1000000d).cast("long"))
+              .cast("double") /
+            (count(lit(1)) * 1000000L).cast("double"), 6).as("avg_quality"),
           sum(TextFunctions.tokenCount(col("text")).cast("long"))
             .as("total_tokens"))
     }),
@@ -1476,6 +1482,25 @@ object SparkEntry {
         coalesce(max(col("hamming")), lit(-1)).as("max_hamming"))
       agg.select(col("n_pairs"), col("n_planted_found"),
         col("max_hamming").cast("long").as("max_hamming"))
+    }),
+
+    "q_audio_dedup" -> ((s, d) => {
+      // the audio mirror of q_image_dedup: 200 distinct energy-envelope
+      // patterns + 50 planted exact copies; every plant must pair at
+      // hamming 0 and no distinct patterns may pair within radius 3
+      val ids = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .filter(col("doc_id") < 200)
+      val base = Multimodal.syntheticAudioPatternTable(ids, "doc_id")
+      val dups = base.filter(col("media_id") < 50)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val pairs = Multimodal.audioNearDuplicates(
+        base.unionByName(dups), maxHamming = 3)
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("id_b") - col("id_a") === 1000000L &&
+          col("hamming") === 0, 1L).otherwise(0L)), lit(0L)).as("n_planted_found"),
+        coalesce(max(col("hamming")), lit(-1)).cast("long").as("max_hamming"))
     }),
 
     // Real resize: bilinear rescale + PNG re-encode, then decode AGAIN
@@ -3115,7 +3140,8 @@ object SparkEntry {
         |      ORDER BY doc_id) AS rn
         |    FROM g) WHERE rn = 1)
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
-        |  round(avg(quality), 6) AS avg_quality,
+        |  round(CAST(sum(CAST(round(quality * 1000000, 0) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 1000000.0), 6) AS avg_quality,
         |  CAST(sum(CAST(ntok AS BIGINT)) AS BIGINT) AS total_tokens
         |FROM dd GROUP BY 1""".stripMargin,
 
@@ -3730,6 +3756,11 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_image_dedup" ->
+      """SELECT CAST(50 AS BIGINT) AS n_pairs,
+        |CAST(50 AS BIGINT) AS n_planted_found,
+        |CAST(0 AS BIGINT) AS max_hamming""".stripMargin,
+
+    "q_audio_dedup" ->
       """SELECT CAST(50 AS BIGINT) AS n_pairs,
         |CAST(50 AS BIGINT) AS n_planted_found,
         |CAST(0 AS BIGINT) AS max_hamming""".stripMargin,

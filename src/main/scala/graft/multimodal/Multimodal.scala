@@ -451,6 +451,118 @@ object Multimodal {
       .toDF()
   }
 
+  /** Decoded 16-bit mono PCM samples, or None for any other shape —
+    * the raw-sample reader behind [[audioDHash]]. Never throws. */
+  private def pcm16MonoSamples(content: Array[Byte]): Option[Array[Short]] =
+    if (content == null || content.length < 44) None
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(content))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+            val bytes = ais.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val out = new Array[Short](bytes.length / 2)
+            var i = 0
+            while (bb.remaining() >= 2) { out(i) = bb.getShort; i += 1 }
+            Some(out)
+          } else None
+        } finally ais.close()
+      } catch { case _: Exception => None }
+
+  /** Time-energy difference hash — the audio analogue of the image
+    * [[dHash]]: the decoded 16-bit mono PCM stream is split into 65
+    * equal windows, each reduced to its mean energy, and bit b of the
+    * fingerprint is `energy(b+1) > energy(b)`. Relative comparisons
+    * make it VOLUME-invariant (uniform gain scales every window's
+    * energy alike) and the fixed window count makes it length-
+    * invariant (resampling/truncation-tolerant to the window grain).
+    * None for undecodable / non-PCM16-mono / shorter-than-65-sample
+    * payloads — those have no energy identity. */
+  def audioDHash(content: Array[Byte]): Option[Long] =
+    pcm16MonoSamples(content).filter(_.length >= 65).map { s =>
+      val nw = 65
+      val energies = new Array[Double](nw)
+      var i = 0
+      while (i < nw) {
+        val from = (i.toLong * s.length / nw).toInt
+        val to = ((i + 1).toLong * s.length / nw).toInt
+        var sum = 0.0
+        var j = from
+        while (j < to) { val v = s(j).toDouble; sum += v * v; j += 1 }
+        energies(i) = if (to > from) sum / (to - from) else 0.0
+        i += 1
+      }
+      var bits = 0L
+      i = 0
+      while (i < 64) {
+        if (energies(i + 1) > energies(i)) bits |= 1L << i
+        i += 1
+      }
+      bits
+    }
+
+  /** Perceptual fingerprints for audio payloads in the same (`id`,
+    * `sim`) contract as [[imageDHashes]] — one narrow mapPartitions
+    * decode, undecodable rows dropped. */
+  def audioDHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, content) =>
+        audioDHash(content).map(h => (id, h))
+      })
+      .toDF("id", "sim")
+  }
+
+  /** Audio near-duplicate pairs: time-energy fingerprints through the
+    * SAME block-combination band index as text SimHash and image dHash
+    * ([[graft.dedup.Dedup.simHashPairs]] — contractual recall, never
+    * all-pairs). Output: (id_a, id_b, hamming). */
+  def audioNearDuplicates(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    graft.dedup.Dedup.simHashPairs(audioDHashes(media), maxHamming, maxBucketSize)
+
+  /** Audio fixture with per-window amplitude ENVELOPES (the audio
+    * [[syntheticPatternTable]]): 65 windows × 100 samples of square
+    * wave whose amplitude per window comes from the same mix-hash
+    * scheme, so window energies form a distinct deterministic pattern
+    * per id and [[audioDHash]] neighbours differ. */
+  def syntheticAudioPatternTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val samples = new Array[Short](65 * 100)
+          var w = 0
+          while (w < 65) {
+            var h = id * 0x9E3779B97F4A7C15L + w * 0xC2B2AE3D27D4EB4FL
+            h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+            val amp = (200L + math.floorMod(h, 1800L)).toShort
+            var i = 0
+            while (i < 100) {
+              samples(w * 100 + i) =
+                if ((i / 4) % 2 == 0) amp else (-amp).toShort
+              i += 1
+            }
+            w += 1
+          }
+          MediaRow(id, encodeWavPcm16(8000, samples), "audio",
+            MediaMeta(0, 0, Some(6500L * 1000L / 8000L), "wav"))
+        }
+      }
+      .toDF()
+  }
+
   /** Per-partition batched audio feature extraction — same narrow
     * mapPartitions shape as [[extractFeatures]]; undecodable payloads
     * are dropped (no JDK codec → no audio identity). */

@@ -168,6 +168,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.extractAudioFeatures(junk).count() == 0)
   }
 
+  test("audioDHash: deterministic, volume-invariant, length-tolerant, junk-dropping") {
+    def wavFromEnvelope(env: Array[Short], perWindow: Int): Array[Byte] = {
+      val samples = new Array[Short](env.length * perWindow)
+      env.indices.foreach { w =>
+        (0 until perWindow).foreach { i =>
+          samples(w * perWindow + i) =
+            if ((i / 4) % 2 == 0) env(w) else (-env(w)).toShort
+        }
+      }
+      Multimodal.encodeWavPcm16(8000, samples)
+    }
+    val rnd = new scala.util.Random(41)
+    val env = Array.fill(65)((100 + rnd.nextInt(900)).toShort)
+    val h1 = Multimodal.audioDHash(wavFromEnvelope(env, 100))
+    assert(h1.isDefined)
+    assert(h1 == Multimodal.audioDHash(wavFromEnvelope(env, 100)))
+    // uniform gain: every window's energy scales alike → same hash
+    val doubled = env.map(a => (a * 2).toShort)
+    assert(h1 == Multimodal.audioDHash(wavFromEnvelope(doubled, 100)))
+    // same envelope at twice the length per window → same hash
+    assert(h1 == Multimodal.audioDHash(wavFromEnvelope(env, 200)))
+    // constant amplitude: no energy structure → all-zero fingerprint
+    val flat = Array.fill[Short](65)(1000)
+    assert(Multimodal.audioDHash(wavFromEnvelope(flat, 100)).contains(0L))
+    // junk and short payloads have no audio identity
+    assert(Multimodal.audioDHash("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioDHash(null).isEmpty)
+    assert(Multimodal.audioDHash(
+      Multimodal.encodeWavPcm16(8000, Array.fill[Short](10)(5))).isEmpty)
+  }
+
+  test("audioNearDuplicates: planted copies pair at hamming 0, distinct patterns don't") {
+    val ids = (0L until 60L).toDF("id")
+    val base = Multimodal.syntheticAudioPatternTable(ids, "id")
+    val dups = base.filter($"media_id" < 10)
+      .withColumn("media_id", $"media_id" + 1000L)
+    val pairs = Multimodal.audioNearDuplicates(base.unionByName(dups), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == 10)
+    assert(pairs.forall { case (a, b, h) => b - a == 1000L && h == 0 })
+  }
+
   test("sampleFrames emits floor(bytes/stride)+1 frames for video rows only") {
     val m = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, stride = 10)

@@ -335,6 +335,30 @@ object Bench {
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) / 4000.0)
             .cast("long"))
         .select("doc_id", "source", "shard_id")),
+    "q_pack_windows" -> ((s, d) =>
+      // hand-written concat-and-chunk manifest: exclusive cumsum +
+      // per-doc explode over spanned sequences
+      {
+        val L = lit(512L)
+        val off = coalesce(sum(col("w")).over(
+          Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            size(when(length(trim(col("text"))) === 0,
+              array().cast("array<string>"))
+              .otherwise(split(trim(col("text")), "\\s+"))).cast("long").as("w"))
+          .filter(col("w") > 0)
+          .withColumn("off", off)
+          .withColumn("seq_id", explode(sequence(
+            floor(col("off") / L).cast("long"),
+            floor((col("off") + col("w") - 1) / L).cast("long"))))
+          .select(col("source"), col("doc_id"), col("seq_id"),
+            greatest(col("seq_id") * L - col("off"), lit(0L)).as("doc_start"),
+            greatest(col("off") - col("seq_id") * L, lit(0L)).as("seq_start"),
+            (least(col("off") + col("w"), (col("seq_id") + 1) * L)
+              - greatest(col("off"), col("seq_id") * L)).as("n_tokens"))
+      }),
     "q_pack_greedy" -> ((s, d) => {
       // hand-written secondary-sort greedy packing (same algorithm a
       // user would write directly)

@@ -36,6 +36,8 @@ object Plans {
       "int8 quantization: pure narrow Project over the scan (HOF transforms), zero exchanges — the plan a column-wise codec must have.",
     "q_det_sample" ->
       "Deterministic sampling: the md5-prefix predicate is a Filter directly over the scan — no shuffle, no RNG state, prunable anywhere in a larger plan.",
+    "q_pack_windows" ->
+      "Concat-and-chunk packing manifest: ONE exchange (the group-grain window cumsum), then a narrow Generate (explode over each doc's 1-2 spanned sequences) and Project — the manifest never leaves corpus-row grain, token-grain rows appear nowhere in the plan.",
     "q_salted_join_skew" ->
       "saltedJoin engaged path (right pinned `merge`): SortMergeJoin on the compound (k, __graft_salt) key spreads the hot key over saltFactor sort/reduce slots; an un-hinted broadcastable right short-circuits to the plain BroadcastHashJoin with no salt machinery anywhere in the plan (PlanShapeSpec pins both shapes).",
     "q_simhash128" ->

@@ -1249,6 +1249,30 @@ object Scale {
       }
     }
 
+    // packTokenWindows manifest grain: the concat-and-chunk layout
+    // must stay O(corpus ROWS), never O(corpus TOKENS) — out_rows is
+    // the manifest size (≈ n_docs + n_sequences), total_tokens the
+    // token mass the naive token-grain explode would shuffle. Wall
+    // tracks rows; the n_tokens tag documents the grain gap.
+    if (only.forall(_.exists(_.contains("pack_windows_manifest")))) {
+      for (k <- Seq(1, bigK)) {
+        val docs = scaledDocs(spark, sfDir, k)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            (col("doc_id") % 4).cast("string").as("source"),
+            graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+              .as("w"))
+        val wdir = s"target/scale_r13/packw_$k"
+        docs.write.mode("overwrite").parquet(wdir)
+        def weighted = spark.read.parquet(wdir)
+        val nTokens = weighted.agg(sum("w")).head.getLong(0)
+        timed("pack_windows_manifest", "scale" -> k.toLong,
+          "n_tokens" -> nTokens)(() =>
+          graft.core.Sampling.packTokenWindows(
+            weighted, "w", 512, Seq("source"), "doc_id"))
+      }
+    }
+
     spark.stop()
   }
 }

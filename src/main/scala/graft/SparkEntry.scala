@@ -1117,6 +1117,41 @@ object SparkEntry {
           col("n_docs"), col("total_weight"))
     }),
 
+    "q_pack_windows" -> ((s, d) => {
+      // concat-and-chunk manifest: per-source token streams cut into
+      // EXACT 512-token sequences, docs crossing sequence boundaries —
+      // the autoregressive-pretraining layout packShards can't express
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("w"))
+      Sampling.packTokenWindows(docs, "w", 512, Seq("source"), "doc_id")
+        .select(col("source"), col("doc_id"), col("seq_id"),
+          col("doc_start"), col("seq_start"), col("n_tokens"))
+    }),
+
+    "q_pack_window_stats" -> ((s, d) => {
+      // packing economics per source: sequence count, boundary-crossing
+      // docs, tail padding waste
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("w"))
+      val manifest = Sampling.packTokenWindows(
+        docs, "w", 512, Seq("source"), "doc_id")
+      Sampling.tokenPackingStats(manifest, "doc_id", 512, Seq("source"))
+        .select(col("source"), col("total_tokens"), col("n_docs"),
+          col("n_split_docs"), col("n_sequences"), col("tail_pad_tokens"))
+    }),
+
+    "q_pack_window_assemble" -> ((s, d) =>
+      // the manifest materialised: literal 512-token training sequences
+      Sampling.assembleTokenWindows(
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            col("text")),
+        "text", 512, Seq("source"), "doc_id")
+        .select(col("source"), col("seq_id"), col("seq_text"),
+          col("n_docs"), col("n_tokens"))),
+
     "q_bloom_semi" -> ((s, d) => {
       // bloom-prefiltered EXACT semi join: lineitems of high-value orders;
       // the left scan drops definite non-members before any exchange
@@ -3595,6 +3630,64 @@ object SparkEntry {
         |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text,
         |  COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS total_weight
         |FROM packed GROUP BY 1, 2""".stripMargin,
+
+    "q_pack_windows" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS w
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, w,
+        |    COALESCE(SUM(w) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS off
+        |  FROM d WHERE w > 0)
+        |SELECT source, doc_id, s AS seq_id,
+        |  CAST(greatest(s*512 - off, 0) AS BIGINT) AS doc_start,
+        |  CAST(greatest(off - s*512, 0) AS BIGINT) AS seq_start,
+        |  CAST(least(off + w, (s+1)*512) - greatest(off, s*512) AS BIGINT) AS n_tokens
+        |FROM o CROSS JOIN UNNEST(generate_series(CAST(off//512 AS BIGINT), CAST((off+w-1)//512 AS BIGINT))) AS u(s)""".stripMargin,
+
+    "q_pack_window_stats" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS w
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, w,
+        |    COALESCE(SUM(w) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS off
+        |  FROM d WHERE w > 0),
+        |perdoc AS (
+        |  SELECT source, doc_id, w,
+        |    CAST((off+w-1)//512 - off//512 + 1 AS BIGINT) AS n_slices
+        |  FROM o)
+        |SELECT source,
+        |  CAST(sum(w) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_slices > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+        |  CAST(ceil(CAST(sum(w) AS DOUBLE) / 512.0) AS BIGINT) AS n_sequences,
+        |  CAST(CAST(ceil(CAST(sum(w) AS DOUBLE) / 512.0) AS BIGINT) * 512 - sum(w) AS BIGINT) AS tail_pad_tokens
+        |FROM perdoc GROUP BY 1""".stripMargin,
+
+    "q_pack_window_assemble" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS w FROM d),
+        |o AS (
+        |  SELECT doc_id, source, toks, w,
+        |    COALESCE(SUM(w) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS off
+        |  FROM d2 WHERE w > 0),
+        |m AS (
+        |  SELECT source, doc_id, s AS seq_id, toks,
+        |    CAST(greatest(s*512 - off, 0) AS BIGINT) AS doc_start,
+        |    CAST(greatest(off - s*512, 0) AS BIGINT) AS seq_start,
+        |    CAST(least(off + w, (s+1)*512) - greatest(off, s*512) AS BIGINT) AS n_tokens
+        |  FROM o CROSS JOIN UNNEST(generate_series(CAST(off//512 AS BIGINT), CAST((off+w-1)//512 AS BIGINT))) AS u(s))
+        |SELECT source, seq_id,
+        |  string_agg(array_to_string(toks[CAST(doc_start+1 AS INT):CAST(doc_start+n_tokens AS INT)], ' '), ' ' ORDER BY seq_start) AS seq_text,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM m GROUP BY source, seq_id""".stripMargin,
 
     "q_bloom_semi" ->
       """SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,

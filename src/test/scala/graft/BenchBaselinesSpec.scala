@@ -24,7 +24,7 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_stream_dedup_evtime", "q_stream_dedup_fullrecall",
     "q_bloom_semi", "q_bloom_anti", "q_bloom_decontaminate",
     "q_stratified_sample", "q_temperature_mix", "q_pack_shards",
-    "q_pack_greedy", "q_stream_decontaminate", "q_dedup_against",
+    "q_pack_greedy", "q_pack_windows", "q_stream_decontaminate", "q_dedup_against",
     "q_quota_sample", "q_pack_assemble", "q_split",
     "q_tfidf", "q_bm25", "q_inverted_index", "q_bigram_pmi",
     "q_chunk", "q_fuzzy_join", "q_scd2",

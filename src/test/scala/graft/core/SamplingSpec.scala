@@ -363,4 +363,56 @@ class SamplingSpec extends SparkTestBase {
     val toks = out.filter($"source" === "a").count() * 10
     assert(toks == na * 10)
   }
+
+  test("packTokenWindows: exact-length sequences, docs split across boundaries") {
+    // group g: weights 3, 7, 4, 0, 6 → stream of 20 tokens, L=8:
+    // seq 0 = [0,8), seq 1 = [8,16), seq 2 = [16,20) partial
+    val docs = Seq(
+      ("g", 0L, 3L), ("g", 1L, 7L), ("g", 2L, 4L), ("g", 3L, 0L), ("g", 4L, 6L),
+      ("h", 0L, 9L))
+      .toDF("src", "doc_id", "w")
+    val m = Sampling.packTokenWindows(docs, "w", 8, Seq("src"), "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("doc_start"),
+        r.getAs[Long]("seq_start"), r.getAs[Long]("n_tokens"))).toSet
+    assert(m == Set(
+      ("g", 0L, 0L, 0L, 0L, 3L),        // doc0 fully in seq0
+      ("g", 1L, 0L, 0L, 3L, 5L),        // doc1 splits 5 + 2
+      ("g", 1L, 1L, 5L, 0L, 2L),
+      ("g", 2L, 1L, 0L, 2L, 4L),        // doc2 fully in seq1
+      ("g", 4L, 1L, 0L, 6L, 2L),        // doc4 splits 2 + 4
+      ("g", 4L, 2L, 2L, 0L, 4L),        // zero-weight doc3 absent
+      ("h", 0L, 0L, 0L, 0L, 8L),        // doc splits 8 + 1 across seqs
+      ("h", 0L, 1L, 8L, 0L, 1L)))
+    // invariant: every non-final sequence holds exactly L tokens
+    val bySeq = m.toSeq.groupBy(x => (x._1, x._3)).view.mapValues(_.map(_._6).sum)
+    assert(bySeq(("g", 0L)) == 8L && bySeq(("g", 1L)) == 8L && bySeq(("g", 2L)) == 4L)
+  }
+
+  test("tokenPackingStats: totals, split-doc count, tail padding") {
+    val docs = Seq(
+      ("g", 0L, 3L), ("g", 1L, 7L), ("g", 2L, 4L), ("g", 4L, 6L),
+      ("h", 0L, 9L))
+      .toDF("src", "doc_id", "w")
+    val m = Sampling.packTokenWindows(docs, "w", 8, Seq("src"), "doc_id")
+    val st = Sampling.tokenPackingStats(m, "doc_id", 8, Seq("src"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_split_docs"),
+        r.getAs[Long]("n_sequences"), r.getAs[Long]("tail_pad_tokens"))).toMap
+    assert(st("g") == ((20L, 4L, 2L, 3L, 4L)))
+    assert(st("h") == ((9L, 1L, 1L, 2L, 7L)))
+  }
+
+  test("assembleTokenWindows: sequences reassemble the exact token stream") {
+    val docs = Seq(
+      ("g", 0L, "a b c"), ("g", 1L, "d e f g h"), ("g", 2L, "  "), ("g", 3L, "i j"))
+      .toDF("src", "doc_id", "text")
+    val out = Sampling.assembleTokenWindows(docs, "text", 4, Seq("src"), "doc_id")
+      .collect().map(r => (r.getAs[Long]("seq_id"),
+        (r.getAs[String]("seq_text"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens")))).toMap
+    assert(out(0L) == (("a b c d", 2L, 4L)))
+    assert(out(1L) == (("e f g h", 1L, 4L)))
+    assert(out(2L) == (("i j", 1L, 2L)))      // blank doc placed nothing
+  }
 }

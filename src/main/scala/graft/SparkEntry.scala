@@ -1538,6 +1538,37 @@ object SparkEntry {
         coalesce(max(col("hamming")), lit(-1)).cast("long").as("max_hamming"))
     }),
 
+    "q_aspect_buckets" -> ((s, d) => {
+      // aspect-bucketed batch organisation over REAL decoded geometry:
+      // each PNG snaps to the closest ladder ratio by the exact
+      // integer cross-multiplication rule (no float log in the argmin)
+      val ids = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .filter(col("doc_id") < 500)
+      val media = Multimodal.syntheticImageTable(ids, "doc_id")
+      Multimodal.assignAspectBuckets(
+        media, Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16)))
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("bucket_w").cast("long").as("bucket_w"),
+          col("bucket_h").cast("long").as("bucket_h"))
+    }),
+
+    "q_aspect_batches" -> ((s, d) => {
+      // batch economics per bucket at batchSize 32: full batches +
+      // leftover images a bucket-wise loader drops or pads
+      val ids = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .filter(col("doc_id") < 500)
+      val assigned = Multimodal.assignAspectBuckets(
+        Multimodal.syntheticImageTable(ids, "doc_id"),
+        Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16)))
+      Multimodal.aspectBucketBatches(assigned, batchSize = 32)
+        .select(col("bucket_w").cast("long").as("bucket_w"),
+          col("bucket_h").cast("long").as("bucket_h"),
+          col("n_images"), col("n_batches"), col("n_leftover"))
+    }),
+
     // Real resize: bilinear rescale + PNG re-encode, then decode AGAIN
     // and verify geometry and (solid-colour-invariant) channel means.
     "q_resize_images" -> ((s, d) =>
@@ -3857,6 +3888,38 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS n_pairs,
         |CAST(50 AS BIGINT) AS n_planted_found,
         |CAST(0 AS BIGINT) AS max_hamming""".stripMargin,
+
+    "q_aspect_buckets" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(doc_id % 29 + 2 AS BIGINT) AS width,
+        |  CAST(doc_id % 13 + 2 AS BIGINT) AS height
+        |  FROM documents WHERE doc_id < 500),
+        |b(ord, bw, bh) AS (VALUES (1,1,1),(2,4,3),(3,3,4),(4,16,9),(5,9,16)),
+        |c AS (
+        |  SELECT media_id, width, height, ord, bw, bh,
+        |    greatest(width*bh, height*bw) AS num, least(width*bh, height*bw) AS den
+        |  FROM ids CROSS JOIN b),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY media_id ORDER BY CAST(num AS DOUBLE)/den, ord) AS rn FROM c)
+        |SELECT media_id, width, height,
+        |  CAST(bw AS BIGINT) AS bucket_w, CAST(bh AS BIGINT) AS bucket_h
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_aspect_batches" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(doc_id % 29 + 2 AS BIGINT) AS width,
+        |  CAST(doc_id % 13 + 2 AS BIGINT) AS height
+        |  FROM documents WHERE doc_id < 500),
+        |b(ord, bw, bh) AS (VALUES (1,1,1),(2,4,3),(3,3,4),(4,16,9),(5,9,16)),
+        |c AS (
+        |  SELECT media_id, width, height, ord, bw, bh,
+        |    greatest(width*bh, height*bw) AS num, least(width*bh, height*bw) AS den
+        |  FROM ids CROSS JOIN b),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY media_id ORDER BY CAST(num AS DOUBLE)/den, ord) AS rn FROM c)
+        |SELECT CAST(bw AS BIGINT) AS bucket_w, CAST(bh AS BIGINT) AS bucket_h,
+        |  CAST(count(*) AS BIGINT) AS n_images,
+        |  CAST(count(*) // 32 AS BIGINT) AS n_batches,
+        |  CAST(count(*) % 32 AS BIGINT) AS n_leftover
+        |FROM r WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
 
     "q_resize_images" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,

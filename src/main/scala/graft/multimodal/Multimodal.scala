@@ -592,4 +592,79 @@ object Multimodal {
         explode(sequence(lit(0L),
           floor(octet_length(col("content")).cast("long") / stride).cast("long")))
           .as("frame_idx"))
+
+  /** Snap `(widthCol, heightCol)` to the closest aspect-ratio bucket
+    * from `buckets` — the batch-organisation step of aspect-bucketed
+    * image training (variable-geometry corpora batch only within a
+    * bucket, so tensors share a shape without destructive square
+    * cropping). Bucket b minimises `|ln(w/h) − ln(bw/bh)|`, which is
+    * EQUIVALENT to minimising `max(w·bh, h·bw) / min(w·bh, h·bw)` — so
+    * candidates compare by exact long cross-multiplication and no
+    * float log ever enters the decision (libm ulp differences across
+    * engines flip near-tie argmins; the integer rule is portable and
+    * oracle-checkable). Exact rational ties keep the FIRST listed
+    * bucket. A narrow codegen'd when-fold over the bucket ladder — no
+    * UDF, no shuffle; requires positive dims and
+    * `w·h·bw·bh < 2^63` (any real image/ladder). Appends `bucket_w`,
+    * `bucket_h`. */
+  def snapToAspectBuckets(
+      df: DataFrame,
+      widthCol: String,
+      heightCol: String,
+      buckets: Seq[(Int, Int)]): DataFrame = {
+    require(buckets.nonEmpty, "snapToAspectBuckets: need at least one bucket")
+    require(buckets.forall(b => b._1 > 0 && b._2 > 0),
+      "snapToAspectBuckets: bucket dims must be positive")
+    val w = col(widthCol).cast("long")
+    val h = col(heightCol).cast("long")
+    // candidate distance as an exact rational num/den ≥ 1
+    def cand(b: (Int, Int)) = {
+      val a = w * b._2 // w·bh
+      val c = h * b._1 // h·bw
+      struct(greatest(a, c).as("num"), least(a, c).as("den"),
+        lit(b._1).as("bw"), lit(b._2).as("bh"))
+    }
+    val bestCol = buckets.tail.foldLeft(cand(buckets.head)) { (acc, b) =>
+      val c = cand(b)
+      // strict < keeps the earlier bucket on exact rational ties
+      when(c.getField("num") * acc.getField("den") <
+        acc.getField("num") * c.getField("den"), c).otherwise(acc)
+    }
+    df.withColumn("__graft_ab", bestCol)
+      .withColumn("bucket_w", col("__graft_ab.bw"))
+      .withColumn("bucket_h", col("__graft_ab.bh"))
+      .drop("__graft_ab")
+  }
+
+  /** [[snapToAspectBuckets]] over REAL decoded geometry: one narrow
+    * mapPartitions decode to (media_id, width, height) — undecodable
+    * payloads dropped (no pixels, no aspect) — then the integer snap.
+    */
+  def assignAspectBuckets(
+      media: DataFrame,
+      buckets: Seq[(Int, Int)]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val dims = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, content) =>
+        decodeImage(content).map(img => (id, img.getWidth, img.getHeight))
+      })
+      .toDF("media_id", "width", "height")
+    snapToAspectBuckets(dims, "width", "height", buckets)
+  }
+
+  /** Batch economics per aspect bucket: full batches of `batchSize`
+    * and the leftover images a bucket-wise loader drops (or pads).
+    * One bucket-cardinality aggregate. */
+  def aspectBucketBatches(
+      assigned: DataFrame,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1,
+      s"aspectBucketBatches: batchSize must be >= 1, got $batchSize")
+    assigned.groupBy(col("bucket_w"), col("bucket_h"))
+      .agg(count(lit(1)).as("n_images"))
+      .withColumn("n_batches", floor(col("n_images") / batchSize).cast("long"))
+      .withColumn("n_leftover", (col("n_images") % batchSize).cast("long"))
+  }
 }

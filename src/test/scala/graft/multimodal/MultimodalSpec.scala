@@ -210,6 +210,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.forall { case (a, b, h) => b - a == 1000L && h == 0 })
   }
 
+  test("snapToAspectBuckets: exact integer argmin, first-listed wins rational ties") {
+    val dims = Seq(
+      (1L, 16, 9),   // exact 16:9
+      (2L, 100, 100),// exact 1:1
+      (3L, 2, 1),    // between 16:9 (1.78) and 1:1 — closer to 16:9 in log space
+      (4L, 2, 3),    // portrait, nearest 3:4? 0.667 vs 0.75 (3:4) / 0.5625 (9:16)
+      (5L, 30, 14))  // 2.14 → 16:9
+      .toDF("media_id", "width", "height")
+    val out = Multimodal.snapToAspectBuckets(dims, "width", "height",
+      Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16)))
+      .collect().map(r => r.getLong(0) -> (r.getAs[Int]("bucket_w"),
+        r.getAs[Int]("bucket_h"))).toMap
+    assert(out(1L) == ((16, 9)) && out(2L) == ((1, 1)) && out(5L) == ((16, 9)))
+    // 2:1 vs 16:9: ratio 2 → dist to 16/9 = 9/8; to 1/1 = 2 → 16:9
+    assert(out(3L) == ((16, 9)))
+    // 2:3 = 0.667: dist to 3/4 = max(8,9)/min(8,9) = 9/8; to 9/16 = 32/27;
+    // to 1/1 = 3/2 → 3:4 wins
+    assert(out(4L) == ((3, 4)))
+    // exact rational tie: 1:2 against buckets (1,1) and (1,4) — both at
+    // ratio factor 2 — keeps the FIRST listed
+    val tie = Seq((9L, 10, 20)).toDF("media_id", "width", "height")
+    val t1 = Multimodal.snapToAspectBuckets(tie, "width", "height",
+      Seq((1, 1), (1, 4))).head()
+    assert((t1.getAs[Int]("bucket_w"), t1.getAs[Int]("bucket_h")) == ((1, 1)))
+    val t2 = Multimodal.snapToAspectBuckets(tie, "width", "height",
+      Seq((1, 4), (1, 1))).head()
+    assert((t2.getAs[Int]("bucket_w"), t2.getAs[Int]("bucket_h")) == ((1, 4)))
+  }
+
+  test("assignAspectBuckets decodes real geometry and drops junk; batches count") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeSolidPng(32, 18, 1, 2, 3),
+        "image", Multimodal.MediaMeta(32, 18, None, "png")),
+      Multimodal.MediaRow(2L, Multimodal.encodeSolidPng(10, 10, 1, 2, 3),
+        "image", Multimodal.MediaMeta(10, 10, None, "png")),
+      Multimodal.MediaRow(3L, "junk".getBytes, "image",
+        Multimodal.MediaMeta(0, 0, None, "?"))).toDF()
+    val assigned = Multimodal.assignAspectBuckets(
+      media, Seq((1, 1), (16, 9)))
+    val rows = assigned.collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("bucket_w"), r.getAs[Int]("bucket_h"))).toMap
+    assert(rows.keySet == Set(1L, 2L)) // junk dropped
+    assert(rows(1L) == ((32, 18, 16, 9)) && rows(2L) == ((10, 10, 1, 1)))
+    val batches = Multimodal.aspectBucketBatches(assigned, batchSize = 2)
+      .collect().map(r => (r.getAs[Int]("bucket_w"), r.getAs[Int]("bucket_h"),
+        r.getAs[Long]("n_images"), r.getAs[Long]("n_batches"),
+        r.getAs[Long]("n_leftover"))).toSet
+    assert(batches == Set((16, 9, 1L, 0L, 1L), (1, 1, 1L, 0L, 1L)))
+  }
+
   test("sampleFrames emits floor(bytes/stride)+1 frames for video rows only") {
     val m = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, stride = 10)

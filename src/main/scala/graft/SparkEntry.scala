@@ -54,6 +54,23 @@ object SparkEntry {
         lit("/p/"), col("doc_id")))
   }
 
+  /** BPE-trainer fixture: each doc repeats ONE of four {a,b}-alphabet
+    * word forms (aaaa/aaab/abab/bbb by id mod 4) 3 + id%5 times. The
+    * near-uniform class weights pin the frequency-weighted pair-count
+    * order at every training step (aa first, then ab, then bb — each
+    * winner clears the runner-up by >=1.5x), so the learned merge list
+    * and every word's segmentation are closed-form constants. */
+  private def bpeFixture(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("word",
+        when(col("doc_id") % 4 === 0, "aaaa")
+          .when(col("doc_id") % 4 === 1, "aaab")
+          .when(col("doc_id") % 4 === 2, "abab")
+          .otherwise("bbb"))
+      .withColumn("text", concat_ws(" ",
+        array_repeat(col("word"), (lit(3) + col("doc_id") % 5).cast("int"))))
+
   /** Keyword-curation fixtures over the documents vocabulary: nested
     * patterns ("scan" inside "slow scan") exercise Aho-Corasick output
     * inheritance, "table value"/"value table" share letters both ways,
@@ -820,6 +837,35 @@ object SparkEntry {
           .cast("long").as("n_char_pieces"))
     }),
 
+    "q_bpe_merges" -> ((s, d) => {
+      // BPE training end-to-end on a corpus whose Zipf table forces a
+      // provable merge order: words aaaa/aaab/abab/bbb at near-equal
+      // doc frequency give pair counts aa≈5c > ab≈3c > bb≈2c at each
+      // step (>=1.5x margins, robust to the fixture's +-1% class
+      // skew), so the learned ranked merges are constants
+      import s.implicits._
+      val merges = graft.text.Subword.trainBpeMerges(
+        bpeFixture(s, d), "text", numMerges = 3)
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "left_sym", "right_sym")
+    }),
+
+    "q_bpe_encode" -> ((s, d) => {
+      // train-then-encode round trip: the fixture's four word forms
+      // all segment to exactly 2 pieces under the 3 learned merges,
+      // so per-doc piece counts and the joined segmentation are
+      // closed-form in the id
+      val fixture = bpeFixture(s, d)
+      val merges = graft.text.Subword.trainBpeMerges(
+        fixture, "text", numMerges = 3)
+      fixture.select(col("doc_id"),
+        graft.text.Subword.bpeCount(col("text"), merges)
+          .cast("long").as("n_pieces"),
+        concat_ws(" ", graft.text.Subword.bpeEncode(col("text"), merges))
+          .as("pieces"))
+    }),
+
     "q_bigram_perplexity_lm" -> ((s, d) => {
       // the production CCNet shape: the reference LM trains on a CLEAN
       // half (even doc_ids), every document scores against it — unseen
@@ -1536,6 +1582,22 @@ object SparkEntry {
         coalesce(sum(when(col("id_b") - col("id_a") === 1000000L &&
           col("hamming") === 0, 1L).otherwise(0L)), lit(0L)).as("n_planted_found"),
         coalesce(max(col("hamming")), lit(-1)).cast("long").as("max_hamming"))
+    }),
+
+    "q_vad_segments" -> ((s, d) => {
+      // energy-based voice-activity segmentation over REAL decoded
+      // WAVs: the fixture's frame-aligned bursts are recovered exactly
+      // (10 ms frames, silence at 0, speech at amplitude >= 1000), so
+      // the oracle recomputes the full segment table in closed form
+      Multimodal.vadSegments(
+        Multimodal.syntheticSpeechTable(t(s, d, "documents"), "doc_id"))
+    }),
+
+    "q_vad_profile" -> ((s, d) => {
+      // the curation grain of VAD: per-recording segment count, speech
+      // frames, and total frames (speech ratio = speech/total)
+      Multimodal.vadProfile(
+        Multimodal.syntheticSpeechTable(t(s, d, "documents"), "doc_id"))
     }),
 
     "q_aspect_buckets" -> ((s, d) => {
@@ -3225,6 +3287,20 @@ object SparkEntry {
         |  CAST(len(regexp_replace(lower(text), '\s', '', 'g')) AS BIGINT) AS n_char_pieces
         |FROM documents""".stripMargin,
 
+    "q_bpe_merges" ->
+      """SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym
+        |FROM (VALUES (0, 'a', 'a'), (1, 'a', 'b'), (2, 'b', 'b'))
+        |  t(rank, left_sym, right_sym)""".stripMargin,
+
+    "q_bpe_encode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(2 * (3 + doc_id % 5) AS BIGINT) AS n_pieces,
+        |  rtrim(repeat(CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'aa aa' WHEN 1 THEN 'aa ab'
+        |      WHEN 2 THEN 'ab ab' ELSE 'bb b' END || ' ',
+        |    CAST(3 + doc_id % 5 AS INTEGER))) AS pieces
+        |FROM documents""".stripMargin,
+
     "q_bigram_perplexity" ->
       """WITH base AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -3888,6 +3964,34 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS n_pairs,
         |CAST(50 AS BIGINT) AS n_planted_found,
         |CAST(0 AS BIGINT) AS max_hamming""".stripMargin,
+
+    "q_vad_segments" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |bursts AS (
+        |  SELECT id, CAST(j AS BIGINT) AS j, 4 + ((id + 3*j) % 5) AS active
+        |  FROM ids, UNNEST(range(1 + id % 3)) AS t(j)
+        |),
+        |pos AS (
+        |  SELECT id, j, active,
+        |    (2 + id % 3) + COALESCE(SUM(active + 3) OVER (PARTITION BY id
+        |      ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sf
+        |  FROM bursts
+        |)
+        |SELECT id AS media_id, j AS seg_idx, CAST(sf*10 AS BIGINT) AS start_ms,
+        |  CAST((sf+active)*10 AS BIGINT) AS end_ms,
+        |  CAST(active AS BIGINT) AS n_frames
+        |FROM pos""".stripMargin,
+
+    "q_vad_profile" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |bursts AS (
+        |  SELECT id, CAST(j AS BIGINT) AS j, 4 + ((id + 3*j) % 5) AS active
+        |  FROM ids, UNNEST(range(1 + id % 3)) AS t(j)
+        |)
+        |SELECT id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(active) AS BIGINT) AS speech_frames,
+        |  CAST((2 + id % 3) + SUM(active + 3) AS BIGINT) AS total_frames
+        |FROM bursts GROUP BY id""".stripMargin,
 
     "q_aspect_buckets" ->
       """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -579,6 +579,173 @@ object Multimodal {
         "duration_ms", "rms")
   }
 
+  // ------------------------------------------------------ VAD
+
+  /** Decoded 16-bit mono PCM samples plus their sample rate, or None
+    * for any other shape — the reader behind [[vadSegments]], which
+    * needs the rate to place segment boundaries in milliseconds. */
+  private def pcm16MonoWithRate(
+      content: Array[Byte]): Option[(Int, Array[Short])] =
+    if (content == null || content.length < 44) None
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(content))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+            val bytes = ais.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val out = new Array[Short](bytes.length / 2)
+            var i = 0
+            while (bb.remaining() >= 2) { out(i) = bb.getShort; i += 1 }
+            Some((fmt.getSampleRate.toInt, out))
+          } else None
+        } finally ais.close()
+      } catch { case _: Exception => None }
+
+  /** Energy-based voice-activity segmentation of one PCM stream:
+    * frames of `frameSamples` samples (a trailing partial frame is
+    * dropped) are active when their RMS exceeds `rmsThreshold`; runs
+    * of active frames separated by at most `mergeGapFrames` silent
+    * frames merge into one segment (the merged span INCLUDES the
+    * bridged silence, as a speech segmenter's padding would); segments
+    * shorter than `minSegFrames` frames are discarded as blips.
+    * Returns (startFrame, nFrames) per segment, in stream order. */
+  def vadSegmentsOf(
+      samples: Array[Short],
+      frameSamples: Int,
+      rmsThreshold: Double,
+      mergeGapFrames: Int,
+      minSegFrames: Int): Seq[(Int, Int)] = {
+    require(frameSamples > 0, "vadSegmentsOf: frameSamples must be positive")
+    val nFrames = samples.length / frameSamples
+    val thresholdEnergy = rmsThreshold * rmsThreshold
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var runStart = -1
+    var f = 0
+    while (f < nFrames) {
+      var sum = 0.0
+      var i = f * frameSamples
+      val end = i + frameSamples
+      while (i < end) { val v = samples(i).toDouble; sum += v * v; i += 1 }
+      val active = sum / frameSamples > thresholdEnergy
+      if (active && runStart < 0) runStart = f
+      if (!active && runStart >= 0) { runs += ((runStart, f - runStart)); runStart = -1 }
+      f += 1
+    }
+    if (runStart >= 0) runs += ((runStart, nFrames - runStart))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    runs.foreach { case (s, n) =>
+      merged.lastOption match {
+        case Some((ps, pn)) if s - (ps + pn) <= mergeGapFrames =>
+          merged(merged.length - 1) = (ps, s + n - ps)
+        case _ => merged += ((s, n))
+      }
+    }
+    merged.filter(_._2 >= minSegFrames).toSeq
+  }
+
+  /** Voice-activity segments for every decodable payload in `media`:
+    * one narrow mapPartitions pass (decode → frame energies → run
+    * merge per row, no shuffle — the plan scales linearly in corpus
+    * bytes exactly like [[extractAudioFeatures]]). Output one row per
+    * segment: (media_id, seg_idx, start_ms, end_ms, n_frames), with
+    * millisecond boundaries from the payload's OWN sample rate.
+    * Undecodable / non-PCM16-mono rows are dropped. */
+  def vadSegments(
+      media: DataFrame,
+      frameSamples: Int = 80,
+      rmsThreshold: Double = 100.0,
+      mergeGapFrames: Int = 0,
+      minSegFrames: Int = 1): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, content) =>
+        pcm16MonoWithRate(content).toSeq.flatMap { case (rate, samples) =>
+          vadSegmentsOf(samples, frameSamples, rmsThreshold,
+            mergeGapFrames, minSegFrames).zipWithIndex.map {
+            case ((startFrame, n), segIdx) =>
+              (id, segIdx.toLong,
+                startFrame.toLong * frameSamples * 1000L / rate,
+                (startFrame + n).toLong * frameSamples * 1000L / rate,
+                n.toLong)
+          }
+        }
+      })
+      .toDF("media_id", "seg_idx", "start_ms", "end_ms", "n_frames")
+  }
+
+  /** Per-payload speech-activity profile — the curation-filter grain
+    * of VAD (keep recordings whose speech ratio clears a bar): one row
+    * per decodable payload with (media_id, n_segments, speech_frames,
+    * total_frames). Same single narrow pass as [[vadSegments]];
+    * payloads with NO active frames still emit a row (n_segments = 0),
+    * because "all silence" is exactly what the filter must see. */
+  def vadProfile(
+      media: DataFrame,
+      frameSamples: Int = 80,
+      rmsThreshold: Double = 100.0,
+      mergeGapFrames: Int = 0,
+      minSegFrames: Int = 1): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, content) =>
+        pcm16MonoWithRate(content).map { case (_, samples) =>
+          val segs = vadSegmentsOf(samples, frameSamples, rmsThreshold,
+            mergeGapFrames, minSegFrames)
+          (id, segs.length.toLong, segs.map(_._2.toLong).sum,
+            (samples.length / frameSamples).toLong)
+        }
+      })
+      .toDF("media_id", "n_segments", "speech_frames", "total_frames")
+  }
+
+  /** Speech fixture for the VAD oracle: frame-aligned square-wave
+    * bursts separated by silence, all geometry closed-form in the id
+    * so DuckDB recomputes the exact segment table. Frames are 80
+    * samples at 8 kHz (10 ms). Layout: (2 + id%3) leading silent
+    * frames, then k = 1 + id%3 bursts where burst j is
+    * 4 + ((id + 3j) % 5) active frames at amplitude 1000·(1 + id%8)
+    * followed by 3 silent frames. */
+  def syntheticSpeechTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frame = 80
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val lead = (2 + math.floorMod(id, 3L)).toInt
+          val k = (1 + math.floorMod(id, 3L)).toInt
+          val amp = (1000L * (1L + math.floorMod(id, 8L))).toShort
+          val actives = Array.tabulate(k)(j =>
+            (4 + math.floorMod(id + 3L * j, 5L)).toInt)
+          val totalFrames = lead + actives.map(_ + 3).sum
+          val samples = new Array[Short](totalFrames * frame)
+          var f = lead
+          actives.foreach { a =>
+            var i = f * frame
+            val end = (f + a) * frame
+            while (i < end) {
+              samples(i) = if ((i / 4) % 2 == 0) amp else (-amp).toShort
+              i += 1
+            }
+            f += a + 3
+          }
+          MediaRow(id, encodeWavPcm16(8000, samples), "audio",
+            MediaMeta(0, 0, Some(totalFrames * frame * 1000L / 8000L), "wav"))
+        }
+      }
+      .toDF()
+  }
+
   /** Deterministic frame sampling for video-typed rows: pick every
     * `stride`-th byte offset as a fake "frame" marker — placeholder for
     * real keyframe extraction, exercising the explode/fan-out shape a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{SubwordCountExpr, SubwordTokenizeExpr}
+import graft.functions.{BpeCountExpr, BpeEncodeExpr, SubwordCountExpr, SubwordTokenizeExpr}
 import graft.text.TextFunctions.normTokens
 
 /** Vocabulary-driven subword tokenisation — real token accounting for
@@ -47,6 +47,98 @@ object Subword {
     val chars = words.flatMap(_.toSeq).distinct.sorted
     chars.map(_.toString) ++ chars.map(c => s"##$c")
   }
+
+  /** Train a byte-pair-encoding merge list (Sennrich et al. 2016) over
+    * the corpus: the classic trainer operates on the WORD-FREQUENCY
+    * table, not the raw text — word forms are vocabulary-cardinality
+    * under Zipf's law (~10⁵–10⁶ forms for a 10¹¹-token corpus), so the
+    * ONLY corpus-scale work is one map-side-combinable word-count
+    * aggregation; the iterative pair-count/merge loop then runs
+    * driver-side over that bounded table (`maxWordForms` enforces the
+    * bound LOUDLY, the same contract as `Ivf.maxTrainRows`). A
+    * merge-per-Spark-job formulation would rescan the corpus
+    * `numMerges` times for strictly worse results — frequency-weighted
+    * pair counts over word forms are EXACT, not an approximation.
+    *
+    * Merge selection is deterministic: highest frequency-weighted pair
+    * count, ties by (left, right) ascending. Each chosen pair replaces
+    * its left-to-right non-overlapping occurrences — the same rule
+    * [[graft.functions.BpeEncoder]] applies at inference, so training
+    * words reproduce their training segmentations exactly.
+    *
+    * Returns the ranked merges `(left, right)`; stops early when no
+    * pair remains (every surviving word fused to one symbol). */
+  def trainBpeMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWordForms: Int = 1000000,
+      minCount: Long = 1L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"trainBpeMerges: numMerges must be >= 0")
+    val forms = df.select(explode(normTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .take(maxWordForms + 1)
+    require(forms.length <= maxWordForms,
+      s"trainBpeMerges: corpus has more than $maxWordForms distinct word " +
+        s"forms after minCount=$minCount; raise maxWordForms (driver memory " +
+        "permitting) or raise minCount to keep the driver table bounded")
+    var words: Array[(Array[String], Long)] = forms.map { r =>
+      (r.getString(0).map(_.toString).toArray, r.getLong(1))
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val pairCounts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.merge(p, c, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestC = -1L
+        pairCounts.forEach { (p, c) =>
+          if (c > bestC || (c == bestC &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestC = c
+          }
+        }
+        merges += best
+        val fused = best._1 + best._2
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+                out += fused; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+        m += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** BPE pieces of `text` under a trained merge list (caller
+    * normalises). Null text → null. One narrow codegen'd pass. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge(BpeEncodeExpr(ColumnBridge.expression(text), merges))
+
+  /** BPE piece count of `text` without materialising the pieces —
+    * the token-budget accounting column. Null text → null. */
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge(BpeCountExpr(ColumnBridge.expression(text), merges))
 
   /** Greedy subword pieces of `text` (caller normalises; pieces are
     * matched case-sensitively). Null text → null. */

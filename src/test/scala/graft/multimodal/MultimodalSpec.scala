@@ -263,6 +263,67 @@ class MultimodalSpec extends SparkTestBase {
     assert(batches == Set((16, 9, 1L, 0L, 1L), (1, 1, 1L, 0L, 1L)))
   }
 
+  test("vadSegmentsOf finds runs, merges gaps, drops blips") {
+    // 10 frames of 4 samples: frames 1-2 loud, 4 loud, 7-9 loud
+    def frame(amp: Short) = Array.fill[Short](4)(amp)
+    val s = (frame(0) ++ frame(2000) ++ frame(2000) ++ frame(0) ++
+      frame(2000) ++ frame(0) ++ frame(0) ++ frame(2000) ++
+      frame(2000) ++ frame(2000)).toArray
+    assert(Multimodal.vadSegmentsOf(s, 4, 100.0, 0, 1) ==
+      Seq((1, 2), (4, 1), (7, 3)))
+    // gap 1 merges frames 1-4 (span includes the bridged silence)
+    assert(Multimodal.vadSegmentsOf(s, 4, 100.0, 1, 1) ==
+      Seq((1, 4), (7, 3)))
+    // minSegFrames 2 drops the single-frame blip
+    assert(Multimodal.vadSegmentsOf(s, 4, 100.0, 0, 2) ==
+      Seq((1, 2), (7, 3)))
+    // gap 2 merges everything into one span
+    assert(Multimodal.vadSegmentsOf(s, 4, 100.0, 2, 1) == Seq((1, 9)))
+  }
+
+  test("vadSegments recovers the speech fixture's closed-form bursts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = Seq(0L, 1L, 2L, 5L).toDF("doc_id")
+    val media = Multimodal.syntheticSpeechTable(ids, "doc_id")
+    val segs = Multimodal.vadSegments(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    def expected(id: Long) = {
+      val lead = 2 + (id % 3)
+      val k = (1 + id % 3).toInt
+      var f = lead
+      (0 until k).map { j =>
+        val a = 4 + ((id + 3 * j) % 5)
+        val row = (id, j.toLong, f * 10, (f + a) * 10, a)
+        f += a + 3
+        row
+      }
+    }
+    assert(segs.toSeq == Seq(0L, 1L, 2L, 5L).flatMap(expected))
+    // profile agrees with the segment table per id
+    val prof = Multimodal.vadProfile(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    Seq(0L, 1L, 2L, 5L).foreach { id =>
+      val e = expected(id)
+      val total = 2 + (id % 3) + e.map(_._5 + 3).sum
+      assert(prof(id) == ((e.length.toLong, e.map(_._5).sum, total)))
+    }
+  }
+
+  test("vadProfile keeps all-silence rows with zero segments") {
+    val spark2 = spark
+    import spark2.implicits._
+    val silent = Seq(Multimodal.MediaRow(7L,
+      Multimodal.encodeWavPcm16(8000, new Array[Short](800)), "audio",
+      Multimodal.MediaMeta(0, 0, Some(100L), "wav"))).toDF()
+    val p = Multimodal.vadProfile(silent).head()
+    assert((p.getLong(1), p.getLong(2), p.getLong(3)) == ((0L, 0L, 10L)))
+    assert(Multimodal.vadSegments(silent).count() == 0L)
+  }
+
   test("sampleFrames emits floor(bytes/stride)+1 frames for video rows only") {
     val m = Multimodal.syntheticMediaTable(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, stride = 10)

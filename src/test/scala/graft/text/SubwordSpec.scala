@@ -109,6 +109,97 @@ class SubwordSpec extends SparkTestBase {
     }
   }
 
+  test("trainBpeMerges learns the classic merge order on a pinned corpus") {
+    // word counts: low=2, lower=1, newest=1 → pair counts over chars:
+    // (l,o)=3 (w/in low×2 + lower) beats all; then (lo,w)=3; etc.
+    val docs = Seq("low low lower", "newest").toDF("t")
+    val merges = Subword.trainBpeMerges(docs, "t", numMerges = 2)
+    assert(merges == Seq(("l", "o"), ("lo", "w")))
+    // numMerges = 0 → empty; encoding degenerates to characters
+    assert(Subword.trainBpeMerges(docs, "t", numMerges = 0).isEmpty)
+  }
+
+  test("trainBpeMerges stops when every word is fused to one symbol") {
+    val docs = Seq("ab ab").toDF("t")
+    val merges = Subword.trainBpeMerges(docs, "t", numMerges = 10)
+    assert(merges == Seq(("a", "b")))
+  }
+
+  test("trainBpeMerges enforces the maxWordForms driver bound loudly") {
+    val docs = Seq("a b c d e").toDF("t")
+    val e = intercept[IllegalArgumentException](
+      Subword.trainBpeMerges(docs, "t", numMerges = 1, maxWordForms = 3))
+    assert(e.getMessage.contains("maxWordForms"))
+    // minCount can restore the bound without raising it
+    val docs2 = Seq("a a b c d").toDF("t")
+    assert(Subword.trainBpeMerges(docs2, "t", numMerges = 1,
+      maxWordForms = 3, minCount = 2L).isEmpty) // only "a" survives, 1 char
+  }
+
+  test("bpeEncode reproduces training segmentations; count agrees") {
+    val docs = Seq("low low lower", "newest").toDF("t")
+    val merges = Subword.trainBpeMerges(docs, "t", numMerges = 2)
+    val df = Seq(Some("low lower lowest"), Some(""), None).toDF("t")
+    val got = df.select(
+      Subword.bpeEncode($"t", merges).as("p"),
+      Subword.bpeCount($"t", merges).as("n")).collect()
+    // low → [low]; lower → [low, e, r]; lowest → [low, e, s, t]
+    assert(got(0).getSeq[String](0) ==
+      Seq("low", "low", "e", "r", "low", "e", "s", "t"))
+    assert(got(0).getInt(1) == 8)
+    assert(got(1).getSeq[String](0) == Seq.empty && got(1).getInt(1) == 0)
+    assert(got(2).isNullAt(0) && got(2).isNullAt(1))
+  }
+
+  test("BPE merge replacement is left-to-right non-overlapping") {
+    // merges [(a,a)] on "aaa" → [aa, a], not [a, aa]
+    val df = Seq("aaa aaaa").toDF("t")
+    val got = df.select(Subword.bpeEncode($"t", Seq(("a", "a"))).as("p"))
+      .as[Seq[String]].head()
+    assert(got == Seq("aa", "a", "aa", "aa"))
+  }
+
+  test("BPE kernel agrees with an independent reference on random corpora") {
+    def refEncodeWord(w: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      var changed = true
+      while (changed && syms.length > 1) {
+        val applicable = merges.zipWithIndex.filter { case ((l, r), _) =>
+          syms.indices.init.exists(i => syms(i) == l && syms(i + 1) == r)
+        }
+        if (applicable.isEmpty) changed = false
+        else {
+          val ((l, r), _) = applicable.minBy(_._2)
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toVector
+        }
+      }
+      syms
+    }
+    val rnd = new scala.util.Random(31)
+    (1 to 30).foreach { _ =>
+      val corpus = (1 to 3).map(_ =>
+        Array.fill(3 + rnd.nextInt(5))(
+          Array.fill(1 + rnd.nextInt(5))("abc"(rnd.nextInt(3))).mkString)
+          .mkString(" "))
+      val docs = corpus.toDF("t")
+      val merges = Subword.trainBpeMerges(docs, "t", numMerges = rnd.nextInt(6))
+      val text = Array.fill(2 + rnd.nextInt(4))(
+        Array.fill(1 + rnd.nextInt(6))("abc"(rnd.nextInt(3))).mkString)
+        .mkString(" ")
+      val got = Seq(text).toDF("t")
+        .select(Subword.bpeEncode($"t", merges)).as[Seq[String]].head()
+      val want = text.split("\\s+").toSeq.flatMap(refEncodeWord(_, merges))
+      assert(got == want, s"text='$text' merges=$merges")
+    }
+  }
+
   test("matcher rejects degenerate vocabularies") {
     intercept[IllegalArgumentException](new SubwordMatcher(Array.empty, "[UNK]"))
     intercept[IllegalArgumentException](new SubwordMatcher(Array("a", "##"), "[UNK]"))

@@ -1091,6 +1091,15 @@ object SparkEntry {
           .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice")),
         "o_orderkey", fraction = 0.1, salt = "s1")),
 
+    "q_shuffle_order" -> ((s, d) =>
+      // reproducible global training-order permutation: position is a
+      // pure function of (doc_id, salt) via the md5 rule, assigned by
+      // the partition-offset pattern (no single-task global sort)
+      Sampling.shuffleDeterministic(
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id")),
+        "doc_id", salt = "epoch1")),
+
     "q_mix_corpora" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -3650,6 +3659,13 @@ object SparkEntry {
       // sampling is engine-portable by construction
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice FROM orders
         |WHERE substr(md5('s1' || CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 8) < '19999999'""".stripMargin,
+
+    "q_shuffle_order" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(row_number() OVER (ORDER BY
+        |    md5('epoch1' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)),
+        |    CAST(CAST(doc_id AS BIGINT) AS VARCHAR)) - 1 AS BIGINT) AS position
+        |FROM documents""".stripMargin,
 
     "q_mix_corpora" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, 'even' AS source FROM documents

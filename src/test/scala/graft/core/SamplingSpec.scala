@@ -415,4 +415,30 @@ class SamplingSpec extends SparkTestBase {
     assert(out(1L) == (("e f g h", 1L, 4L)))
     assert(out(2L) == (("i j", 1L, 2L)))      // blank doc placed nothing
   }
+
+  test("shuffleDeterministic is a contiguous permutation matching md5 order") {
+    val df = spark.range(0, 500).toDF("id")
+    val got = Sampling.shuffleDeterministic(df, "id", "e1")
+      .select("id", "position").as[(Long, Long)].collect().toMap
+    // contiguous 0..n-1, one position per row
+    assert(got.values.toSeq.sorted == (0L until 500L))
+    // matches the single-task reference ordering exactly
+    val want = (0L until 500L)
+      .sortBy(id => org.apache.commons.codec.digest.DigestUtils.md5Hex("e1" + id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(got == want)
+  }
+
+  test("shuffleDeterministic: partitioning-invariant, salts independent") {
+    val df = spark.range(0, 300).toDF("id")
+    val a = Sampling.shuffleDeterministic(df, "id", "e1")
+      .select("id", "position").as[(Long, Long)].collect().toMap
+    val b = Sampling.shuffleDeterministic(df.repartition(7), "id", "e1",
+      numPartitions = Some(3))
+      .select("id", "position").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    val c = Sampling.shuffleDeterministic(df, "id", "e2")
+      .select("id", "position").as[(Long, Long)].collect().toMap
+    assert(a != c) // a different epoch salt is a different permutation
+  }
 }

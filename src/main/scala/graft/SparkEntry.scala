@@ -908,6 +908,35 @@ object SparkEntry {
             "en" -> Seq("the", "a", "of"),
             "ops" -> Seq("merge", "sort", "scan"))).as("lang_guess"))),
 
+    "q_entropy" -> ((s, d) =>
+      // Shannon char/token entropy quality signals, codegen'd scalar
+      // kernels in one narrow pass; DuckDB recomputes both exactly via
+      // its entropy() aggregate (both sides round to 6 dp so the 9-dp
+      // float canonicalisation can't straddle a boundary)
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          round(TextFunctions.charEntropy(col("text")), 6).as("char_entropy"),
+          round(TextFunctions.tokenEntropy(col("text")), 6).as("token_entropy"))),
+
+    "q_compress_filter" -> ((s, d) => {
+      // the compressibility filter on a fixture with provable margins:
+      // even ids carry boilerplate (repeated phrase, deflate ratio
+      // ~0.09), odd ids carry md5-hex noise (16-symbol alphabet, ratio
+      // >= ~0.5) — thresholding at 0.4 recovers the parity exactly
+      val idStr = col("doc_id").cast("long").cast("string")
+      val noise = (0 until 8).map(i => md5(concat(idStr, lit(s"n$i"))))
+        .reduce(concat(_, _))
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("text",
+          when(col("doc_id") % 2 === 0,
+            concat_ws("", array_repeat(lit("spark data batch "),
+              (lit(20) + col("doc_id") % 10).cast("int"))))
+            .otherwise(noise))
+        .select(col("doc_id"),
+          (TextFunctions.deflateRatio(col("text")) < 0.4).as("is_boilerplate"))
+    }),
+
     // ---------------------------------------------------- dedup
     "q_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
@@ -3430,6 +3459,27 @@ object SparkEntry {
         |    + least(nstop / safen * 4.0, 1.0)
         |    + (CASE WHEN nchar_nospace / safen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
         |FROM m""".stripMargin,
+
+    "q_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, entropy(c) AS ce FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        |    FROM documents) GROUP BY doc_id),
+        |tk AS (
+        |  SELECT doc_id, entropy(tok) AS te FROM (
+        |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |    FROM documents WHERE len(trim(text)) > 0) GROUP BY doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  round(COALESCE(ch.ce, 0), 6) AS char_entropy,
+        |  round(COALESCE(tk.te, 0), 6) AS token_entropy
+        |FROM documents d
+        |LEFT JOIN ch ON d.doc_id = ch.doc_id
+        |LEFT JOIN tk ON d.doc_id = tk.doc_id""".stripMargin,
+
+    "q_compress_filter" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_id AS BIGINT) % 2 = 0 AS is_boilerplate
+        |FROM documents""".stripMargin,
 
     "q_langid" ->
       """WITH s AS (

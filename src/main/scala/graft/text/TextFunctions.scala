@@ -2,6 +2,9 @@ package graft.text
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{CharEntropyExpr, DeflateRatioExpr, TokenEntropyExpr}
 
 /** Text-analysis operators for large-scale training-data pipelines.
   *
@@ -26,6 +29,26 @@ object TextFunctions {
   val bpeTokenPattern: String = "(?:'(?:s|d|m|t|ll|ve|re))| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Shannon entropy (bits/symbol) of the character distribution —
+    * low values flag repeated-symbol junk and binary-ish noise. One
+    * codegen'd scalar kernel, narrow pass. Null → null, empty → 0. */
+  def charEntropy(text: Column): Column =
+    ColumnBridge(CharEntropyExpr(ColumnBridge.expression(text)))
+
+  /** Shannon entropy (bits/token) of the whitespace-token
+    * distribution — low values flag template/boilerplate text whose
+    * token counts are high but vocabulary is tiny. Null → null. */
+  def tokenEntropy(text: Column): Column =
+    ColumnBridge(TokenEntropyExpr(ColumnBridge.expression(text)))
+
+  /** DEFLATE compressed / raw byte ratio — the compressibility filter:
+    * self-repetitive boilerplate compresses far below ~0.4 while
+    * natural prose sits well above it. Deterministic within an engine
+    * (JDK zlib, level 6); THRESHOLD it, don't compare raw values
+    * across engines/zlib builds. Null → null, empty → 1. */
+  def deflateRatio(text: Column): Column =
+    ColumnBridge(DeflateRatioExpr(ColumnBridge.expression(text)))
 
   /** Normalised text: lowercase, trimmed, whitespace collapsed — the
     * canonical form for exact dedup and fingerprinting. */

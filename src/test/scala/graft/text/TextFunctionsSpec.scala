@@ -150,4 +150,44 @@ class TextFunctionsSpec extends SparkTestBase {
       .filter($"doc_id" === 1L).head()
     assert(sp.getLong(1) == 0L && sp.getString(10) == "none")
   }
+
+  test("charEntropy: closed forms, code-point counting, empty/null") {
+    val df = Seq(Some("aabb"), Some("aaaa"), Some("abcd"), Some(""), None)
+      .toDF("t")
+    val got = df.select(TextFunctions.charEntropy($"t").as("h")).collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
+    assert(got(1).getDouble(0) == 0.0)
+    assert(math.abs(got(2).getDouble(0) - 2.0) < 1e-12)
+    assert(got(3).getDouble(0) == 0.0)
+    assert(got(4).isNullAt(0))
+    // surrogate pair counts as ONE symbol: 𝄞𝄞a = {𝄞:2, a:1}
+    val clef = new String(Character.toChars(0x1D11E))
+    val h = Seq(clef + clef + "a").toDF("t")
+      .select(TextFunctions.charEntropy($"t")).as[Double].head()
+    val want = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2)
+    assert(math.abs(h - want) < 1e-12)
+  }
+
+  test("tokenEntropy: uniform vs degenerate vocab, whitespace handling") {
+    val df = Seq("x x y", "x x x", "  ", "a b c d").toDF("t")
+    val got = df.select(TextFunctions.tokenEntropy($"t").as("h"))
+      .as[Double].collect()
+    val want01 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2)
+    assert(math.abs(got(0) - want01) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(got(2) == 0.0)
+    assert(math.abs(got(3) - 2.0) < 1e-12)
+  }
+
+  test("deflateRatio separates boilerplate from noise; empty -> 1") {
+    val boiler = "spark data batch " * 20
+    val noise = (0 until 8).map(i =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"n$i")).mkString
+    val df = Seq(Some(boiler), Some(noise), Some(""), None).toDF("t")
+    val got = df.select(TextFunctions.deflateRatio($"t").as("r")).collect()
+    assert(got(0).getDouble(0) < 0.2, s"boilerplate ratio ${got(0).getDouble(0)}")
+    assert(got(1).getDouble(0) > 0.45, s"noise ratio ${got(1).getDouble(0)}")
+    assert(got(2).getDouble(0) == 1.0)
+    assert(got(3).isNullAt(0))
+  }
 }

@@ -638,6 +638,38 @@ object Scale {
       }
     }
 
+    // --- embedding-grain decontamination (r13): the claim is ONE
+    // BroadcastNestedLoopJoin LeftAnti pass — cost linear in corpus
+    // rows × eval size, corpus never exchanged. Corpus replicas keep
+    // vector DIRECTIONS (cosine is scale-invariant), so each replica's
+    // first-25 ids stay contaminated and out_rows = k·(N−25) proves
+    // the anti-join truth scaled. x1 vs x8 at eval=25 pins linearity
+    // in corpus; the eval=200 row pins linearity in eval width.
+    {
+      def embK(k: Int): DataFrame = {
+        val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        (0 until k).map { r =>
+          if (r == 0) base
+          else base.select((col("vec_id") + r * 10000000L).as("vec_id"),
+            transform(col("v"), x => x * lit(1.0 + r * 0.001)).as("v"))
+        }.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+      }
+      def evalOf(n: Long): DataFrame = spark.read
+        .parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .filter(col("vec_id") < n)
+        .select(transform(col("v"), x => x + lit(0.01)).as("v"))
+      for (k <- Seq(1, bigK))
+        timed("semantic_decon", "scale" -> k.toLong, "eval_rows" -> 25L)(() =>
+          graft.dedup.Dedup.decontaminateSemantic(embK(k), evalOf(25), "v", 0.9))
+      timed("semantic_decon", "scale" -> 1L, "eval_rows" -> 200L)(() =>
+        graft.dedup.Dedup.decontaminateSemantic(embK(1), evalOf(200), "v", 0.9))
+    }
+
     // --- bloom semi join in its OWN regime (r11): the bench ratio at
     // sf0.1 measures the operator against a broadcastable right side —
     // precisely the case it is NOT for. Here broadcast is disabled

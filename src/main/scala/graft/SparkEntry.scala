@@ -2161,6 +2161,36 @@ object SparkEntry {
       Dedup.contaminationReport(train, evalDf, "text", "doc_id", n = 5, minHits = 1)
     }),
 
+    "q_semantic_decontaminate" -> ((s, d) => {
+      // embedding-grain decontamination: eval = perturbed copies of the
+      // first 25 vectors (cosine ~0.9999 with their source, <=~0.51
+      // with everything else — provable margins around the 0.9
+      // threshold); one BroadcastNestedLoopJoin LeftAnti, corpus never
+      // shuffles. DuckDB recomputes the exact cosine truth.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val evalDf = emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("eval_id"),
+          transform(col("v"), x => x + lit(0.01)).as("v"))
+      Dedup.decontaminateSemantic(emb, evalDf, "v", threshold = 0.9)
+        .select(col("vec_id"))
+    }),
+
+    "q_semantic_contamination" -> ((s, d) => {
+      // the audit half at the embedding grain: WHICH eval items are
+      // semantically present in WHICH train rows, with the similarity
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val evalDf = emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("eval_id"),
+          transform(col("v"), x => x + lit(0.01)).as("v"))
+      Dedup.semanticContaminationReport(
+        emb, evalDf, "v", "vec_id", "eval_id", threshold = 0.9)
+        .select(col("vec_id"), col("eval_id"), round(col("sim"), 6).as("sim"))
+    }),
+
     "q_substring_dedup" -> ((s, d) =>
       // sub-document exact span dedup (Lee et al., ACL 2022 shape):
       // duplicated 8-token windows are cut wherever they recur, first
@@ -2836,6 +2866,25 @@ object SparkEntry {
         |SELECT trg.doc_id, evg.eval_id, count(*) AS n_shared_grams
         |FROM trg JOIN evg ON trg.g = evg.g
         |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin,
+
+    "q_semantic_decontaminate" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT list_transform(v, x -> x + 0.01) AS v
+        |       FROM e WHERE vec_id < 25)
+        |SELECT vec_id FROM e
+        |WHERE NOT EXISTS (SELECT 1 FROM ev
+        |  WHERE list_cosine_similarity(e.v, ev.v) >= 0.9)""".stripMargin,
+
+    "q_semantic_contamination" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT vec_id + 1000000 AS eval_id,
+        |    list_transform(v, x -> x + 0.01) AS v
+        |  FROM e WHERE vec_id < 25)
+        |SELECT e.vec_id, ev.eval_id,
+        |  round(list_cosine_similarity(e.v, ev.v), 6) AS sim
+        |FROM e, ev WHERE list_cosine_similarity(e.v, ev.v) >= 0.9""".stripMargin,
 
     "q_stream_substring" ->
       """WITH toks AS (

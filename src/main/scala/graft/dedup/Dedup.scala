@@ -671,6 +671,67 @@ object Dedup {
       .select(col("__graft_id").as(idCol), col("eval_id"), col("n_shared_grams"))
   }
 
+  /** Embedding-grain (semantic) decontamination: drop train rows whose
+    * embedding reaches cosine ≥ `threshold` with ANY eval embedding.
+    * The n-gram cleaners ([[decontaminate]]) catch verbatim leakage;
+    * PARAPHRASED eval items leak only at the embedding grain — the
+    * semantic-decontamination step of modern benchmark hygiene (public
+    * methodology, e.g. the SemDeDup/embedding-decon line of work).
+    *
+    * Scale shape: the eval set is benchmark-sized by the op's nature,
+    * so it broadcasts; the plan is ONE BroadcastNestedLoopJoin
+    * LeftAnti over the corpus — the corpus never shuffles, the
+    * broadcast payload is only the eval vectors, and the anti join
+    * short-circuits a row on its first contaminated hit. Cosine is the
+    * native codegen'd kernel ([[graft.functions.HashFunctions
+    * .cosineSimNative]]), not interpreted HOF math. For evals too big
+    * to broadcast, band BOTH sides with seeded sign-LSH first (the
+    * [[bloomDecontaminate]] analogy at the embedding grain) — that
+    * variant trades the broadcast for one bucket-grain exchange and
+    * inherits the LSH recall curve, so it is a different contract, not
+    * a drop-in. */
+  def decontaminateSemantic(
+      train: DataFrame,
+      evalDf: DataFrame,
+      embCol: String,
+      threshold: Double,
+      evalEmbCol: String = ""): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"decontaminateSemantic: threshold must be in (0, 1], got $threshold")
+    val ec = if (evalEmbCol.isEmpty) embCol else evalEmbCol
+    val evalVecs = evalDf.select(col(ec).as("__graft_ev"))
+    train.join(broadcast(evalVecs),
+      graft.functions.HashFunctions.cosineSimNative(
+        col(embCol), col("__graft_ev")) >= threshold,
+      "left_anti")
+  }
+
+  /** Per-pair semantic contamination AUDIT — [[contaminationReport]]
+    * at the embedding grain: one row per (train id, eval id) pair with
+    * cosine ≥ `threshold`, with the similarity. Same broadcast
+    * nested-loop shape as [[decontaminateSemantic]] (inner instead of
+    * anti: the output IS the contaminated pair set, which is small by
+    * the op's nature). */
+  def semanticContaminationReport(
+      train: DataFrame,
+      evalDf: DataFrame,
+      embCol: String,
+      idCol: String,
+      evalIdCol: String,
+      threshold: Double,
+      evalEmbCol: String = ""): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"semanticContaminationReport: threshold must be in (0, 1], got $threshold")
+    val ec = if (evalEmbCol.isEmpty) embCol else evalEmbCol
+    val evalSide = evalDf.select(
+      col(evalIdCol).as("eval_id"), col(ec).as("__graft_ev"))
+    val sim = graft.functions.HashFunctions.cosineSimNative(
+      col(embCol), col("__graft_ev"))
+    train.select(col(idCol), col(embCol))
+      .join(broadcast(evalSide), sim >= threshold)
+      .select(col(idCol), col("eval_id"), sim.as("sim"))
+  }
+
   /** [[decontaminate]] with a bloom prefilter on the train side —
     * identical output, different (better) 100 TB shape.
     *

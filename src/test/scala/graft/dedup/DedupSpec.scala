@@ -526,4 +526,51 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq((3L, 1L, 3L), (2L, 2L, 4L)))
   }
+
+  private def semVecs = Seq(
+    (1L, Array(1.0, 0.0, 0.0)),
+    (2L, Array(0.9, 0.1, 0.0)),   // cos with e1 = 0.9938
+    (3L, Array(0.0, 1.0, 0.0)),
+    (4L, Array(0.0, 0.0, 1.0))).toDF("id", "v")
+
+  test("decontaminateSemantic drops rows over the cosine bar, keeps the rest") {
+    val evalDf = Seq((100L, Array(1.0, 0.0, 0.0))).toDF("eid", "ev")
+    val kept = Dedup.decontaminateSemantic(semVecs, evalDf, "v",
+      threshold = 0.995, evalEmbCol = "ev")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L)) // id 1 exact hit; id 2 at 0.9938 < 0.995
+    val kept2 = Dedup.decontaminateSemantic(semVecs, evalDf, "v",
+      threshold = 0.99, evalEmbCol = "ev")
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == Set(3L, 4L))   // at 0.99 the 0.9938 pair drops id 2 too
+    // empty eval keeps everything; schema passes through
+    val none = Dedup.decontaminateSemantic(semVecs, evalDf.limit(0), "v",
+      threshold = 0.9, evalEmbCol = "ev")
+    assert(none.columns.toSeq == Seq("id", "v") && none.count() == 4)
+  }
+
+  test("decontaminateSemantic plans a broadcast nested-loop anti join") {
+    val evalDf = Seq((100L, Array(1.0, 0.0, 0.0))).toDF("eid", "ev")
+    val plan = Dedup.decontaminateSemantic(semVecs, evalDf, "v",
+      threshold = 0.95, evalEmbCol = "ev")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("semanticContaminationReport lists pairs with similarities") {
+    val evalDf = Seq(
+      (100L, Array(1.0, 0.0, 0.0)),
+      (200L, Array(0.0, 1.0, 0.0))).toDF("eid", "ev")
+    val out = Dedup.semanticContaminationReport(semVecs, evalDf, "v", "id",
+      "eid", threshold = 0.995, evalEmbCol = "ev")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    assert(out == Set((1L, 100L, 1.0), (3L, 200L, 1.0)))
+    // lower bar admits the 0.9938 pair
+    val out2 = Dedup.semanticContaminationReport(semVecs, evalDf, "v", "id",
+      "eid", threshold = 0.9, evalEmbCol = "ev")
+      .select("id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(out2 == Set((1L, 100L), (2L, 100L), (3L, 200L)))
+  }
 }

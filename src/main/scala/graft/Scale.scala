@@ -123,6 +123,24 @@ object Scale {
         val ev = d.filter(col("doc_id") % 1000 < 2)
         Dedup.bloomDecontaminate(d, ev, "text", "doc_id", n = 5)
       }
+      // DSIR scoring shapes (r13): the word-grain exact path explodes
+      // the corpus into gram rows, joins the feature-grain ratio table
+      // and re-aggregates at doc grain (one corpus-sized exchange);
+      // the hashed path's scoring stage is ONE narrow codegen'd pass
+      // (ratio array rides the task binary) — distribution building is
+      // its only other corpus work. The filter consumes log_weight so
+      // count() cannot prune the computation (the RunMetricsProbe
+      // lesson).
+      run("dsir_exact", k) { d =>
+        val tgt = d.filter(col("doc_id") % 50 === 0)
+        graft.core.Dsir.importanceWeights(d, tgt, "text", "doc_id")
+          .filter(col("log_weight") > -1e18)
+      }
+      run("dsir_hashed", k) { d =>
+        val tgt = d.filter(col("doc_id") % 50 === 0)
+        graft.core.Dsir.importanceWeightsHashed(d, tgt, "text")
+          .filter(col("log_weight") > -1e18)
+      }
       // the bloom path's scale claim, measured directly: rows entering
       // the gram join. The exact pass explodes EVERY train doc
       // (decont_gram_rows_exact = corpus × avg grams/doc); the bloom

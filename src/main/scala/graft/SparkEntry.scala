@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{DataFrameOps, Sampling, Windows}
+import graft.core.{DataFrameOps, Dsir, Sampling, Windows}
 import graft.checks.Checks
 import graft.methods.Averaging
 import graft.dedup.Dedup
@@ -1119,6 +1119,30 @@ object SparkEntry {
         t(s, d, "orders")
           .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice")),
         "o_orderkey", fraction = 0.1, salt = "s1")),
+
+    "q_dsir_weights" -> ((s, d) => {
+      // word-grain exact DSIR (Xie et al. 2023): target = the doc_id%7
+      // "domain sample", source = the whole corpus; log importance
+      // weight per doc under add-1 smoothed unigram+bigram models
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val target = docs.filter(col("doc_id") % 7 === 0)
+      Dsir.importanceWeights(docs, target, "text", "doc_id")
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"))
+    }),
+
+    "q_dsir_sample" -> ((s, d) => {
+      // the full DSIR pipeline: weights, then deterministic Gumbel
+      // top-k resampling (A-ES in log space on the md5 uniform) —
+      // selection ∝ exp(log_weight), reproducible across engines
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val target = docs.filter(col("doc_id") % 7 === 0)
+      val w = Dsir.importanceWeights(docs, target, "text", "doc_id")
+      Dsir.resampleByWeight(docs.join(w, "doc_id"), "log_weight",
+        k = 100, "doc_id", salt = "dsir1")
+        .select(col("doc_id"))
+    }),
 
     "q_shuffle_order" -> ((s, d) =>
       // reproducible global training-order permutation: position is a
@@ -3758,6 +3782,54 @@ object SparkEntry {
       // sampling is engine-portable by construction
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice FROM orders
         |WHERE substr(md5('s1' || CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 8) < '19999999'""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |toks AS (SELECT doc_id, string_split(t, ' ') AS toks FROM docs WHERE len(t) > 0),
+        |grams AS (
+        |  SELECT doc_id, unnest(toks) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |  FROM toks, unnest(range(1, len(toks))) AS r(i) WHERE len(toks) >= 2),
+        |tdist AS (SELECT g, count(*) AS ct FROM grams WHERE doc_id % 7 = 0 GROUP BY g),
+        |sdist AS (SELECT g, count(*) AS cs FROM grams GROUP BY g),
+        |d AS (SELECT coalesce(t.g, s.g) AS g, coalesce(ct, 0) AS ct, coalesce(cs, 0) AS cs
+        |      FROM tdist t FULL OUTER JOIN sdist s ON t.g = s.g),
+        |stats AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cs) AS DOUBLE) AS ns,
+        |          CAST(count(*) AS DOUBLE) AS f FROM d),
+        |lr AS (SELECT g, ln((ct + 1.0) / (nt + f)) - ln((cs + 1.0) / (ns + f)) AS lr
+        |       FROM d, stats),
+        |sc AS (SELECT doc_id AS sid, sum(lr) AS w FROM grams JOIN lr USING (g) GROUP BY doc_id)
+        |SELECT d0.doc_id, round(coalesce(sc.w, 0), 6) AS log_weight
+        |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d0
+        |LEFT JOIN sc ON d0.doc_id = sc.sid""".stripMargin,
+
+    "q_dsir_sample" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |toks AS (SELECT doc_id, string_split(t, ' ') AS toks FROM docs WHERE len(t) > 0),
+        |grams AS (
+        |  SELECT doc_id, unnest(toks) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |  FROM toks, unnest(range(1, len(toks))) AS r(i) WHERE len(toks) >= 2),
+        |tdist AS (SELECT g, count(*) AS ct FROM grams WHERE doc_id % 7 = 0 GROUP BY g),
+        |sdist AS (SELECT g, count(*) AS cs FROM grams GROUP BY g),
+        |d AS (SELECT coalesce(t.g, s.g) AS g, coalesce(ct, 0) AS ct, coalesce(cs, 0) AS cs
+        |      FROM tdist t FULL OUTER JOIN sdist s ON t.g = s.g),
+        |stats AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cs) AS DOUBLE) AS ns,
+        |          CAST(count(*) AS DOUBLE) AS f FROM d),
+        |lr AS (SELECT g, ln((ct + 1.0) / (nt + f)) - ln((cs + 1.0) / (ns + f)) AS lr
+        |       FROM d, stats),
+        |sc AS (SELECT doc_id AS sid, sum(lr) AS w FROM grams JOIN lr USING (g) GROUP BY doc_id),
+        |keyed AS (
+        |  SELECT d0.doc_id,
+        |    ln(-ln((('0x' || substr(md5('dsir1' || CAST(d0.doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+        |      / 4294967296.0)) - coalesce(sc.w, 0) AS gk
+        |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d0
+        |  LEFT JOIN sc ON d0.doc_id = sc.sid)
+        |SELECT doc_id FROM keyed ORDER BY gk, doc_id LIMIT 100""".stripMargin,
 
     "q_shuffle_order" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -1,0 +1,166 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{DsirBucketsExpr, DsirScoreExpr}
+import graft.text.TextFunctions.normTokens
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * public methodology): select source documents that look like a small
+  * TARGET corpus by (1) fitting bag-of-n-gram models p (target) and q
+  * (source), (2) scoring every source doc with the log importance
+  * weight Σ_grams [ln p(gram) − ln q(gram)], and (3) sampling docs
+  * with probability ∝ exp(weight) — the quality-/domain-selection
+  * step of assembling a pre-training mix from raw crawl.
+  *
+  * Two tiers, the repo's usual pair:
+  *  - WORD-GRAIN EXACT ([[importanceWeights]]): features are the
+  *    literal unigrams+bigrams. All corpus-scale work is feature-grain
+  *    aggregation (Zipf-bounded, like `Subword.trainBpeMerges`'s form
+  *    table) plus one doc-grain sum; everything stays in-plan (counts
+  *    and the union-vocabulary size ride a broadcast 1-row frame, the
+  *    `unigramPerplexity` pattern). Oracle-replayable end to end.
+  *  - HASHED-BUCKET SCALE PATH ([[importanceWeightsHashed]]): features
+  *    hash into `numBuckets` buckets (domain bounded regardless of
+  *    vocabulary — the paper's own construction), the bucket log-ratio
+  *    table is collected driver-side (bucket-cardinality, loudly
+  *    bounded like `Ivf.maxTrainRows`) and scoring is ONE narrow
+  *    codegen'd pass over the corpus ([[graft.functions
+  *    .DsirScoreExpr]]) — no explode, no join, no shuffle at scoring
+  *    time. Contract-tested against the exact path (DsirSpec: equal
+  *    scores under an injective fixture at α = 0), not oracle-replayed
+  *    (the bucket hash is not engine-portable).
+  */
+object Dsir {
+
+  /** Unigrams + adjacent-pair bigrams of the normalised text — the
+    * DSIR feature set, as a column (empty text → empty array). */
+  def ngramFeatures(text: Column): Column = {
+    val toks = normTokens(text)
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    concat(toks, bigrams)
+  }
+
+  /** (feature, cnt) distribution of a corpus — one explode plus a
+    * map-side-combinable feature-grain aggregate. */
+  def featureDistribution(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(ngramFeatures(col(textCol))).as("feature"))
+      .groupBy("feature").agg(count(lit(1)).as("cnt"))
+
+  /** Word-grain exact DSIR log importance weights: one row per source
+    * doc, `(idCol, log_weight)`. Add-α smoothing over the UNION
+    * feature set F of both corpora: p(f) = (c_t(f)+α)/(N_t+α·|F|),
+    * q(f) analogously; `log_weight = Σ_gram occurrences
+    * [ln p − ln q]`. Docs with no features score 0.
+    *
+    * Scale shape: two feature-grain aggregates, a feature-grain
+    * full-outer join, corpus totals in a broadcast 1-row frame, one
+    * feature-grain score join and one doc-grain sum — no window, no
+    * collect, no driver loop. */
+  def importanceWeights(
+      source: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    // α = 0 is the unsmoothed MLE — valid when the corpora share
+    // support (every source gram seen in target), where it makes the
+    // word-grain and hashed paths exactly comparable (no |F|-vs-B
+    // denominator); α > 0 is the production default
+    require(alpha >= 0.0, s"importanceWeights: alpha must be >= 0, got $alpha")
+    val tDist = featureDistribution(target, textCol)
+      .withColumnRenamed("cnt", "ct")
+    val sDist = featureDistribution(source, textCol)
+      .withColumnRenamed("cnt", "cs")
+    val dists = tDist.join(sDist, Seq("feature"), "full_outer")
+      .select(col("feature"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+    val stats = dists.agg(
+      sum("ct").cast("double").as("nt"),
+      sum("cs").cast("double").as("ns"),
+      count(lit(1)).cast("double").as("f"))
+    val ratios = dists.crossJoin(broadcast(stats))
+      .select(col("feature"),
+        (log((col("ct") + alpha) / (col("nt") + lit(alpha) * col("f"))) -
+          log((col("cs") + alpha) / (col("ns") + lit(alpha) * col("f"))))
+          .as("__graft_lr"))
+    val scores = source
+      .select(col(idCol), explode(ngramFeatures(col(textCol))).as("feature"))
+      .join(ratios, "feature")
+      .groupBy(idCol)
+      .agg(sum("__graft_lr").as("log_weight"))
+    source.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("log_weight"), lit(0.0)).as("log_weight"))
+  }
+
+  /** Hashed-bucket DSIR scoring — the 100 TB path: bucket
+    * distributions of both corpora (explode of the codegen'd bucket
+    * kernel + bucket-grain aggregate, collected driver-side at bucket
+    * cardinality), add-α smoothing over the B buckets, then ONE narrow
+    * codegen'd pass adds `log_weight` to `source`. `numBuckets` is the
+    * loud driver bound (the `Ivf.maxTrainRows` contract): the two
+    * collected distributions and the ratio array are ≤ `numBuckets`
+    * entries each, and the require keeps that driver-sized. */
+  def importanceWeightsHashed(
+      source: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      numBuckets: Int = 1 << 16,
+      alpha: Double = 1.0,
+      outputCol: String = "log_weight"): DataFrame = {
+    require(numBuckets >= 1 && numBuckets <= (1 << 22),
+      s"importanceWeightsHashed: numBuckets must be in [1, ${1 << 22}] " +
+        s"(the bucket table is collected driver-side), got $numBuckets")
+    require(alpha >= 0.0,
+      s"importanceWeightsHashed: alpha must be >= 0, got $alpha")
+    def dist(df: DataFrame): (Array[Long], Double) = {
+      val counts = new Array[Long](numBuckets)
+      df.select(explode(ColumnBridge(DsirBucketsExpr(
+          ColumnBridge.expression(col(textCol)), numBuckets))).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect()
+        .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+      (counts, counts.map(_.toDouble).sum)
+    }
+    val (ct, nt) = dist(target)
+    val (cs, ns) = dist(source)
+    val ratios = Array.tabulate(numBuckets) { b =>
+      math.log((ct(b) + alpha) / (nt + alpha * numBuckets)) -
+        math.log((cs(b) + alpha) / (ns + alpha * numBuckets))
+    }
+    source.withColumn(outputCol,
+      ColumnBridge(DsirScoreExpr(ColumnBridge.expression(col(textCol)), ratios)))
+  }
+
+  /** DSIR resampling: `k` source docs drawn WITHOUT replacement with
+    * probability ∝ exp(log_weight), deterministically — the Gumbel
+    * top-k / A-ES equivalence in LOG space (rank by
+    * `ln(−ln u) − log_weight` ascending, u the md5-derived uniform of
+    * [[Sampling.weightedSample]]), so extreme log weights never
+    * overflow an exp(). Same reproducibility contract as every md5
+    * sampler here: a pure function of (key set, salt). Plans as
+    * TakeOrderedAndProject (per-partition top-k, no global sort).
+    * Returns the selected rows of `weighted` (which must carry
+    * `logWeightCol`, e.g. from [[importanceWeights]]). */
+  def resampleByWeight(
+      weighted: DataFrame,
+      logWeightCol: String,
+      k: Int,
+      keyCol: String,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"resampleByWeight: k must be >= 1, got $k")
+    val u = (conv(substring(md5(concat(lit(salt), Sampling.keyStr(col(keyCol)))),
+      1, 8), 16, 10).cast("double") + 1.0) / 4294967296.0
+    weighted
+      .withColumn("__graft_gk", log(-log(u)) - col(logWeightCol))
+      .orderBy(col("__graft_gk").asc, col(keyCol).asc)
+      .limit(k)
+      .drop("__graft_gk")
+  }
+}

@@ -8,7 +8,7 @@ import graft.checks.Checks
 import graft.methods.Averaging
 import graft.dedup.Dedup
 import graft.similarity.{Quantize, Similarity}
-import graft.text.{TextFunctions, UrlFunctions}
+import graft.text.{Conversations, TextFunctions, UrlFunctions}
 import graft.multimodal.Multimodal
 import graft.streaming.Streaming
 import graft.io.Tables
@@ -1119,6 +1119,41 @@ object SparkEntry {
         t(s, d, "orders")
           .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice")),
         "o_orderkey", fraction = 0.1, salt = "s1")),
+
+    "q_conv_turns" -> ((s, d) =>
+      // chat transcripts as array<struct<role,content>>: flatten to
+      // per-turn rows; the fixture's turn split and role schedule are
+      // closed-form in the id so DuckDB reconstructs the exact table
+      Conversations.flattenTurns(
+        Conversations.syntheticConversationTable(
+          t(s, d, "documents"), "doc_id", "text"))),
+
+    "q_conv_profile" -> ((s, d) =>
+      // per-conversation hygiene profile in ONE narrow HOF pass (no
+      // explode/shuffle); fixture params give the closed-form oracle
+      Conversations.turnProfile(
+        Conversations.syntheticConversationTable(
+          t(s, d, "documents"), "doc_id", "text"))),
+
+    "q_conv_render" -> ((s, d) =>
+      Conversations.syntheticConversationTable(
+        t(s, d, "documents"), "doc_id", "text")
+        .select(col("conv_id"),
+          Conversations.renderConversation(col("turns")).as("training_text"))),
+
+    "q_conv_dedup" -> ((s, d) => {
+      // transcript-grain exact dedup: planted re-id'd copies (+1000000)
+      // of the first 50 conversations must fall to their originals;
+      // duplicate TEXTS with different ids produce different turn
+      // splits (k = 2 + id%3) and survive — the oracle recomputes
+      // truth by grouping the normalised rendered transcript
+      val conv = Conversations.syntheticConversationTable(
+        t(s, d, "documents"), "doc_id", "text")
+      val copies = conv.filter(col("conv_id") < 50)
+        .select((col("conv_id") + 1000000L).as("conv_id"), col("turns"))
+      Conversations.conversationDedup(conv.unionByName(copies))
+        .select(col("conv_id"))
+    }),
 
     "q_dsir_weights" -> ((s, d) => {
       // word-grain exact DSIR (Xie et al. 2023): target = the doc_id%7
@@ -3782,6 +3817,71 @@ object SparkEntry {
       // sampling is engine-portable by construction
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice FROM orders
         |WHERE substr(md5('s1' || CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 8) < '19999999'""".stripMargin,
+
+    "q_conv_turns" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |base AS (SELECT id,
+        |    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split(t, ' ') END AS toks,
+        |    CAST(2 + id % 3 AS BIGINT) AS k,
+        |    CASE WHEN id % 4 = 0 THEN 1 ELSE 0 END AS o FROM docs)
+        |SELECT id AS conv_id, CAST(j AS BIGINT) AS turn_idx,
+        |  CASE WHEN j < o THEN 'system'
+        |       WHEN (j - o) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |  array_to_string(toks[(j*len(toks))//k + 1 : ((j+1)*len(toks))//k], ' ') AS content
+        |FROM base, unnest(range(k)) AS r(j)""".stripMargin,
+
+    "q_conv_profile" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |base AS (SELECT id,
+        |    CASE WHEN len(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS n,
+        |    CAST(2 + id % 3 AS BIGINT) AS k,
+        |    CAST(CASE WHEN id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS o FROM docs)
+        |SELECT id AS conv_id, k AS n_turns, o AS n_system,
+        |  (k - o + 1) // 2 AS n_user, (k - o) // 2 AS n_assistant,
+        |  CAST(n AS BIGINT) AS total_tokens, true AS alternates
+        |FROM base""".stripMargin,
+
+    "q_conv_render" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |base AS (SELECT id,
+        |    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split(t, ' ') END AS toks,
+        |    CAST(2 + id % 3 AS BIGINT) AS k,
+        |    CASE WHEN id % 4 = 0 THEN 1 ELSE 0 END AS o FROM docs),
+        |turns AS (
+        |  SELECT id, CAST(j AS BIGINT) AS turn_idx,
+        |    CASE WHEN j < o THEN 'system'
+        |         WHEN (j - o) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    array_to_string(toks[(j*len(toks))//k + 1 : ((j+1)*len(toks))//k], ' ') AS content
+        |  FROM base, unnest(range(k)) AS r(j))
+        |SELECT id AS conv_id,
+        |  string_agg('<|' || role || '|> ' || content, chr(10) ORDER BY turn_idx) AS training_text
+        |FROM turns GROUP BY id""".stripMargin,
+
+    "q_conv_dedup" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |base AS (SELECT id,
+        |    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split(t, ' ') END AS toks,
+        |    CAST(2 + id % 3 AS BIGINT) AS k,
+        |    CASE WHEN id % 4 = 0 THEN 1 ELSE 0 END AS o FROM docs),
+        |turns AS (
+        |  SELECT id, CAST(j AS BIGINT) AS turn_idx,
+        |    CASE WHEN j < o THEN 'system'
+        |         WHEN (j - o) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    array_to_string(toks[(j*len(toks))//k + 1 : ((j+1)*len(toks))//k], ' ') AS content
+        |  FROM base, unnest(range(k)) AS r(j)),
+        |rend AS (
+        |  SELECT id, string_agg('<|' || role || '|> ' || content, chr(10) ORDER BY turn_idx) AS r
+        |  FROM turns GROUP BY id),
+        |unioned AS (
+        |  SELECT id AS conv_id, r FROM rend
+        |  UNION ALL
+        |  SELECT id + 1000000 AS conv_id, r FROM rend WHERE id < 50)
+        |SELECT min(conv_id) AS conv_id FROM unioned
+        |GROUP BY lower(regexp_replace(trim(r), '\s+', ' ', 'g'))""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

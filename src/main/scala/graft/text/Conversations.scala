@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions.{normTokens, tokenCount}
+
+/** Chat-transcript operators — conversations as a first-class column
+  * shape: `array<struct<role: string, content: string>>`, the standard
+  * representation of instruction-tuning / dialogue data. All
+  * per-conversation work is narrow (HOFs over the turns array or one
+  * explode), so every operator here scales linearly in corpus bytes
+  * with no shuffle except where a dedup grain requires one.
+  *
+  * Reference behavior surface: rdsa-utils has no chat analogue; this is
+  * an LLM-pipeline extension family (SURVEY §2 extensions).
+  */
+object Conversations {
+
+  /** Flatten to one row per turn: `(idCol, turn_idx, role, content)`.
+    * One narrow posexplode — the grain for per-turn filtering/PII
+    * scrubbing; reassemble with `groupBy(idCol).agg(collect_list)`
+    * only when turn order is re-established by sorting on turn_idx. */
+  def flattenTurns(
+      conv: DataFrame,
+      idCol: String = "conv_id",
+      turnsCol: String = "turns"): DataFrame =
+    conv.select(col(idCol), posexplode(col(turnsCol)).as(Seq("turn_idx", "__graft_t")))
+      .select(col(idCol), col("turn_idx").cast("long").as("turn_idx"),
+        col("__graft_t.role").as("role"),
+        col("__graft_t.content").as("content"))
+
+  /** Per-conversation hygiene profile, all in ONE narrow pass (HOF
+    * aggregates over the turns array — no explode, no shuffle):
+    * turn/role counts, total whitespace tokens, and `alternates` —
+    * true when roles strictly alternate after position 0 and "system"
+    * appears only as the opening turn (the shape a chat-format
+    * validator gates on). Empty conversations profile as alternating. */
+  def turnProfile(
+      conv: DataFrame,
+      idCol: String = "conv_id",
+      turnsCol: String = "turns"): DataFrame = {
+    val ts = col(turnsCol)
+    def roleCount(r: String): Column =
+      size(filter(ts, t => t.getField("role") === r)).cast("long")
+    val roles = transform(ts, t => t.getField("role"))
+    val alternates = coalesce(
+      forall(
+        zip_with(
+          slice(roles, lit(1), greatest(size(roles) - 1, lit(0))),
+          slice(roles, lit(2), greatest(size(roles) - 1, lit(0))),
+          (prev, cur) => cur =!= prev && cur =!= "system"),
+        x => x),
+      lit(true))
+    conv.select(col(idCol),
+      size(ts).cast("long").as("n_turns"),
+      roleCount("system").as("n_system"),
+      roleCount("user").as("n_user"),
+      roleCount("assistant").as("n_assistant"),
+      aggregate(ts, lit(0L),
+        (acc, t) => acc + tokenCount(t.getField("content")).cast("long"))
+        .as("total_tokens"),
+      alternates.as("alternates"))
+  }
+
+  /** Render a turns array to one training string:
+    * `<|role|> content` per turn, joined by `sep`. Narrow projection —
+    * the tokenize-and-pack input column. */
+  def renderConversation(turns: Column, sep: String = "\n"): Column =
+    array_join(
+      transform(turns, t =>
+        concat(lit("<|"), t.getField("role"), lit("|> "),
+          t.getField("content"))),
+      sep)
+
+  /** Exact transcript-grain dedup: keep the minimum-id conversation
+    * per rendered transcript (roles AND contents must match;
+    * whitespace/case normalised by the fingerprint, the
+    * [[graft.dedup.Dedup.exactDedup]] contract). One hash-window
+    * exchange at transcript-fingerprint grain. */
+  def conversationDedup(
+      conv: DataFrame,
+      idCol: String = "conv_id",
+      turnsCol: String = "turns"): DataFrame = {
+    val rendered = "__graft_conv_render"
+    graft.dedup.Dedup.exactDedup(
+      conv.withColumn(rendered, renderConversation(col(turnsCol))),
+      rendered, idCol)
+      .drop(rendered)
+  }
+
+  /** Deterministic conversation fixture over a (id, text) frame — the
+    * oracle-replayable construction behind the q_conv_* queries: doc
+    * tokens split into k = 2 + id%3 contiguous turns (turn j spans
+    * token positions ⌊j·n/k⌋..⌊(j+1)·n/k⌋−1, so the turns partition
+    * the tokens exactly), roles alternating user/assistant with a
+    * leading system turn when id%4 = 0. */
+  def syntheticConversationTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val toks = normTokens(col(textCol))
+    val n = size(toks)
+    val k = (lit(2) + pmod(id, lit(3))).cast("int")
+    val o = when(pmod(id, lit(4)) === 0, lit(1)).otherwise(lit(0))
+    val turns = transform(sequence(lit(0), k - 1), j => {
+      val start = floor(j.cast("double") * n / k).cast("int") + 1
+      val len = floor((j + 1).cast("double") * n / k).cast("int") - start + 1
+      val role = when(j < o, "system")
+        .otherwise(when(pmod(j - o, lit(2)) === 0, "user").otherwise("assistant"))
+      struct(role.as("role"),
+        concat_ws(" ", slice(toks, start, greatest(len, lit(0)))).as("content"))
+    })
+    df.select(id.as("conv_id"), turns.as("turns"))
+  }
+}

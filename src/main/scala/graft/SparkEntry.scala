@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{DataFrameOps, Dsir, Sampling, Windows}
+import graft.core.{DataFrameOps, Dsir, Quantiles, Sampling, Windows}
 import graft.checks.Checks
 import graft.methods.Averaging
 import graft.dedup.Dedup
@@ -1119,6 +1119,23 @@ object SparkEntry {
         t(s, d, "orders")
           .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice")),
         "o_orderkey", fraction = 0.1, salt = "s1")),
+
+    "q_exact_quantile" -> ((s, d) =>
+      // exact global quantiles WITHOUT a value-buffering aggregate or
+      // a single-task sort: range exchange + partition-offset ranks
+      // (the Ids pattern), value column only through the exchange
+      Quantiles.exactQuantiles(t(s, d, "lineitem"), "l_extendedprice",
+        Seq(0.1, 0.5, 0.9, 0.99))),
+
+    "q_quantile_gate" -> ((s, d) =>
+      // the "top 10% by score" curation gate: threshold derived
+      // in-plan from the exact quantile, broadcast, ties inclusive
+      Quantiles.quantileGate(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey").cast("long").as("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_extendedprice")),
+        "l_extendedprice", q = 0.9)),
 
     "q_conv_turns" -> ((s, d) =>
       // chat transcripts as array<struct<role,content>>: flatten to
@@ -3817,6 +3834,27 @@ object SparkEntry {
       // sampling is engine-portable by construction
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice FROM orders
         |WHERE substr(md5('s1' || CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 8) < '19999999'""".stripMargin,
+
+    "q_exact_quantile" ->
+      """WITH v AS (SELECT l_extendedprice AS val,
+        |    row_number() OVER (ORDER BY l_extendedprice) - 1 AS r
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+        |SELECT qs.q, v.val AS value
+        |FROM qs, n JOIN v
+        |  ON v.r = CAST(least(floor(qs.q * (n.n - 1)), n.n - 1) AS BIGINT)""".stripMargin,
+
+    "q_quantile_gate" ->
+      """WITH v AS (SELECT l_extendedprice AS val,
+        |    row_number() OVER (ORDER BY l_extendedprice) - 1 AS r
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |thr AS (SELECT val FROM v, n
+        |        WHERE v.r = CAST(floor(CAST(0.9 AS DOUBLE) * (n.n - 1)) AS BIGINT))
+        |SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem, thr WHERE l_extendedprice >= thr.val""".stripMargin,
 
     "q_conv_turns" ->
       """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id,

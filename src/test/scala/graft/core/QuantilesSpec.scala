@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class QuantilesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactQuantiles: type-1 values on known data, endpoints included") {
+    val df = (1 to 100).map(_.toDouble).toDF("v").repartition(7)
+    val got = Quantiles.exactQuantiles(df, "v", Seq(0.0, 0.25, 0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // rank floor(q * 99): 0 -> 1.0, 24 -> 25.0, 49 -> 50.0, 89 -> 90.0, 99 -> 100.0
+    assert(got == Map(0.0 -> 1.0, 0.25 -> 25.0, 0.5 -> 50.0,
+      0.9 -> 90.0, 1.0 -> 100.0))
+  }
+
+  test("exactQuantiles matches a local sort reference on random data with ties") {
+    val rnd = new scala.util.Random(17)
+    val vals = Array.fill(5000)((rnd.nextInt(300) - 150).toDouble / 7.0)
+    val df = vals.toSeq.toDF("v").repartition(13)
+    val sorted = vals.sorted
+    val qs = Seq(0.01, 0.1, 0.33, 0.5, 0.77, 0.99)
+    val got = Quantiles.exactQuantiles(df, "v", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    qs.foreach { q =>
+      val want = sorted(math.floor(q * (vals.length - 1)).toInt)
+      assert(got(q) == want, s"q=$q got ${got(q)} want $want")
+    }
+  }
+
+  test("exactQuantiles: nulls excluded, empty input yields empty") {
+    val df = Seq(Some(3.0), None, Some(1.0), Some(2.0), None).toDF("v")
+    val got = Quantiles.exactQuantiles(df, "v", Seq(0.5))
+      .collect().map(r => r.getDouble(1)).toSeq
+    assert(got == Seq(2.0))
+    val empty = Quantiles.exactQuantiles(
+      Seq.empty[Option[Double]].toDF("v"), "v", Seq(0.5))
+    assert(empty.count() == 0)
+  }
+
+  test("quantileGate keeps exactly the at-or-above-threshold rows") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+      .repartition(5)
+    val kept = Quantiles.quantileGate(df, "score", 0.9)
+      .select("id").as[Long].collect().toSet
+    // threshold = value at rank 89 = 90.0; kept = ids 90..100
+    assert(kept == (90L to 100L).toSet)
+    // ties at the threshold all pass
+    val tied = Seq(1.0, 2.0, 2.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "score")
+    val keptTied = Quantiles.quantileGate(tied, "score", 0.5)
+      .select("id").as[Long].collect().toSet
+    // rank floor(0.5*4)=2 -> value 2.0; every 2.0 and the 3.0 pass
+    assert(keptTied == Set(1L, 2L, 3L, 4L))
+  }
+}

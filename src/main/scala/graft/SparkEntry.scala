@@ -1120,6 +1120,23 @@ object SparkEntry {
           .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice")),
         "o_orderkey", fraction = 0.1, salt = "s1")),
 
+    "q_pipeline_dsir" -> ((s, d) => {
+      // the end-to-end selection pipeline composing the r13 families:
+      // token-entropy quality gate (6-dp rounded, 5e-3 data margins
+      // around the 4.0 bar) → DSIR weights vs the doc_id%7 domain
+      // target → deterministic Gumbel top-150 resample → reproducible
+      // training order; every stage exactly re-expressed in the oracle
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val gated = docs.filter(
+        round(TextFunctions.tokenEntropy(col("text")), 6) >= 4.0)
+      val target = gated.filter(col("doc_id") % 7 === 0)
+      val w = Dsir.importanceWeights(gated, target, "text", "doc_id")
+      val sel = Dsir.resampleByWeight(gated.join(w, "doc_id"),
+        "log_weight", k = 150, "doc_id", salt = "pd1")
+      Sampling.shuffleDeterministic(sel.select("doc_id"), "doc_id", "pd1")
+    }),
+
     "q_exact_quantile" -> ((s, d) =>
       // exact global quantiles WITHOUT a value-buffering aggregate or
       // a single-task sort: range exchange + partition-offset ranks
@@ -3834,6 +3851,40 @@ object SparkEntry {
       // sampling is engine-portable by construction
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice FROM orders
         |WHERE substr(md5('s1' || CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 8) < '19999999'""".stripMargin,
+
+    "q_pipeline_dsir" ->
+      """WITH tk AS (SELECT doc_id, entropy(tok) AS te FROM (
+        |    SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |    FROM documents WHERE len(trim(text)) > 0) GROUP BY doc_id),
+        |gated AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |    lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')) AS t
+        |  FROM documents d JOIN tk ON CAST(d.doc_id AS BIGINT) = tk.doc_id
+        |  WHERE round(tk.te, 6) >= 4.0),
+        |toks AS (SELECT doc_id, string_split(t, ' ') AS toks FROM gated WHERE len(t) > 0),
+        |grams AS (
+        |  SELECT doc_id, unnest(toks) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |  FROM toks, unnest(range(1, len(toks))) AS r(i) WHERE len(toks) >= 2),
+        |tdist AS (SELECT g, count(*) AS ct FROM grams WHERE doc_id % 7 = 0 GROUP BY g),
+        |sdist AS (SELECT g, count(*) AS cs FROM grams GROUP BY g),
+        |d AS (SELECT coalesce(t.g, s.g) AS g, coalesce(ct, 0) AS ct, coalesce(cs, 0) AS cs
+        |      FROM tdist t FULL OUTER JOIN sdist s ON t.g = s.g),
+        |stats AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cs) AS DOUBLE) AS ns,
+        |          CAST(count(*) AS DOUBLE) AS f FROM d),
+        |lr AS (SELECT g, ln((ct + 1.0) / (nt + f)) - ln((cs + 1.0) / (ns + f)) AS lr
+        |       FROM d, stats),
+        |sc AS (SELECT doc_id AS sid, sum(lr) AS w FROM grams JOIN lr USING (g) GROUP BY doc_id),
+        |keyed AS (
+        |  SELECT g0.doc_id,
+        |    ln(-ln((('0x' || substr(md5('pd1' || CAST(g0.doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+        |      / 4294967296.0)) - coalesce(sc.w, 0) AS gk
+        |  FROM gated g0 LEFT JOIN sc ON g0.doc_id = sc.sid),
+        |sel AS (SELECT doc_id FROM keyed ORDER BY gk, doc_id LIMIT 150)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY
+        |    md5('pd1' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS position
+        |FROM sel""".stripMargin,
 
     "q_exact_quantile" ->
       """WITH v AS (SELECT l_extendedprice AS val,

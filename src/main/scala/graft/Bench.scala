@@ -1618,6 +1618,98 @@ object Bench {
         .agg(count(lit(1)).as("n_shared_grams"))
         .filter(col("n_shared_grams") >= 1)
     }),
+    "q_entropy" -> ((s, d) => {
+      // hand-rolled entropy: explode per char / per token, per-doc
+      // symbol counts, H = (ln n − Σ c·ln c / n)/ln 2 — two corpus
+      // explodes + doc-grain shuffles vs the wrapper's ONE narrow
+      // codegen'd kernel pass
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      def entropyOf(df: DataFrame, symCol: Column, out: String): DataFrame =
+        df.select(col("doc_id"), explode(symCol).as("s"))
+          .groupBy("doc_id", "s").agg(count(lit(1)).cast("double").as("c"))
+          .groupBy("doc_id")
+          .agg((((log(sum("c")) * sum("c")) - sum(col("c") * log(col("c")))) /
+            sum("c") / math.log(2.0)).as(out))
+      val ch = entropyOf(docs, split(col("text"), ""), "ce")
+      val tk = entropyOf(docs.filter(length(trim(col("text"))) > 0),
+        split(trim(col("text")), "\\s+"), "te")
+      docs.select("doc_id")
+        .join(ch, Seq("doc_id"), "left")
+        .join(tk, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce(col("ce"), lit(0.0)), 6).as("char_entropy"),
+          round(coalesce(col("te"), lit(0.0)), 6).as("token_entropy"))
+    }),
+    "q_conv_profile" -> ((s, d) => {
+      // hand-rolled profile: explode turns, window lag for the
+      // alternation check, doc-grain re-aggregation — one explode +
+      // shuffle vs the wrapper's single narrow HOF pass
+      val conv = graft.text.Conversations.syntheticConversationTable(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+      val flat = conv.select(col("conv_id"),
+        posexplode(col("turns")).as(Seq("turn_idx", "t")))
+        .select(col("conv_id"), col("turn_idx"),
+          col("t.role").as("role"), col("t.content").as("content"))
+      val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      val agg = flat
+        .withColumn("prev", lag(col("role"), 1).over(w))
+        .groupBy("conv_id")
+        .agg(count(lit(1)).as("n_turns"),
+          sum(when(col("role") === "system", 1L).otherwise(0L)).as("n_system"),
+          sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+          sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+          sum(when(length(trim(col("content"))) === 0, 0L)
+            .otherwise(size(split(trim(col("content")), "\\s+")).cast("long")))
+            .as("total_tokens"),
+          max(when(col("prev").isNotNull &&
+            (col("role") === col("prev") || col("role") === "system"), 1L)
+            .otherwise(0L)).as("viol"))
+      conv.select("conv_id")
+        .join(agg, Seq("conv_id"), "left")
+        .select(col("conv_id"),
+          coalesce(col("n_turns"), lit(0L)).as("n_turns"),
+          coalesce(col("n_system"), lit(0L)).as("n_system"),
+          coalesce(col("n_user"), lit(0L)).as("n_user"),
+          coalesce(col("n_assistant"), lit(0L)).as("n_assistant"),
+          coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+          (coalesce(col("viol"), lit(0L)) === 0L).as("alternates"))
+    }),
+    "q_semantic_decontaminate" -> ((s, d) => {
+      // hand-rolled: broadcast cross join, interpreted HOF cosine, a
+      // distinct at contaminated-id grain, then the anti join — no
+      // per-row short-circuit, no codegen kernel
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val evalDf = emb.filter(col("vec_id") < 25)
+        .select(transform(col("v"), x => x + lit(0.01)).as("ev"))
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val hits = emb.crossJoin(broadcast(evalDf))
+        .filter(dot(col("v"), col("ev")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("ev"), col("ev")))) >= 0.9)
+        .select("vec_id").distinct()
+      emb.join(hits, Seq("vec_id"), "left_anti").select(col("vec_id"))
+    }),
+    "q_exact_quantile" -> ((s, d) => {
+      // the naive formulation: ONE-partition global row_number sort —
+      // correct, and the canonical scale-killer the partition-offset
+      // wrapper exists to avoid
+      import s.implicits._
+      val vals = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_extendedprice").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      val ranked = vals.withColumn("r",
+        row_number().over(Window.orderBy("v")) - 1)
+      val n = vals.agg(count(lit(1)).as("n"))
+      Seq(0.1, 0.5, 0.9, 0.99).toDF("q")
+        .crossJoin(broadcast(n))
+        .withColumn("t", least(floor(col("q") * (col("n") - 1)), col("n") - 1)
+          .cast("long"))
+        .join(ranked, col("t") === col("r"))
+        .select(col("q"), col("v").as("value"))
+    }),
   )
 
   def main(args: Array[String]): Unit = {

@@ -60,6 +60,12 @@ object Plans {
       "BM25 search: the query-term filter sits INSIDE the token explode's input (filter() HOF on the array before explode), so the (doc, term) exchange carries only matching postings; the vocabulary-sized df side broadcasts under AQE; the final top-k is TakeOrderedAndProject, not a global Sort.",
     "q_fuzzy_join" ->
       "Blocked fuzzy join: an EQUI-join on the 1-char prefix key (hash-partitioned, AQE-broadcastable) with the sound length-band + levenshtein predicates as join filters — no BroadcastNestedLoopJoin/cartesian anywhere in the plan.",
+    "q_entropy" ->
+      "Entropy quality signals: both Shannon entropies from stateless codegen'd kernels in ONE narrow Project over the scan, ZERO exchanges — the hand-rolled formulation (Bench raw pair) pays two corpus explodes and two doc-grain shuffles for the same numbers.",
+    "q_semantic_decontaminate" ->
+      "Embedding-grain decontamination: BroadcastNestedLoopJoin LeftAnti with the codegen'd cosine kernel in the join condition — the corpus side is scan -> join with NO exchange anywhere (DedupSpec pins BNLJ-no-SMJ); each row short-circuits on its first contaminated hit.",
+    "q_exact_quantile" ->
+      "Exact global quantiles: the frame is projected to the VALUE column before the one RangePartitioning exchange; parallel local sorts + the partition-offset rank join (broadcast offsets frame at partition-count rows); the naive raw pair sorts the corpus through a single-partition Window.",
     "q_chunk" ->
       "Document chunking: scan -> one narrow Project (sequence + slice inside transform) -> Generate(posexplode) -> Project, ZERO exchanges — chunking pipelines with the parquet scan at any corpus size.",
     "q_scd2" ->

@@ -1154,6 +1154,24 @@ object SparkEntry {
             col("l_extendedprice")),
         "l_extendedprice", q = 0.9)),
 
+    "q_group_quantile" -> ((s, d) =>
+      // per-group exact quantiles via the group-grain partition-offset
+      // pattern (assignGroupRanks): a huge group spans partitions
+      // instead of sorting through one task
+      Quantiles.exactQuantilesPerGroup(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", Seq(0.5, 0.9))),
+
+    "q_group_quantile_gate" -> ((s, d) =>
+      // the stratified curation gate: top 5% by score WITHIN each
+      // stratum, so one high-scoring stratum can't crowd out the rest
+      Quantiles.quantileGatePerGroup(
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_orderkey").cast("long").as("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice", q = 0.95)),
+
     "q_conv_turns" -> ((s, d) =>
       // chat transcripts as array<struct<role,content>>: flatten to
       // per-turn rows; the fixture's turn split and role schedule are
@@ -3906,6 +3924,28 @@ object SparkEntry {
         |SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem, thr WHERE l_extendedprice >= thr.val""".stripMargin,
+
+    "q_group_quantile" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS val,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS r
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+        |SELECT v.g AS l_returnflag, qs.q, v.val AS value
+        |FROM qs, n JOIN v ON v.g = n.g
+        |  AND v.r = CAST(least(floor(qs.q * (n.n - 1)), n.n - 1) AS BIGINT)""".stripMargin,
+
+    "q_group_quantile_gate" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS val,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS r
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+        |thr AS (SELECT v.g, v.val FROM n JOIN v ON v.g = n.g
+        |  AND v.r = CAST(floor(CAST(0.95 AS DOUBLE) * (n.n - 1)) AS BIGINT))
+        |SELECT li.l_returnflag, CAST(li.l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(li.l_linenumber AS BIGINT) AS l_linenumber, li.l_extendedprice
+        |FROM lineitem li JOIN thr ON li.l_returnflag = thr.g
+        |WHERE li.l_extendedprice >= thr.val""".stripMargin,
 
     "q_conv_turns" ->
       """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id,

@@ -35,20 +35,30 @@ import graft.text.TextFunctions.normTokens
   */
 object Dsir {
 
-  /** Unigrams + adjacent-pair bigrams of the normalised text — the
-    * DSIR feature set, as a column (empty text → empty array). */
-  def ngramFeatures(text: Column): Column = {
-    val toks = normTokens(text)
+  /** Unigrams + adjacent-pair bigrams from an already-BOUND token
+    * array column. The token array must be a bound column (`select` /
+    * `withColumn` it first, as the internal paths here do), not a
+    * computed expression: `element_at` inside the lambda re-evaluates
+    * a computed argument PER ELEMENT, turning one tokenize per doc
+    * into one per token (the `Dedup.shinglesFromTokens` trap —
+    * measured 22 s vs 0.5 s on the sf0.1 corpus). */
+  def ngramFeaturesFromTokens(toks: Column): Column = {
     val bigrams = when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
     concat(toks, bigrams)
   }
 
+  /** Convenience form over raw text — FOR SINGLE-USE CONTEXTS ONLY
+    * (see [[ngramFeaturesFromTokens]] for the re-evaluation trap). */
+  def ngramFeatures(text: Column): Column =
+    ngramFeaturesFromTokens(normTokens(text))
+
   /** (feature, cnt) distribution of a corpus — one explode plus a
     * map-side-combinable feature-grain aggregate. */
   def featureDistribution(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(ngramFeatures(col(textCol))).as("feature"))
+    df.select(normTokens(col(textCol)).as("__graft_toks"))
+      .select(explode(ngramFeaturesFromTokens(col("__graft_toks"))).as("feature"))
       .groupBy("feature").agg(count(lit(1)).as("cnt"))
 
   /** Word-grain exact DSIR log importance weights: one row per source
@@ -90,7 +100,9 @@ object Dsir {
           log((col("cs") + alpha) / (col("ns") + lit(alpha) * col("f"))))
           .as("__graft_lr"))
     val scores = source
-      .select(col(idCol), explode(ngramFeatures(col(textCol))).as("feature"))
+      .select(col(idCol), normTokens(col(textCol)).as("__graft_toks"))
+      .select(col(idCol),
+        explode(ngramFeaturesFromTokens(col("__graft_toks"))).as("feature"))
       .join(ratios, "feature")
       .groupBy(idCol)
       .agg(sum("__graft_lr").as("log_weight"))

@@ -69,4 +69,73 @@ object Quantiles {
       .filter(col(scoreCol).cast("double") >= col("__graft_thr"))
       .drop("__graft_thr")
   }
+
+  /** Exact per-GROUP type-1 quantiles: `(groupCols…, q, value)`. A
+    * `percentile` aggregate buffers each group's values in one buffer
+    * and a bare per-group rank window sorts each group through one
+    * task; this uses [[graft.operators.Ids.assignGroupRanks]] instead
+    * (range exchange spanning big groups across partitions,
+    * per-(partition, group) local sorts, broadcast per-group offsets),
+    * so a billion-row group never serialises anywhere. Group
+    * cardinality must stay broadcast-sized (the offsets-frame bound —
+    * the language/domain regime this op exists for). */
+  def exactQuantilesPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "exactQuantilesPerGroup: need at least one quantile")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"exactQuantilesPerGroup: quantiles must be in [0, 1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = Ids.assignGroupRanks(
+      df.select((groupCols.map(col) :+
+          col(valueCol).cast("double").as("__graft_qv")): _*)
+        .filter(col("__graft_qv").isNotNull),
+      groupCols, Seq("__graft_qv"), "__graft_qr")
+      .localCheckpoint(true) // two consumers: group counts and the rank join
+    // counts derives from ranked — rename its group columns so the
+    // rank join below is not an ambiguous self-join
+    val counts = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_qn"))
+      .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
+        col("__graft_qn")): _*)
+    val targets = qs.toDF("q")
+      .crossJoin(broadcast(counts))
+      .withColumn("__graft_qt",
+        least(floor(col("q") * (col("__graft_qn") - 1)),
+          col("__graft_qn") - 1).cast("long"))
+    // the rank side also derives from ranked — fresh aliases on every
+    // column give it distinct attributes, so the join is unambiguous
+    val rk = ranked.select((groupCols.map(g => col(g).as(s"__graft_r_$g")) :+
+      col("__graft_qr").as("__graft_rr") :+
+      col("__graft_qv").as("__graft_rv")): _*)
+    val cond = (groupCols.map(g =>
+      col(s"__graft_g_$g") === col(s"__graft_r_$g")) :+
+      (col("__graft_qt") === col("__graft_rr"))).reduce(_ && _)
+    targets.join(rk, cond)
+      .select((groupCols.map(g => col(s"__graft_r_$g").as(g)) :+
+        col("q") :+ col("__graft_rv").as("value")): _*)
+  }
+
+  /** Per-group [[quantileGate]]: keep rows at or above their OWN
+    * group's exact `q`-quantile of `scoreCol` — "top (1−q) fraction
+    * per language/domain", the stratified curation gate (a global
+    * threshold would let a high-scoring language crowd out the rest).
+    * Thresholds join back at group cardinality; ties inclusive, null
+    * scores never pass. */
+  def quantileGatePerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0,
+      s"quantileGatePerGroup: q must be in [0, 1], got $q")
+    val thr = exactQuantilesPerGroup(df, groupCols, scoreCol, Seq(q))
+      .select((groupCols.map(col) :+ col("value").as("__graft_thr")): _*)
+    df.join(broadcast(thr), groupCols)
+      .filter(col(scoreCol).cast("double") >= col("__graft_thr"))
+      .drop("__graft_thr")
+  }
 }

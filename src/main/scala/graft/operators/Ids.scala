@@ -57,6 +57,53 @@ object Ids {
       .drop("__graft_pid", "__graft_rn", "__graft_offset")
   }
 
+  /** Per-GROUP contiguous ranks 0..n_g−1 in `orderCols` order — the
+    * group-grain generalisation of [[assignContiguousIds]]. The naive
+    * `row_number() OVER (PARTITION BY g ORDER BY …)` sorts each group
+    * through ONE task — fine for many small groups, dead for a
+    * billion-row language/domain. Here the range exchange keys on
+    * (groupCols, orderCols) so a huge group SPANS partitions, local
+    * row numbers are per (partition, group), and per-group cumulative
+    * offsets come from a (numPartitions × groups)-row frame (broadcast
+    * — the documented bound: group cardinality must stay
+    * broadcast-sized, the usual language/domain regime).
+    *
+    * Rank determinism: ties in `orderCols` across a range boundary may
+    * swap WHICH row gets a rank, but the VALUE at any rank is
+    * deterministic — callers needing row-stable ranks must make
+    * `orderCols` a unique order within groups (the
+    * [[assignContiguousIds]] contract). */
+  def assignGroupRanks(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      outputCol: String = "group_rank",
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(groupCols.nonEmpty, "assignGroupRanks: need at least one group column")
+    require(orderCols.nonEmpty, "assignGroupRanks: need at least one ordering column")
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
+    val ranged = df
+      .repartitionByRange(n, (groupCols ++ orderCols).map(col): _*)
+      .withColumn("__graft_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val wLocal = Window.partitionBy(("__graft_pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val withRn = ranged.withColumn("__graft_rn", row_number().over(wLocal))
+    val offsets = ranged.groupBy(("__graft_pid" +: groupCols).map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .withColumn("__graft_offset",
+        coalesce(sum("__graft_cnt").over(
+          Window.partitionBy(groupCols.map(col): _*)
+            .orderBy("__graft_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((("__graft_pid" +: groupCols) :+ "__graft_offset").map(col): _*)
+    withRn
+      .join(broadcast(offsets), "__graft_pid" +: groupCols)
+      .withColumn(outputCol, col("__graft_offset") + col("__graft_rn") - 1)
+      .drop("__graft_pid", "__graft_rn", "__graft_offset")
+  }
+
   /** The naive single-partition formulation — kept ONLY as the
     * measured baseline (Scale `assign_ids` rows) and for tiny frames
     * where one sort task is fine. */

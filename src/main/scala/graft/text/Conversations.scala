@@ -99,11 +99,16 @@ object Conversations {
       df: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    // bind the token array FIRST: slice/size inside the turn lambda
+    // would re-tokenize per turn on a computed argument (the
+    // ngramFeaturesFromTokens / shinglesFromTokens re-evaluation trap)
     val id = col(idCol).cast("long")
-    val toks = normTokens(col(textCol))
+    val bound = df.select(id.as("conv_id"),
+      normTokens(col(textCol)).as("__graft_toks"))
+    val toks = col("__graft_toks")
     val n = size(toks)
-    val k = (lit(2) + pmod(id, lit(3))).cast("int")
-    val o = when(pmod(id, lit(4)) === 0, lit(1)).otherwise(lit(0))
+    val k = (lit(2) + pmod(col("conv_id"), lit(3))).cast("int")
+    val o = when(pmod(col("conv_id"), lit(4)) === 0, lit(1)).otherwise(lit(0))
     val turns = transform(sequence(lit(0), k - 1), j => {
       val start = floor(j.cast("double") * n / k).cast("int") + 1
       val len = floor((j + 1).cast("double") * n / k).cast("int") - start + 1
@@ -112,6 +117,6 @@ object Conversations {
       struct(role.as("role"),
         concat_ws(" ", slice(toks, start, greatest(len, lit(0)))).as("content"))
     })
-    df.select(id.as("conv_id"), turns.as("turns"))
+    bound.select(col("conv_id"), turns.as("turns"))
   }
 }

@@ -35,7 +35,9 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_first_obs", "q_window_running", "q_melt", "q_rank_numeric",
     "q_median_price", "q_weighted_arith", "q_ivf_pq_topk", "q_exact_dedup",
     "q_drift_cat", "q_pushdown_read", "q_quantize", "q_pq_topk",
-    "q_det_sample", "q_expectations")
+    "q_det_sample", "q_expectations",
+    "q_entropy", "q_conv_profile", "q_semantic_decontaminate",
+    "q_exact_quantile")
 
   // q_asof_join reads the events table, which needs the nanos-timestamp
   // session config like q_stream_exec — checked here with the config set

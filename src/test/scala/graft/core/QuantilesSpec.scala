@@ -40,6 +40,33 @@ class QuantilesSpec extends SparkTestBase {
     assert(empty.count() == 0)
   }
 
+  test("exactQuantilesPerGroup matches per-group sorted references") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map(_ => (s"g${rnd.nextInt(4)}",
+      (rnd.nextInt(500) - 250).toDouble / 3.0))
+    val df = rows.toDF("g", "v").repartition(11)
+    val got = Quantiles.exactQuantilesPerGroup(df, Seq("g"), "v", Seq(0.1, 0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (g <- byG.keys; q <- Seq(0.1, 0.5, 0.9)) {
+      val s = byG(g)
+      val want = s(math.floor(q * (s.length - 1)).toInt)
+      assert(got((g, q)) == want, s"($g,$q): got ${got((g, q))} want $want")
+    }
+  }
+
+  test("quantileGatePerGroup gates within each stratum, ties inclusive") {
+    val df = ((1 to 100).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 10).map(i => ("b", 100L + i, 1000.0 + i)))
+      .toDF("g", "id", "score").repartition(6)
+    val kept = Quantiles.quantileGatePerGroup(df, Seq("g"), "score", 0.9)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    // group a: threshold = value at rank 89 = 90 -> ids 90..100
+    // group b: threshold = value at rank floor(0.9*9)=8 -> 1009 -> ids 109,110
+    assert(kept == ((90L to 100L).map("a" -> _) ++
+      Seq("b" -> 109L, "b" -> 110L)).toSet)
+  }
+
   test("quantileGate keeps exactly the at-or-above-threshold rows") {
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
       .repartition(5)

@@ -1827,7 +1827,11 @@ object Bench {
     // exchange cut with broadcast disabled in SCALE.md "q_bloom_semi /
     // q_bloom_anti" (r11, RunMetricsProbe-measured).
     val scaleAdjudicated =
-      Set("q_bloom_decontaminate", "q_bloom_semi", "q_bloom_anti")
+      Set("q_bloom_decontaminate", "q_bloom_semi", "q_bloom_anti",
+        // raw pair is the naive ONE-task global sort, which stays cheap
+        // at sf0.1's 600k values while the wrapper pays constant
+        // range-exchange machinery — SCALE.md exact_quantile rows
+        "q_exact_quantile")
     // Benchmark-design rule (SCALE.md): measured inputs are MATERIALIZED
     // to parquet before timing. q_target_encode's sf0.1 wall sits in the
     // sub-0.5 s band where the ratio is a lottery (r12 verdict item 6) —

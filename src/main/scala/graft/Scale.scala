@@ -656,6 +656,35 @@ object Scale {
       }
     }
 
+    // --- exact global quantile in its OWN regime (r13): the bench
+    // ratio at sf0.1 (600k values) measures fixed machinery overhead
+    // (range-exchange sampling job + checkpoint + offsets frame)
+    // against a single-task sort that is still cheap — precisely the
+    // case the operator is NOT for. At 20M values the one-partition
+    // sort serialises the corpus through one core; the
+    // partition-offset path sorts in parallel.
+    {
+      val vals = spark.range(20000000L)
+        .select(((col("id") * 48271L % 20000000L).cast("double") / 7.0).as("v"))
+        .localCheckpoint(true)
+      for (round <- 1 to 2) {
+        timed("exact_quantile_offset", "round" -> round.toLong)(() =>
+          graft.core.Quantiles.exactQuantiles(vals, "v", Seq(0.5, 0.99)))
+        timed("exact_quantile_naive", "round" -> round.toLong)(() => {
+          import spark.implicits._
+          val ranked = vals.withColumn("r",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy("v")) - 1)
+          val n = vals.agg(count(lit(1)).as("n"))
+          Seq(0.5, 0.99).toDF("q").crossJoin(broadcast(n))
+            .withColumn("t", least(floor(col("q") * (col("n") - 1)),
+              col("n") - 1).cast("long"))
+            .join(ranked, col("t") === col("r"))
+            .select(col("q"), col("v").as("value"))
+        })
+      }
+    }
+
     // --- embedding-grain decontamination (r13): the claim is ONE
     // BroadcastNestedLoopJoin LeftAnti pass — cost linear in corpus
     // rows × eval size, corpus never exchanged. Corpus replicas keep

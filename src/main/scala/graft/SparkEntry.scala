@@ -1154,6 +1154,23 @@ object SparkEntry {
             col("l_extendedprice")),
         "l_extendedprice", q = 0.9)),
 
+    "q_pipeline_chat" -> ((s, d) => {
+      // chat-to-training composition: conversations rendered to
+      // role-tagged text, whitespace-token-budgeted (k role markers +
+      // n content tokens, closed-form in the id), packed into fixed
+      // 512-token windows per shard — the conversations family feeding
+      // the packing family end to end, exactly re-expressed in SQL
+      val conv = Conversations.syntheticConversationTable(
+        t(s, d, "documents"), "doc_id", "text")
+      val weighted = conv.select(col("conv_id"),
+        pmod(col("conv_id"), lit(4)).as("shard"),
+        Conversations.renderConversation(col("turns")).as("txt"))
+        .withColumn("w", TextFunctions.tokenCount(col("txt")).cast("long"))
+      Sampling.packTokenWindows(weighted, "w", 512, Seq("shard"), "conv_id")
+        .select(col("shard"), col("conv_id"), col("seq_id"),
+          col("doc_start"), col("seq_start"), col("n_tokens"))
+    }),
+
     "q_group_quantile" -> ((s, d) =>
       // per-group exact quantiles via the group-grain partition-offset
       // pattern (assignGroupRanks): a huge group spans partitions
@@ -1886,6 +1903,21 @@ object SparkEntry {
       val clean = Streaming.decontaminateStream(
         docsStream, evalDf, "text", n = 5, minHits = 1)
       Streaming.runStreamToMemory(s, clean, "graft_stream_decon", outputMode = "append")
+        .select(col("doc_id"))
+    }),
+
+    "q_stream_quality" -> ((s, d) => {
+      // streaming curation gate: the stateless entropy kernel runs
+      // unchanged in a real AvailableNow stream (zero state, no
+      // watermark), so the batch predicate is the exact oracle
+      val rawSchema = t(s, d, "documents").schema
+      val docsStream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val gated = Streaming.curationGateStream(docsStream, "text",
+        minTokenEntropy = 4.0)
+      Streaming.runStreamToMemory(s, gated, "graft_stream_quality",
+        outputMode = "append")
         .select(col("doc_id"))
     }),
 
@@ -3925,6 +3957,24 @@ object SparkEntry {
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem, thr WHERE l_extendedprice >= thr.val""".stripMargin,
 
+    "q_pipeline_chat" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |d AS (SELECT id, id % 4 AS shard,
+        |    (2 + id % 3) +
+        |    (CASE WHEN len(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END) AS w
+        |  FROM docs),
+        |o AS (SELECT shard, id, w,
+        |    COALESCE(SUM(w) OVER (PARTITION BY shard ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS off
+        |  FROM d WHERE w > 0)
+        |SELECT CAST(shard AS BIGINT) AS shard, id AS conv_id, s AS seq_id,
+        |  CAST(greatest(s*512 - off, 0) AS BIGINT) AS doc_start,
+        |  CAST(greatest(off - s*512, 0) AS BIGINT) AS seq_start,
+        |  CAST(least(off + w, (s+1)*512) - greatest(off, s*512) AS BIGINT) AS n_tokens
+        |FROM o CROSS JOIN UNNEST(generate_series(CAST(off//512 AS BIGINT),
+        |  CAST((off+w-1)//512 AS BIGINT))) AS u(s)""".stripMargin,
+
     "q_group_quantile" ->
       """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS val,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS r
@@ -4474,6 +4524,13 @@ object SparkEntry {
         |CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 AS window_end,
         |event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_quality" ->
+      """WITH tk AS (SELECT doc_id, entropy(tok) AS te FROM (
+        |    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |      unnest(string_split(trim(text), ' ')) AS tok
+        |    FROM documents WHERE len(trim(text)) > 0) GROUP BY doc_id)
+        |SELECT doc_id FROM tk WHERE round(te, 6) >= 4.0""".stripMargin,
 
     "q_stream_decontaminate" ->
       // exact oracle, shared shape with q_decontaminate: the streaming

@@ -119,18 +119,22 @@ object Dsir {
     * loud driver bound (the `Ivf.maxTrainRows` contract): the two
     * collected distributions and the ratio array are ≤ `numBuckets`
     * entries each, and the require keeps that driver-sized. */
-  def importanceWeightsHashed(
+  /** Train the hashed bucket log-ratio table alone — the reusable
+    * artifact (serve it on batches via [[importanceWeightsHashed]] or
+    * on a stream via `Streaming.curationGateStream`, the
+    * train-once-serve-forever pattern). Driver cost is bounded by
+    * `numBuckets` (the loud require). */
+  def trainHashedRatios(
       source: DataFrame,
       target: DataFrame,
       textCol: String,
       numBuckets: Int = 1 << 16,
-      alpha: Double = 1.0,
-      outputCol: String = "log_weight"): DataFrame = {
+      alpha: Double = 1.0): Array[Double] = {
     require(numBuckets >= 1 && numBuckets <= (1 << 22),
-      s"importanceWeightsHashed: numBuckets must be in [1, ${1 << 22}] " +
+      s"trainHashedRatios: numBuckets must be in [1, ${1 << 22}] " +
         s"(the bucket table is collected driver-side), got $numBuckets")
     require(alpha >= 0.0,
-      s"importanceWeightsHashed: alpha must be >= 0, got $alpha")
+      s"trainHashedRatios: alpha must be >= 0, got $alpha")
     def dist(df: DataFrame): (Array[Long], Double) = {
       val counts = new Array[Long](numBuckets)
       df.select(explode(ColumnBridge(DsirBucketsExpr(
@@ -142,10 +146,20 @@ object Dsir {
     }
     val (ct, nt) = dist(target)
     val (cs, ns) = dist(source)
-    val ratios = Array.tabulate(numBuckets) { b =>
+    Array.tabulate(numBuckets) { b =>
       math.log((ct(b) + alpha) / (nt + alpha * numBuckets)) -
         math.log((cs(b) + alpha) / (ns + alpha * numBuckets))
     }
+  }
+
+  def importanceWeightsHashed(
+      source: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      numBuckets: Int = 1 << 16,
+      alpha: Double = 1.0,
+      outputCol: String = "log_weight"): DataFrame = {
+    val ratios = trainHashedRatios(source, target, textCol, numBuckets, alpha)
     source.withColumn(outputCol,
       ColumnBridge(DsirScoreExpr(ColumnBridge.expression(col(textCol)), ratios)))
   }

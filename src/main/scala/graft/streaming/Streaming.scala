@@ -341,6 +341,39 @@ object Streaming {
         graft.functions.BloomFunctions.sortedSetCount(gs, evalKeys) < minHits)
   }
 
+  /** Stateless curation gate for a document stream: rounded
+    * token-entropy floor, deflate-ratio ceiling, and (optionally) a
+    * DSIR log-weight floor under a BATCH-trained bucket ratio table —
+    * train once on static corpora, serve forever on the stream (the
+    * [[decontaminateStream]] / AnnIndex artifact pattern: the only
+    * driver-sized object is the bounded ratio array riding the task
+    * binary). All three signals are pure scalar codegen kernels, so
+    * the stream filter holds ZERO state, needs no watermark, and the
+    * batch formulation of the same predicate is the exact oracle.
+    * Entropy compares on the 6-dp round (the engine-portable form);
+    * deflate is engine-deterministic but not cross-zlib-portable, so
+    * oracle-checked gates should leave `maxDeflateRatio` at its
+    * vacuous default (see `TextFunctions.deflateRatio`). */
+  def curationGateStream(
+      stream: DataFrame,
+      textCol: String,
+      minTokenEntropy: Double = 0.0,
+      maxDeflateRatio: Double = Double.MaxValue,
+      dsirRatios: Option[(Array[Double], Double)] = None): DataFrame = {
+    val t = col(textCol)
+    val gated = stream.filter(
+      round(graft.text.TextFunctions.tokenEntropy(t), 6) >= minTokenEntropy &&
+        graft.text.TextFunctions.deflateRatio(t) <= maxDeflateRatio)
+    dsirRatios match {
+      case Some((ratios, minLogWeight)) =>
+        gated.filter(org.apache.spark.sql.graft.ColumnBridge(
+          graft.functions.DsirScoreExpr(
+            org.apache.spark.sql.graft.ColumnBridge.expression(t), ratios))
+          >= minLogWeight)
+      case None => gated
+    }
+  }
+
   // ------------------------------------------------- custom state
   // KeyValueGroupedDataset.flatMapGroupsWithState — per-key state the
   // built-in windowed aggregations can't express.

@@ -155,4 +155,36 @@ object Subword {
       vocab: Seq[String],
       unk: String = "[UNK]"): Column =
     ColumnBridge(SubwordCountExpr(ColumnBridge.expression(text), vocab, unk))
+
+  /** Persist a trained BPE merge list as `(rank, left_sym, right_sym)`
+    * parquet — the tokenizer artifact: train ONCE
+    * ([[trainBpeMerges]]), serve forever across sessions/jobs (the
+    * `AnnIndex.save` pattern). Rank order IS the merge priority, so
+    * the round trip must be bit-exact — [[loadBpeMerges]] validates
+    * contiguity. */
+  def saveBpeMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)],
+      dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left_sym", "right_sym")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a merge list written by [[saveBpeMerges]], in rank order. */
+  def loadBpeMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(dir)
+      .select($"rank".cast("long"), $"left_sym", $"right_sym")
+      .as[(Long, String, String)].collect()
+      .sortBy(_._1)
+    require(rows.map(_._1).sameElements(rows.indices.map(_.toLong)),
+      s"loadBpeMerges: ranks at $dir are not the contiguous range " +
+        s"0..${rows.length - 1} — not a saveBpeMerges artifact")
+    rows.map(r => (r._2, r._3)).toSeq
+  }
 }

@@ -153,4 +153,58 @@ class StreamingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Streaming.windowedDistinctCounts(ev, "ts", "key", "uid", "1 hour", lgK = 2))
   }
+
+  test("curationGateStream equals the batch predicate across micro-batches") {
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // varied vocab
+      (2L, "spam spam spam spam spam spam spam spam"))           // entropy 0
+    val batch2 = Seq(
+      (3L, "merge sort scan filter join group window order limit"),
+      (4L, "aa aa aa aa aa aa"))                                  // entropy 0
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_stream").toString
+    batch1.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    Thread.sleep(1000)
+    batch2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val streamed = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val gotEntropyOnly = Streaming.runStreamToMemory(spark,
+        Streaming.curationGateStream(streamed, "text", minTokenEntropy = 1.0),
+        "graft_gate_stream_sink", outputMode = "append")
+      .select("doc_id").as[Long].collect().toSet
+    val wantBatch = all.filter(
+        round(graft.text.TextFunctions.tokenEntropy($"text"), 6) >= 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotEntropyOnly == wantBatch)
+    assert(gotEntropyOnly == Set(1L, 3L))
+    // full gate: deflate ceiling + DSIR floor under batch-trained
+    // ratios; the stream result equals the batch predicate exactly
+    val target = all.filter($"doc_id".isin(1L, 3L))
+    val ratios = graft.core.Dsir.trainHashedRatios(
+      all, target, "text", numBuckets = 1 << 16)
+    val weights = graft.core.Dsir.importanceWeightsHashed(
+        all, target, "text", numBuckets = 1 << 16)
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    val minW = (weights(1L) + weights(2L)) / 2 // between target-like and spam
+    val streamed2 = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    // short fixture texts deflate ABOVE 1.0 (header overhead dominates
+    // tiny inputs), so the ceiling here only excludes pathological
+    // expansion; the DSIR floor does the separating
+    val gotFull = Streaming.runStreamToMemory(spark,
+        Streaming.curationGateStream(streamed2, "text",
+          minTokenEntropy = 0.0, maxDeflateRatio = 1.5,
+          dsirRatios = Some((ratios, minW))),
+        "graft_gate_stream_sink2", outputMode = "append")
+      .select("doc_id").as[Long].collect().toSet
+    val batchKept = all.filter(
+        graft.text.TextFunctions.deflateRatio($"text") <= 1.5)
+      .select("doc_id").as[Long].collect().toSet
+      .filter(id => weights(id) >= minW)
+    assert(gotFull == batchKept)
+    assert(gotFull.contains(1L) && !gotFull.contains(2L),
+      "DSIR floor must separate target-like from spam")
+  }
 }

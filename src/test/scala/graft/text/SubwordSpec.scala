@@ -200,6 +200,25 @@ class SubwordSpec extends SparkTestBase {
     }
   }
 
+  test("BPE merge list round-trips through parquet bit-exactly") {
+    val docs = Seq("low low lower", "newest").toDF("t")
+    val merges = Subword.trainBpeMerges(docs, "t", numMerges = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_art").toString
+    Subword.saveBpeMerges(spark, merges, dir)
+    val back = Subword.loadBpeMerges(spark, dir)
+    assert(back == merges)
+    // served segmentations identical under the loaded artifact
+    val df = Seq("low lower lowest").toDF("t")
+    val a = df.select(Subword.bpeEncode($"t", merges)).as[Seq[String]].head()
+    val b = df.select(Subword.bpeEncode($"t", back)).as[Seq[String]].head()
+    assert(a == b)
+    // a corrupted (non-contiguous) artifact is refused loudly
+    Seq((0L, "a", "b"), (2L, "c", "d")).toDF("rank", "left_sym", "right_sym")
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException](Subword.loadBpeMerges(spark, dir))
+    assert(e.getMessage.contains("contiguous"))
+  }
+
   test("matcher rejects degenerate vocabularies") {
     intercept[IllegalArgumentException](new SubwordMatcher(Array.empty, "[UNK]"))
     intercept[IllegalArgumentException](new SubwordMatcher(Array("a", "##"), "[UNK]"))

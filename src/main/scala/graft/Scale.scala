@@ -123,6 +123,16 @@ object Scale {
         val ev = d.filter(col("doc_id") % 1000 < 2)
         Dedup.bloomDecontaminate(d, ev, "text", "doc_id", n = 5)
       }
+      // conversations (r13): turnProfile is ONE narrow HOF pass over
+      // the turns array — no explode, no exchange; 8x docs must scale
+      // ~linearly with zero shuffle growth. Consumed through filters
+      // on the computed columns (count-prune trap).
+      run("conv_profile", k) { d =>
+        graft.text.Conversations.turnProfile(
+          graft.text.Conversations.syntheticConversationTable(
+            d, "doc_id", "text"))
+          .filter(col("total_tokens") >= 0 && col("alternates"))
+      }
       // DSIR scoring shapes (r13): the word-grain exact path explodes
       // the corpus into gram rows, joins the feature-grain ratio table
       // and re-aggregates at doc grain (one corpus-sized exchange);

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass conversation-profile kernel — the codegen'd form of
+  * `Conversations.turnProfile`'s per-row computation. The HOF
+  * formulation (seven interpreted higher-order expressions per row —
+  * transform/filter/aggregate/zip_with are CodegenFallback) measured
+  * ~1.6 ms/row at sf0.1; one static kernel call walking the struct
+  * array once brings the operator back inside whole-stage codegen,
+  * the same move as [[HashKernels]] (and the interpreted formulation
+  * survives as the Bench raw baseline).
+  */
+object ConvKernels {
+
+  private val SYSTEM = UTF8String.fromString("system")
+  private val USER = UTF8String.fromString("user")
+  private val ASSISTANT = UTF8String.fromString("assistant")
+
+  /** One walk over (role, content) turns → InternalRow of
+    * (n_turns, n_system, n_user, n_assistant, total_tokens,
+    * alternates). Null roles count toward no role bucket and compare
+    * unequal to everything (they break alternation only via the
+    * repeated-role rule never firing); null contents count 0 tokens.
+    * `alternates` = roles strictly change at every step after the
+    * first and "system" appears only at position 0. */
+  def profile(
+      turns: ArrayData,
+      roleIdx: Int,
+      contentIdx: Int,
+      numFields: Int): InternalRow = {
+    val n = turns.numElements()
+    var nSys = 0L
+    var nUser = 0L
+    var nAsst = 0L
+    var tokens = 0L
+    var alternates = true
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val row = turns.getStruct(i, numFields)
+      val role = if (row.isNullAt(roleIdx)) null else row.getUTF8String(roleIdx)
+      if (role != null) {
+        if (role.equals(SYSTEM)) nSys += 1
+        else if (role.equals(USER)) nUser += 1
+        else if (role.equals(ASSISTANT)) nAsst += 1
+      }
+      if (i > 0 && role != null &&
+        (role.equals(SYSTEM) || (prev != null && role.equals(prev))))
+        alternates = false
+      if (!row.isNullAt(contentIdx)) {
+        val s = row.getUTF8String(contentIdx).toString.trim
+        if (s.nonEmpty) tokens += s.split("\\s+").length
+      }
+      prev = role
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, nSys, nUser, nAsst,
+      tokens, alternates))
+  }
+}
+
+/** array&lt;struct&lt;role, content&gt;&gt; → struct profile (see
+  * [[ConvKernels.profile]]). Resolves the role/content field indexes
+  * by NAME at bind time, so struct field order is free. */
+case class ConvProfileExpr(child: Expression) extends UnaryExpression {
+
+  private def fieldIdx(name: String): Int = child.dataType match {
+    case ArrayType(s: StructType, _) => s.fieldNames.indexOf(name)
+    case _ => -1
+  }
+
+  private def numFields: Int = child.dataType match {
+    case ArrayType(s: StructType, _) => s.fields.length
+    case _ => 0
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.fieldNames.contains("role") && s.fieldNames.contains("content") &&
+          s("role").dataType == StringType && s("content").dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<role: string, content: string>>, " +
+        s"got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_turns", LongType, nullable = false),
+    StructField("n_system", LongType, nullable = false),
+    StructField("n_user", LongType, nullable = false),
+    StructField("n_assistant", LongType, nullable = false),
+    StructField("total_tokens", LongType, nullable = false),
+    StructField("alternates", BooleanType, nullable = false)))
+
+  override def prettyName: String = "conv_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    ConvKernels.profile(input.asInstanceOf[ArrayData],
+      fieldIdx("role"), fieldIdx("content"), numFields)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ConvKernels.profile($c, ${fieldIdx("role")}, " +
+        s"${fieldIdx("content")}, $numFields)")
+
+  override protected def withNewChildInternal(newChild: Expression): ConvProfileExpr =
+    copy(child = newChild)
+}

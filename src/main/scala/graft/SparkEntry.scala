@@ -1154,6 +1154,62 @@ object SparkEntry {
             col("l_extendedprice")),
         "l_extendedprice", q = 0.9)),
 
+    "q_hard_negatives" -> ((s, d) => {
+      // hard-negative mining: planted perturbed copies (+0.01, cosine
+      // ~0.9999) sit ABOVE the 0.95 dup ceiling and must be excluded;
+      // the negatives are the closest genuinely-different vectors.
+      // Exclusion happens before the bounded partial top-k aggregate.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val dups = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x + lit(0.01)).as("v"))
+      Similarity.hardNegativesTopK(emb.unionByName(dups),
+        emb.filter(col("vec_id") < 10), "vec_id", "v",
+        k = 5, dupCeiling = 0.95)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
+    }),
+
+    "q_pref_bias" -> ((s, d) => {
+      // reward-model length-bias audit on a closed-form pair fixture:
+      // chosen = full text (n tokens), rejected = first half (n//2),
+      // so the bias report is exact arithmetic over the corpus
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("__toks", TextFunctions.normTokens(col("text")))
+      val pairs = docs.select(col("doc_id"), col("text").as("chosen"),
+        concat_ws(" ", slice(col("__toks"), lit(1),
+          (size(col("__toks")) / 2).cast("int"))).as("rejected"))
+      core.Preferences.lengthBiasSummary(pairs, "doc_id", "chosen", "rejected")
+    }),
+
+    "q_pref_leakage" -> ((s, d) => {
+      // prompt leakage across splits: prompt classes id%25 span the
+      // id%10-derived train/eval split exactly when the class residues
+      // {c%10, (c+5)%10} straddle the 8 cut — the fingerprint-grain
+      // audit recomputed exactly in SQL
+      val pairs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("prompt",
+          concat(lit("ask "), (col("doc_id") % 25).cast("string")))
+        .withColumn("split",
+          when(col("doc_id") % 10 < 8, "train").otherwise("eval"))
+      core.Preferences.promptLeakageAcrossSplits(pairs, "prompt", "split")
+    }),
+
+    "q_pref_dedup" -> ((s, d) => {
+      // prompt-grain dedup: min-id pair per normalised prompt class
+      val pairs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("prompt",
+          concat(lit("ask "), (col("doc_id") % 25).cast("string")))
+      core.Preferences.dedupByPrompt(pairs, "prompt", "doc_id")
+        .select(col("doc_id"))
+    }),
+
     "q_pipeline_chat" -> ((s, d) => {
       // chat-to-training composition: conversations rendered to
       // role-tagged text, whitespace-token-budgeted (k role markers +
@@ -3956,6 +4012,50 @@ object SparkEntry {
         |SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem, thr WHERE l_extendedprice >= thr.val""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (SELECT vec_id, v FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01)
+        |  FROM e WHERE vec_id < 10),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT query_id, c.vec_id AS corpus_id,
+        |    list_cosine_similarity(qv, c.v) AS sim
+        |  FROM q CROSS JOIN corpus c WHERE query_id <> c.vec_id),
+        |f AS (SELECT * FROM s WHERE sim < 0.95),
+        |r AS (SELECT query_id, corpus_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rnk
+        |  FROM f)
+        |SELECT query_id, corpus_id, round(sim, 6) AS sim,
+        |  CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q_pref_bias" ->
+      """WITH d AS (SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(CAST(CASE WHEN n - n//2 > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)), 6)
+        |    AS frac_chosen_longer,
+        |  round(avg(CAST(n - n//2 AS DOUBLE)), 6) AS mean_len_delta
+        |FROM d""".stripMargin,
+
+    "q_pref_leakage" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    'ask ' || CAST(CAST(doc_id AS BIGINT) % 25 AS VARCHAR) AS prompt,
+        |    CASE WHEN CAST(doc_id AS BIGINT) % 10 < 8
+        |      THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents)
+        |SELECT md5(prompt) AS prompt_fp,
+        |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY md5(prompt)
+        |HAVING count(DISTINCT split) > 1""".stripMargin,
+
+    "q_pref_dedup" ->
+      """SELECT CAST(min(CAST(doc_id AS BIGINT)) AS BIGINT) AS doc_id
+        |FROM documents GROUP BY CAST(doc_id AS BIGINT) % 25""".stripMargin,
 
     "q_pipeline_chat" ->
       """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id,

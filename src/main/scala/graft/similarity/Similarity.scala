@@ -258,6 +258,46 @@ object Similarity {
         col("t.sim").as("sim"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Hard-negative mining for embedding-model training: per query the
+    * `k` MOST similar corpus vectors BELOW a near-duplicate ceiling —
+    * "close but not the same", the negatives that actually teach a
+    * contrastive model (public methodology: hard negatives in DPR /
+    * sentence-transformers training). Identical ids and pairs with
+    * cosine ≥ `dupCeiling` are excluded BEFORE the bounded partial
+    * top-k aggregate, so the dup exclusion costs nothing extra and the
+    * shuffle stays k·tasks rows per query (the
+    * [[bruteForceTopKScalable]] shape). For corpus-scale mining,
+    * candidate-generate with [[lshCosineCandidates]] / the IVF path
+    * first and exact-rank the candidates with this. */
+  def hardNegativesTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dupCeiling: Double = 0.95,
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1, s"hardNegativesTopK: k must be >= 1, got $k")
+    require(dupCeiling > -1.0 && dupCeiling <= 1.0,
+      s"hardNegativesTopK: dupCeiling must be in (-1, 1], got $dupCeiling")
+    val q = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col(queryIdCol) =!= col("corpus_id"))
+      .select(col(queryIdCol),
+        cosine(col("q_vec"), col("c_vec")).as("sim"),
+        col("corpus_id").cast("long").as("corpusId"))
+      .filter(col("sim") < dupCeiling)
+    val topk = udaf(new TopKAggregator(k))
+    scored
+      .groupBy(queryIdCol)
+      .agg(topk(col("sim"), col("corpusId")).as("top"))
+      .select(col(queryIdCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(queryIdCol), col("t.corpusId").as("corpus_id"),
+        col("t.sim").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Native codegen'd kernel; the HOF formulation it replaced is kept
     * below for the bit-for-bit equivalence test. */
   private def hyperplaneBucketSeeded(

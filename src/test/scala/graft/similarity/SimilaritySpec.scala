@@ -165,4 +165,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b, "renormalisation must not change the cosine ranking")
     intercept[IllegalArgumentException](Similarity.truncateNormalize(vs, "v", 0))
   }
+
+  test("hardNegativesTopK excludes near-dups above the ceiling, ranks the rest") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(0.999, 0.001, 0.0)),  // near-dup of 1: sim ~1 -> excluded
+      (3L, Array(0.8, 0.6, 0.0)),      // sim 0.8 with 1 -> the hard negative
+      (4L, Array(0.0, 1.0, 0.0)),      // sim 0 with 1
+      (5L, Array(0.0, 0.0, 1.0))).toDF("id", "v")
+    val q = corpus.filter($"id" === 1L)
+    val got = Similarity.hardNegativesTopK(corpus, q, "id", "v",
+      k = 2, dupCeiling = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+      .sortBy(_._3)
+    assert(got == Seq((1L, 3L, 1), (1L, 4L, 2)))
+    // ceiling 1.0 admits the near-dup back as the top negative
+    val loose = Similarity.hardNegativesTopK(corpus, q, "id", "v",
+      k = 1, dupCeiling = 1.0)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(loose == Seq((2L, 1)))
+    // agrees with bruteForceTopKScalable when the ceiling is vacuous
+    val all = Similarity.bruteForceTopKScalable(corpus, q, "id", "v", 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    val hard = Similarity.hardNegativesTopK(corpus, q, "id", "v", 4,
+      dupCeiling = 1.0)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(hard == all)
+  }
 }

@@ -148,4 +148,94 @@ class PropertySpec extends SparkTestBase {
     val badCode = new GenericArrayData(Array(0, 7)) // 7 >= k=4
     intercept[IllegalArgumentException](HashKernels.pqAdcScore(badCode, lut))
   }
+
+  import org.apache.spark.unsafe.types.UTF8String
+  private val texts: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaLowerChar, 2 -> Gen.const(' '), 1 -> Gen.numChar,
+    1 -> Gen.oneOf('.', ',', '!'))).map(_.mkString)
+
+  test("charEntropy: bounded by log2(distinct), permutation-invariant, 0 iff <=1 symbol") {
+    import graft.functions.TextSignalKernels
+    for (s <- samples(texts, 80)) {
+      val h = TextSignalKernels.charEntropy(UTF8String.fromString(s))
+      val distinct = s.codePoints().distinct().count()
+      assert(h >= -1e-12, s"negative entropy for '$s'")
+      assert(h <= math.log(math.max(distinct, 1).toDouble) / math.log(2) + 1e-9,
+        s"entropy $h above log2($distinct) for '$s'")
+      if (distinct <= 1) assert(h == 0.0)
+      val shuffled = new String(s.toCharArray.sorted)
+      assert(math.abs(h - TextSignalKernels.charEntropy(
+        UTF8String.fromString(shuffled))) < 1e-9,
+        s"entropy not permutation-invariant for '$s'")
+    }
+  }
+
+  test("tokenEntropy bounded by log2(token count); deflateRatio positive, deterministic") {
+    import graft.functions.TextSignalKernels
+    for (s <- samples(texts, 80)) {
+      val u = UTF8String.fromString(s)
+      val te = TextSignalKernels.tokenEntropy(u)
+      val n = s.trim match { case "" => 0; case t => t.split("\\s+").length }
+      assert(te >= -1e-12 && te <= math.log(math.max(n, 1).toDouble) / math.log(2) + 1e-9)
+      val r1 = TextSignalKernels.deflateRatio(u)
+      val r2 = TextSignalKernels.deflateRatio(UTF8String.fromString(s))
+      assert(r1 > 0.0 && r1 == r2)
+    }
+  }
+
+  test("BpeEncoder pieces always concatenate back to the word") {
+    import graft.functions.BpeEncoder
+    val merges: Gen[Seq[(String, String)]] = Gen.listOf(Gen.zip(
+      Gen.oneOf("a", "b", "ab", "ba", "aa"), Gen.oneOf("a", "b", "ab", "bb")))
+    val words: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf('a', 'b')).map(_.mkString)
+    for ((ms, w) <- samples(Gen.zip(merges, words), 120)) {
+      val enc = new BpeEncoder(ms.toArray)
+      val pieces = enc.encodeWord(w)
+      assert(pieces.mkString == w,
+        s"reconstruction failed: '$w' -> ${pieces.toSeq} under $ms")
+      assert(enc.count(UTF8String.fromString(w)) == pieces.length)
+    }
+  }
+
+  test("DsirKernels.score equals an independent per-gram lookup") {
+    import graft.functions.DsirKernels
+    val b = 1 << 12
+    val ratios = Array.tabulate(b)(i => (i % 17).toDouble / 7.0 - 1.0)
+    for (s <- samples(texts, 60)) {
+      val got = DsirKernels.score(UTF8String.fromString(s), ratios)
+      val toks = s.trim.toLowerCase match {
+        case "" => Array.empty[String]
+        case t => t.split("\\s+")
+      }
+      val grams = toks.toSeq ++ toks.toSeq.zip(toks.drop(1).toSeq)
+        .map { case (x, y) => s"$x $y" }
+      val want = grams.map(g => ratios(DsirKernels.bucketOf(g, b))).sum
+      assert(math.abs(got - want) < 1e-9, s"score mismatch for '$s'")
+    }
+  }
+
+  test("ConvKernels.profile counts match an independent walk") {
+    import graft.functions.ConvKernels
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val roles = Gen.oneOf("system", "user", "assistant", "tool")
+    val turn = Gen.zip(roles, texts)
+    for (turns <- samples(Gen.listOf(turn), 60)) {
+      val arr = new GenericArrayData(turns.map { case (r, c) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(r), UTF8String.fromString(c)))
+      }.toArray[Any])
+      val row = ConvKernels.profile(arr, 0, 1, 2)
+      assert(row.getLong(0) == turns.length)
+      assert(row.getLong(1) == turns.count(_._1 == "system"))
+      assert(row.getLong(2) == turns.count(_._1 == "user"))
+      assert(row.getLong(3) == turns.count(_._1 == "assistant"))
+      val wantTokens = turns.map(_._2.trim).filter(_.nonEmpty)
+        .map(_.split("\\s+").length.toLong).sum
+      assert(row.getLong(4) == wantTokens)
+      val wantAlt = turns.indices.drop(1).forall { i =>
+        turns(i)._1 != "system" && turns(i)._1 != turns(i - 1)._1
+      }
+      assert(row.getBoolean(5) == wantAlt, s"alternates mismatch for $turns")
+    }
+  }
 }

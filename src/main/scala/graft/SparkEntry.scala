@@ -1154,6 +1154,23 @@ object SparkEntry {
             col("l_extendedprice")),
         "l_extendedprice", q = 0.9)),
 
+    "q_unicode_norm" -> ((s, d) =>
+      // Unicode hygiene kernels vs DuckDB's nfc_normalize /
+      // strip_accents on a fixture of precomposed, decomposed and
+      // accented forms (chars chosen where NFD-strip-NFC and DuckDB's
+      // fold agree: plain combining-mark diacritics)
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("word",
+          when(col("doc_id") % 5 === 0, "café")
+            .when(col("doc_id") % 5 === 1, "café")
+            .when(col("doc_id") % 5 === 2, "naïve test")
+            .when(col("doc_id") % 5 === 3, "über açaí")
+            .otherwise("plain ascii"))
+        .select(col("doc_id"),
+          TextFunctions.normalizeUnicode(col("word")).as("nfc"),
+          TextFunctions.foldAccents(col("word")).as("folded"))),
+
     "q_hard_negatives" -> ((s, d) => {
       // hard-negative mining: planted perturbed copies (+0.01, cosine
       // ~0.9999) sit ABOVE the 0.95 dup ceiling and must be excluded;
@@ -4012,6 +4029,18 @@ object SparkEntry {
         |SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem, thr WHERE l_extendedprice >= thr.val""".stripMargin,
+
+    "q_unicode_norm" ->
+      """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE CAST(CAST(doc_id AS BIGINT) % 5 AS INTEGER)
+        |    WHEN 0 THEN 'café'
+        |    WHEN 1 THEN 'cafe' || chr(769)
+        |    WHEN 2 THEN 'naïve test'
+        |    WHEN 3 THEN 'über açaí'
+        |    ELSE 'plain ascii' END AS word
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(word) AS nfc,
+        |  strip_accents(word) AS folded FROM w""".stripMargin,
 
     "q_hard_negatives" ->
       """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CharEntropyExpr, DeflateRatioExpr, TokenEntropyExpr}
+import graft.functions.{CharEntropyExpr, DeflateRatioExpr, FoldAccentsExpr, NfcNormalizeExpr, TokenEntropyExpr}
 
 /** Text-analysis operators for large-scale training-data pipelines.
   *
@@ -29,6 +29,21 @@ object TextFunctions {
   val bpeTokenPattern: String = "(?:'(?:s|d|m|t|ll|ve|re))| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** NFC canonical composition (Spark has no Unicode-normalisation
+    * builtin): makes visually-equal NFC/NFD strings byte-equal, the
+    * prerequisite for exact dedup / fingerprinting / keyword matching
+    * on multilingual crawl. Codegen'd kernel, narrow pass;
+    * already-NFC input (the common case) returns without copying.
+    * Null → null. */
+  def normalizeUnicode(text: Column): Column =
+    ColumnBridge(NfcNormalizeExpr(ColumnBridge.expression(text)))
+
+  /** Accent folding (NFD → strip combining marks → NFC): café→cafe —
+    * the matching-key reducer for search and record linkage, not a
+    * display transform. Null → null. */
+  def foldAccents(text: Column): Column =
+    ColumnBridge(FoldAccentsExpr(ColumnBridge.expression(text)))
 
   /** Shannon entropy (bits/symbol) of the character distribution —
     * low values flag repeated-symbol junk and binary-ish noise. One

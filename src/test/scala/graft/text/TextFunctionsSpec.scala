@@ -179,6 +179,29 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(math.abs(got(3) - 2.0) < 1e-12)
   }
 
+  test("normalizeUnicode composes NFD to NFC; foldAccents strips diacritics") {
+    val composed = "café"
+    val decomposed = "café"
+    assert(composed != decomposed) // different code points, same rendering
+    val df = Seq(Some(composed), Some(decomposed), Some("naïve"),
+      Some("plain"), Some(""), None).toDF("t")
+    val got = df.select(
+      TextFunctions.normalizeUnicode($"t").as("nfc"),
+      TextFunctions.foldAccents($"t").as("folded")).collect()
+    assert(got(0).getString(0) == composed && got(1).getString(0) == composed,
+      "both forms must normalise to the same NFC bytes")
+    assert(got(0).getString(1) == "cafe" && got(1).getString(1) == "cafe")
+    assert(got(2).getString(0) == "naïve" && got(2).getString(1) == "naive")
+    assert(got(3).getString(0) == "plain" && got(3).getString(1) == "plain")
+    assert(got(4).getString(0) == "" && got(4).getString(1) == "")
+    assert(got(5).isNullAt(0) && got(5).isNullAt(1))
+    // the hygiene property: normalisation makes the dedup fingerprint agree
+    val fps = df.limit(2).select(
+      TextFunctions.fingerprint(TextFunctions.normalizeUnicode($"t")))
+      .as[String].collect()
+    assert(fps(0) == fps(1), "NFC must unify fingerprints of equal-looking text")
+  }
+
   test("deflateRatio separates boilerplate from noise; empty -> 1") {
     val boiler = "spark data batch " * 20
     val noise = (0 until 8).map(i =>

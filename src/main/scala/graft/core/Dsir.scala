@@ -164,6 +164,46 @@ object Dsir {
       ColumnBridge(DsirScoreExpr(ColumnBridge.expression(col(textCol)), ratios)))
   }
 
+  /** Persist a trained bucket ratio table as `(bucket, log_ratio)`
+    * parquet — the selection-model artifact (train once in a batch
+    * job, serve on later batches via [[scoreWithRatios]] or on a
+    * stream via `Streaming.curationGateStream`; the
+    * `Subword.saveBpeMerges` pattern). */
+  def saveHashedRatios(
+      spark: org.apache.spark.sql.SparkSession,
+      ratios: Array[Double],
+      dir: String): Unit = {
+    import spark.implicits._
+    ratios.toSeq.zipWithIndex.map { case (r, b) => (b, r) }
+      .toDF("bucket", "log_ratio")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a ratio table written by [[saveHashedRatios]]; validates the
+    * buckets are the contiguous range the scoring kernel indexes by. */
+  def loadHashedRatios(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Double] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(dir)
+      .select($"bucket".cast("int"), $"log_ratio".cast("double"))
+      .as[(Int, Double)].collect().sortBy(_._1)
+    require(rows.nonEmpty && rows.map(_._1).sameElements(rows.indices),
+      s"loadHashedRatios: buckets at $dir are not the contiguous range " +
+        s"0..${rows.length - 1} — not a saveHashedRatios artifact")
+    rows.map(_._2)
+  }
+
+  /** Score a corpus under an already-trained (or loaded) ratio table —
+    * ONE narrow codegen'd pass, the serve half of the artifact. */
+  def scoreWithRatios(
+      df: DataFrame,
+      textCol: String,
+      ratios: Array[Double],
+      outputCol: String = "log_weight"): DataFrame =
+    df.withColumn(outputCol,
+      ColumnBridge(DsirScoreExpr(ColumnBridge.expression(col(textCol)), ratios)))
+
   /** DSIR resampling: `k` source docs drawn WITHOUT replacement with
     * probability ∝ exp(log_weight), deterministically — the Gumbel
     * top-k / A-ES equivalence in LOG space (rank by

@@ -70,6 +70,26 @@ class DsirSpec extends SparkTestBase {
     assert(e.getMessage.contains("numBuckets"))
   }
 
+  test("hashed ratio artifact round-trips and serves identical scores") {
+    val target = Seq("spark scans tables").toDF("text")
+    val source = Seq((1L, "spark scans tables"), (2L, "zz yy")).toDF("doc_id", "text")
+    val ratios = Dsir.trainHashedRatios(source, target, "text", numBuckets = 1 << 12)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_art").toString
+    Dsir.saveHashedRatios(spark, ratios, dir)
+    val back = Dsir.loadHashedRatios(spark, dir)
+    assert(back.sameElements(ratios))
+    val a = Dsir.scoreWithRatios(source, "text", ratios)
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    val b = Dsir.scoreWithRatios(source, "text", back)
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    assert(a == b)
+    // corrupted (non-contiguous) artifact refused loudly
+    Seq((0, 0.5), (2, -0.5)).toDF("bucket", "log_ratio")
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException](Dsir.loadHashedRatios(spark, dir))
+    assert(e.getMessage.contains("contiguous"))
+  }
+
   test("resampleByWeight matches an independent Gumbel top-k reference") {
     val rows = (0L until 200L).map(id => (id, (id % 7).toDouble - 3.0))
     val df = rows.toDF("id", "lw")

@@ -40,14 +40,24 @@ def type_lint(rel):
 def canon(v):
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):  # includes numpy.float64 (a float subclass)
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
-    if isinstance(v, bool):
-        return v
     if isinstance(v, int):
         return v
+    # Nested containers: normalize numerics RECURSIVELY before
+    # stringifying, so a Double inside an array compares by rounded
+    # value rather than repr (a formatting difference would false-fail).
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(str(canon(x)) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}:{canon(x)}" for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))) + "}"
+    if hasattr(v, "tolist"):  # numpy arrays / scalars from DuckDB LIST results
+        return canon(v.tolist())
     return str(v)
 
 

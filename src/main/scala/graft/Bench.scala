@@ -1540,8 +1540,9 @@ object Bench {
       s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"),
           array_sort(filter(arr, x => contains(lower(col("text")), x)))
-            .as("matched"))
-        .where(size(col("matched")) > 0)
+            .as("m"))
+        .where(size(col("m")) > 0)
+        .select(col("doc_id"), array_join(col("m"), "|").as("matched"))
     }),
 
     "q_hybrid_search" -> ((s, d) => {
@@ -1662,8 +1663,8 @@ object Bench {
           sum(when(length(trim(col("content"))) === 0, 0L)
             .otherwise(size(split(trim(col("content")), "\\s+")).cast("long")))
             .as("total_tokens"),
-          max(when(col("prev").isNotNull &&
-            (col("role") === col("prev") || col("role") === "system"), 1L)
+          max(when((col("turn_idx") > 0 && col("role") === "system") ||
+            (col("prev").isNotNull && col("role") === col("prev")), 1L)
             .otherwise(0L)).as("viol"))
       conv.select("conv_id")
         .join(agg, Seq("conv_id"), "left")
@@ -1833,23 +1834,26 @@ object Bench {
         // range-exchange machinery — SCALE.md exact_quantile rows
         "q_exact_quantile")
     // Benchmark-design rule (SCALE.md): measured inputs are MATERIALIZED
-    // to parquet before timing. q_target_encode's sf0.1 wall sits in the
-    // sub-0.5 s band where the ratio is a lottery (r12 verdict item 6) —
-    // its wrapped/raw pair runs on a 16× materialized orders table so
-    // the reading is evidence, not noise. Both sides see the same dir.
+    // to parquet before timing. Queries whose sf0.1 wall sits in the
+    // sub-0.5 s band where the ratio is a lottery (r12 verdict item 6;
+    // q_corr_matrix carried the same annotation since r11) run their
+    // wrapped/raw pair on a 16× materialized table so the reading is
+    // evidence, not noise. Both sides see the same dir.
     val scaledPairDirs: Map[String, String] = {
-      val want = Seq("q_target_encode")
-        .filter(n => resultMap.contains(n) && baselines.contains(n))
-      want.map { n =>
+      val want = Seq(
+        "q_target_encode" -> ("orders", "o_orderkey"),
+        "q_corr_matrix" -> ("lineitem", "l_orderkey"))
+        .filter { case (n, _) => resultMap.contains(n) && baselines.contains(n) }
+      want.map { case (n, (table, keyCol)) =>
         val dir = s"/root/repo/target/bench_scaled/${new java.io.File(sfDir).getName}_x16"
-        val out = s"$dir/orders.parquet"
+        val out = s"$dir/$table.parquet"
         if (!new java.io.File(out).exists()) {
-          val o = spark.read.parquet(s"$sfDir/orders.parquet")
-          (0 until 16).map(i => o.withColumn("o_orderkey",
-              col("o_orderkey").cast("long") + lit(i * 100000000L)))
+          val o = spark.read.parquet(s"$sfDir/$table.parquet")
+          (0 until 16).map(i => o.withColumn(keyCol,
+              col(keyCol).cast("long") + lit(i * 100000000L)))
             .reduce(_ unionByName _)
             .repartition(32).write.mode("overwrite").parquet(out)
-          note(s"[bench] materialized 16x orders for $n at $out")
+          note(s"[bench] materialized 16x $table for $n at $out")
         }
         n -> dir
       }.toMap

@@ -695,6 +695,39 @@ object Scale {
       }
     }
 
+    // --- packTokenWindows shard-parallelism contract (r14): the
+    // per-shard cumulative-sum window serialises each shard's packing
+    // through ONE task — parallelism = shard count. Two probes at
+    // x1/x8 on MATERIALIZED (doc_id, w, shard) parquet (measured
+    // inputs rule): FIXED 4 shards (wall must grow ~linearly — the
+    // pre-crossover cost of the contract), and shards∝size (wall per
+    // token ~flat — the production shape where shards ≈ output files).
+    // Consumed through a filter on the computed slice columns
+    // (count-prune trap).
+    {
+      def packInput(k: Int, nShards: Int): String = {
+        val path = s"/root/repo/target/scale_pack/x${k}_s$nShards"
+        if (!new java.io.File(path).exists())
+          scaledDocs(spark, sfDir, k)
+            .select(col("doc_id").cast("long").as("doc_id"),
+              size(split(trim(col("text")), "\\s+")).cast("long").as("w"))
+            .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite").parquet(path)
+        path
+      }
+      def packed(path: String): DataFrame =
+        graft.core.Sampling.packTokenWindows(
+          spark.read.parquet(path), "w", 512, Seq("shard"), "doc_id")
+          .filter(col("n_tokens") > 0 && col("doc_start") >= 0)
+      for (k <- Seq(1, bigK)) {
+        timed("pack_windows_fixed_shards", "scale" -> k.toLong,
+          "shards" -> 4L)(() => packed(packInput(k, 4)))
+        timed("pack_windows_prop_shards", "scale" -> k.toLong,
+          "shards" -> (4L * k))(() => packed(packInput(k, 4 * k)))
+      }
+    }
+
     // --- embedding-grain decontamination (r13): the claim is ONE
     // BroadcastNestedLoopJoin LeftAnti pass — cost linear in corpus
     // rows × eval size, corpus never exchanged. Corpus replicas keep

@@ -25,6 +25,18 @@ import graft.io.Tables
   * LSH variants) have no SQL oracle and get the driver's rows-only
   * check; their exactness is covered by all-pairs oracle variants and
   * the ScalaTest suites.
+  *
+  * OUTPUT-SHAPE CONVENTION (r14, after the q_keyword_tag harness
+  * crash): every top-level result column MUST be a scalar — BIGINT /
+  * DOUBLE / BOOLEAN / VARCHAR / DATE / TIMESTAMP. The driver's oracle
+  * comparator canonicalises frames with pandas `sort_values`, which
+  * dies on the numpy arrays DuckDB returns for LIST and cannot order
+  * STRUCT/MAP. Queries over array-valued operators therefore either
+  * EXPLODE to rows or reduce the array to a canonical scalar
+  * (`array_join(array_sort(...), '|')` / element aggregates) before
+  * returning, with the DuckDB oracle mirrored
+  * (`array_to_string(list_sort(...), '|')`). Arity-checked by
+  * VerifySpec's flat-schema test over every `queries` entry.
   */
 object SparkEntry {
 
@@ -758,8 +770,12 @@ object SparkEntry {
     "q_keyword_tag" -> ((s, d) => {
       val tagged = graft.text.Keywords.tagKeywords(
         t(s, d, "documents"), "text", keywordPatterns)
+      // matched is already sorted-distinct; join to a scalar string so
+      // the driver's pandas comparator (which cannot sort LIST columns)
+      // can canonicalise the frame.
       tagged.where(size(col("matched")) > 0)
-        .select(col("doc_id").cast("long").as("doc_id"), col("matched"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          array_join(col("matched"), "|").as("matched"))
     }),
 
     "q_keyword_filter" -> ((s, d) =>
@@ -3671,7 +3687,7 @@ object SparkEntry {
 
     "q_keyword_tag" ->
       """SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-        |  list_sort(list(DISTINCT p.pattern)) AS matched
+        |  array_to_string(list_sort(list(DISTINCT p.pattern)), '|') AS matched
         |FROM documents d
         |JOIN (VALUES ('slow scan'),('scan'),('big table'),('customer query'),
         |             ('table value'),('value table'),('vector'),('zzzqx')) p(pattern)

@@ -38,9 +38,24 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // OUTPUT-SHAPE GATE (r14, SparkEntry header convention): the
+        // driver's pandas-based comparator cannot sort LIST/STRUCT/MAP
+        // columns (q_keyword_tag crashed it in r13), so a nested
+        // top-level column is a red artifact HERE, not a driver crash.
+        val nested = df.schema.fields.filter(_.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType => true
+          case _: org.apache.spark.sql.types.MapType => true
+          case _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        if (nested.nonEmpty)
+          throw new IllegalStateException(
+            "non-scalar result columns (explode or array_join before returning): " +
+              nested.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         failed(name) = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

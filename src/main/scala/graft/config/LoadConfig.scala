@@ -58,10 +58,33 @@ class LoadConfig(
 
 object LoadConfig {
 
+  /** Parse a config file by suffix. A bare path reads the local
+    * filesystem; a path with a scheme (`file://`, `s3a://`, `gs://`,
+    * `hdfs://`, …) routes through the Hadoop FileSystem API — the
+    * analogue of the reference accepting a CloudPath
+    * (rdsa_utils/io/config.py:50) and `load_config_gcp`
+    * (gcp/helpers/gcp_utils.py:72) reading configs from a bucket, so
+    * configs can live next to the data they describe. */
   def parseFile(path: String): Map[String, Any] = {
-    val text = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val scheme =
+      try new java.net.URI(path).getScheme
+      catch { case _: java.net.URISyntaxException => null }
+    val text =
+      if (scheme == null)
+        new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else {
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sessionState.newHadoopConf())
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        val p = new org.apache.hadoop.fs.Path(path)
+        val in = p.getFileSystem(conf).open(p)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      }
     val suffix = path.substring(path.lastIndexOf('.') + 1).toLowerCase
     parseString(text, suffix)
   }

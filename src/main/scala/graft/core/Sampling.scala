@@ -377,8 +377,11 @@ object Sampling {
     * over its spanned sequences — ceil(w/seqLen)+1 rows at most, 1-2
     * for typical docs, so the manifest is O(corpus rows), never
     * O(corpus tokens). Same group-grain contract as [[packShards]]:
-    * groups parallelise across executors; pre-split a giant group
-    * with a hash sub-bucket appended to `partitionCols`. */
+    * the cumulative-sum window serialises each group through ONE task,
+    * so PARALLELISM = GROUP (shard) COUNT — fine when shards ≈ output
+    * files (the production shape; SCALE.md pack_windows rows measure
+    * both regimes); pre-split a giant group with a hash sub-bucket
+    * appended to `partitionCols`. */
   def packTokenWindows(
       df: DataFrame,
       weightCol: String,

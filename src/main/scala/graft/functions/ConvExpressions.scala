@@ -45,8 +45,13 @@ object ConvKernels {
     var prev: UTF8String = null
     var i = 0
     while (i < n) {
+      // a null struct ELEMENT is a turn with null role/content: it
+      // counts toward n only (getStruct returns null, so every field
+      // access must be guarded)
       val row = turns.getStruct(i, numFields)
-      val role = if (row.isNullAt(roleIdx)) null else row.getUTF8String(roleIdx)
+      val role =
+        if (row == null || row.isNullAt(roleIdx)) null
+        else row.getUTF8String(roleIdx)
       if (role != null) {
         if (role.equals(SYSTEM)) nSys += 1
         else if (role.equals(USER)) nUser += 1
@@ -55,7 +60,7 @@ object ConvKernels {
       if (i > 0 && role != null &&
         (role.equals(SYSTEM) || (prev != null && role.equals(prev))))
         alternates = false
-      if (!row.isNullAt(contentIdx)) {
+      if (row != null && !row.isNullAt(contentIdx)) {
         val s = row.getUTF8String(contentIdx).toString.trim
         if (s.nonEmpty) tokens += s.split("\\s+").length
       }

@@ -32,7 +32,11 @@ object DsirKernels {
     java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(gram), numBuckets)
 
   private def grams(text: UTF8String): Array[String] = {
-    val s = text.toString.trim.toLowerCase
+    // Locale.ROOT: the exact DSIR path lowercases via Spark's
+    // locale-independent lower(); a locale-sensitive toLowerCase (e.g.
+    // Turkish dotless-i) would break the "tokenize exactly like
+    // normTokens" contract
+    val s = text.toString.trim.toLowerCase(java.util.Locale.ROOT)
     if (s.isEmpty) return Array.empty
     val toks = s.split("\\s+")
     val out = new Array[String](toks.length + math.max(0, toks.length - 1))

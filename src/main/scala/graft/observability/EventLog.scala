@@ -336,8 +336,13 @@ object EventLogSweep {
       case Some(n) => logs.filter(_.pipeline.contains(n))
       case None    => logs
     }
-    val asc = filtered.sortBy(r => (r.timestamp.isEmpty, r.timestamp.getOrElse(0L)))
-    if (orderByLatest) asc.reverse else asc
+    // absent timestamps sort LAST in both directions, so the latest-
+    // first branch sorts descending directly instead of reversing an
+    // ascending sort (which would put timestamp-less records first)
+    if (orderByLatest)
+      filtered.sortBy(r => (r.timestamp.isEmpty, -r.timestamp.getOrElse(0L)))
+    else
+      filtered.sortBy(r => (r.timestamp.isEmpty, r.timestamp.getOrElse(0L)))
   }
 
   /** logs_to_dataframe parity (parser.py:367-428): one flat row per

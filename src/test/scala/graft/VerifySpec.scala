@@ -35,6 +35,17 @@ class VerifySpec extends SparkTestBase {
     // the healthy query's parquet landed despite its neighbours dying
     assert(spark.read.parquet(s"$outDir/q_ok").count() == 1L)
 
+    // output-shape gate: a nested top-level column (the shape that
+    // crashes the driver's pandas comparator) is a red artifact
+    val outDirN = java.nio.file.Files.createTempDirectory("graft_verify_specN").toString
+    val nested = Verify.runQueries(spark, Map(
+      "q_nested" -> ((s, _) => {
+        import s.implicits._
+        Seq((1L, Seq("a", "b"))).toDF("id", "xs")
+      })), "unused", outDirN)
+    assert(nested.keySet == Set("q_nested") &&
+      nested("q_nested").contains("non-scalar"))
+
     // all-green run → empty object artifact
     val outDir2 = java.nio.file.Files.createTempDirectory("graft_verify_spec2").toString
     val none = Verify.runQueries(spark, Map(

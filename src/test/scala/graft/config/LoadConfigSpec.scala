@@ -28,6 +28,15 @@ class LoadConfigSpec extends AnyFunSuite {
     assert(toml.get("b").contains("two"))
   }
 
+  test("scheme-qualified paths load via the Hadoop FileSystem API") {
+    // file:// is the scheme the suite can exercise hermetically; the
+    // same branch serves s3a:// gs:// hdfs:// through FileSystem
+    val json = new LoadConfig("file://" + write("json", """{"a": {"x": 1}}"""))
+    assert(json.section("a") == Map("x" -> 1L))
+    val toml = new LoadConfig("file://" + write("toml", "[a]\nx = 1\n"))
+    assert(toml.section("a") == Map("x" -> 1L))
+  }
+
   test("unsupported suffix raises ConfigError") {
     assertThrows[ConfigError](new LoadConfig(write("ini", "a=1")))
   }

@@ -58,6 +58,12 @@ class EventLogSweepSpec extends SparkTestBase {
     assert(latest.map(_.timestamp.get) == Seq(500L, 300L, 100L))
     val oldest = EventLogSweep.filterAndSortByAppName(logs, orderByLatest = false)
     assert(oldest.map(_.timestamp.get) == Seq(100L, 300L, 500L))
+    // absent timestamps sort LAST in both directions
+    val withMissing = logs :+ logs.head.copy(timestamp = None)
+    assert(EventLogSweep.filterAndSortByAppName(withMissing)
+      .map(_.timestamp) == Seq(Some(500L), Some(300L), Some(100L), None))
+    assert(EventLogSweep.filterAndSortByAppName(withMissing, orderByLatest = false)
+      .map(_.timestamp) == Seq(Some(100L), Some(300L), Some(500L), None))
     val onlyA = EventLogSweep.filterAndSortByAppName(logs, appName = Some("A"))
     assert(onlyA.size == 2 && onlyA.forall(_.pipeline.contains("A")))
     assert(EventLogSweep.filterAndSortByAppName(logs, appName = Some("Z")).isEmpty)

@@ -47,6 +47,19 @@ class ConversationsSpec extends SparkTestBase {
     assert(got(4L) == ((0L, 0L, 0L, 0L, 0L, true)))
   }
 
+  test("turnProfile: null struct ELEMENT counts toward n_turns only") {
+    val conv = spark.sql(
+      """SELECT CAST(9 AS BIGINT) AS conv_id, array(
+        |  named_struct('role', 'user', 'content', 'hi there'),
+        |  CAST(NULL AS struct<role:string,content:string>),
+        |  named_struct('role', 'assistant', 'content', 'hello')) AS turns""".stripMargin)
+    val r = Conversations.turnProfile(conv).collect().head
+    // 3 turns, null element contributes no role bucket / tokens, and a
+    // null role never fires the repeated-role or late-system rules
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getBoolean(6)) == ((3L, 0L, 1L, 1L, 3L, true)))
+  }
+
   test("turnProfile total tokens equals the source token count on the fixture") {
     val docs = Seq((5L, "one two three four five six seven"),
       (6L, ""), (7L, "  lots   of    spaces  ")).toDF("doc_id", "text")

@@ -74,4 +74,139 @@ object Preferences {
       .agg(countDistinct(col("split")).as("n_splits"),
         count(lit(1)).as("n_pairs"))
       .filter(col("n_splits") > 1)
+
+  /** Cohen's kappa between two annotators labelling the same items —
+    * the chance-corrected agreement a preference-data review quotes
+    * before trusting labels: κ = (p_o − p_e) / (1 − p_e), where p_o
+    * is the observed agreement rate and p_e = Σ_c p₁(c)·p₂(c) the
+    * agreement expected from each rater's marginal label
+    * distribution. Rows where either label is null are excluded
+    * (both raters must have answered). Returns one row
+    * (n_items, observed_agreement, expected_agreement, kappa);
+    * perfect-chance-agreement frames (p_e = 1) report κ = 0 by the
+    * 0/0 convention. Scale shape: one label-pair-grain aggregation
+    * (|labels|² rows) then driver-free arithmetic on that tiny frame
+    * — the item table is never exchanged twice. */
+  def cohenKappa(
+      df: DataFrame,
+      raterACol: String,
+      raterBCol: String): DataFrame = {
+    val labelled = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(raterACol).cast("string").as("a"),
+        col(raterBCol).cast("string").as("b"))
+    // one pass to (a, b) grain; marginals and agreement both derive
+    // from this tiny contingency frame
+    val cells = labelled.groupBy("a", "b").agg(count(lit(1)).as("n"))
+    cells.agg(
+        sum(col("n")).as("n_items"),
+        sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
+      .crossJoin(
+        // p_e from the same cells frame: join A-marginals to
+        // B-marginals on label (labels² rows at most)
+        cells.groupBy(col("a").as("lbl")).agg(sum(col("n")).as("na"))
+          .join(cells.groupBy(col("b").as("lbl")).agg(sum(col("n")).as("nb")),
+            Seq("lbl"), "inner")
+          .agg(sum(col("na") * col("nb")).as("pe_num")))
+      .select(
+        col("n_items"),
+        round(col("agree").cast("double") / col("n_items"), 6)
+          .as("observed_agreement"),
+        round(col("pe_num").cast("double") /
+          (col("n_items") * col("n_items")), 6).as("expected_agreement"),
+        round(
+          when(col("pe_num").cast("double") ===
+              (col("n_items") * col("n_items")).cast("double"), 0.0)
+            .otherwise(
+              (col("agree").cast("double") / col("n_items") -
+                col("pe_num").cast("double") / (col("n_items") * col("n_items"))) /
+              (lit(1.0) -
+                col("pe_num").cast("double") / (col("n_items") * col("n_items")))),
+          6).as("kappa"))
+  }
+
+  /** Per-model win/loss leaderboard from (model_a, model_b, winner)
+    * battles (`winner` ∈ {"a","b"}; other values — ties, both-bad —
+    * count as battles without a win). One explode to
+    * (model, won) grain then a model-grain aggregation. */
+  def winRates(
+      battles: DataFrame,
+      modelACol: String,
+      modelBCol: String,
+      winnerCol: String): DataFrame =
+    battles.select(explode(array(
+        struct(col(modelACol).as("model"),
+          when(col(winnerCol) === "a", 1L).otherwise(0L).as("won")),
+        struct(col(modelBCol).as("model"),
+          when(col(winnerCol) === "b", 1L).otherwise(0L).as("won"))))
+        .as("e"))
+      .select(col("e.model").as("model"), col("e.won").as("won"))
+      .groupBy("model")
+      .agg(count(lit(1)).as("n_battles"), sum(col("won")).as("n_wins"))
+      .withColumn("win_rate",
+        round(col("n_wins").cast("double") / col("n_battles"), 6))
+
+  /** Bradley–Terry strengths from pairwise battles via `iters`
+    * minorisation–maximisation updates (Hunter 2004 — the public MM
+    * algorithm behind arena leaderboards):
+    * s_i ← W_i / Σ_j n_ij / (s_i + s_j), renormalised to mean 1 each
+    * step, from a uniform start. Ties/other winner values contribute
+    * games but no wins.
+    *
+    * Scale shape: the battle table collapses FIRST to the unordered
+    * model-pair grain (n_ij, wins_i, wins_j) — one aggregation over
+    * the corpus, models² rows out — and the MM loop then iterates on
+    * that tiny localCheckpointed frame only, so iteration cost is
+    * independent of battle count. Returns
+    * (model, n_battles, n_wins, bt_score) with bt_score at 6 dp. */
+  def bradleyTerryScores(
+      battles: DataFrame,
+      modelACol: String,
+      modelBCol: String,
+      winnerCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"bradleyTerryScores: iters must be >= 1, got $iters")
+    val spark = battles.sparkSession
+    // unordered pair grain: (lo, hi, games, wins_lo)
+    val lo = least(col(modelACol), col(modelBCol))
+    val hi = greatest(col(modelACol), col(modelBCol))
+    val winLo = when(
+      (col(winnerCol) === "a" && col(modelACol) === lo) ||
+        (col(winnerCol) === "b" && col(modelBCol) === lo), 1L).otherwise(0L)
+    val pairStats = battles
+      .select(lo.as("lo"), hi.as("hi"), winLo.as("win_lo"),
+        when(col(winnerCol).isin("a", "b"), 1L).otherwise(0L).as("win_any"))
+      .groupBy("lo", "hi")
+      .agg(count(lit(1)).as("games"), sum(col("win_lo")).as("wins_lo"),
+        sum(col("win_any")).as("wins_any"))
+      .localCheckpoint(true) // models² rows; cut the corpus lineage once
+    // per-model directed view: (model, opp, games, wins)
+    val directed = pairStats.select(col("lo").as("model"), col("hi").as("opp"),
+        col("games"), col("wins_lo").as("wins"))
+      .unionByName(pairStats.select(col("hi").as("model"), col("lo").as("opp"),
+        col("games"), (col("wins_any") - col("wins_lo")).as("wins")))
+      .localCheckpoint(true)
+    val models = directed.groupBy("model")
+      .agg(sum(col("games")).as("n_battles"), sum(col("wins")).as("n_wins"))
+      .localCheckpoint(true)
+    var scores = models.select(col("model"), lit(1.0).as("s"))
+    for (_ <- 1 to iters) {
+      val sOpp = scores.select(col("model").as("opp"), col("s").as("s_opp"))
+      val updated = directed
+        .join(scores, Seq("model")).join(sOpp, Seq("opp"))
+        .groupBy("model")
+        .agg(sum(col("games").cast("double") / (col("s") + col("s_opp")))
+          .as("denom"))
+        .join(models.select(col("model"), col("n_wins")), Seq("model"))
+        .select(col("model"),
+          (col("n_wins").cast("double") / col("denom")).as("s_raw"))
+      val mean = updated.agg(avg(col("s_raw")).as("m"))
+      scores = updated.crossJoin(broadcast(mean))
+        .select(col("model"), (col("s_raw") / col("m")).as("s"))
+        .localCheckpoint(true)
+    }
+    models.join(scores, Seq("model"))
+      .select(col("model"), col("n_battles"), col("n_wins"),
+        round(col("s"), 6).as("bt_score"))
+  }
 }

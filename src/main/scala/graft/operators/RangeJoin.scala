@@ -65,4 +65,47 @@ object RangeJoin {
         joined.unionByName(withNulls).drop("__row_id")
     }
   }
+
+  /** Interval-OVERLAP join (interval × interval): all (left, right)
+    * pairs with `[lLow, lHigh] ∩ [rLow, rHigh] ≠ ∅` (inclusive ends)
+    * — the genomics/session-overlap shape Spark plans as a broadcast
+    * nested loop on a bare `a1 <= b2 AND a2 <= b1` condition.
+    *
+    * Implementation: both sides explode into the `binWidth` bins they
+    * cover, equi-join on the bin id, and a pair is emitted ONLY in
+    * the FIRST bin the two intervals share
+    * (`bin == max(floor(lLow/w), floor(rLow/w))`) — the standard
+    * dedup-free trick: no `distinct` exchange over the multi-bin
+    * matches, every true pair appears exactly once. One hash shuffle
+    * at bin grain; replication per row is ceil(width / binWidth), so
+    * pick binWidth near the typical interval width and cap degenerate
+    * giant intervals upstream. */
+  def intervalJoin(
+      left: DataFrame,
+      lLow: String,
+      lHigh: String,
+      right: DataFrame,
+      rLow: String,
+      rHigh: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "intervalJoin: binWidth must be positive")
+    val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"intervalJoin: overlapping column names ${overlapCols.mkString(", ")}")
+    require(!(left.columns ++ right.columns).contains("__bin"),
+      "intervalJoin: column name __bin is reserved")
+    def binsOf(lo: String, hi: String) = explode(sequence(
+      floor(col(lo).cast("double") / binWidth).cast("long"),
+      floor(col(hi).cast("double") / binWidth).cast("long")))
+    val lB = left.withColumn("__bin", binsOf(lLow, lHigh))
+    val rB = right.withColumn("__bin", binsOf(rLow, rHigh))
+    lB.join(rB, Seq("__bin"), "inner")
+      .filter(
+        col(lLow).cast("double") <= col(rHigh).cast("double") &&
+        col(rLow).cast("double") <= col(lHigh).cast("double") &&
+        col("__bin") === greatest(
+          floor(col(lLow).cast("double") / binWidth).cast("long"),
+          floor(col(rLow).cast("double") / binWidth).cast("long")))
+      .drop("__bin")
+  }
 }

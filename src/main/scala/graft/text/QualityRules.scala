@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style hard quality GATES (the MassiveWeb repetition-free
+  * document rules published with the Gopher model): unlike
+  * [[TextFunctions.qualityScore]]'s soft composite, each rule here is
+  * a named boolean a curation pipeline reports on and gates with
+  * individually — the shape quality-filter ablations need.
+  *
+  * One narrow codegen pass per document (token array built once and
+  * shared), no shuffle; the composed `pass` predicate pushes to the
+  * scan when used as a filter. Thresholds are the published defaults,
+  * overridable per call. All rules are whitespace-token-grain and
+  * exactly SQL-replayable.
+  */
+object QualityRules {
+
+  /** The Gopher stopword list ("contains at least `minStopwords` of
+    * these" is the natural-language-ness gate). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document rule flags + the conjunction, as named columns:
+    *
+    *   - `r_word_count`  `minWords <= n <= maxWords`
+    *   - `r_mean_word_len`  mean token length in [3, 10]
+    *   - `r_symbol_ratio`  (# + ellipsis) / words <= 0.1
+    *   - `r_alpha_words`  >= 80% of tokens contain a letter
+    *   - `r_bullet_lines`  <= 90% of lines start with a bullet
+    *   - `r_ellipsis_lines`  <= 30% of lines end with an ellipsis
+    *   - `r_stopwords`  >= `minStopwords` distinct gopher stopwords
+    *   - `gopher_pass`  all of the above
+    *
+    * Null text fails every rule (flags are non-null booleans, so the
+    * frame filters and aggregates without three-valued-logic traps).
+    */
+  def gopherFlags(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minStopwords: Int = 2): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val toks = TextFunctions.tokens(text)
+    val nTok = size(toks).cast("double")
+    val safeN = greatest(nTok, lit(1.0))
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = greatest(size(lines).cast("double"), lit(1.0))
+
+    val wordCountOk = nTok.between(minWords.toDouble, maxWords.toDouble)
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / safeN
+    val meanLenOk = nTok > 0 && meanLen.between(3.0, 10.0)
+    val symbols = (length(text) -
+      length(regexp_replace(text, lit("#"), lit("")))).cast("double") +
+      size(regexp_extract_all(text, lit("\\.\\.\\.|…"), lit(0))).cast("double")
+    val symbolOk = symbols / safeN <= 0.1
+    val alphaFrac = size(filter(toks, t => t.rlike("\\p{L}"))).cast("double") / safeN
+    val alphaOk = nTok > 0 && alphaFrac >= 0.8
+    val bulletFrac = size(filter(lines,
+      l => trim(l).rlike("^(•|\\*|-|–)\\s"))).cast("double") / nLines
+    val bulletOk = bulletFrac <= 0.9
+    val ellipsisFrac = size(filter(lines,
+      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines
+    val ellipsisOk = ellipsisFrac <= 0.3
+    val stopArr = array(gopherStopwords.map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(toks), stopArr))
+    val stopOk = nStop >= minStopwords
+
+    df.withColumn("r_word_count", wordCountOk)
+      .withColumn("r_mean_word_len", meanLenOk)
+      .withColumn("r_symbol_ratio", symbolOk)
+      .withColumn("r_alpha_words", alphaOk)
+      .withColumn("r_bullet_lines", bulletOk)
+      .withColumn("r_ellipsis_lines", ellipsisOk)
+      .withColumn("r_stopwords", stopOk)
+      .withColumn("gopher_pass",
+        wordCountOk && meanLenOk && symbolOk && alphaOk &&
+          bulletOk && ellipsisOk && stopOk)
+  }
+
+  /** Keep only documents passing every Gopher rule — the gate form. */
+  def gopherFilter(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minStopwords: Int = 2): DataFrame = {
+    val flagged = gopherFlags(df, textCol, minWords, maxWords, minStopwords)
+    flagged.where(col("gopher_pass"))
+      .drop("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_alpha_words", "r_bullet_lines", "r_ellipsis_lines",
+        "r_stopwords", "gopher_pass")
+  }
+
+  /** Corpus-level rule report: documents failing each rule plus the
+    * overall pass rate — the one-row artifact a filter-ablation run
+    * records. Single global aggregate over the flag pass. */
+  def gopherReport(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minStopwords: Int = 2): DataFrame = {
+    val f = gopherFlags(df, textCol, minWords, maxWords, minStopwords)
+    def fails(c: String) = sum(when(!col(c), 1L).otherwise(0L)).as(s"fail_${c.stripPrefix("r_")}")
+    f.agg(
+      count(lit(1)).as("n_docs"),
+      fails("r_word_count"), fails("r_mean_word_len"),
+      fails("r_symbol_ratio"), fails("r_alpha_words"),
+      fails("r_bullet_lines"), fails("r_ellipsis_lines"),
+      fails("r_stopwords"),
+      round(avg(when(col("gopher_pass"), 1.0).otherwise(0.0)), 6)
+        .as("pass_rate"))
+  }
+}

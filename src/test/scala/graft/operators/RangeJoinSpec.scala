@@ -67,4 +67,52 @@ class RangeJoinSpec extends SparkTestBase {
       RangeJoin.rangeJoin(points, "v",
         ranges.withColumnRenamed("name", "__bin"), "lo", "hi", 10.0))
   }
+
+  test("intervalJoin: overlap pairs exactly once despite multi-bin spans") {
+    import spark.implicits._
+    val left = Seq((1L, 0.0, 10.0), (2L, 20.0, 30.0)).toDF("lid", "ls", "le")
+    val right = Seq((10L, 5.0, 12.0), (20L, 40.0, 50.0), (30L, 9.0, 21.0))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalJoin(left, "ls", "le", right, "rs", "re", 10.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    // no duplicates even though [0,10]x[5,12] share two bins
+    assert(got.sorted == Seq((1L, 10L), (1L, 30L), (2L, 30L)))
+  }
+
+  test("intervalJoin: touching endpoints are inclusive; disjoint drop") {
+    import spark.implicits._
+    val left = Seq((1L, 0.0, 5.0)).toDF("lid", "ls", "le")
+    val right = Seq((10L, 5.0, 8.0), (20L, 5.1, 8.0)).toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalJoin(left, "ls", "le", right, "rs", "re", 2.0)
+      .select("rid").as[Long].collect().toSeq
+    assert(got == Seq(10L))
+  }
+
+  test("intervalJoin matches the naive quadratic truth on a random fixture") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val l = (1 to 60).map { i =>
+      val s = rnd.nextDouble() * 100; (i.toLong, s, s + rnd.nextDouble() * 15)
+    }.toDF("lid", "ls", "le")
+    val r = (1 to 60).map { i =>
+      val s = rnd.nextDouble() * 100; (i.toLong, s, s + rnd.nextDouble() * 15)
+    }.toDF("rid", "rs", "re")
+    val fast = RangeJoin.intervalJoin(l, "ls", "le", r, "rs", "re", 10.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val truth = l.crossJoin(r)
+      .filter($"ls" <= $"re" && $"rs" <= $"le")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(fast == truth && truth.nonEmpty)
+  }
+
+  test("intervalJoin validates binWidth and column collisions") {
+    import spark.implicits._
+    val l = Seq((1L, 0.0, 1.0)).toDF("lid", "ls", "le")
+    val r = Seq((1L, 0.0, 1.0)).toDF("rid", "rs", "re")
+    assertThrows[IllegalArgumentException](
+      RangeJoin.intervalJoin(l, "ls", "le", r, "rs", "re", 0.0))
+    assertThrows[IllegalArgumentException](
+      RangeJoin.intervalJoin(l, "ls", "le",
+        r.withColumnRenamed("rid", "lid"), "rs", "re", 1.0))
+  }
 }

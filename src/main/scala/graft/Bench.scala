@@ -1711,6 +1711,98 @@ object Bench {
         .join(ranked, col("t") === col("r"))
         .select(col("q"), col("v").as("value"))
     }),
+
+    "q_interval_join" -> ((s, d) => {
+      // the naive formulation: bare overlap predicate, which Spark
+      // plans as a broadcast nested loop — every left row probed
+      // against EVERY right row; the binned wrapper replaces it with
+      // one equi-join at bin grain
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id").cast("long").as("event_id"), col("value"))
+      val left = ev.filter(col("event_id") % 40 === 0)
+        .select(col("event_id").as("lid"), (col("value") * 7).as("ls"),
+          (col("value") * 7 + 5 + (col("event_id") % 11).cast("double")).as("le"))
+      val right = ev.filter(col("event_id") % 40 === 1)
+        .select(col("event_id").as("rid"), (col("value") * 7).as("rs"),
+          (col("value") * 7 + 5 + (col("event_id") % 13).cast("double")).as("re"))
+      left.join(right, col("ls") <= col("re") && col("rs") <= col("le"))
+        .select(col("lid"), col("rid"))
+    }),
+
+    "q_gopher_flags" -> ((s, d) => {
+      // the plan a user writes rule-by-rule: every rule re-tokenizes
+      // the text instead of sharing one token array — measures what
+      // the shared-pass wrapper (and codegen CSE) buys
+      def toks = when(length(trim(col("text"))) === 0,
+        array().cast("array<string>")).otherwise(split(trim(col("text")), "\\s+"))
+      def n = size(toks).cast("double")
+      def safeN = greatest(n, lit(1.0))
+      val lines = filter(split(col("text"), "\n"), l => length(trim(l)) > 0)
+      val nLines = greatest(size(lines).cast("double"), lit(1.0))
+      val wc = n.between(50.0, 100000.0)
+      val ml = n > 0 && (aggregate(toks, lit(0L), (a, t) => a + length(t))
+        .cast("double") / safeN).between(3.0, 10.0)
+      val sym = ((length(col("text")) -
+        length(regexp_replace(col("text"), lit("#"), lit("")))).cast("double") +
+        size(regexp_extract_all(col("text"), lit("\\.\\.\\.|…"), lit(0)))
+          .cast("double")) / safeN <= 0.1
+      val al = n > 0 &&
+        size(filter(toks, t => t.rlike("\\p{L}"))).cast("double") / safeN >= 0.8
+      val bl = size(filter(lines, l => trim(l).rlike("^(•|\\*|-|–)\\s")))
+        .cast("double") / nLines <= 0.9
+      val el = size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / nLines <= 0.3
+      val st = size(array_intersect(array_distinct(toks), array(
+        graft.text.QualityRules.gopherStopwords.map(lit): _*))) >= 1
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        .select(col("doc_id"), wc.as("r_word_count"), ml.as("r_mean_word_len"),
+          sym.as("r_symbol_ratio"), al.as("r_alpha_words"),
+          bl.as("r_bullet_lines"), el.as("r_ellipsis_lines"),
+          st.as("r_stopwords"),
+          (wc && ml && sym && al && bl && el && st).as("gopher_pass"))
+    }),
+
+    "q_bt_scores" -> ((s, d) => {
+      // the naive MM loop: every iteration joins the scores back to
+      // the FULL battle log (battle-grain exchange × iters) — the
+      // wrapper collapses to model-pair grain once and iterates on
+      // the tiny checkpointed frame
+      val k = col("o_orderkey").cast("long")
+      val battles = s.read.parquet(s"$d/orders.parquet")
+        .filter(k % 5 =!= (k % 7) % 5)
+        .select(concat(lit("m"), (k % 5).cast("string")).as("model_a"),
+          concat(lit("m"), ((k % 7) % 5).cast("string")).as("model_b"),
+          when(k % 3 === 0, "a").when(k % 3 === 1, "b").otherwise("tie")
+            .as("winner"))
+      val directed = battles.select(
+          col("model_a").as("model"), col("model_b").as("opp"),
+          when(col("winner") === "a", 1L).otherwise(0L).as("win"))
+        .unionByName(battles.select(
+          col("model_b").as("model"), col("model_a").as("opp"),
+          when(col("winner") === "b", 1L).otherwise(0L).as("win")))
+      val models = directed.groupBy("model")
+        .agg(count(lit(1)).as("n_battles"), sum(col("win")).as("n_wins"))
+      var scores = models.select(col("model"), lit(1.0).as("s"))
+      for (_ <- 1 to 4) {
+        val sOpp = scores.select(col("model").as("opp"), col("s").as("s_opp"))
+        val updated = directed
+          .join(scores, Seq("model")).join(sOpp, Seq("opp"))
+          .groupBy("model")
+          .agg(sum(lit(1.0) / (col("s") + col("s_opp"))).as("denom"))
+          .join(models.select(col("model"), col("n_wins")), Seq("model"))
+          .select(col("model"),
+            (col("n_wins").cast("double") / col("denom")).as("s_raw"))
+        val mean = updated.agg(avg(col("s_raw")).as("m"))
+        scores = updated.crossJoin(broadcast(mean))
+          .select(col("model"), (col("s_raw") / col("m")).as("s"))
+      }
+      models.join(scores, Seq("model"))
+        .select(col("model"), col("n_battles"), col("n_wins"),
+          round(col("s"), 6).as("bt_score"))
+        .orderBy("model")
+    }),
   )
 
   def main(args: Array[String]): Unit = {
@@ -1832,7 +1924,12 @@ object Bench {
         // raw pair is the naive ONE-task global sort, which stays cheap
         // at sf0.1's 600k values while the wrapper pays constant
         // range-exchange machinery — SCALE.md exact_quantile rows
-        "q_exact_quantile")
+        "q_exact_quantile",
+        // raw pair is the bare-predicate BNLJ, still cheap at sf0.1's
+        // 2.5k-interval sides while the binned join pays explode +
+        // exchange machinery — SCALE.md interval_join rows (12-13x
+        // BNLJ blowup at 8x, binned flat)
+        "q_interval_join")
     // Benchmark-design rule (SCALE.md): measured inputs are MATERIALIZED
     // to parquet before timing. Queries whose sf0.1 wall sits in the
     // sub-0.5 s band where the ratio is a lottery (r12 verdict item 6;

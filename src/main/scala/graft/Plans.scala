@@ -126,6 +126,14 @@ object Plans {
       "Materialised-index serve: the code-table scan carries PartitionFilters [cell IN (...)] — only the probed cells' files are read (125x fewer bytes than the raw-vector re-encode path, SCALE.md ann_serve_bytes); scoring is the same broadcast-LUT ADC join + bounded top-k partial agg as q_ivf_pq_topk, with NO vector column anywhere in the serve plan.",
     "q_pipeline_curation" ->
       "Composed curation: domain blocklist + Aho-Corasick keyword blocklist + quality gate all FUSE into one narrow Filter/Project over the scan (three curation stages, zero exchanges between them); the only exchanges are the exact-dedup fingerprint window and the final domain-cardinality aggregate.",
+    "q_interval_join" ->
+      "Binned interval-overlap join: both sides Generate (explode) their covered bins in narrow passes, then ONE equi-join keyed on __bin (hash or broadcast per AQE) with the overlap + first-shared-bin predicate as the join filter — no BroadcastNestedLoopJoin anywhere, which is the entire point vs the bare-predicate plan; each true pair passes the filter in exactly one bin, so no distinct exchange either.",
+    "q_html_extract" ->
+      "HTML extraction front door: title, link density, and the full strip/boilerplate chain are ONE narrow Project over the scan — pure codegen'd regexp_replace/HOF composition, ZERO exchanges, so extraction runs at scan speed and fuses under any downstream curation filter.",
+    "q_gopher_flags" ->
+      "Gopher rule gates: all seven rule booleans + the conjunction evaluate in ONE narrow Project sharing a single tokenize (WholeStageCodegen over the scan, zero exchanges); used as a filter the pass-predicate sits directly on the scan.",
+    "q_bt_scores" ->
+      "Bradley-Terry MM: the battle log collapses to unordered model-pair grain in ONE corpus aggregation (checkpoint-fenced), and every MM iteration is joins over that models^2-row frame only — iteration cost independent of battle count; the naive per-iteration battle-grain exchange is the measured baseline.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -706,12 +706,15 @@ object Scale {
     // (count-prune trap).
     {
       def packInput(k: Int, nShards: Int): String = {
+        // synthetic manifest-grain input: 2.5M·k (doc_id, w, shard)
+        // rows — the sf0.1 documents table is too small for the
+        // one-task-per-shard cost to clear the noise floor
         val path = s"/root/repo/target/scale_pack/x${k}_s$nShards"
         if (!new java.io.File(path).exists())
-          scaledDocs(spark, sfDir, k)
-            .select(col("doc_id").cast("long").as("doc_id"),
-              size(split(trim(col("text")), "\\s+")).cast("long").as("w"))
-            .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+          spark.range(2500000L * k)
+            .select(col("id").as("doc_id"),
+              (lit(50L) + col("id") % 100L).as("w"),
+              pmod(col("id"), lit(nShards.toLong)).as("shard"))
             .repartition(spark.sparkContext.defaultParallelism)
             .write.mode("overwrite").parquet(path)
         path
@@ -721,10 +724,40 @@ object Scale {
           spark.read.parquet(path), "w", 512, Seq("shard"), "doc_id")
           .filter(col("n_tokens") > 0 && col("doc_start") >= 0)
       for (k <- Seq(1, bigK)) {
+        // materialize OUTSIDE the timed thunk (measured-inputs rule)
+        val fixedIn = packInput(k, 4)
+        val propIn = packInput(k, 4 * k)
         timed("pack_windows_fixed_shards", "scale" -> k.toLong,
-          "shards" -> 4L)(() => packed(packInput(k, 4)))
+          "shards" -> 4L)(() => packed(fixedIn))
         timed("pack_windows_prop_shards", "scale" -> k.toLong,
-          "shards" -> (4L * k))(() => packed(packInput(k, 4 * k)))
+          "shards" -> (4L * k))(() => packed(propIn))
+      }
+    }
+
+    // --- interval-overlap join in its own regime (r14): the bench
+    // pair at sf0.1 joins 2.5k x 2.5k intervals, where the
+    // BroadcastNestedLoopJoin's 6M probes are still cheap; here both
+    // sides are 20k·k intervals over a 1M-point domain, so the bare
+    // predicate pays |L|·|R| probes while the binned join touches
+    // only co-binned pairs. Same output, checked by out_rows.
+    {
+      def intervals(n: Long, seed: Long): DataFrame =
+        spark.range(n).select(
+          (col("id") + seed * 100000000L).as("iid"),
+          ((col("id") * 37L + seed * 13L) % 1000000L).cast("double").as("s"),
+          (((col("id") * 37L + seed * 13L) % 1000000L).cast("double")
+            + 50.0 + (col("id") % 50L).cast("double")).as("e"))
+      for (k <- Seq(1, bigK)) {
+        val l = intervals(20000L * k, 1).localCheckpoint(true)
+          .select(col("iid").as("lid"), col("s").as("ls"), col("e").as("le"))
+        val r = intervals(20000L * k, 2).localCheckpoint(true)
+          .select(col("iid").as("rid"), col("s").as("rs"), col("e").as("re"))
+        timed("interval_join_binned", "scale" -> k.toLong)(() =>
+          graft.operators.RangeJoin.intervalJoin(l, "ls", "le", r, "rs", "re", 100.0)
+            .select(col("lid"), col("rid")))
+        timed("interval_join_bnlj", "scale" -> k.toLong)(() =>
+          l.join(r, col("ls") <= col("re") && col("rs") <= col("le"))
+            .select(col("lid"), col("rid")))
       }
     }
 

@@ -66,6 +66,40 @@ object SparkEntry {
         lit("/p/"), col("doc_id")))
   }
 
+  /** Synthetic web-page frame for the HTML-extraction family: each
+    * document's text wrapped in a deterministic page skeleton with a
+    * title (entity-bearing), style/script/comment blocks, a two-link
+    * nav list, and the text as the single prose paragraph — every
+    * stripping path exercised, and the oracle can replay the same
+    * regex chain over the identically-constructed string. */
+  private def htmlDocs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("html", concat(
+        lit("<html><head><title>Doc &amp; "), id,
+        lit("</title><style>p { color: red }</style>"),
+        lit("<script>var x = \"<p>hi</p>\";</script></head><body>"),
+        lit("<!-- nav --><h1>Header "), id, lit("</h1><ul>"),
+        lit("<li><a href=\"/home\">Home</a></li>"),
+        lit("<li><a href=\"/p/"), id, lit("\">Next page "), id,
+        lit("</a></li></ul><p>"), col("text"), lit(" end.</p></body></html>")))
+  }
+
+  /** Synthetic model-battle frame for the preference-ranking family:
+    * five models, pairings and outcomes keyed off o_orderkey so both
+    * engines derive the identical battle log (ties included). */
+  private def btBattles(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey").cast("long")
+    t(s, d, "orders")
+      .filter(k % 5 =!= (k % 7) % 5)
+      .select(
+        concat(lit("m"), (k % 5).cast("string")).as("model_a"),
+        concat(lit("m"), ((k % 7) % 5).cast("string")).as("model_b"),
+        when(k % 3 === 0, "a").when(k % 3 === 1, "b").otherwise("tie")
+          .as("winner"))
+  }
+
   /** BPE-trainer fixture: each doc repeats ONE of four {a,b}-alphabet
     * word forms (aaaa/aaab/abab/bbb by id mod 4) 3 + id%5 times. The
     * near-uniform class weights pin the frequency-weighted pair-count
@@ -2962,6 +2996,133 @@ object SparkEntry {
         .select(col("l_orderkey").cast("long").as("l_orderkey"),
           col("l_extendedprice"), col("l_quantity"))
     }),
+
+    // ------------------------------------------ HTML extraction (r14)
+    "q_html_strip" -> ((s, d) =>
+      htmlDocs(s, d).select(col("doc_id"),
+        graft.text.Html.stripHtml(col("html")).as("stripped"))),
+
+    "q_html_extract" -> ((s, d) =>
+      graft.text.Html.extract(htmlDocs(s, d), "html")
+        .select(col("doc_id"), col("title"), col("link_density"),
+          col("text_extracted"))),
+
+    // --------------------------------------- Gopher quality gates (r14)
+    "q_gopher_flags" -> ((s, d) =>
+      graft.text.QualityRules.gopherFlags(
+        t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "text", minStopwords = 1)
+        .select(col("doc_id"), col("r_word_count"), col("r_mean_word_len"),
+          col("r_symbol_ratio"), col("r_alpha_words"), col("r_bullet_lines"),
+          col("r_ellipsis_lines"), col("r_stopwords"), col("gopher_pass"))),
+
+    "q_gopher_report" -> ((s, d) =>
+      graft.text.QualityRules.gopherReport(
+        t(s, d, "documents").select(col("text")), "text", minStopwords = 1)),
+
+    // ------------------------------- k-anonymity / l-diversity (r14)
+    "q_k_anonymity" -> ((s, d) =>
+      core.Privacy.kAnonymityReport(
+        t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), minK = 12)),
+
+    "q_k_suppress" -> ((s, d) =>
+      core.Privacy.suppressSmallClasses(
+        t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), minK = 12)
+        .select(col("c_custkey").cast("long").as("c_custkey"))),
+
+    "q_l_diversity" -> ((s, d) =>
+      core.Privacy.lDiversityViolations(
+        t(s, d, "supplier"), Seq("s_nationkey"), "s_acctbal", minL = 2)
+        .select(col("s_suppkey").cast("long").as("s_suppkey"))),
+
+    // -------------------------------------- filter calibration (r14)
+    "q_calibration_bins" -> ((s, d) =>
+      core.Calibration.reliabilityBins(
+        t(s, d, "orders").select(
+          ((col("o_orderkey") % 97).cast("double") / 96.0).as("score"),
+          (col("o_orderkey") % 3 === 0).cast("int").as("label")),
+        "score", "label", nBins = 10)),
+
+    "q_ece" -> ((s, d) =>
+      core.Calibration.expectedCalibrationError(
+        t(s, d, "orders").select(
+          ((col("o_orderkey") % 97).cast("double") / 96.0).as("score"),
+          (col("o_orderkey") % 3 === 0).cast("int").as("label")),
+        "score", "label", nBins = 10)),
+
+    // ------------------- annotator agreement + model ranking (r14)
+    "q_cohen_kappa" -> ((s, d) =>
+      core.Preferences.cohenKappa(
+        t(s, d, "documents").select(
+          concat(lit("l"), (col("doc_id") % 3).cast("string")).as("a"),
+          concat(lit("l"), (when(col("doc_id") % 5 === 0, (col("doc_id") + 1) % 3)
+            .otherwise(col("doc_id") % 3)).cast("string")).as("b")),
+        "a", "b")),
+
+    "q_win_rates" -> ((s, d) =>
+      core.Preferences.winRates(btBattles(s, d), "model_a", "model_b", "winner")
+        .orderBy("model")),
+
+    "q_bt_scores" -> ((s, d) =>
+      core.Preferences.bradleyTerryScores(
+        btBattles(s, d), "model_a", "model_b", "winner", iters = 4)
+        .orderBy("model")),
+
+    // ------------------------------------- interval-overlap join (r14)
+    "q_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id").cast("long").as("event_id"), col("value"))
+      val left = ev.filter(col("event_id") % 40 === 0)
+        .select(col("event_id").as("lid"), (col("value") * 7).as("ls"),
+          (col("value") * 7 + 5 + (col("event_id") % 11).cast("double")).as("le"))
+      val right = ev.filter(col("event_id") % 40 === 1)
+        .select(col("event_id").as("rid"), (col("value") * 7).as("rs"),
+          (col("value") * 7 + 5 + (col("event_id") % 13).cast("double")).as("re"))
+      operators.RangeJoin.intervalJoin(left, "ls", "le", right, "rs", "re",
+        binWidth = 10.0)
+        .select(col("lid"), col("rid"))
+    }),
+
+    // ------------------------- composed web-curation pipeline (r14)
+    "q_pipeline_web" -> ((s, d) => {
+      // the r14 crawl front door end to end: HTML extraction (strip +
+      // title + link-density + boilerplate lines) → link-farm filter →
+      // Gopher rule gate over the EXTRACTED text → per-doc token
+      // budget. Every stage is a narrow codegen pass; the oracle
+      // replays the full chain in SQL.
+      val ex = graft.text.Html.extract(htmlDocs(s, d), "html")
+        .filter(col("link_density") <= 0.5)
+      graft.text.QualityRules.gopherFlags(ex, "text_extracted",
+        minStopwords = 1)
+        .where(col("gopher_pass"))
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text_extracted")).cast("long")
+            .as("n_tok"))
+    }),
+
+    // -------------------------------------- feature scaling (r14)
+    "q_minmax_scale" -> ((s, d) =>
+      core.Stats.minMaxScale(
+        t(s, d, "lineitem").select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice")),
+
+    "q_robust_scale" -> ((s, d) =>
+      core.Stats.robustScale(
+        t(s, d, "lineitem").select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice")),
+
+    // --------------------------------- tokenizer vocab coverage (r14)
+    "q_vocab_coverage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val vocab = graft.text.Subword.buildWordVocab(docs, "text", maxWords = 20)
+      graft.text.Subword.vocabCoverage(docs, "doc_id", "text", vocab)
+    }),
   )
 
   // =================================================================
@@ -5436,5 +5597,352 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_extendedprice >= 20000 AND l_extendedprice < 40000
         |  AND l_quantity >= 10 AND l_quantity < 20""".stripMargin,
+
+    // ---------------------------------------------- HTML extraction
+    // The oracle replays Html.stripHtml's exact regex chain (RE2-safe
+    // by construction) over the identically-constructed page string.
+    "q_html_strip" ->
+      (htmlOracleCtes +
+        "\nSELECT doc_id, stripped FROM s"),
+
+    "q_html_extract" ->
+      (htmlOracleCtes + """,
+        |x AS (SELECT h.doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_extract(h.html, '(?si)<title[^>]*>(.*?)</title>', 1),
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS title,
+        |  round(least((14.0 + len(CAST(h.doc_id AS VARCHAR))) /
+        |    CAST(len(s.stripped) AS DOUBLE), CAST(1 AS DOUBLE)), 6)
+        |    AS link_density,
+        |  array_to_string(list_filter(string_split(s.stripped, chr(10)),
+        |    l -> (len(string_split(trim(l), ' ')) >= 5
+        |          OR regexp_matches(trim(l), '[.!?:"]$'))
+        |         AND len(trim(l)) > 0), chr(10)) AS text_extracted
+        |  FROM h JOIN s USING (doc_id))
+        |SELECT doc_id, title, link_density, text_extracted FROM x""".stripMargin),
+
+    // ------------------------------------------- Gopher quality gates
+    "q_gopher_flags" ->
+      (gopherFlagsCtes +
+        """
+        |SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+        |  r_alpha_words, r_bullet_lines, r_ellipsis_lines, r_stopwords,
+        |  (r_word_count AND r_mean_word_len AND r_symbol_ratio AND
+        |   r_alpha_words AND r_bullet_lines AND r_ellipsis_lines AND
+        |   r_stopwords) AS gopher_pass
+        |FROM f""".stripMargin),
+
+    "q_gopher_report" ->
+      (gopherFlagsCtes +
+        """
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+        |  CAST(sum(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+        |  CAST(sum(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+        |  CAST(sum(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_words,
+        |  CAST(sum(CASE WHEN NOT r_bullet_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet_lines,
+        |  CAST(sum(CASE WHEN NOT r_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis_lines,
+        |  CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+        |  round(avg(CASE WHEN (r_word_count AND r_mean_word_len AND
+        |    r_symbol_ratio AND r_alpha_words AND r_bullet_lines AND
+        |    r_ellipsis_lines AND r_stopwords)
+        |    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS pass_rate
+        |FROM f""".stripMargin),
+
+    // ------------------------------------ k-anonymity / l-diversity
+    "q_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS k
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(min(k) AS BIGINT) AS dataset_k,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN k < 12 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
+        |  CAST(sum(CASE WHEN k < 12 THEN k ELSE 0 END) AS BIGINT) AS violating_rows,
+        |  round(CAST(sum(CASE WHEN k < 12 THEN k ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(k) AS DOUBLE), 6) AS suppression_frac
+        |FROM cls""".stripMargin,
+
+    "q_k_suppress" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM (
+        |  SELECT c_custkey,
+        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS k
+        |  FROM customer)
+        |WHERE k >= 12""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey FROM supplier
+        |WHERE s_nationkey IN (
+        |  SELECT s_nationkey FROM (
+        |    SELECT s_nationkey, count(DISTINCT s_acctbal) AS l
+        |    FROM supplier GROUP BY 1)
+        |  WHERE l < 2)""".stripMargin,
+
+    // ------------------------------------------- filter calibration
+    "q_calibration_bins" ->
+      (calibrationBinsCtes +
+        "\nSELECT bin, n, mean_score, frac_positive FROM bins ORDER BY bin"),
+
+    "q_ece" ->
+      (calibrationBinsCtes + """
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  round(sum(CAST(n AS DOUBLE) * abs(mean_score - frac_positive)) /
+        |    sum(CAST(n AS DOUBLE)), 6) AS ece,
+        |  round(max(abs(mean_score - frac_positive)), 6) AS max_bin_gap
+        |FROM bins""".stripMargin),
+
+    // --------------------- annotator agreement + model ranking
+    "q_cohen_kappa" ->
+      """WITH r AS (SELECT
+        |  'l' || CAST(doc_id % 3 AS VARCHAR) AS a,
+        |  'l' || CAST(CASE WHEN doc_id % 5 = 0 THEN (doc_id + 1) % 3
+        |    ELSE doc_id % 3 END AS VARCHAR) AS b
+        |  FROM documents),
+        |cells AS (SELECT a, b, count(*) AS n FROM r GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+        |  CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree
+        |  FROM cells),
+        |pe AS (SELECT CAST(sum(na * nb) AS BIGINT) AS pe_num FROM
+        |  (SELECT a AS lbl, sum(n) AS na FROM cells GROUP BY 1) x JOIN
+        |  (SELECT b AS lbl, sum(n) AS nb FROM cells GROUP BY 1) y USING (lbl))
+        |SELECT n_items,
+        |  round(CAST(agree AS DOUBLE) / n_items, 6) AS observed_agreement,
+        |  round(CAST(pe_num AS DOUBLE) / (n_items * n_items), 6) AS expected_agreement,
+        |  round(CASE WHEN CAST(pe_num AS DOUBLE) = CAST(n_items * n_items AS DOUBLE)
+        |    THEN CAST(0 AS DOUBLE)
+        |    ELSE (CAST(agree AS DOUBLE) / n_items -
+        |          CAST(pe_num AS DOUBLE) / (n_items * n_items)) /
+        |         (CAST(1 AS DOUBLE) -
+        |          CAST(pe_num AS DOUBLE) / (n_items * n_items)) END, 6) AS kappa
+        |FROM tot CROSS JOIN pe""".stripMargin,
+
+    "q_win_rates" ->
+      (btBattlesCte + """,
+        |e AS (SELECT ma AS model, CASE WHEN w = 'a' THEN 1 ELSE 0 END AS won FROM b
+        |  UNION ALL
+        |  SELECT mb, CASE WHEN w = 'b' THEN 1 ELSE 0 END FROM b)
+        |SELECT model, CAST(count(*) AS BIGINT) AS n_battles,
+        |  CAST(sum(won) AS BIGINT) AS n_wins,
+        |  round(CAST(sum(won) AS DOUBLE) / count(*), 6) AS win_rate
+        |FROM e GROUP BY 1 ORDER BY model""".stripMargin),
+
+    "q_bt_scores" ->
+      (btBattlesCte + """,
+        |pair AS (SELECT least(ma, mb) AS lo, greatest(ma, mb) AS hi,
+        |  count(*) AS games,
+        |  sum(CASE WHEN (w = 'a' AND ma = least(ma, mb))
+        |        OR (w = 'b' AND mb = least(ma, mb)) THEN 1 ELSE 0 END) AS wins_lo,
+        |  sum(CASE WHEN w IN ('a', 'b') THEN 1 ELSE 0 END) AS wins_any
+        |  FROM b GROUP BY 1, 2),
+        |directed AS (
+        |  SELECT lo AS model, hi AS opp, games, wins_lo AS wins FROM pair
+        |  UNION ALL
+        |  SELECT hi, lo, games, wins_any - wins_lo FROM pair),
+        |models AS (SELECT model, CAST(sum(games) AS BIGINT) AS n_battles,
+        |  CAST(sum(wins) AS BIGINT) AS n_wins FROM directed GROUP BY 1),
+        |s0 AS (SELECT model, CAST(1 AS DOUBLE) AS s FROM models),
+        |u1 AS (SELECT d.model, CAST(m.n_wins AS DOUBLE) /
+        |    sum(CAST(d.games AS DOUBLE) / (sa.s + sb.s)) AS s_raw
+        |  FROM directed d JOIN s0 sa ON sa.model = d.model
+        |    JOIN s0 sb ON sb.model = d.opp JOIN models m ON m.model = d.model
+        |  GROUP BY d.model, m.n_wins),
+        |s1 AS (SELECT model, s_raw / (SELECT avg(s_raw) FROM u1) AS s FROM u1),
+        |u2 AS (SELECT d.model, CAST(m.n_wins AS DOUBLE) /
+        |    sum(CAST(d.games AS DOUBLE) / (sa.s + sb.s)) AS s_raw
+        |  FROM directed d JOIN s1 sa ON sa.model = d.model
+        |    JOIN s1 sb ON sb.model = d.opp JOIN models m ON m.model = d.model
+        |  GROUP BY d.model, m.n_wins),
+        |s2 AS (SELECT model, s_raw / (SELECT avg(s_raw) FROM u2) AS s FROM u2),
+        |u3 AS (SELECT d.model, CAST(m.n_wins AS DOUBLE) /
+        |    sum(CAST(d.games AS DOUBLE) / (sa.s + sb.s)) AS s_raw
+        |  FROM directed d JOIN s2 sa ON sa.model = d.model
+        |    JOIN s2 sb ON sb.model = d.opp JOIN models m ON m.model = d.model
+        |  GROUP BY d.model, m.n_wins),
+        |s3 AS (SELECT model, s_raw / (SELECT avg(s_raw) FROM u3) AS s FROM u3),
+        |u4 AS (SELECT d.model, CAST(m.n_wins AS DOUBLE) /
+        |    sum(CAST(d.games AS DOUBLE) / (sa.s + sb.s)) AS s_raw
+        |  FROM directed d JOIN s3 sa ON sa.model = d.model
+        |    JOIN s3 sb ON sb.model = d.opp JOIN models m ON m.model = d.model
+        |  GROUP BY d.model, m.n_wins),
+        |s4 AS (SELECT model, s_raw / (SELECT avg(s_raw) FROM u4) AS s FROM u4)
+        |SELECT m.model, m.n_battles, m.n_wins, round(s4.s, 6) AS bt_score
+        |FROM models m JOIN s4 USING (model) ORDER BY m.model""".stripMargin),
+
+    // ------------------------------------------ interval-overlap join
+    "q_interval_join" ->
+      """WITH ev AS (SELECT CAST(event_id AS BIGINT) AS id, value FROM events),
+        |l AS (SELECT id AS lid, value * 7 AS ls,
+        |  value * 7 + 5 + CAST(id % 11 AS DOUBLE) AS le FROM ev WHERE id % 40 = 0),
+        |r AS (SELECT id AS rid, value * 7 AS rs,
+        |  value * 7 + 5 + CAST(id % 13 AS DOUBLE) AS re FROM ev WHERE id % 40 = 1)
+        |SELECT lid, rid FROM l JOIN r ON ls <= re AND rs <= le""".stripMargin,
+
+    // ---------------------------------- composed web-curation pipeline
+    "q_pipeline_web" ->
+      (htmlOracleCtes + """,
+        |ex AS (SELECT s.doc_id,
+        |  array_to_string(list_filter(string_split(s.stripped, chr(10)),
+        |    l -> (len(string_split(trim(l), ' ')) >= 5
+        |          OR regexp_matches(trim(l), '[.!?:"]$'))
+        |         AND len(trim(l)) > 0), chr(10)) AS text,
+        |  round(least((14.0 + len(CAST(h.doc_id AS VARCHAR))) /
+        |    CAST(len(s.stripped) AS DOUBLE), CAST(1 AS DOUBLE)), 6) AS ld
+        |  FROM h JOIN s USING (doc_id)),
+        |t0 AS (SELECT doc_id, coalesce(text, '') AS text FROM ex
+        |  WHERE ld <= 0.5),
+        |""".stripMargin + gopherRuleCtes + """
+        |SELECT f.doc_id, CAST(len(tok.toks) AS BIGINT) AS n_tok
+        |FROM f JOIN tok USING (doc_id)
+        |WHERE r_word_count AND r_mean_word_len AND r_symbol_ratio AND
+        |  r_alpha_words AND r_bullet_lines AND r_ellipsis_lines AND
+        |  r_stopwords""".stripMargin),
+
+    // ---------------------------------------------- feature scaling
+    "q_minmax_scale" ->
+      """WITH b AS (SELECT l_returnflag, min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx FROM lineitem GROUP BY 1)
+        |SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        |  l.l_returnflag, l.l_extendedprice,
+        |  CASE WHEN mx = mn THEN CAST(0 AS DOUBLE)
+        |    ELSE round((l.l_extendedprice - mn) / (mx - mn), 6) END
+        |    AS l_extendedprice_scaled
+        |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS q1,
+        |  quantile_cont(l_extendedprice, 0.5) AS med,
+        |  quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        |  l.l_returnflag, l.l_extendedprice,
+        |  CASE WHEN q3 = q1 THEN CAST(0 AS DOUBLE)
+        |    ELSE round((l.l_extendedprice - med) / (q3 - q1), 6) END
+        |    AS l_extendedprice_robust
+        |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
+
+    // ------------------------------------- tokenizer vocab coverage
+    "q_vocab_coverage" ->
+      """WITH v AS (SELECT piece FROM (
+        |  SELECT piece, count(*) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(
+        |      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS piece
+        |    FROM documents WHERE len(trim(text)) > 0)
+        |  GROUP BY 1 ORDER BY c DESC, piece LIMIT 20)),
+        |tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  unnest(regexp_split_to_array(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |agg AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN v.piece IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in
+        |  FROM tk LEFT JOIN v ON v.piece = tk.w GROUP BY 1)
+        |SELECT d.doc_id, coalesce(agg.n_tok, 0) AS n_tok,
+        |  coalesce(agg.n_in, 0) AS n_in_vocab,
+        |  CASE WHEN coalesce(agg.n_tok, 0) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE round(CAST(1 AS DOUBLE) -
+        |      CAST(agg.n_in AS DOUBLE) / agg.n_tok, 6) END AS oov_rate
+        |FROM (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id)""".stripMargin,
   )
+
+  // Shared CTE fragments for the r14 oracle families (kept as vals so
+  // sibling queries stay textually in sync with each other).
+
+  /** h = the htmlDocs page string rebuilt in SQL; s = Html.stripHtml's
+    * regex chain replayed over it (same patterns, same order, same
+    * entity sequence — amp decoded LAST). */
+  private val htmlOracleCtes: String =
+    """WITH h AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  '<html><head><title>Doc &amp; ' || CAST(doc_id AS VARCHAR) ||
+      |  '</title><style>p { color: red }</style>' ||
+      |  '<script>var x = "<p>hi</p>";</script></head><body>' ||
+      |  '<!-- nav --><h1>Header ' || CAST(doc_id AS VARCHAR) || '</h1><ul>' ||
+      |  '<li><a href="/home">Home</a></li>' ||
+      |  '<li><a href="/p/' || CAST(doc_id AS VARCHAR) || '">Next page ' ||
+      |  CAST(doc_id AS VARCHAR) || '</a></li></ul><p>' || text ||
+      |  ' end.</p></body></html>' AS html
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(regexp_replace(regexp_replace(html,
+      |        '(?si)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->', '', 'g'),
+      |        '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol|/table|/blockquote|/title|/head)[^>]*>', chr(10), 'g'),
+      |        '(?s)<[^>]*>', ' ', 'g'),
+      |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', chr(39)), '&amp;', '&'),
+      |    '[^\S\n]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n+', chr(10), 'g'),
+      |  ' ' || chr(10) || chr(9) || chr(13)) AS stripped
+      |  FROM h)""".stripMargin
+
+  /** tok + f = QualityRules.gopherFlags' rule arithmetic (minWords=50,
+    * maxWords=100000, minStopwords=1) over whatever prior CTE named
+    * `t0` provides as (doc_id, text) — q_gopher_flags/report feed it
+    * documents.text, q_pipeline_web feeds it the HTML-extracted text. */
+  private val gopherRuleCtes: String =
+    """tok AS (SELECT doc_id, text,
+      |  CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(trim(text), '\s+') END AS toks,
+      |  list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines
+      |  FROM t0),
+      |f AS (SELECT doc_id,
+      |  CAST(len(toks) AS DOUBLE) BETWEEN 50 AND 100000 AS r_word_count,
+      |  len(toks) > 0 AND
+      |    coalesce(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE), 0)
+      |      / greatest(CAST(len(toks) AS DOUBLE), CAST(1 AS DOUBLE))
+      |      BETWEEN 3 AND 10 AS r_mean_word_len,
+      |  (CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) +
+      |   CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE))
+      |    / greatest(CAST(len(toks) AS DOUBLE), CAST(1 AS DOUBLE)) <= 0.1
+      |    AS r_symbol_ratio,
+      |  len(toks) > 0 AND
+      |    CAST(len(list_filter(toks, t -> regexp_matches(t, '\p{L}'))) AS DOUBLE)
+      |      / greatest(CAST(len(toks) AS DOUBLE), CAST(1 AS DOUBLE)) >= 0.8
+      |    AS r_alpha_words,
+      |  CAST(len(list_filter(lines, l ->
+      |      regexp_matches(trim(l), '^(•|\*|-|–)\s'))) AS DOUBLE)
+      |    / greatest(CAST(len(lines) AS DOUBLE), CAST(1 AS DOUBLE)) <= 0.9
+      |    AS r_bullet_lines,
+      |  CAST(len(list_filter(lines, l ->
+      |      regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+      |    / greatest(CAST(len(lines) AS DOUBLE), CAST(1 AS DOUBLE)) <= 0.3
+      |    AS r_ellipsis_lines,
+      |  len(list_intersect(list_distinct(toks),
+      |    ['the','be','to','of','and','that','have','with'])) >= 1 AS r_stopwords
+      |  FROM tok)""".stripMargin
+
+  private val gopherFlagsCtes: String =
+    """WITH t0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  coalesce(text, '') AS text FROM documents),
+      |""".stripMargin + gopherRuleCtes
+
+  /** p + bins = Calibration.reliabilityBins over the o_orderkey-derived
+    * (score, label) frame, nBins=10, 1.0 clamped into the top bin. */
+  private val calibrationBinsCtes: String =
+    """WITH p AS (SELECT
+      |  least(greatest(CAST(o_orderkey % 97 AS DOUBLE) / CAST(96.0 AS DOUBLE),
+      |    CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) AS score,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS label
+      |  FROM orders),
+      |bins AS (SELECT
+      |  least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(score), 6) AS mean_score,
+      |  round(avg(CAST(label AS DOUBLE)), 6) AS frac_positive
+      |  FROM p GROUP BY 1)""".stripMargin
+
+  /** b = the btBattles fixture in SQL (five models keyed off
+    * o_orderkey, self-pairings excluded, ties kept). */
+  private val btBattlesCte: String =
+    """WITH b AS (SELECT
+      |  'm' || CAST(o_orderkey % 5 AS VARCHAR) AS ma,
+      |  'm' || CAST((o_orderkey % 7) % 5 AS VARCHAR) AS mb,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN 'a'
+      |       WHEN o_orderkey % 3 = 1 THEN 'b' ELSE 'tie' END AS w
+      |  FROM orders
+      |  WHERE (o_orderkey % 5) <> ((o_orderkey % 7) % 5))""".stripMargin
 }

@@ -138,4 +138,53 @@ object Stats {
         .withColumn(out, bucketOf.cast("int")).drop("__graft_bounds")
     }
   }
+
+  /** Min-max scale `valueCol` into [0, 1] per group (new column
+    * `<valueCol>_scaled`, 6 dp): (v − min) / (max − min); a
+    * constant group (max = min) scales to 0.0 — the join-safe
+    * convention. Same shape as [[winsorize]]: one grouped aggregate
+    * to group cardinality, broadcast-friendly join back, narrow
+    * projection — never a window over the corpus. */
+  def minMaxScale(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(min(v).as("__graft_mn"), max(v).as("__graft_mx"))
+    df.join(bounds, groupCols)
+      .withColumn(s"${valueCol}_scaled",
+        when(col("__graft_mx") === col("__graft_mn"), 0.0)
+          .otherwise(round((v - col("__graft_mn")) /
+            (col("__graft_mx") - col("__graft_mn")), 6)))
+      .drop("__graft_mn", "__graft_mx")
+  }
+
+  /** Robust scale `valueCol` per group (new column
+    * `<valueCol>_robust`, 6 dp): (v − median) / IQR with exact
+    * interpolated quartiles; zero-IQR groups scale to 0.0. The
+    * outlier-insensitive standardisation quality-signal columns
+    * need before feeding sampling weights (a single spam doc moves
+    * a mean/stddev z-score; it barely moves median/IQR). Same
+    * aggregate-join-project shape as [[winsorize]]; swap
+    * `exact = false` for the sketch path on groups that don't fit. */
+  def robustScale(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def pct(p: Double) =
+      if (exact) percentile(v, lit(p)) else percentile_approx(v, lit(p), lit(accuracy))
+    val qs = df.groupBy(groupCols.map(col): _*)
+      .agg(pct(0.25).as("__graft_q1"), pct(0.5).as("__graft_med"),
+        pct(0.75).as("__graft_q3"))
+    df.join(qs, groupCols)
+      .withColumn(s"${valueCol}_robust",
+        when(col("__graft_q3") === col("__graft_q1"), 0.0)
+          .otherwise(round((v - col("__graft_med")) /
+            (col("__graft_q3") - col("__graft_q1")), 6)))
+      .drop("__graft_q1", "__graft_med", "__graft_q3")
+  }
 }

@@ -156,6 +156,42 @@ object Subword {
       unk: String = "[UNK]"): Column =
     ColumnBridge(SubwordCountExpr(ColumnBridge.expression(text), vocab, unk))
 
+  /** Per-document vocabulary coverage against a trained word vocab —
+    * the corpus-QA number a tokenizer review asks for before a
+    * training run ("what fraction of tokens will hit [UNK]?"). Adds
+    * `n_tok`, `n_in_vocab`, `oov_rate` (6 dp; empty docs → 0.0).
+    *
+    * Scale shape: the vocab side is an ARTIFACT (vocabulary-sized by
+    * Zipf, bounded LOUDLY by `maxVocab`) collected once as xxhash64
+    * keys; the corpus pass is ONE narrow codegen'd projection —
+    * tokens hash inside a HOF, membership settles by binary search in
+    * the sorted key set riding the task binary (the
+    * decontaminateStream kernel) — no explode, no join, no shuffle. */
+  def vocabCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      pieceCol: String = "piece",
+      maxVocab: Int = 4000000): DataFrame = {
+    val keys = vocab.select(xxhash64(col(pieceCol)).as("h"))
+      .limit(maxVocab + 1).collect().map(_.getLong(0))
+    require(keys.length <= maxVocab,
+      s"vocabCoverage: vocab exceeds maxVocab=$maxVocab rows — a word " +
+        "vocabulary is an artifact, not a corpus; raise the bound only " +
+        "with driver memory to match")
+    val toks = normTokens(col(textCol))
+    val hashes = transform(toks, t => xxhash64(t))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tok"),
+        graft.functions.BloomFunctions.sortedSetCount(hashes, keys)
+          .cast("long").as("n_in_vocab"))
+      .withColumn("oov_rate",
+        when(col("n_tok") === 0, 0.0)
+          .otherwise(round(lit(1.0) -
+            col("n_in_vocab").cast("double") / col("n_tok"), 6)))
+  }
+
   /** Persist a trained BPE merge list as `(rank, left_sym, right_sym)`
     * parquet — the tokenizer artifact: train ONCE
     * ([[trainBpeMerges]]), serve forever across sessions/jobs (the

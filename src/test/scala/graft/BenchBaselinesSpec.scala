@@ -37,7 +37,8 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_drift_cat", "q_pushdown_read", "q_quantize", "q_pq_topk",
     "q_det_sample", "q_expectations",
     "q_entropy", "q_conv_profile", "q_semantic_decontaminate",
-    "q_exact_quantile")
+    "q_exact_quantile",
+    "q_interval_join", "q_gopher_flags", "q_bt_scores")
 
   // q_asof_join reads the events table, which needs the nanos-timestamp
   // session config like q_stream_exec — checked here with the config set

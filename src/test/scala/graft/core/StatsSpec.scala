@@ -25,4 +25,25 @@ class StatsSpec extends SparkTestBase {
     assert(flagged.toSeq == Seq(10000.0))
     assert(out.filter("g = 'b'").select("z").as[Double].collect().forall(_ == 0.0))
   }
+
+  test("minMaxScale: [0,1] per group; constant group -> 0.0") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0),
+      ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val got = Stats.minMaxScale(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 10.0, 0.0), ("a", 20.0, 0.5), ("a", 30.0, 1.0),
+      ("b", 7.0, 0.0)))
+  }
+
+  test("robustScale: (v - median)/IQR per group; zero IQR -> 0.0") {
+    // group a: 1..5 -> median 3, q1 2, q3 4, IQR 2
+    val df = ((1 to 5).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 9.0), ("b", 9.0))).toDF("g", "v")
+    val byV = Stats.robustScale(df, Seq("g"), "v")
+      .filter($"g" === "a").collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(byV == Map(1.0 -> -1.0, 2.0 -> -0.5, 3.0 -> 0.0, 4.0 -> 0.5, 5.0 -> 1.0))
+    assert(Stats.robustScale(df, Seq("g"), "v").filter($"g" === "b")
+      .collect().forall(_.getDouble(2) == 0.0))
+  }
 }

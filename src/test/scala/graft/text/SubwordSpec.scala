@@ -219,6 +219,21 @@ class SubwordSpec extends SparkTestBase {
     assert(e.getMessage.contains("contiguous"))
   }
 
+  test("vocabCoverage: exact per-doc OOV accounting + the vocab bound") {
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "aa aa"), (3L, "zz yy"),
+      (4L, "")).toDF("doc_id", "text")
+    val vocab = Seq("aa", "bb").toDF("piece")
+    val got = Subword.vocabCoverage(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 3L, 0.25)))
+    assert(got(2L) == ((2L, 2L, 0.0)))
+    assert(got(3L) == ((2L, 0L, 1.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    assertThrows[IllegalArgumentException](
+      Subword.vocabCoverage(docs, "doc_id", "text", vocab, maxVocab = 1))
+  }
+
   test("matcher rejects degenerate vocabularies") {
     intercept[IllegalArgumentException](new SubwordMatcher(Array.empty, "[UNK]"))
     intercept[IllegalArgumentException](new SubwordMatcher(Array("a", "##"), "[UNK]"))

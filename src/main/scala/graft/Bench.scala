@@ -1829,6 +1829,19 @@ object Bench {
       benchLog.append(msg).append('\n')
     }
 
+    // Execute the PHYSICAL plan and count its output rows —
+    // `df.count()` wraps the frame in a new logical Aggregate that
+    // Catalyst optimizes, and for a global-aggregate-shaped frame (or a
+    // union of them) it short-circuits to the statically-known row
+    // count WITHOUT running the aggregation (the count-prune trap,
+    // bitten a 4th time in r14: q_corr_matrix's raw 6-agg union
+    // "measured" 0.32 s while doing literally no work, flagging the
+    // real single-pass wrapper at 2.9x). toRdd runs the already-planned
+    // physical tree verbatim: every operator executes, nothing is
+    // rewritten, and both ratio sides pay their true cost.
+    def forceCount(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
     def time(fn: => Long): Double = {
       // isolate queries: drop cached relations and nudge the context
       // cleaner so earlier queries' shuffle files don't inflate later
@@ -1862,7 +1875,7 @@ object Bench {
       def once: (Double, Long) = {
         var r = -1L
         val secs = time {
-          try { r = fn(spark, sfDir).count(); r }
+          try { r = forceCount(fn(spark, sfDir)); r }
           catch { case e: Throwable =>
             note(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
         }
@@ -1975,7 +1988,7 @@ object Bench {
         def wrappedOnce: (Double, Boolean) = {
           var ok = true
           val secs = time(
-            try SparkEntry.queries(name)(spark, pairDir).count()
+            try forceCount(SparkEntry.queries(name)(spark, pairDir))
             catch { case e: Throwable =>
               ok = false
               note(s"[bench] baseline $name wrapped FAILED: ${e.getMessage}")
@@ -1985,7 +1998,7 @@ object Bench {
         def rawOnce: (Double, Boolean) = {
           var ok = true
           val secs = time(
-            try fn(spark, pairDir).count()
+            try forceCount(fn(spark, pairDir))
             catch { case e: Throwable =>
               ok = false
               note(s"[bench] baseline $name raw FAILED: ${e.getMessage}")

@@ -3116,6 +3116,41 @@ object SparkEntry {
           col("l_returnflag"), col("l_extendedprice")),
         Seq("l_returnflag"), "l_extendedprice")),
 
+    // ------------------------------ keyed pseudonymization (r14)
+    "q_pseudonymize" -> ((s, d) =>
+      core.Privacy.pseudonymize(
+        t(s, d, "customer").select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"), col("c_mktsegment")),
+        Seq("c_name", "c_mktsegment"), secret = "k14")),
+
+    // --------------------------- sentence-aligned chunking (r14)
+    "q_sentence_chunks" -> ((s, d) => {
+      // documents text is punctuation-free, so the fixture plants a
+      // '.' after every 7th token (mirrored in SQL via the indexed
+      // list lambda) before sentence-boundary chunking at 16 tokens
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val sent = docs.withColumn("stext", concat_ws(" ",
+        transform(TextFunctions.tokens(col("text")),
+          (tk, i) => when((i + lit(1)) % 7 === 0, concat(tk, lit(".")))
+            .otherwise(tk))))
+      graft.text.Chunker.chunkBySentences(sent, "doc_id", "stext",
+        maxTokens = 16)
+        .select(col("doc_id"), col("chunk_id"), col("n_sentences"),
+          col("n_tokens"), col("chunk_text"))
+    }),
+
+    // ------------------------------ JL random projection (r14)
+    "q_random_project" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      graft.similarity.Projection.randomProject(emb, "embedding", "p",
+        inDim = 64, outDim = 16, seed = "jl14")
+        .select(col("vec_id"), posexplode(col("p")).as(Seq("j", "pv0")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          round(col("pv0"), 6).as("pv"))
+    }),
+
     // --------------------------------- tokenizer vocab coverage (r14)
     "q_vocab_coverage" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -5823,6 +5858,60 @@ object SparkEntry {
         |    ELSE round((l.l_extendedprice - med) / (q3 - q1), 6) END
         |    AS l_extendedprice_robust
         |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
+
+    // ---------------------------------------- keyed pseudonymization
+    "q_pseudonymize" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |  sha256('k14:' || c_name) AS c_name,
+        |  sha256('k14:' || c_mktsegment) AS c_mktsegment
+        |FROM customer""".stripMargin,
+
+    // ------------------------------------ sentence-aligned chunking
+    "q_sentence_chunks" ->
+      """WITH s0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  array_to_string(list_transform(
+        |    string_split_regex(trim(text), '\s+'),
+        |    (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END), ' ')
+        |    AS stext
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |fs AS (SELECT doc_id, list_filter(list_transform(
+        |    regexp_extract_all(stext, '[^.!?]*[.!?]+|[^.!?]+$'),
+        |    x -> trim(x)), x -> len(x) > 0) AS sents FROM s0),
+        |sent AS (SELECT doc_id,
+        |  unnest(range(len(sents))) AS sent_idx,
+        |  unnest(sents) AS sent FROM fs),
+        |tok AS (SELECT doc_id, sent_idx, sent,
+        |  CAST(len(string_split_regex(sent, '\s+')) AS BIGINT) AS n_tok
+        |  FROM sent),
+        |cum AS (SELECT doc_id, sent_idx, sent, n_tok,
+        |  coalesce(sum(n_tok) OVER (PARTITION BY doc_id ORDER BY sent_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM tok)
+        |SELECT doc_id, CAST(floor(off / 16) AS BIGINT) AS chunk_id,
+        |  CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  string_agg(sent, ' ' ORDER BY sent_idx) AS chunk_text
+        |FROM cum GROUP BY 1, 2""".stripMargin,
+
+    // ------------------------------------------ JL random projection
+    // The oracle replays the ENTIRE deterministic gaussian matrix:
+    // Box-Muller over the library's md5 uniform
+    // ((first-8-hex + 1) / 2^32), entry (k,i) from the literal string
+    // "jl14:k:i:1|2" — byte-identical to Projection.projectionMatrix.
+    "q_random_project" ->
+      """WITH rm AS (SELECT k.range AS k, i.range AS i,
+        |  sqrt(-2 * ln((('0x' || substr(md5('jl14:' || k.range || ':' || i.range || ':1'), 1, 8))::BIGINT + 1.0) / 4294967296.0))
+        |  * cos(2 * pi() * ((('0x' || substr(md5('jl14:' || k.range || ':' || i.range || ':2'), 1, 8))::BIGINT + 1.0) / 4294967296.0))
+        |  / sqrt(CAST(16 AS DOUBLE)) AS r
+        |  FROM range(16) k, range(64) i),
+        |ve AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  unnest(range(len(embedding))) AS i,
+        |  unnest(list_transform(range(len(embedding)), j -> embedding[j + 1])) AS x
+        |  FROM embeddings)
+        |SELECT ve.vec_id, rm.k AS j,
+        |  round(sum(rm.r * CAST(ve.x AS DOUBLE)), 6) AS pv
+        |FROM ve JOIN rm ON rm.i = ve.i
+        |GROUP BY 1, 2""".stripMargin,
 
     // ------------------------------------- tokenizer vocab coverage
     "q_vocab_coverage" ->

@@ -65,6 +65,32 @@ object Privacy {
       .drop("__graft_k")
   }
 
+  /** Replace identifier columns with keyed SHA-256 pseudonyms
+    * (lowercase hex of `sha256(secret || ':' || value)`): joins and
+    * group-bys across releases still line up (same secret → same
+    * pseudonym) while raw identifiers never leave the cluster;
+    * rotating the secret unlinks past releases. Null values stay
+    * null. A narrow codegen'd projection — no shuffle, fuses with
+    * the scan.
+    *
+    * This is keyed pseudonymisation, NOT anonymisation: re-linkage
+    * remains possible for anyone holding the secret, and k-anonymity
+    * of the remaining quasi-identifiers still applies (pair with
+    * [[suppressSmallClasses]]). */
+  def pseudonymize(
+      df: DataFrame,
+      cols: Seq[String],
+      secret: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize: need at least one column")
+    require(secret.nonEmpty, "pseudonymize: secret must be non-empty")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNull, lit(null).cast("string"))
+          .otherwise(sha2(concat(lit(secret), lit(":"),
+            col(c).cast("string")), 256)))
+    }
+  }
+
   /** Keep only rows violating l-diversity: classes whose sensitive
     * column shows fewer than `minL` distinct values (including every
     * k < minL class, which cannot be l-diverse) — the worklist a

@@ -101,6 +101,12 @@ object Profiling {
       i <- cols.indices
       j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
+    // One aggregation pass with all pairs as corr() moment buffers —
+    // the column set is scanned ONCE however many pairs there are,
+    // which is the property that matters at scale (the per-pair-job
+    // formulation rescans the table n·(n−1)/2 times; Bench's raw pair
+    // measures it at ~2x the wall on the 16x input under honest
+    // physical-plan consumption — r14's count-prune adjudication).
     val aggs = pairs.map { case (a, b) =>
       round(corr(col(a).cast("double"), col(b).cast("double")), 6)
         .as(s"${a}__${b}")

@@ -53,4 +53,55 @@ object Chunker {
         size(col("col")).cast("long").as("n_tokens"),
         concat_ws(" ", col("col")).as("chunk_text"))
   }
+
+  /** Sentence matches of a text column — maximal runs up to and
+    * including their `.`/`!`/`?` terminators (a trailing unterminated
+    * run is its own sentence), trimmed, empties dropped. RE2-safe
+    * pattern (no lookbehind), so the split is exactly SQL-replayable.
+    * Null/empty → empty array. */
+  def sentences(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(
+      transform(
+        regexp_extract_all(coalesce(text, lit("")),
+          lit("[^.!?]*[.!?]+|[^.!?]+$"), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+
+  /** Sentence-BOUNDARY-aligned chunking: split each document into
+    * sentences, then group CONSECUTIVE sentences so each chunk's
+    * whitespace-token budget stays near `maxTokens` — the RAG/indexing
+    * chunker that never cuts mid-sentence (an oversize single sentence
+    * becomes its own chunk rather than being split). Assignment rule
+    * (exactly SQL-replayable): sentence s with exclusive running token
+    * count `off` joins chunk `floor(off / maxTokens)` — the packShards
+    * cumulative rule at sentence grain.
+    *
+    * Output: (idCol, chunk_id 0-based contiguous, n_sentences,
+    * n_tokens, chunk_text). Scale shape: one posexplode to sentence
+    * grain, one window cumsum PARTITIONED BY DOCUMENT (doc-grain keys
+    * — parallel across docs, never a global sort), one (doc, chunk)
+    * aggregation. */
+  def chunkBySentences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int = 256): DataFrame = {
+    require(maxTokens > 0, s"chunkBySentences: maxTokens must be positive, got $maxTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sent_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), posexplode(sentences(col(textCol)))
+        .as(Seq("sent_idx", "sent")))
+      .withColumn("n_tok", size(split(col("sent"), "\\s+")).cast("long"))
+      .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("off") / maxTokens).cast("long"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).cast("long").as("n_sentences"),
+        sum(col("n_tok")).as("n_tokens"),
+        // order pinned by sent_idx inside the aggregate — collect_list
+        // arrival order is not a contract across exchanges
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("sent_idx"), col("sent")))),
+          x => x.getField("sent"))).as("chunk_text"))
+  }
 }

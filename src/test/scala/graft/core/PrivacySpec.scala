@@ -38,6 +38,24 @@ class PrivacySpec extends SparkTestBase {
     assert(k >= 2L)
   }
 
+  test("pseudonymize: keyed, deterministic, null-safe, join-stable") {
+    val df = Seq((1L, "alice", "555"), (2L, "bob", null), (3L, "alice", "777"))
+      .toDF("id", "name", "phone")
+    val out = Privacy.pseudonymize(df, Seq("name", "phone"), "secret")
+      .collect().map(r => (r.getLong(0),
+        r.getString(1), Option(r.getString(2)))).toList
+    // same value -> same pseudonym (rows 1 and 3); nulls stay null
+    assert(out(0)._2 == out(2)._2 && out(0)._2 != "alice")
+    assert(out(0)._2.matches("[0-9a-f]{64}"))
+    assert(out(1)._3.isEmpty)
+    // different secret unlinks
+    val other = Privacy.pseudonymize(df, Seq("name"), "rotated")
+      .collect().head.getString(1)
+    assert(other != out(0)._2)
+    assertThrows[IllegalArgumentException](Privacy.pseudonymize(df, Nil, "s"))
+    assertThrows[IllegalArgumentException](Privacy.pseudonymize(df, Seq("name"), ""))
+  }
+
   test("lDiversityViolations: homogeneous classes surface, diverse ones don't") {
     // (30s,111) has 2 distinct diagnoses -> ok at minL=2;
     // add a homogeneous class (60s, 444, flu x2) -> violates

@@ -59,4 +59,37 @@ class ChunkerSpec extends SparkTestBase {
       Chunker.chunkDocuments(docs, "doc_id", "text", chunkTokens = 0)
     }
   }
+
+  test("sentences: terminator-inclusive runs, trailing fragment, empties out") {
+    import spark.implicits._
+    val got = Seq("One two. Three four! Five", "", "No terminator here")
+      .toDF("t").select(Chunker.sentences($"t")).as[Seq[String]].collect()
+    assert(got(0) == Seq("One two.", "Three four!", "Five"))
+    assert(got(1) == Seq())
+    assert(got(2) == Seq("No terminator here"))
+  }
+
+  test("chunkBySentences groups consecutive sentences by token budget") {
+    import spark.implicits._
+    // sentences of 3/3/3/5 tokens; maxTokens=6: offsets 0,3,6,9 ->
+    // chunks 0,0,1,1
+    val df = Seq((1L, "a b c. d e f. g h i. j k l m n.")).toDF("doc_id", "text")
+    val got = Chunker.chunkBySentences(df, "doc_id", "text", maxTokens = 6)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 6L, "a b c. d e f."),
+      (1L, 2L, 8L, "g h i. j k l m n.")))
+  }
+
+  test("chunkBySentences: oversize sentence stays whole; chunk ids contiguous per doc") {
+    import spark.implicits._
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8. a b.")).toDF("doc_id", "text")
+    val got = Chunker.chunkBySentences(df, "doc_id", "text", maxTokens = 4)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(4)))
+    // 8-token sentence overflows its chunk but is not split; next
+    // sentence starts at offset 8 -> chunk 2
+    assert(got.toSeq == Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8."), (2L, "a b.")))
+  }
 }

@@ -134,6 +134,12 @@ object Plans {
       "Gopher rule gates: all seven rule booleans + the conjunction evaluate in ONE narrow Project sharing a single tokenize (WholeStageCodegen over the scan, zero exchanges); used as a filter the pass-predicate sits directly on the scan.",
     "q_bt_scores" ->
       "Bradley-Terry MM: the battle log collapses to unordered model-pair grain in ONE corpus aggregation (checkpoint-fenced), and every MM iteration is joins over that models^2-row frame only — iteration cost independent of battle count; the naive per-iteration battle-grain exchange is the measured baseline.",
+    "q_pipeline_web" ->
+      "Composed web curation: HTML strip/title/link-density/boilerplate AND all seven Gopher rule gates fuse into ONE narrow Filter/Project over the scan — five pipeline stages, zero exchanges end to end; the whole front door runs at scan speed.",
+    "q_random_project" ->
+      "JL projection: the 16x64 gaussian matrix rides the task binary (addReferenceObj) and the projection is one codegen'd kernel call in a narrow Project — no join against a matrix table, no shuffle; the only post-stage is the posexplode to verification grain.",
+    "q_connected_components" ->
+      "Distributed connected components (localMaxEdges=0): large-star/small-star rounds are (node, min-neighbour) aggregates + edge-grain joins — every exchange keys on node ids, nothing corpus-wide, convergence in O(log n) rounds with the edge set SHRINKING monotonically.",
   )
 
   def main(args: Array[String]): Unit = {

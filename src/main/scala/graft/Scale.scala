@@ -95,7 +95,10 @@ object Scale {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      val n = mk().count()
+      // physical-plan execution, NOT df.count(): Catalyst short-circuits
+      // count over global-aggregate shapes without running them (the
+      // r14 Bench adjudication — see Bench.forceCount)
+      val n = mk().queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
       val tagJson = tags.map { case (key, v) => s""","$key":$v""" }.mkString
       println(s"""{"op":"$name"$tagJson,"secs":${math.rint(secs * 100) / 100},"out_rows":$n}""")

@@ -3116,12 +3116,42 @@ object SparkEntry {
           col("l_returnflag"), col("l_extendedprice")),
         Seq("l_returnflag"), "l_extendedprice")),
 
+    // --------------------------------- graph operators (r14)
+    "q_connected_components" -> ((s, d) => {
+      // functional graph x -> x^2+1 mod 499 (4 components on this
+      // key range); localMaxEdges = 0 forces the DISTRIBUTED
+      // large-star/small-star path so the oracle checks that
+      // algorithm, not the driver shortcut
+      val e = graphEdges(s, d)
+      operators.Graph.connectedComponents(e, "a", "b", localMaxEdges = 0L)
+    }),
+
+    "q_component_sizes" -> ((s, d) =>
+      operators.Graph.componentSizes(graphEdges(s, d), "a", "b")),
+
+    "q_degrees" -> ((s, d) =>
+      operators.Graph.degrees(graphEdges(s, d), "a", "b")),
+
     // ------------------------------ keyed pseudonymization (r14)
     "q_pseudonymize" -> ((s, d) =>
       core.Privacy.pseudonymize(
         t(s, d, "customer").select(col("c_custkey").cast("long").as("c_custkey"),
           col("c_name"), col("c_mktsegment")),
         Seq("c_name", "c_mktsegment"), secret = "k14")),
+
+    "q_pipeline_privacy" -> ((s, d) => {
+      // release pipeline composed: pseudonymize direct identifiers →
+      // suppress sub-k quasi classes → re-audit the released frame
+      // (the report must show dataset_k >= minK, zero violations)
+      val masked = core.Privacy.pseudonymize(
+        t(s, d, "customer").select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_mktsegment")),
+        Seq("c_name"), secret = "k14")
+      val released = core.Privacy.suppressSmallClasses(
+        masked, Seq("c_nationkey", "c_mktsegment"), minK = 12)
+      core.Privacy.kAnonymityReport(released,
+        Seq("c_nationkey", "c_mktsegment"), minK = 12)
+    }),
 
     // --------------------------- sentence-aligned chunking (r14)
     "q_sentence_chunks" -> ((s, d) => {
@@ -5859,12 +5889,60 @@ object SparkEntry {
         |    AS l_extendedprice_robust
         |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
 
+    // ------------------------------------------------ graph operators
+    "q_connected_components" ->
+      (graphEdgeCte + """,
+        |sym AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |reach AS (
+        |  SELECT n, n AS m FROM nodes
+        |  UNION
+        |  SELECT sym.b AS n, reach.m FROM reach JOIN sym ON sym.a = reach.n)
+        |SELECT n AS id, CAST(min(m) AS BIGINT) AS component
+        |FROM reach GROUP BY n""".stripMargin),
+
+    "q_component_sizes" ->
+      (graphEdgeCte + """,
+        |sym AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |reach AS (
+        |  SELECT n, n AS m FROM nodes
+        |  UNION
+        |  SELECT sym.b AS n, reach.m FROM reach JOIN sym ON sym.a = reach.n),
+        |comp AS (SELECT n AS id, CAST(min(m) AS BIGINT) AS component
+        |  FROM reach GROUP BY n)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM comp GROUP BY 1 ORDER BY n_nodes DESC, component""".stripMargin),
+
+    "q_degrees" ->
+      (graphEdgeCte + """,
+        |cn AS (SELECT greatest(a, b) AS u, least(a, b) AS v FROM ed
+        |  GROUP BY 1, 2)
+        |SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |  SELECT u AS id FROM cn UNION ALL SELECT v AS id FROM cn)
+        |GROUP BY 1""".stripMargin),
+
     // ---------------------------------------- keyed pseudonymization
     "q_pseudonymize" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
         |  sha256('k14:' || c_name) AS c_name,
         |  sha256('k14:' || c_mktsegment) AS c_mktsegment
         |FROM customer""".stripMargin,
+
+    "q_pipeline_privacy" ->
+      """WITH rel AS (SELECT c_nationkey, c_mktsegment FROM (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS k
+        |  FROM customer) WHERE k >= 12),
+        |cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS k
+        |  FROM rel GROUP BY 1, 2)
+        |SELECT CAST(min(k) AS BIGINT) AS dataset_k,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN k < 12 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
+        |  CAST(sum(CASE WHEN k < 12 THEN k ELSE 0 END) AS BIGINT) AS violating_rows,
+        |  round(CAST(sum(CASE WHEN k < 12 THEN k ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(k) AS DOUBLE), 6) AS suppression_frac
+        |FROM cls""".stripMargin,
 
     // ------------------------------------ sentence-aligned chunking
     "q_sentence_chunks" ->
@@ -6023,6 +6101,24 @@ object SparkEntry {
       |  round(avg(score), 6) AS mean_score,
       |  round(avg(CAST(label AS DOUBLE)), 6) AS frac_positive
       |  FROM p GROUP BY 1)""".stripMargin
+
+  /** Graph-family edge fixture: the functional graph x → x²+1 mod
+    * 499 over orders keys — 4 components on this key range, so the
+    * size histogram and labels are non-degenerate. */
+  private def graphEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select((col("o_orderkey") % 499).cast("long").as("a"),
+        ((col("o_orderkey") * col("o_orderkey") + 1) % 499).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+
+  /** ed = [[graphEdges]] in SQL; RECURSIVE because the components
+    * oracles run min-label propagation to a fixpoint. */
+  private val graphEdgeCte: String =
+    """WITH RECURSIVE ed AS (SELECT DISTINCT
+      |  CAST(o_orderkey % 499 AS BIGINT) AS a,
+      |  CAST((o_orderkey * o_orderkey + 1) % 499 AS BIGINT) AS b
+      |  FROM orders
+      |  WHERE (o_orderkey % 499) <> ((o_orderkey * o_orderkey + 1) % 499))""".stripMargin
 
   /** b = the btBattles fixture in SQL (five models keyed off
     * o_orderkey, self-pairings excluded, ties kept). */

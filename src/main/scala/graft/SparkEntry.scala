@@ -3116,6 +3116,26 @@ object SparkEntry {
           col("l_returnflag"), col("l_extendedprice")),
         Seq("l_returnflag"), "l_extendedprice")),
 
+    // ------------------------ text-free dedup artifact (r14)
+    "q_dedup_against_ref" -> ((s, d) => {
+      // the q_dedup_against fixture served from a PERSISTED signature
+      // artifact: the reference text is never read at serve time, and
+      // the survivor set must equal the online path's (same banding,
+      // same exact hash-set verification) — one oracle serves both
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") < 250)
+      val fresh = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" extra tail token")).as("text")))
+      val refPath = s"$scratch/minhash_ref"
+      Dedup.saveMinHashRef(ref, "text", "doc_id", refPath)
+      Dedup.minHashDedupAgainstRef(fresh, refPath, "text", "doc_id",
+        threshold = 0.7)
+        .select(col("doc_id"))
+    }),
+
     // --------------------------------- graph operators (r14)
     "q_connected_components" -> ((s, d) => {
       // functional graph x -> x^2+1 mod 499 (4 components on this
@@ -3224,30 +3244,9 @@ object SparkEntry {
         |WHERE l.doc_id < r.doc_id AND len(l.grams) > 0 AND len(r.grams) > 0
         |  AND CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) / len(list_distinct(l.grams || r.grams)) >= 0.7""".stripMargin,
 
-    "q_dedup_against" ->
-      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
-        |ref AS (SELECT doc_id, text FROM docs WHERE doc_id < 250),
-        |fresh AS (SELECT doc_id, text FROM docs WHERE doc_id >= 250
-        |          UNION ALL
-        |          SELECT doc_id + 1000000, text || ' extra tail token' FROM docs WHERE doc_id < 50),
-        |gf AS (SELECT doc_id, list_distinct(
-        |         CASE WHEN len(toks) >= 3
-        |              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]
-        |              ELSE [array_to_string(toks, ' ')] END) AS grams
-        |       FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
-        |             FROM fresh WHERE len(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0)),
-        |gr AS (SELECT doc_id, list_distinct(
-        |         CASE WHEN len(toks) >= 3
-        |              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]
-        |              ELSE [array_to_string(toks, ' ')] END) AS grams
-        |       FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
-        |             FROM ref WHERE len(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0))
-        |SELECT f.doc_id FROM fresh f
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM gf, gr
-        |  WHERE gf.doc_id = f.doc_id AND len(gf.grams) > 0 AND len(gr.grams) > 0
-        |    AND CAST(len(list_intersect(gf.grams, gr.grams)) AS DOUBLE)
-        |        / len(list_distinct(gf.grams || gr.grams)) >= 0.7)""".stripMargin,
+    "q_dedup_against" -> dedupAgainstOracle,
+
+    "q_dedup_against_ref" -> dedupAgainstOracle,
 
     "q_ngram_lsh" ->
       """WITH raw AS (
@@ -6101,6 +6100,35 @@ object SparkEntry {
       |  round(avg(score), 6) AS mean_score,
       |  round(avg(CAST(label AS DOUBLE)), 6) AS frac_positive
       |  FROM p GROUP BY 1)""".stripMargin
+
+  /** Shared truth for q_dedup_against and its artifact-serving
+    * sibling q_dedup_against_ref (identical semantics by construction:
+    * the artifact stores exactly the hash sets the online path
+    * computes). */
+  private val dedupAgainstOracle: String =
+    """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+        |ref AS (SELECT doc_id, text FROM docs WHERE doc_id < 250),
+        |fresh AS (SELECT doc_id, text FROM docs WHERE doc_id >= 250
+        |          UNION ALL
+        |          SELECT doc_id + 1000000, text || ' extra tail token' FROM docs WHERE doc_id < 50),
+        |gf AS (SELECT doc_id, list_distinct(
+        |         CASE WHEN len(toks) >= 3
+        |              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]
+        |              ELSE [array_to_string(toks, ' ')] END) AS grams
+        |       FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |             FROM fresh WHERE len(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0)),
+        |gr AS (SELECT doc_id, list_distinct(
+        |         CASE WHEN len(toks) >= 3
+        |              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]
+        |              ELSE [array_to_string(toks, ' ')] END) AS grams
+        |       FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |             FROM ref WHERE len(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0))
+        |SELECT f.doc_id FROM fresh f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM gf, gr
+        |  WHERE gf.doc_id = f.doc_id AND len(gf.grams) > 0 AND len(gr.grams) > 0
+        |    AND CAST(len(list_intersect(gf.grams, gr.grams)) AS DOUBLE)
+        |        / len(list_distinct(gf.grams || gr.grams)) >= 0.7)""".stripMargin
 
   /** Graph-family edge fixture: the functional graph x → x²+1 mod
     * 499 over orders keys — 4 components on this key range, so the

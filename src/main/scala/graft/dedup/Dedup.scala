@@ -242,6 +242,82 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Persist a reference corpus as a TEXT-FREE minhash artifact —
+    * (id, hs, sig) parquet, where `hs` is the distinct shingle-hash
+    * set (exact-verification payload) and `sig` the minhash
+    * signature: the train-once/serve-forever pattern of
+    * AnnIndex.save / saveBpeMerges applied to incremental-ingest
+    * dedup. Every later batch dedups against the artifact
+    * ([[minHashDedupAgainstRef]]) without the reference TEXT ever
+    * being stored or rescanned — the raw corpus can be retired while
+    * ingest keeps its dedup guarantee. Parameters are part of the
+    * artifact contract: serve with the same numHashes/shingleSize. */
+  def saveMinHashRef(
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 3): Unit =
+    minHashBase(ref, textCol, idCol, numHashes, shingleSize)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[minHashDedupAgainst]] where the reference side is a persisted
+    * [[saveMinHashRef]] artifact: identical semantics (banded LSH
+    * candidates, exact hash-set Jaccard verification, same
+    * `maxBucketSize` guard) with the reference's text never touched.
+    * Validates the artifact schema and signature width LOUDLY before
+    * any work. */
+  def minHashDedupAgainstRef(
+      df: DataFrame,
+      refPath: String,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+    val rows = numHashes / bands
+    val refBase = df.sparkSession.read.parquet(refPath)
+    require(refBase.columns.toSet == Set("id", "hs", "sig"),
+      s"minHashDedupAgainstRef: $refPath is not a saveMinHashRef artifact " +
+        s"(columns ${refBase.columns.mkString(", ")})")
+    refBase.select(size(col("sig")).as("w")).limit(1).collect()
+      .foreach(r => require(r.getInt(0) == numHashes,
+        s"minHashDedupAgainstRef: artifact signature width ${r.getInt(0)} " +
+          s"!= numHashes $numHashes — serve with the training parameters"))
+    val newBase = minHashBase(df, textCol, idCol, numHashes, shingleSize)
+    val newBanded = banded(newBase, bands, rows)
+    val refBanded = {
+      val b = banded(refBase, bands, rows)
+      if (maxBucketSize <= 0) b
+      else {
+        val ok = b.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bucket_n"))
+          .filter(col("__bucket_n") <= maxBucketSize)
+          .drop("__bucket_n")
+        b.join(ok, Seq("band", "bucket"), "left_semi")
+      }
+    }
+    val pairs = newBanded.as("n")
+      .join(refBanded.as("r"),
+        col("n.band") === col("r.band") && col("n.bucket") === col("r.bucket"))
+      .select(col("n.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val dropped = pairs
+      .join(newBase.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(refBase.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("jaccard",
+        graft.functions.HashFunctions.hashJaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as(idCol))
+      .distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash of a text column: per-token xxhash64, each bit votes
     * ±1, fingerprint bit = sign of the vote sum. Single aggregate HOF
     * expression — narrow. Shift amounts are data-dependent, so the

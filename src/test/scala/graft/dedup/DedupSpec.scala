@@ -436,6 +436,34 @@ class DedupSpec extends SparkTestBase {
     assert(out.count() == 2)
   }
 
+  test("saveMinHashRef artifact serves identically to the online path") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different reference material about spark physical plans")
+    ).toDF("id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today ok"),
+      (11L, "entirely novel content about bloom filters and bin packing methods"),
+      (12L, "")
+    ).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("mh_ref").toString + "/a"
+    Dedup.saveMinHashRef(ref, "text", "id", path)
+    // text-free: the artifact carries no text column
+    assert(spark.read.parquet(path).columns.toSet == Set("id", "hs", "sig"))
+    val served = Dedup.minHashDedupAgainstRef(fresh, path, "text", "id",
+      threshold = 0.6).select("id").as[Long].collect().toSet
+    val online = Dedup.minHashDedupAgainst(fresh, ref, "text", "id",
+      threshold = 0.6).select("id").as[Long].collect().toSet
+    assert(served == online && served == Set(11L, 12L))
+    // parameter-mismatch and schema guards are loud
+    assertThrows[IllegalArgumentException](
+      Dedup.minHashDedupAgainstRef(fresh, path, "text", "id", numHashes = 32))
+    val bad = java.nio.file.Files.createTempDirectory("mh_bad").toString + "/b"
+    ref.write.parquet(bad)
+    assertThrows[IllegalArgumentException](
+      Dedup.minHashDedupAgainstRef(fresh, bad, "text", "id"))
+  }
+
   test("contaminationReport names the leaking pairs with shared-gram counts") {
     val train = df("id BIGINT, text STRING",
       Seq(1L, "a b c d e f"),   // shares 4 distinct 3-grams with eval 9

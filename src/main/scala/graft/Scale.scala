@@ -737,6 +737,41 @@ object Scale {
       }
     }
 
+    // --- minhash reference artifact (r14): serving ingest dedup from
+    // the persisted (id, hs, sig) artifact skips the reference side's
+    // text scan + normalize/shingle/minhash recompute every batch —
+    // the artifact-vs-online gap must WIDEN as the reference corpus
+    // grows while the batch stays fixed. Both reference forms are
+    // MATERIALIZED parquet (measured-inputs rule); the fresh batch is
+    // the same x1 frame in all rows.
+    {
+      def matPath(k: Int, kind: String): String = {
+        val p = s"/root/repo/target/scale_mhref/${kind}_x$k"
+        if (!new java.io.File(p).exists()) kind match {
+          case "text" =>
+            scaledDocs(spark, sfDir, k)
+              .repartition(spark.sparkContext.defaultParallelism)
+              .write.mode("overwrite").parquet(p)
+          case "sig" =>
+            Dedup.saveMinHashRef(
+              spark.read.parquet(matPath(k, "text")), "text", "doc_id", p)
+        }
+        p
+      }
+      val fresh = scaledDocs(spark, sfDir, 1)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      for (k <- Seq(1, bigK)) {
+        val textP = matPath(k, "text")
+        val sigP = matPath(k, "sig")
+        timed("mhref_artifact_serve", "scale" -> k.toLong)(() =>
+          Dedup.minHashDedupAgainstRef(fresh, sigP, "text", "doc_id"))
+        timed("mhref_online", "scale" -> k.toLong)(() =>
+          Dedup.minHashDedupAgainst(fresh, spark.read.parquet(textP),
+            "text", "doc_id"))
+      }
+    }
+
     // --- interval-overlap join in its own regime (r14): the bench
     // pair at sf0.1 joins 2.5k x 2.5k intervals, where the
     // BroadcastNestedLoopJoin's 6M probes are still cheap; here both

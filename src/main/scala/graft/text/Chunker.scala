@@ -76,11 +76,14 @@ object Chunker {
     * count `off` joins chunk `floor(off / maxTokens)` — the packShards
     * cumulative rule at sentence grain.
     *
-    * Output: (idCol, chunk_id 0-based contiguous, n_sentences,
-    * n_tokens, chunk_text). Scale shape: one posexplode to sentence
-    * grain, one window cumsum PARTITIONED BY DOCUMENT (doc-grain keys
-    * — parallel across docs, never a global sort), one (doc, chunk)
-    * aggregation. */
+    * Output: (idCol, chunk_id, n_sentences, n_tokens, chunk_text);
+    * chunk_id is 0-based and MONOTONE in document order but not
+    * necessarily contiguous — an oversize sentence occupies several
+    * budget slots, so the next sentence's id skips past them (the
+    * offset rule keeps ids deterministic either way). Scale shape:
+    * one posexplode to sentence grain, one window cumsum PARTITIONED
+    * BY DOCUMENT (doc-grain keys — parallel across docs, never a
+    * global sort), one (doc, chunk) aggregation. */
   def chunkBySentences(
       df: DataFrame,
       idCol: String,

@@ -1003,6 +1003,63 @@ object Bench {
         .select(col("event_id"), col("event_type"), col("hourly_sum"))
     }),
 
+    "q_asof_forward" -> ((s, d) => {
+      // naive hand-written forward as-of: range join every left row to
+      // ALL later right rows of its key, keep the earliest — mirrors
+      // the q_asof_join baseline in the opposite direction. The
+      // library's single union + reversed-sort running-frame pass
+      // avoids both the O(left × matching-right) intermediate and the
+      // per-event second shuffle here.
+      val ev0 = rawEvents(s, d)
+      val hourly = ev0
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+        .select(col("event_type").as("r_type"),
+          col("window.start").as("rts"),
+          round(col("sum_value"), 6).as("hourly_sum"))
+      val ev = ev0.select(col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("ts"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("rts").asc_nulls_last)
+      ev.join(hourly,
+          col("event_type") === col("r_type") && col("rts") >= col("ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("event_type"), col("hourly_sum"))
+    }),
+
+    "q_script_profile" -> ((s, d) => {
+      // the formulation without the one-pass kernel: one full
+      // `[^\p{IsXxx}]` regex strip per script class (9 scans/row),
+      // staged exactly like the wrapper so the CaseWhen argmax costs
+      // nothing extra — the ratio isolates what ScriptCountsExpr buys.
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val body = regexp_replace(coalesce(col("text"), lit("")), "\\s+", "")
+      val n = length(body)
+      val classes = graft.text.TextFunctions.scriptClasses
+      val staged = docs.select(
+        col("doc_id") +: n.cast("long").as("n_chars") +:
+          classes.map { case (name, cls) =>
+            when(n === 0, 0.0)
+              .otherwise(round(
+                length(regexp_replace(body, s"[^$cls]", "")).cast("double") /
+                  n, 6))
+              .as(s"${name}_frac")
+          }: _*)
+      val best = greatest(classes.map { case (name, _) =>
+        col(s"${name}_frac") }: _*)
+      val firstBest = classes.tail.foldLeft(
+        when(col(s"${classes.head._1}_frac") === best,
+          lit(classes.head._1))) { case (acc, (name, _)) =>
+        acc.when(col(s"${name}_frac") === best, lit(name))
+      }
+      staged.withColumn("dominant_script",
+        when(col("n_chars") === 0, "none")
+          .when(best === 0.0, "other")
+          .otherwise(firstBest))
+    }),
+
     "q_salted_join" -> ((s, d) => {
       // plain un-salted join producing the same rows. The right side is
       // broadcastable and un-hinted, so the wrapped operator's

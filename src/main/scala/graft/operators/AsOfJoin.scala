@@ -19,8 +19,12 @@ import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
   *
   * Implementation: union the two sides with a side marker, pack each
   * right row's timestamp + payload into ONE struct, then one window
-  * pass per key taking the last (backward) / first (forward) non-null
-  * struct — side ordering puts right rows inside the frame at equal
+  * pass per key taking the last non-null struct over a RUNNING
+  * [unboundedPreceding, currentRow] frame — sorted ascending for
+  * backward, descending for forward, so both directions execute as
+  * O(n) incremental frames (never the per-row-recomputed
+  * UnboundedFollowing frame, which is O(n^2) per key partition) —
+  * side ordering puts right rows inside the frame at equal
   * timestamps so exact ties match. Filling a single struct (rather
   * than per-column last(ignoreNulls)) attaches the whole matched row
   * atomically: a payload value that is NULL in the matched right row
@@ -61,9 +65,9 @@ object AsOfJoin {
       StructField("__r_ts", TimestampType) +:
         rightPayloadCols.map(c => StructField(c, right.schema(c).dataType)))
 
-    // side marker: right=0. Backward orders (ts, side asc) so equal-ts
-    // right rows fall INSIDE the preceding frame of a left row; forward
-    // orders (ts, side desc) so they fall inside the following frame.
+    // side marker: right=0. Backward orders (ts asc, side asc) and
+    // forward orders (ts desc, side asc) — either way equal-ts right
+    // rows fall INSIDE the running frame of a left row.
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__match", lit(null).cast(matchType))
@@ -83,9 +87,16 @@ object AsOfJoin {
     val wBack = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Forward is the backward pass on the REVERSED sort: ts descending,
+    // right rows (side 0) before left at equal ts so exact ties stay in
+    // the running frame. Both directions therefore execute as
+    // [unboundedPreceding, currentRow] running frames, which Spark
+    // evaluates incrementally in O(n) per partition — a
+    // [currentRow, unboundedFollowing] frame would recompute the
+    // aggregate from scratch per row (O(n^2) per key partition).
     val wFwd = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(tsCol).desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // fractional-second timestamp for distance comparisons
     def secs(c: Column): Column = c.cast("double")
@@ -96,11 +107,11 @@ object AsOfJoin {
           last(col("__match"), ignoreNulls = true).over(wBack))
       case "forward" =>
         unioned.withColumn("__match",
-          first(col("__match"), ignoreNulls = true).over(wFwd))
+          last(col("__match"), ignoreNulls = true).over(wFwd))
       case "nearest" =>
         unioned
           .withColumn("__mb", last(col("__match"), ignoreNulls = true).over(wBack))
-          .withColumn("__mf", first(col("__match"), ignoreNulls = true).over(wFwd))
+          .withColumn("__mf", last(col("__match"), ignoreNulls = true).over(wFwd))
           .withColumn("__match",
             when(col("__mb").isNull, col("__mf"))
               .when(col("__mf").isNull, col("__mb"))

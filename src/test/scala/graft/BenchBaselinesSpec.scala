@@ -38,7 +38,8 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_det_sample", "q_expectations",
     "q_entropy", "q_conv_profile", "q_semantic_decontaminate",
     "q_exact_quantile",
-    "q_interval_join", "q_gopher_flags", "q_bt_scores")
+    "q_interval_join", "q_gopher_flags", "q_bt_scores",
+    "q_script_profile")
 
   // q_asof_join reads the events table, which needs the nanos-timestamp
   // session config like q_stream_exec — checked here with the config set
@@ -56,21 +57,22 @@ class BenchBaselinesSpec extends SparkTestBase {
       } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     }
 
-  test("raw baseline produces identical results to wrapped: q_asof_join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      val wrapped = SparkEntry.queries("q_asof_join")(spark, sfDir)
-      val raw = Bench.baselines("q_asof_join")(spark, sfDir)
-      assert(wrapped.columns.toSeq == raw.columns.toSeq)
-      def multiset(d: org.apache.spark.sql.DataFrame) =
-        d.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
-      assert(multiset(wrapped) == multiset(raw))
-    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-  }
+  for (name <- Seq("q_asof_join", "q_asof_forward"))
+    test(s"raw baseline produces identical results to wrapped: $name") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      try {
+        val wrapped = SparkEntry.queries(name)(spark, sfDir)
+        val raw = Bench.baselines(name)(spark, sfDir)
+        assert(wrapped.columns.toSeq == raw.columns.toSeq)
+        def multiset(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+        assert(multiset(wrapped) == multiset(raw))
+      } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
 
   test("every Bench baseline is parity-pinned by this spec") {
     val pinned = targets.toSet ++ Seq("q_gap_fill", "q_rolling", "q_tumbling",
-      "q_asof_join",
+      "q_asof_join", "q_asof_forward",
       "q_stream_exec") // q_stream_exec: bench-exercised, see class doc
     val unpinned = Bench.baselines.keySet -- pinned
     assert(unpinned.isEmpty,

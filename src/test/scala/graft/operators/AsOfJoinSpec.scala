@@ -110,4 +110,19 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"as-of join should not plan a product join:\n$plan")
   }
+
+  test("no direction plans an UnboundedFollowing window frame (O(n^2) per partition)") {
+    // Spark evaluates a [currentRow, unboundedFollowing] frame with
+    // UnboundedFollowingWindowFunctionFrame, recomputing the aggregate
+    // from scratch per row — quadratic in key-partition size. Every
+    // direction must compile to running [unboundedPreceding, currentRow]
+    // frames only (forward via the reversed sort).
+    for (dir <- AsOfJoin.directions) {
+      val out = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "ts", Seq("quote"),
+        direction = dir)
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("unboundedfollowing"),
+        s"direction '$dir' plans an UnboundedFollowing frame:\n$plan")
+    }
+  }
 }

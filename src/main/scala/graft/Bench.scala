@@ -2236,6 +2236,61 @@ object Bench {
         .mkString(""","scale_adjudicated":[""", ",", "]")
     val ratioJson = finalRatios.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Absolute-seconds outlier report over ALL queries (r14 verdict
+    // item 3): the >1.2-ratio audit only covers queries WITH a raw
+    // baseline, so a slow unpaired query could sit unflagged in a green
+    // suite for rounds (q_asof_forward 69 s, q_script_profile 57 s —
+    // both invisible until the honest-consumption protocol change).
+    // Every top-N entry must be paired (its ratio is the evidence),
+    // scale-adjudicated, or carry an explicit annotation below saying
+    // why its absolute cost is the designed cost — anything else is
+    // emitted as UNEXPLAINED, which a round reader treats as a flag.
+    val topSecAnnotations: Map[String, String] = Map(
+      "q_pipeline_web" -> ("composed extract->gate->dedup chain; staged-vs-" +
+        "composed overhead measured in SCALE.md pipeline_web rows"),
+      "q_dedup_quality" -> ("runs minhash LSH TWICE (pair sample + quality " +
+        "join) by contract; both stages banded, SCALE.md dedup family"),
+      "q_stream_substring" -> ("multi-batch stateful stream replay (real " +
+        "micro-batch runs, dominated by per-batch fixed cost not data)"),
+      "q_stream_dedup_fullrecall" -> ("multi-batch stateful stream replay " +
+        "with parquet state store; per-batch fixed cost, paired raw rung"),
+      "q_substring_dedup_incr" -> ("incremental rung re-runs the window " +
+        "grain against the persisted store; SCALE.md substring rows"),
+      "q_substring_profile" -> ("span-merge profile over the same window " +
+        "grain as q_substring_dedup (paired); adds only the profile agg"),
+      "q_pipeline_chat" -> ("composed conv-clean->pack chain over 40k " +
+        "conversations; stage costs itemised in SCALE.md pipeline rows"),
+      "q_connected_components" -> ("iterative large-star/small-star over " +
+        "LSH pairs; O(log n) rounds each a keyed exchange, SCALE.md graph " +
+        "rows"),
+      "q_ann_index_scan" -> ("builds+persists the IVF index then serves " +
+        "from it; build cost is the artifact story, serve path paired via " +
+        "q_ivf_topk"),
+      "q_ann_persist" -> ("artifact write+readback round-trip; IO-bound " +
+        "by design, serve path paired via q_ivf_topk"),
+      "q_dedup_against_ref" -> ("artifact-serve rung measured against " +
+        "online recompute in SCALE.md minhash_reference rows"),
+      "q_winsorize" -> ("exact per-group quantiles via range-exchange " +
+        "rank machinery; pre-crossover cost, SCALE.md stats_exact rows"),
+      "q_robust_scale" -> ("exact per-group quantiles via range-exchange " +
+        "rank machinery; pre-crossover cost, SCALE.md stats_exact rows"),
+      "q_conv_turns" -> ("explodes every turn of 40k conversations by " +
+        "contract (row-per-turn output dominates)"))
+    val topSec = finalResults.sortBy(-_._2).take(8).map { case (n, s) =>
+      val status =
+        if (baselines.contains(n)) "paired"
+        else if (scaleAdjudicated.contains(n)) "scale_adjudicated"
+        else if (topSecAnnotations.contains(n)) "annotated"
+        else "UNEXPLAINED"
+      (n, s, status)
+    }
+    topSec.foreach { case (n, s, status) =>
+      note(f"[bench] top_sec $n%-26s $s%6.2fs  $status" +
+        topSecAnnotations.get(n).map(a => s" — $a").getOrElse(""))
+    }
+    val topSecJson = topSec
+      .map { case (n, s, st) => s"\"" + n + "\":[" + fmt(s) + ",\"" + st + "\"]" }
+      .mkString(""","top_sec":{""", ",", "}")
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def render(keep: Int): String = {
       val bySlow = finalResults.sortBy(-_._2)
@@ -2246,7 +2301,7 @@ object Bench {
       val omitted =
         if (dropped.isEmpty) ""
         else s""","omitted_fastest":{"n":${dropped.size},"sec":${fmt(dropped.map(_._2).sum)}}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"queries":$qs$omitted,"baseline_ratios":$ratioJson$noiseJson$adjudicatedJson,"suite_cold":$suiteColdJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"queries":$qs$omitted,"baseline_ratios":$ratioJson$noiseJson$adjudicatedJson$topSecJson,"suite_cold":$suiteColdJson,"sf":"$sfName"}"""
     }
     val line = Iterator.range(finalResults.size, 0, -5).map(render)
       .find(_.length <= 1750)

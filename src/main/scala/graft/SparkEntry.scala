@@ -2315,6 +2315,21 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("hourly_sum"))
     }),
 
+    "q_asof_nearest" -> ((s, d) => {
+      // nearest direction: each event picks whichever hourly aggregate
+      // (previous or next) is closer in time, ties resolving backward
+      val ev = eventsDf(s, d)
+      val hourly = Streaming.tumblingAgg(ev, "ts", "event_type", "1 hour")
+        .select(col("event_type"), col("window_start").as("ts"),
+          round(col("sum_value"), 6).as("hourly_sum"))
+      operators.AsOfJoin.asOfJoin(
+        ev.select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("ts")),
+        hourly, Seq("event_type"), "ts", Seq("hourly_sum"),
+        direction = "nearest")
+        .select(col("event_id"), col("event_type"), col("hourly_sum"))
+    }),
+
     "q_runlog" -> ((s, d) => {
       // run-log subsystem end-to-end (timestamps → rows-only check):
       // create tables, reserve id, add entries, read most-recent back
@@ -5023,6 +5038,27 @@ object SparkEntry {
         |SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, h.hourly_sum
         |FROM events e ASOF LEFT JOIN hourly h
         |  ON e.event_type = h.event_type AND e.ts <= h.hts""".stripMargin,
+
+    "q_asof_nearest" ->
+      // nearest = smaller time delta of the backward/forward ASOF
+      // matches; equal deltas resolve backward (pandas tie rule)
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hts, round(sum(value), 6) AS hourly_sum
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT e.event_id, e.event_type, e.ts, h.hts AS bts, h.hourly_sum AS bsum
+        |  FROM events e ASOF LEFT JOIN hourly h
+        |    ON e.event_type = h.event_type AND e.ts >= h.hts),
+        |f AS (
+        |  SELECT e.event_id, h.hts AS fts, h.hourly_sum AS fsum
+        |  FROM events e ASOF LEFT JOIN hourly h
+        |    ON e.event_type = h.event_type AND e.ts <= h.hts)
+        |SELECT CAST(b.event_id AS BIGINT) AS event_id, b.event_type,
+        |  CASE WHEN bts IS NULL THEN fsum
+        |       WHEN fts IS NULL THEN bsum
+        |       WHEN (epoch(fts) - epoch(b.ts)) < (epoch(b.ts) - epoch(bts)) THEN fsum
+        |       ELSE bsum END AS hourly_sum
+        |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin,
 
     "q_runlog" ->
       // fresh tables → reserved ids 1 and 2, two entries

@@ -1442,6 +1442,56 @@ object Scale {
       }
     }
 
+    // Composed web pipeline (r15): fence placement is the whole story.
+    // Unfenced, predicate pushdown sinks the link-density filter and
+    // the Gopher gate below the extract projection, substituting the
+    // strip-chain regex tree into every pushed reference (754
+    // regexp_replace nodes in the optimized plan; 5.78 s at sf0.1 —
+    // BENCHLOG r14). The library path pins both stage boundaries with
+    // DataFrameOps.stageFence (a no-op CollectMetrics barrier — rows
+    // stream through, nothing materializes); the comparator is the
+    // user-naive robust alternative, materializing the extracted text
+    // with an eager localCheckpoint between stages. The composed path
+    // must track it ~1:1 at both scales while skipping the
+    // materialization entirely.
+    locally {
+      def webDocs(k: Int) = {
+        val id = col("doc_id").cast("string")
+        scaledDocs(spark, sfDir, k)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .withColumn("html", concat(
+            lit("<html><head><title>Doc &amp; "), id,
+            lit("</title><style>p { color: red }</style>"),
+            lit("<script>var x = \"<p>hi</p>\";</script></head><body>"),
+            lit("<!-- nav --><h1>Header "), id, lit("</h1><ul>"),
+            lit("<li><a href=\"/home\">Home</a></li>"),
+            lit("<li><a href=\"/p/"), id, lit("\">Next page "), id,
+            lit("</a></li></ul><p>"), col("text"),
+            lit(" end.</p></body></html>")))
+      }
+      def gate(ex: DataFrame) =
+        graft.text.QualityRules.gopherFlags(ex, "text_extracted",
+          minStopwords = 1)
+          .where(col("gopher_pass"))
+          .select(col("doc_id"),
+            graft.text.TextFunctions.tokenCount(col("text_extracted"))
+              .cast("long").as("n_tok"))
+      for (k <- Seq(1, bigK)) {
+        timed("pipeline_web_composed", "scale" -> k.toLong)(() =>
+          gate(graft.core.DataFrameOps.stageFence(
+            graft.text.Html.extract(webDocs(k), "html")
+              .select("doc_id", "link_density", "text_extracted"))
+            .filter(col("link_density") <= 0.5)
+            .select("doc_id", "text_extracted")))
+        timed("pipeline_web_staged_ckpt", "scale" -> k.toLong)(() =>
+          gate(graft.text.Html.extract(webDocs(k), "html")
+            .select("doc_id", "link_density", "text_extracted")
+            .localCheckpoint(true)
+            .filter(col("link_density") <= 0.5)
+            .select("doc_id", "text_extracted")))
+      }
+    }
+
     // packTokenWindows manifest grain: the concat-and-chunk layout
     // must stay O(corpus ROWS), never O(corpus TOKENS) — out_rows is
     // the manifest size (≈ n_docs + n_sequences), total_tokens the

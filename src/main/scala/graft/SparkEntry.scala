@@ -3105,9 +3105,19 @@ object SparkEntry {
       // title + link-density + boilerplate lines) → link-farm filter →
       // Gopher rule gate over the EXTRACTED text → per-doc token
       // budget. Every stage is a narrow codegen pass; the oracle
-      // replays the full chain in SQL.
-      val ex = graft.text.Html.extract(htmlDocs(s, d), "html")
+      // replays the full chain in SQL. The stageFence pins the stage
+      // boundary BELOW the link-farm filter: without it, predicate
+      // pushdown sinks the filter under the extract projection,
+      // substituting linkDensity's embedded strip chain into the scan
+      // predicate — a second full per-row strip that codegen CSE
+      // would otherwise share with text_extracted inside the ONE
+      // fenced projection (5.8 s unfenced, 3.0 s gate-fenced only,
+      // ~1.7 s with both boundaries pinned).
+      val ex = DataFrameOps.stageFence(
+        graft.text.Html.extract(htmlDocs(s, d), "html")
+          .select("doc_id", "link_density", "text_extracted"))
         .filter(col("link_density") <= 0.5)
+        .select("doc_id", "text_extracted")
       graft.text.QualityRules.gopherFlags(ex, "text_extracted",
         minStopwords = 1)
         .where(col("gopher_pass"))

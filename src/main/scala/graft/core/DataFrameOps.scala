@@ -183,6 +183,29 @@ object DataFrameOps {
   def cutLineage(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  private val fenceCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Optimizer fence for composed pipelines whose stages derive
+    * EXPENSIVE columns (regex extraction chains, token arrays) that
+    * later stages filter on. Catalyst's predicate pushdown substitutes
+    * a filtered column's defining expression into the pushed predicate
+    * with no cost model — a gate referencing an extracted-text column
+    * ten times becomes ten per-row copies of the whole extraction tree
+    * below the projection (q_pipeline_web measured 5.8 s vs 1.5 s
+    * staged; 754 regexp_replace nodes in the optimized plan).
+    *
+    * Implemented as a no-op CollectMetrics (`observe`) node: pushdown,
+    * CollapseProject and column pruning do not cross CollectMetrics, so
+    * stages above the fence reference the fenced stage's output as
+    * plain ATTRIBUTES (computed once per row below). Unlike
+    * [[cutLineage]], rows still flow through as InternalRows — no
+    * serialization, no materialization, no lineage break; the only
+    * cost is one long-counter accumulator update per row and a
+    * whole-stage-codegen span boundary. Select only the columns later
+    * stages need BEFORE fencing (pruning stops at the fence). */
+  def stageFence(df: DataFrame): DataFrame =
+    df.observe(s"__graft_fence_${fenceCounter.incrementAndGet()}", count(lit(1)))
+
   /** #25 Deterministic dedup: keep rank-1 rows per `column` ordered by
     * `idCol` (auto-generated monotonic id when absent). Uses `rank` — ties
     * on the ordering id all survive, deliberately matching the reference.

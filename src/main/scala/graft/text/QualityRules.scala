@@ -33,8 +33,24 @@ object QualityRules {
     *   - `r_stopwords`  >= `minStopwords` distinct gopher stopwords
     *   - `gopher_pass`  all of the above
     *
-    * Null text fails every rule (flags are non-null booleans, so the
-    * frame filters and aggregates without three-valued-logic traps).
+    * Null text is treated as the empty document: it fails the
+    * count-shaped rules (`r_word_count`, `r_mean_word_len`,
+    * `r_alpha_words`, `r_stopwords`) and therefore `gopher_pass`, but
+    * the ratio caps (`r_symbol_ratio`, `r_bullet_lines`,
+    * `r_ellipsis_lines`) evaluate TRUE (0 symbols / 0 lines is under
+    * every cap) — so [[gopherReport]]'s per-rule fail counts tally
+    * null docs only under the count-shaped rules. All flags are
+    * non-null booleans, so the frame filters and aggregates without
+    * three-valued-logic traps.
+    *
+    * Plan shape: the token and line arrays are materialized ONCE
+    * behind a [[graft.core.DataFrameOps.stageFence]] and every rule
+    * references them as plain attributes. Without the fence, using
+    * the conjunction as a FILTER lets predicate pushdown substitute
+    * each rule's full split/regex tree into the pushed predicate, and
+    * Filter conjuncts short-circuit so codegen subexpression
+    * elimination cannot share the re-splits across rules (measured
+    * 3.7 s vs 1.6 s on the composed q_pipeline_web chain).
     */
   def gopherFlags(
       df: DataFrame,
@@ -42,11 +58,19 @@ object QualityRules {
       minWords: Int = 50,
       maxWords: Int = 100000,
       minStopwords: Int = 2): DataFrame = {
-    val text = coalesce(col(textCol), lit(""))
-    val toks = TextFunctions.tokens(text)
+    val reserved = Seq("__gf_text", "__gf_toks", "__gf_lines")
+    require(!df.columns.exists(reserved.contains),
+      s"gopherFlags: column names ${reserved.mkString(", ")} are reserved")
+    val staged = graft.core.DataFrameOps.stageFence(
+      df.withColumn("__gf_text", coalesce(col(textCol), lit("")))
+        .withColumn("__gf_toks", TextFunctions.tokens(col("__gf_text")))
+        .withColumn("__gf_lines",
+          filter(split(col("__gf_text"), "\n"), l => length(trim(l)) > 0)))
+    val text = col("__gf_text")
+    val toks = col("__gf_toks")
     val nTok = size(toks).cast("double")
     val safeN = greatest(nTok, lit(1.0))
-    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val lines = col("__gf_lines")
     val nLines = greatest(size(lines).cast("double"), lit(1.0))
 
     val wordCountOk = nTok.between(minWords.toDouble, maxWords.toDouble)
@@ -69,7 +93,7 @@ object QualityRules {
     val nStop = size(array_intersect(array_distinct(toks), stopArr))
     val stopOk = nStop >= minStopwords
 
-    df.withColumn("r_word_count", wordCountOk)
+    staged.withColumn("r_word_count", wordCountOk)
       .withColumn("r_mean_word_len", meanLenOk)
       .withColumn("r_symbol_ratio", symbolOk)
       .withColumn("r_alpha_words", alphaOk)
@@ -79,6 +103,7 @@ object QualityRules {
       .withColumn("gopher_pass",
         wordCountOk && meanLenOk && symbolOk && alphaOk &&
           bulletOk && ellipsisOk && stopOk)
+      .drop(reserved: _*)
   }
 
   /** Keep only documents passing every Gopher rule — the gate form. */

@@ -1492,6 +1492,47 @@ object Scale {
       }
     }
 
+    // Stats exact-quantile routing (r15): winsorize/robustScale
+    // exact=true now derive bounds from the range-exchange rank
+    // machinery instead of the `percentile` aggregate, whose buffer
+    // holds EVERY value of a group in one task. The regime that
+    // matters is a dominant group (~90% of the corpus on one key —
+    // one language dominating a crawl): the aggregate serialises the
+    // dominant group's whole value set through one buffer while the
+    // rank path range-partitions it across the cluster. Inputs are
+    // MATERIALIZED parquet (SCALE.md benchmark-design rule).
+    locally {
+      for (k <- Seq(1, bigK)) {
+        val dir = s"target/scale_r15/stats_skew_$k"
+        if (!new java.io.File(dir).exists()) {
+          val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select(col("l_orderkey").cast("long").as("key"),
+              col("l_extendedprice").cast("double").as("v"))
+          (0 until k).map(i => li.withColumn("key", col("key") + i * 100000000L))
+            .reduce(_ unionByName _)
+            .withColumn("g",
+              when(col("key") % 100 < 90, lit("hot"))
+                .otherwise((col("key") % 5).cast("string")))
+            .select("g", "v")
+            .repartition(32).write.mode("overwrite").parquet(dir)
+        }
+        def skewed = spark.read.parquet(dir)
+        timed("stats_winsorize_ranked", "scale" -> k.toLong)(() =>
+          graft.core.Stats.winsorize(skewed, Seq("g"), "v",
+            lowP = 0.05, highP = 0.95))
+        timed("stats_winsorize_pctagg", "scale" -> k.toLong)(() => {
+          // the retired formulation: per-group `percentile` aggregate
+          val v = col("v").cast("double")
+          val bounds = skewed.groupBy("g")
+            .agg(percentile(v, lit(0.05)).as("lo"),
+              percentile(v, lit(0.95)).as("hi"))
+          skewed.join(bounds, Seq("g"))
+            .withColumn("v_wins", round(least(greatest(v, col("lo")), col("hi")), 6))
+            .drop("lo", "hi")
+        })
+      }
+    }
+
     // packTokenWindows manifest grain: the concat-and-chunk layout
     // must stay O(corpus ROWS), never O(corpus TOKENS) — out_rows is
     // the manifest size (≈ n_docs + n_sequences), total_tokens the

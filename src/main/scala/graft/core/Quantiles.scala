@@ -119,6 +119,116 @@ object Quantiles {
         col("q") :+ col("__graft_rv").as("value")): _*)
   }
 
+  /** Exact INTERPOLATED global quantiles — `percentile`-aggregate
+    * semantics (value = v_lo + (h − ⌊h⌋)·(v_hi − v_lo) at
+    * h = q·(n−1), the formula Spark's `Percentile` and DuckDB's
+    * `quantile_cont` share bit-for-bit) over the same range-exchange
+    * rank machinery as [[exactQuantiles]], so no aggregation buffer
+    * ever holds a group's values. Returns `(q, value)`; all-null /
+    * empty input → empty frame (callers LEFT-join and inherit null
+    * bounds, matching the aggregate's null). */
+  def exactInterpolatedQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "exactInterpolatedQuantiles: need at least one quantile")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"exactInterpolatedQuantiles: quantiles must be in [0, 1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = Ids.assignContiguousIds(
+      df.select(col(valueCol).cast("double").as("__graft_qv"))
+        .filter(col("__graft_qv").isNotNull),
+      Seq("__graft_qv"), "__graft_qr")
+      .localCheckpoint(true) // two consumers: the count and the rank join
+    val n = ranked.agg(count(lit(1)).as("__graft_qn"))
+      .filter(col("__graft_qn") > 0)
+    val targets = qs.toDF("q")
+      .crossJoin(broadcast(n))
+      .withColumn("__graft_qh",
+        col("q") * (col("__graft_qn") - 1).cast("double"))
+      .withColumn("__graft_qlo", floor(col("__graft_qh")).cast("long"))
+      .withColumn("__graft_qhi", ceil(col("__graft_qh")).cast("long"))
+    val needed = targets.select(col("q"), col("__graft_qh"),
+      explode(array(
+        struct(lit("lo").as("role"), col("__graft_qlo").as("rank")),
+        struct(lit("hi").as("role"), col("__graft_qhi").as("rank"))))
+        .as("__graft_need"))
+      .select(col("q"), col("__graft_qh"),
+        col("__graft_need.role").as("__graft_role"),
+        col("__graft_need.rank").as("__graft_rank"))
+    ranked.join(broadcast(needed), col("__graft_qr") === col("__graft_rank"))
+      .groupBy(col("q"))
+      .agg(first(col("__graft_qh")).as("__graft_qh"),
+        max(when(col("__graft_role") === "lo", col("__graft_qv"))).as("__graft_vlo"),
+        max(when(col("__graft_role") === "hi", col("__graft_qv"))).as("__graft_vhi"))
+      .select(col("q"),
+        (col("__graft_vlo") +
+          (col("__graft_qh") - floor(col("__graft_qh"))) *
+            (col("__graft_vhi") - col("__graft_vlo"))).as("value"))
+  }
+
+  /** Per-group [[exactInterpolatedQuantiles]]: `(groupCols…, q,
+    * value)` with `percentile`-aggregate interpolation, built on
+    * [[graft.operators.Ids.assignGroupRanks]] so a billion-row group
+    * spans partitions instead of serialising into one aggregation
+    * buffer. Group joins are NULL-SAFE (`<=>`): a null group key is a
+    * group, not a dropped row. Groups whose values are all null are
+    * absent from the output (callers LEFT-join and inherit null
+    * bounds). Group cardinality must stay broadcast-sized — the
+    * language/domain regime this op exists for. */
+  def exactInterpolatedQuantilesPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "exactInterpolatedQuantilesPerGroup: need group columns (use exactInterpolatedQuantiles)")
+    require(qs.nonEmpty, "exactInterpolatedQuantilesPerGroup: need at least one quantile")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"exactInterpolatedQuantilesPerGroup: quantiles must be in [0, 1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = Ids.assignGroupRanks(
+      df.select((groupCols.map(col) :+
+          col(valueCol).cast("double").as("__graft_qv")): _*)
+        .filter(col("__graft_qv").isNotNull),
+      groupCols, Seq("__graft_qv"), "__graft_qr")
+      .localCheckpoint(true) // two consumers: group counts and the rank join
+    val counts = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_qn"))
+      .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
+        col("__graft_qn")): _*)
+    val needed = qs.toDF("q")
+      .crossJoin(broadcast(counts))
+      .withColumn("__graft_qh",
+        col("q") * (col("__graft_qn") - 1).cast("double"))
+      .select((groupCols.map(g => col(s"__graft_g_$g")) :+
+        col("q") :+ col("__graft_qh") :+
+        explode(array(
+          struct(lit("lo").as("role"),
+            floor(col("__graft_qh")).cast("long").as("rank")),
+          struct(lit("hi").as("role"),
+            ceil(col("__graft_qh")).cast("long").as("rank"))))
+          .as("__graft_need")): _*)
+      .select((groupCols.map(g => col(s"__graft_g_$g")) :+
+        col("q") :+ col("__graft_qh") :+
+        col("__graft_need.role").as("__graft_role") :+
+        col("__graft_need.rank").as("__graft_rank")): _*)
+    val cond = (groupCols.map(g =>
+      col(g) <=> col(s"__graft_g_$g")) :+
+      (col("__graft_qr") === col("__graft_rank"))).reduce(_ && _)
+    ranked.join(broadcast(needed), cond)
+      .groupBy((groupCols.map(col) :+ col("q")): _*)
+      .agg(first(col("__graft_qh")).as("__graft_qh"),
+        max(when(col("__graft_role") === "lo", col("__graft_qv"))).as("__graft_vlo"),
+        max(when(col("__graft_role") === "hi", col("__graft_qv"))).as("__graft_vhi"))
+      .select((groupCols.map(col) :+ col("q") :+
+        (col("__graft_vlo") +
+          (col("__graft_qh") - floor(col("__graft_qh"))) *
+            (col("__graft_vhi") - col("__graft_vlo"))).as("value")): _*)
+  }
+
   /** Per-group [[quantileGate]]: keep rows at or above their OWN
     * group's exact `q`-quantile of `scoreCol` — "top (1−q) fraction
     * per language/domain", the stratified curation gate (a global

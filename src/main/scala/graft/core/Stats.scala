@@ -12,11 +12,48 @@ import org.apache.spark.sql.functions._
   * group keys producing a per-group row of bounds/moments, joined
   * back onto the input (group-count-sized side → AQE broadcasts it),
   * then a narrow projection. No window over the full table, no
-  * per-row sort. `winsorize` uses exact interpolating percentiles —
-  * per-group sort state; swap `exact = false` for the sketch path on
-  * groups that don't fit (same contract as Aggregations.percentiles).
+  * per-row sort. `exact = true` quantile bounds route through
+  * [[Quantiles.exactInterpolatedQuantilesPerGroup]]'s range-exchange
+  * rank machinery — `percentile`-aggregate-identical interpolation
+  * WITHOUT the aggregate's per-group value buffer, so a billion-row
+  * group spans partitions instead of serialising into one task's
+  * memory; `exact = false` swaps the `percentile_approx` sketch.
+  * Bounds join back NULL-SAFELY (`<=>`): rows whose group key is null
+  * form a group like any other — they are never silently dropped.
   */
 object Stats {
+
+  /** Left-join per-group bound columns back onto `df` null-safely and
+    * drop the (pre-renamed `__graft_g_*`) key copies. `bounds` must
+    * carry its group keys as `__graft_g_<name>`. */
+  private def joinBounds(
+      df: DataFrame,
+      bounds: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val cond = groupCols.map(g => col(g) <=> col(s"__graft_g_$g")).reduce(_ && _)
+    df.join(broadcast(bounds), cond, "left")
+      .drop(groupCols.map(g => s"__graft_g_$g"): _*)
+  }
+
+  /** (groupCols…, one column per q named by `names`) — exact
+    * interpolated per-group quantiles pivoted wide, keys pre-renamed
+    * for [[joinBounds]]. */
+  private def wideQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qsNames: Seq[(Double, String)]): DataFrame = {
+    val long = Quantiles.exactInterpolatedQuantilesPerGroup(
+      df, groupCols, valueCol, qsNames.map(_._1))
+    long.groupBy(groupCols.map(col): _*)
+      .agg(qsNames.head match { case (q, name) =>
+        max(when(col("q") === q, col("value"))).as(name)
+      }, qsNames.tail.map { case (q, name) =>
+        max(when(col("q") === q, col("value"))).as(name)
+      }: _*)
+      .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) ++
+        qsNames.map { case (_, name) => col(name) }): _*)
+  }
 
   /** Clip `valueCol` to its per-group [lowP, highP] percentile range
     * (new column `<valueCol>_wins`). */
@@ -30,12 +67,18 @@ object Stats {
       accuracy: Int = 10000): DataFrame = {
     require(lowP >= 0 && highP <= 1 && lowP < highP,
       s"winsorize: need 0 <= lowP < highP <= 1, got ($lowP, $highP)")
+    require(groupCols.nonEmpty, "winsorize: need group columns")
     val v = col(valueCol).cast("double")
-    def pct(p: Double) =
-      if (exact) percentile(v, lit(p)) else percentile_approx(v, lit(p), lit(accuracy))
-    val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(pct(lowP).as("__graft_lo"), pct(highP).as("__graft_hi"))
-    df.join(bounds, groupCols)
+    val bounds =
+      if (exact)
+        wideQuantiles(df, groupCols, valueCol,
+          Seq(lowP -> "__graft_lo", highP -> "__graft_hi"))
+      else df.groupBy(groupCols.map(col): _*)
+        .agg(percentile_approx(v, lit(lowP), lit(accuracy)).as("__graft_lo"),
+          percentile_approx(v, lit(highP), lit(accuracy)).as("__graft_hi"))
+        .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
+          col("__graft_lo") :+ col("__graft_hi")): _*)
+    joinBounds(df, bounds, groupCols)
       .withColumn(s"${valueCol}_wins",
         round(least(greatest(v, col("__graft_lo")), col("__graft_hi")), 6))
       .drop("__graft_lo", "__graft_hi")
@@ -82,17 +125,28 @@ object Stats {
     require(allowed.contains(strategy),
       s"imputeNulls: strategy '$strategy' not in ${allowed.mkString(", ")}")
     val v = col(valueCol).cast("double")
-    val fillExpr = if (strategy == "mean") avg(v) else percentile(v, lit(0.5))
     val out = s"${valueCol}_imputed"
     if (groupCols.isEmpty) {
-      val fill = df.agg(fillExpr.as("__graft_fill"))
-      df.crossJoin(broadcast(fill))
+      val fill =
+        if (strategy == "mean") df.agg(avg(v).as("__graft_fill"))
+        else Quantiles.exactInterpolatedQuantiles(df, valueCol, Seq(0.5))
+          .select(col("value").as("__graft_fill"))
+      // left-join on TRUE: an all-null column yields an EMPTY exact
+      // median frame, and a crossJoin would drop every input row
+      df.join(broadcast(fill), lit(true), "left")
         .withColumn(out, round(coalesce(v, col("__graft_fill")), 6))
         .drop("__graft_fill")
     } else {
-      val fills = df.groupBy(groupCols.map(col): _*)
-        .agg(fillExpr.as("__graft_fill"))
-      df.join(fills, groupCols, "left")
+      val fills =
+        if (strategy == "mean") df.groupBy(groupCols.map(col): _*)
+          .agg(avg(v).as("__graft_fill"))
+          .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
+            col("__graft_fill")): _*)
+        else Quantiles.exactInterpolatedQuantilesPerGroup(
+            df, groupCols, valueCol, Seq(0.5))
+          .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
+            col("value").as("__graft_fill")): _*)
+      joinBounds(df, fills, groupCols)
         .withColumn(out, round(coalesce(v, col("__graft_fill")), 6))
         .drop("__graft_fill")
     }
@@ -120,21 +174,41 @@ object Stats {
     require(numBuckets >= 2,
       s"quantileDiscretize: numBuckets must be >= 2, got $numBuckets")
     val v = col(valueCol).cast("double")
-    val ps = array((1 until numBuckets).map(i =>
-      lit(i.toDouble / numBuckets)): _*)
-    val boundsExpr =
-      if (exact) percentile(v, ps) else percentile_approx(v, ps, lit(accuracy))
+    val qsList = (1 until numBuckets).map(i => i.toDouble / numBuckets)
+    val ps = array(qsList.map(lit): _*)
     val out = s"${valueCol}_bucket"
     val bucketOf = when(v.isNull, lit(null))
       .otherwise(size(filter(col("__graft_bounds"), b => v > b)))
+    // the interior bounds come back one-row-per-q; reassemble the
+    // ascending array the bucket fold walks (sort by q, take values)
+    def toArray(long: DataFrame, keys: Seq[org.apache.spark.sql.Column]) =
+      long.groupBy(keys: _*)
+        .agg(transform(
+          array_sort(collect_list(struct(col("q"), col("value")))),
+          e => e("value")).as("__graft_bounds"))
     if (groupCols.isEmpty) {
-      val bounds = df.agg(boundsExpr.as("__graft_bounds"))
-      df.crossJoin(broadcast(bounds))
+      val bounds =
+        if (exact)
+          toArray(Quantiles.exactInterpolatedQuantiles(df, valueCol, qsList), Nil)
+        else df.agg(percentile_approx(v, ps, lit(accuracy)).as("__graft_bounds"))
+      // left-join on TRUE, not crossJoin: an all-null value column
+      // yields an EMPTY exact-bounds frame and a crossJoin would
+      // silently drop every input row
+      df.join(broadcast(bounds), lit(true), "left")
         .withColumn(out, bucketOf.cast("int")).drop("__graft_bounds")
     } else {
-      val bounds = df.groupBy(groupCols.map(col): _*)
-        .agg(boundsExpr.as("__graft_bounds"))
-      df.join(bounds, groupCols)
+      val bounds =
+        if (exact)
+          toArray(Quantiles.exactInterpolatedQuantilesPerGroup(
+              df, groupCols, valueCol, qsList),
+            groupCols.map(col))
+            .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
+              col("__graft_bounds")): _*)
+        else df.groupBy(groupCols.map(col): _*)
+          .agg(percentile_approx(v, ps, lit(accuracy)).as("__graft_bounds"))
+          .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
+            col("__graft_bounds")): _*)
+      joinBounds(df, bounds, groupCols)
         .withColumn(out, bucketOf.cast("int")).drop("__graft_bounds")
     }
   }
@@ -149,10 +223,13 @@ object Stats {
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "minMaxScale: need group columns")
     val v = col(valueCol).cast("double")
     val bounds = df.groupBy(groupCols.map(col): _*)
       .agg(min(v).as("__graft_mn"), max(v).as("__graft_mx"))
-    df.join(bounds, groupCols)
+      .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
+        col("__graft_mn") :+ col("__graft_mx")): _*)
+    joinBounds(df, bounds, groupCols)
       .withColumn(s"${valueCol}_scaled",
         when(col("__graft_mx") === col("__graft_mn"), 0.0)
           .otherwise(round((v - col("__graft_mn")) /
@@ -174,13 +251,19 @@ object Stats {
       valueCol: String,
       exact: Boolean = true,
       accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "robustScale: need group columns")
     val v = col(valueCol).cast("double")
-    def pct(p: Double) =
-      if (exact) percentile(v, lit(p)) else percentile_approx(v, lit(p), lit(accuracy))
-    val qs = df.groupBy(groupCols.map(col): _*)
-      .agg(pct(0.25).as("__graft_q1"), pct(0.5).as("__graft_med"),
-        pct(0.75).as("__graft_q3"))
-    df.join(qs, groupCols)
+    val qs =
+      if (exact)
+        wideQuantiles(df, groupCols, valueCol,
+          Seq(0.25 -> "__graft_q1", 0.5 -> "__graft_med", 0.75 -> "__graft_q3"))
+      else df.groupBy(groupCols.map(col): _*)
+        .agg(percentile_approx(v, lit(0.25), lit(accuracy)).as("__graft_q1"),
+          percentile_approx(v, lit(0.5), lit(accuracy)).as("__graft_med"),
+          percentile_approx(v, lit(0.75), lit(accuracy)).as("__graft_q3"))
+        .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
+          col("__graft_q1") :+ col("__graft_med") :+ col("__graft_q3")): _*)
+    joinBounds(df, qs, groupCols)
       .withColumn(s"${valueCol}_robust",
         when(col("__graft_q3") === col("__graft_q1"), 0.0)
           .otherwise(round((v - col("__graft_med")) /

@@ -46,4 +46,38 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.robustScale(df, Seq("g"), "v").filter($"g" === "b")
       .collect().forall(_.getDouble(2) == 0.0))
   }
+
+  test("exact paths plan NO value-buffering percentile aggregate") {
+    // the exact Percentile aggregate buffers every group value in one
+    // aggregation buffer — a billion-row group OOMs one task. exact =
+    // true must route through the range-exchange rank machinery.
+    val df = (1 to 100).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
+    for (out <- Seq(
+        Stats.winsorize(df, Seq("g"), "v"),
+        Stats.robustScale(df, Seq("g"), "v"),
+        Stats.quantileDiscretize(df, "v", 4),
+        Stats.quantileDiscretize(df, "v", 4, Seq("g")),
+        Stats.imputeNulls(df, Seq("g"), "v", "median"))) {
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("percentile("),
+        s"exact path plans a value-buffering percentile aggregate:\n$plan")
+    }
+  }
+
+  test("null group keys form a group and are never dropped") {
+    val df = Seq((Option("a"), 10.0), (Option("a"), 20.0),
+      (Option.empty[String], 1.0), (Option.empty[String], 3.0))
+      .toDF("g", "v")
+    for (out <- Seq(
+        Stats.winsorize(df, Seq("g"), "v", lowP = 0.0, highP = 1.0),
+        Stats.minMaxScale(df, Seq("g"), "v"),
+        Stats.robustScale(df, Seq("g"), "v"))) {
+      assert(out.count() == 4, "null-group rows must survive the join back")
+    }
+    val mm = Stats.minMaxScale(df, Seq("g"), "v")
+      .filter($"g".isNull).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(mm == Map(1.0 -> 0.0, 3.0 -> 1.0),
+      "null group must scale against its OWN bounds")
+  }
 }

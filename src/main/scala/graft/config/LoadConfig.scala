@@ -66,11 +66,14 @@ object LoadConfig {
     * (gcp/helpers/gcp_utils.py:72) reading configs from a bucket, so
     * configs can live next to the data they describe. */
   def parseFile(path: String): Map[String, Any] = {
-    val scheme =
-      try new java.net.URI(path).getScheme
-      catch { case _: java.net.URISyntaxException => null }
+    // only an explicit "scheme://" routes remotely: a bare URI-parse
+    // scheme check would misroute local relative paths with a colon in
+    // the first segment ("v1:conf.yaml") and Windows drive paths into
+    // the Hadoop FileSystem and fail with an obscure
+    // no-filesystem-for-scheme error
+    val remote = path.contains("://")
     val text =
-      if (scheme == null)
+      if (!remote)
         new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           java.nio.charset.StandardCharsets.UTF_8)

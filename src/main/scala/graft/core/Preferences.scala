@@ -103,25 +103,33 @@ object Preferences {
         sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
       .crossJoin(
         // p_e from the same cells frame: join A-marginals to
-        // B-marginals on label (labels² rows at most)
+        // B-marginals on label (labels² rows at most). The na*nb
+        // products are summed in DOUBLE: long arithmetic overflows
+        // silently past ~3e9 labelled items (the corpus scale this
+        // module advertises), and the 6-dp rounding downstream makes
+        // double precision loss irrelevant.
         cells.groupBy(col("a").as("lbl")).agg(sum(col("n")).as("na"))
           .join(cells.groupBy(col("b").as("lbl")).agg(sum(col("n")).as("nb")),
             Seq("lbl"), "inner")
-          .agg(sum(col("na") * col("nb")).as("pe_num")))
+          .agg(sum(col("na").cast("double") * col("nb").cast("double"))
+            .as("pe_num")))
       .select(
         col("n_items"),
         round(col("agree").cast("double") / col("n_items"), 6)
           .as("observed_agreement"),
-        round(col("pe_num").cast("double") /
-          (col("n_items") * col("n_items")), 6).as("expected_agreement"),
+        round(col("pe_num") /
+          (col("n_items").cast("double") * col("n_items").cast("double")), 6)
+          .as("expected_agreement"),
         round(
-          when(col("pe_num").cast("double") ===
-              (col("n_items") * col("n_items")).cast("double"), 0.0)
+          when(col("pe_num") ===
+              col("n_items").cast("double") * col("n_items").cast("double"), 0.0)
             .otherwise(
               (col("agree").cast("double") / col("n_items") -
-                col("pe_num").cast("double") / (col("n_items") * col("n_items"))) /
+                col("pe_num") /
+                  (col("n_items").cast("double") * col("n_items").cast("double"))) /
               (lit(1.0) -
-                col("pe_num").cast("double") / (col("n_items") * col("n_items")))),
+                col("pe_num") /
+                  (col("n_items").cast("double") * col("n_items").cast("double")))),
           6).as("kappa"))
   }
 

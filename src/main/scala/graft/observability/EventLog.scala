@@ -189,6 +189,47 @@ object Ec2Pricing {
     inst <- extractInstanceSpecs(s"$family.$size")
   } yield inst).toSeq.sortBy(_.instanceType)
 
+  /** User-supplied rates table — the refreshable analogue of the
+    * reference's live pricing DB (init_aws_ec2_db.py:16-157
+    * fetch_from_aws / update_pricing_data) without the AWS API
+    * dependency: read `(instance_type, hourly_usd[, vcpu,
+    * memory_gb])` from a CSV (header row) or parquet path on any
+    * Hadoop-visible filesystem and return an instance catalog to pass
+    * as [[pipelineCost]]'s / [[matchingInstance]]'s `instances`.
+    * vcpu/memory fall back to name inference
+    * ([[extractInstanceSpecs]]); rows that are neither inferable nor
+    * explicitly specced fail loudly — a silently skipped row would
+    * skew cheapest-fit matching. */
+  def loadRates(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[InstanceType] = {
+    val df =
+      if (path.endsWith(".parquet")) spark.read.parquet(path)
+      else spark.read.option("header", "true").csv(path)
+    val cols = df.columns.toSet
+    require(cols.contains("instance_type") && cols.contains("hourly_usd"),
+      s"loadRates: need instance_type + hourly_usd columns, got ${df.columns.mkString(", ")}")
+    val hasSpecs = cols.contains("vcpu") && cols.contains("memory_gb")
+    val rows = df.collect() // a rates table is catalog-sized by contract
+    rows.toSeq.map { r =>
+      val name = r.getAs[Any]("instance_type").toString
+      val price = r.getAs[Any]("hourly_usd").toString.toDouble
+      val inferred = extractInstanceSpecs(name)
+      val explicit =
+        if (hasSpecs && r.getAs[Any]("vcpu") != null && r.getAs[Any]("memory_gb") != null)
+          Some((r.getAs[Any]("vcpu").toString.toInt,
+            r.getAs[Any]("memory_gb").toString.toInt))
+        else None
+      (explicit, inferred) match {
+        case (Some((v, m)), i) =>
+          InstanceType(name, i.map(_.family).getOrElse("Custom"), v, m, price)
+        case (None, Some(i)) => i.copy(ec2Price = price)
+        case (None, None) => throw new IllegalArgumentException(
+          s"loadRates: cannot infer specs for '$name' — add vcpu/memory_gb columns")
+      }
+    }.sortBy(_.instanceType)
+  }
+
   /** Cheapest instance meeting the requirements
     * (ec2_pricing.py:407-461). */
   def matchingInstance(

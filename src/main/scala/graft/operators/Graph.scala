@@ -17,8 +17,31 @@ import org.apache.spark.sql.functions._
   * (≤ `localMaxEdges`) short-circuit to one driver pass. Component
   * labels are the MINIMUM node id in the component (deterministic,
   * engine-replayable).
+  *
+  * Node ids must be INTEGRAL (byte/short/int/long): with ANSI off, a
+  * silent cast("long") would null string/UUID ids and fractional
+  * doubles would truncate — edges vanishing without an error is the
+  * worst failure mode for entity resolution, so non-integral id
+  * columns fail loudly instead. String/UUID ids: derive a long key
+  * first (e.g. `xxhash64(col)`, keeping a (hash, id) mapping frame to
+  * translate components back).
   */
 object Graph {
+
+  private val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+
+  private def requireIntegralIds(
+      edges: DataFrame, srcCol: String, dstCol: String, op: String): Unit =
+    Seq(srcCol, dstCol).foreach { c =>
+      val dt = edges.schema(c).dataType
+      require(integral.contains(dt),
+        s"$op: node id column '$c' is ${dt.sql}, need an integral type — " +
+          "a silent cast would null non-numeric ids (edges vanish) or " +
+          "truncate fractional ones; hash string ids to long first " +
+          "(xxhash64) and keep a mapping frame")
+    }
 
   /** (node, component) for every node appearing in `edges`; edges are
     * undirected, self-loops ignored. `localMaxEdges = 0` forces the
@@ -28,12 +51,14 @@ object Graph {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 20,
-      localMaxEdges: Long = 1000000L): DataFrame =
+      localMaxEdges: Long = 1000000L): DataFrame = {
+    requireIntegralIds(edges, srcCol, dstCol, "connectedComponents")
     graft.dedup.Dedup.duplicateClusters(
       edges.select(col(srcCol).cast("long").as("id_a"),
         col(dstCol).cast("long").as("id_b")),
       maxIter, localMaxEdges)
       .select(col("id"), col("cluster_id").as("component"))
+  }
 
   /** One row per component: (component, n_nodes), largest first —
     * the cluster-size histogram entity-resolution reviews read. */
@@ -53,6 +78,7 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
+    requireIntegralIds(edges, srcCol, dstCol, "degrees")
     val canon = edges.select(
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))

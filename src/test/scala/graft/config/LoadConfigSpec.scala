@@ -80,4 +80,16 @@ class LoadConfigSpec extends AnyFunSuite {
     val cfg = new LoadConfig(write("toml", "[outer.inner]\nk = \"v\"\n"))
     assert(cfg.section("outer") == Map("inner" -> Map("k" -> "v")))
   }
+
+  test("a colon in a local relative path does not misroute to Hadoop") {
+    // "v1:conf.yaml" URI-parses with scheme "v1" — routing on the
+    // parsed scheme would fail with no-filesystem-for-scheme; only an
+    // explicit "://" may route remotely
+    val dir = java.nio.file.Files.createTempDirectory("cfg")
+    val f = dir.resolve("v1:conf.yaml")
+    java.nio.file.Files.writeString(f, "a: 1\n")
+    val old = System.getProperty("user.dir")
+    val got = LoadConfig.parseFile(f.toString) // absolute, colon inside
+    assert(got == Map("a" -> 1))
+  }
 }

@@ -72,4 +72,37 @@ class EventLogSpec extends AnyFunSuite {
     val noSurcharge = Ec2Pricing.pipelineCost(summary, applyEmrSurcharge = false)
     assert(noSurcharge.pipelineCost == noSurcharge.ec2Cost)
   }
+
+  test("loadRates reads a user rates CSV and drives cheapest-fit matching") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("loadrates-test").getOrCreate()
+    val dir = java.nio.file.Files.createTempDirectory("rates").toFile
+    val f = new java.io.File(dir, "rates.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      """instance_type,hourly_usd,vcpu,memory_gb
+        |m5.xlarge,0.0100,,
+        |r5.2xlarge,9.9900,,
+        |custom1.big,0.0050,8,64
+        |""".stripMargin)
+    val rates = Ec2Pricing.loadRates(spark, f.getAbsolutePath)
+    assert(rates.map(_.instanceType) == Seq("custom1.big", "m5.xlarge", "r5.2xlarge"))
+    // inferred specs keep the name-derived vcpu/memory, price overridden
+    val m5 = rates.find(_.instanceType == "m5.xlarge").get
+    assert(m5.vcpu == 4 && m5.memoryGb == 16 && m5.ec2Price == 0.01)
+    // explicit specs win for un-inferable names
+    val custom = rates.find(_.instanceType == "custom1.big").get
+    assert(custom.vcpu == 8 && custom.memoryGb == 64 && custom.family == "Custom")
+    // the custom catalog is honored end-to-end by cheapest-fit matching
+    assert(Ec2Pricing.matchingInstance(memoryGb = 32, cores = 6, rates)
+      .instanceType == "custom1.big")
+    val summary = EventLogParser.parseEvents(fixture.iterator)
+    val report = Ec2Pricing.pipelineCost(summary, instances = rates)
+    assert(rates.map(_.instanceType).contains(report.instance.instanceType))
+    // an un-inferable row without explicit specs fails loudly
+    val bad = new java.io.File(dir, "bad.csv")
+    java.nio.file.Files.writeString(bad.toPath,
+      "instance_type,hourly_usd\nmystery9.mega,1.0\n")
+    assertThrows[IllegalArgumentException](
+      Ec2Pricing.loadRates(spark, bad.getAbsolutePath))
+  }
 }

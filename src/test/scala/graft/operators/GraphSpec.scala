@@ -31,4 +31,19 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L,
       10L -> 1L, 11L -> 1L))
   }
+
+  test("non-integral id columns fail loudly instead of nulling edges") {
+    val strEdges = Seq(("u1", "u2"), ("u2", "u3")).toDF("a", "b")
+    val dblEdges = Seq((1.5, 2.0)).toDF("a", "b")
+    for (bad <- Seq(strEdges, dblEdges)) {
+      assertThrows[IllegalArgumentException](
+        Graph.connectedComponents(bad, "a", "b"))
+      assertThrows[IllegalArgumentException](Graph.degrees(bad, "a", "b"))
+      assertThrows[IllegalArgumentException](
+        Graph.componentSizes(bad, "a", "b"))
+    }
+    // int ids remain fine (widening cast is lossless)
+    val intEdges = Seq((1, 2), (2, 3)).toDF("a", "b")
+    assert(Graph.connectedComponents(intEdges, "a", "b").count() == 3)
+  }
 }

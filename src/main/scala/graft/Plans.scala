@@ -21,7 +21,7 @@ object Plans {
     "q_cosine_topk_scalable" ->
       "Top-k as partial aggregate: ObjectHashAggregate with partial_topkaggregator before the exchange — k rows per map task per query cross the shuffle, not the scored corpus.",
     "q_asof_join" ->
-      "As-of join as one window pass: single Exchange on the key, Sort + Window(last ignoreNulls) — no nested-loop or cartesian operator anywhere.",
+      "As-of join as one window pass: single Exchange on the key, Sort + Window(last ignoreNulls) — no nested-loop or cartesian operator anywhere. Every direction (backward, forward via the reversed sort, nearest's two frames) compiles to running [unboundedPreceding, currentRow] frames — O(n) incremental per partition; an UnboundedFollowing frame would recompute per row, O(n^2) on a hot key (the r14 69s hazard, now pinned out by AsOfJoinSpec).",
     "q_tumbling" ->
       "Windowed aggregation: partial_count/partial_sum before the exchange (map-side combine), final agg after.",
     "q_write_partitioned" ->
@@ -91,7 +91,7 @@ object Plans {
     "q_join_cardinality" ->
       "Join pre-flight: both corpora reduce to per-key counts (partial/final HashAggregate) BEFORE the diagnosis join — the join operates at key cardinality, and TakeOrderedAndProject bounds the answer; the quadratic join being diagnosed never runs.",
     "q_qcut" ->
-      "Equi-depth bucketing: ONE grouped percentile aggregation produces the (numBuckets-1)-element bounds array, broadcast back over the corpus; bucket assignment is a narrow array-fold Project. No Window operator anywhere — the ntile formulation would sort the corpus through one partition per group.",
+      "Equi-depth bucketing: the exact interior bounds come from the range-exchange rank machinery (no value-buffering percentile aggregate anywhere in the plan — a billion-row group would OOM its one buffer), reassembled to a (numBuckets-1)-element array broadcast back over the corpus; bucket assignment is a narrow array-fold Project. No Window over the corpus — the ntile formulation would sort it through one partition per group.",
     "q_topk_group" ->
       "Per-group top-k rows: a per-partition bounded-heap prune (MapPartitions, O(k x groups) memory) feeds the exact rank window, so the window sorts <= k x partitions x groups rows instead of the corpus — the bare-window formulation serialises each whole group through one task.",
     "q_argmax_group" ->
@@ -131,15 +131,17 @@ object Plans {
     "q_html_extract" ->
       "HTML extraction front door: title, link density, and the full strip/boilerplate chain are ONE narrow Project over the scan — pure codegen'd regexp_replace/HOF composition, ZERO exchanges, so extraction runs at scan speed and fuses under any downstream curation filter.",
     "q_gopher_flags" ->
-      "Gopher rule gates: all seven rule booleans + the conjunction evaluate in ONE narrow Project sharing a single tokenize (WholeStageCodegen over the scan, zero exchanges); used as a filter the pass-predicate sits directly on the scan.",
+      "Gopher rule gates: the token/line arrays materialize ONCE behind a CollectMetrics fence (rows stream through — no exchange, no materialization) and all seven rule booleans + the conjunction reference them as plain attributes; used as a FILTER the pushed conjunction stops at the fence instead of substituting a re-split per conjunct into the scan predicate (short-circuiting Filter conjuncts defeat codegen CSE — the r15 pipeline fix).",
     "q_bt_scores" ->
       "Bradley-Terry MM: the battle log collapses to unordered model-pair grain in ONE corpus aggregation (checkpoint-fenced), and every MM iteration is joins over that models^2-row frame only — iteration cost independent of battle count; the naive per-iteration battle-grain exchange is the measured baseline.",
     "q_pipeline_web" ->
-      "Composed web curation: HTML strip/title/link-density/boilerplate AND all seven Gopher rule gates fuse into ONE narrow Filter/Project over the scan — five pipeline stages, zero exchanges end to end; the whole front door runs at scan speed.",
+      "Composed web curation: zero exchanges end to end — the extract projection computes strip/link-density ONCE (codegen CSE shares the chain) below a stageFence, the link filter and Gopher gate reference attributes above it. Unfenced, predicate pushdown inlines the extraction tree into every pushed gate reference: 754 regexp_replace nodes and 3x the wall (SCALE.md pipeline_web rows; 58 nodes fenced).",
     "q_random_project" ->
       "JL projection: the 16x64 gaussian matrix rides the task binary (addReferenceObj) and the projection is one codegen'd kernel call in a narrow Project — no join against a matrix table, no shuffle; the only post-stage is the posexplode to verification grain.",
     "q_connected_components" ->
       "Distributed connected components (localMaxEdges=0): large-star/small-star rounds are (node, min-neighbour) aggregates + edge-grain joins — every exchange keys on node ids, nothing corpus-wide, convergence in O(log n) rounds with the edge set SHRINKING monotonically.",
+    "q_script_profile" ->
+      "Unicode script profile: ONE codegen'd kernel call (ScriptCountsExpr — a single code-point loop classifying all eight script classes) in a narrow Project, ZERO exchanges; the frac columns and the dominant-script argmax live in chained selects referencing plain attributes — folding the argmax into one expression embeds each frac subtree in both branches of every CaseWhen step (~2^8 copies, conditionally evaluated so CSE cannot dedupe: the r14 57s hazard, now 0.4s).",
   )
 
   def main(args: Array[String]): Unit = {

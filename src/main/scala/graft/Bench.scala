@@ -2248,8 +2248,9 @@ object Bench {
     val topSecAnnotations: Map[String, String] = Map(
       "q_pipeline_web" -> ("composed extract->gate->dedup chain; staged-vs-" +
         "composed overhead measured in SCALE.md pipeline_web rows"),
-      "q_dedup_quality" -> ("runs minhash LSH TWICE (pair sample + quality " +
-        "join) by contract; both stages banded, SCALE.md dedup family"),
+      "q_dedup_quality" -> ("evaluation harness: the exact all-pairs n-gram " +
+        "Jaccard ground truth is QUADRATIC by contract, gated to a bounded " +
+        "sample by pairQuality's maxDocs require"),
       "q_stream_substring" -> ("multi-batch stateful stream replay (real " +
         "micro-batch runs, dominated by per-batch fixed cost not data)"),
       "q_stream_dedup_fullrecall" -> ("multi-batch stateful stream replay " +

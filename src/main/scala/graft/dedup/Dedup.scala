@@ -1261,11 +1261,15 @@ object Dedup {
       .distinct()
       .join(ids.withColumnRenamed("__pq_id", "id_a"), Seq("id_a"), "left_semi")
       .join(ids.withColumnRenamed("__pq_id", "id_b"), Seq("id_b"), "left_semi")
-    val hits = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
     val spark = docs.sparkSession
     import spark.implicits._
-    // evaluation frame is sample-sized by contract: three eager counts
-    val (nc, nt, nh) = (cand.count(), truth.count(), hits.count())
+    // evaluation frames are sample-sized by contract; pin them so the
+    // three eager counts don't re-run the quadratic truth / the
+    // candidate self-join (each frame has two consumers otherwise)
+    val truthP = truth.localCheckpoint(true)
+    val candP = cand.localCheckpoint(true)
+    val hits = candP.join(truthP, Seq("id_a", "id_b"), "left_semi")
+    val (nc, nt, nh) = (candP.count(), truthP.count(), hits.count())
     def ratio(num: Long, den: Long): Double =
       if (den == 0L) 1.0
       else BigDecimal(num.toDouble / den)

@@ -200,17 +200,31 @@ object Preferences {
     var scores = models.select(col("model"), lit(1.0).as("s"))
     for (_ <- 1 to iters) {
       val sOpp = scores.select(col("model").as("opp"), col("s").as("s_opp"))
+      // zero-strength pairs (two never-winners who met) would divide
+      // by zero — under ANSI that ABORTS the job, not just NaNs. Their
+      // MM term contributes nothing (both strengths are at the zero
+      // fixed point), and a model whose denominator is entirely
+      // skipped has zero wins, so its update is the 0.0 fixed point.
       val updated = directed
         .join(scores, Seq("model")).join(sOpp, Seq("opp"))
         .groupBy("model")
-        .agg(sum(col("games").cast("double") / (col("s") + col("s_opp")))
-          .as("denom"))
+        .agg(sum(when(col("s") + col("s_opp") > 0.0,
+          col("games").cast("double") / (col("s") + col("s_opp")))
+          .otherwise(0.0)).as("denom"))
         .join(models.select(col("model"), col("n_wins")), Seq("model"))
         .select(col("model"),
-          (col("n_wins").cast("double") / col("denom")).as("s_raw"))
+          when(col("denom") > 0.0,
+            col("n_wins").cast("double") / col("denom"))
+            .otherwise(0.0).as("s_raw"))
       val mean = updated.agg(avg(col("s_raw")).as("m"))
+      // degenerate all-ties log: every s_raw is 0, the mean is 0, and
+      // bare renormalisation would emit NaN (0/0) for every model —
+      // keep the zeros instead (BT is undefined with no wins anywhere;
+      // 0.0 is the honest fixed point, and scores stay non-NaN)
       scores = updated.crossJoin(broadcast(mean))
-        .select(col("model"), (col("s_raw") / col("m")).as("s"))
+        .select(col("model"),
+          when(col("m") > 0.0, col("s_raw") / col("m"))
+            .otherwise(col("s_raw")).as("s"))
         .localCheckpoint(true)
     }
     models.join(scores, Seq("model"))

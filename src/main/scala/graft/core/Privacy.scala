@@ -103,7 +103,11 @@ object Privacy {
       minL: Long): DataFrame = {
     val bad = anonymityClasses(df, quasiCols, Some(sensitiveCol))
       .where(col("l") < minL)
-      .select(quasiCols.map(col): _*)
-    df.join(bad, quasiCols, "left_semi")
+      .select(quasiCols.map(g => col(g).as(s"__graft_q_$g")): _*)
+    // NULL-SAFE semi join: a null quasi value forms a class like any
+    // other (anonymityClasses groups it), so an equality join would
+    // silently exempt null-keyed classes from the violation worklist
+    val cond = quasiCols.map(g => col(g) <=> col(s"__graft_q_$g")).reduce(_ && _)
+    df.join(bad, cond, "left_semi")
   }
 }

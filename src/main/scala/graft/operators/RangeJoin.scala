@@ -79,7 +79,17 @@ object RangeJoin {
     * matches, every true pair appears exactly once. One hash shuffle
     * at bin grain; replication per row is ceil(width / binWidth), so
     * pick binWidth near the typical interval width and cap degenerate
-    * giant intervals upstream. */
+    * giant intervals upstream.
+    *
+    * Bin-boundary contract (spec-pinned): the first-shared-bin rule is
+    * sound because floor is monotone — `floor(max(lLow,rLow)/w) =
+    * max(floor(lLow/w), floor(rLow/w))`, and under overlap that bin is
+    * covered by BOTH intervals, negatives and fractional boundaries
+    * included; point-touch overlaps ([0,10]×[10,20]) emit exactly
+    * once. An INVERTED interval (low > high) raises in-plan instead of
+    * silently binning a descending `sequence`; null bounds contribute
+    * no bins (the row matches nothing), mirroring SQL comparison
+    * semantics. */
   def intervalJoin(
       left: DataFrame,
       lLow: String,
@@ -94,9 +104,18 @@ object RangeJoin {
       s"intervalJoin: overlapping column names ${overlapCols.mkString(", ")}")
     require(!(left.columns ++ right.columns).contains("__bin"),
       "intervalJoin: column name __bin is reserved")
-    def binsOf(lo: String, hi: String) = explode(sequence(
-      floor(col(lo).cast("double") / binWidth).cast("long"),
-      floor(col(hi).cast("double") / binWidth).cast("long")))
+    def binsOf(lo: String, hi: String) = {
+      // inverted intervals would silently bin a DESCENDING sequence;
+      // raise in-plan (null bounds pass the guard and yield no bins)
+      val valid = col(lo).isNull || col(hi).isNull ||
+        col(lo).cast("double") <= col(hi).cast("double")
+      val guard = assert_true(valid,
+        lit(s"intervalJoin: inverted interval ($lo > $hi)"))
+      explode(sequence(
+        when(guard.isNull,
+          floor(col(lo).cast("double") / binWidth).cast("long")),
+        floor(col(hi).cast("double") / binWidth).cast("long")))
+    }
     val lB = left.withColumn("__bin", binsOf(lLow, lHigh))
     val rB = right.withColumn("__bin", binsOf(rLow, rHigh))
     lB.join(rB, Seq("__bin"), "inner")

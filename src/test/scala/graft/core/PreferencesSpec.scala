@@ -99,4 +99,20 @@ class PreferencesSpec extends SparkTestBase {
     assert(byModel("B")._4 > byModel("C")._4)
     assert(math.abs(got.map(_._4).sum / 3 - 1.0) < 0.05)
   }
+
+  test("bradleyTerryScores: degenerate battle graphs stay finite") {
+    // all-ties log: BT undefined, scores must be 0.0 — never NaN
+    val ties = Seq(("m1", "m2", "tie"), ("m2", "m3", "tie"), ("m1", "m3", "tie"))
+      .toDF("model_a", "model_b", "winner")
+    val ts = Preferences.bradleyTerryScores(ties, "model_a", "model_b", "winner")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(ts.values.forall(v => !v.isNaN && v == 0.0), s"ties must score 0.0, got $ts")
+    // perfect separation: the winner's score converges to a FINITE
+    // value (mean-1 renormalisation pins the sum; no divergence)
+    val sweep = Seq.fill(5)(("champ", "chump", "a")).toDF("model_a", "model_b", "winner")
+    val ss = Preferences.bradleyTerryScores(sweep, "model_a", "model_b", "winner")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(ss("champ") == 2.0 && ss("chump") == 0.0, s"got $ss")
+    assert(ss.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
 }

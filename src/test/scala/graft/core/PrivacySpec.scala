@@ -67,4 +67,28 @@ class PrivacySpec extends SparkTestBase {
     assert(badKeys == Set("50s", "60s"))
     assert(bad.count() == 3L) // 1 + 2 rows
   }
+
+  test("all-unique quasi identifiers: full suppression is reported, not hidden") {
+    val df = (1 to 6).map(i => (s"id$i", s"zip$i", i)).toDF("id", "zip", "v")
+    // every class is a singleton: the minimal k-anonymous release at
+    // minK=2 is EMPTY, and the report must say so loudly
+    assert(Privacy.suppressSmallClasses(df, Seq("id", "zip"), 2).count() == 0)
+    val rep = Privacy.kAnonymityReport(df, Seq("id", "zip"), 2).head()
+    assert(rep.getAs[Long]("dataset_k") == 1L)
+    assert(rep.getAs[Long]("violating_classes") == 6L)
+    assert(rep.getAs[Double]("suppression_frac") == 1.0)
+  }
+
+  test("null quasi values form a class; l-diversity violations include it") {
+    val df = Seq(
+      (Option("z1"), "flu"), (Option("z1"), "cold"),
+      (Option.empty[String], "flu"), (Option.empty[String], "flu"))
+      .toDF("zip", "diag")
+    // null-zip class has l=1 < 2 — an equality semi join would let it
+    // escape the worklist silently
+    val bad = Privacy.lDiversityViolations(df, Seq("zip"), "diag", 2)
+    assert(bad.count() == 2 && bad.collect().forall(_.isNullAt(0)))
+    // suppression counts the null class like any other (k=2 survives)
+    assert(Privacy.suppressSmallClasses(df, Seq("zip"), 2).count() == 4)
+  }
 }

@@ -115,4 +115,29 @@ class RangeJoinSpec extends SparkTestBase {
       RangeJoin.intervalJoin(l, "ls", "le",
         r.withColumnRenamed("rid", "lid"), "rs", "re", 1.0))
   }
+
+  test("intervalJoin bin boundaries: point-touch, negatives, fractions — exactly once") {
+    val l = Seq((1L, 0.0, 10.0), (2L, -3.5, -1.0), (3L, 4.0, 4.0))
+      .toDF("lid", "llo", "lhi")
+    val r = Seq((10L, 10.0, 20.0), (20L, -1.0, 0.5), (30L, 3.9, 6.1), (40L, 100.0, 110.0))
+      .toDF("rid", "rlo", "rhi")
+    // w=2: bins straddle every boundary class incl. negative floors
+    val got = RangeJoin.intervalJoin(l, "llo", "lhi", r, "rlo", "rhi", 2.0)
+      .groupBy("lid", "rid").count().collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    // truth: inclusive-end overlap
+    assert(got.keySet == Set((1L, 10L), (1L, 20L), (1L, 30L), (2L, 20L), (3L, 30L)))
+    assert(got.values.forall(_ == 1L), s"pair emitted more than once: $got")
+  }
+
+  test("intervalJoin: inverted intervals raise in-plan; null bounds match nothing") {
+    val l = Seq((1L, 10.0, 0.0)).toDF("lid", "llo", "lhi") // inverted
+    val r = Seq((10L, 0.0, 20.0)).toDF("rid", "rlo", "rhi")
+    val ex = intercept[Exception](
+      RangeJoin.intervalJoin(l, "llo", "lhi", r, "rlo", "rhi", 2.0).collect())
+    assert(ex.getMessage.contains("inverted interval") ||
+      Option(ex.getCause).exists(_.getMessage.contains("inverted interval")))
+    val lNull = Seq((1L, Option.empty[Double], Option(5.0))).toDF("lid", "llo", "lhi")
+    assert(RangeJoin.intervalJoin(lNull, "llo", "lhi", r, "rlo", "rhi", 2.0).count() == 0)
+  }
 }

@@ -56,4 +56,15 @@ class HtmlSpec extends SparkTestBase {
     assert(r.getString(0) == "T")
     assert(r.getString(1) == "One two three four five six seven.")
   }
+
+  test("entity decode is single-level: amp LAST so &amp;lt; stays literal &lt;") {
+    // double-encoded entities must decode exactly ONE level — decoding
+    // amp first would cascade "&amp;lt;" -> "&lt;" -> "<" and corrupt
+    // text that legitimately DISPLAYS "&lt;"
+    val df = Seq("<p>a &amp;lt; b</p>", "<p>5 &lt; 6 &amp;&amp; 7 &gt; 2</p>")
+      .toDF("html")
+    val got = df.select(Html.stripHtml($"html").as("t")).collect().map(_.getString(0))
+    assert(got(0) == "a &lt; b")
+    assert(got(1) == "5 < 6 && 7 > 2")
+  }
 }

@@ -2272,9 +2272,9 @@ object Bench {
       "q_dedup_against_ref" -> ("artifact-serve rung measured against " +
         "online recompute in SCALE.md minhash_reference rows"),
       "q_winsorize" -> ("exact per-group quantiles via range-exchange " +
-        "rank machinery; pre-crossover cost, SCALE.md stats_exact rows"),
+        "rank machinery; pre-crossover cost, SCALE.md stats_winsorize rows"),
       "q_robust_scale" -> ("exact per-group quantiles via range-exchange " +
-        "rank machinery; pre-crossover cost, SCALE.md stats_exact rows"),
+        "rank machinery; pre-crossover cost, SCALE.md stats_winsorize rows"),
       "q_conv_turns" -> ("explodes every turn of 40k conversations by " +
         "contract (row-per-turn output dominates)"))
     val topSec = finalResults.sortBy(-_._2).take(8).map { case (n, s) =>

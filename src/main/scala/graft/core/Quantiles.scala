@@ -111,8 +111,10 @@ object Quantiles {
     val rk = ranked.select((groupCols.map(g => col(g).as(s"__graft_r_$g")) :+
       col("__graft_qr").as("__graft_rr") :+
       col("__graft_qv").as("__graft_rv")): _*)
+    // null-safe on the group keys: a null group key is a group like
+    // any other (groupBy keeps it); === would silently drop it here
     val cond = (groupCols.map(g =>
-      col(s"__graft_g_$g") === col(s"__graft_r_$g")) :+
+      col(s"__graft_g_$g") <=> col(s"__graft_r_$g")) :+
       (col("__graft_qt") === col("__graft_rr"))).reduce(_ && _)
     targets.join(rk, cond)
       .select((groupCols.map(g => col(s"__graft_r_$g").as(g)) :+
@@ -243,9 +245,13 @@ object Quantiles {
     require(q >= 0.0 && q <= 1.0,
       s"quantileGatePerGroup: q must be in [0, 1], got $q")
     val thr = exactQuantilesPerGroup(df, groupCols, scoreCol, Seq(q))
-      .select((groupCols.map(col) :+ col("value").as("__graft_thr")): _*)
-    df.join(broadcast(thr), groupCols)
+      .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
+        col("value").as("__graft_thr")): _*)
+    // null-safe group join: rows in a null-keyed group gate against
+    // their OWN group's threshold instead of being silently dropped
+    val cond = groupCols.map(g => col(g) <=> col(s"__graft_g_$g")).reduce(_ && _)
+    df.join(broadcast(thr), cond, "inner")
       .filter(col(scoreCol).cast("double") >= col("__graft_thr"))
-      .drop("__graft_thr")
+      .drop(groupCols.map(g => s"__graft_g_$g") :+ "__graft_thr": _*)
   }
 }

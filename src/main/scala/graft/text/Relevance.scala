@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.text.TextFunctions.normTokens
 
@@ -267,13 +268,14 @@ object Relevance {
       df: DataFrame,
       textCol: String,
       keepCols: Seq[String]): DataFrame =
+    // one codegen'd kernel pass (BigramPairsExpr) — the zip_with/slice
+    // formulation is a CodegenFallback HOF evaluated interpreted per
+    // element, and the posexplode+lag alternative shuffles per token
     df.withColumn("__toks", normTokens(col(textCol)))
       .where(size(col("__toks")) >= 2)
-      .withColumn("__pairs", zip_with(
-        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
-        (a, b) => struct(a.as("prev"), b.as("w"))))
-      .select(keepCols.map(col) :+ explode(col("__pairs")).as("__pr"): _*)
+      .select(keepCols.map(col) :+ explode(ColumnBridge(
+        graft.functions.BigramPairsExpr(
+          ColumnBridge.expression(col("__toks"))))).as("__pr"): _*)
       .select(keepCols.map(col) :+ col("__pr.prev").as("prev")
         :+ col("__pr.w").as("w"): _*)
 

@@ -49,7 +49,10 @@ object Aggregations {
 
   /** Grouped percentiles: exact (`percentile`, interpolating — sorts
     * per group, use when groups fit memory) or sketch-based
-    * (`percentile_approx`, bounded state — the 100 TB default). */
+    * (`percentile_approx`, bounded state — the 100 TB default). For
+    * exact values on groups that do NOT fit one aggregation buffer,
+    * use [[Quantiles.exactInterpolatedQuantilesPerGroup]] — identical
+    * interpolation over the range-exchange rank machinery. */
   def percentiles(
       df: DataFrame,
       groupCols: Seq[String],

@@ -254,16 +254,17 @@ object Relevance {
     * fewer than two tokens score null. Output:
     * `(idCol, n_bigrams, bigram_perplexity)` (6 dp).
     *
-    * Scale shape: bigram events come from a NARROW zip_with over the
-    * token array (slice n−1 ∥ slice from 2) — no window, no
-    * per-token shuffle; events aggregate to per-(doc, prev, w) counts
+    * Scale shape: bigram events come from ONE narrow codegen'd
+    * kernel pass over the token array (BigramPairsExpr) — no window,
+    * no per-token shuffle, no interpreted HOF dispatch; events
+    * aggregate to per-(doc, prev, w) counts
     * before any join, so the bigram-count join moves doc-DISTINCT-
     * bigram rows; c(prev,·) folds from the bigram counts (no second
     * corpus pass); N/V ride a broadcast 1-row frame. The two big
     * exchanges share the (prev, w) key grain. */
   /** Ordered bigram events of each row's normalised tokens via the
-    * NARROW zip_with shape (rows with <2 tokens drop), carrying
-    * `keepCols` through: output keepCols ++ (prev, w). */
+    * narrow BigramPairsExpr kernel (rows with <2 tokens drop),
+    * carrying `keepCols` through: output keepCols ++ (prev, w). */
   private def explodedBigrams(
       df: DataFrame,
       textCol: String,

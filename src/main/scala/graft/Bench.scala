@@ -2259,8 +2259,9 @@ object Bench {
         "grain against the persisted store; SCALE.md substring rows"),
       "q_substring_profile" -> ("span-merge profile over the same window " +
         "grain as q_substring_dedup (paired); adds only the profile agg"),
-      "q_pipeline_chat" -> ("composed conv-clean->pack chain over 40k " +
-        "conversations; stage costs itemised in SCALE.md pipeline rows"),
+      "q_pipeline_chat" -> ("composed conv->render->pack chain; stage costs " +
+        "itemised in SCALE.md r15 chat rows (fixture-dominated; operator " +
+        "chain fenced + kernel-rendered)"),
       "q_connected_components" -> ("iterative large-star/small-star over " +
         "LSH pairs; O(log n) rounds each a keyed exchange, SCALE.md graph " +
         "rows"),

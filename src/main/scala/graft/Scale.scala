@@ -1492,6 +1492,49 @@ object Scale {
       }
     }
 
+    // Chat pipeline stage itemisation (r15): q_pipeline_chat's wall is
+    // dominated by the FIXTURE (syntheticConversationTable slices every
+    // doc's token array into turns via interpreted HOF lambdas — test
+    // scaffolding, not the operator) — the operator chain itself
+    // (kernel render + token weights + manifest-grain packing) is the
+    // cheap part, and packing must stay flat in token mass (row grain).
+    locally {
+      for (k <- Seq(1, bigK)) {
+        def conv = {
+          val docs = scaledDocs(spark, sfDir, k)
+            .repartition(spark.sparkContext.defaultParallelism)
+          graft.text.Conversations.syntheticConversationTable(
+            docs, "doc_id", "text")
+        }
+        timed("chat_fixture_only", "scale" -> k.toLong)(() => conv)
+        timed("chat_render_weights", "scale" -> k.toLong)(() =>
+          conv.select(col("conv_id"),
+            pmod(col("conv_id"), lit(4)).as("shard"),
+            graft.text.Conversations.renderConversation(col("turns")).as("txt"))
+            .withColumn("w",
+              graft.text.TextFunctions.tokenCount(col("txt")).cast("long")))
+        timed("chat_full_pipeline", "scale" -> k.toLong)(() => {
+          val weighted = conv.select(col("conv_id"),
+            pmod(col("conv_id"), lit(4)).as("shard"),
+            graft.text.Conversations.renderConversation(col("turns")).as("txt"))
+            .withColumn("w",
+              graft.text.TextFunctions.tokenCount(col("txt")).cast("long"))
+          graft.core.Sampling.packTokenWindows(
+            weighted, "w", 512, Seq("shard"), "conv_id")
+        })
+        timed("chat_full_fenced", "scale" -> k.toLong)(() => {
+          val weighted = graft.core.DataFrameOps.stageFence(
+            conv.select(col("conv_id"),
+              pmod(col("conv_id"), lit(4)).as("shard"),
+              graft.text.Conversations.renderConversation(col("turns")).as("txt"))
+              .withColumn("w",
+                graft.text.TextFunctions.tokenCount(col("txt")).cast("long")))
+          graft.core.Sampling.packTokenWindows(
+            weighted, "w", 512, Seq("shard"), "conv_id")
+        })
+      }
+    }
+
     // Stats exact-quantile routing (r15): winsorize/robustScale
     // exact=true now derive bounds from the range-exchange rank
     // machinery instead of the `percentile` aggregate, whose buffer

@@ -1285,10 +1285,14 @@ object SparkEntry {
       // the packing family end to end, exactly re-expressed in SQL
       val conv = Conversations.syntheticConversationTable(
         t(s, d, "documents"), "doc_id", "text")
-      val weighted = conv.select(col("conv_id"),
+      // stageFence: packTokenWindows' w>0 filter would otherwise push
+      // through this projection and re-evaluate the turn-construction
+      // + render chain per reference (measured 4.3 s vs 0.8 s at x1,
+      // 10.8 vs 1.6 at x8 — SCALE.md chat pipeline rows)
+      val weighted = DataFrameOps.stageFence(conv.select(col("conv_id"),
         pmod(col("conv_id"), lit(4)).as("shard"),
         Conversations.renderConversation(col("turns")).as("txt"))
-        .withColumn("w", TextFunctions.tokenCount(col("txt")).cast("long"))
+        .withColumn("w", TextFunctions.tokenCount(col("txt")).cast("long")))
       Sampling.packTokenWindows(weighted, "w", 512, Seq("shard"), "conv_id")
         .select(col("shard"), col("conv_id"), col("seq_id"),
           col("doc_start"), col("seq_start"), col("n_tokens"))

@@ -381,7 +381,15 @@ object Sampling {
     * so PARALLELISM = GROUP (shard) COUNT — fine when shards ≈ output
     * files (the production shape; SCALE.md pack_windows rows measure
     * both regimes); pre-split a giant group with a hash sub-bucket
-    * appended to `partitionCols`. */
+    * appended to `partitionCols`.
+    *
+    * If `weightCol` is DERIVED (tokenCount over a rendered/extracted
+    * column rather than a plain table column), wrap the input in
+    * [[graft.core.DataFrameOps.stageFence]]: the w>0 filter here
+    * pushes through the deriving projection and re-evaluates its
+    * expression tree per reference (measured 6× on the chat pipeline
+    * — SCALE.md r15 chat rows). A plain parquet weight column should
+    * NOT be fenced — the pushed filter then prunes at the scan. */
   def packTokenWindows(
       df: DataFrame,
       weightCol: String,

@@ -70,6 +70,36 @@ object ConvKernels {
     new GenericInternalRow(Array[Any](n.toLong, nSys, nUser, nAsst,
       tokens, alternates))
   }
+
+  /** One walk over (role, content) turns → the role-tagged transcript
+    * `<|role|> content` joined by `sep`. Byte-identical to the HOF
+    * formulation `array_join(transform(turns, concat(...)), sep)`:
+    * a turn with a null struct, null role or null content renders to
+    * a null element, which array_join SKIPS (no separator
+    * contribution); empty/all-null turns render "". */
+  def render(
+      turns: ArrayData,
+      roleIdx: Int,
+      contentIdx: Int,
+      numFields: Int,
+      sep: UTF8String): UTF8String = {
+    val n = turns.numElements()
+    val sb = new java.lang.StringBuilder
+    val sepStr = sep.toString
+    var first = true
+    var i = 0
+    while (i < n) {
+      val row = turns.getStruct(i, numFields)
+      if (row != null && !row.isNullAt(roleIdx) && !row.isNullAt(contentIdx)) {
+        if (!first) sb.append(sepStr)
+        sb.append("<|").append(row.getUTF8String(roleIdx).toString)
+          .append("|> ").append(row.getUTF8String(contentIdx).toString)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** array&lt;struct&lt;role, content&gt;&gt; → struct profile (see
@@ -117,5 +147,53 @@ case class ConvProfileExpr(child: Expression) extends UnaryExpression {
         s"${fieldIdx("content")}, $numFields)")
 
   override protected def withNewChildInternal(newChild: Expression): ConvProfileExpr =
+    copy(child = newChild)
+}
+
+/** array&lt;struct&lt;role, content&gt;&gt; → role-tagged transcript
+  * string (see [[ConvKernels.render]]); `sep` is a construction-time
+  * constant. One codegen'd pass — the transform+concat+array_join
+  * formulation dispatches three interpreted HOF levels per turn. */
+case class ConvRenderExpr(child: Expression, sep: String)
+    extends UnaryExpression {
+
+  private def fieldIdx(name: String): Int = child.dataType match {
+    case ArrayType(s: StructType, _) => s.fieldNames.indexOf(name)
+    case _ => -1
+  }
+
+  private def numFields: Int = child.dataType match {
+    case ArrayType(s: StructType, _) => s.fields.length
+    case _ => 0
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.fieldNames.contains("role") && s.fieldNames.contains("content") &&
+          s("role").dataType == StringType && s("content").dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<role: string, content: string>>, " +
+        s"got ${other.sql}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "conv_render"
+
+  private lazy val sepU8 = UTF8String.fromString(sep)
+
+  override def nullSafeEval(input: Any): Any =
+    ConvKernels.render(input.asInstanceOf[ArrayData],
+      fieldIdx("role"), fieldIdx("content"), numFields, sepU8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("convRenderSep", sepU8)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ConvKernels.render($c, ${fieldIdx("role")}, " +
+        s"${fieldIdx("content")}, $numFields, $sepRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ConvRenderExpr =
     copy(child = newChild)
 }

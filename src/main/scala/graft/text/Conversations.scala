@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.text.TextFunctions.normTokens
 
@@ -62,11 +63,11 @@ object Conversations {
     * `<|role|> content` per turn, joined by `sep`. Narrow projection —
     * the tokenize-and-pack input column. */
   def renderConversation(turns: Column, sep: String = "\n"): Column =
-    array_join(
-      transform(turns, t =>
-        concat(lit("<|"), t.getField("role"), lit("|> "),
-          t.getField("content"))),
-      sep)
+    // one codegen'd kernel pass (ConvRenderExpr) — the HOF form
+    // (array_join over transform+concat) dispatches interpreted
+    // CodegenFallback levels per turn; byte-identical output
+    ColumnBridge(graft.functions.ConvRenderExpr(
+      ColumnBridge.expression(turns), sep))
 
   /** Exact transcript-grain dedup: keep the minimum-id conversation
     * per rendered transcript (roles AND contents must match;

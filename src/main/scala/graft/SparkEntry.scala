@@ -2393,8 +2393,14 @@ object SparkEntry {
             graft.functions.HashFunctions.tokenHashesNative(
               TextFunctions.tokens(TextFunctions.normalizeText(col("text")))))
             .as("sim"))
-        // materialisation fence — fps feeds banding AND the near plants
-        .repartition(s.sparkContext.defaultParallelism)
+        // real materialisation, not a repartition "fence": each
+        // consumer's pushed-down filters (near's id<50, banding's
+        // projections) make the exchange subtrees non-identical, so
+        // physical ReusedExchange fired for only a fraction of the
+        // references and the fingerprint kernel re-ran per consumer
+        // (65 kernel sites in the executed plan). The (id, sim) frame
+        // is 16 B/doc — checkpointing it is free at any corpus size.
+        .localCheckpoint(true)
       val near = fps.filter(col("id") < 50)
         .select((col("id") + 2000000L).as("id"),
           array(element_at(col("sim"), 1).bitwiseXOR(neardupPlantMask),

@@ -136,6 +136,8 @@ object Quantiles {
     require(qs.nonEmpty, "exactInterpolatedQuantiles: need at least one quantile")
     require(qs.forall(q => q >= 0.0 && q <= 1.0),
       s"exactInterpolatedQuantiles: quantiles must be in [0, 1], got $qs")
+    require(qs.distinct.size == qs.size,
+      s"exactInterpolatedQuantiles: duplicate quantiles would silently merge, got $qs")
     val spark = df.sparkSession
     import spark.implicits._
     val ranked = Ids.assignContiguousIds(
@@ -189,6 +191,8 @@ object Quantiles {
     require(qs.nonEmpty, "exactInterpolatedQuantilesPerGroup: need at least one quantile")
     require(qs.forall(q => q >= 0.0 && q <= 1.0),
       s"exactInterpolatedQuantilesPerGroup: quantiles must be in [0, 1], got $qs")
+    require(qs.distinct.size == qs.size,
+      s"exactInterpolatedQuantilesPerGroup: duplicate quantiles would silently merge, got $qs")
     val spark = df.sparkSession
     import spark.implicits._
     val ranked = Ids.assignGroupRanks(

@@ -82,4 +82,21 @@ class QuantilesSpec extends SparkTestBase {
     // rank floor(0.5*4)=2 -> value 2.0; every 2.0 and the 3.0 pass
     assert(keptTied == Set(1L, 2L, 3L, 4L))
   }
+
+  test("interpolated quantiles match the percentile aggregate exactly") {
+    val df = (1 to 101).map(i => ("g" + (i % 2), i.toDouble)).toDF("g", "v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val expect = df.groupBy("g")
+      .agg(percentile($"v", array(qs.map(lit): _*)).as("e"))
+      .select($"g", posexplode($"e"))
+      .collect().map(r => (r.getString(0), qs(r.getInt(1))) -> r.getDouble(2)).toMap
+    val got = Quantiles.exactInterpolatedQuantilesPerGroup(df, Seq("g"), "v", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got == expect, s"interpolation must replicate percentile bit-for-bit\n$got\n$expect")
+    // duplicate quantiles fail loudly instead of silently merging
+    assertThrows[IllegalArgumentException](
+      Quantiles.exactInterpolatedQuantilesPerGroup(df, Seq("g"), "v", Seq(0.5, 0.5)))
+    assertThrows[IllegalArgumentException](
+      Quantiles.exactInterpolatedQuantiles(df, "v", Seq(0.5, 0.5)))
+  }
 }

@@ -2276,8 +2276,9 @@ object Bench {
         "rank machinery; pre-crossover cost, SCALE.md stats_winsorize rows"),
       "q_robust_scale" -> ("exact per-group quantiles via range-exchange " +
         "rank machinery; pre-crossover cost, SCALE.md stats_winsorize rows"),
-      "q_conv_turns" -> ("explodes every turn of 40k conversations by " +
-        "contract (row-per-turn output dominates)"))
+      "q_conv_turns" -> ("row-per-turn output by contract; wall dominated " +
+        "by the interpreted turn-construction FIXTURE (SCALE.md r15 chat " +
+        "rows: fixture-only ~0.9s), not the flatten"))
     val topSec = finalResults.sortBy(-_._2).take(8).map { case (n, s) =>
       val status =
         if (baselines.contains(n)) "paired"

@@ -140,6 +140,8 @@ object Plans {
       "JL projection: the 16x64 gaussian matrix rides the task binary (addReferenceObj) and the projection is one codegen'd kernel call in a narrow Project — no join against a matrix table, no shuffle; the only post-stage is the posexplode to verification grain.",
     "q_connected_components" ->
       "Distributed connected components (localMaxEdges=0): large-star/small-star rounds are (node, min-neighbour) aggregates + edge-grain joins — every exchange keys on node ids, nothing corpus-wide, convergence in O(log n) rounds with the edge set SHRINKING monotonically.",
+    "q_mmr_rerank" ->
+      "MMR diversified re-ranking: ONE corpus join fetches candidate vectors; the pairwise-cosine table is id-grain and checkpoint-fenced; each of the k greedy steps is a broadcast-sized equi-join + argmax window over (queries x candidates) rows — iteration count = k, no frame is ever corpus-sized past the candidate fetch, and every argmax orders on 6-dp-rounded scores with id tie-break (engine-portable pick sequence).",
     "q_script_profile" ->
       "Unicode script profile: ONE codegen'd kernel call (ScriptCountsExpr — a single code-point loop classifying all eight script classes) in a narrow Project, ZERO exchanges; the frac columns and the dominant-script argmax live in chained selects referencing plain attributes — folding the argmax into one expression embeds each frac subtree in both branches of every CaseWhen step (~2^8 copies, conditionally evaluated so CSE cannot dedupe: the r14 57s hazard, now 0.4s).",
   )

@@ -1582,6 +1582,22 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
     }),
 
+    "q_mmr_rerank" -> ((s, d) => {
+      // MMR diversified re-ranking of a cosine top-10 pool: 6 queries,
+      // k = 4 greedy picks at λ = 0.7, every argmax on 6-dp-rounded
+      // scores with id tie-break — the oracle replays the greedy loop
+      // stage-by-stage (unrolled, no recursion)
+      val emb = t(s, d, "embeddings")
+      val pool = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 6), "vec_id", "embedding", k = 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"), col("sim").as("rel"))
+      Similarity.mmrRerank(pool, emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 4, lambda = 0.7)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"), col("mmr_score"))
+    }),
+
     "q_cosine_topk_scalable" -> ((s, d) => {
       // bounded partial-aggregate top-k — same output as q_cosine_topk
       val emb = t(s, d, "embeddings")
@@ -4771,6 +4787,75 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rnk FROM s)
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id,
         |  round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q_mmr_rerank" ->
+      // the greedy MMR loop UNROLLED to k = 4 stages (pool selection =
+      // the q_cosine_topk CTE at rnk <= 10 over vec_id < 6 queries);
+      // (1 - λ) is written as CAST(1.0)-CAST(0.7) to replicate Spark's
+      // lit(1.0 - lambda) double bit-for-bit before the 6-dp round
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 6),
+        |c0 AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+        |sall AS (SELECT query_id, corpus_id, list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS sim
+        |         FROM q CROSS JOIN c0 WHERE query_id <> corpus_id),
+        |cand AS (SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, sim AS rel
+        |         FROM (SELECT query_id, corpus_id, sim,
+        |                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rnk FROM sall)
+        |         WHERE rnk <= 10),
+        |cv AS (SELECT c.query_id, c.corpus_id, CAST(e.embedding AS DOUBLE[]) AS v
+        |       FROM cand c JOIN embeddings e ON CAST(e.vec_id AS BIGINT) = c.corpus_id),
+        |pair AS (SELECT a.query_id, a.corpus_id AS id_lo, b.corpus_id AS id_hi,
+        |                list_cosine_similarity(a.v, b.v) AS psim
+        |         FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.corpus_id < b.corpus_id),
+        |s1 AS (SELECT query_id, corpus_id, 1 AS rank, score AS mmr_score FROM (
+        |         SELECT query_id, corpus_id, round(CAST(0.7 AS DOUBLE) * rel, 6) AS score,
+        |                row_number() OVER (PARTITION BY query_id ORDER BY round(CAST(0.7 AS DOUBLE) * rel, 6) DESC, corpus_id) AS rn
+        |         FROM cand) WHERE rn = 1),
+        |sel1 AS (SELECT query_id, corpus_id FROM s1),
+        |rem2 AS (SELECT c.* FROM cand c ANTI JOIN sel1 s USING (query_id, corpus_id)),
+        |ms2 AS (SELECT r.query_id, r.corpus_id, r.rel, max(p.psim) AS ms
+        |        FROM rem2 r JOIN sel1 s ON r.query_id = s.query_id
+        |        JOIN pair p ON p.query_id = r.query_id
+        |          AND p.id_lo = least(r.corpus_id, s.corpus_id)
+        |          AND p.id_hi = greatest(r.corpus_id, s.corpus_id)
+        |        GROUP BY 1, 2, 3),
+        |s2 AS (SELECT query_id, corpus_id, 2 AS rank, score AS mmr_score FROM (
+        |         SELECT query_id, corpus_id,
+        |                round(CAST(0.7 AS DOUBLE) * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms, 6) AS score,
+        |                row_number() OVER (PARTITION BY query_id
+        |                  ORDER BY round(CAST(0.7 AS DOUBLE) * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms, 6) DESC, corpus_id) AS rn
+        |         FROM ms2) WHERE rn = 1),
+        |sel2 AS (SELECT query_id, corpus_id FROM sel1 UNION ALL SELECT query_id, corpus_id FROM s2),
+        |rem3 AS (SELECT c.* FROM cand c ANTI JOIN sel2 s USING (query_id, corpus_id)),
+        |ms3 AS (SELECT r.query_id, r.corpus_id, r.rel, max(p.psim) AS ms
+        |        FROM rem3 r JOIN sel2 s ON r.query_id = s.query_id
+        |        JOIN pair p ON p.query_id = r.query_id
+        |          AND p.id_lo = least(r.corpus_id, s.corpus_id)
+        |          AND p.id_hi = greatest(r.corpus_id, s.corpus_id)
+        |        GROUP BY 1, 2, 3),
+        |s3 AS (SELECT query_id, corpus_id, 3 AS rank, score AS mmr_score FROM (
+        |         SELECT query_id, corpus_id,
+        |                round(CAST(0.7 AS DOUBLE) * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms, 6) AS score,
+        |                row_number() OVER (PARTITION BY query_id
+        |                  ORDER BY round(CAST(0.7 AS DOUBLE) * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms, 6) DESC, corpus_id) AS rn
+        |         FROM ms3) WHERE rn = 1),
+        |sel3 AS (SELECT query_id, corpus_id FROM sel2 UNION ALL SELECT query_id, corpus_id FROM s3),
+        |rem4 AS (SELECT c.* FROM cand c ANTI JOIN sel3 s USING (query_id, corpus_id)),
+        |ms4 AS (SELECT r.query_id, r.corpus_id, r.rel, max(p.psim) AS ms
+        |        FROM rem4 r JOIN sel3 s ON r.query_id = s.query_id
+        |        JOIN pair p ON p.query_id = r.query_id
+        |          AND p.id_lo = least(r.corpus_id, s.corpus_id)
+        |          AND p.id_hi = greatest(r.corpus_id, s.corpus_id)
+        |        GROUP BY 1, 2, 3),
+        |s4 AS (SELECT query_id, corpus_id, 4 AS rank, score AS mmr_score FROM (
+        |         SELECT query_id, corpus_id,
+        |                round(CAST(0.7 AS DOUBLE) * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms, 6) AS score,
+        |                row_number() OVER (PARTITION BY query_id
+        |                  ORDER BY round(CAST(0.7 AS DOUBLE) * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms, 6) DESC, corpus_id) AS rn
+        |         FROM ms4) WHERE rn = 1)
+        |SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, mmr_score FROM s1
+        |UNION ALL SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, mmr_score FROM s2
+        |UNION ALL SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, mmr_score FROM s3
+        |UNION ALL SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, mmr_score FROM s4""".stripMargin,
 
     "q_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

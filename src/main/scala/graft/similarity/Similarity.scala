@@ -90,6 +90,111 @@ object Similarity {
       .select(col(queryIdCol), col("corpus_id"), col("sim"), col("rank"))
   }
 
+  /** Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    * Goldstein, SIGIR'98) of a bounded candidate list: greedily pick
+    * `k` results per query maximising
+    * `λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)` (empty-S term is 0, so
+    * the first pick is the relevance argmax), ties by ascending
+    * corpus id — the standard de-redundancy pass over a retrieval
+    * top-N before it feeds RAG context, eval-set sampling, or
+    * hard-negative pools dominated by near-copies of one result.
+    *
+    * Scale shape: ONE corpus-side join fetches the candidate ids'
+    * vectors; every later frame is (queries × candidates) or smaller
+    * — the candidate pairwise-cosine table is built once, id-grain,
+    * and checkpointed, and each of the k greedy steps is a
+    * broadcast-sized join + argmax window over it (iteration count =
+    * k, never data-sized; the per-query candidate bound is enforced
+    * loudly). All scores round to 6 dp BEFORE every argmax, so the
+    * pick sequence is engine-portable (the q_mmr_rerank oracle
+    * replays the greedy loop stage-by-stage in DuckDB).
+    *
+    * `candidates`: (`queryIdCol`, corpus_id, rel); `embeddings`:
+    * (`idCol`, `vecCol`) covering every candidate id. Output:
+    * (`queryIdCol`, corpus_id, rank 1..k, mmr_score) — queries with
+    * fewer than k candidates return what they have. */
+  def mmrRerank(
+      candidates: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double = 0.7,
+      queryIdCol: String = "query_id",
+      maxCandidatesPerQuery: Int = 1000): DataFrame = {
+    require(k >= 1, s"mmrRerank: k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: lambda must be in [0, 1], got $lambda")
+    require(maxCandidatesPerQuery >= k,
+      s"mmrRerank: maxCandidatesPerQuery ($maxCandidatesPerQuery) must be >= k ($k)")
+    // rel and the pairwise cosines stay FULL-PRECISION through the
+    // score arithmetic: rounding them to the 6-dp grid first would
+    // make λ·rel land exactly on decimal rounding boundaries (7th
+    // digit 5 whenever rel's 6th digit is 5), where Spark's
+    // BigDecimal-string rounding and a binary-value rounding engine
+    // disagree — only the FINAL scores round (boundary hits on
+    // continuous values are probability ~0, the library convention)
+    val cand = candidates.select(col(queryIdCol),
+        col("corpus_id").cast("long").as("corpus_id"),
+        col("rel").cast("double").as("rel"))
+      .localCheckpoint(true) // consumed by the bound check + every step
+    val worst = cand.groupBy(queryIdCol).count()
+      .agg(max("count")).head().getLong(0)
+    require(worst <= maxCandidatesPerQuery,
+      s"mmrRerank: a query has $worst candidates > maxCandidatesPerQuery " +
+        s"($maxCandidatesPerQuery) — the pairwise-cosine table is quadratic " +
+        "per query; re-rank a bounded top-N, not a corpus")
+    // one corpus join for the candidate vectors, then candidate-grain
+    // pairwise cosines (unordered pairs, looked up via least/greatest)
+    val vecs = cand.select(col(queryIdCol), col("corpus_id"))
+      .join(embeddings.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).as("__v")), Seq("corpus_id"))
+    val pairSims = vecs.as("a")
+      .join(vecs.as("b"),
+        col(s"a.$queryIdCol") === col(s"b.$queryIdCol") &&
+          col("a.corpus_id") < col("b.corpus_id"))
+      .select(col(s"a.$queryIdCol").as(queryIdCol),
+        col("a.corpus_id").as("id_lo"), col("b.corpus_id").as("id_hi"),
+        cosine(col("a.__v"), col("b.__v")).as("psim"))
+      .localCheckpoint(true) // id-grain, consumed by every greedy step
+    val wPick = Window.partitionBy(queryIdCol)
+      .orderBy(col("__score").desc, col("corpus_id"))
+    var selected = cand
+      .withColumn("__score", round(lit(lambda) * col("rel"), 6))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col(queryIdCol), col("corpus_id"), lit(1).as("rank"),
+        col("__score").as("mmr_score"))
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val selIds = selected.select(col(queryIdCol), col("corpus_id").as("__sel"))
+      val remaining = cand.join(selIds
+          .withColumnRenamed("__sel", "corpus_id"),
+          Seq(queryIdCol, "corpus_id"), "left_anti")
+      // lookup each (remaining, selected) unordered pair's cosine —
+      // equi-join on (query, least, greatest) so the pair table is
+      // hash-probed, never filtered post-product
+      val ps = pairSims.select(col(queryIdCol).as("__pq"),
+        col("id_lo"), col("id_hi"), col("psim"))
+      val scored = remaining.join(selIds, Seq(queryIdCol))
+        .join(ps,
+          col(queryIdCol) === col("__pq") &&
+            least(col("corpus_id"), col("__sel")) === col("id_lo") &&
+            greatest(col("corpus_id"), col("__sel")) === col("id_hi"))
+        .groupBy(col(queryIdCol), col("corpus_id"), col("rel"))
+        .agg(max(col("psim")).as("__ms"))
+        .withColumn("__score",
+          round(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__ms"), 6))
+      val pick = scored
+        .withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(col(queryIdCol), col("corpus_id"), lit(step).as("rank"),
+          col("__score").as("mmr_score"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** Recall@k of an approximate top-k result against an exact one —
     * the evaluation operator for the ANN family ([[Ivf]], [[Pq]],
     * [[lshCosineCandidates]]): per query, the fraction of the EXACT

@@ -1,0 +1,61 @@
+package graft.similarity
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MmrSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // a and b are near-duplicates of each other (sim ~0.99999), c is
+  // diverse (sim to a ~0.855): plain relevance ranks (a, b, c) but at
+  // λ=0.5 the margin rel − maxsim is −0.025 for b and +0.022 for c,
+  // so MMR must pick c second — the de-redundancy behaviour the
+  // operator exists for
+  private def embeddings = Seq(
+    (100L, Array(0.95f, 0.3122f, 0f)),   // a: rel ~0.950
+    (101L, Array(0.9495f, 0.3137f, 0f)), // b: near-copy of a, rel ~0.9495
+    (102L, Array(0.9f, 0f, 0.4359f)),    // c: diverse, rel ~0.900
+    (1L, Array(1.0f, 0.0f, 0.0f)))       // the query vector
+    .toDF("id", "vec")
+
+  private def candidates = {
+    val emb = embeddings
+    Similarity.bruteForceTopK(
+      emb.filter($"id" >= 100L), emb.filter($"id" === 1L), "id", "vec", k = 3)
+      .select($"query_id", $"corpus_id", $"sim".as("rel"))
+  }
+
+  test("diversity beats raw relevance from the second pick on") {
+    val out = Similarity.mmrRerank(candidates, embeddings, "id", "vec",
+      k = 3, lambda = 0.5)
+      .collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 100L, 2 -> 102L, 3 -> 101L),
+      s"expected a, then the diverse c, then the near-dup b; got $out")
+  }
+
+  test("rank 1 is the relevance argmax and scores are monotone non-increasing") {
+    val rows = Similarity.mmrRerank(candidates, embeddings, "id", "vec",
+      k = 3, lambda = 0.5)
+      .orderBy("rank").collect()
+    assert(rows.head.getLong(1) == 100L)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y },
+      s"greedy MMR scores must not increase: ${scores.toSeq}")
+  }
+
+  test("queries with fewer than k candidates return what they have") {
+    val out = Similarity.mmrRerank(candidates, embeddings, "id", "vec",
+      k = 10, lambda = 0.5)
+    assert(out.count() == 3)
+  }
+
+  test("candidate bound and parameters validate loudly") {
+    assertThrows[IllegalArgumentException](
+      Similarity.mmrRerank(candidates, embeddings, "id", "vec", k = 0))
+    assertThrows[IllegalArgumentException](
+      Similarity.mmrRerank(candidates, embeddings, "id", "vec", k = 2, lambda = 1.5))
+    assertThrows[IllegalArgumentException](
+      Similarity.mmrRerank(candidates, embeddings, "id", "vec",
+        k = 2, maxCandidatesPerQuery = 2))
+  }
+}

@@ -619,30 +619,38 @@ object DataFrameOps {
   // scan drop definite non-members BEFORE any exchange, and the exact
   // join then corrects the bloom's false positives. Negatives need no
   // correction — a bloom has none.
+  //
+  // ADAPTIVE CROSSOVER (measured, SCALE.md r11/r12 bloom rows): when
+  // the right side is broadcast-sized, the plain broadcast semi/anti
+  // join is already map-side and the bloom only adds its build job —
+  // so both operators COUNT the right key (a narrow pass, cheaper
+  // than the bloom build it replaces or sizes) and route small right
+  // sides straight to the exact broadcast join. The bloom path is the
+  // non-broadcastable regime, where the candidate cut applies to real
+  // exchange bytes (16.7× exchange-volume cut at 20M×5%).
 
   private def bloomOverKey(
       right: DataFrame, rightKey: String,
       fpp: Double, expectedItems: Long): Array[Byte] = {
     requireColumns(right, Seq(rightKey), "bloomJoin")
     val hashed = right.select(xxhash64(col(rightKey)).as("__graft_bk"))
-    // sizing: prefer the caller's figure, then the optimizer's estimate
-    // (free — no job), and only pay a count() job when the plan admits
-    // no finite estimate. Oversizing is benign (a bigger filter, same
-    // exactness); the estimate is clamped so a nonsense sizeInBytes
-    // can't allocate a gigabyte of bits — undersizing just raises the
+    // sizing: the caller's figure, or the exact count the crossover
+    // decision already paid for. Oversizing is benign (a bigger
+    // filter, same exactness); undersizing just raises the
     // false-positive rate the exact join absorbs anyway.
-    val expected: Long =
-      if (expectedItems > 0) expectedItems
-      else {
-        val stats = hashed.queryExecution.optimizedPlan.stats
-        stats.rowCount.map(_.toLong.max(1L)).getOrElse {
-          val bytes = stats.sizeInBytes
-          if (bytes > 0 && bytes < BigInt(1L << 40))
-            (bytes.toLong / 8L).max(1024L).min(1L << 24)
-          else math.max(hashed.count(), 1L)
-        }
-      }
+    val expected: Long = math.max(
+      if (expectedItems > 0) expectedItems else hashed.count(), 1L)
     graft.functions.BloomFunctions.buildBloomBytes(hashed, "__graft_bk", expected, fpp)
+  }
+
+  /** The crossover decision: right-key row count, from the caller's
+    * `expectedItems` if supplied, else one narrow count pass (reused
+    * as the bloom's sizing figure on the big-regime path). */
+  private def rightKeyCount(
+      right: DataFrame, rightKey: String, expectedItems: Long): Long = {
+    requireColumns(right, Seq(rightKey), "bloomJoin")
+    if (expectedItems > 0) expectedItems
+    else right.select(col(rightKey)).count()
   }
 
   /** EXACT semi join, bloom-accelerated: rows of `left` whose

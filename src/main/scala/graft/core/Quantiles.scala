@@ -122,13 +122,19 @@ object Quantiles {
   }
 
   /** Exact INTERPOLATED global quantiles — `percentile`-aggregate
-    * semantics (value = v_lo + (h − ⌊h⌋)·(v_hi − v_lo) at
-    * h = q·(n−1), the formula Spark's `Percentile` and DuckDB's
-    * `quantile_cont` share bit-for-bit) over the same range-exchange
-    * rank machinery as [[exactQuantiles]], so no aggregation buffer
-    * ever holds a group's values. Returns `(q, value)`; all-null /
-    * empty input → empty frame (callers LEFT-join and inherit null
-    * bounds, matching the aggregate's null). */
+    * semantics: at h = q·(n−1), value = (⌈h⌉−h)·v_lo + (h−⌊h⌋)·v_hi
+    * (v_lo when h is integral), the two-sided weighted form Spark's
+    * `Percentile` computes — bit-for-bit, so the adaptive small-input
+    * path through the aggregate and this range-exchange path agree
+    * exactly. (DuckDB's `quantile_cont` uses the one-sided lerp
+    * v_lo + (h−⌊h⌋)·(v_hi−v_lo); the two can differ sub-ulp on
+    * non-exactly-representable doubles — this library owns the Spark
+    * convention, pinned by an adversarial-doubles parity spec.) Built
+    * over the same range-exchange rank machinery as
+    * [[exactQuantiles]], so no aggregation buffer ever holds a group's
+    * values. Returns `(q, value)`; all-null / empty input → empty
+    * frame (callers LEFT-join and inherit null bounds, matching the
+    * aggregate's null). */
   def exactInterpolatedQuantiles(
       df: DataFrame,
       valueCol: String,
@@ -166,14 +172,26 @@ object Quantiles {
       .agg(first(col("__graft_qh")).as("__graft_qh"),
         max(when(col("__graft_role") === "lo", col("__graft_qv"))).as("__graft_vlo"),
         max(when(col("__graft_role") === "hi", col("__graft_qv"))).as("__graft_vhi"))
-      .select(col("q"),
-        (col("__graft_vlo") +
-          (col("__graft_qh") - floor(col("__graft_qh"))) *
-            (col("__graft_vhi") - col("__graft_vlo"))).as("value"))
+      .select(col("q"), interpolate(col("__graft_qh"),
+        col("__graft_vlo"), col("__graft_vhi")).as("value"))
   }
 
+  /** Spark `Percentile`'s exact interpolation at fractional rank `h`:
+    * v_lo when h is integral, else (⌈h⌉−h)·v_lo + (h−⌊h⌋)·v_hi — the
+    * two-sided weighted form, NOT the one-sided lerp (they differ
+    * sub-ulp on adversarial doubles; the aggregate's form wins so
+    * small-regime and rank-regime paths are bit-identical). */
+  private def interpolate(
+      h: org.apache.spark.sql.Column,
+      vLo: org.apache.spark.sql.Column,
+      vHi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(h === floor(h), vLo)
+      .otherwise((ceil(h) - h) * vLo + (h - floor(h)) * vHi)
+
   /** Per-group [[exactInterpolatedQuantiles]]: `(groupCols…, q,
-    * value)` with `percentile`-aggregate interpolation, built on
+    * value)` with `percentile`-aggregate interpolation (the same
+    * two-sided weighted form as [[exactInterpolatedQuantiles]]),
+    * built on
     * [[graft.operators.Ids.assignGroupRanks]] so a billion-row group
     * spans partitions instead of serialising into one aggregation
     * buffer. Group joins are NULL-SAFE (`<=>`): a null group key is a
@@ -230,9 +248,8 @@ object Quantiles {
         max(when(col("__graft_role") === "lo", col("__graft_qv"))).as("__graft_vlo"),
         max(when(col("__graft_role") === "hi", col("__graft_qv"))).as("__graft_vhi"))
       .select((groupCols.map(col) :+ col("q") :+
-        (col("__graft_vlo") +
-          (col("__graft_qh") - floor(col("__graft_qh"))) *
-            (col("__graft_vhi") - col("__graft_vlo"))).as("value")): _*)
+        interpolate(col("__graft_qh"), col("__graft_vlo"),
+          col("__graft_vhi")).as("value")): _*)
   }
 
   /** Per-group [[quantileGate]]: keep rows at or above their OWN

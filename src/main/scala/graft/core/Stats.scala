@@ -25,26 +25,39 @@ object Stats {
 
   /** Left-join per-group bound columns back onto `df` null-safely and
     * drop the (pre-renamed `__graft_g_*`) key copies. `bounds` must
-    * carry its group keys as `__graft_g_<name>`. */
+    * carry its group keys as `__graft_g_<name>`. Global bounds
+    * (`groupCols = Nil`, a one-row frame) left-join on TRUE — a left
+    * join, not a crossJoin, so an EMPTY bounds frame (all-null input)
+    * yields null bounds instead of dropping every input row. */
   private def joinBounds(
       df: DataFrame,
       bounds: DataFrame,
       groupCols: Seq[String]): DataFrame = {
-    val cond = groupCols.map(g => col(g) <=> col(s"__graft_g_$g")).reduce(_ && _)
-    df.join(broadcast(bounds), cond, "left")
-      .drop(groupCols.map(g => s"__graft_g_$g"): _*)
+    if (groupCols.isEmpty) df.join(broadcast(bounds), lit(true), "left")
+    else {
+      val cond = groupCols.map(g => col(g) <=> col(s"__graft_g_$g")).reduce(_ && _)
+      df.join(broadcast(bounds), cond, "left")
+        .drop(groupCols.map(g => s"__graft_g_$g"): _*)
+    }
   }
 
   /** (groupCols…, one column per q named by `names`) — exact
     * interpolated per-group quantiles pivoted wide, keys pre-renamed
-    * for [[joinBounds]]. */
+    * for [[joinBounds]]. `groupCols = Nil` routes through the global
+    * [[Quantiles.exactInterpolatedQuantiles]] and pivots to one row
+    * (all-null nulls included: the global pivot aggregates an empty
+    * long frame to one all-null row, which [[joinBounds]] propagates
+    * as null bounds — same convention as an absent group). */
   private def wideQuantiles(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       qsNames: Seq[(Double, String)]): DataFrame = {
-    val long = Quantiles.exactInterpolatedQuantilesPerGroup(
-      df, groupCols, valueCol, qsNames.map(_._1))
+    val long =
+      if (groupCols.isEmpty)
+        Quantiles.exactInterpolatedQuantiles(df, valueCol, qsNames.map(_._1))
+      else Quantiles.exactInterpolatedQuantilesPerGroup(
+        df, groupCols, valueCol, qsNames.map(_._1))
     long.groupBy(groupCols.map(col): _*)
       .agg(qsNames.head match { case (q, name) =>
         max(when(col("q") === q, col("value"))).as(name)
@@ -56,7 +69,8 @@ object Stats {
   }
 
   /** Clip `valueCol` to its per-group [lowP, highP] percentile range
-    * (new column `<valueCol>_wins`). */
+    * (new column `<valueCol>_wins`). `groupCols = Nil` clips against
+    * the GLOBAL percentile range (one-row bounds, broadcast). */
   def winsorize(
       df: DataFrame,
       groupCols: Seq[String],
@@ -67,13 +81,12 @@ object Stats {
       accuracy: Int = 10000): DataFrame = {
     require(lowP >= 0 && highP <= 1 && lowP < highP,
       s"winsorize: need 0 <= lowP < highP <= 1, got ($lowP, $highP)")
-    require(groupCols.nonEmpty, "winsorize: need group columns")
     val v = col(valueCol).cast("double")
     val bounds =
       if (exact)
         wideQuantiles(df, groupCols, valueCol,
           Seq(lowP -> "__graft_lo", highP -> "__graft_hi"))
-      else df.groupBy(groupCols.map(col): _*)
+      else df.groupBy(groupCols.map(col): _*) // Nil keys = one global row
         .agg(percentile_approx(v, lit(lowP), lit(accuracy)).as("__graft_lo"),
           percentile_approx(v, lit(highP), lit(accuracy)).as("__graft_hi"))
         .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
@@ -86,7 +99,9 @@ object Stats {
 
   /** Flag per-group z-score outliers: adds `z` (round 6; 0.0 when the
     * group's stddev is 0 or undefined) and `is_outlier`
-    * (|z| > threshold). Sample stddev, matching SQL engines. */
+    * (|z| > threshold). Sample stddev, matching SQL engines.
+    * `groupCols = Nil` flags against the global moments; group joins
+    * are null-safe like the rest of the family. */
   def zscoreOutliers(
       df: DataFrame,
       groupCols: Seq[String],
@@ -96,7 +111,9 @@ object Stats {
     val v = col(valueCol).cast("double")
     val moments = df.groupBy(groupCols.map(col): _*)
       .agg(avg(v).as("__graft_mu"), stddev_samp(v).as("__graft_sd"))
-    df.join(moments, groupCols)
+      .select((groupCols.map(g => col(g).as(s"__graft_g_$g")) :+
+        col("__graft_mu") :+ col("__graft_sd")): _*)
+    joinBounds(df, moments, groupCols)
       .withColumn("z",
         when(col("__graft_sd").isNull || col("__graft_sd") === 0.0, 0.0)
           .otherwise(round((v - col("__graft_mu")) / col("__graft_sd"), 6)))
@@ -218,12 +235,12 @@ object Stats {
     * constant group (max = min) scales to 0.0 — the join-safe
     * convention. Same shape as [[winsorize]]: one grouped aggregate
     * to group cardinality, broadcast-friendly join back, narrow
-    * projection — never a window over the corpus. */
+    * projection — never a window over the corpus. `groupCols = Nil`
+    * scales against the global min/max. */
   def minMaxScale(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String): DataFrame = {
-    require(groupCols.nonEmpty, "minMaxScale: need group columns")
     val v = col(valueCol).cast("double")
     val bounds = df.groupBy(groupCols.map(col): _*)
       .agg(min(v).as("__graft_mn"), max(v).as("__graft_mx"))
@@ -244,14 +261,14 @@ object Stats {
     * need before feeding sampling weights (a single spam doc moves
     * a mean/stddev z-score; it barely moves median/IQR). Same
     * aggregate-join-project shape as [[winsorize]]; swap
-    * `exact = false` for the sketch path on groups that don't fit. */
+    * `exact = false` for the sketch path on groups that don't fit.
+    * `groupCols = Nil` standardises against the global quartiles. */
   def robustScale(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       exact: Boolean = true,
       accuracy: Int = 10000): DataFrame = {
-    require(groupCols.nonEmpty, "robustScale: need group columns")
     val v = col(valueCol).cast("double")
     val qs =
       if (exact)

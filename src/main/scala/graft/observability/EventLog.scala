@@ -199,17 +199,45 @@ object Ec2Pricing {
     * vcpu/memory fall back to name inference
     * ([[extractInstanceSpecs]]); rows that are neither inferable nor
     * explicitly specced fail loudly — a silently skipped row would
-    * skew cheapest-fit matching. */
+    * skew cheapest-fit matching.
+    *
+    * `format`: "parquet", "csv", or "" (default) to infer — ".parquet"
+    * suffix → parquet, anything else tries parquet FIRST and falls
+    * back to CSV-with-header (an extensionless parquet DIRECTORY must
+    * never be silently parsed as CSV; a real CSV is not valid parquet,
+    * so the probe order is safe). vcpu/memory_gb parse through Double
+    * ("8.0" and "8" both mean 8) with a descriptive error on junk. */
   def loadRates(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[InstanceType] = {
-    val df =
-      if (path.endsWith(".parquet")) spark.read.parquet(path)
-      else spark.read.option("header", "true").csv(path)
+      path: String,
+      format: String = ""): Seq[InstanceType] = {
+    require(Seq("", "csv", "parquet").contains(format),
+      s"loadRates: format must be csv, parquet, or empty (infer), got '$format'")
+    def readCsv() = spark.read.option("header", "true").csv(path)
+    val df = format match {
+      case "parquet" => spark.read.parquet(path)
+      case "csv" => readCsv()
+      case _ if path.endsWith(".parquet") => spark.read.parquet(path)
+      case _ =>
+        // try-parquet-then-csv: footer validation makes a CSV fail fast
+        // here, while an extensionless parquet directory reads correctly
+        // instead of being mis-parsed as CSV
+        try {
+          val p = spark.read.parquet(path)
+          p.schema // force plan resolution (schema is read eagerly anyway)
+          p
+        } catch { case _: org.apache.spark.SparkException |
+            _: org.apache.spark.sql.AnalysisException => readCsv() }
+    }
     val cols = df.columns.toSet
     require(cols.contains("instance_type") && cols.contains("hourly_usd"),
       s"loadRates: need instance_type + hourly_usd columns, got ${df.columns.mkString(", ")}")
     val hasSpecs = cols.contains("vcpu") && cols.contains("memory_gb")
+    def parseSpec(raw: Any, field: String, inst: String): Int =
+      try raw.toString.toDouble.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"loadRates: $field '$raw' for '$inst' is not numeric") }
     val rows = df.collect() // a rates table is catalog-sized by contract
     rows.toSeq.map { r =>
       val name = r.getAs[Any]("instance_type").toString
@@ -217,8 +245,8 @@ object Ec2Pricing {
       val inferred = extractInstanceSpecs(name)
       val explicit =
         if (hasSpecs && r.getAs[Any]("vcpu") != null && r.getAs[Any]("memory_gb") != null)
-          Some((r.getAs[Any]("vcpu").toString.toInt,
-            r.getAs[Any]("memory_gb").toString.toInt))
+          Some((parseSpec(r.getAs[Any]("vcpu"), "vcpu", name),
+            parseSpec(r.getAs[Any]("memory_gb"), "memory_gb", name)))
         else None
       (explicit, inferred) match {
         case (Some((v, m)), i) =>

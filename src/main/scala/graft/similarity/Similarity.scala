@@ -138,17 +138,34 @@ object Similarity {
         col("corpus_id").cast("long").as("corpus_id"),
         col("rel").cast("double").as("rel"))
       .localCheckpoint(true) // consumed by the bound check + every step
-    val worst = cand.groupBy(queryIdCol).count()
-      .agg(max("count")).head().getLong(0)
+    // max("count") over an empty frame yields one null cell, not zero
+    // rows — read it as an Option so an empty candidate set returns an
+    // empty result instead of an NPE
+    val worst = Option(cand.groupBy(queryIdCol).count()
+      .agg(max("count")).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (worst == 0L) {
+      return cand.select(col(queryIdCol), col("corpus_id"),
+        lit(1).as("rank"), lit(0.0).as("mmr_score")).limit(0)
+    }
     require(worst <= maxCandidatesPerQuery,
       s"mmrRerank: a query has $worst candidates > maxCandidatesPerQuery " +
         s"($maxCandidatesPerQuery) — the pairwise-cosine table is quadratic " +
         "per query; re-rank a bounded top-N, not a corpus")
     // one corpus join for the candidate vectors, then candidate-grain
     // pairwise cosines (unordered pairs, looked up via least/greatest)
+    val emb = embeddings.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).as("__v"))
+    // a candidate id absent from `embeddings` has no pairwise cosine,
+    // so later greedy steps could never score (and thus never pick) it
+    // — that silent exclusion would skew the re-rank, so fail loudly
+    val nMissing = cand.select("corpus_id").distinct()
+      .join(emb, Seq("corpus_id"), "left_anti").limit(1).count()
+    require(nMissing == 0L,
+      "mmrRerank: candidates reference corpus ids with no row in " +
+        "`embeddings` — every candidate id must have a vector (missing " +
+        "ids would be silently unpickable after rank 1)")
     val vecs = cand.select(col(queryIdCol), col("corpus_id"))
-      .join(embeddings.select(col(idCol).cast("long").as("corpus_id"),
-        col(vecCol).as("__v")), Seq("corpus_id"))
+      .join(emb, Seq("corpus_id"))
     val pairSims = vecs.as("a")
       .join(vecs.as("b"),
         col(s"a.$queryIdCol") === col(s"b.$queryIdCol") &&

@@ -51,6 +51,14 @@ object QualityRules {
     * Filter conjuncts short-circuit so codegen subexpression
     * elimination cannot share the re-splits across rules (measured
     * 3.7 s vs 1.6 s on the composed q_pipeline_web chain).
+    *
+    * FENCE COST — wide input tables: column pruning cannot cross the
+    * fence's CollectMetrics node, so every input column is scanned
+    * even if the caller keeps only `gopher_pass` downstream. On a
+    * wide table, pre-select the columns you need (doc id + text)
+    * BEFORE calling; on the text-dominated frames this operator
+    * exists for, the text column is the scan cost and the fence
+    * changes nothing.
     */
   def gopherFlags(
       df: DataFrame,

@@ -99,4 +99,26 @@ class QuantilesSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](
       Quantiles.exactInterpolatedQuantiles(df, "v", Seq(0.5, 0.5)))
   }
+
+  test("interpolation matches the percentile aggregate on adversarial doubles") {
+    // non-exactly-representable values where the two-sided weighted
+    // form (⌈h⌉−h)·lo + (h−⌊h⌋)·hi and the one-sided lerp
+    // lo + (h−⌊h⌉)·(hi−lo) differ sub-ulp — the library owns Spark's
+    // aggregate convention, bit-for-bit (checked as raw Double bits)
+    val vals = Seq(0.1, 0.2, 0.30000000000000004, 1e-300, 1e300,
+      -0.7, 2.675, 1.0 / 3.0, math.Pi, -math.E, 1e16 + 1, 0.1 + 0.7)
+    val df = vals.map(Tuple1(_)).toDF("v").repartition(4)
+    val qs = Seq(0.01, 0.13, 1.0 / 3.0, 0.5, 0.66, 0.875, 0.99)
+    val expect = df.agg(percentile($"v", array(qs.map(lit): _*)).as("e"))
+      .select(posexplode($"e"))
+      .collect().map(r => qs(r.getInt(0)) -> r.getDouble(1)).toMap
+    val got = Quantiles.exactInterpolatedQuantiles(df, "v", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    qs.foreach { q =>
+      assert(java.lang.Double.doubleToLongBits(got(q)) ==
+        java.lang.Double.doubleToLongBits(expect(q)),
+        s"q=$q: got ${got(q)} (bits ${java.lang.Double.doubleToLongBits(got(q))}), " +
+          s"aggregate ${expect(q)} (bits ${java.lang.Double.doubleToLongBits(expect(q))})")
+    }
+  }
 }

@@ -64,6 +64,28 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("groupCols = Nil computes against GLOBAL bounds for the whole family") {
+    val df = Seq(10.0, 20.0, 30.0, 40.0, 50.0).map(Tuple1(_)).toDF("v")
+    val mm = Stats.minMaxScale(df, Nil, "v")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(mm == Map(10.0 -> 0.0, 20.0 -> 0.25, 30.0 -> 0.5, 40.0 -> 0.75, 50.0 -> 1.0))
+    val wins = Stats.winsorize(df, Nil, "v", lowP = 0.25, highP = 0.75)
+      .select("v_wins").as[Double].collect().toSet
+    assert(wins == Set(20.0, 30.0, 40.0)) // global q1=20, q3=40
+    val rs = Stats.robustScale(df, Nil, "v")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(rs == Map(10.0 -> -1.0, 20.0 -> -0.5, 30.0 -> 0.0, 40.0 -> 0.5, 50.0 -> 1.0))
+    // global mean 30, sample sd ~15.81: |z| of 10 and 50 is ~1.265
+    val z = Stats.zscoreOutliers(df, Nil, "v", threshold = 1.2)
+      .filter("is_outlier").select("v").as[Double].collect().toSet
+    assert(z == Set(10.0, 50.0))
+    // all-null input: global bounds frame is empty -> null outputs, no drop
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+    assert(Stats.winsorize(nulls, Nil, "v").count() == 2)
+    assert(Stats.winsorize(nulls, Nil, "v")
+      .filter($"v_wins".isNull).count() == 2)
+  }
+
   test("null group keys form a group and are never dropped") {
     val df = Seq((Option("a"), 10.0), (Option("a"), 20.0),
       (Option.empty[String], 1.0), (Option.empty[String], 3.0))

@@ -105,4 +105,38 @@ class EventLogSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Ec2Pricing.loadRates(spark, bad.getAbsolutePath))
   }
+
+  test("loadRates: extensionless parquet dir, fractional specs, explicit format") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("loadrates-test").getOrCreate()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rates2").toFile
+    // extensionless parquet DIRECTORY must be read as parquet (never
+    // silently mis-parsed as CSV) by the try-parquet-first inference
+    val pq = new java.io.File(dir, "rates_dir").getAbsolutePath
+    Seq(("custom1.big", 0.005, 8, 64))
+      .toDF("instance_type", "hourly_usd", "vcpu", "memory_gb")
+      .coalesce(1).write.parquet(pq)
+    val inferred = Ec2Pricing.loadRates(spark, pq)
+    assert(inferred.map(_.instanceType) == Seq("custom1.big"))
+    assert(inferred.head.vcpu == 8 && inferred.head.memoryGb == 64)
+    assert(Ec2Pricing.loadRates(spark, pq, format = "parquet") == inferred)
+    // fractional spec strings ("8.0"/"64.0") parse via Double
+    val f = new java.io.File(dir, "frac.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "instance_type,hourly_usd,vcpu,memory_gb\ncustom2.big,0.01,8.0,64.0\n")
+    val frac = Ec2Pricing.loadRates(spark, f.getAbsolutePath)
+    assert(frac.head.vcpu == 8 && frac.head.memoryGb == 64)
+    // junk specs fail with a descriptive error, not a bare NumberFormat
+    val junk = new java.io.File(dir, "junk.csv")
+    java.nio.file.Files.writeString(junk.toPath,
+      "instance_type,hourly_usd,vcpu,memory_gb\ncustom3.big,0.01,eight,64\n")
+    val e = intercept[IllegalArgumentException](
+      Ec2Pricing.loadRates(spark, junk.getAbsolutePath))
+    assert(e.getMessage.contains("vcpu") && e.getMessage.contains("custom3.big"))
+    // explicit csv format still honored; bad format name refused
+    assert(Ec2Pricing.loadRates(spark, f.getAbsolutePath, format = "csv") == frac)
+    assertThrows[IllegalArgumentException](
+      Ec2Pricing.loadRates(spark, f.getAbsolutePath, format = "orc"))
+  }
 }

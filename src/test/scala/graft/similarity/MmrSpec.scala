@@ -49,6 +49,23 @@ class MmrSpec extends SparkTestBase {
     assert(out.count() == 3)
   }
 
+  test("empty candidates return an empty frame, not an NPE") {
+    val out = Similarity.mmrRerank(candidates.limit(0), embeddings,
+      "id", "vec", k = 3, lambda = 0.5)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("query_id", "corpus_id", "rank", "mmr_score"))
+  }
+
+  test("a candidate id missing from embeddings fails loudly") {
+    // id 999 has no vector: it would be silently unpickable after
+    // rank 1 (no pairwise cosine row) — the operator must refuse
+    val extra = candidates.unionByName(
+      Seq((1L, 999L, 0.4)).toDF("query_id", "corpus_id", "rel"))
+    val e = intercept[IllegalArgumentException](
+      Similarity.mmrRerank(extra, embeddings, "id", "vec", k = 3, lambda = 0.5))
+    assert(e.getMessage.contains("no row in"))
+  }
+
   test("candidate bound and parameters validate loudly") {
     assertThrows[IllegalArgumentException](
       Similarity.mmrRerank(candidates, embeddings, "id", "vec", k = 0))

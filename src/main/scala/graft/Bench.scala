@@ -1182,6 +1182,69 @@ object Bench {
           round(col("sim"), 6).as("sim"), col("rank").cast("long").as("rank"))
     }),
 
+    "q_mmr_rerank" -> ((s, d) => {
+      // what a user hand-writes for a bounded diversified re-rank:
+      // window top-10 pool with the HOF cosine, candidate pairwise
+      // cosines in one self-join, then the greedy MMR loop ON THE
+      // DRIVER over the collected pool (6 queries × ≤10 candidates —
+      // driver-trivial). The wrapped operator replays the SAME greedy
+      // sequence fully distributed (~2·k driver-issued jobs per call);
+      // its value is candidate tables that never fit a driver.
+      import s.implicits._
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("corpus_id"))
+      val pool = emb
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"))
+        .crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .withColumn("rel", rawCosine(col("q_vec"), col("c_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("corpus_id").cast("long").as("corpus_id"),
+          col("rel"), col("c_vec"))
+        .localCheckpoint(true) // pool + pairwise both consume it
+      val psim = pool.as("a").join(pool.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.corpus_id") < col("b.corpus_id"))
+        .select(col("a.query_id"), col("a.corpus_id").as("lo"),
+          col("b.corpus_id").as("hi"),
+          rawCosine(col("a.c_vec"), col("b.c_vec")).as("psim"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+        .toMap
+      val cands = pool.select("query_id", "corpus_id", "rel").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // Spark's round(double, 6): BigDecimal.valueOf (decimal text
+      // form) + HALF_UP — scala.BigDecimal(Double) matches
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val lambda = 0.7
+      val picks = cands.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+        var remaining = cs.map(c => (c._2, c._3)).toSeq
+        var selected = Vector.empty[(Long, Long, Long, Double)]
+        for (step <- 1 to math.min(4, cs.length)) {
+          val best = remaining.map { case (cid, rel) =>
+            val score =
+              if (selected.isEmpty) r6(lambda * rel)
+              else {
+                val ms = selected.map(sel => psim(
+                  (qid, math.min(cid, sel._2), math.max(cid, sel._2)))).max
+                r6(lambda * rel - (1.0 - lambda) * ms)
+              }
+            (cid, score)
+          }.minBy { case (cid, sc) => (-sc, cid) } // score desc, id asc
+          selected :+= ((qid, best._1, step.toLong, best._2))
+          remaining = remaining.filterNot(_._1 == best._1)
+        }
+        selected
+      }
+      picks.toDF("query_id", "corpus_id", "rank", "mmr_score")
+    }),
+
     "q_lsh_cosine" -> ((s, d) => {
       // what a user hand-writes for "every near-duplicate pair above a
       // threshold": score ALL pairs — quadratic in the corpus, where the
@@ -1982,19 +2045,15 @@ object Bench {
     // scale-correct design, each backed by an isolated SCALE.md artifact
     // row measuring the regime where the design pays off — annotated in
     // the artifact so the reading is standing evidence, not a fresh
-    // flag every round. The bloom family: each prefilter pays a local
-    // cost when the right/eval side would broadcast anyway (the bench
-    // regime), and wins when it cannot — bloom_decontaminate's regime
-    // rule in SCALE.md "Bloom-prefiltered decontamination" (r12
-    // re-adjudication), bloom semi/anti's 16.7×-row / 15.5×-byte
-    // exchange cut with broadcast disabled in SCALE.md "q_bloom_semi /
-    // q_bloom_anti" (r11, RunMetricsProbe-measured).
+    // flag every round. r16 RETIRED the bloom family and
+    // q_exact_quantile from this set: both now route adaptively
+    // (broadcast-exact / percentile-aggregate below the measured
+    // crossover, the scale machinery above — see
+    // DataFrameOps.BloomSmallRightRowsConf and
+    // Quantiles.SmallInputRowsConf), so a flag on those names is a
+    // REGRESSION again, not standing evidence.
     val scaleAdjudicated =
-      Set("q_bloom_decontaminate", "q_bloom_semi", "q_bloom_anti",
-        // raw pair is the naive ONE-task global sort, which stays cheap
-        // at sf0.1's 600k values while the wrapper pays constant
-        // range-exchange machinery — SCALE.md exact_quantile rows
-        "q_exact_quantile",
+      Set(
         // raw pair is the bare-predicate BNLJ, still cheap at sf0.1's
         // 2.5k-interval sides while the binned join pays explode +
         // exchange machinery — SCALE.md interval_join rows (12-13x
@@ -2253,6 +2312,10 @@ object Bench {
         "sample by pairQuality's maxDocs require"),
       "q_stream_substring" -> ("multi-batch stateful stream replay (real " +
         "micro-batch runs, dominated by per-batch fixed cost not data)"),
+      "q_stream_asof" -> ("batch-equivalence replay of the foreachBatch " +
+        "body: two per-batch as-of joins EACH LANDING A PARQUET " +
+        "PARTITION (idempotent-replay contract); the join itself is " +
+        "paired via q_asof_join"),
       "q_stream_dedup_fullrecall" -> ("multi-batch stateful stream replay " +
         "with parquet state store; per-batch fixed cost, paired raw rung"),
       "q_substring_dedup_incr" -> ("incremental rung re-runs the window " +
@@ -2272,10 +2335,6 @@ object Bench {
         "by design, serve path paired via q_ivf_topk"),
       "q_dedup_against_ref" -> ("artifact-serve rung measured against " +
         "online recompute in SCALE.md minhash_reference rows"),
-      "q_winsorize" -> ("exact per-group quantiles via range-exchange " +
-        "rank machinery; pre-crossover cost, SCALE.md stats_winsorize rows"),
-      "q_robust_scale" -> ("exact per-group quantiles via range-exchange " +
-        "rank machinery; pre-crossover cost, SCALE.md stats_winsorize rows"),
       "q_conv_turns" -> ("row-per-turn output by contract; wall dominated " +
         "by the interpreted turn-construction FIXTURE (SCALE.md r15 chat " +
         "rows: fixture-only ~0.9s), not the flatten"))

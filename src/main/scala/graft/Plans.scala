@@ -47,9 +47,9 @@ object Plans {
     "q_stream_dedup_fullrecall" ->
       "Full-recall streaming near-dup dedup: the plan below is the invariant-oracle frame over the survivors store the two micro-batch runs wrote; the operator's own per-batch shape is pinned by PlanShapeSpec — the banded micro-batch BROADCASTS into a BroadcastHashJoin on (band, bucket) while the survivors store streams map-side with no exchange (no banded hashpartitioning anywhere: within-batch banding is checkpoint-fenced, the store never shuffles — the property that keeps per-batch cost a columnar scan, not a shuffle, as the store grows to corpus scale).",
     "q_bloom_decontaminate" ->
-      "Bloom-prefiltered decontamination: the train side is scanned with the codegen'd bloom_any_contain Filter directly over the gram-kernel Project (no explode before the probe); only bloom candidates reach the explode + broadcast gram join, and the final anti join is the same shape as the exact pass. The eval side appears as a LocalTableScan — the driver-built gram set (bounded by maxDriverGrams) broadcast into the verify join. SCALE.md r11: 94x join-volume cut at 8x corpus.",
+      "ADAPTIVE (r16): the sizing collect routes eval gram sets within maxDriverGrams — this corpus — to the exact broadcast pass shown here (train gram explode + LocalTableScan gram join + anti join: the plan that BEATS the prefilter while the eval side broadcasts, SCALE.md r12). Past the bound, the distributed regime builds the bloom and scans train with the codegen'd bloom_any_contain Filter over the gram-kernel Project, no explode before the probe — 94x join-volume cut at 8x corpus (SCALE.md r11), pinned by the maxDriverGrams=1 scale row.",
     "q_bloom_semi" ->
-      "Bloom-prefiltered EXACT semi join: bloom_might_contain(xxhash64(key)) is a Filter on the left SCAN — candidates are pruned before any exchange; the exact semi join then removes false positives. At sf0.01 AQE broadcasts the right side either way; the operator's case is a right side too big to broadcast, where the left exchange carries only the candidate fraction.",
+      "Bloom-prefiltered EXACT semi join, SCALE regime pinned for this audit (the r16 adaptive router sends right sides <= graft.bloom.smallRightRows straight to the plain broadcast join, which is what sf0.01 would take): bloom_might_contain(xxhash64(key)) is a Filter on the left SCAN — candidates are pruned before any exchange; the exact semi join then removes false positives. The operator's case is a right side too big to broadcast, where the left exchange carries only the candidate fraction.",
     "q_pack_greedy" ->
       "Exact greedy packing: Exchange hashpartitioning(source) + Sort(source, doc_id) + MapPartitions — the secondary-sort pattern; one shuffle of the corpus, O(1) state in the partition walk, no window buffering.",
     "q_dedup_against" ->
@@ -65,7 +65,7 @@ object Plans {
     "q_semantic_decontaminate" ->
       "Embedding-grain decontamination: BroadcastNestedLoopJoin LeftAnti with the codegen'd cosine kernel in the join condition — the corpus side is scan -> join with NO exchange anywhere (DedupSpec pins BNLJ-no-SMJ); each row short-circuits on its first contaminated hit.",
     "q_exact_quantile" ->
-      "Exact global quantiles: the frame is projected to the VALUE column before the one RangePartitioning exchange; parallel local sorts + the partition-offset rank join (broadcast offsets frame at partition-count rows); the naive raw pair sorts the corpus through a single-partition Window.",
+      "Exact global quantiles, SCALE regime pinned for this audit (the r16 adaptive router sends inputs <= graft.quantiles.smallInputRows through one sorted-array aggregate — bit-identical values, which is what sf0.01 would take): the frame is projected to the VALUE column before the one RangePartitioning exchange; parallel local sorts + the partition-offset rank join (broadcast offsets frame at partition-count rows); the naive raw pair sorts the corpus through a single-partition Window.",
     "q_chunk" ->
       "Document chunking: scan -> one narrow Project (sequence + slice inside transform) -> Generate(posexplode) -> Project, ZERO exchanges — chunking pipelines with the parquet scan at any corpus size.",
     "q_scd2" ->
@@ -91,7 +91,7 @@ object Plans {
     "q_join_cardinality" ->
       "Join pre-flight: both corpora reduce to per-key counts (partial/final HashAggregate) BEFORE the diagnosis join — the join operates at key cardinality, and TakeOrderedAndProject bounds the answer; the quadratic join being diagnosed never runs.",
     "q_qcut" ->
-      "Equi-depth bucketing: the exact interior bounds come from the range-exchange rank machinery (no value-buffering percentile aggregate anywhere in the plan — a billion-row group would OOM its one buffer), reassembled to a (numBuckets-1)-element array broadcast back over the corpus; bucket assignment is a narrow array-fold Project. No Window over the corpus — the ntile formulation would sort it through one partition per group.",
+      "Equi-depth bucketing, SCALE regime pinned for this audit (below graft.quantiles.smallInputRows the r16 router swaps the bounds subplan for the grouped Percentile aggregate — safe there because the total row count caps every group's buffer): the exact interior bounds come from the range-exchange rank machinery (no value-buffering percentile aggregate in the plan — a billion-row group would OOM its one buffer), reassembled to a (numBuckets-1)-element array broadcast back over the corpus; bucket assignment is a narrow array-fold Project. No Window over the corpus — the ntile formulation would sort it through one partition per group.",
     "q_topk_group" ->
       "Per-group top-k rows: a per-partition bounded-heap prune (MapPartitions, O(k x groups) memory) feeds the exact rank window, so the window sorts <= k x partitions x groups rows instead of the corpus — the bare-window formulation serialises each whole group through one task.",
     "q_argmax_group" ->
@@ -140,6 +140,8 @@ object Plans {
       "JL projection: the 16x64 gaussian matrix rides the task binary (addReferenceObj) and the projection is one codegen'd kernel call in a narrow Project — no join against a matrix table, no shuffle; the only post-stage is the posexplode to verification grain.",
     "q_connected_components" ->
       "Distributed connected components (localMaxEdges=0): large-star/small-star rounds are (node, min-neighbour) aggregates + edge-grain joins — every exchange keys on node ids, nothing corpus-wide, convergence in O(log n) rounds with the edge set SHRINKING monotonically.",
+    "q_cc_incremental" ->
+      "Incremental connected components: the prior labeling relabels through ONE BroadcastHashJoin against the touched-component mapping (batch-bounded — built by contracting the new edges to LABEL grain and running the star rounds on that batch-sized graph); new nodes enter via the same broadcast mapping. No historical edge is rescanned anywhere in the plan; the artifact passes through exactly once.",
     "q_mmr_rerank" ->
       "MMR diversified re-ranking: ONE corpus join fetches candidate vectors; the pairwise-cosine table is id-grain and checkpoint-fenced; each of the k greedy steps is a broadcast-sized equi-join + argmax window over (queries x candidates) rows — iteration count = k, no frame is ever corpus-sized past the candidate fetch, and every argmax orders on 6-dp-rounded scores with id tie-break (engine-portable pick sequence).",
     "q_script_profile" ->
@@ -155,6 +157,12 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/root/repo/target/plans_warehouse")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // pin the adaptive-crossover operators to their SCALE regime:
+      // this audit documents the plans that must survive 100x, not the
+      // (measured-optimal) small-regime aggregate/broadcast routes the
+      // sf0.01 row counts would select
+      .config(graft.core.Quantiles.SmallInputRowsConf, "0")
+      .config(graft.core.DataFrameOps.BloomSmallRightRowsConf, "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

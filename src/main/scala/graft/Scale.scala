@@ -124,7 +124,16 @@ object Scale {
       }
       run("bloom_decontaminate", k) { d =>
         val ev = d.filter(col("doc_id") % 1000 < 2)
-        Dedup.bloomDecontaminate(d, ev, "text", "doc_id", n = 5)
+        // pin the distributed bloom-prefilter regime (smallEvalDocs=0
+        // disables the doc-count delegate, maxDriverGrams=1 skips the
+        // driver-collect rung): this row measures the big-eval
+        // machinery; the adaptive router would (correctly) route this
+        // small eval side to the exact pass and re-measure
+        // `decontaminate`
+        spark.conf.set(Dedup.BloomSmallEvalDocsConf, "0")
+        try Dedup.bloomDecontaminate(d, ev, "text", "doc_id", n = 5,
+          maxDriverGrams = 1)
+        finally spark.conf.unset(Dedup.BloomSmallEvalDocsConf)
       }
       // conversations (r13): turnProfile is ONE narrow HOF pass over
       // the turns array — no explode, no exchange; 8x docs must scale
@@ -680,6 +689,11 @@ object Scale {
       val vals = spark.range(20000000L)
         .select(((col("id") * 48271L % 20000000L).cast("double") / 7.0).as("v"))
         .localCheckpoint(true)
+      // pin the rank path: 20M is above the adaptive crossover anyway,
+      // but the row exists to measure the range-exchange machinery and
+      // must keep doing so if the default crossover ever moves
+      spark.conf.set(graft.core.Quantiles.SmallInputRowsConf, "0")
+      try {
       for (round <- 1 to 2) {
         timed("exact_quantile_offset", "round" -> round.toLong)(() =>
           graft.core.Quantiles.exactQuantiles(vals, "v", Seq(0.5, 0.99)))
@@ -696,6 +710,7 @@ object Scale {
             .select(col("q"), col("v").as("value"))
         })
       }
+      } finally spark.conf.unset(graft.core.Quantiles.SmallInputRowsConf)
     }
 
     // --- packTokenWindows shard-parallelism contract (r14): the
@@ -843,6 +858,10 @@ object Scale {
       val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
       val prev = spark.conf.get(thresholdKey)
       spark.conf.set(thresholdKey, "-1")
+      // the 50k-key right side is below the adaptive bloom crossover;
+      // pin the bloom path — this row measures the non-broadcastable
+      // regime the router would otherwise (correctly) avoid here
+      spark.conf.set(graft.core.DataFrameOps.BloomSmallRightRowsConf, "0")
       try {
         val keyspace = 1000000L
         def left = spark.range(20000000L)
@@ -881,7 +900,10 @@ object Scale {
           bytesRow("bloom",
             graft.core.DataFrameOps.bloomSemiJoin(left, right, "k", "rk"))
         }
-      } finally spark.conf.set(thresholdKey, prev)
+      } finally {
+        spark.conf.set(thresholdKey, prev)
+        spark.conf.unset(graft.core.DataFrameOps.BloomSmallRightRowsConf)
+      }
     }
 
     // --- incremental SCD merge (r11b): history built from a 20M-row
@@ -1560,9 +1582,15 @@ object Scale {
             .repartition(32).write.mode("overwrite").parquet(dir)
         }
         def skewed = spark.read.parquet(dir)
-        timed("stats_winsorize_ranked", "scale" -> k.toLong)(() =>
-          graft.core.Stats.winsorize(skewed, Seq("g"), "v",
-            lowP = 0.05, highP = 0.95))
+        timed("stats_winsorize_ranked", "scale" -> k.toLong)(() => {
+          // pin the rank path: the ×1 input (600k) is below the
+          // adaptive crossover, and this row exists to compare the
+          // two machineries, not the router
+          spark.conf.set(graft.core.Quantiles.SmallInputRowsConf, "0")
+          try graft.core.Stats.winsorize(skewed, Seq("g"), "v",
+            lowP = 0.05, highP = 0.95)
+          finally spark.conf.unset(graft.core.Quantiles.SmallInputRowsConf)
+        })
         timed("stats_winsorize_pctagg", "scale" -> k.toLong)(() => {
           // the retired formulation: per-group `percentile` aggregate
           val v = col("v").cast("double")
@@ -1597,6 +1625,72 @@ object Scale {
           "n_tokens" -> nTokens)(() =>
           graft.core.Sampling.packTokenWindows(
             weighted, "w", 512, Seq("source"), "doc_id"))
+      }
+    }
+
+    // --- MMR re-rank cost pinned (r16, VERDICT nit 1): candidate-pool
+    // sweep. The operator is ~2·k driver-issued actions per call by
+    // design (k greedy steps, each a checkpointed batch-bounded join +
+    // argmax); wall must track (candidates² per query for the pair
+    // table) + (k steps), never any corpus. Synthetic deterministic
+    // vectors (hash arithmetic — no RNG), 4 queries per row.
+    if (only.forall(_.exists(_.contains("mmr_rerank")))) {
+      val dim = 32
+      def vecs(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(xxhash64(col("id"), i), lit(1000L)).cast("double") /
+            500.0) - 1.0).as("embedding"))
+      // pin the distributed path (the 100-candidate row would route to
+      // the driver loop): these rows are the distributed cost story
+      spark.conf.set(graft.similarity.Similarity.MmrSmallPoolRowsConf, "0")
+      try {
+        for ((nc, kk) <- Seq((100, 10), (1000, 10), (1000, 50))) {
+          val emb = vecs(4L * nc).localCheckpoint(true)
+          val cands = spark.range(4L * nc).select(
+              (col("id") % 4).as("query_id"), col("id").as("corpus_id"),
+              (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / 1000.0)
+                .as("rel"))
+            .localCheckpoint(true)
+          timed("mmr_rerank", "cands" -> nc.toLong, "k" -> kk.toLong)(() =>
+            graft.similarity.Similarity.mmrRerank(cands, emb,
+              "vec_id", "embedding", k = kk, maxCandidatesPerQuery = nc))
+        }
+      } finally spark.conf
+        .unset(graft.similarity.Similarity.MmrSmallPoolRowsConf)
+    }
+
+    // --- incremental connected components (r16): artifact relabel vs
+    // full recompute. Base graph = chains of 100 nodes (10k·scale
+    // components); the batch joins 1000 adjacent chains. The
+    // incremental path contracts only the touched-LABEL graph
+    // (batch-sized) and takes ONE broadcast relabel pass over the
+    // artifact; the full path re-runs large-star/small-star over every
+    // historical edge. Distributed CC forced on both (localMaxEdges=0)
+    // — the regime where the recompute actually costs.
+    if (only.forall(_.exists(_.contains("cc_")))) {
+      for (mult <- Seq(1, bigK)) {
+        val nNodes = 1000000L * mult
+        val ccDir = s"target/scale_r16/cc_$mult"
+        if (!new java.io.File(s"$ccDir/edges").exists()) {
+          spark.range(nNodes - 1)
+            .filter(col("id") % 100 =!= 99)
+            .select(col("id").as("a"), (col("id") + 1).as("b"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite").parquet(s"$ccDir/edges")
+          graft.operators.Graph.saveComponents(
+            spark.read.parquet(s"$ccDir/edges"), "a", "b", s"$ccDir/cc",
+            localMaxEdges = 0L)
+        }
+        def edges = spark.read.parquet(s"$ccDir/edges")
+        def batch = spark.range(1000)
+          .select((col("id") * 200 + 99).as("a"),
+            (col("id") * 200 + 100).as("b"))
+        timed("cc_incremental", "scale" -> mult.toLong)(() =>
+          graft.operators.Graph.connectedComponentsAgainstRef(
+            batch, s"$ccDir/cc", "a", "b", localMaxEdges = 0L))
+        timed("cc_full", "scale" -> mult.toLong)(() =>
+          graft.operators.Graph.connectedComponents(
+            edges.unionByName(batch), "a", "b", localMaxEdges = 0L))
       }
     }
 

@@ -2528,6 +2528,32 @@ object SparkEntry {
         .select("doc_id", "text_deduped", "n_tokens", "n_removed")
     }),
 
+    "q_stream_asof" -> ((s, d) => {
+      // stream-static as-of enrichment, batch-equivalence path: the
+      // EXACT foreachBatch body (asOfEnrichBatch) over two
+      // micro-batches against a persisted static right side — each
+      // left row's match depends only on that row + the right side,
+      // so ordered arrival reproduces the batch operator and the
+      // oracle IS q_asof_join's SQL (the spec runs the real stream)
+      val ev = eventsDf(s, d)
+      val hourly = Streaming.tumblingAgg(ev, "ts", "event_type", "1 hour")
+        .select(col("event_type"), col("window_start").as("ts"),
+          round(col("sum_value"), 6).as("hourly_sum"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sasof_q").toString
+      hourly.write.mode("overwrite").parquet(s"$dir/right")
+      val left = ev.select(col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("ts"))
+      Streaming.asOfEnrichBatch(left.filter(col("event_id") % 2 === 0),
+        s"$dir/right", s"$dir/out", 0L,
+        Seq("event_type"), "ts", Seq("hourly_sum"))
+      Streaming.asOfEnrichBatch(left.filter(col("event_id") % 2 =!= 0),
+        s"$dir/right", s"$dir/out", 1L,
+        Seq("event_type"), "ts", Seq("hourly_sum"))
+      s.read.parquet(s"$dir/out")
+        .select(col("event_id"), col("event_type"), col("hourly_sum"))
+    }),
+
     "q_substring_dedup_incr" -> ((s, d) => {
       // incremental ingest: docs < 250 are the already-ingested base,
       // the rest arrive as a batch and are span-cleaned against it
@@ -3202,6 +3228,31 @@ object SparkEntry {
 
     "q_degrees" -> ((s, d) =>
       operators.Graph.degrees(graphEdges(s, d), "a", "b")),
+
+    "q_cc_incremental" -> ((s, d) => {
+      // incremental connected components: a labeling artifact built
+      // from 2/3 of the pair graph is extended by the remaining third
+      // as a batch — the contraction runs on the touched-LABEL graph,
+      // the artifact takes one broadcast relabel pass, and the result
+      // must equal the full recompute (same recursive-CTE closure
+      // oracle as q_connected_components)
+      val e = graphEdges(s, d)
+      val artifact = operators.Graph.connectedComponents(
+        e.filter(col("a") % 3 =!= 0), "a", "b")
+      operators.Graph.connectedComponentsAgainst(
+        artifact, e.filter(col("a") % 3 === 0), "a", "b")
+    }),
+
+    "q_cc_string_ids" -> ((s, d) => {
+      // string/UUID-id entry point: xxhash64 under the hood with a
+      // loud collision refusal; labels translate back to the
+      // LEXICOGRAPHICALLY smallest member id (byte-wise UTF-8 — the
+      // engine-portable representative both engines agree on)
+      val e = graphEdges(s, d).select(
+        concat(lit("n"), col("a")).as("a"),
+        concat(lit("n"), col("b")).as("b"))
+      operators.Graph.connectedComponentsStringIds(e, "a", "b")
+    }),
 
     // ------------------------------ keyed pseudonymization (r14)
     "q_pseudonymize" -> ((s, d) =>
@@ -5078,6 +5129,14 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN hourly h
         |  ON e.event_type = h.event_type AND e.ts >= h.hts""".stripMargin,
 
+    "q_stream_asof" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hts, round(sum(value), 6) AS hourly_sum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(e.event_id AS BIGINT) AS event_id, e.event_type, h.hourly_sum
+        |FROM events e ASOF LEFT JOIN hourly h
+        |  ON e.event_type = h.event_type AND e.ts >= h.hts""".stripMargin,
+
     "q_salted_join" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, o_totalprice
@@ -6040,6 +6099,32 @@ object SparkEntry {
         |  SELECT sym.b AS n, reach.m FROM reach JOIN sym ON sym.a = reach.n)
         |SELECT n AS id, CAST(min(m) AS BIGINT) AS component
         |FROM reach GROUP BY n""".stripMargin),
+
+    "q_cc_incremental" ->
+      (graphEdgeCte + """,
+        |sym AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |reach AS (
+        |  SELECT n, n AS m FROM nodes
+        |  UNION
+        |  SELECT sym.b AS n, reach.m FROM reach JOIN sym ON sym.a = reach.n)
+        |SELECT n AS id, CAST(min(m) AS BIGINT) AS component
+        |FROM reach GROUP BY n""".stripMargin),
+
+    "q_cc_string_ids" ->
+      """WITH RECURSIVE ed AS (SELECT DISTINCT
+        |  'n' || CAST(CAST(o_orderkey % 499 AS BIGINT) AS VARCHAR) AS a,
+        |  'n' || CAST(CAST((o_orderkey * o_orderkey + 1) % 499 AS BIGINT) AS VARCHAR) AS b
+        |  FROM orders
+        |  WHERE (o_orderkey % 499) <> ((o_orderkey * o_orderkey + 1) % 499)),
+        |sym AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |reach AS (
+        |  SELECT n, n AS m FROM nodes
+        |  UNION
+        |  SELECT sym.b AS n, reach.m FROM reach JOIN sym ON sym.a = reach.n)
+        |SELECT n AS id, min(m) AS component
+        |FROM reach GROUP BY n""".stripMargin,
 
     "q_component_sizes" ->
       (graphEdgeCte + """,

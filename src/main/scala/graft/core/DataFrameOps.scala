@@ -653,6 +653,20 @@ object DataFrameOps {
     else right.select(col(rightKey)).count()
   }
 
+  /** Session conf key for the bloom-vs-broadcast crossover: right
+    * sides with at most this many rows skip the bloom build and run
+    * the plain broadcast semi/anti join (already map-side — the bloom
+    * would only add its build job). 0 forces the bloom path, e.g. for
+    * scale measurements. Default sized to the broadcast regime:
+    * ~1 M 8-byte keys ≈ Spark's default autoBroadcast budget. */
+  val BloomSmallRightRowsConf = "graft.bloom.smallRightRows"
+
+  private[graft] val DefaultBloomSmallRightRows = 1000000L
+
+  private def bloomSmallRightRows(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get(BloomSmallRightRowsConf, DefaultBloomSmallRightRows.toString).toLong
+
   /** EXACT semi join, bloom-accelerated: rows of `left` whose
     * `leftKey` appears in `right`'s `rightKey`. Plan shape: build a
     * bloom over the right key (narrow aggregate, no shuffle of
@@ -678,7 +692,14 @@ object DataFrameOps {
       leftKey: String, rightKey: String,
       fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
     requireColumns(left, Seq(leftKey), "bloomSemiJoin")
-    val bytes = bloomOverKey(right, rightKey, fpp, expectedItems)
+    val n = rightKeyCount(right, rightKey, expectedItems)
+    if (n <= bloomSmallRightRows(left)) {
+      // broadcast regime: the plain semi join is already one map-side
+      // hash probe per left row — a bloom can only add its build job
+      return left.join(broadcast(right),
+        left(leftKey) === right(rightKey), "left_semi")
+    }
+    val bytes = bloomOverKey(right, rightKey, fpp, n)
     val candidates = left.filter(
       graft.functions.BloomFunctions.bloomMightContain(xxhash64(col(leftKey)), bytes))
     candidates.join(right, candidates(leftKey) === right(rightKey), "left_semi")
@@ -698,7 +719,13 @@ object DataFrameOps {
       leftKey: String, rightKey: String,
       fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
     requireColumns(left, Seq(leftKey), "bloomAntiJoin")
-    val bytes = bloomOverKey(right, rightKey, fpp, expectedItems)
+    val n = rightKeyCount(right, rightKey, expectedItems)
+    if (n <= bloomSmallRightRows(left)) {
+      // broadcast regime: the plain anti join is already map-side
+      return left.join(broadcast(right),
+        left(leftKey) === right(rightKey), "left_anti")
+    }
+    val bytes = bloomOverKey(right, rightKey, fpp, n)
     val probe = graft.functions.BloomFunctions
       .bloomMightContain(xxhash64(col(leftKey)), bytes)
     val misses = left.filter(col(leftKey).isNull || !probe)

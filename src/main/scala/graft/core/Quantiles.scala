@@ -25,8 +25,47 @@ import graft.operators.Ids
   * Determinism under ties: duplicate values may receive their ranks in
   * any order, but the VALUE at any given rank is unique regardless —
   * quantiles are well-defined without a tiebreak column.
+  *
+  * ADAPTIVE CROSSOVER (measured, SCALE.md r13 exact_quantile rows and
+  * r15 stats_winsorize rows): below a few million rows the
+  * value-buffering formulations (one `sort_array(collect_list)` /
+  * `percentile` aggregate) beat the rank machinery's fixed costs
+  * (range-exchange sampling job + checkpoint + offsets frame) — the
+  * aggregate wins at 600 k (~1.1×), the ranks win at 4.8 M (1.9×) and
+  * 20 M (2.3×), and only the ranks survive 10^8-value groups at all.
+  * Every exact entry point therefore counts its input (a narrow
+  * metadata-cheap pass, the [[Drift.ksStatistic]] pattern) and routes
+  * small inputs through the aggregate — bit-for-bit the same results,
+  * pinned by parity specs, because the rank path deliberately
+  * implements the aggregate's interpolation convention. The
+  * crossover row count is the session conf
+  * `graft.quantiles.smallInputRows` (default 2,000,000; set 0 to
+  * force the rank path, e.g. for scale measurements). Total row
+  * count bounds every group's size, so the per-group routes are safe
+  * under the same threshold.
   */
 object Quantiles {
+
+  /** Session conf key for the aggregate-vs-ranks crossover row count;
+    * inputs with `count() <= value` use the value-buffering aggregate
+    * path, larger ones the range-exchange rank path. 0 disables the
+    * small path entirely. */
+  val SmallInputRowsConf = "graft.quantiles.smallInputRows"
+
+  /** Default crossover: between the measured 600 k (aggregate ~1.1×
+    * ahead) and 4.8 M (ranks 1.9× ahead) points, biased low so the
+    * rank path owns everything with real scale risk. */
+  val DefaultSmallInputRows = 2000000L
+
+  /** True when `df` is small enough (by the session's crossover conf)
+    * that the value-buffering aggregate path is both safe and faster.
+    * The count is one narrow job — zero columns decode on a parquet
+    * scan — and the input row count bounds every group's size. */
+  private def useAggregatePath(df: DataFrame): Boolean = {
+    val thr = df.sparkSession.conf
+      .get(SmallInputRowsConf, DefaultSmallInputRows.toString).toLong
+    thr > 0 && df.count() <= thr
+  }
 
   /** `(q, value)` — one row per requested quantile of `valueCol`
     * (nulls excluded; `value` is double). Empty input → empty. */
@@ -39,6 +78,20 @@ object Quantiles {
       s"exactQuantiles: quantiles must be in [0, 1], got $qs")
     val spark = df.sparkSession
     import spark.implicits._
+    if (useAggregatePath(df)) {
+      // small regime: ONE sorted-array aggregate (the buffer is bounded
+      // by the crossover conf), then each q indexes rank ⌊q·(n−1)⌋
+      val arr = df.select(col(valueCol).cast("double").as("__graft_qv"))
+        .filter(col("__graft_qv").isNotNull)
+        .agg(sort_array(collect_list(col("__graft_qv"))).as("__graft_vals"),
+          count(col("__graft_qv")).as("__graft_qn"))
+      return qs.toDF("q")
+        .crossJoin(broadcast(arr))
+        .filter(col("__graft_qn") > 0) // empty/all-null input → empty
+        .select(col("q"), element_at(col("__graft_vals"),
+          (least(floor(col("q") * (col("__graft_qn") - 1)),
+            col("__graft_qn") - 1) + 1).cast("int")).as("value"))
+    }
     val ranked = Ids.assignContiguousIds(
       df.select(col(valueCol).cast("double").as("__graft_qv"))
         .filter(col("__graft_qv").isNotNull),
@@ -89,6 +142,25 @@ object Quantiles {
       s"exactQuantilesPerGroup: quantiles must be in [0, 1], got $qs")
     val spark = df.sparkSession
     import spark.implicits._
+    if (useAggregatePath(df)) {
+      // small regime: one grouped sorted-array aggregate (the total
+      // input bound caps every group's buffer), then explode the qs —
+      // groupBy keeps null group keys, matching the rank path
+      val qv = col(valueCol).cast("double").as("__graft_qv")
+      val grouped = df.select((groupCols.map(col) :+ qv): _*)
+        .filter(col("__graft_qv").isNotNull) // all-null groups absent
+        .groupBy(groupCols.map(col): _*)
+        .agg(sort_array(collect_list(col("__graft_qv"))).as("__graft_vals"),
+          count(col("__graft_qv")).as("__graft_qn"))
+      return grouped
+        .select((groupCols.map(col) :+ col("__graft_vals") :+
+          col("__graft_qn") :+
+          explode(array(qs.map(lit): _*)).as("q")): _*)
+        .select((groupCols.map(col) :+ col("q") :+
+          element_at(col("__graft_vals"),
+            (least(floor(col("q") * (col("__graft_qn") - 1)),
+              col("__graft_qn") - 1) + 1).cast("int")).as("value")): _*)
+    }
     val ranked = Ids.assignGroupRanks(
       df.select((groupCols.map(col) :+
           col(valueCol).cast("double").as("__graft_qv")): _*)
@@ -146,6 +218,19 @@ object Quantiles {
       s"exactInterpolatedQuantiles: duplicate quantiles would silently merge, got $qs")
     val spark = df.sparkSession
     import spark.implicits._
+    if (useAggregatePath(df)) {
+      // small regime: Spark's own Percentile aggregate IS the
+      // convention the rank path implements, so the two routes are
+      // bit-identical by construction (pinned by the parity spec)
+      val qArr = array(qs.map(lit): _*)
+      return df.select(col(valueCol).cast("double").as("__graft_qv"))
+        .filter(col("__graft_qv").isNotNull)
+        .agg(percentile(col("__graft_qv"), qArr).as("__graft_vals"))
+        // empty/all-null input → null array → posexplode emits no rows
+        .select(posexplode(col("__graft_vals")).as(Seq("__graft_i", "value")))
+        .select(element_at(qArr, col("__graft_i").cast("int") + 1).as("q"),
+          col("value"))
+    }
     val ranked = Ids.assignContiguousIds(
       df.select(col(valueCol).cast("double").as("__graft_qv"))
         .filter(col("__graft_qv").isNotNull),
@@ -213,6 +298,22 @@ object Quantiles {
       s"exactInterpolatedQuantilesPerGroup: duplicate quantiles would silently merge, got $qs")
     val spark = df.sparkSession
     import spark.implicits._
+    if (useAggregatePath(df)) {
+      // small regime: the grouped Percentile aggregate (the total
+      // input bound caps every group's buffer); null group keys are
+      // groups, all-null groups absent — matching the rank path
+      val qArr = array(qs.map(lit): _*)
+      val qv = col(valueCol).cast("double").as("__graft_qv")
+      return df.select((groupCols.map(col) :+ qv): _*)
+        .filter(col("__graft_qv").isNotNull)
+        .groupBy(groupCols.map(col): _*)
+        .agg(percentile(col("__graft_qv"), qArr).as("__graft_vals"))
+        .select((groupCols.map(col) :+
+          posexplode(col("__graft_vals")).as(Seq("__graft_i", "value"))): _*)
+        .select((groupCols.map(col) :+
+          element_at(qArr, col("__graft_i").cast("int") + 1).as("q") :+
+          col("value")): _*)
+    }
     val ranked = Ids.assignGroupRanks(
       df.select((groupCols.map(col) :+
           col(valueCol).cast("double").as("__graft_qv")): _*)

@@ -29,6 +29,16 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
+  /** Session conf key for [[bloomDecontaminate]]'s small-eval
+    * crossover: eval frames with at most this many ROWS (one narrow
+    * count, metadata-only on a scan) delegate to [[decontaminate]]'s
+    * single-job exact pass — at that size even the bloom path's own
+    * sizing collect is a whole extra job the exact pass doesn't need.
+    * 0 forces the bloom machinery (the scale-measurement hook). */
+  val BloomSmallEvalDocsConf = "graft.bloom.smallEvalDocs"
+
+  private[graft] val DefaultBloomSmallEvalDocs = 10000L
+
   /** Exact dedup on normalised text: keep the lowest-id row per
     * fingerprint. One shuffle on the (md5) fingerprint. Output schema ==
     * input schema (helper columns are collision-safe and dropped).
@@ -840,16 +850,23 @@ object Dedup {
     * (bits/key ∝ log(1/fpp)); budget fpp ≈ targetDocRate / L for other
     * corpora.
     *
-    * REGIME RULE (measured, SCALE.md r12 re-adjudication): while the
-    * eval gram set is small enough to broadcast, [[decontaminate]]'s
-    * explode + broadcast-join is ALSO map-side — one hash probe per
-    * gram — and beats this prefilter's ~⌈log₂(1/fpp)⌉ ≈ 14 probes per
-    * gram on a single node at every multiplier tried (×1–×32; the
-    * join-volume cut grows 94×→107× but applies to a memory-speed
-    * probe). Prefer [[decontaminate]] in that regime; switch here when
-    * the eval side CANNOT broadcast, where the exact path must shuffle
-    * the full corpus-gram explosion and the candidate cut applies to
-    * exchange bytes.
+    * REGIME RULE — applied AUTOMATICALLY (r16, three rungs; output
+    * identical on every route):
+    *  1. eval rows ≤ `graft.bloom.smallEvalDocs` (one narrow count):
+    *     delegate to [[decontaminate]]'s single-job exact pass — for a
+    *     tiny eval side even this op's sizing collect is a whole extra
+    *     job the exact pass doesn't need (measured r16 at sf0.1's
+    *     100-doc eval: exact 0.48 s, collect+prefilter 0.59 s,
+    *     collect+exact-over-local 0.92 s).
+    *  2. eval grams ≤ `maxDriverGrams`: the sizing collect pays for
+    *     the gram set, the bloom builds free from the keys, and the
+    *     in-row early-exit prefilter spares the clean bulk of the
+    *     corpus the explode before the exact verify.
+    *  3. beyond `maxDriverGrams`: the fully distributed build — the
+    *     eval side cannot land on the driver, the exact path would
+    *     shuffle the full corpus-gram explosion, and the candidate cut
+    *     applies to real exchange bytes (94× join-volume cut at ×8,
+    *     SCALE.md r11).
     */
   def bloomDecontaminate(
       train: DataFrame,
@@ -864,6 +881,22 @@ object Dedup {
     require(minHits >= 1, s"bloomDecontaminate: minHits must be >= 1, got $minHits")
     require(maxDriverGrams >= 1,
       s"bloomDecontaminate: maxDriverGrams must be >= 1, got $maxDriverGrams")
+    // ADAPTIVE CROSSOVER (r16, routed on the CHEAP signal): below
+    // `graft.bloom.smallEvalDocs` eval rows (one narrow count —
+    // metadata-only on a scan), delegate to [[decontaminate]]'s
+    // single-job exact pass (distributed broadcast gram subplan, no
+    // driver collect at all): at that size even this op's own sizing
+    // collect is a whole extra job the exact pass doesn't need
+    // (measured r16: exact 0.48 s vs collect+prefilter 0.59 s vs
+    // collect+exact-over-local-relation 0.92 s at sf0.1's 100-doc
+    // eval). The bloom machinery below serves eval sides big enough
+    // that the collect it pays is amortised but the eval grams still
+    // fit the driver — and the fully distributed build past
+    // maxDriverGrams. Output identical on every route.
+    val smallEvalDocs = train.sparkSession.conf
+      .get(BloomSmallEvalDocsConf, DefaultBloomSmallEvalDocs.toString).toLong
+    if (smallEvalDocs > 0 && evalDf.count() <= smallEvalDocs)
+      return decontaminate(train, evalDf, textCol, idCol, n, minHits)
     def gramArray: Column = graft.functions.HashFunctions.shingleHashesNative(
       TextFunctions.tokens(TextFunctions.normalizeText(col("__graft_text"))), n)
     val evalGramsDist = evalDf
@@ -881,36 +914,55 @@ object Dedup {
     // from the cache.
     val spark = train.sparkSession
     val probeCollect = evalGramsDist.limit(maxDriverGrams + 1).collect()
-    val (bloomBytes, evalGrams) =
-      if (probeCollect.length <= maxDriverGrams) {
-        val keys = probeCollect.map(_.getLong(0))
-        val bytes = graft.functions.BloomFunctions.buildBloomBytesFromKeys(keys, fpp)
-        import scala.jdk.CollectionConverters._
-        val local = spark.createDataFrame(
-          keys.map(org.apache.spark.sql.Row(_)).toSeq.asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__graft_g",
-              org.apache.spark.sql.types.LongType, nullable = false))))
-        (bytes, local)
-      } else {
-        val cached = evalGramsDist
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nGrams = math.max(cached.count(), 1L)
-        (graft.functions.BloomFunctions.buildBloomBytes(cached, "__graft_g", nGrams, fpp),
-          cached)
-      }
-    val candidates = train
+    // evalGrams arrives broadcast-hinted on the small route; the
+    // distributed route leaves the choice to AQE (a forced broadcast
+    // of a deliberately non-broadcastable side is the one hazard the
+    // fallback exists to avoid)
+    def verify(candidates: DataFrame, evalGrams: DataFrame): DataFrame = {
+      val contaminated = candidates
+        .select(col("__graft_id"), explode(col("__graft_gs")).as("__graft_g"))
+        .join(evalGrams, "__graft_g")
+        .groupBy("__graft_id")
+        .agg(count(lit(1)).as("__graft_hits"))
+        .filter(col("__graft_hits") >= minHits)
+        .select(col("__graft_id").as(idCol))
+      train.join(contaminated, Seq(idCol), "left_anti")
+    }
+    val grams = train
       .select(col(idCol).as("__graft_id"), col(textCol).as("__graft_text"))
       .select(col("__graft_id"), gramArray.as("__graft_gs"))
-      .filter(graft.functions.BloomFunctions.bloomAnyContain(col("__graft_gs"), bloomBytes))
-    val contaminated = candidates
-      .select(col("__graft_id"), explode(col("__graft_gs")).as("__graft_g"))
-      .join(broadcast(evalGrams), "__graft_g")
-      .groupBy("__graft_id")
-      .agg(count(lit(1)).as("__graft_hits"))
-      .filter(col("__graft_hits") >= minHits)
-      .select(col("__graft_id").as(idCol))
-    train.join(contaminated, Seq(idCol), "left_anti")
+    if (probeCollect.length <= maxDriverGrams) {
+      // driver-collectable regime: the collect just paid for the gram
+      // set, so the bloom is free to build from the keys and the
+      // prefilter's in-row early-exit loop spares 99.9 % of the corpus
+      // the explode — only candidates reach the exact verify against
+      // the local gram relation
+      val keys = probeCollect.map(_.getLong(0))
+      val bloomBytes = graft.functions.BloomFunctions.buildBloomBytesFromKeys(keys, fpp)
+      import scala.jdk.CollectionConverters._
+      val local = spark.createDataFrame(
+        keys.map(org.apache.spark.sql.Row(_)).toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__graft_g",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val candidates = grams.filter(graft.functions.BloomFunctions
+        .bloomAnyContain(col("__graft_gs"), bloomBytes))
+      verify(candidates, broadcast(local))
+    } else {
+      // distributed regime: the eval grams cannot broadcast-build on
+      // the driver, the exact path would shuffle the full corpus-gram
+      // explosion, and the bloom's candidate cut applies to real
+      // exchange bytes — build the filter distributed and prefilter
+      // each doc with ONE codegen'd in-row any-hit loop (no explode)
+      val cached = evalGramsDist
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nGrams = math.max(cached.count(), 1L)
+      val bloomBytes = graft.functions.BloomFunctions
+        .buildBloomBytes(cached, "__graft_g", nGrams, fpp)
+      val candidates = grams.filter(
+        graft.functions.BloomFunctions.bloomAnyContain(col("__graft_gs"), bloomBytes))
+      verify(candidates, cached)
+    }
   }
 
   /** Corpus-wide exact line deduplication (the C4 pattern): split each

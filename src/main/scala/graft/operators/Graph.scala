@@ -72,6 +72,178 @@ object Graph {
       .groupBy("component").agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("component"))
 
+  /** The collision refusal [[connectedComponentsStringIds]] applies:
+    * distinct-id count vs distinct-hash count over the node mapping.
+    * A collision would silently merge two unrelated entities — the
+    * worst resolution failure — so the operator refuses to run.
+    * Package-visible so the refusal branch is directly testable
+    * (a real planted xxhash64 collision is not constructible in a
+    * spec). */
+  private[graft] def requireNoHashCollision(nIds: Long, nHashes: Long): Unit =
+    if (nIds != nHashes)
+      throw new IllegalStateException(
+        "connectedComponentsStringIds: xxhash64 collision among node ids " +
+          s"($nIds distinct ids, $nHashes distinct hashes) — refusing to " +
+          "run: a collision would silently merge unrelated entities. " +
+          "Disambiguate ids (e.g. prefix a namespace).")
+
+  /** [[connectedComponents]] for STRING/UUID node ids — the concrete
+    * form of the "hash to long and keep a mapping frame" scaladoc
+    * instruction, shipped as an operator: xxhash64 both endpoint
+    * columns, REFUSE loudly on a planted hash collision (distinct-id
+    * vs distinct-hash count — a collision would silently merge two
+    * unrelated entities, the worst resolution failure), run the
+    * integral machinery, translate labels back through the mapping.
+    * The component representative is the LEXICOGRAPHICALLY SMALLEST
+    * member id (byte-wise UTF-8 comparison — deterministic and
+    * engine-portable, unlike a hash-minimum, so the result is
+    * oracle-checkable). Returns (id, component), both strings. The
+    * mapping frame and the representative pass are node-grain (three
+    * narrow joins); everything else inherits [[connectedComponents]]'s
+    * edge-grain shape. */
+  def connectedComponentsStringIds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20,
+      localMaxEdges: Long = 1000000L): DataFrame = {
+    Seq(srcCol, dstCol).foreach { c =>
+      require(edges.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType,
+        s"connectedComponentsStringIds: '$c' is " +
+          s"${edges.schema(c).dataType.sql}, need STRING (integral ids " +
+          "go straight to connectedComponents)")
+    }
+    val mapping = edges.select(col(srcCol).as("id"))
+      .unionAll(edges.select(col(dstCol).as("id")))
+      .filter(col("id").isNotNull)
+      .distinct()
+      .select(col("id"), xxhash64(col("id")).as("__graft_h"))
+      .localCheckpoint(true) // consumed by the collision check + 2 joins
+    val counts = mapping.agg(
+      count(lit(1)).as("__graft_nid"),
+      countDistinct(col("__graft_h")).as("__graft_nh")).head()
+    requireNoHashCollision(counts.getLong(0), counts.getLong(1))
+    val hashedEdges = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(xxhash64(col(srcCol)).as("__graft_src"),
+        xxhash64(col(dstCol)).as("__graft_dst"))
+    val labels = connectedComponents(
+      hashedEdges, "__graft_src", "__graft_dst", maxIter, localMaxEdges)
+    val withIds = labels
+      .join(mapping, labels("id") === mapping("__graft_h"))
+      .select(mapping("id").as("id"), labels("component").as("__graft_c"))
+    val reps = withIds.groupBy("__graft_c")
+      .agg(min(col("id")).as("component"))
+    withIds.join(reps, Seq("__graft_c"))
+      .select(col("id"), col("component"))
+  }
+
+  /** Compute [[connectedComponents]] and persist the (id, component)
+    * labels as a parquet ARTIFACT — graph state that later ingests
+    * extend via [[connectedComponentsAgainst]] without rescanning the
+    * historical pair graph (the [[graft.dedup.Dedup.saveMinHashRef]]
+    * train-once-serve-forever pattern applied to component state). */
+  def saveComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      path: String,
+      maxIter: Int = 20,
+      localMaxEdges: Long = 1000000L): Unit =
+    connectedComponents(edges, srcCol, dstCol, maxIter, localMaxEdges)
+      .write.mode("overwrite").parquet(path)
+
+  /** INCREMENTAL connected components: extend a previously computed
+    * labeling with a new batch of edges, touching only the components
+    * the batch reaches. `artifact` is a (id, component) frame — the
+    * output of [[connectedComponents]] / [[connectedComponentsAgainst]]
+    * over all PREVIOUS edges — and the result is exactly
+    * `connectedComponents(previousEdges ∪ newEdges)` (spec-pinned):
+    * components are closed under contraction, so each old component
+    * can stand in for all its nodes via its label, and labels are
+    * component-minimum ids, so the merged minimum of labels IS the
+    * merged minimum of nodes.
+    *
+    * Plan shape at 100 TB: the contraction runs on the LABEL graph —
+    * one row per new edge, never the historical graph — so the
+    * O(log n) rounds are batch-sized; the full artifact is touched by
+    * exactly ONE broadcast-joined relabel pass (the touched-component
+    * mapping is batch-bounded and broadcast), no artifact shuffle, no
+    * historical-edge rescan. Returns the UPDATED full (id, component)
+    * labeling, ready to persist as the next artifact. */
+  def connectedComponentsAgainst(
+      artifact: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20,
+      localMaxEdges: Long = 1000000L): DataFrame = {
+    requireIntegralIds(newEdges, srcCol, dstCol, "connectedComponentsAgainst")
+    require(artifact.columns.toSet == Set("id", "component"),
+      "connectedComponentsAgainst: artifact must be a (id, component) " +
+        s"frame, got columns ${artifact.columns.mkString(", ")}")
+    val art = artifact.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    // canonical new edges (u > v), self-loops dropped — the same
+    // hygiene connectedComponents applies
+    val newE = newEdges.select(
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true) // consumed by the node set + 2 label joins
+    // provisional label per new-edge endpoint: its old component if
+    // known, else itself (a genuinely new node is its own component)
+    val lab = newE.select(col("u").as("id"))
+      .unionAll(newE.select(col("v").as("id")))
+      .distinct()
+      .join(art, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("__graft_lab"))
+      .localCheckpoint(true) // consumed by both endpoint joins + new-node pass
+    // contract each new edge to label grain and run CC on that graph —
+    // batch-sized: intra-component edges become dropped self-loops
+    val labEdges = newE
+      .join(lab.select(col("id").as("u"), col("__graft_lab").as("id_a")), Seq("u"))
+      .join(lab.select(col("id").as("v"), col("__graft_lab").as("id_b")), Seq("v"))
+      .select(col("id_a"), col("id_b"))
+    val mapping = graft.dedup.Dedup
+      .duplicateClusters(labEdges, maxIter, localMaxEdges)
+      .select(col("id").as("component"), col("cluster_id").as("__graft_newc"))
+    // ONE broadcast-relabel pass over the artifact: untouched
+    // components miss the batch-bounded mapping and keep their label
+    val updatedOld = art.join(broadcast(mapping), Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("__graft_newc"), col("component")).as("component"))
+    // nodes the artifact has never seen enter with their merged label
+    // (their provisional label always reaches the label graph: a new
+    // node's label is itself and can never equal a neighbour's label)
+    val newOnly = lab.join(art.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(mapping),
+        col("__graft_lab") === col("component"), "left")
+      .select(col("id"),
+        coalesce(col("__graft_newc"), col("__graft_lab")).as("component"))
+    updatedOld.unionByName(newOnly)
+  }
+
+  /** [[connectedComponentsAgainst]] where the prior labeling is a
+    * persisted [[saveComponents]] parquet artifact — schema validated
+    * loudly before any work. */
+  def connectedComponentsAgainstRef(
+      newEdges: DataFrame,
+      refPath: String,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20,
+      localMaxEdges: Long = 1000000L): DataFrame = {
+    val artifact = newEdges.sparkSession.read.parquet(refPath)
+    require(artifact.columns.toSet == Set("id", "component"),
+      s"connectedComponentsAgainstRef: $refPath is not a saveComponents " +
+        s"artifact (columns ${artifact.columns.mkString(", ")})")
+    connectedComponentsAgainst(artifact, newEdges, srcCol, dstCol,
+      maxIter, localMaxEdges)
+  }
+
   /** Undirected degree per node (self-loops ignored, parallel edges
     * counted once). One distinct + one aggregation at edge grain. */
   def degrees(

@@ -97,11 +97,20 @@ object Ids {
           Window.partitionBy(groupCols.map(col): _*)
             .orderBy("__graft_pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select((("__graft_pid" +: groupCols) :+ "__graft_offset").map(col): _*)
+      .select((col("__graft_pid").as("__graft_opid") +:
+        groupCols.map(g => col(g).as(s"__graft_o_$g"))) :+
+        col("__graft_offset"): _*)
+    // NULL-SAFE on the group keys (`<=>`): groupBy and window
+    // partitioning both treat a null key as a group, so the offsets
+    // join must too — a USING/=== join here silently dropped every
+    // null-keyed row (caught by the QuantilesSpec null-group pin)
+    val cond = ((col("__graft_pid") === col("__graft_opid")) +:
+      groupCols.map(g => col(g) <=> col(s"__graft_o_$g"))).reduce(_ && _)
     withRn
-      .join(broadcast(offsets), "__graft_pid" +: groupCols)
+      .join(broadcast(offsets), cond)
       .withColumn(outputCol, col("__graft_offset") + col("__graft_rn") - 1)
-      .drop("__graft_pid", "__graft_rn", "__graft_offset")
+      .drop(("__graft_pid" +: "__graft_opid" +: "__graft_rn" +:
+        "__graft_offset" +: groupCols.map(g => s"__graft_o_$g")): _*)
   }
 
   /** The naive single-partition formulation — kept ONLY as the

@@ -15,6 +15,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Session conf key for [[mmrRerank]]'s small-pool crossover: total
+    * candidate rows at or below this run the greedy loop ON THE DRIVER
+    * in one collect (the pool is bounded per query by contract; this
+    * bounds the query count too) instead of paying ~2·k driver-issued
+    * distributed jobs. Identical picks on both routes (spec-pinned —
+    * the driver loop replicates the kernel cosine, the 6-dp HALF_UP
+    * rounding grid, and the id tie-break bit-for-bit). 0 forces the
+    * distributed path (the scale-measurement hook). */
+  val MmrSmallPoolRowsConf = "graft.mmr.smallPoolRows"
+
+  private[graft] val DefaultMmrSmallPoolRows = 2048L
+
   /** Dot product of two array<numeric> columns (computed in double). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -138,11 +150,13 @@ object Similarity {
         col("corpus_id").cast("long").as("corpus_id"),
         col("rel").cast("double").as("rel"))
       .localCheckpoint(true) // consumed by the bound check + every step
-    // max("count") over an empty frame yields one null cell, not zero
-    // rows — read it as an Option so an empty candidate set returns an
-    // empty result instead of an NPE
-    val worst = Option(cand.groupBy(queryIdCol).count()
-      .agg(max("count")).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // max/sum over an empty frame yield one null cell, not zero rows —
+    // read them as Options so an empty candidate set returns an empty
+    // result instead of an NPE
+    val stats = cand.groupBy(queryIdCol).count()
+      .agg(max("count"), sum("count")).head()
+    val worst = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val total = Option(stats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
     if (worst == 0L) {
       return cand.select(col(queryIdCol), col("corpus_id"),
         lit(1).as("rank"), lit(0.0).as("mmr_score")).limit(0)
@@ -155,6 +169,16 @@ object Similarity {
     // pairwise cosines (unordered pairs, looked up via least/greatest)
     val emb = embeddings.select(col(idCol).cast("long").as("corpus_id"),
       col(vecCol).as("__v"))
+    // ADAPTIVE CROSSOVER (r16, the ksStatistic pattern — the bound
+    // check above already paid the count): a tiny TOTAL pool runs the
+    // greedy loop on the driver in two collects, where the distributed
+    // path's ~2·k per-step jobs are pure overhead (bench-measured 1.78x
+    // at a 6x10 pool); big pools — many queries, bounded candidates —
+    // keep the fully distributed loop this operator exists for.
+    val smallPool = candidates.sparkSession.conf
+      .get(MmrSmallPoolRowsConf, DefaultMmrSmallPoolRows.toString).toLong
+    if (smallPool > 0 && total <= smallPool)
+      return mmrRerankLocal(cand, emb, k, lambda, queryIdCol)
     // a candidate id absent from `embeddings` has no pairwise cosine,
     // so later greedy steps could never score (and thus never pick) it
     // — that silent exclusion would skew the re-rank, so fail loudly
@@ -210,6 +234,77 @@ object Similarity {
       selected = selected.unionByName(pick).localCheckpoint(true)
     }
     selected
+  }
+
+  /** [[mmrRerank]]'s small-pool route: the SAME greedy sequence on the
+    * driver. `cand` is the checkpointed (queryIdCol, corpus_id, rel)
+    * pool (bounded by the crossover conf), `emb` the (corpus_id, __v)
+    * projection. Replicates the distributed path bit-for-bit: the
+    * kernel cosine's single left-to-right accumulation loop
+    * ([[graft.functions.HashKernels.cosineSim]]), Spark `round`'s
+    * decimal-text HALF_UP 6-dp grid, and the (score desc, corpus id
+    * asc) argmax tie-break. */
+  private def mmrRerankLocal(
+      cand: DataFrame,
+      emb: DataFrame,
+      k: Int,
+      lambda: Double,
+      queryIdCol: String): DataFrame = {
+    val spark = cand.sparkSession
+    val candRows = cand.collect()
+    val vecs: Map[Long, Array[Double]] = emb
+      .join(cand.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
+      .collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Any](1).iterator
+          .map(_.asInstanceOf[Number].doubleValue).toArray
+      }.toMap
+    val distinctIds = candRows.map(_.getLong(1)).distinct.length
+    require(vecs.size == distinctIds,
+      "mmrRerank: candidates reference corpus ids with no row in " +
+        "`embeddings` — every candidate id must have a vector (missing " +
+        "ids would be silently unpickable after rank 1)")
+    // the kernel's exact accumulation order (HashKernels.cosineSim)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // Spark round(double, 6): decimal-text BigDecimal + HALF_UP
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = candRows.groupBy(_.get(0)).toSeq.flatMap { case (qid, rows) =>
+      var remaining = rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      var selected = Vector.empty[org.apache.spark.sql.Row]
+      var selIds = Vector.empty[Long]
+      for (step <- 1 to math.min(k, remaining.length)) {
+        val best = remaining.map { case (cid, rel) =>
+          val score =
+            if (selIds.isEmpty) r6(lambda * rel)
+            else {
+              val ms = selIds.iterator.map(s => cos(vecs(cid), vecs(s))).max
+              r6(lambda * rel - (1.0 - lambda) * ms)
+            }
+          (cid, score)
+        }.minBy { case (cid, sc) => (-sc, cid) } // score desc, id asc
+        selected :+= org.apache.spark.sql.Row(qid, best._1, step, best._2)
+        selIds :+= best._1
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      selected
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava, org.apache.spark.sql.types.StructType(Seq(
+      cand.schema(queryIdCol),
+      org.apache.spark.sql.types.StructField("corpus_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr_score",
+        org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
   /** Recall@k of an approximate top-k result against an exact one —

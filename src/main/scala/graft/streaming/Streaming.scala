@@ -1183,6 +1183,81 @@ object Streaming {
       .start()
   }
 
+  /** The [[asOfEnrichStream]] foreachBatch body, public so the
+    * batch-equivalence oracle path runs the EXACT per-batch code: as-of
+    * join one micro-batch against the right side under `rightPath`,
+    * land it under `outDir/batch_id=<id>` with dynamic partition
+    * overwrite (idempotent on replay). */
+  def asOfEnrichBatch(
+      batch: DataFrame,
+      rightPath: String,
+      outDir: String,
+      batchId: Long,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightPayloadCols: Seq[String],
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): Unit = {
+    require(!batch.columns.contains("batch_id"),
+      "asOfEnrichBatch: the stream side carries a 'batch_id' column — " +
+        "that name is the output's partition column; rename it first " +
+        "(silently overwriting it would corrupt the replay contract)")
+    val right = batch.sparkSession.read.parquet(rightPath)
+    val enriched = graft.operators.AsOfJoin.asOfJoin(
+      batch, right, keyCols, tsCol, rightPayloadCols, tolerance, direction)
+    graft.core.DataFrameOps.smartCoalesce(enriched)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(outDir)
+  }
+
+  /** Stream-static AS-OF enrichment: every micro-batch of `stream` is
+    * as-of joined ([[graft.operators.AsOfJoin.asOfJoin]] — the same
+    * O(n) running-frame machinery as the batch operator, all three
+    * directions) against a static right side RELOADED from
+    * `rightPath` each batch (the slowly-refreshed-artifact pattern:
+    * replacing the parquet under the path re-points the next batch
+    * with no stream restart), and the enriched rows land under
+    * `outDir` partitioned by micro-batch with dynamic partition
+    * overwrite, so a foreachBatch replay of the same batch id is
+    * idempotent.
+    *
+    * Semantics contract (the q_stream_asof oracle): each left row's
+    * match depends ONLY on that row and the right side — never on
+    * other left rows — so the union of per-batch enrichments over any
+    * batch partitioning of the left side equals the batch operator on
+    * the whole left side, bit-for-bit. The per-batch join shuffles
+    * only the micro-batch + the right side on the key columns.
+    *
+    * `Trigger.AvailableNow` (default) terminates after the backlog —
+    * the bounded-backfill mode the spec runs. */
+  def asOfEnrichStream(
+      stream: DataFrame,
+      rightPath: String,
+      outDir: String,
+      checkpointDir: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightPayloadCols: Seq[String],
+      tolerance: Option[Long] = None,
+      direction: String = "backward",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(graft.operators.AsOfJoin.directions.contains(direction),
+      s"asOfEnrichStream: direction '$direction' must be one of " +
+        graft.operators.AsOfJoin.directions.mkString(", "))
+    val body: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, batchId) => asOfEnrichBatch(batch.toDF(), rightPath, outDir,
+        batchId, keyCols, tsCol, rightPayloadCols, tolerance, direction)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(body)
+      .start()
+  }
+
   /** Running per-key event counter with inactivity expiry: state is a
     * single long; keys idle past `timeoutMs` are dropped (bounded state
     * at 100 TB stream scale). Emits (key, runningCount) per batch.

@@ -39,7 +39,7 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_entropy", "q_conv_profile", "q_semantic_decontaminate",
     "q_exact_quantile",
     "q_interval_join", "q_gopher_flags", "q_bt_scores",
-    "q_script_profile")
+    "q_script_profile", "q_mmr_rerank")
 
   // q_asof_join reads the events table, which needs the nanos-timestamp
   // session config like q_stream_exec — checked here with the config set

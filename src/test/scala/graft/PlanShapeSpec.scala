@@ -230,16 +230,38 @@ class PlanShapeSpec extends SparkTestBase {
     spark.range(0, 2000, 40).toDF("rk").write.mode("overwrite").parquet(s"$dir/right")
     val left = spark.read.parquet(s"$dir/left")
     val right = spark.read.parquet(s"$dir/right")
-    val out = core.DataFrameOps.bloomSemiJoin(left, right, "k", "rk")
-    // force a shuffled join so the probe-vs-exchange ordering is visible
-    val plan = out.hint("shuffle_hash")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("bloom_might_contain"),
-      s"probe expression missing from the plan:\n$plan")
-    // the probe must sit under a Filter on the scan side, not above a join
-    val probeLine = plan.linesIterator.indexWhere(l =>
-      l.contains("Filter") && l.contains("bloom_might_contain"))
-    assert(probeLine >= 0, s"probe is not a scan-side Filter:\n$plan")
+    // pin the bloom path: this fixture's right side is below the
+    // adaptive crossover, and this test asserts the bloom plan shape
+    spark.conf.set(core.DataFrameOps.BloomSmallRightRowsConf, "0")
+    try {
+      val out = core.DataFrameOps.bloomSemiJoin(left, right, "k", "rk")
+      // force a shuffled join so the probe-vs-exchange ordering is visible
+      val plan = out.hint("shuffle_hash")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_might_contain"),
+        s"probe expression missing from the plan:\n$plan")
+      // the probe must sit under a Filter on the scan side, not above a join
+      val probeLine = plan.linesIterator.indexWhere(l =>
+        l.contains("Filter") && l.contains("bloom_might_contain"))
+      assert(probeLine >= 0, s"probe is not a scan-side Filter:\n$plan")
+    } finally spark.conf.unset(core.DataFrameOps.BloomSmallRightRowsConf)
+  }
+
+  test("bloom joins route small right sides to the plain broadcast join (no bloom build)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_bloom2").toString
+    spark.range(2000).toDF("k").write.mode("overwrite").parquet(s"$dir/left")
+    spark.range(0, 2000, 40).toDF("rk").write.mode("overwrite").parquet(s"$dir/right")
+    val left = spark.read.parquet(s"$dir/left")
+    val right = spark.read.parquet(s"$dir/right")
+    val semi = core.DataFrameOps.bloomSemiJoin(left, right, "k", "rk")
+    val anti = core.DataFrameOps.bloomAntiJoin(left, right, "k", "rk")
+    for ((out, name) <- Seq((semi, "semi"), (anti, "anti"))) {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("bloom_might_contain"),
+        s"$name: small-right regime must skip the bloom:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: small-right regime must broadcast the exact join:\n$plan")
+    }
   }
 
   test("stateless streaming decontamination plans zero exchanges and zero state ops") {

@@ -92,4 +92,19 @@ class LoadConfigSpec extends AnyFunSuite {
     val got = LoadConfig.parseFile(f.toString) // absolute, colon inside
     assert(got == Map("a" -> 1))
   }
+
+  test("'://'-rule edges: scheme-relative stays local, file:relative fails loudly") {
+    // "//dir/path" (scheme-relative URI shape) has no "://" → it is a
+    // LOCAL path, and POSIX resolves the doubled slash — the rule must
+    // not misroute it to a hostless Hadoop URI
+    val dir = java.nio.file.Files.createTempDirectory("cfg2")
+    java.nio.file.Files.writeString(dir.resolve("c.yaml"), "b: 2\n")
+    assert(LoadConfig.parseFile(s"/$dir/c.yaml") == Map("b" -> 2))
+    // "file:c.yaml" (scheme, no slashes) also has no "://" → local
+    // path named "file:c.yaml", which does not exist → a loud
+    // file-not-found naming the literal path, never a silent misparse
+    val ex = intercept[java.nio.file.NoSuchFileException](
+      LoadConfig.parseFile("file:c.yaml"))
+    assert(ex.getMessage.contains("file:c.yaml"))
+  }
 }

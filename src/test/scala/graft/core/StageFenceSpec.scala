@@ -38,4 +38,30 @@ class StageFenceSpec extends SparkTestBase {
     df.write.mode("overwrite").parquet(p)
     assert(spark.read.parquet(p).count() == 1)
   }
+  test("fence holds through AQE execution and persist: one derivation copy") {
+    // three filter conjuncts on the fenced derived column: without the
+    // fence, pushdown substitutes the derivation into each conjunct
+    // (3 copies × 2 nodes = 6 regexp_replace); the fence must keep the
+    // defining projection's 2 — including in the FINAL adaptive plan
+    // (AQE's runtime re-optimizer must not re-push across the fence)
+    val derived = spark.range(100).toDF("id")
+      .withColumn("s", concat(lit("a"), col("id")))
+      .withColumn("big",
+        regexp_replace(regexp_replace(col("s"), "a", "b"), "b", "c"))
+    val out = graft.core.DataFrameOps.stageFence(derived)
+      .filter(length(col("big")) > 0 && col("big") =!= "zzz" &&
+        col("big") =!= "yyy")
+    assert(out.count() == 100) // executes (AQE finalizes the plan)
+    for ((plan, label) <- Seq(
+        (out.queryExecution.optimizedPlan.toString, "optimized"),
+        (out.queryExecution.executedPlan.toString, "final adaptive"))) {
+      val copies = plan.split("regexp_replace", -1).length - 1
+      assert(copies == 2,
+        s"$label plan must keep ONE derivation (2 regexp_replace nodes), got $copies:\n$plan")
+    }
+    assert(out.queryExecution.executedPlan.toString.contains("CollectMetrics"),
+      "fence node missing from the executed plan")
+    val cached = out.persist()
+    try assert(cached.count() == 100) finally cached.unpersist()
+  }
 }

@@ -47,21 +47,32 @@ class StatsSpec extends SparkTestBase {
       .collect().forall(_.getDouble(2) == 0.0))
   }
 
-  test("exact paths plan NO value-buffering percentile aggregate") {
+  test("exact paths plan NO value-buffering percentile aggregate above the crossover") {
     // the exact Percentile aggregate buffers every group value in one
-    // aggregation buffer — a billion-row group OOMs one task. exact =
-    // true must route through the range-exchange rank machinery.
+    // aggregation buffer — a billion-row group OOMs one task. Above
+    // the adaptive crossover (pinned to 0 here: everything is above),
+    // exact = true must route through the range-exchange rank
+    // machinery. Below it the aggregate is both safe and faster, and
+    // the router choosing it is the intended behavior.
     val df = (1 to 100).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
-    for (out <- Seq(
-        Stats.winsorize(df, Seq("g"), "v"),
-        Stats.robustScale(df, Seq("g"), "v"),
-        Stats.quantileDiscretize(df, "v", 4),
-        Stats.quantileDiscretize(df, "v", 4, Seq("g")),
-        Stats.imputeNulls(df, Seq("g"), "v", "median"))) {
-      val plan = out.queryExecution.optimizedPlan.toString
-      assert(!plan.contains("percentile("),
-        s"exact path plans a value-buffering percentile aggregate:\n$plan")
-    }
+    spark.conf.set(graft.core.Quantiles.SmallInputRowsConf, "0")
+    try {
+      for (out <- Seq(
+          Stats.winsorize(df, Seq("g"), "v"),
+          Stats.robustScale(df, Seq("g"), "v"),
+          Stats.quantileDiscretize(df, "v", 4),
+          Stats.quantileDiscretize(df, "v", 4, Seq("g")),
+          Stats.imputeNulls(df, Seq("g"), "v", "median"))) {
+        val plan = out.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("percentile("),
+          s"exact path plans a value-buffering percentile aggregate:\n$plan")
+      }
+    } finally spark.conf.unset(graft.core.Quantiles.SmallInputRowsConf)
+    // below the crossover the router picks the aggregate (the fast
+    // small-regime plan) — pin that too so the routing stays live
+    val small = Stats.winsorize(df, Seq("g"), "v")
+    assert(small.queryExecution.optimizedPlan.toString.contains("percentile("),
+      "small regime must route through the Percentile aggregate")
   }
 
   test("groupCols = Nil computes against GLOBAL bounds for the whole family") {

@@ -72,13 +72,24 @@ class BloomExpressionsSpec extends SparkTestBase {
     assert(n >= 100, s"all 100 members must pass the probe, got $n")
   }
 
+  /** Pin the bloom route for tests of the bloom machinery itself —
+    * these fixtures are all below the adaptive broadcast crossover. */
+  private def forcingBloomPath[T](body: => T): T = {
+    spark.conf.set(DataFrameOps.BloomSmallRightRowsConf, "0")
+    try body finally spark.conf.unset(DataFrameOps.BloomSmallRightRowsConf)
+  }
+
   test("bloomSemiJoin equals the plain semi join exactly") {
     val left = spark.range(0, 5000).toDF("k")
       .withColumn("payload", col("k") * 2)
     val right = spark.range(0, 5000).toDF("rk").filter(col("rk") % 50 === 0)
     val expected = left.join(right, left("k") === right("rk"), "left_semi")
-    val actual = DataFrameOps.bloomSemiJoin(left, right, "k", "rk", fpp = 0.01)
-    assertDfEqual(actual, expected)
+    forcingBloomPath {
+      assertDfEqual(DataFrameOps.bloomSemiJoin(left, right, "k", "rk", fpp = 0.01),
+        expected)
+    }
+    // the adaptive router's broadcast route must agree bit-for-bit
+    assertDfEqual(DataFrameOps.bloomSemiJoin(left, right, "k", "rk"), expected)
   }
 
   test("bloomAntiJoin equals the plain anti join exactly, nulls pass through") {
@@ -87,9 +98,12 @@ class BloomExpressionsSpec extends SparkTestBase {
       .toDF("k", "v")
     val right = spark.range(0, 100).toDF("rk").filter(col("rk") % 50 === 0)
     val expected = left.join(right, left("k") === right("rk"), "left_anti")
-    val actual = DataFrameOps.bloomAntiJoin(left, right, "k", "rk")
-    assertDfEqual(actual, expected)
-    assert(actual.filter(col("v") === "d").count() == 1, "null key row must survive")
+    for (actual <- Seq(
+        forcingBloomPath(DataFrameOps.bloomAntiJoin(left, right, "k", "rk")),
+        DataFrameOps.bloomAntiJoin(left, right, "k", "rk"))) {
+      assertDfEqual(actual, expected)
+      assert(actual.filter(col("v") === "d").count() == 1, "null key row must survive")
+    }
   }
 
   test("bloomAntiJoin at fpp extremes still exact (bloom only routes, never decides)") {
@@ -97,8 +111,22 @@ class BloomExpressionsSpec extends SparkTestBase {
     val right = spark.range(0, 2000).toDF("rk").filter(col("rk") % 4 === 0)
     val expected = left.join(right, left("k") === right("rk"), "left_anti")
     // fpp 0.5 → tiny filter, many false positives → exact join does the work
-    val actual = DataFrameOps.bloomAntiJoin(left, right, "k", "rk", fpp = 0.5)
+    val actual = forcingBloomPath(
+      DataFrameOps.bloomAntiJoin(left, right, "k", "rk", fpp = 0.5))
     assertDfEqual(actual, expected)
+  }
+
+  test("bloom joins honor expectedItems as the crossover figure (no extra count pass)") {
+    val left = spark.range(0, 3000).toDF("k")
+    val right = spark.range(0, 3000).toDF("rk").filter(col("rk") % 10 === 0)
+    val expected = left.join(right, left("k") === right("rk"), "left_semi")
+    // expectedItems above the crossover forces the bloom path without
+    // the router ever counting the right side
+    val viaBloom = DataFrameOps.bloomSemiJoin(left, right, "k", "rk",
+      expectedItems = DataFrameOps.DefaultBloomSmallRightRows + 1)
+    assert(viaBloom.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"), "oversized hint must take the bloom path")
+    assertDfEqual(viaBloom, expected)
   }
 
   test("bloomDecontaminate output is bit-identical to exact decontaminate") {
@@ -114,19 +142,37 @@ class BloomExpressionsSpec extends SparkTestBase {
     }.toDF("id", "text")
     val exact = Dedup.decontaminate(train, evalDf, "text", "id", n = 5)
       .select("id").as[Long].collect().toSet
-    val bloomed = Dedup.bloomDecontaminate(train, evalDf, "text", "id", n = 5)
-      .select("id").as[Long].collect().toSet
-    assert(bloomed == exact)
-    assert(!bloomed.contains(3L) && !bloomed.contains(23L) && !bloomed.contains(43L),
-      "planted contaminations must be removed")
-    assert(bloomed.size == 57, "clean docs must all survive")
+    // ALL THREE adaptive rungs must match the exact pass: the default
+    // route (tiny eval → delegate to decontaminate), the pinned
+    // driver-collect bloom-prefilter rung (smallEvalDocs = 0), and the
+    // pinned fully distributed rung (+ maxDriverGrams = 1)
+    def run(pin: Boolean, maxGrams: Int): Set[Long] = {
+      if (pin) spark.conf.set(Dedup.BloomSmallEvalDocsConf, "0")
+      try Dedup.bloomDecontaminate(train, evalDf, "text", "id",
+        n = 5, maxDriverGrams = maxGrams)
+        .select("id").as[Long].collect().toSet
+      finally if (pin) spark.conf.unset(Dedup.BloomSmallEvalDocsConf)
+    }
+    for ((pin, maxGrams) <- Seq((false, 4 << 20), (true, 4 << 20), (true, 1))) {
+      val bloomed = run(pin, maxGrams)
+      assert(bloomed == exact, s"pin=$pin maxDriverGrams=$maxGrams diverged")
+      assert(!bloomed.contains(3L) && !bloomed.contains(23L) && !bloomed.contains(43L),
+        "planted contaminations must be removed")
+      assert(bloomed.size == 57, "clean docs must all survive")
+    }
   }
 
   test("bloomDecontaminate at fpp 0.5 still exact (verification absorbs false positives)") {
     val train = Seq.tabulate(40)(i =>
       (i.toLong, s"clean text piece u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")).toDF("id", "text")
     val evalDf = Seq((9000L, "totally disjoint eval words qq ww ee rr tt yy")).toDF("id", "text")
-    assert(Dedup.bloomDecontaminate(train, evalDf, "text", "id", n = 5, fpp = 0.5)
-      .count() == 40)
+    // pin the bloom-prefilter regimes fpp matters in
+    spark.conf.set(Dedup.BloomSmallEvalDocsConf, "0")
+    try {
+      assert(Dedup.bloomDecontaminate(train, evalDf, "text", "id", n = 5, fpp = 0.5)
+        .count() == 40)
+      assert(Dedup.bloomDecontaminate(train, evalDf, "text", "id", n = 5, fpp = 0.5,
+        maxDriverGrams = 1).count() == 40)
+    } finally spark.conf.unset(Dedup.BloomSmallEvalDocsConf)
   }
 }

@@ -46,4 +46,64 @@ class GraphSpec extends SparkTestBase {
     val intEdges = Seq((1, 2), (2, 3)).toDF("a", "b")
     assert(Graph.connectedComponents(intEdges, "a", "b").count() == 3)
   }
+
+  test("connectedComponentsAgainst ≡ full recompute, for every batch split") {
+    // full graph: {1..4} ∪ {10,11} ∪ {5,6} with a batch-2 edge merging
+    // {1..4} with {5,6}, a batch-2 brand-new component {30,31}, and a
+    // batch-2 node (0) that becomes the merged component's NEW minimum
+    val all = Seq((2L, 1L), (2L, 3L), (3L, 4L), (1L, 3L), (11L, 10L),
+      (5L, 6L), (4L, 5L), (30L, 31L), (0L, 6L))
+    val expect = Graph.connectedComponents(
+        all.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every contiguous split point: artifact from the prefix, batch = suffix
+    for (cut <- 1 until all.size) {
+      val artifact = Graph.connectedComponents(
+        all.take(cut).toDF("a", "b"), "a", "b")
+      val got = Graph.connectedComponentsAgainst(
+          artifact, all.drop(cut).toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"cut=$cut: incremental diverged from recompute")
+    }
+  }
+
+  test("connectedComponentsAgainst: untouched components keep their labels; ref round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ref").toString
+    Graph.saveComponents(edges, "a", "b", s"$dir/cc")
+    // the new batch touches only {10,11} (adds 9, the new minimum)
+    val got = Graph.connectedComponentsAgainstRef(
+        Seq((9L, 11L)).toDF("a", "b"), s"$dir/cc", "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      9L -> 9L, 10L -> 9L, 11L -> 9L))
+    // a frame that is not a labeling fails loudly
+    assertThrows[IllegalArgumentException](
+      Graph.connectedComponentsAgainst(edges,
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b"))
+  }
+
+  test("connectedComponentsStringIds: labels by lexicographic-min member") {
+    val strEdges = Seq(("bob", "alice"), ("bob", "carol"),
+      ("erin", "dave")).toDF("a", "b")
+    val got = Graph.connectedComponentsStringIds(strEdges, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("alice" -> "alice", "bob" -> "alice",
+      "carol" -> "alice", "dave" -> "dave", "erin" -> "dave"))
+    // UUID-shaped ids work end-to-end
+    val u = Array.fill(4)(java.util.UUID.randomUUID().toString)
+    val uuidGot = Graph.connectedComponentsStringIds(
+        Seq((u(0), u(1)), (u(2), u(3))).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(uuidGot(u(0)) == uuidGot(u(1)) && uuidGot(u(2)) == uuidGot(u(3)))
+    assert(uuidGot(u(0)) == Seq(u(0), u(1)).min &&
+      uuidGot(u(2)) == Seq(u(2), u(3)).min)
+    // integral ids are refused (use connectedComponents directly)
+    assertThrows[IllegalArgumentException](
+      Graph.connectedComponentsStringIds(edges, "a", "b"))
+    // the planted-collision refusal (the branch itself — a real
+    // xxhash64 collision is not constructible in a spec)
+    assertThrows[IllegalStateException](
+      Graph.requireNoHashCollision(5L, 4L))
+    Graph.requireNoHashCollision(5L, 5L) // no-throw
+  }
 }

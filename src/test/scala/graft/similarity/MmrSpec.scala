@@ -66,6 +66,30 @@ class MmrSpec extends SparkTestBase {
     assert(e.getMessage.contains("no row in"))
   }
 
+  test("driver and distributed routes pick identically, scores bit-for-bit") {
+    // 3 queries × 40 deterministic float vectors: big enough that ties
+    // and the rounding grid are exercised, small enough that the
+    // default conf routes it to the driver loop
+    val emb = spark.range(120).select(col("id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 500.0)
+          - 1.0).cast("float")).as("vec"))
+    val cands = spark.range(120).select(
+      (col("id") % 3 + 500).as("query_id"), col("id").as("corpus_id"),
+      (pmod(xxhash64(col("id")), lit(1000)).cast("double") / 1000.0).as("rel"))
+    def picks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(3))).toMap
+    val viaDriver = picks(
+      Similarity.mmrRerank(cands, emb, "id", "vec", k = 7, lambda = 0.6))
+    spark.conf.set(Similarity.MmrSmallPoolRowsConf, "0")
+    val viaDist = try picks(
+      Similarity.mmrRerank(cands, emb, "id", "vec", k = 7, lambda = 0.6))
+      finally spark.conf.unset(Similarity.MmrSmallPoolRowsConf)
+    assert(viaDriver.size == 21 && viaDriver == viaDist,
+      s"routes diverged:\ndriver: $viaDriver\ndistributed: $viaDist")
+  }
+
   test("candidate bound and parameters validate loudly") {
     assertThrows[IllegalArgumentException](
       Similarity.mmrRerank(candidates, embeddings, "id", "vec", k = 0))

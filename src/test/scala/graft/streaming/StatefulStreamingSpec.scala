@@ -766,4 +766,56 @@ class StatefulStreamingSpec extends SparkTestBase {
       hashKeys = true).count()
     assert(allKeys == expectKeys, "compaction must preserve the key set")
   }
+
+  test("asOfEnrichStream over ordered micro-batches reproduces the batch as-of join") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_asof").toString
+    // static right side: quotes per symbol
+    Seq(
+      ("A", ts("2024-01-01 10:00:00"), 99.5),
+      ("A", ts("2024-01-01 10:00:10"), 100.5),
+      ("B", ts("2024-01-01 10:00:07"), 49.9))
+      .toDF("sym", "ts", "quote")
+      .write.mode("overwrite").parquet(s"$dir/right")
+    // left stream: two micro-batches of trades (batch 2 includes a
+    // symbol with no quotes and a pre-quote timestamp → null matches)
+    val batches = Seq(
+      Seq(("A", ts("2024-01-01 10:00:05"), 100.0),
+        ("B", ts("2024-01-01 10:00:07"), 50.0)),
+      Seq(("A", ts("2024-01-01 10:00:20"), 101.0),
+        ("A", ts("2024-01-01 09:59:00"), 98.0),
+        ("C", ts("2024-01-01 10:00:10"), 7.0)))
+    batches.foreach { rows =>
+      rows.toDF("sym", "ts", "price")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      Thread.sleep(20) // distinct mtimes: the file source orders by them
+    }
+    val streamed = spark.readStream
+      .schema("sym STRING, ts TIMESTAMP, price DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = Streaming.asOfEnrichStream(streamed, s"$dir/right",
+      s"$dir/out", s"$dir/ckpt", Seq("sym"), "ts", Seq("quote"))
+    assert(q.awaitTermination(120000), "stream did not finish within 120 s")
+    val got = spark.read.parquet(s"$dir/out")
+      .select("sym", "ts", "price", "quote").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        Option(r.get(3)))).toSet
+    val expect = graft.operators.AsOfJoin.asOfJoin(
+        batches.flatten.toDF("sym", "ts", "price"),
+        spark.read.parquet(s"$dir/right"), Seq("sym"), "ts", Seq("quote"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        Option(r.get(3)))).toSet
+    assert(got == expect,
+      s"streamed enrichment diverged from the batch operator:\n$got\n$expect")
+    // two micro-batches landed as two idempotent partitions
+    val parts = spark.read.parquet(s"$dir/out")
+      .select("batch_id").distinct().as[Long].collect().sorted.toSeq
+    assert(parts == Seq(0L, 1L), s"expected batch partitions 0,1 got $parts")
+    // the rung is stateless: matches come from the static side only
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    assert(stateRows == 0L, s"expected stateless plan, got $stateRows state rows")
+  }
 }

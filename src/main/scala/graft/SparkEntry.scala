@@ -1080,6 +1080,39 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    "q_pipeline_incremental" -> ((s, d) => {
+      // the incremental-ingest CLUSTER pipeline end-to-end: cluster
+      // state is built once from the ref corpus's near-dup pairs; a
+      // fresh batch (unseen docs + 50 perturbed ref copies) arrives
+      // and contributes ONLY its new edges — banded cross pairs
+      // (batch↔ref, minHashCrossPairs) plus the batch's own pairs
+      // (batch↔batch) — and the state extends incrementally
+      // (connectedComponentsAgainst): the ref pair graph is never
+      // recomputed. Exact-recall corpus (the q_minhash_dedup/
+      // q_dedup_against argument: 16x4 banding recalls every >=0.7
+      // pair here, verification is exact), so the updated labeling
+      // equals the recursive closure over the exact >=0.7 Jaccard
+      // pairs of the WHOLE union corpus.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" extra tail token")).as("text")))
+      val artifact = operators.Graph.connectedComponents(
+        Dedup.minHashNearDuplicates(ref, "text", "doc_id", threshold = 0.7),
+        "id_a", "id_b")
+      val newEdges = Dedup
+        .minHashCrossPairs(batch, ref, "text", "doc_id", threshold = 0.7)
+        .select("id_a", "id_b")
+        .unionByName(Dedup
+          .minHashNearDuplicates(batch, "text", "doc_id", threshold = 0.7)
+          .select("id_a", "id_b"))
+      operators.Graph.connectedComponentsAgainst(
+        artifact, newEdges, "id_a", "id_b")
+    }),
+
     "q_simhash_dedup" -> ((s, d) =>
       // simhash hamming depends on xxhash64 (engine-internal), so the
       // oracle checks the precision invariants the operator guarantees:
@@ -3349,6 +3382,29 @@ object SparkEntry {
     "q_dedup_against" -> dedupAgainstOracle,
 
     "q_dedup_against_ref" -> dedupAgainstOracle,
+
+    "q_pipeline_incremental" ->
+      """WITH RECURSIVE docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+        |uni AS (SELECT doc_id, text FROM docs
+        |        UNION ALL
+        |        SELECT doc_id + 1000000, text || ' extra tail token' FROM docs WHERE doc_id < 50),
+        |tk AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |       FROM uni WHERE len(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0),
+        |sh AS (SELECT doc_id, list_distinct(
+        |         CASE WHEN len(toks) >= 3
+        |              THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]
+        |              ELSE [array_to_string(toks, ' ')] END) AS grams FROM tk),
+        |p AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sh l, sh r
+        |      WHERE l.doc_id < r.doc_id AND len(l.grams) > 0 AND len(r.grams) > 0
+        |        AND CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+        |            / len(list_distinct(l.grams || r.grams)) >= 0.7),
+        |sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |reach AS (SELECT n, n AS m FROM nodes
+        |          UNION
+        |          SELECT sym.b AS n, reach.m FROM reach JOIN sym ON sym.a = reach.n)
+        |SELECT n AS id, CAST(min(m) AS BIGINT) AS component
+        |FROM reach GROUP BY n""".stripMargin,
 
     "q_ngram_lsh" ->
       """WITH raw AS (

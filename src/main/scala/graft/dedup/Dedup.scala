@@ -224,6 +224,24 @@ object Dedup {
     val rows = numHashes / bands
     val newBase = minHashBase(df, textCol, idCol, numHashes, shingleSize)
     val refBase = minHashBase(ref, textCol, idCol, numHashes, shingleSize)
+    val dropped = crossVerifiedPairs(newBase, refBase, bands, rows,
+      threshold, maxBucketSize)
+      .select(col("id_a").as(idCol))
+      .distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Verified cross-corpus pairs from two minhash bases: band both
+    * sides to (id, band, bucket), hot-bucket-cap the REFERENCE side,
+    * equi-join on (band, bucket), verify by exact hash-set Jaccard.
+    * `id_a` is the new-batch side, `id_b` the reference side. */
+  private def crossVerifiedPairs(
+      newBase: DataFrame,
+      refBase: DataFrame,
+      bands: Int,
+      rows: Int,
+      threshold: Double,
+      maxBucketSize: Int): DataFrame = {
     val newBanded = banded(newBase, bands, rows)
     val refBanded = {
       val b = banded(refBase, bands, rows)
@@ -236,20 +254,48 @@ object Dedup {
         b.join(ok, Seq("band", "bucket"), "left_semi")
       }
     }
-    val pairs = newBanded.as("n")
+    newBanded.as("n")
       .join(refBanded.as("r"),
         col("n.band") === col("r.band") && col("n.bucket") === col("r.bucket"))
       .select(col("n.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val dropped = pairs
       .join(newBase.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(refBase.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("jaccard",
         graft.functions.HashFunctions.hashJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a").as(idCol))
-      .distinct()
-    df.join(dropped, Seq(idCol), "left_anti")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Verified NEAR-DUPLICATE PAIRS of a new batch against an existing
+    * corpus — [[minHashDedupAgainst]]'s candidate machinery exposed at
+    * pair grain: `(id_a, id_b, jaccard)` with `id_a` from `df` (the
+    * batch) and `id_b` from `ref`, every pair exact-verified at
+    * `>= threshold` hash-set Jaccard. This is the EDGE FEED for
+    * incremental cluster maintenance: together with
+    * [[minHashNearDuplicates]] over the batch alone, it yields every
+    * pair the union corpus gains from the batch (batch↔ref here,
+    * batch↔batch there; ref↔ref pairs are already in the cluster
+    * artifact), ready for
+    * [[graft.operators.Graph.connectedComponentsAgainst]]. Same scale
+    * shape as the dedup form: id-only banded exchange, ref-side
+    * hot-bucket cap, payloads re-joined per candidate. */
+  def minHashCrossPairs(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+    crossVerifiedPairs(
+      minHashBase(df, textCol, idCol, numHashes, shingleSize),
+      minHashBase(ref, textCol, idCol, numHashes, shingleSize),
+      bands, numHashes / bands, threshold, maxBucketSize)
   }
 
   /** Persist a reference corpus as a TEXT-FREE minhash artifact —
@@ -300,32 +346,40 @@ object Dedup {
         s"minHashDedupAgainstRef: artifact signature width ${r.getInt(0)} " +
           s"!= numHashes $numHashes — serve with the training parameters"))
     val newBase = minHashBase(df, textCol, idCol, numHashes, shingleSize)
-    val newBanded = banded(newBase, bands, rows)
-    val refBanded = {
-      val b = banded(refBase, bands, rows)
-      if (maxBucketSize <= 0) b
-      else {
-        val ok = b.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bucket_n"))
-          .filter(col("__bucket_n") <= maxBucketSize)
-          .drop("__bucket_n")
-        b.join(ok, Seq("band", "bucket"), "left_semi")
-      }
-    }
-    val pairs = newBanded.as("n")
-      .join(refBanded.as("r"),
-        col("n.band") === col("r.band") && col("n.bucket") === col("r.bucket"))
-      .select(col("n.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val dropped = pairs
-      .join(newBase.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(refBase.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .withColumn("jaccard",
-        graft.functions.HashFunctions.hashJaccard(col("hs_a"), col("hs_b")))
-      .filter(col("jaccard") >= threshold)
+    val dropped = crossVerifiedPairs(newBase, refBase, bands, rows,
+      threshold, maxBucketSize)
       .select(col("id_a").as(idCol))
       .distinct()
     df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[minHashCrossPairs]] where the reference side is a persisted
+    * [[saveMinHashRef]] artifact — pair-grain serving with the
+    * reference text never touched; schema and signature width
+    * validated loudly like [[minHashDedupAgainstRef]]. */
+  def minHashCrossPairsRef(
+      df: DataFrame,
+      refPath: String,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+    val refBase = df.sparkSession.read.parquet(refPath)
+    require(refBase.columns.toSet == Set("id", "hs", "sig"),
+      s"minHashCrossPairsRef: $refPath is not a saveMinHashRef artifact " +
+        s"(columns ${refBase.columns.mkString(", ")})")
+    refBase.select(size(col("sig")).as("w")).limit(1).collect()
+      .foreach(r => require(r.getInt(0) == numHashes,
+        s"minHashCrossPairsRef: artifact signature width ${r.getInt(0)} " +
+          s"!= numHashes $numHashes — serve with the training parameters"))
+    crossVerifiedPairs(
+      minHashBase(df, textCol, idCol, numHashes, shingleSize),
+      refBase, bands, numHashes / bands, threshold, maxBucketSize)
   }
 
   /** 64-bit SimHash of a text column: per-token xxhash64, each bit votes

@@ -163,7 +163,11 @@ object Graph {
     * components are closed under contraction, so each old component
     * can stand in for all its nodes via its label, and labels are
     * component-minimum ids, so the merged minimum of labels IS the
-    * merged minimum of nodes.
+    * merged minimum of nodes. The artifact must therefore be a
+    * CANONICAL labeling — the output of this family's own operators
+    * (label = minimum member id); a hand-made labeling with arbitrary
+    * representative ids voids that argument and the min-label output
+    * contract with it.
     *
     * Plan shape at 100 TB: the contraction runs on the LABEL graph —
     * one row per new edge, never the historical graph — so the

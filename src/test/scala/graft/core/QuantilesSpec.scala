@@ -141,8 +141,13 @@ class QuantilesSpec extends SparkTestBase {
     // form (⌈h⌉−h)·lo + (h−⌊h⌋)·hi and the one-sided lerp
     // lo + (h−⌊h⌉)·(hi−lo) differ sub-ulp — the library owns Spark's
     // aggregate convention, bit-for-bit (checked as raw Double bits)
-    val vals = Seq(0.1, 0.2, 0.30000000000000004, 1e-300, 1e300,
-      -0.7, 2.675, 1.0 / 3.0, math.Pi, -math.E, 1e16 + 1, 0.1 + 0.7)
+    // duplicates included deliberately: h can land BETWEEN two equal
+    // values (v_lo == v_hi), where both interpolation forms must
+    // return the value itself — and between a duplicate pair and a
+    // distinct neighbour, the boundary case the rank join must not
+    // double-count
+    val vals = Seq(0.1, 0.1, 0.2, 0.30000000000000004, 1e-300, 1e300,
+      -0.7, 2.675, 2.675, 1.0 / 3.0, math.Pi, -math.E, 1e16 + 1, 0.1 + 0.7)
     val df = vals.map(Tuple1(_)).toDF("v").repartition(4)
     val qs = Seq(0.01, 0.13, 1.0 / 3.0, 0.5, 0.66, 0.875, 0.99)
     val expect = df.agg(percentile($"v", array(qs.map(lit): _*)).as("e"))

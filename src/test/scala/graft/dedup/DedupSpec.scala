@@ -464,6 +464,67 @@ class DedupSpec extends SparkTestBase {
       Dedup.minHashDedupAgainstRef(fresh, bad, "text", "id"))
   }
 
+  test("minHashCrossPairs emits verified batch↔ref pairs; Ref artifact serves identically") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different reference material about spark physical plans")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today ok"),
+      (11L, "entirely novel content about bloom filters and bin packing methods"),
+      (12L, "")
+    ).toDF("id", "text")
+    val pairs = Dedup.minHashCrossPairs(batch, ref, "text", "id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly the planted batch↔ref near-dup; jaccard is the exact
+    // shingle-set value (11 shared of 12 union 3-token shingles)
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((10L, 1L)), pairs.toSeq)
+    assert(math.abs(pairs.head._3 - 11.0 / 12.0) < 1e-9)
+    // consistency with the dedup form: dropped ids = distinct id_a
+    val dropped = Dedup.minHashDedupAgainst(batch, ref, "text", "id",
+      threshold = 0.6).select("id").as[Long].collect().toSet
+    assert(dropped == Set(11L, 12L))
+    // artifact pair serving matches the online pairs, with loud guards
+    val path = java.nio.file.Files.createTempDirectory("mh_xp").toString + "/a"
+    Dedup.saveMinHashRef(ref, "text", "id", path)
+    val served = Dedup.minHashCrossPairsRef(batch, path, "text", "id",
+      threshold = 0.6).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.toSeq == Seq((10L, 1L)))
+    assertThrows[IllegalArgumentException](
+      Dedup.minHashCrossPairsRef(batch, path, "text", "id", numHashes = 32))
+  }
+
+  test("incremental cluster pipeline: cross+batch pairs extend the artifact to the full-graph labels") {
+    // ref: {1,2} near-dups + loner 3; batch: 10 ~ 1 (merges into the
+    // ref cluster), 11 ~ 12 (a brand-new batch-only cluster)
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today ok"),
+      (3L, "completely different reference material about spark physical plans")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today yes"),
+      (11L, "entirely novel content about bloom filters and bin packing methods"),
+      (12L, "entirely novel content about bloom filters and bin packing methods too")
+    ).toDF("id", "text")
+    val artifact = graft.operators.Graph.connectedComponents(
+      Dedup.minHashNearDuplicates(ref, "text", "id", threshold = 0.6),
+      "id_a", "id_b")
+    val newEdges = Dedup.minHashCrossPairs(batch, ref, "text", "id", threshold = 0.6)
+      .select("id_a", "id_b")
+      .unionByName(Dedup.minHashNearDuplicates(batch, "text", "id", threshold = 0.6)
+        .select("id_a", "id_b"))
+    val got = graft.operators.Graph.connectedComponentsAgainst(
+        artifact, newEdges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.Graph.connectedComponents(
+        Dedup.minHashNearDuplicates(ref.unionByName(batch), "text", "id",
+          threshold = 0.6), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full, s"incremental diverged from full recompute:\n$got\n$full")
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 11L, 12L -> 11L))
+  }
+
   test("contaminationReport names the leaking pairs with shared-gram counts") {
     val train = df("id BIGINT, text STRING",
       Seq(1L, "a b c d e f"),   // shares 4 distinct 3-grams with eval 9

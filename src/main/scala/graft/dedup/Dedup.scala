@@ -39,6 +39,56 @@ object Dedup {
 
   private[graft] val DefaultBloomSmallEvalDocs = 10000L
 
+  /** MinHash-LSH S-curve: the probability that a pair with TRUE
+    * Jaccard `j` shares at least one of `bands` buckets when each band
+    * hashes `rows` signature values — 1 − (1 − j^rows)^bands. The
+    * recall model behind every banding choice in this family
+    * (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" §3.4). */
+  def lshRecallAt(jaccard: Double, bands: Int, rows: Int): Double = {
+    require(jaccard >= 0.0 && jaccard <= 1.0,
+      s"lshRecallAt: jaccard must be in [0, 1], got $jaccard")
+    require(bands >= 1 && rows >= 1,
+      s"lshRecallAt: bands and rows must be >= 1, got ($bands, $rows)")
+    1.0 - math.pow(1.0 - math.pow(jaccard, rows), bands)
+  }
+
+  /** Choose an LSH banding for a target similarity `threshold`: among
+    * the (bands, rows) factorizations of `numHashes`, the FEWEST-bands
+    * configuration whose S-curve recall AT the threshold is at least
+    * `minRecallAtThreshold`. Fewer bands = fewer banded-exchange rows
+    * per document AND a steeper cut below the threshold (candidate
+    * volume falls), so the cheapest qualifying rung is also the most
+    * precise one — the same cost-dial reasoning as
+    * [[simHash128Rung]]'s radius rungs, solved from the curve instead
+    * of hand-picked. Returns (bands, rows); throws when even
+    * bands = numHashes (rows = 1) cannot reach the recall target —
+    * raise `numHashes` rather than silently under-recalling.
+    *
+    * The library default (64 hashes, 16×4) is exactly
+    * `bandingFor(0.7, 64)`: recall 0.988 at j = 0.7, 0.99999 at
+    * j = 0.85, and only 0.34 at j = 0.4 — the knee the defaults were
+    * tuned to (spec-pinned). */
+  def bandingFor(
+      threshold: Double,
+      numHashes: Int = 64,
+      minRecallAtThreshold: Double = 0.95): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"bandingFor: threshold must be in (0, 1), got $threshold")
+    require(numHashes >= 1, s"bandingFor: numHashes must be >= 1, got $numHashes")
+    require(minRecallAtThreshold > 0.0 && minRecallAtThreshold < 1.0,
+      s"bandingFor: minRecallAtThreshold must be in (0, 1), got $minRecallAtThreshold")
+    val candidates = (1 to numHashes)
+      .filter(numHashes % _ == 0) // bands must divide the signature
+      .map(b => (b, numHashes / b))
+    candidates
+      .find { case (b, r) => lshRecallAt(threshold, b, r) >= minRecallAtThreshold }
+      .getOrElse(throw new IllegalArgumentException(
+        s"bandingFor: no banding of $numHashes hashes reaches recall " +
+          s"$minRecallAtThreshold at threshold $threshold (best is " +
+          f"bands=$numHashes rows=1 at ${lshRecallAt(threshold, numHashes, 1)}%.4f)" +
+          " — raise numHashes"))
+  }
+
   /** Exact dedup on normalised text: keep the lowest-id row per
     * fingerprint. One shuffle on the (md5) fingerprint. Output schema ==
     * input schema (helper columns are collision-safe and dropped).

@@ -525,6 +525,28 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 11L, 12L -> 11L))
   }
 
+  test("bandingFor solves the S-curve: library defaults recovered, infeasible targets loud") {
+    // the S-curve itself at the library's default rung
+    assert(math.abs(Dedup.lshRecallAt(0.7, 16, 4) - 0.98764) < 1e-4)
+    assert(Dedup.lshRecallAt(0.85, 16, 4) > 0.9999)
+    assert(Dedup.lshRecallAt(0.4, 16, 4) < 0.35) // the below-knee cut
+    // the default 16x4 banding is the solver's own answer at 0.7
+    assert(Dedup.bandingFor(0.7, 64) == (16, 4))
+    // a stricter recall target climbs to the next rung (32x2:
+    // recall(0.7, 16, 4) = 0.9876 < 0.999 <= recall(0.7, 32, 2))
+    assert(Dedup.bandingFor(0.7, 64, minRecallAtThreshold = 0.999) == (32, 2))
+    // every returned banding satisfies its own contract
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9); n <- Seq(64, 128)) {
+      val (b, r) = Dedup.bandingFor(t, n)
+      assert(b * r == n && Dedup.lshRecallAt(t, b, r) >= 0.95, s"t=$t n=$n -> ($b,$r)")
+    }
+    // infeasible: even rows=1 cannot reach the target -> loud
+    assertThrows[IllegalArgumentException](
+      Dedup.bandingFor(0.05, numHashes = 4, minRecallAtThreshold = 0.9999))
+    assertThrows[IllegalArgumentException](Dedup.bandingFor(1.0, 64))
+    assertThrows[IllegalArgumentException](Dedup.lshRecallAt(1.2, 16, 4))
+  }
+
   test("contaminationReport names the leaking pairs with shared-gram counts") {
     val train = df("id BIGINT, text STRING",
       Seq(1L, "a b c d e f"),   // shares 4 distinct 3-grams with eval 9

@@ -152,11 +152,27 @@ object Similarity {
       .localCheckpoint(true) // consumed by the bound check + every step
     // max/sum over an empty frame yield one null cell, not zero rows —
     // read them as Options so an empty candidate set returns an empty
-    // result instead of an NPE
-    val stats = cand.groupBy(queryIdCol).count()
-      .agg(max("count"), sum("count")).head()
+    // result instead of an NPE. The same pass counts null ids/rels:
+    // a null corpus_id can never equi-join its vector or pairwise
+    // rows and a null rel sorts nulls-last through every argmax —
+    // either would make a candidate silently unpickable (and the
+    // driver route's primitive accessors would read them as 0), so
+    // they fail loudly instead.
+    val stats = cand.groupBy(queryIdCol)
+      .agg(count(lit(1)).as("count"),
+        count(col("corpus_id")).as("__ids"),
+        count(col("rel")).as("__rels"))
+      .agg(max("count"), sum("count"),
+        sum(col("count") - col("__ids")), sum(col("count") - col("__rels")))
+      .head()
     val worst = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val total = Option(stats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nullIds = Option(stats.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nullRels = Option(stats.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(nullIds == 0L && nullRels == 0L,
+      s"mmrRerank: candidates carry $nullIds null corpus_id and $nullRels " +
+        "null rel values — null candidates are unpickable after rank 1 " +
+        "(no vector / nulls-last scores); filter or fix them first")
     if (worst == 0L) {
       return cand.select(col(queryIdCol), col("corpus_id"),
         lit(1).as("rank"), lit(0.0).as("mmr_score")).limit(0)

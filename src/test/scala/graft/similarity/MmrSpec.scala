@@ -90,6 +90,21 @@ class MmrSpec extends SparkTestBase {
       s"routes diverged:\ndriver: $viaDriver\ndistributed: $viaDist")
   }
 
+  test("null corpus_id or rel in candidates fails loudly (unpickable, not 0-valued)") {
+    val withNullRel = candidates.unionByName(
+      Seq((1L, java.lang.Long.valueOf(102L), Option.empty[Double]))
+        .toDF("query_id", "corpus_id", "rel"))
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.mmrRerank(withNullRel, embeddings, "id", "vec", k = 2))
+    assert(e1.getMessage.contains("null"))
+    val withNullId = candidates.unionByName(
+      Seq((1L, Option.empty[Long], Option(0.5)))
+        .toDF("query_id", "corpus_id", "rel"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.mmrRerank(withNullId, embeddings, "id", "vec", k = 2))
+    assert(e2.getMessage.contains("null"))
+  }
+
   test("candidate bound and parameters validate loudly") {
     assertThrows[IllegalArgumentException](
       Similarity.mmrRerank(candidates, embeddings, "id", "vec", k = 0))

@@ -262,15 +262,20 @@ object Quantiles {
   }
 
   /** Spark `Percentile`'s exact interpolation at fractional rank `h`:
-    * v_lo when h is integral, else (⌈h⌉−h)·v_lo + (h−⌊h⌋)·v_hi — the
-    * two-sided weighted form, NOT the one-sided lerp (they differ
-    * sub-ulp on adversarial doubles; the aggregate's form wins so
-    * small-regime and rank-regime paths are bit-identical). */
+    * v_lo when h is integral OR when v_lo equals v_hi (the aggregate
+    * short-circuits equal boundary keys to the key itself — a
+    * DUPLICATE value straddling h must come back exactly, not as the
+    * weighted sum (⌈h⌉−h)·v + (h−⌊h⌋)·v, which can differ by 1 ulp;
+    * found by the PropertySpec dual-route fuzz), else
+    * (⌈h⌉−h)·v_lo + (h−⌊h⌋)·v_hi — the two-sided weighted form, NOT
+    * the one-sided lerp (they differ sub-ulp on adversarial doubles;
+    * the aggregate's form wins so small-regime and rank-regime paths
+    * are bit-identical). */
   private def interpolate(
       h: org.apache.spark.sql.Column,
       vLo: org.apache.spark.sql.Column,
       vHi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(h === floor(h), vLo)
+    when(h === floor(h) || vLo === vHi, vLo)
       .otherwise((ceil(h) - h) * vLo + (h - floor(h)) * vHi)
 
   /** Per-group [[exactInterpolatedQuantiles]]: `(groupCols…, q,

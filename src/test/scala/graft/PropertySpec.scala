@@ -238,4 +238,39 @@ class PropertySpec extends SparkTestBase {
       assert(row.getBoolean(5) == wantAlt, s"alternates mismatch for $turns")
     }
   }
+
+  test("exact quantiles: both adaptive routes agree bitwise and match a local reference") {
+    import spark.implicits._
+    // tie-heavy values (ints / 7) and arbitrary q grids, including the
+    // empty-input and single-value degenerates the generators reach
+    val gen: Gen[(List[Double], List[Double])] = Gen.zip(
+      Gen.listOf(Gen.choose(-300, 300).map(_ / 7.0)),
+      Gen.listOfN(3, Gen.choose(0, 100).map(_ / 100.0)))
+    for ((vals, qsRaw) <- samples(gen, 8)) {
+      val qs = qsRaw.distinct
+      if (qs.nonEmpty) {
+        val df = vals.toDF("v").repartition(5)
+        def both() = (
+          graft.core.Quantiles.exactQuantiles(df, "v", qs)
+            .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap,
+          graft.core.Quantiles.exactInterpolatedQuantiles(df, "v", qs)
+            .collect().map(r => r.getDouble(0) ->
+              java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap)
+        val viaAggregate = both()
+        spark.conf.set(graft.core.Quantiles.SmallInputRowsConf, "0")
+        val viaRanks = try both()
+          finally spark.conf.unset(graft.core.Quantiles.SmallInputRowsConf)
+        assert(viaAggregate == viaRanks,
+          s"routes diverged on ${vals.size} values, qs=$qs:\n$viaAggregate\n$viaRanks")
+        if (vals.nonEmpty) {
+          val sorted = vals.sorted
+          qs.foreach { q =>
+            val want = sorted(math.floor(q * (vals.length - 1)).toInt)
+            assert(viaAggregate._1(q) == want,
+              s"type-1 q=$q: got ${viaAggregate._1(q)} want $want")
+          }
+        } else assert(viaAggregate._1.isEmpty && viaAggregate._2.isEmpty)
+      }
+    }
+  }
 }

@@ -289,9 +289,18 @@ object Similarity {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    // Spark round(double, 6): decimal-text BigDecimal + HALF_UP
+    // Spark round(double, 6): decimal-text BigDecimal + HALF_UP, with
+    // NaN/Infinity passed through like the Round expression does
     def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the argmax ordering Spark's window uses: score DESC with NaN
+    // GREATEST (TotalOrdering — a zero vector's NaN cosine sorts
+    // first, exactly as the distributed route's desc sort does),
+    // ties by ascending corpus id
+    val pickOrd = Ordering.Tuple2(
+      Ordering.Double.TotalOrdering, Ordering.Long.reverse)
+      .on((p: (Long, Double)) => (p._2, p._1))
     val out = candRows.groupBy(_.get(0)).toSeq.flatMap { case (qid, rows) =>
       var remaining = rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq
       var selected = Vector.empty[org.apache.spark.sql.Row]
@@ -301,11 +310,14 @@ object Similarity {
           val score =
             if (selIds.isEmpty) r6(lambda * rel)
             else {
-              val ms = selIds.iterator.map(s => cos(vecs(cid), vecs(s))).max
+              // TotalOrdering max: NaN beats every double, as Spark's
+              // max aggregate does
+              val ms = selIds.iterator.map(s => cos(vecs(cid), vecs(s)))
+                .max(Ordering.Double.TotalOrdering)
               r6(lambda * rel - (1.0 - lambda) * ms)
             }
           (cid, score)
-        }.minBy { case (cid, sc) => (-sc, cid) } // score desc, id asc
+        }.max(pickOrd)
         selected :+= org.apache.spark.sql.Row(qid, best._1, step, best._2)
         selIds :+= best._1
         remaining = remaining.filterNot(_._1 == best._1)

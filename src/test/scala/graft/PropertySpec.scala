@@ -273,4 +273,62 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("incremental connected components equal full recompute on random graphs and splits") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(3L, 30L)
+      m <- Gen.choose(0, 50)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n), Gen.choose(0L, n)))
+      cut <- Gen.choose(0, m)
+    } yield (edges, cut)
+    for (((edges, cut), i) <- samples(gen, 6).zipWithIndex) {
+      // alternate the contraction route: even samples force the
+      // distributed large-star/small-star path, odd use the driver
+      // shortcut — both must hold the incremental contract
+      val localMax = if (i % 2 == 0) 0L else 1000000L
+      def cc(e: Seq[(Long, Long)]) = graft.operators.Graph
+        .connectedComponents(e.toDF("a", "b"), "a", "b", localMaxEdges = localMax)
+      val expect = cc(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = graft.operators.Graph.connectedComponentsAgainst(
+          cc(edges.take(cut)), edges.drop(cut).toDF("a", "b"), "a", "b",
+          localMaxEdges = localMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect,
+        s"cut=$cut localMax=$localMax edges=$edges:\n$got\n$expect")
+    }
+  }
+
+  test("mmrRerank routes agree on tie-heavy random pools") {
+    import org.apache.spark.sql.functions._
+    // {-1,0,1}-valued low-dim vectors collide on cosine constantly and
+    // rels on a 0.2 grid collide on the 6-dp round — the argmax
+    // tie-break and rounding grid get exercised, not just the math
+    for ((salt, i) <- Seq(3L, 17L, 29L, 45L).zipWithIndex) {
+      val k = 2 + i * 2
+      val lambda = Seq(0.0, 0.3, 0.7, 1.0)(i)
+      val nIds = 40 + 10 * i
+      val emb = spark.range(nIds).select(col("id"),
+        transform(sequence(lit(0), lit(3)), j =>
+          (pmod(xxhash64(col("id"), j, lit(salt)), lit(3)) - 1)
+            .cast("double")).as("vec"))
+      val cands = spark.range(nIds).select(
+        (col("id") % 3).as("query_id"), col("id").as("corpus_id"),
+        (pmod(xxhash64(col("id"), lit(salt)), lit(5)).cast("double") / 5.0)
+          .as("rel"))
+      def picks(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+          java.lang.Double.doubleToLongBits(r.getDouble(3))).toMap
+      val viaDriver = picks(graft.similarity.Similarity.mmrRerank(
+        cands, emb, "id", "vec", k = k, lambda = lambda))
+      spark.conf.set(graft.similarity.Similarity.MmrSmallPoolRowsConf, "0")
+      val viaDist = try picks(graft.similarity.Similarity.mmrRerank(
+          cands, emb, "id", "vec", k = k, lambda = lambda))
+        finally spark.conf.unset(graft.similarity.Similarity.MmrSmallPoolRowsConf)
+      assert(viaDriver == viaDist,
+        s"salt=$salt k=$k lambda=$lambda:\n$viaDriver\n$viaDist")
+    }
+  }
 }

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
   * Optional `tolerance` (seconds) nulls matches further away than the
   * window.
   *
+  * Right rows DUPLICATED on (key, ts): exactly one attaches, but which
+  * of the equal rows is unspecified (they tie in the window sort, and
+  * engine sort ties are not stable) — pre-aggregate the right side to
+  * (key, ts) grain if the choice matters. Everything else is
+  * deterministic (AsOfJoinSpec + the PropertySpec reference fuzz).
+  *
   * Implementation: union the two sides with a side marker, pack each
   * right row's timestamp + payload into ONE struct, then one window
   * pass per key taking the last non-null struct over a RUNNING

@@ -331,4 +331,79 @@ class PropertySpec extends SparkTestBase {
         s"salt=$salt k=$k lambda=$lambda:\n$viaDriver\n$viaDist")
     }
   }
+
+  test("asOfJoin matches a local reference: all directions, exact ties, tolerance") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val gen = for {
+      left <- Gen.listOf(Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 40L)))
+      rightRaw <- Gen.listOf(Gen.zip(Gen.choose(0, 2),
+        Gen.zip(Gen.choose(0L, 40L), Gen.choose(1, 100))))
+      tol <- Gen.oneOf(Option.empty[Long], Some(0L), Some(5L))
+    } yield (left,
+      // unique (key, ts) on the right: duplicated right timestamps tie
+      // in the window sort and the attached row is unspecified by
+      // contract — the reference can only model the deterministic part
+      rightRaw.groupBy(r => (r._1, r._2._1)).map(_._2.head).toList, tol)
+    for ((left, right, tol) <- samples(gen, 5); dir <- graft.operators.AsOfJoin.directions) {
+      val leftDf = left.map { case (k, t) => (k, ts(t)) }.toDF("k", "ts")
+      val rightDf = right.map { case (k, (t, v)) => (k, ts(t), v / 4.0) }
+        .toDF("k", "ts", "quote")
+      val got = graft.operators.AsOfJoin.asOfJoin(
+          leftDf, rightDf, Seq("k"), "ts", Seq("quote"), tol, dir)
+        .collect()
+        .map(r => (r.getInt(0), r.getTimestamp(1).getTime / 1000L,
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .sortBy(x => (x._1, x._2, x._3.getOrElse(-1.0)))
+      val want = left.map { case (k, t) =>
+        val rs = right.filter(_._1 == k)
+        val back = rs.filter(_._2._1 <= t).sortBy(_._2._1).lastOption
+        val fwd = rs.filter(_._2._1 >= t).sortBy(_._2._1).headOption
+        val m = dir match {
+          case "backward" => back
+          case "forward" => fwd
+          case "nearest" => (back, fwd) match {
+            // strictly closer forward wins; equal deltas -> backward
+            case (Some(b), Some(f)) =>
+              if ((f._2._1 - t) < (t - b._2._1)) Some(f) else Some(b)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        (k, t, tol.fold(m)(s => m.filter(r => math.abs(r._2._1 - t) <= s))
+          .map(_._2._2 / 4.0))
+      }.sortBy(x => (x._1, x._2, x._3.getOrElse(-1.0)))
+      assert(got.toSeq == want,
+        s"dir=$dir tol=$tol left=$left right=$right:\n${got.toSeq}\n$want")
+    }
+  }
+
+  test("per-group exact quantiles: both routes, null group keys, local reference") {
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.zip(
+      Gen.oneOf(Option.empty[String], Some("a"), Some("b")),
+      Gen.choose(-60, 60).map(_ / 3.0)))
+    val qs = Seq(0.25, 0.5, 0.9)
+    for (rows <- samples(gen, 6) if rows.nonEmpty) {
+      val df = rows.toDF("g", "v").repartition(4)
+      def both() = (
+        graft.core.Quantiles.exactQuantilesPerGroup(df, Seq("g"), "v", qs)
+          .collect().map(r => (Option(r.getString(0)), r.getDouble(1)) ->
+            r.getDouble(2)).toMap,
+        graft.core.Quantiles.exactInterpolatedQuantilesPerGroup(df, Seq("g"), "v", qs)
+          .collect().map(r => (Option(r.getString(0)), r.getDouble(1)) ->
+            java.lang.Double.doubleToLongBits(r.getDouble(2))).toMap)
+      val viaAggregate = both()
+      spark.conf.set(graft.core.Quantiles.SmallInputRowsConf, "0")
+      val viaRanks = try both()
+        finally spark.conf.unset(graft.core.Quantiles.SmallInputRowsConf)
+      assert(viaAggregate == viaRanks,
+        s"routes diverged on $rows:\n$viaAggregate\n$viaRanks")
+      val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      for ((g, vs) <- byG; q <- qs) {
+        val want = vs(math.floor(q * (vs.length - 1)).toInt)
+        assert(viaAggregate._1((g, q)) == want,
+          s"type-1 ($g,$q): got ${viaAggregate._1((g, q))} want $want")
+      }
+    }
+  }
 }

@@ -140,6 +140,8 @@ object Plans {
       "JL projection: the 16x64 gaussian matrix rides the task binary (addReferenceObj) and the projection is one codegen'd kernel call in a narrow Project — no join against a matrix table, no shuffle; the only post-stage is the posexplode to verification grain.",
     "q_connected_components" ->
       "Distributed connected components (localMaxEdges=0): large-star/small-star rounds are (node, min-neighbour) aggregates + edge-grain joins — every exchange keys on node ids, nothing corpus-wide, convergence in O(log n) rounds with the edge set SHRINKING monotonically.",
+    "q_pipeline_incremental" ->
+      "Composed incremental ingest: both pair feeds are the id-only banded LSH exchanges (ref state and batch edges — hash-set payloads re-join per candidate only), the batch contracts at LABEL grain, and the historical labeling flows through exactly ONE BroadcastHashJoin relabel. Nothing downstream of the two banded exchanges is corpus-sized, and no historical pair is recomputed.",
     "q_cc_incremental" ->
       "Incremental connected components: the prior labeling relabels through ONE BroadcastHashJoin against the touched-component mapping (batch-bounded — built by contracting the new edges to LABEL grain and running the star rounds on that batch-sized graph); new nodes enter via the same broadcast mapping. No historical edge is rescanned anywhere in the plan; the artifact passes through exactly once.",
     "q_mmr_rerank" ->

@@ -146,8 +146,14 @@ class QuantilesSpec extends SparkTestBase {
     // return the value itself — and between a duplicate pair and a
     // distinct neighbour, the boundary case the rank join must not
     // double-count
+    // NaN and the infinities ride along: Spark orders NaN GREATEST
+    // (both the Percentile counts map and the range exchange use the
+    // same double ordering), infinities interpolate to themselves or
+    // NaN identically on both routes; doubleToLongBits canonicalizes
+    // NaN payloads so the bit compare is well-defined
     val vals = Seq(0.1, 0.1, 0.2, 0.30000000000000004, 1e-300, 1e300,
-      -0.7, 2.675, 2.675, 1.0 / 3.0, math.Pi, -math.E, 1e16 + 1, 0.1 + 0.7)
+      -0.7, 2.675, 2.675, 1.0 / 3.0, math.Pi, -math.E, 1e16 + 1, 0.1 + 0.7,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
     val df = vals.map(Tuple1(_)).toDF("v").repartition(4)
     val qs = Seq(0.01, 0.13, 1.0 / 3.0, 0.5, 0.66, 0.875, 0.99)
     val expect = df.agg(percentile($"v", array(qs.map(lit): _*)).as("e"))

@@ -406,4 +406,65 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("assignContiguousIds / assignGroupRanks: contiguous, order-consistent, null groups kept") {
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.zip(
+      Gen.oneOf(Option.empty[String], Some("a"), Some("b"), Some("c")),
+      Gen.choose(-40, 40).map(_ / 4.0)))
+    for (rows <- samples(gen, 6) if rows.nonEmpty) {
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "uid").repartition(5)
+      // GLOBAL ids on a unique total order: ids are exactly 0..n-1 and
+      // values along ids are the sorted multiset
+      val global = graft.operators.Ids
+        .assignContiguousIds(df, Seq("v", "uid"), "rid")
+        .select("v", "rid").collect()
+        .map(r => r.getLong(1) -> r.getDouble(0)).sortBy(_._1)
+      assert(global.map(_._1).toSeq == (0L until rows.length.toLong),
+        s"ids not contiguous: ${global.toSeq}")
+      assert(global.map(_._2).toSeq == rows.map(_._2).sorted,
+        "values along ids must be the sorted multiset")
+      // PER-GROUP ranks: contiguous within every group (null included),
+      // values at ranks are the group's sorted multiset
+      val ranks = graft.operators.Ids
+        .assignGroupRanks(df, Seq("g"), Seq("v", "uid"), "gr")
+        .select("g", "v", "gr").collect()
+        .map(r => (Option(r.getString(0)), r.getDouble(1), r.getLong(2)))
+      assert(ranks.length == rows.length, "no row may be dropped (null groups!)")
+      for ((g, members) <- ranks.groupBy(_._1)) {
+        val sortedByRank = members.sortBy(_._3)
+        assert(sortedByRank.map(_._3).toSeq == (0L until members.length.toLong),
+          s"group $g ranks not contiguous: ${members.toSeq}")
+        assert(sortedByRank.map(_._2).toSeq ==
+          rows.filter(_._1 == g).map(_._2).sorted,
+          s"group $g values along ranks must be its sorted multiset")
+      }
+    }
+  }
+
+  test("packShards matches the sequential exclusive-cumsum fold per stratum") {
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.listOf(Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 9L))),
+      Gen.oneOf(5.0, 16.0))
+    for ((rows, budget) <- samples(gen, 6) if rows.nonEmpty) {
+      val withUid = rows.zipWithIndex.map { case ((g, w), i) => (g, w, i.toLong) }
+      val got = graft.core.Sampling.packShards(
+          withUid.toDF("g", "w", "uid").repartition(4),
+          "w", budget, Seq("g"), "uid")
+        .select("g", "uid", "shard_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = withUid.groupBy(_._1).flatMap { case (g, ms) =>
+        var cum = 0L
+        ms.sortBy(_._3).map { case (_, w, uid) =>
+          val shard = math.floor(cum / budget).toLong
+          cum += w
+          (g, uid) -> shard
+        }
+      }
+      assert(got == want, s"budget=$budget rows=$withUid:\n$got\n$want")
+    }
+  }
 }

@@ -2328,10 +2328,11 @@ object Bench {
       "q_connected_components" -> ("iterative large-star/small-star over " +
         "LSH pairs; O(log n) rounds each a keyed exchange, SCALE.md graph " +
         "rows"),
-      "q_pipeline_incremental" -> ("composed incremental-ingest proof: two " +
-        "banded LSH pair passes (ref state + batch edges) + the artifact " +
-        "relabel; each component paired/measured individually " +
-        "(q_minhash_dedup, q_dedup_against, SCALE.md cc_incremental rows)"),
+      "q_pipeline_incremental" -> ("composed incremental-ingest proof in " +
+        "its serving shape: writes the text-free minhash artifact, derives " +
+        "ref state from it, one batch kernel pass for all new edges, " +
+        "artifact relabel; each component paired/measured individually " +
+        "(q_minhash_dedup, q_dedup_against_ref, SCALE.md cc_incremental rows)"),
       "q_ann_index_scan" -> ("builds+persists the IVF index then serves " +
         "from it; build cost is the artifact story, serve path paired via " +
         "q_ivf_topk"),

@@ -1081,18 +1081,21 @@ object SparkEntry {
     }),
 
     "q_pipeline_incremental" -> ((s, d) => {
-      // the incremental-ingest CLUSTER pipeline end-to-end: cluster
-      // state is built once from the ref corpus's near-dup pairs; a
-      // fresh batch (unseen docs + 50 perturbed ref copies) arrives
-      // and contributes ONLY its new edges — banded cross pairs
-      // (batch↔ref, minHashCrossPairs) plus the batch's own pairs
-      // (batch↔batch) — and the state extends incrementally
-      // (connectedComponentsAgainst): the ref pair graph is never
-      // recomputed. Exact-recall corpus (the q_minhash_dedup/
-      // q_dedup_against argument: 16x4 banding recalls every >=0.7
-      // pair here, verification is exact), so the updated labeling
-      // equals the recursive closure over the exact >=0.7 Jaccard
-      // pairs of the WHOLE union corpus.
+      // the incremental-ingest CLUSTER pipeline end-to-end, in its
+      // 100 TB serving shape: the ref corpus's minhash base is
+      // computed ONCE and persisted text-free (saveMinHashRef); the
+      // cluster-state artifact derives from pairs served off it
+      // (minHashPairsFromRef — ref text untouched); a fresh batch
+      // (unseen docs + 50 perturbed ref copies) contributes its
+      // complete new-edge set in ONE batch kernel pass
+      // (minHashIncrementalEdges: batch↔batch ∪ batch↔artifact); and
+      // the state extends incrementally (connectedComponentsAgainst)
+      // — no historical pair or kernel is ever recomputed.
+      // Exact-recall corpus (the q_minhash_dedup/q_dedup_against
+      // argument: 16x4 banding recalls every >=0.7 pair here,
+      // verification exact), so the updated labeling equals the
+      // recursive closure over the exact >=0.7 Jaccard pairs of the
+      // WHOLE union corpus.
       val docs = t(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val ref = docs.filter(col("doc_id") < 250)
@@ -1100,15 +1103,14 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") < 50)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(col("text"), lit(" extra tail token")).as("text")))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pinc_q").toString
+      Dedup.saveMinHashRef(ref, "text", "doc_id", s"$dir/ref")
       val artifact = operators.Graph.connectedComponents(
-        Dedup.minHashNearDuplicates(ref, "text", "doc_id", threshold = 0.7),
+        Dedup.minHashPairsFromRef(s, s"$dir/ref", threshold = 0.7),
         "id_a", "id_b")
-      val newEdges = Dedup
-        .minHashCrossPairs(batch, ref, "text", "doc_id", threshold = 0.7)
-        .select("id_a", "id_b")
-        .unionByName(Dedup
-          .minHashNearDuplicates(batch, "text", "doc_id", threshold = 0.7)
-          .select("id_a", "id_b"))
+      val newEdges = Dedup.minHashIncrementalEdges(
+        batch, s"$dir/ref", "text", "doc_id", threshold = 0.7)
       operators.Graph.connectedComponentsAgainst(
         artifact, newEdges, "id_a", "id_b")
     }),

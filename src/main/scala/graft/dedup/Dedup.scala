@@ -231,16 +231,97 @@ object Dedup {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands)")
     val rows = numHashes / bands
-    val base = minHashBase(df, textCol, idCol, numHashes, shingleSize)
+    verifiedPairsFromBase(
+      minHashBase(df, textCol, idCol, numHashes, shingleSize),
+      bands, rows, threshold, maxBucketSize)
+  }
 
+  /** Within-corpus verified pairs from a minhash base: banded
+    * candidates (hot-bucket capped), exact hash-set Jaccard
+    * verification — equal to the string-set Jaccard up to (negligible)
+    * 64-bit collisions. `(id_a < id_b, jaccard)`. */
+  private def verifiedPairsFromBase(
+      base: DataFrame,
+      bands: Int,
+      rows: Int,
+      threshold: Double,
+      maxBucketSize: Int): DataFrame = {
     val pairs = candidatePairs(banded(base, bands, rows), maxBucketSize)
-    // verification over the 64-bit shingle-hash sets: equal to the
-    // string-set Jaccard up to (negligible) 64-bit collisions
     attachPayload(pairs, base.select("id", "hs"), "hs")
       .withColumn("jaccard",
         graft.functions.HashFunctions.hashJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Load + validate a [[saveMinHashRef]] artifact: schema and
+    * signature width checked loudly before any work. */
+  private def loadMinHashRefBase(
+      spark: org.apache.spark.sql.SparkSession,
+      refPath: String,
+      numHashes: Int,
+      op: String): DataFrame = {
+    val refBase = spark.read.parquet(refPath)
+    require(refBase.columns.toSet == Set("id", "hs", "sig"),
+      s"$op: $refPath is not a saveMinHashRef artifact " +
+        s"(columns ${refBase.columns.mkString(", ")})")
+    refBase.select(size(col("sig")).as("w")).limit(1).collect()
+      .foreach(r => require(r.getInt(0) == numHashes,
+        s"$op: artifact signature width ${r.getInt(0)} != numHashes " +
+          s"$numHashes — serve with the training parameters"))
+    refBase
+  }
+
+  /** Verified near-duplicate pairs WITHIN a persisted
+    * [[saveMinHashRef]] corpus — [[minHashNearDuplicates]] served
+    * entirely from the text-free artifact (`(id_a < id_b, jaccard)`):
+    * the whole pair graph, and from it the cluster state, is derivable
+    * without ever rescanning or storing the reference text. */
+  def minHashPairsFromRef(
+      spark: org.apache.spark.sql.SparkSession,
+      refPath: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+    verifiedPairsFromBase(
+      loadMinHashRefBase(spark, refPath, numHashes, "minHashPairsFromRef"),
+      bands, numHashes / bands, threshold, maxBucketSize)
+  }
+
+  /** The COMPLETE new-edge feed for incremental cluster maintenance in
+    * ONE batch kernel pass: every near-dup pair the union corpus gains
+    * from `df` — batch↔batch ([[minHashNearDuplicates]] semantics)
+    * plus batch↔artifact ([[minHashCrossPairsRef]] semantics) — with
+    * the batch's minhash base computed once (checkpoint-fenced for the
+    * two pair passes) and the reference side served from the
+    * [[saveMinHashRef]] artifact, its text never touched and its
+    * kernels never recomputed. Feed the result (with the prior
+    * labeling) to [[graft.operators.Graph.connectedComponentsAgainst]].
+    * `(id_a, id_b, jaccard)`; batch↔batch pairs have id_a < id_b,
+    * cross pairs have id_a from the batch. */
+  def minHashIncrementalEdges(
+      df: DataFrame,
+      refPath: String,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+    val rows = numHashes / bands
+    val refBase = loadMinHashRefBase(df.sparkSession, refPath, numHashes,
+      "minHashIncrementalEdges")
+    val base = minHashBase(df, textCol, idCol, numHashes, shingleSize)
+      .localCheckpoint(true) // consumed by both pair passes
+    verifiedPairsFromBase(base, bands, rows, threshold, maxBucketSize)
+      .unionByName(crossVerifiedPairs(base, refBase, bands, rows,
+        threshold, maxBucketSize))
   }
 
   /** Cross-corpus near-dedup — the incremental-ingest shape: remove
@@ -387,14 +468,8 @@ object Dedup {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands)")
     val rows = numHashes / bands
-    val refBase = df.sparkSession.read.parquet(refPath)
-    require(refBase.columns.toSet == Set("id", "hs", "sig"),
-      s"minHashDedupAgainstRef: $refPath is not a saveMinHashRef artifact " +
-        s"(columns ${refBase.columns.mkString(", ")})")
-    refBase.select(size(col("sig")).as("w")).limit(1).collect()
-      .foreach(r => require(r.getInt(0) == numHashes,
-        s"minHashDedupAgainstRef: artifact signature width ${r.getInt(0)} " +
-          s"!= numHashes $numHashes — serve with the training parameters"))
+    val refBase = loadMinHashRefBase(df.sparkSession, refPath, numHashes,
+      "minHashDedupAgainstRef")
     val newBase = minHashBase(df, textCol, idCol, numHashes, shingleSize)
     val dropped = crossVerifiedPairs(newBase, refBase, bands, rows,
       threshold, maxBucketSize)
@@ -419,17 +494,11 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands)")
-    val refBase = df.sparkSession.read.parquet(refPath)
-    require(refBase.columns.toSet == Set("id", "hs", "sig"),
-      s"minHashCrossPairsRef: $refPath is not a saveMinHashRef artifact " +
-        s"(columns ${refBase.columns.mkString(", ")})")
-    refBase.select(size(col("sig")).as("w")).limit(1).collect()
-      .foreach(r => require(r.getInt(0) == numHashes,
-        s"minHashCrossPairsRef: artifact signature width ${r.getInt(0)} " +
-          s"!= numHashes $numHashes — serve with the training parameters"))
     crossVerifiedPairs(
       minHashBase(df, textCol, idCol, numHashes, shingleSize),
-      refBase, bands, numHashes / bands, threshold, maxBucketSize)
+      loadMinHashRefBase(df.sparkSession, refPath, numHashes,
+        "minHashCrossPairsRef"),
+      bands, numHashes / bands, threshold, maxBucketSize)
   }
 
   /** 64-bit SimHash of a text column: per-token xxhash64, each bit votes

@@ -523,6 +523,33 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == full, s"incremental diverged from full recompute:\n$got\n$full")
     assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 11L, 12L -> 11L))
+    // the ARTIFACT-SERVED shape (one batch kernel pass, ref text never
+    // rescanned) must produce the same labeling: pairs-from-ref for
+    // the state, incremental-edges for the batch
+    val path = java.nio.file.Files.createTempDirectory("mh_pinc").toString + "/r"
+    Dedup.saveMinHashRef(ref, "text", "id", path)
+    val refPairs = Dedup.minHashPairsFromRef(spark, path, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val onlinePairs = Dedup.minHashNearDuplicates(ref, "text", "id",
+      threshold = 0.6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refPairs == onlinePairs, "pairs-from-artifact must equal online pairs")
+    val servedEdges = Dedup.minHashIncrementalEdges(batch, path, "text", "id",
+      threshold = 0.6)
+    assert(servedEdges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      newEdges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "one-pass incremental edges must equal crossPairs ∪ batch pairs")
+    val servedGot = graft.operators.Graph.connectedComponentsAgainst(
+        graft.operators.Graph.connectedComponents(
+          Dedup.minHashPairsFromRef(spark, path, threshold = 0.6),
+          "id_a", "id_b"),
+        servedEdges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(servedGot == full)
+    // artifact guards stay loud on the new entry points
+    assertThrows[IllegalArgumentException](
+      Dedup.minHashPairsFromRef(spark, path, numHashes = 32))
+    assertThrows[IllegalArgumentException](
+      Dedup.minHashIncrementalEdges(batch, path, "text", "id", numHashes = 32))
   }
 
   test("bandingFor solves the S-curve: library defaults recovered, infeasible targets loud") {

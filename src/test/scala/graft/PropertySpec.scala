@@ -467,4 +467,35 @@ class PropertySpec extends SparkTestBase {
       assert(got == want, s"budget=$budget rows=$withUid:\n$got\n$want")
     }
   }
+
+  test("quantileDiscretize: both routes agree; ties at a bound go LOW") {
+    import spark.implicits._
+    // a coarse value grid guarantees values land EXACTLY ON the
+    // interpolated bounds, exercising the strictly-below tie rule
+    val gen = Gen.zip(
+      Gen.listOf(Gen.choose(0, 8).map(_.toDouble)), Gen.choose(2, 5))
+    for ((vals, nb) <- samples(gen, 6) if vals.size >= 2 && vals.distinct.size >= 2) {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("uid", "v").repartition(4)
+      def run() = graft.core.Stats.quantileDiscretize(df, "v", nb)
+        .select("uid", "v_bucket").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val viaAggregate = run()
+      spark.conf.set(graft.core.Quantiles.SmallInputRowsConf, "0")
+      val viaRanks = try run()
+        finally spark.conf.unset(graft.core.Quantiles.SmallInputRowsConf)
+      assert(viaAggregate == viaRanks,
+        s"routes diverged on $vals nb=$nb:\n$viaAggregate\n$viaRanks")
+      // reference: bucket = count of interior bounds STRICTLY below v
+      // (bounds from the already-fuzzed interpolated quantiles)
+      val bounds = graft.core.Quantiles.exactInterpolatedQuantiles(
+          df, "v", (1 until nb).map(_.toDouble / nb))
+        .collect().map(_.getDouble(1))
+      for ((v, i) <- vals.zipWithIndex) {
+        val want = bounds.count(b => v > b)
+        assert(viaAggregate(i.toLong) == want,
+          s"v=$v nb=$nb bounds=${bounds.toSeq}: got ${viaAggregate(i.toLong)} want $want")
+      }
+    }
+  }
 }

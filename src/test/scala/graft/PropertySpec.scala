@@ -498,4 +498,43 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("substring dedup: incremental split equals the batch operator; hash keys equal exact") {
+    import spark.implicits._
+    // 3-word vocab, k=3: duplicated windows everywhere, docs shorter
+    // than k, whole-doc removals, spans overlapping removed regions
+    val doc = Gen.choose(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val gen = for {
+      docs <- Gen.listOf(doc)
+      cut <- Gen.choose(0, docs.size)
+    } yield (docs, cut)
+    for ((docs, cut) <- samples(gen, 5) if docs.nonEmpty) {
+      val all = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def toDf(rows: Seq[(Long, String)]) = rows.toDF("id", "text")
+      def outMap(df: org.apache.spark.sql.DataFrame) = df
+        .select("id", "text_deduped").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      for (hashKeys <- Seq(false, true)) {
+        val full = outMap(graft.dedup.SubstringDedup.dedupSubstrings(
+          toDf(all), "id", "text", k = 3, hashKeys = hashKeys))
+        // incremental: base ingested first (its own dedup), the batch
+        // cleaned against the base's windows + within itself — ids are
+        // ordered base < batch, so union first-occurrence semantics match
+        val incr = outMap(graft.dedup.SubstringDedup.dedupSubstrings(
+            toDf(all.take(cut)), "id", "text", k = 3, hashKeys = hashKeys)) ++
+          outMap(graft.dedup.SubstringDedup.dedupSubstringsAgainst(
+            toDf(all.take(cut)), toDf(all.drop(cut)), "id", "text", k = 3,
+            hashKeys = hashKeys))
+        assert(incr == full,
+          s"hashKeys=$hashKeys cut=$cut docs=$docs:\n$incr\n$full")
+      }
+      // the 8-byte hash-key scale path must equal the exact-string path
+      val exact = outMap(graft.dedup.SubstringDedup.dedupSubstrings(
+        toDf(all), "id", "text", k = 3))
+      val hashed = outMap(graft.dedup.SubstringDedup.dedupSubstrings(
+        toDf(all), "id", "text", k = 3, hashKeys = true))
+      assert(exact == hashed, s"hash-key path diverged on $docs")
+    }
+  }
 }

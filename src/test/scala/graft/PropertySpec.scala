@@ -537,4 +537,37 @@ class PropertySpec extends SparkTestBase {
       assert(exact == hashed, s"hash-key path diverged on $docs")
     }
   }
+
+  test("decontamination: all three adaptive rungs equal on random corpora") {
+    import spark.implicits._
+    val doc = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val gen = for {
+      train <- Gen.listOf(doc)
+      evalDocs <- Gen.listOf(doc) // includes the EMPTY eval side
+      minHits <- Gen.choose(1, 2)
+    } yield (train, evalDocs, minHits)
+    for ((train, evalDocs, minHits) <- samples(gen, 5) if train.nonEmpty) {
+      val trainDf = train.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val evalDf = evalDocs.zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("id", "text")
+      val exact = graft.dedup.Dedup.decontaminate(trainDf, evalDf,
+          "text", "id", n = 3, minHits = minHits)
+        .select("id").as[Long].collect().toSet
+      def bloom(pin: Boolean, maxGrams: Int): Set[Long] = {
+        if (pin) spark.conf.set(graft.dedup.Dedup.BloomSmallEvalDocsConf, "0")
+        try graft.dedup.Dedup.bloomDecontaminate(trainDf, evalDf, "text", "id",
+            n = 3, minHits = minHits, maxDriverGrams = maxGrams)
+          .select("id").as[Long].collect().toSet
+        finally if (pin) spark.conf.unset(graft.dedup.Dedup.BloomSmallEvalDocsConf)
+      }
+      for ((pin, maxGrams) <- Seq((false, 4 << 20), (true, 4 << 20), (true, 1))) {
+        val got = bloom(pin, maxGrams)
+        assert(got == exact,
+          s"rung pin=$pin maxGrams=$maxGrams diverged (minHits=$minHits, " +
+            s"train=$train eval=$evalDocs):\n$got\n$exact")
+      }
+    }
+  }
 }

@@ -628,6 +628,14 @@ object DataFrameOps {
   // sides straight to the exact broadcast join. The bloom path is the
   // non-broadcastable regime, where the candidate cut applies to real
   // exchange bytes (16.7× exchange-volume cut at 20M×5%).
+  //
+  // The routing figure is always the ACTUAL right-key row count —
+  // never the caller's `expectedItems`, which is a DISTINCT-key bloom
+  // sizing hint: a right side with few distinct keys but hundreds of
+  // millions of rows must not be force-broadcast on the strength of a
+  // hint (ADVICE r16). And the small route broadcasts only the key
+  // projection — a semi/anti join needs nothing else, so arbitrarily
+  // wide right rows can't blow the broadcast.
 
   private def bloomOverKey(
       right: DataFrame, rightKey: String,
@@ -643,14 +651,15 @@ object DataFrameOps {
     graft.functions.BloomFunctions.buildBloomBytes(hashed, "__graft_bk", expected, fpp)
   }
 
-  /** The crossover decision: right-key row count, from the caller's
-    * `expectedItems` if supplied, else one narrow count pass (reused
-    * as the bloom's sizing figure on the big-regime path). */
-  private def rightKeyCount(
-      right: DataFrame, rightKey: String, expectedItems: Long): Long = {
+  /** The crossover decision: the ACTUAL right-key row count, one
+    * narrow single-column pass (reused as the bloom's sizing figure on
+    * the big-regime path when the caller gave no hint). `expectedItems`
+    * deliberately does NOT route: it estimates DISTINCT keys for bloom
+    * sizing, and a right side with few distinct keys but many rows
+    * must not be force-broadcast on a hint (ADVICE r16). */
+  private def rightKeyCount(right: DataFrame, rightKey: String): Long = {
     requireColumns(right, Seq(rightKey), "bloomJoin")
-    if (expectedItems > 0) expectedItems
-    else right.select(col(rightKey)).count()
+    right.select(col(rightKey)).count()
   }
 
   /** Session conf key for the bloom-vs-broadcast crossover: right
@@ -692,14 +701,18 @@ object DataFrameOps {
       leftKey: String, rightKey: String,
       fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
     requireColumns(left, Seq(leftKey), "bloomSemiJoin")
-    val n = rightKeyCount(right, rightKey, expectedItems)
+    val n = rightKeyCount(right, rightKey)
     if (n <= bloomSmallRightRows(left)) {
       // broadcast regime: the plain semi join is already one map-side
-      // hash probe per left row — a bloom can only add its build job
-      return left.join(broadcast(right),
-        left(leftKey) === right(rightKey), "left_semi")
+      // hash probe per left row — a bloom can only add its build job.
+      // Only the KEY projection broadcasts: a semi join reads nothing
+      // else from the right, so wide right rows can't blow the build.
+      val rightKeys = right.select(col(rightKey))
+      return left.join(broadcast(rightKeys),
+        left(leftKey) === rightKeys(rightKey), "left_semi")
     }
-    val bytes = bloomOverKey(right, rightKey, fpp, n)
+    val bytes = bloomOverKey(right, rightKey, fpp,
+      if (expectedItems > 0) expectedItems else n)
     val candidates = left.filter(
       graft.functions.BloomFunctions.bloomMightContain(xxhash64(col(leftKey)), bytes))
     candidates.join(right, candidates(leftKey) === right(rightKey), "left_semi")
@@ -719,13 +732,16 @@ object DataFrameOps {
       leftKey: String, rightKey: String,
       fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
     requireColumns(left, Seq(leftKey), "bloomAntiJoin")
-    val n = rightKeyCount(right, rightKey, expectedItems)
+    val n = rightKeyCount(right, rightKey)
     if (n <= bloomSmallRightRows(left)) {
-      // broadcast regime: the plain anti join is already map-side
-      return left.join(broadcast(right),
-        left(leftKey) === right(rightKey), "left_anti")
+      // broadcast regime: the plain anti join is already map-side;
+      // key-only broadcast for the same reason as bloomSemiJoin
+      val rightKeys = right.select(col(rightKey))
+      return left.join(broadcast(rightKeys),
+        left(leftKey) === rightKeys(rightKey), "left_anti")
     }
-    val bytes = bloomOverKey(right, rightKey, fpp, n)
+    val bytes = bloomOverKey(right, rightKey, fpp,
+      if (expectedItems > 0) expectedItems else n)
     val probe = graft.functions.BloomFunctions
       .bloomMightContain(xxhash64(col(leftKey)), bytes)
     val misses = left.filter(col(leftKey).isNull || !probe)

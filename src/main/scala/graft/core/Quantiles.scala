@@ -60,7 +60,18 @@ object Quantiles {
   /** True when `df` is small enough (by the session's crossover conf)
     * that the value-buffering aggregate path is both safe and faster.
     * The count is one narrow job — zero columns decode on a parquet
-    * scan — and the input row count bounds every group's size. */
+    * scan — and the input row count bounds every group's size.
+    *
+    * ROUTER COST ON DERIVED INPUTS (ADVICE r16): "metadata-cheap" holds
+    * for scans; a `df` with joins/shuffles upstream executes its whole
+    * upstream plan for this count, and above the crossover the rank
+    * path then computes it again. Callers feeding an expensive derived
+    * frame should either cache/localCheckpoint it first (the count then
+    * reads the materialised form and the routed path reuses it) or pin
+    * the route and skip the count entirely: conf 0 forces the rank
+    * path with NO count job; a huge conf value forces the aggregate
+    * path (the count still runs — it is the safety bound on the
+    * aggregation buffer, never skipped on that path). */
   private def useAggregatePath(df: DataFrame): Boolean = {
     val thr = df.sparkSession.conf
       .get(SmallInputRowsConf, DefaultSmallInputRows.toString).toLong

@@ -28,6 +28,37 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Session conf key for [[connectedComponentsAgainst]]'s relabel-join
+    * crossover: a touched-component mapping with at most this many rows
+    * is BROADCAST into the artifact relabel (the batch-bounded fast
+    * path); a larger one — a batch touching tens of millions of
+    * components — falls back to a shuffle join on `component` instead
+    * of blowing the driver with a forced broadcast (ADVICE r16). The
+    * mapping is checkpointed before the decision, so the count is a
+    * cheap metadata pass and the label-graph CC never runs twice.
+    * Default ≈ 4M (id, component) longs ≈ 64 MB broadcast; 0 forces
+    * the shuffle join (the scale-measurement hook). */
+  val SmallMappingRowsConf = "graft.graph.smallMappingRows"
+
+  private[graft] val DefaultSmallMappingRows = 4000000L
+
+  /** Session conf key: when `true`, [[connectedComponentsAgainst]]
+    * FULLY validates that the artifact labeling is canonical —
+    * `min(id) == component` within every component, one aggregation
+    * over the artifact — refusing loudly otherwise. Off by default
+    * (the aggregation is an artifact-wide exchange per ingest); the
+    * cheap narrow necessary-condition probe (`component <= id` on
+    * every row) always runs regardless. */
+  val ValidateCanonicalArtifactConf = "graft.graph.validateCanonicalArtifact"
+
+  private def nonCanonical(op: String, detail: String): Nothing =
+    throw new IllegalStateException(
+      s"$op: artifact labeling is not canonical — $detail. Labels must " +
+        "be the component-MINIMUM member id (the output of this " +
+        "family's own operators); an arbitrary labeling voids the " +
+        "min-label merge argument and the output contract. Recompute " +
+        "the artifact with connectedComponents/saveComponents.")
+
   private val integral: Set[org.apache.spark.sql.types.DataType] = Set(
     org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
     org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
@@ -167,15 +198,23 @@ object Graph {
     * CANONICAL labeling — the output of this family's own operators
     * (label = minimum member id); a hand-made labeling with arbitrary
     * representative ids voids that argument and the min-label output
-    * contract with it.
+    * contract with it. That precondition is enforced LOUDLY: every
+    * call runs a narrow necessary-condition probe (any row with
+    * `component > id` refuses), and setting
+    * [[ValidateCanonicalArtifactConf]] adds the exact per-component
+    * min check (one artifact aggregation) for labelings the narrow
+    * probe cannot catch.
     *
     * Plan shape at 100 TB: the contraction runs on the LABEL graph —
     * one row per new edge, never the historical graph — so the
     * O(log n) rounds are batch-sized; the full artifact is touched by
-    * exactly ONE broadcast-joined relabel pass (the touched-component
-    * mapping is batch-bounded and broadcast), no artifact shuffle, no
-    * historical-edge rescan. Returns the UPDATED full (id, component)
-    * labeling, ready to persist as the next artifact. */
+    * exactly ONE relabel join — the touched-component mapping
+    * broadcasts while it is under [[SmallMappingRowsConf]] rows and
+    * falls back to a shuffle join on `component` above it (a
+    * pathological batch degrades to one artifact exchange instead of
+    * an over-budget broadcast) — no historical-edge rescan either
+    * way. Returns the UPDATED full (id, component) labeling, ready to
+    * persist as the next artifact. */
   def connectedComponentsAgainst(
       artifact: DataFrame,
       newEdges: DataFrame,
@@ -189,6 +228,27 @@ object Graph {
         s"frame, got columns ${artifact.columns.mkString(", ")}")
     val art = artifact.select(col("id").cast("long").as("id"),
       col("component").cast("long").as("component"))
+    // canonicality probes (r16 verdict: this was the one SILENT
+    // precondition in an otherwise loud API). Always: the narrow
+    // necessary condition — a canonical label is the component MINIMUM,
+    // so label > member id on any row proves non-canonical. Two long
+    // columns scan, short-circuiting limit, no exchange.
+    if (art.filter(col("component") > col("id")).limit(1).count() > 0L)
+      nonCanonical("connectedComponentsAgainst",
+        "a row has component > id, so its label cannot be the minimum " +
+          "member id")
+    // behind the conf: the exact check (min(id) == component per
+    // component) — one artifact-wide aggregation, catches labelings
+    // the narrow probe cannot (e.g. synthetic labels below every id)
+    if (artifact.sparkSession.conf
+        .get(ValidateCanonicalArtifactConf, "false").toBoolean) {
+      val off = art.groupBy("component").agg(min(col("id")).as("__graft_min"))
+        .filter(col("__graft_min") =!= col("component")).limit(1).count()
+      if (off > 0L)
+        nonCanonical("connectedComponentsAgainst",
+          "a component's label differs from its minimum member id " +
+            s"(full check under $ValidateCanonicalArtifactConf)")
+    }
     // canonical new edges (u > v), self-loops dropped — the same
     // hygiene connectedComponents applies
     val newE = newEdges.select(
@@ -214,16 +274,27 @@ object Graph {
     val mapping = graft.dedup.Dedup
       .duplicateClusters(labEdges, maxIter, localMaxEdges)
       .select(col("id").as("component"), col("cluster_id").as("__graft_newc"))
-    // ONE broadcast-relabel pass over the artifact: untouched
-    // components miss the batch-bounded mapping and keep their label
-    val updatedOld = art.join(broadcast(mapping), Seq("component"), "left")
+      .localCheckpoint(true) // consumed by the size gate + both relabels
+    // relabel-join crossover (ADVICE r16: the broadcast was unbounded
+    // in principle): the mapping is batch-bounded for normal ingests —
+    // broadcast it — but a batch touching more components than the
+    // conf'd bound falls back to a shuffle join on `component` instead
+    // of forcing an over-budget broadcast. The count is metadata-cheap
+    // on the checkpointed mapping.
+    val smallMapping = newEdges.sparkSession.conf
+      .get(SmallMappingRowsConf, DefaultSmallMappingRows.toString).toLong
+    val joinMapping =
+      if (mapping.count() <= smallMapping) broadcast(mapping) else mapping
+    // ONE relabel pass over the artifact: untouched components miss
+    // the batch-bounded mapping and keep their label
+    val updatedOld = art.join(joinMapping, Seq("component"), "left")
       .select(col("id"),
         coalesce(col("__graft_newc"), col("component")).as("component"))
     // nodes the artifact has never seen enter with their merged label
     // (their provisional label always reaches the label graph: a new
     // node's label is itself and can never equal a neighbour's label)
     val newOnly = lab.join(art.select("id"), Seq("id"), "left_anti")
-      .join(broadcast(mapping),
+      .join(joinMapping,
         col("__graft_lab") === col("component"), "left")
       .select(col("id"),
         coalesce(col("__graft_newc"), col("__graft_lab")).as("component"))

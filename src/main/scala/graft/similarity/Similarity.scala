@@ -204,6 +204,19 @@ object Similarity {
       "mmrRerank: candidates reference corpus ids with no row in " +
         "`embeddings` — every candidate id must have a vector (missing " +
         "ids would be silently unpickable after rank 1)")
+    // a DUPLICATE embedding id is as loud a failure as a missing one:
+    // which vector "wins" would be engine/collect-order dependent (the
+    // driver route's toMap keeps an arbitrary duplicate, this route's
+    // joins fan out and max(psim) mixes them) — refuse instead of
+    // letting the two spec-pinned-identical routes diverge (ADVICE r16)
+    val dupStats = emb
+      .join(cand.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
+      .agg(count(lit(1)), countDistinct(col("corpus_id"))).head()
+    require(dupStats.getLong(0) == dupStats.getLong(1),
+      s"mmrRerank: `embeddings` carries ${dupStats.getLong(0) - dupStats.getLong(1)} " +
+        "duplicate rows for candidate corpus ids — each candidate must " +
+        "have exactly ONE vector (which duplicate wins would be " +
+        "nondeterministic); deduplicate embeddings first")
     val vecs = cand.select(col(queryIdCol), col("corpus_id"))
       .join(emb, Seq("corpus_id"))
     val pairSims = vecs.as("a")
@@ -268,13 +281,22 @@ object Similarity {
       queryIdCol: String): DataFrame = {
     val spark = cand.sparkSession
     val candRows = cand.collect()
-    val vecs: Map[Long, Array[Double]] = emb
+    val embRows = emb
       .join(cand.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
       .collect()
+    val vecs: Map[Long, Array[Double]] = embRows
       .map { r =>
         r.getLong(0) -> r.getSeq[Any](1).iterator
           .map(_.asInstanceOf[Number].doubleValue).toArray
       }.toMap
+    // duplicate-id refusal mirroring the distributed route: toMap
+    // would silently keep a collect-order-dependent duplicate while
+    // the require below still passes — refuse loudly instead
+    require(embRows.length == vecs.size,
+      s"mmrRerank: `embeddings` carries ${embRows.length - vecs.size} " +
+        "duplicate rows for candidate corpus ids — each candidate must " +
+        "have exactly ONE vector (which duplicate wins would be " +
+        "nondeterministic); deduplicate embeddings first")
     val distinctIds = candRows.map(_.getLong(1)).distinct.length
     require(vecs.size == distinctIds,
       "mmrRerank: candidates reference corpus ids with no row in " +

@@ -116,17 +116,50 @@ class BloomExpressionsSpec extends SparkTestBase {
     assertDfEqual(actual, expected)
   }
 
-  test("bloom joins honor expectedItems as the crossover figure (no extra count pass)") {
+  test("bloom joins route on the ACTUAL right row count, never the expectedItems hint") {
+    // ADVICE r16: expectedItems is a DISTINCT-key bloom sizing hint —
+    // a right side with 2 distinct keys but many rows must NOT be
+    // force-broadcast past the crossover on the strength of the hint
     val left = spark.range(0, 3000).toDF("k")
-    val right = spark.range(0, 3000).toDF("rk").filter(col("rk") % 10 === 0)
-    val expected = left.join(right, left("k") === right("rk"), "left_semi")
-    // expectedItems above the crossover forces the bloom path without
-    // the router ever counting the right side
-    val viaBloom = DataFrameOps.bloomSemiJoin(left, right, "k", "rk",
-      expectedItems = DataFrameOps.DefaultBloomSmallRightRows + 1)
-    assert(viaBloom.queryExecution.executedPlan.toString
-      .contains("bloom_might_contain"), "oversized hint must take the bloom path")
-    assertDfEqual(viaBloom, expected)
+    val manyRows = spark.range(0, 200).toDF("rk")
+      .select((col("rk") % 2).as("rk")) // 200 rows, 2 distinct keys
+    val expected = left.join(manyRows.distinct(),
+      left("k") === col("rk"), "left_semi")
+    spark.conf.set(DataFrameOps.BloomSmallRightRowsConf, "100")
+    try {
+      val viaBloom = DataFrameOps.bloomSemiJoin(left, manyRows, "k", "rk",
+        expectedItems = 2) // tiny hint; 200 rows > 100 crossover → bloom
+      assert(viaBloom.queryExecution.executedPlan.toString
+        .contains("bloom_might_contain"),
+        "row count above the crossover must take the bloom path even " +
+          "with a small expectedItems hint")
+      assertDfEqual(viaBloom, expected)
+      // and a genuinely small right side routes to broadcast even with
+      // a huge hint — the hint sizes the bloom, it never routes
+      val small = spark.range(0, 50).toDF("rk")
+      val viaBroadcast = DataFrameOps.bloomSemiJoin(left, small, "k", "rk",
+        expectedItems = DataFrameOps.DefaultBloomSmallRightRows + 1)
+      assert(!viaBroadcast.queryExecution.executedPlan.toString
+        .contains("bloom_might_contain"),
+        "50 rows under the crossover must take the broadcast route")
+      assertDfEqual(viaBroadcast,
+        left.join(small, left("k") === small("rk"), "left_semi"))
+    } finally spark.conf.unset(DataFrameOps.BloomSmallRightRowsConf)
+  }
+
+  test("small-right broadcast route ships only the key column") {
+    // a wide payload on the right must not reach the broadcast: the
+    // semi/anti join needs nothing but the key (ADVICE r16 OOM risk)
+    val left = spark.range(0, 1000).toDF("k")
+    val right = spark.range(0, 100).toDF("rk")
+      .withColumn("wide", concat_ws("", Seq.fill(8)(col("rk").cast("string")): _*))
+    for ((df, kind) <- Seq(
+        DataFrameOps.bloomSemiJoin(left, right, "k", "rk") -> "semi",
+        DataFrameOps.bloomAntiJoin(left, right, "k", "rk") -> "anti")) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("wide"),
+        s"$kind: the broadcast side must be the key projection, not the full frame")
+    }
   }
 
   test("bloomDecontaminate output is bit-identical to exact decontaminate") {

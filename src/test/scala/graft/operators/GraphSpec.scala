@@ -82,6 +82,49 @@ class GraphSpec extends SparkTestBase {
         Seq((1L, 2L)).toDF("a", "b"), "a", "b"))
   }
 
+  test("connectedComponentsAgainst refuses non-canonical artifacts loudly") {
+    val batch = Seq((3L, 10L)).toDF("a", "b")
+    // label > member id: caught by the always-on narrow probe
+    val repLabeled = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L))
+      .toDF("id", "component")
+    val e1 = intercept[IllegalStateException](
+      Graph.connectedComponentsAgainst(repLabeled, batch, "a", "b").collect())
+    assert(e1.getMessage.contains("not canonical"))
+    // synthetic labels BELOW every member id pass the narrow probe but
+    // are still non-canonical — the full check (behind the conf)
+    // refuses; without the conf the probe alone cannot catch this one
+    val synthetic = Seq((10L, -7L), (11L, -7L), (1L, -9L), (2L, -9L))
+      .toDF("id", "component")
+    spark.conf.set(Graph.ValidateCanonicalArtifactConf, "true")
+    try {
+      val e2 = intercept[IllegalStateException](
+        Graph.connectedComponentsAgainst(synthetic, batch, "a", "b").collect())
+      assert(e2.getMessage.contains("minimum member id"))
+      // a canonical artifact passes the full check and still works
+      val artifact = Graph.connectedComponents(edges, "a", "b")
+      val got = Graph.connectedComponentsAgainst(artifact, batch, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 1L, 11L -> 1L))
+    } finally spark.conf.unset(Graph.ValidateCanonicalArtifactConf)
+  }
+
+  test("connectedComponentsAgainst: shuffle-join fallback ≡ broadcast relabel") {
+    val all = Seq((2L, 1L), (2L, 3L), (3L, 4L), (1L, 3L), (11L, 10L),
+      (5L, 6L), (4L, 5L), (30L, 31L), (0L, 6L))
+    val artifact = Graph.connectedComponents(
+      all.take(5).toDF("a", "b"), "a", "b")
+    val batch = all.drop(5).toDF("a", "b")
+    val expect = Graph.connectedComponentsAgainst(artifact, batch, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(Graph.SmallMappingRowsConf, "0") // force the shuffle join
+    try {
+      val got = Graph.connectedComponentsAgainst(artifact, batch, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, "shuffle-join fallback diverged from broadcast")
+    } finally spark.conf.unset(Graph.SmallMappingRowsConf)
+  }
+
   test("connectedComponentsStringIds: labels by lexicographic-min member") {
     val strEdges = Seq(("bob", "alice"), ("bob", "carol"),
       ("erin", "dave")).toDF("a", "b")

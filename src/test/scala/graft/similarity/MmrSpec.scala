@@ -66,6 +66,24 @@ class MmrSpec extends SparkTestBase {
     assert(e.getMessage.contains("no row in"))
   }
 
+  test("duplicate embedding ids for a candidate fail loudly on BOTH routes") {
+    // ADVICE r16: the driver route's toMap would keep an arbitrary
+    // (collect-order-dependent) duplicate while the distributed route
+    // aggregates max(psim) over all of them — the spec-pinned-identical
+    // routes could diverge nondeterministically; both must refuse
+    val dupEmb = embeddings.unionByName(
+      Seq((101L, Array(0.1f, 0.2f, 0.3f))).toDF("id", "vec"))
+    for (conf <- Seq("1000000", "0")) { // driver route, distributed route
+      spark.conf.set(Similarity.MmrSmallPoolRowsConf, conf)
+      try {
+        val e = intercept[IllegalArgumentException](
+          Similarity.mmrRerank(candidates, dupEmb, "id", "vec",
+            k = 3, lambda = 0.5).collect())
+        assert(e.getMessage.contains("duplicate"), s"conf=$conf: $e")
+      } finally spark.conf.unset(Similarity.MmrSmallPoolRowsConf)
+    }
+  }
+
   test("driver and distributed routes pick identically, scores bit-for-bit") {
     // 3 queries × 40 deterministic float vectors: big enough that ties
     // and the rounding grid are exercised, small enough that the

@@ -67,7 +67,15 @@ object Dedup {
     * The library default (64 hashes, 16×4) is exactly
     * `bandingFor(0.7, 64)`: recall 0.988 at j = 0.7, 0.99999 at
     * j = 0.85, and only 0.34 at j = 0.4 — the knee the defaults were
-    * tuned to (spec-pinned). */
+    * tuned to (spec-pinned).
+    *
+    * CAVEAT (r17): "fewest qualifying bands is also most precise"
+    * holds only WITHIN the divisor lattice (ascending bands there is
+    * descending rows). For a PRIME `numHashes` the lattice collapses
+    * to (1, p) and (p, 1), and (p, 1) — the inevitable answer — is
+    * the shallowest possible curve. Use [[bandingForBudget]] for
+    * prime/awkward widths (it bands a prefix of the signature, which
+    * the kernel supports natively). */
   def bandingFor(
       threshold: Double,
       numHashes: Int = 64,
@@ -87,6 +95,60 @@ object Dedup {
           s"$minRecallAtThreshold at threshold $threshold (best is " +
           f"bands=$numHashes rows=1 at ${lshRecallAt(threshold, numHashes, 1)}%.4f)" +
           " — raise numHashes"))
+  }
+
+  /** [[bandingFor]] without the exact-cover constraint: any (bands,
+    * rows) with bands × rows ≤ `numHashes` — the banding kernel
+    * already reads only the first bands × rows signature entries
+    * ([[graft.functions.HashKernels.bandBuckets]] clamps at the array
+    * end), so "waste" a few trailing hashes when the curve says to.
+    *
+    * Selection: the LARGEST rows with any qualifying band count, then
+    * the SMALLEST qualifying bands at that rows — rows sets the
+    * S-curve steepness (candidate volume below the threshold falls as
+    * j^rows), bands only buys recall back, so maximal-rows-minimal-
+    * bands is the fewest banded-exchange rows AND the sharpest
+    * sub-threshold cut that still meets the recall target.
+    *
+    * This answers the prime/awkward-width question the divisor solver
+    * can't (r16 verdict): for a PRIME `numHashes` the only exact
+    * factorizations are (1, p) — which under-recalls — and (p, 1) —
+    * the shallowest possible curve, pairing every document that
+    * shares ANY single minhash, i.e. maximal exchange volume and
+    * worst precision. Here numHashes = 61 at the library's default
+    * target solves to (11, 4) — 44 of the 61 hashes banded, the rest
+    * idle — instead of 61 single-hash buckets. For composite
+    * widths it can also dominate the divisor solver: at (0.7, 64,
+    * 0.95) it returns (11, 4) — recall 0.951 at j = 0.7 vs the
+    * divisor solver's (16, 4) at 0.988, but 31 % fewer exchange rows
+    * and a sharper cut (0.25 vs 0.34 recall at j = 0.4). The divisor
+    * form stays the DEFAULT solver because its answer at the library
+    * defaults is the hand-tuned 16×4 the bench/oracles pin; reach for
+    * this one when numHashes is awkward or exchange volume is the
+    * binding constraint. */
+  def bandingForBudget(
+      threshold: Double,
+      numHashes: Int = 64,
+      minRecallAtThreshold: Double = 0.95): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"bandingForBudget: threshold must be in (0, 1), got $threshold")
+    require(numHashes >= 1,
+      s"bandingForBudget: numHashes must be >= 1, got $numHashes")
+    require(minRecallAtThreshold > 0.0 && minRecallAtThreshold < 1.0,
+      s"bandingForBudget: minRecallAtThreshold must be in (0, 1), " +
+        s"got $minRecallAtThreshold")
+    val solutions = for {
+      rows <- numHashes to 1 by -1
+      bands <- 1 to (numHashes / rows)
+      if lshRecallAt(threshold, bands, rows) >= minRecallAtThreshold
+    } yield (bands, rows)
+    // the generator scans rows descending, bands ascending: the first
+    // hit is maximal-rows-minimal-bands
+    solutions.headOption.getOrElse(throw new IllegalArgumentException(
+      s"bandingForBudget: no banding within $numHashes hashes reaches " +
+        s"recall $minRecallAtThreshold at threshold $threshold (best is " +
+        f"bands=$numHashes rows=1 at ${lshRecallAt(threshold, numHashes, 1)}%.4f)" +
+        " — raise numHashes"))
   }
 
   /** Exact dedup on normalised text: keep the lowest-id row per
@@ -236,6 +298,26 @@ object Dedup {
       bands, rows, threshold, maxBucketSize)
   }
 
+  /** [[minHashNearDuplicates]] with the banding SOLVED from the
+    * caller's stated intent — "recall ≥ `minRecallAtThreshold` at
+    * Jaccard `threshold`" — via [[bandingFor]], instead of hand-pinned
+    * banding trivia (r16 verdict item 5). At the library defaults
+    * (0.7, 64, 0.95) the solver returns exactly the hand-tuned 16×4,
+    * so this is bit-identical to the default call (spec-pinned). */
+  def minHashNearDuplicatesAuto(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.7,
+      minRecallAtThreshold: Double = 0.95,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val (bands, _) = bandingFor(threshold, numHashes, minRecallAtThreshold)
+    minHashNearDuplicates(df, textCol, idCol, numHashes, bands,
+      shingleSize, threshold, maxBucketSize)
+  }
+
   /** Within-corpus verified pairs from a minhash base: banded
     * candidates (hot-bucket capped), exact hash-set Jaccard
     * verification — equal to the string-set Jaccard up to (negligible)
@@ -324,6 +406,23 @@ object Dedup {
         threshold, maxBucketSize))
   }
 
+  /** [[minHashIncrementalEdges]] with the banding solved from stated
+    * intent via [[bandingFor]] — see [[minHashNearDuplicatesAuto]]. */
+  def minHashIncrementalEdgesAuto(
+      df: DataFrame,
+      refPath: String,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.7,
+      minRecallAtThreshold: Double = 0.95,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val (bands, _) = bandingFor(threshold, numHashes, minRecallAtThreshold)
+    minHashIncrementalEdges(df, refPath, textCol, idCol, numHashes, bands,
+      shingleSize, threshold, maxBucketSize)
+  }
+
   /** Cross-corpus near-dedup — the incremental-ingest shape: remove
     * from `df` (the NEW batch) every document within `threshold`
     * Jaccard of ANY document in `ref` (the existing corpus). Candidate
@@ -360,6 +459,25 @@ object Dedup {
       .select(col("id_a").as(idCol))
       .distinct()
     df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[minHashDedupAgainst]] with the banding solved from stated
+    * intent via [[bandingFor]] — see [[minHashNearDuplicatesAuto]].
+    * Bit-identical to the hand-pinned default call at the library
+    * defaults (the solver recovers 16×4). */
+  def minHashDedupAgainstAuto(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.7,
+      minRecallAtThreshold: Double = 0.95,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val (bands, _) = bandingFor(threshold, numHashes, minRecallAtThreshold)
+    minHashDedupAgainst(df, ref, textCol, idCol, numHashes, bands,
+      shingleSize, threshold, maxBucketSize)
   }
 
   /** Verified cross-corpus pairs from two minhash bases: band both
@@ -476,6 +594,25 @@ object Dedup {
       .select(col("id_a").as(idCol))
       .distinct()
     df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[minHashDedupAgainstRef]] with the banding solved from stated
+    * intent via [[bandingFor]] — see [[minHashNearDuplicatesAuto]].
+    * numHashes must still match the artifact's training width (the
+    * load check enforces it loudly). */
+  def minHashDedupAgainstRefAuto(
+      df: DataFrame,
+      refPath: String,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.7,
+      minRecallAtThreshold: Double = 0.95,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val (bands, _) = bandingFor(threshold, numHashes, minRecallAtThreshold)
+    minHashDedupAgainstRef(df, refPath, textCol, idCol, numHashes, bands,
+      shingleSize, threshold, maxBucketSize)
   }
 
   /** [[minHashCrossPairs]] where the reference side is a persisted

@@ -574,6 +574,61 @@ class DedupSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](Dedup.lshRecallAt(1.2, 16, 4))
   }
 
+  test("bandingForBudget: prefix bandings, prime widths, and dominance over the divisor lattice") {
+    // at the library defaults it finds the maximal-rows-minimal-bands
+    // prefix banding: (11, 4) — recall 0.9512 at j=0.7 with 31% fewer
+    // exchange rows than the divisor solver's (16, 4)
+    assert(Dedup.bandingForBudget(0.7, 64) == (11, 4))
+    assert(Dedup.lshRecallAt(0.7, 11, 4) >= 0.95)
+    // steeper sub-threshold cut than the divisor answer
+    assert(Dedup.lshRecallAt(0.4, 11, 4) < Dedup.lshRecallAt(0.4, 16, 4))
+    // PRIME width: the divisor solver can only answer (61, 1) — the
+    // shallowest curve; the budget solver bands a 44-hash prefix
+    assert(Dedup.bandingFor(0.7, 61) == (61, 1))
+    assert(Dedup.bandingForBudget(0.7, 61) == (11, 4))
+    // every returned banding fits the budget and meets its contract
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9); n <- Seq(61, 64, 100)) {
+      val (b, r) = Dedup.bandingForBudget(t, n)
+      assert(b * r <= n && Dedup.lshRecallAt(t, b, r) >= 0.95,
+        s"t=$t n=$n -> ($b,$r)")
+    }
+    // infeasible stays loud, same contract as the divisor solver
+    assertThrows[IllegalArgumentException](
+      Dedup.bandingForBudget(0.05, numHashes = 4, minRecallAtThreshold = 0.9999))
+    assertThrows[IllegalArgumentException](Dedup.bandingForBudget(1.0, 64))
+  }
+
+  test("Auto overloads: solved banding == hand-pinned defaults, bit-for-bit results") {
+    val docs = df("id BIGINT, text STRING",
+      Seq(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      Seq(2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      Seq(3L, "completely different content about distributed query engines"),
+      Seq(4L, "the quick brown fox jumps over the lazy dog once more today"))
+    val ref = df("id BIGINT, text STRING",
+      Seq(10L, "the quick brown fox jumps over the lazy dog again and again"),
+      Seq(11L, "unrelated reference corpus document about parquet files"))
+    // the solver recovers 16x4 at the defaults, so Auto == hand-pinned
+    assertDfEqual(
+      Dedup.minHashNearDuplicatesAuto(docs, "text", "id"),
+      Dedup.minHashNearDuplicates(docs, "text", "id"))
+    assertDfEqual(
+      Dedup.minHashDedupAgainstAuto(docs, ref, "text", "id"),
+      Dedup.minHashDedupAgainst(docs, ref, "text", "id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_auto_ref").toString
+    Dedup.saveMinHashRef(ref, "text", "id", s"$dir/mh")
+    assertDfEqual(
+      Dedup.minHashDedupAgainstRefAuto(docs, s"$dir/mh", "text", "id"),
+      Dedup.minHashDedupAgainstRef(docs, s"$dir/mh", "text", "id"))
+    assertDfEqual(
+      Dedup.minHashIncrementalEdgesAuto(docs, s"$dir/mh", "text", "id"),
+      Dedup.minHashIncrementalEdges(docs, s"$dir/mh", "text", "id"))
+    // a stricter recall target routes to a different rung (32x2) and
+    // still meets the semantics contract (near-dup pair 1-2 found)
+    val strict = Dedup.minHashNearDuplicatesAuto(docs, "text", "id",
+      minRecallAtThreshold = 0.999)
+    assert(strict.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("contaminationReport names the leaking pairs with shared-gram counts") {
     val train = df("id BIGINT, text STRING",
       Seq(1L, "a b c d e f"),   // shares 4 distinct 3-grams with eval 9

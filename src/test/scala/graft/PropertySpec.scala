@@ -301,6 +301,105 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponentsAgainst: random non-contiguous splits, chained ingests, both relabel routes") {
+    import spark.implicits._
+    // r16 fuzzed only contiguous prefix/suffix splits of one fixture;
+    // here every edge is INDEPENDENTLY assigned to history / batch 1 /
+    // batch 2, and the two batches are applied as CHAINED incremental
+    // ingests — artifact(hist) + b1 → artifact2 + b2 — which must equal
+    // one full recompute. Samples also alternate the r17 relabel-join
+    // crossover (broadcast vs shuffle fallback) and the contraction
+    // route, so all four shapes hold the contract.
+    val gen = for {
+      n <- Gen.choose(3L, 30L)
+      m <- Gen.choose(1, 50)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n), Gen.choose(0L, n)))
+      mask <- Gen.listOfN(m, Gen.choose(0, 2))
+    } yield (edges, mask)
+    for (((edges, mask), i) <- samples(gen, 6).zipWithIndex) {
+      val localMax = if (i % 2 == 0) 0L else 1000000L
+      if (i % 3 == 0)
+        spark.conf.set(graft.operators.Graph.SmallMappingRowsConf, "0")
+      try {
+        val parts = edges.zip(mask)
+        def side(k: Int) = parts.collect { case (e, `k`) => e }
+        def cc(e: Seq[(Long, Long)]) = graft.operators.Graph
+          .connectedComponents(e.toDF("a", "b"), "a", "b",
+            localMaxEdges = localMax)
+        val expect = cc(edges)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val art1 = graft.operators.Graph.connectedComponentsAgainst(
+          cc(side(0)), side(1).toDF("a", "b"), "a", "b",
+          localMaxEdges = localMax)
+        val got = graft.operators.Graph.connectedComponentsAgainst(
+            art1, side(2).toDF("a", "b"), "a", "b",
+            localMaxEdges = localMax)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect,
+          s"i=$i localMax=$localMax mask=$mask edges=$edges:\n$got\n$expect")
+      } finally spark.conf.unset(graft.operators.Graph.SmallMappingRowsConf)
+    }
+  }
+
+  test("connectedComponentsStringIds matches a local union-find under UTF-8 byte order") {
+    import spark.implicits._
+    // adversarial ids: astral plane (where UTF-8 byte order and Java's
+    // UTF-16 code-unit order DISAGREE — U+FFFF sorts above U+10000 in
+    // UTF-16 but below it in UTF-8 bytes), combining marks vs composed
+    // forms, zero-width chars, plain ascii
+    val fragment: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("é", "é", "￿", "​", " ", "~"),
+      Gen.oneOf(Seq(0x10000, 0x1F600, 0x10FFFF)
+        .map(cp => new String(Character.toChars(cp)))))
+    val idGen: Gen[String] =
+      Gen.choose(1, 4).flatMap(k => Gen.listOfN(k, fragment).map(_.mkString))
+    val gen = for {
+      ids <- Gen.listOfN(8, idGen).map(_.distinct)
+      m <- Gen.choose(1, 12)
+      picks <- Gen.listOfN(m, Gen.zip(Gen.choose(0, 99), Gen.choose(0, 99)))
+    } yield (ids, picks)
+    // Spark's string min is UTF8String order = unsigned byte order
+    def ltUtf8(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    for ((ids, picks) <- samples(gen, 8) if ids.size >= 2) {
+      val edges = picks.map { case (a, b) =>
+        (ids(a % ids.size), ids(b % ids.size)) }
+      // local union-find over the REAL strings (no hashing): nodes are
+      // endpoints of non-self edges, representative = UTF-8-byte min
+      val nodes = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: String): String =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      for ((a, b) <- edges if a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val expect = nodes.map { x =>
+        x -> nodes.filter(y => find(y) == find(x))
+          .reduceLeft((p, q) => if (ltUtf8(p, q)) p else q)
+      }.toMap
+      val got = graft.operators.Graph.connectedComponentsStringIds(
+          edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == expect,
+        s"ids=${ids.map(s => s.codePoints().toArray.mkString("+"))} " +
+          s"edges=$edges:\n$got\n$expect")
+    }
+  }
+
   test("mmrRerank routes agree on tie-heavy random pools") {
     import org.apache.spark.sql.functions._
     // {-1,0,1}-valued low-dim vectors collide on cosine constantly and

@@ -1205,7 +1205,14 @@ object Streaming {
     val right = batch.sparkSession.read.parquet(rightPath)
     val enriched = graft.operators.AsOfJoin.asOfJoin(
       batch, right, keyCols, tsCol, rightPayloadCols, tolerance, direction)
-    graft.core.DataFrameOps.smartCoalesce(enriched)
+    // REBALANCE, not smartCoalesce (r17 verdict review): coalesce(n)
+    // propagates UP into the as-of join's reduce stage — a small plan
+    // estimate would run the whole join single-task. The AQE rebalance
+    // hint is a separate exchange after the join: the join keeps its
+    // key-shuffle parallelism, and the write stage coalesces/splits to
+    // the advisory partition size (the WriteTable.writeTable pattern),
+    // bounding file count by data volume either way.
+    enriched.hint("rebalance")
       .withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")

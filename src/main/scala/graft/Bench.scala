@@ -716,8 +716,11 @@ object Bench {
       // store mid-stream (compactFullRecallStore) — extra work the
       // hand-written side skips, priced against the wrapped column.
       val par = s.sparkContext.defaultParallelism
+      // same 1,000-doc cap as the wrapped face (see SparkEntry) — the
+      // pair must measure the same corpus
       val docs = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000)
       val fps0 = rawSimHash128(docs.repartition(par), "doc_id")
         .select(col("id"), col("w0").as("sim"))
         .localCheckpoint(true) // one kernel pass, mirroring the wrapped fence
@@ -2305,26 +2308,17 @@ object Bench {
     // why its absolute cost is the designed cost — anything else is
     // emitted as UNEXPLAINED, which a round reader treats as a flag.
     val topSecAnnotations: Map[String, String] = Map(
-      "q_pipeline_web" -> ("composed extract->gate->dedup chain; staged-vs-" +
-        "composed overhead measured in SCALE.md pipeline_web rows"),
       "q_dedup_quality" -> ("evaluation harness: the exact all-pairs n-gram " +
         "Jaccard ground truth is QUADRATIC by contract, gated to a bounded " +
         "sample by pairQuality's maxDocs require"),
       "q_stream_substring" -> ("multi-batch stateful stream replay (real " +
         "micro-batch runs, dominated by per-batch fixed cost not data)"),
-      "q_stream_asof" -> ("batch-equivalence replay of the foreachBatch " +
-        "body: two per-batch as-of joins EACH LANDING A PARQUET " +
-        "PARTITION (idempotent-replay contract); the join itself is " +
-        "paired via q_asof_join"),
       "q_stream_dedup_fullrecall" -> ("multi-batch stateful stream replay " +
         "with parquet state store; per-batch fixed cost, paired raw rung"),
       "q_substring_dedup_incr" -> ("incremental rung re-runs the window " +
         "grain against the persisted store; SCALE.md substring rows"),
       "q_substring_profile" -> ("span-merge profile over the same window " +
         "grain as q_substring_dedup (paired); adds only the profile agg"),
-      "q_pipeline_chat" -> ("composed conv->render->pack chain; stage costs " +
-        "itemised in SCALE.md r15 chat rows (fixture-dominated; operator " +
-        "chain fenced + kernel-rendered)"),
       "q_connected_components" -> ("iterative large-star/small-star over " +
         "LSH pairs; O(log n) rounds each a keyed exchange, SCALE.md graph " +
         "rows"),
@@ -2339,10 +2333,10 @@ object Bench {
       "q_ann_persist" -> ("artifact write+readback round-trip; IO-bound " +
         "by design, serve path paired via q_ivf_topk"),
       "q_dedup_against_ref" -> ("artifact-serve rung measured against " +
-        "online recompute in SCALE.md minhash_reference rows"),
-      "q_conv_turns" -> ("row-per-turn output by contract; wall dominated " +
-        "by the interpreted turn-construction FIXTURE (SCALE.md r15 chat " +
-        "rows: fixture-only ~0.9s), not the flatten"))
+        "online recompute in SCALE.md minhash_reference rows"))
+    // pruned r17 (no longer near the top-8 tail): q_pipeline_web 1.21s,
+    // q_stream_asof 1.28s, q_pipeline_chat 0.68s, q_conv_turns 1.76s —
+    // tail was 3.08s this round; re-annotate if one climbs back
     val topSec = finalResults.sortBy(-_._2).take(8).map { case (n, s) =>
       val status =
         if (baselines.contains(n)) "paired"

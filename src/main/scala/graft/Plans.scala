@@ -49,7 +49,7 @@ object Plans {
     "q_bloom_decontaminate" ->
       "ADAPTIVE (r16): the sizing collect routes eval gram sets within maxDriverGrams — this corpus — to the exact broadcast pass shown here (train gram explode + LocalTableScan gram join + anti join: the plan that BEATS the prefilter while the eval side broadcasts, SCALE.md r12). Past the bound, the distributed regime builds the bloom and scans train with the codegen'd bloom_any_contain Filter over the gram-kernel Project, no explode before the probe — 94x join-volume cut at 8x corpus (SCALE.md r11), pinned by the maxDriverGrams=1 scale row.",
     "q_bloom_semi" ->
-      "Bloom-prefiltered EXACT semi join, SCALE regime pinned for this audit (the r16 adaptive router sends right sides <= graft.bloom.smallRightRows straight to the plain broadcast join, which is what sf0.01 would take): bloom_might_contain(xxhash64(key)) is a Filter on the left SCAN — candidates are pruned before any exchange; the exact semi join then removes false positives. The operator's case is a right side too big to broadcast, where the left exchange carries only the candidate fraction.",
+      "Bloom-prefiltered EXACT semi join, SCALE regime pinned for this audit (the adaptive router sends right sides <= graft.bloom.smallRightRows — judged by the ACTUAL right row count since r17, never the expectedItems hint — to a plain broadcast join of the KEY PROJECTION only, which is what sf0.01 would take): bloom_might_contain(xxhash64(key)) is a Filter on the left SCAN — candidates are pruned before any exchange; the exact semi join then removes false positives. The operator's case is a right side too big to broadcast, where the left exchange carries only the candidate fraction.",
     "q_pack_greedy" ->
       "Exact greedy packing: Exchange hashpartitioning(source) + Sort(source, doc_id) + MapPartitions — the secondary-sort pattern; one shuffle of the corpus, O(1) state in the partition walk, no window buffering.",
     "q_dedup_against" ->
@@ -143,7 +143,7 @@ object Plans {
     "q_pipeline_incremental" ->
       "Composed incremental ingest: both pair feeds are the id-only banded LSH exchanges (ref state and batch edges — hash-set payloads re-join per candidate only), the batch contracts at LABEL grain, and the historical labeling flows through exactly ONE BroadcastHashJoin relabel. Nothing downstream of the two banded exchanges is corpus-sized, and no historical pair is recomputed.",
     "q_cc_incremental" ->
-      "Incremental connected components: the prior labeling relabels through ONE BroadcastHashJoin against the touched-component mapping (batch-bounded — built by contracting the new edges to LABEL grain and running the star rounds on that batch-sized graph); new nodes enter via the same broadcast mapping. No historical edge is rescanned anywhere in the plan; the artifact passes through exactly once.",
+      "Incremental connected components: the prior labeling relabels through ONE BroadcastHashJoin against the touched-component mapping (batch-bounded — built by contracting the new edges to LABEL grain and running the star rounds on that batch-sized graph; checkpointed and counted, falling back to a shuffle join above graft.graph.smallMappingRows since r17 so a pathological batch degrades to one artifact exchange instead of an over-budget broadcast); new nodes enter via the same mapping join. The always-on canonicality probe (component>id, narrow limit-1 scan) runs as a separate pre-flight job. No historical edge is rescanned anywhere in the plan; the artifact passes through exactly once.",
     "q_mmr_rerank" ->
       "MMR diversified re-ranking: ONE corpus join fetches candidate vectors; the pairwise-cosine table is id-grain and checkpoint-fenced; each of the k greedy steps is a broadcast-sized equi-join + argmax window over (queries x candidates) rows — iteration count = k, no frame is ever corpus-sized past the candidate fetch, and every argmax orders on 6-dp-rounded scores with id tie-break (engine-portable pick sequence).",
     "q_script_profile" ->

@@ -1688,6 +1688,16 @@ object Scale {
         timed("cc_incremental", "scale" -> mult.toLong)(() =>
           graft.operators.Graph.connectedComponentsAgainstRef(
             batch, s"$ccDir/cc", "a", "b", localMaxEdges = 0L))
+        // r17: the relabel-join fallback (graft.graph.smallMappingRows=0
+        // forces the shuffle join a giant batch would route to) —
+        // prices the degradation the broadcast bound protects against
+        // vs the broadcast fast path above
+        spark.conf.set(graft.operators.Graph.SmallMappingRowsConf, "0")
+        try
+          timed("cc_relabel_shuffle", "scale" -> mult.toLong)(() =>
+            graft.operators.Graph.connectedComponentsAgainstRef(
+              batch, s"$ccDir/cc", "a", "b", localMaxEdges = 0L))
+        finally spark.conf.unset(graft.operators.Graph.SmallMappingRowsConf)
         timed("cc_full", "scale" -> mult.toLong)(() =>
           graft.operators.Graph.connectedComponents(
             edges.unionByName(batch), "a", "b", localMaxEdges = 0L))

@@ -2198,9 +2198,16 @@ object SparkEntry {
       // closure of a survivor (duplicateClusters over the full-corpus
       // pair graph), ZERO survivors of either plant family, and
       // conservation.
+      // corpus capped at 1,000 docs (a no-op at sf0.01, where the
+      // correctness oracle runs over everything): the invariants are
+      // corpus-size-independent constants and the multi-batch store
+      // machinery under test is per-batch-fixed-cost — sf0.1's full
+      // 5,000 docs only inflated suite wall (r16 verdict item 7). The
+      // raw baseline carries the SAME cap, so the pair stays fair.
       val fps0 = Streaming.shardedFingerprints(
           t(s, d, "documents")
-            .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+            .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+            .filter(col("doc_id") < 1000),
           "doc_id")
         .toDF().select("id", "sim").localCheckpoint(true) // one kernel pass
       val copies = fps0.filter(col("id") < 50)
@@ -2551,8 +2558,14 @@ object SparkEntry {
       // micro-batches and a real parquet window store — ordered
       // arrival reproduces the batch operator bit-for-bit, so the
       // oracle IS q_substring_dedup's SQL
+      // corpus capped at 1,000 docs (no-op at sf0.01 — the oracle SQL
+      // carries the same predicate): the per-batch store machinery is
+      // fixed-cost and the window explode is row-proportional; the cap
+      // trims sf0.1 suite wall without weakening the correctness gate
+      // (r16 verdict item 7)
       val docs = t(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000)
       val dir = java.nio.file.Files
         .createTempDirectory("graft_sss_q").toString
       Streaming.appendSubstringBatch(docs.filter(col("doc_id") < 250),
@@ -3506,7 +3519,7 @@ object SparkEntry {
     "q_stream_substring" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
-        |  FROM documents WHERE length(trim(text)) > 0),
+        |  FROM documents WHERE doc_id < 1000 AND length(trim(text)) > 0),
         |tok AS (
         |  SELECT doc_id, u.p AS pos, toks[u.p] AS tok
         |  FROM toks, unnest(generate_series(1, len(toks))) AS u(p)),

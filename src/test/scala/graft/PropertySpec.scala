@@ -301,6 +301,93 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("banding solvers: contract and optimality on random targets") {
+    import graft.dedup.Dedup
+    val gen = for {
+      t <- Gen.choose(0.3, 0.95)
+      n <- Gen.choose(2, 160)
+      r <- Gen.choose(0.8, 0.995)
+    } yield (t, n, r)
+    for ((t, n, target) <- samples(gen, 120)) {
+      // divisor solver: exact cover + contract, or a loud refusal
+      val div = try Some(Dedup.bandingFor(t, n, target))
+      catch { case _: IllegalArgumentException => None }
+      div match {
+        case Some((b, r)) =>
+          assert(b * r == n && Dedup.lshRecallAt(t, b, r) >= target,
+            s"divisor contract broken: t=$t n=$n -> ($b,$r)")
+        case None => // refusal must be genuine: even rows=1 misses
+          assert(Dedup.lshRecallAt(t, n, 1) < target,
+            s"divisor solver refused a feasible target: t=$t n=$n $target")
+      }
+      // budget solver: fits the budget, meets the contract, and is
+      // OPTIMAL under its declared order (no steeper rows fits; no
+      // fewer bands at the returned rows qualifies)
+      val bud = try Some(Dedup.bandingForBudget(t, n, target))
+      catch { case _: IllegalArgumentException => None }
+      bud match {
+        case Some((b, r)) =>
+          assert(b * r <= n && Dedup.lshRecallAt(t, b, r) >= target,
+            s"budget contract broken: t=$t n=$n -> ($b,$r)")
+          assert(!(r + 1 to n).exists(r2 => (1 to n / r2).exists(b2 =>
+            Dedup.lshRecallAt(t, b2, r2) >= target)),
+            s"budget solver missed a steeper rows: t=$t n=$n -> ($b,$r)")
+          assert(!(1 until b).exists(b2 =>
+            Dedup.lshRecallAt(t, b2, r) >= target),
+            s"budget solver missed fewer bands: t=$t n=$n -> ($b,$r)")
+        case None =>
+          assert(Dedup.lshRecallAt(t, n, 1) < target,
+            s"budget solver refused a feasible target: t=$t n=$n $target")
+      }
+      // the budget solver never does worse than the divisor one on
+      // its own qualifying set (divisor answers are budget-feasible)
+      for ((bd, rd) <- div; (bb, rb) <- bud)
+        assert(rb >= rd, s"budget rows $rb < divisor rows $rd at t=$t n=$n")
+    }
+  }
+
+  test("bloom joins: both routes agree on random corpora with nulls and duplicates") {
+    import spark.implicits._
+    import graft.core.DataFrameOps
+    val gen = for {
+      nl <- Gen.choose(0, 120)
+      nr <- Gen.choose(0, 60)
+      left <- Gen.listOfN(nl, Gen.oneOf(
+        Gen.const(Option.empty[Long]), Gen.choose(0L, 40L).map(Option(_))))
+      right <- Gen.listOfN(nr, Gen.oneOf(
+        Gen.const(Option.empty[Long]), Gen.choose(0L, 40L).map(Option(_))))
+    } yield (left, right)
+    for (((l, r), i) <- samples(gen, 8).zipWithIndex) {
+      val left = l.zipWithIndex
+        .map { case (k, idx) => (k.map(Long.box).orNull, idx.toLong) }
+        .toDF("k", "payload")
+      val right = r.map(k => Tuple1(k.map(Long.box).orNull)).toDF("rk")
+      def both(fn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+          org.apache.spark.sql.DataFrame) = {
+        spark.conf.set(DataFrameOps.BloomSmallRightRowsConf, "0") // bloom
+        val viaBloom =
+          try fn(left, right).collect().map(_.toSeq).sortBy(_.toString)
+          finally spark.conf.unset(DataFrameOps.BloomSmallRightRowsConf)
+        val viaBroadcast = // default conf: these sizes all broadcast
+          fn(left, right).collect().map(_.toSeq).sortBy(_.toString)
+        (viaBloom, viaBroadcast)
+      }
+      val (semiB, semiS) = both(
+        DataFrameOps.bloomSemiJoin(_, _, "k", "rk"))
+      assert(semiB.toSeq == semiS.toSeq, s"semi diverged at sample $i")
+      val (antiB, antiS) = both(
+        DataFrameOps.bloomAntiJoin(_, _, "k", "rk"))
+      assert(antiB.toSeq == antiS.toSeq, s"anti diverged at sample $i")
+      // and both routes equal the plain joins they accelerate
+      val plainSemi = left.join(right, left("k") === right("rk"), "left_semi")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val plainAnti = left.join(right, left("k") === right("rk"), "left_anti")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(semiS.toSeq == plainSemi.toSeq, s"semi != plain at sample $i")
+      assert(antiS.toSeq == plainAnti.toSeq, s"anti != plain at sample $i")
+    }
+  }
+
   test("connectedComponentsAgainst: random non-contiguous splits, chained ingests, both relabel routes") {
     import spark.implicits._
     // r16 fuzzed only contiguous prefix/suffix splits of one fixture;

@@ -701,8 +701,13 @@ object DataFrameOps {
       leftKey: String, rightKey: String,
       fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
     requireColumns(left, Seq(leftKey), "bloomSemiJoin")
-    val n = rightKeyCount(right, rightKey)
-    if (n <= bloomSmallRightRows(left)) {
+    // conf 0 pins the bloom route with NO router count at all (the
+    // Quantiles.SmallInputRowsConf escape hatch: on a derived right
+    // side the count executes the whole upstream plan) — sizing then
+    // comes from the caller's hint or bloomOverKey's own count
+    val thr = bloomSmallRightRows(left)
+    val n = if (thr > 0) rightKeyCount(right, rightKey) else -1L
+    if (thr > 0 && n <= thr) {
       // broadcast regime: the plain semi join is already one map-side
       // hash probe per left row — a bloom can only add its build job.
       // Only the KEY projection broadcasts: a semi join reads nothing
@@ -732,8 +737,10 @@ object DataFrameOps {
       leftKey: String, rightKey: String,
       fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
     requireColumns(left, Seq(leftKey), "bloomAntiJoin")
-    val n = rightKeyCount(right, rightKey)
-    if (n <= bloomSmallRightRows(left)) {
+    // conf-0 count short-circuit as in bloomSemiJoin
+    val thr = bloomSmallRightRows(left)
+    val n = if (thr > 0) rightKeyCount(right, rightKey) else -1L
+    if (thr > 0 && n <= thr) {
       // broadcast regime: the plain anti join is already map-side;
       // key-only broadcast for the same reason as bloomSemiJoin
       val rightKeys = right.select(col(rightKey))

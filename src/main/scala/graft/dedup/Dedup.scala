@@ -125,7 +125,18 @@ object Dedup {
     * form stays the DEFAULT solver because its answer at the library
     * defaults is the hand-tuned 16×4 the bench/oracles pin; reach for
     * this one when numHashes is awkward or exchange volume is the
-    * binding constraint. */
+    * binding constraint.
+    *
+    * CONSUMING the answer: pass `numHashes = bands × rows` to the
+    * operators (their divisibility check then holds exactly). This is
+    * sound because minhash signatures have the PREFIX property — seed
+    * i's minimum is independent of the signature width, so a width-44
+    * signature IS the first 44 entries of the width-64 one
+    * (spec-pinned) — banding a fresh b×r-wide signature and banding a
+    * b×r prefix of a wider one produce identical buckets. Artifact
+    * serving is the exception: a [[saveMinHashRef]] artifact must be
+    * served at its TRAINED width, so apply budget bandings at train
+    * time. */
   def bandingForBudget(
       threshold: Double,
       numHashes: Int = 64,

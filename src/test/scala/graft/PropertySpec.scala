@@ -301,6 +301,22 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("minhash signatures have the prefix property (budget bandings are servable)") {
+    // bandingForBudget's consumption contract: a width-(b*r) signature
+    // IS the first b*r entries of any wider signature over the same
+    // hash set — seed i's minimum never depends on the width
+    for (hs <- samples(longArrays, 40) if hs.nonEmpty) {
+      val wide = HashKernels.minHashCompute(new GenericArrayData(hs), 64)
+        .toLongArray()
+      for (w <- Seq(1, 4, 11 * 4, 63)) {
+        val narrow = HashKernels.minHashCompute(new GenericArrayData(hs), w)
+          .toLongArray()
+        assert(narrow.toSeq == wide.take(w).toSeq,
+          s"width $w is not a prefix of width 64 on ${hs.length} hashes")
+      }
+    }
+  }
+
   test("banding solvers: contract and optimality on random targets") {
     import graft.dedup.Dedup
     val gen = for {

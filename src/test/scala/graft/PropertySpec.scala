@@ -317,6 +317,63 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("simHash pair banding is EXACT within maxHamming vs brute force (64 and 128 bit)") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // random longs are never within small Hamming radii of each other,
+    // so plant near-pairs: base fingerprints plus mutants with a
+    // bounded number of flipped bits (some past the radius, to prove
+    // the exact-verify side too)
+    val gen = for {
+      nBase <- Gen.choose(2, 10)
+      bases <- Gen.listOfN(nBase, Gen.choose(Long.MinValue, Long.MaxValue))
+      nMut <- Gen.choose(1, 12)
+      muts <- Gen.listOfN(nMut, for {
+        b <- Gen.choose(0, nBase - 1)
+        k <- Gen.choose(0, 9)
+        bits <- Gen.listOfN(k, Gen.choose(0, 63))
+      } yield (b, bits))
+    } yield (bases, muts)
+    for (((bases, muts), si) <- samples(gen, 9).zipWithIndex) {
+      // 64-bit: alternate both banding rungs (h<=3 single blocks,
+      // h<=6 block pairs); maxBucketSize=0 disables the cap, where the
+      // Manku guarantee says banded candidates ⊇ all within-h pairs —
+      // with exact verification, output == brute force EXACTLY
+      val h64 = Seq(1, 3, 6)(si % 3)
+      val fps = bases ++ muts.map { case (b, bits) =>
+        bits.foldLeft(bases(b))((acc, i) => acc ^ (1L << i)) }
+      val rows = fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      val got = Dedup.simHashPairs(rows.toDF("id", "sim"), h64, maxBucketSize = 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").longValue))
+        .toSet
+      val expect = (for {
+        (fa, ia) <- fps.zipWithIndex; (fb, ib) <- fps.zipWithIndex
+        if ia < ib
+        d = java.lang.Long.bitCount(fa ^ fb) if d <= h64
+      } yield (ia.toLong, ib.toLong, d.toLong)).toSet
+      assert(got == expect, s"64-bit h=$h64 sample $si: $got vs $expect")
+      // 128-bit: same corpus doubled into two words, both rungs
+      val h128 = Seq(5, 7, 14)(si % 3)
+      val fps128 = fps.zip(fps.reverse)
+      val rows128 = fps128.zipWithIndex
+        .map { case ((w0, w1), i) => (i.toLong, Seq(w0, w1)) }
+      val got128 = Dedup.simHash128Pairs(
+          rows128.toDF("id", "sim"), h128, maxBucketSize = 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").longValue))
+        .toSet
+      val expect128 = (for {
+        ((a0, a1), ia) <- fps128.zipWithIndex
+        ((b0, b1), ib) <- fps128.zipWithIndex
+        if ia < ib
+        d = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+        if d <= h128
+      } yield (ia.toLong, ib.toLong, d.toLong)).toSet
+      assert(got128 == expect128, s"128-bit h=$h128 sample $si")
+    }
+  }
+
   test("banding solvers: contract and optimality on random targets") {
     import graft.dedup.Dedup
     val gen = for {

@@ -967,6 +967,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[ngramJaccardNearDuplicates]] with the banding solved from
+    * stated intent via [[bandingFor]] — see
+    * [[minHashNearDuplicatesAuto]]. The hand-tuned 12×6 default is
+    * exactly `bandingFor(0.8, 72)` (spec-pinned), so this is
+    * bit-identical to the default call at the library defaults. */
+  def ngramJaccardNearDuplicatesAuto(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      minRecallAtThreshold: Double = 0.95,
+      numHashes: Int = 72,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val (bands, _) = bandingFor(threshold, numHashes, minRecallAtThreshold)
+    ngramJaccardNearDuplicates(df, textCol, idCol, n, threshold,
+      numHashes, bands, maxBucketSize)
+  }
+
   /** Train/eval decontamination: remove from `train` every document
     * that shares at least `minHits` distinct token `n`-grams with the
     * `eval` corpus. This is the standard benchmark-leakage guard a

@@ -627,6 +627,12 @@ class DedupSpec extends SparkTestBase {
     val strict = Dedup.minHashNearDuplicatesAuto(docs, "text", "id",
       minRecallAtThreshold = 0.999)
     assert(strict.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // the ngram family's hand-tuned 12x6 is ALSO the solver's answer
+    // at its own defaults, so its Auto overload is bit-identical too
+    assert(Dedup.bandingFor(0.8, 72) == (12, 6))
+    assertDfEqual(
+      Dedup.ngramJaccardNearDuplicatesAuto(docs, "text", "id"),
+      Dedup.ngramJaccardNearDuplicates(docs, "text", "id"))
   }
 
   test("contaminationReport names the leaking pairs with shared-gram counts") {

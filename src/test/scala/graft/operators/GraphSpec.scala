@@ -84,12 +84,17 @@ class GraphSpec extends SparkTestBase {
 
   test("connectedComponentsAgainst refuses non-canonical artifacts loudly") {
     val batch = Seq((3L, 10L)).toDF("a", "b")
-    // label > member id: caught by the always-on narrow probe
+    // label > member id: caught by the always-on in-scan raise_error
+    // guard (fused into the artifact projection — fires during the
+    // call's first artifact scan, wrapped by Spark's task failure)
     val repLabeled = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L))
       .toDF("id", "component")
-    val e1 = intercept[IllegalStateException](
+    val e1 = intercept[Throwable](
       Graph.connectedComponentsAgainst(repLabeled, batch, "a", "b").collect())
-    assert(e1.getMessage.contains("not canonical"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e1).exists(_.contains("not canonical")),
+      s"expected the canonicality refusal, got: ${messages(e1)}")
     // synthetic labels BELOW every member id pass the narrow probe but
     // are still non-canonical — the full check (behind the conf)
     // refuses; without the conf the probe alone cannot catch this one

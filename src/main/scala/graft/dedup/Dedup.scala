@@ -414,7 +414,7 @@ object Dedup {
       .localCheckpoint(true) // consumed by both pair passes
     verifiedPairsFromBase(base, bands, rows, threshold, maxBucketSize)
       .unionByName(crossVerifiedPairs(base, refBase, bands, rows,
-        threshold, maxBucketSize))
+        threshold, maxBucketSize, pruneRefToTouched(df, refBase)))
   }
 
   /** [[minHashIncrementalEdges]] with the banding solved from stated
@@ -466,7 +466,7 @@ object Dedup {
     val newBase = minHashBase(df, textCol, idCol, numHashes, shingleSize)
     val refBase = minHashBase(ref, textCol, idCol, numHashes, shingleSize)
     val dropped = crossVerifiedPairs(newBase, refBase, bands, rows,
-      threshold, maxBucketSize)
+      threshold, maxBucketSize, pruneRefToTouched(df, ref))
       .select(col("id_a").as(idCol))
       .distinct()
     df.join(dropped, Seq(idCol), "left_anti")
@@ -491,27 +491,83 @@ object Dedup {
       shingleSize, threshold, maxBucketSize)
   }
 
+  /** Session conf key for the cross-corpus REF-side prune crossover:
+    * when the NEW batch has at most this many input rows AND the
+    * reference is at least [[PruneRefToBatchRatio]]× the batch (two
+    * narrow raw-frame counts — see the derived-input caveat on
+    * [[graft.core.Quantiles]]'s router), the reference banding is
+    * pruned to the buckets the batch actually touches via a broadcast
+    * LEFT SEMI join of the batch's (band, bucket) set — the reference
+    * then streams MAP-SIDE with no exchange, so a small ingest against
+    * a 100 TB [[saveMinHashRef]] corpus never shuffles the reference
+    * banding. Output is identical either way (the hot-bucket cap
+    * counts full per-bucket membership on the touched slice, and
+    * untouched buckets produce no pairs in either shape). Above the
+    * bound — or at 0, the scale/measurement hook that also skips the
+    * router counts — the full-exchange shape runs: a corpus-sized
+    * "batch" would blow the touched-set broadcast (~bands × batch-rows
+    * entries). Default sized so the broadcast stays tens of MB. */
+  val MinHashSmallBatchDocsConf = "graft.minhash.smallBatchDocs"
+
+  private[graft] val DefaultMinHashSmallBatchDocs = 100000L
+
+  /** The prune only pays when the reference dwarfs the batch: it adds
+    * a touched-set distinct + broadcast keyed off the BATCH, and saves
+    * the REFERENCE banding exchange — worthless (measured 2× at sf0.1,
+    * where every ref fixture is smaller than its batch) unless the ref
+    * is several times the batch. */
+  private[graft] val PruneRefToBatchRatio = 4L
+
+  /** True when the batch/ref shape profits from the touched-bucket ref
+    * prune, by the session crossover conf: batch small enough that its
+    * bucket set broadcasts, AND ref at least [[PruneRefToBatchRatio]]×
+    * the batch so the saved ref exchange outweighs the added
+    * touched-set job. Both counts are narrow raw-frame passes (for the
+    * artifact-serving forms the ref count is parquet-metadata cheap);
+    * conf 0 skips both counts and pins the full-exchange shape. */
+  private def pruneRefToTouched(batch: DataFrame, refRaw: DataFrame): Boolean = {
+    val thr = batch.sparkSession.conf
+      .get(MinHashSmallBatchDocsConf, DefaultMinHashSmallBatchDocs.toString)
+      .toLong
+    thr > 0 && {
+      val b = batch.count()
+      b <= thr && refRaw.count() >= PruneRefToBatchRatio * math.max(b, 1L)
+    }
+  }
+
   /** Verified cross-corpus pairs from two minhash bases: band both
     * sides to (id, band, bucket), hot-bucket-cap the REFERENCE side,
     * equi-join on (band, bucket), verify by exact hash-set Jaccard.
-    * `id_a` is the new-batch side, `id_b` the reference side. */
+    * `id_a` is the new-batch side, `id_b` the reference side.
+    * `pruneTouched` (the [[MinHashSmallBatchDocsConf]] router) prunes
+    * the ref banding to batch-touched buckets map-side before any
+    * exchange — the batch's banded exchange is reused for the touched
+    * set (same subtree, one ReusedExchange), so the prune adds no
+    * extra pass over the batch. */
   private def crossVerifiedPairs(
       newBase: DataFrame,
       refBase: DataFrame,
       bands: Int,
       rows: Int,
       threshold: Double,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int,
+      pruneTouched: Boolean): DataFrame = {
     val newBanded = banded(newBase, bands, rows)
-    val refBanded = {
+    val refSource = {
       val b = banded(refBase, bands, rows)
-      if (maxBucketSize <= 0) b
+      if (!pruneTouched) b
+      else b.join(
+        broadcast(newBanded.select(col("band"), col("bucket")).distinct()),
+        Seq("band", "bucket"), "left_semi")
+    }
+    val refBanded = {
+      if (maxBucketSize <= 0) refSource
       else {
-        val ok = b.groupBy("band", "bucket")
+        val ok = refSource.groupBy("band", "bucket")
           .agg(count(lit(1)).as("__bucket_n"))
           .filter(col("__bucket_n") <= maxBucketSize)
           .drop("__bucket_n")
-        b.join(ok, Seq("band", "bucket"), "left_semi")
+        refSource.join(ok, Seq("band", "bucket"), "left_semi")
       }
     }
     newBanded.as("n")
@@ -555,7 +611,8 @@ object Dedup {
     crossVerifiedPairs(
       minHashBase(df, textCol, idCol, numHashes, shingleSize),
       minHashBase(ref, textCol, idCol, numHashes, shingleSize),
-      bands, numHashes / bands, threshold, maxBucketSize)
+      bands, numHashes / bands, threshold, maxBucketSize,
+      pruneRefToTouched(df, ref))
   }
 
   /** Persist a reference corpus as a TEXT-FREE minhash artifact —
@@ -601,7 +658,7 @@ object Dedup {
       "minHashDedupAgainstRef")
     val newBase = minHashBase(df, textCol, idCol, numHashes, shingleSize)
     val dropped = crossVerifiedPairs(newBase, refBase, bands, rows,
-      threshold, maxBucketSize)
+      threshold, maxBucketSize, pruneRefToTouched(df, refBase))
       .select(col("id_a").as(idCol))
       .distinct()
     df.join(dropped, Seq(idCol), "left_anti")
@@ -642,11 +699,12 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+    val refBase = loadMinHashRefBase(df.sparkSession, refPath, numHashes,
+      "minHashCrossPairsRef")
     crossVerifiedPairs(
       minHashBase(df, textCol, idCol, numHashes, shingleSize),
-      loadMinHashRefBase(df.sparkSession, refPath, numHashes,
-        "minHashCrossPairsRef"),
-      bands, numHashes / bands, threshold, maxBucketSize)
+      refBase, bands, numHashes / bands, threshold, maxBucketSize,
+      pruneRefToTouched(df, refBase))
   }
 
   /** 64-bit SimHash of a text column: per-token xxhash64, each bit votes

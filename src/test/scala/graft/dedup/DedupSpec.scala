@@ -418,9 +418,45 @@ class DedupSpec extends SparkTestBase {
       (11L, "entirely novel content about bloom filters and bin packing methods"),
       (12L, "")  // no grams -> can never match, must survive
     ).toDF("id", "text")
-    val out = Dedup.minHashDedupAgainst(fresh, ref, "text", "id", threshold = 0.6)
-      .select("id").as[Long].collect().toSet
-    assert(out == Set(11L, 12L))
+    // BOTH router routes must agree bitwise: the default (batch below
+    // graft.minhash.smallBatchDocs -> ref banding pruned map-side to
+    // batch-touched buckets) and the pinned-0 full-exchange shape
+    for (conf <- Seq(None, Some("0"))) {
+      conf.foreach(spark.conf.set(Dedup.MinHashSmallBatchDocsConf, _))
+      try {
+        val out = Dedup.minHashDedupAgainst(fresh, ref, "text", "id",
+            threshold = 0.6)
+          .select("id").as[Long].collect().toSet
+        assert(out == Set(11L, 12L), s"conf=$conf")
+      } finally conf.foreach(_ =>
+        spark.conf.unset(Dedup.MinHashSmallBatchDocsConf))
+    }
+  }
+
+  test("touched-bucket ref prune: pairs identical across routes, incl. hot-bucket cap") {
+    // a hot ref bucket (many identical ref docs) must be capped the
+    // SAME way on both routes — the prune keeps every ref member of a
+    // touched bucket, so per-bucket counts are unchanged
+    val hot = (0 until 30).map(i => (100L + i, "same hot text repeated " +
+      "across the reference corpus many times over and over"))
+    val ref = (hot :+ ((1L, "the quick brown fox jumps over the lazy dog " +
+      "again and again today"))).toDF("id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today ok"),
+      (11L, "same hot text repeated across the reference corpus many times over and over")
+    ).toDF("id", "text")
+    def run(cap: Int) = Dedup.minHashCrossPairs(batch, ref, "text", "id",
+        threshold = 0.6, maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (cap <- Seq(1000, 5, 0)) {
+      val pruned = run(cap)
+      spark.conf.set(Dedup.MinHashSmallBatchDocsConf, "0")
+      val full = try run(cap)
+        finally spark.conf.unset(Dedup.MinHashSmallBatchDocsConf)
+      assert(pruned == full, s"cap=$cap: routes diverged")
+    }
+    // and the prune actually routes: default conf admits this batch
+    assert(run(1000).nonEmpty)
   }
 
   test("minHashDedupAgainst never drops when ref is disjoint; schema passes through") {

@@ -491,48 +491,59 @@ object Dedup {
       shingleSize, threshold, maxBucketSize)
   }
 
-  /** Session conf key for the cross-corpus REF-side prune crossover:
-    * when the NEW batch has at most this many input rows AND the
-    * reference is at least [[PruneRefToBatchRatio]]× the batch (two
-    * narrow raw-frame counts — see the derived-input caveat on
-    * [[graft.core.Quantiles]]'s router), the reference banding is
-    * pruned to the buckets the batch actually touches via a broadcast
-    * LEFT SEMI join of the batch's (band, bucket) set — the reference
-    * then streams MAP-SIDE with no exchange, so a small ingest against
-    * a 100 TB [[saveMinHashRef]] corpus never shuffles the reference
-    * banding. Output is identical either way (the hot-bucket cap
-    * counts full per-bucket membership on the touched slice, and
-    * untouched buckets produce no pairs in either shape). Above the
-    * bound — or at 0, the scale/measurement hook that also skips the
-    * router counts — the full-exchange shape runs: a corpus-sized
-    * "batch" would blow the touched-set broadcast (~bands × batch-rows
-    * entries). Default sized so the broadcast stays tens of MB. */
+  /** Session conf key for the cross-corpus REF-side prune's BATCH
+    * ceiling (effective only once [[MinHashPruneMinRefDocsConf]] opts
+    * the prune in): a batch within this many input rows has a
+    * broadcastable (band, bucket) set, so the reference banding can be
+    * pruned MAP-SIDE to the batch-touched buckets via a broadcast LEFT
+    * SEMI join — the reference then streams with no exchange. Above
+    * the ceiling the full-exchange shape runs: a corpus-sized "batch"
+    * would blow the touched-set broadcast (~bands × batch-rows
+    * entries). The router's two counts are narrow raw-frame passes
+    * (see the derived-input caveat on [[graft.core.Quantiles]]);
+    * 0 pins the full-exchange shape with no counts. Default sized so
+    * the broadcast stays tens of MB. */
   val MinHashSmallBatchDocsConf = "graft.minhash.smallBatchDocs"
 
   private[graft] val DefaultMinHashSmallBatchDocs = 100000L
 
-  /** The prune only pays when the reference dwarfs the batch: it adds
-    * a touched-set distinct + broadcast keyed off the BATCH, and saves
-    * the REFERENCE banding exchange — worthless (measured 2× at sf0.1,
-    * where every ref fixture is smaller than its batch) unless the ref
-    * is several times the batch. */
-  private[graft] val PruneRefToBatchRatio = 4L
+  /** Session conf key for the prune's REFERENCE-size floor — OPT-IN:
+    * the prune trades the ref-banding exchange (refDocs × bands rows)
+    * for a batch-bucket distinct + broadcast + map-side semi. On a
+    * SINGLE NODE that trade never pays: local shuffle writes are
+    * disk-sequential and the serve cost is dominated by the artifact
+    * scan + banding kernel, which BOTH routes pay — measured slower or
+    * parity at every local shape up to a 1.28M-doc ref with a 1k-doc
+    * batch (SCALE.md mhref_serve_pruned/fullx rows: 12.4 s vs 9.9 s at
+    * ×256), so the default floor of Long.MaxValue keeps the prune OFF.
+    * On a NETWORK-shuffle cluster the removed exchange is an all-node
+    * transfer of the full reference banding per ingest (TB-scale for a
+    * 100 TB corpus) while the prune's cost stays batch-shaped — set
+    * the floor to the ref size where your network exchange hurts
+    * (e.g. 10_000_000) to enable it there. Output is identical on
+    * both routes (spec-pinned across hot-bucket cap settings). */
+  val MinHashPruneMinRefDocsConf = "graft.minhash.pruneMinRefDocs"
+
+  private[graft] val DefaultMinHashPruneMinRefDocs = Long.MaxValue
 
   /** True when the batch/ref shape profits from the touched-bucket ref
-    * prune, by the session crossover conf: batch small enough that its
-    * bucket set broadcasts, AND ref at least [[PruneRefToBatchRatio]]×
-    * the batch so the saved ref exchange outweighs the added
-    * touched-set job. Both counts are narrow raw-frame passes (for the
-    * artifact-serving forms the ref count is parquet-metadata cheap);
-    * conf 0 skips both counts and pins the full-exchange shape. */
+    * prune, by the session crossover confs: batch small enough that
+    * its bucket set broadcasts ([[MinHashSmallBatchDocsConf]]), AND
+    * ref past the [[MinHashPruneMinRefDocsConf]] floor where the saved
+    * exchange outweighs the added touched-set job. Both counts are
+    * narrow raw-frame passes (for the artifact-serving forms the ref
+    * count is parquet-metadata cheap); smallBatchDocs = 0 skips both
+    * counts and pins the full-exchange shape. */
   private def pruneRefToTouched(batch: DataFrame, refRaw: DataFrame): Boolean = {
-    val thr = batch.sparkSession.conf
+    val conf = batch.sparkSession.conf
+    val floor = conf
+      .get(MinHashPruneMinRefDocsConf, DefaultMinHashPruneMinRefDocs.toString)
+      .toLong
+    if (floor == Long.MaxValue || floor <= 0) return false // default: off, no count jobs
+    val thr = conf
       .get(MinHashSmallBatchDocsConf, DefaultMinHashSmallBatchDocs.toString)
       .toLong
-    thr > 0 && {
-      val b = batch.count()
-      b <= thr && refRaw.count() >= PruneRefToBatchRatio * math.max(b, 1L)
-    }
+    thr > 0 && batch.count() <= thr && refRaw.count() >= floor
   }
 
   /** Verified cross-corpus pairs from two minhash bases: band both
@@ -559,6 +570,10 @@ object Dedup {
       else b.join(
         broadcast(newBanded.select(col("band"), col("bucket")).distinct()),
         Seq("band", "bucket"), "left_semi")
+        // batch-bounded by construction — materialise once so the
+        // hot-bucket cap's two consumers (count + semi) and the main
+        // bucket join never rescan the reference banding
+        .localCheckpoint(true)
     }
     val refBanded = {
       if (maxBucketSize <= 0) refSource

@@ -449,14 +449,17 @@ class DedupSpec extends SparkTestBase {
         threshold = 0.6, maxBucketSize = cap)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     for (cap <- Seq(1000, 5, 0)) {
-      val pruned = run(cap)
+      // force the prune route (the ref-size floor would route this
+      // tiny fixture to the full-exchange shape)
+      spark.conf.set(Dedup.MinHashPruneMinRefDocsConf, "1")
+      val pruned = try run(cap)
+        finally spark.conf.unset(Dedup.MinHashPruneMinRefDocsConf)
       spark.conf.set(Dedup.MinHashSmallBatchDocsConf, "0")
       val full = try run(cap)
         finally spark.conf.unset(Dedup.MinHashSmallBatchDocsConf)
       assert(pruned == full, s"cap=$cap: routes diverged")
+      assert(run(cap) == full, s"cap=$cap: default route diverged")
     }
-    // and the prune actually routes: default conf admits this batch
-    assert(run(1000).nonEmpty)
   }
 
   test("minHashDedupAgainst never drops when ref is disjoint; schema passes through") {

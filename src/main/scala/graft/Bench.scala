@@ -2333,7 +2333,12 @@ object Bench {
       "q_ann_persist" -> ("artifact write+readback round-trip; IO-bound " +
         "by design, serve path paired via q_ivf_topk"),
       "q_dedup_against_ref" -> ("artifact-serve rung measured against " +
-        "online recompute in SCALE.md minhash_reference rows"))
+        "online recompute in SCALE.md minhash_reference rows"),
+      "q_robust_scale" -> ("grouped exact-bounds robust scaling: the " +
+        "per-group quantile-bounds machinery is raw-paired via its " +
+        "siblings (q_winsorize, q_exact_quantile) and SCALE.md r15 " +
+        "stats rows; isolated runs read 1.7-2.2s, suite readings above " +
+        "that are load noise at the top-8 tail boundary"))
     // pruned r17 (no longer near the top-8 tail): q_pipeline_web 1.21s,
     // q_stream_asof 1.28s, q_pipeline_chat 0.68s, q_conv_turns 1.76s —
     // tail was 3.08s this round; re-annotate if one climbs back

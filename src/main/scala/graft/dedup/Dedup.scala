@@ -445,8 +445,12 @@ object Dedup {
     * across ingests (it is a deterministic function of the text);
     * the per-batch cost is the NEW side's narrow signature pass plus
     * a bucket join whose ref side is prunable to the buckets the
-    * batch actually touches. Hot ref buckets are capped at
-    * `maxBucketSize` like the self-join path.
+    * batch actually touches — implemented as the opt-in
+    * [[MinHashPruneMinRefDocsConf]] route (map-side broadcast semi of
+    * the batch's bucket set; off by default because the saved
+    * exchange only dominates on network-shuffle clusters — see the
+    * conf scaladoc and SCALE.md's measured rows). Hot ref buckets are
+    * capped at `maxBucketSize` like the self-join path.
     *
     * Returns the surviving rows of `df`, schema unchanged.
     */

@@ -1109,6 +1109,98 @@ object Bench {
       Bench.baselines("q_pq_topk")(s, d)
     }),
 
+    "q_ann_persist" -> ((s, d) => {
+      // the route a user without AnnIndex takes to "persist the index,
+      // serve from the loaded copy, prove the round-trip": their index
+      // IS the vector table — write it to parquet, read it back, run
+      // the same exact search from both copies, verify stored ≡
+      // original and served ≡ fresh. Same deliverable shape as the
+      // wrapped IVF-PQ artifact round-trip (write + readback + two
+      // searches + identity checks), same invariant row — so a future
+      // IO-path jump in the wrapped side (r17's 2.8 → 11.6 s suite
+      // noise) shows up as a ratio, not a wall-clock shrug.
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("query_id"),
+          transform(col("v"), x => x + lit(0.001)).as("q_vec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_raw_ann_persist").toString
+      emb.write.mode("overwrite").parquet(s"$root/index")
+      val loadedEmb = s.read.parquet(s"$root/index")
+      def search(corpus: DataFrame) = {
+        val scored = corpus
+          .select(col("vec_id").as("corpus_id"), col("v").as("c_vec"))
+          .crossJoin(broadcast(queries))
+          .filter(col("query_id") =!= col("corpus_id"))
+          .withColumn("score", rawCosine(col("q_vec"), col("c_vec")))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("corpus_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("score"), 6).as("score"), col("rank"))
+      }
+      val fresh = search(emb)
+      val served = search(loadedEmb)
+      val diffs = served.except(fresh).count() + fresh.except(served).count()
+      val roundtrip = loadedEmb.except(emb).count() +
+        emb.except(loadedEmb).count() == 0
+      served.agg(
+        count(lit(1)).as("n_rows"),
+        lit(diffs == 0L).as("results_identical"),
+        lit(roundtrip).as("centers_roundtrip"),
+        lit(roundtrip).as("codebooks_roundtrip"))
+    }),
+
+    "q_ann_index_scan" -> ((s, d) => {
+      // the raw route to "persist a cell-partitioned corpus, serve
+      // reading only the probed cells": hash-bucket the vectors into
+      // 16 cells, write partitioned by cell, serve with a static
+      // cell IN (...) filter — the scan must partition-prune — and
+      // verify served ≡ the same search over the in-memory frame.
+      // Same deliverable shape as the wrapped encoded-corpus path
+      // (build + partitioned persist + pruned serve + identity check).
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("cell", pmod(col("vec_id"), lit(16)).cast("int"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("query_id"),
+          transform(col("v"), x => x + lit(0.001)).as("q_vec"))
+        .localCheckpoint(true) // fence: computed pre-write, reused post-read
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_raw_ann_cells").toString
+      emb.write.mode("overwrite").partitionBy("cell").parquet(root)
+      val onDisk = s.read.parquet(root)
+      val probed = Seq(0, 1, 2, 3)
+      def search(corpus: DataFrame) = {
+        val scored = corpus.filter(col("cell").isin(probed: _*))
+          .select(col("vec_id").as("corpus_id"), col("v").as("c_vec"))
+          .crossJoin(broadcast(queries))
+          .filter(col("query_id") =!= col("corpus_id"))
+          .withColumn("score", rawCosine(col("q_vec"), col("c_vec")))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("corpus_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("score"), 6).as("score"), col("rank"))
+      }
+      val served = search(onDisk)
+      val fresh = search(emb)
+      val pf = served.queryExecution.executedPlan.toString
+        .linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+      val pruned = pf.contains("cell#") &&
+        (pf.contains(" IN ") || pf.contains("INSET"))
+      val diffs = served.except(fresh).count() + fresh.except(served).count()
+      served.agg(
+        count(lit(1)).as("n_rows"),
+        lit(diffs == 0L).as("results_identical"),
+        lit(pruned).as("scan_pruned"))
+    }),
+
     "q_pq_topk" -> ((s, d) => {
       // the route a user without PQ takes to the same deliverable:
       // exact brute-force cosine over the full-width vectors (the scan
@@ -2061,7 +2153,16 @@ object Bench {
         // 2.5k-interval sides while the binned join pays explode +
         // exchange machinery — SCALE.md interval_join rows (12-13x
         // BNLJ blowup at 8x, binned flat)
-        "q_interval_join")
+        "q_interval_join",
+        // r18 pair: the raw route persists the RAW vectors partitioned
+        // by a hash cell and serves from 4 of 16 partitions; the
+        // wrapped side additionally pays PQ train + encode at build
+        // time (isolated ×3: wrapped 3.3-3.5 s vs raw 2.0-2.2 s,
+        // ratio 1.5-1.75). The buy is the serve scan: SCALE.md
+        // ann_serve_bytes at ×64 reads 0.45 MB of probed PQ codes vs
+        // 56 MB of raw vectors — 125× less IO per query, the 100 TB
+        // story the toy-scale build cost cannot show
+        "q_ann_index_scan")
     // Benchmark-design rule (SCALE.md): measured inputs are MATERIALIZED
     // to parquet before timing. Queries whose sf0.1 wall sits in the
     // sub-0.5 s band where the ratio is a lottery (r12 verdict item 6;
@@ -2327,11 +2428,14 @@ object Bench {
         "ref state from it, one batch kernel pass for all new edges, " +
         "artifact relabel; each component paired/measured individually " +
         "(q_minhash_dedup, q_dedup_against_ref, SCALE.md cc_incremental rows)"),
-      "q_ann_index_scan" -> ("builds+persists the IVF index then serves " +
-        "from it; build cost is the artifact story, serve path paired via " +
-        "q_ivf_topk"),
-      "q_ann_persist" -> ("artifact write+readback round-trip; IO-bound " +
-        "by design, serve path paired via q_ivf_topk"),
+      // q_ann_persist / q_ann_index_scan: paired with raw write+
+      // readback+search baselines since r18 (their r17 annotations
+      // explained the shape but could not flag a 4× IO-path jump)
+      "q_ann_recall" -> ("PQ-vs-exact recall harness (brute-force top-k " +
+        "+ PQ top-k + join); r18 isolated ×3 at HEAD read 1.66-1.83 s, " +
+        "retiring the r17 UNEXPLAINED flag (final-suite 6.23 s was load " +
+        "noise; mid-round same-source read 1.70-1.80 s) — suite " +
+        "readings well above ~2 s here are contention, not code"),
       "q_dedup_against_ref" -> ("artifact-serve rung measured against " +
         "online recompute in SCALE.md minhash_reference rows"),
       "q_robust_scale" -> ("grouped exact-bounds robust scaling: the " +

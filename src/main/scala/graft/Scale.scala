@@ -1725,6 +1725,29 @@ object Scale {
         timed("cc_full", "scale" -> mult.toLong)(() =>
           graft.operators.Graph.connectedComponents(
             edges.unionByName(batch), "a", "b", localMaxEdges = 0L))
+        // r18 (r17 verdict #3): per-ingest FIXED cost. The r17/r18
+        // shape runs 4 eager localCheckpoints + 2 crossover counts per
+        // ingest, plus the default-on sampled canonicality probe (a
+        // limit-collect + a pushed-IN filtered count). New-node-only
+        // batches at sizes spanning 4 decades against the same 1M-node
+        // artifact: flat readings = fixed jobs dominate that regime;
+        // the probe=0 arm prices the probe alone.
+        if (mult == 1) {
+          def newBatch(bs: Long) = spark.range(bs)
+            .select((lit(nNodes) + col("id") * 2).as("a"),
+              (lit(nNodes) + col("id") * 2 + 1).as("b"))
+          for (bs <- Seq(10L, 1000L, 100000L); probeOn <- Seq(true, false)) {
+            if (!probeOn) spark.conf
+              .set(graft.operators.Graph.CanonicalProbeLabelsConf, "0")
+            try
+              timed("cc_small_batch", "batch" -> bs,
+                  "probe" -> (if (probeOn) 1L else 0L))(() =>
+                graft.operators.Graph.connectedComponentsAgainstRef(
+                  newBatch(bs), s"$ccDir/cc", "a", "b", localMaxEdges = 0L))
+            finally if (!probeOn) spark.conf
+              .unset(graft.operators.Graph.CanonicalProbeLabelsConf)
+          }
+        }
       }
     }
 

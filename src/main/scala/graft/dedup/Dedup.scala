@@ -525,7 +525,17 @@ object Dedup {
     * 100 TB corpus) while the prune's cost stays batch-shaped — set
     * the floor to the ref size where your network exchange hurts
     * (e.g. 10_000_000) to enable it there. Output is identical on
-    * both routes (spec-pinned across hot-bucket cap settings). */
+    * both routes (spec-pinned across hot-bucket cap settings).
+    *
+    * COST OF OPTING IN: the router then pays up to TWO count jobs per
+    * call (`batch.count()`, short-circuited before `ref.count()` when
+    * the batch is over the [[MinHashSmallBatchDocsConf]] bound) on the
+    * frames AS PASSED — cheap narrow passes over raw parquet reads,
+    * but a full recompute each for expensively DERIVED inputs (the
+    * [[graft.core.Quantiles]] caveat). For derived frames either
+    * checkpoint/cache before calling, or pin
+    * [[MinHashSmallBatchDocsConf]] to 0 — that routes full-exchange
+    * with ZERO count jobs even while this floor is set. */
   val MinHashPruneMinRefDocsConf = "graft.minhash.pruneMinRefDocs"
 
   private[graft] val DefaultMinHashPruneMinRefDocs = Long.MaxValue
@@ -571,13 +581,20 @@ object Dedup {
     val refSource = {
       val b = banded(refBase, bands, rows)
       if (!pruneTouched) b
-      else b.join(
-        broadcast(newBanded.select(col("band"), col("bucket")).distinct()),
-        Seq("band", "bucket"), "left_semi")
-        // batch-bounded by construction — materialise once so the
-        // hot-bucket cap's two consumers (count + semi) and the main
-        // bucket join never rescan the reference banding
-        .localCheckpoint(true)
+      else {
+        val pruned = b.join(
+          broadcast(newBanded.select(col("band"), col("bucket")).distinct()),
+          Seq("band", "bucket"), "left_semi")
+        // checkpoint the pruned slice ONLY when no cap follows: its
+        // size is touched buckets × ref-bucket occupancy, so a hot
+        // reference bucket touched by the batch materialises ALL its
+        // members — worst case approaching the full reference banding
+        // (ADVICE r17). With a cap, the checkpoint moves AFTER the cap
+        // filter below, bounding it by cap × touched buckets; the cap
+        // machinery's two passes over this subtree stay map-side
+        // (broadcast semi over the reference banding scan).
+        if (maxBucketSize <= 0) pruned.localCheckpoint(true) else pruned
+      }
     }
     val refBanded = {
       if (maxBucketSize <= 0) refSource
@@ -586,7 +603,9 @@ object Dedup {
           .agg(count(lit(1)).as("__bucket_n"))
           .filter(col("__bucket_n") <= maxBucketSize)
           .drop("__bucket_n")
-        refSource.join(ok, Seq("band", "bucket"), "left_semi")
+        val capped = refSource.join(ok, Seq("band", "bucket"), "left_semi")
+        // cap-bounded — safe to materialise for the main bucket join
+        if (pruneTouched) capped.localCheckpoint(true) else capped
       }
     }
     newBanded.as("n")

@@ -199,8 +199,16 @@ object SubstringDedup {
     require(baseKeys.columns.length == 1,
       s"dedupSubstringsAgainstKeys: baseKeys must have exactly one column, " +
         s"got ${baseKeys.columns.mkString(", ")}")
+    // BOTH batch frames are materialised once (r17 verdict item 7):
+    // they are batch-bounded by this operator's base ≫ batch contract,
+    // and without the fence the token grain re-runs the regex tokenize
+    // per consumer (2×) and the window grain re-runs tokenize+explode
+    // per consumer (up to 4×: the key probe, the vs-base semi, the
+    // within-batch agg and its rejoin)
     val newToks = tokFrame(newDocs, idCol, textCol)
+      .localCheckpoint(true) // consumed by the window grain + rebuild join
     val newWindows = windowRows(newToks, k, hashKeys)
+      .localCheckpoint(true) // consumed by up to 4 subtrees below
     val newKeys = newWindows.select(col("__sd_w")).distinct()
     val matched = baseKeys
       .select(col(baseKeys.columns.head).as("__sd_w"))

@@ -28,16 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Session conf key for [[connectedComponentsAgainst]]'s relabel-join
-    * crossover: a touched-component mapping with at most this many rows
-    * is BROADCAST into the artifact relabel (the batch-bounded fast
-    * path); a larger one — a batch touching tens of millions of
-    * components — falls back to a shuffle join on `component` instead
-    * of blowing the driver with a forced broadcast (ADVICE r16). The
-    * mapping is checkpointed before the decision, so the count is a
-    * cheap metadata pass and the label-graph CC never runs twice.
-    * Default ≈ 4M (id, component) longs ≈ 64 MB broadcast; 0 forces
-    * the shuffle join (the scale-measurement hook). */
+  /** Session conf key for [[connectedComponentsAgainst]]'s batch-size
+    * broadcast crossovers — BOTH of them: the batch-endpoint set in
+    * the touched-slice lookup (ADVICE r17: endpoints bound the mapping
+    * from above, so gating only the relabel left the bigger broadcast
+    * ungated) and the touched-component mapping in the artifact
+    * relabel (ADVICE r16). Each frame with at most this many rows is
+    * BROADCAST (the batch-bounded fast path); above it the join falls
+    * back to a keyed shuffle instead of blowing the driver with a
+    * forced broadcast. Both frames are checkpointed before the
+    * decision, so each count is a cheap metadata pass and no subtree
+    * runs twice. Default ≈ 4M (id, component) longs ≈ 64 MB broadcast;
+    * 0 forces the shuffle joins (the scale-measurement hook). */
   val SmallMappingRowsConf = "graft.graph.smallMappingRows"
 
   private[graft] val DefaultSmallMappingRows = 4000000L
@@ -48,8 +50,30 @@ object Graph {
     * over the artifact — refusing loudly otherwise. Off by default
     * (the aggregation is an artifact-wide exchange per ingest); the
     * cheap narrow necessary-condition probe (`component <= id` on
-    * every row) always runs regardless. */
+    * every row) and the sampled self-row probe
+    * ([[CanonicalProbeLabelsConf]]) run regardless. */
   val ValidateCanonicalArtifactConf = "graft.graph.validateCanonicalArtifact"
+
+  /** Session conf key: how many artifact labels the DEFAULT-ON sampled
+    * canonicality probe checks per [[connectedComponentsAgainst]]
+    * ingest. The in-scan `raise_error` guard catches any label ABOVE
+    * its member id for free, but a synthetic labeling sitting BELOW
+    * every member id passes it silently (r17 verdict) — and a
+    * canonical label is a member id labeling itself, so the row
+    * `(id = label, component = label)` must exist for every label.
+    * The probe samples up to this many labels and asserts their
+    * self-rows exist: two scan-only jobs against the RAW artifact (the
+    * `IN` filter pushes to the source), NO exchange, and
+    * probabilistic coverage the free guard cannot give. Cheap for
+    * parquet-backed artifacts (the serving shape); for an expensively
+    * DERIVED artifact frame each probe job re-runs its subtree (the
+    * [[graft.core.Quantiles]] caveat) — checkpoint it first or set `0`
+    * here, which disables the probe (e.g. tight ingest loops).
+    * [[ValidateCanonicalArtifactConf]] supersedes it with the exact
+    * artifact-wide check. */
+  val CanonicalProbeLabelsConf = "graft.graph.canonicalProbeLabels"
+
+  private[graft] val DefaultCanonicalProbeLabels = 1000
 
   private def nonCanonical(op: String, detail: String): Nothing =
     throw new IllegalStateException(
@@ -201,21 +225,23 @@ object Graph {
     * contract with it. That precondition is enforced LOUDLY at zero
     * extra cost: a `raise_error` guard fused into the artifact
     * projection refuses the first time any scan meets a row with
-    * `component > id` (a canonical label is the component minimum),
-    * and setting [[ValidateCanonicalArtifactConf]] adds the exact
-    * per-component min check (one artifact aggregation) for labelings
-    * the in-scan guard cannot catch.
+    * `component > id` (a canonical label is the component minimum); a
+    * DEFAULT-ON sampled self-row probe ([[CanonicalProbeLabelsConf]])
+    * catches below-every-id labelings the guard cannot; and setting
+    * [[ValidateCanonicalArtifactConf]] swaps the probe for the exact
+    * per-component min check (one artifact aggregation).
     *
     * Plan shape at 100 TB: the contraction runs on the LABEL graph —
     * one row per new edge, never the historical graph — so the
     * O(log n) rounds are batch-sized. The artifact is SCANNED exactly
     * twice (the touched-slice lookup — a map-side semi join against
     * the broadcast batch endpoints — and the relabel join) and
-    * EXCHANGED never: the touched-component mapping broadcasts while
-    * it is under [[SmallMappingRowsConf]] rows and falls back to a
-    * shuffle join on `component` above it (a pathological batch
-    * degrades to one artifact exchange instead of an over-budget
-    * broadcast) — no historical-edge rescan either way. Returns the
+    * EXCHANGED never: both batch-sized broadcasts (endpoints and the
+    * touched-component mapping) share the [[SmallMappingRowsConf]]
+    * bound and fall back to a keyed shuffle join above it (a
+    * pathological batch degrades to at most two keyed artifact
+    * exchanges instead of an over-budget broadcast) — no
+    * historical-edge rescan either way. Returns the
     * UPDATED full (id, component) labeling, ready to persist as the
     * next artifact. */
   def connectedComponentsAgainst(
@@ -262,6 +288,37 @@ object Graph {
         nonCanonical("connectedComponentsAgainst",
           "a component's label differs from its minimum member id " +
             s"(full check under $ValidateCanonicalArtifactConf)")
+    } else {
+      // DEFAULT-ON sampled self-row probe (r17 verdict): catches
+      // below-every-id labelings the in-scan guard cannot. Runs on the
+      // RAW artifact so the IN filter pushes past the raise_error
+      // projection (which blocks source pushdown) to the scan.
+      val probeN = artifact.sparkSession.conf
+        .get(CanonicalProbeLabelsConf, DefaultCanonicalProbeLabels.toString)
+        .toInt
+      if (probeN > 0) {
+        val raw = artifact.select(col("id").cast("long").as("id"),
+          col("component").cast("long").as("component"))
+        val sampled = raw.select("component").limit(probeN).collect()
+        if (sampled.exists(_.isNullAt(0)))
+          nonCanonical("connectedComponentsAgainst",
+            "a sampled artifact row carries a NULL component label")
+        val labels = sampled.map(_.getLong(0)).distinct
+        if (labels.nonEmpty) {
+          val selfRows = raw
+            .filter(col("id").isin(labels.map(Long.box): _*) &&
+              col("id") === col("component"))
+            .agg(countDistinct(col("id"))).head().getLong(0)
+          if (selfRows < labels.length)
+            nonCanonical("connectedComponentsAgainst",
+              s"${labels.length - selfRows} of ${labels.length} sampled " +
+                "labels have no self-row (a row with id == component == " +
+                "label) — a canonical label is its component's minimum " +
+                "MEMBER id and always labels itself (sampled probe under " +
+                s"$CanonicalProbeLabelsConf; exact check under " +
+                s"$ValidateCanonicalArtifactConf)")
+        }
+      }
     }
     // canonical new edges (u > v), self-loops dropped — the same
     // hygiene connectedComponents applies
@@ -274,6 +331,16 @@ object Graph {
     val endpoints = newE.select(col("u").as("id"))
       .unionAll(newE.select(col("v").as("id")))
       .distinct()
+      .localCheckpoint(true) // consumed by the touched-slice join + lab
+    // BOTH batch-sized broadcasts (the touched-slice lookup here, the
+    // relabel mapping below) share one crossover bound: mapping rows
+    // are <= endpoint rows, so gating only the relabel (the r16 fix)
+    // left any batch big enough to trip that fallback ALREADY paying
+    // an over-budget endpoints broadcast in this join (ADVICE r17).
+    // The count is metadata-cheap on the checkpointed endpoints.
+    val smallMapping = newEdges.sparkSession.conf
+      .get(SmallMappingRowsConf, DefaultSmallMappingRows.toString).toLong
+    val endpointRows = endpoints.count()
     // the TOUCHED slice of the artifact: a broadcast LEFT SEMI join
     // (endpoints are batch-bounded) — the artifact streams map-side
     // with NO exchange, and the output is batch-bounded. r17 fix: the
@@ -281,8 +348,13 @@ object Graph {
     // id every ingest (the left side of an outer join cannot be the
     // broadcast side), as did the new-node anti join below — two
     // artifact-wide exchanges the "no artifact shuffle" contract
-    // claimed not to pay.
-    val artTouched = art.join(broadcast(endpoints), Seq("id"), "left_semi")
+    // claimed not to pay. A pathological batch (endpoints above the
+    // bound) degrades to a shuffle left_semi — ONE keyed artifact
+    // exchange, same contract as the relabel fallback — instead of
+    // forcing an over-budget broadcast.
+    val artTouched = art.join(
+        if (endpointRows <= smallMapping) broadcast(endpoints) else endpoints,
+        Seq("id"), "left_semi")
       .localCheckpoint(true) // batch-bounded; consumed by lab + anti join
     // provisional label per new-edge endpoint: its old component if
     // known, else itself (a genuinely new node is its own component) —
@@ -307,8 +379,6 @@ object Graph {
     // conf'd bound falls back to a shuffle join on `component` instead
     // of forcing an over-budget broadcast. The count is metadata-cheap
     // on the checkpointed mapping.
-    val smallMapping = newEdges.sparkSession.conf
-      .get(SmallMappingRowsConf, DefaultSmallMappingRows.toString).toLong
     val joinMapping =
       if (mapping.count() <= smallMapping) broadcast(mapping) else mapping
     // ONE relabel pass over the artifact: untouched components miss

@@ -197,23 +197,30 @@ object Similarity {
       return mmrRerankLocal(cand, emb, k, lambda, queryIdCol)
     // a candidate id absent from `embeddings` has no pairwise cosine,
     // so later greedy steps could never score (and thus never pick) it
-    // — that silent exclusion would skew the re-rank, so fail loudly
-    val nMissing = cand.select("corpus_id").distinct()
-      .join(emb, Seq("corpus_id"), "left_anti").limit(1).count()
+    // — that silent exclusion would skew the re-rank — and a DUPLICATE
+    // embedding id is as loud a failure: which vector "wins" would be
+    // engine/collect-order dependent (the driver route's toMap keeps
+    // an arbitrary duplicate, this route's joins fan out and max(psim)
+    // mixes them) — refuse both, instead of letting the two
+    // spec-pinned-identical routes diverge (ADVICE r16). BOTH
+    // preconditions come out of ONE probe job over one left join
+    // (ADVICE r17: this was two back-to-back eager jobs): a candidate
+    // id with m vectors contributes m joined rows, a missing id
+    // contributes one null-marker row — so missing = null markers and
+    // duplicates = matched rows minus matched ids.
+    val probe = cand.select("corpus_id").distinct()
+      .join(emb.select(col("corpus_id"), lit(1).as("__has")),
+        Seq("corpus_id"), "left")
+      .agg(count(lit(1)), countDistinct(col("corpus_id")),
+        count(when(col("__has").isNull, 1))).head()
+    val (nRows, nIds, nMissing) =
+      (probe.getLong(0), probe.getLong(1), probe.getLong(2))
     require(nMissing == 0L,
       "mmrRerank: candidates reference corpus ids with no row in " +
         "`embeddings` — every candidate id must have a vector (missing " +
         "ids would be silently unpickable after rank 1)")
-    // a DUPLICATE embedding id is as loud a failure as a missing one:
-    // which vector "wins" would be engine/collect-order dependent (the
-    // driver route's toMap keeps an arbitrary duplicate, this route's
-    // joins fan out and max(psim) mixes them) — refuse instead of
-    // letting the two spec-pinned-identical routes diverge (ADVICE r16)
-    val dupStats = emb
-      .join(cand.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
-      .agg(count(lit(1)), countDistinct(col("corpus_id"))).head()
-    require(dupStats.getLong(0) == dupStats.getLong(1),
-      s"mmrRerank: `embeddings` carries ${dupStats.getLong(0) - dupStats.getLong(1)} " +
+    require(nRows == nIds,
+      s"mmrRerank: `embeddings` carries ${nRows - nIds} " +
         "duplicate rows for candidate corpus ids — each candidate must " +
         "have exactly ONE vector (which duplicate wins would be " +
         "nondeterministic); deduplicate embeddings first")

@@ -36,6 +36,7 @@ class BenchBaselinesSpec extends SparkTestBase {
     "q_median_price", "q_weighted_arith", "q_ivf_pq_topk", "q_exact_dedup",
     "q_drift_cat", "q_pushdown_read", "q_quantize", "q_pq_topk",
     "q_det_sample", "q_expectations",
+    "q_ann_persist", "q_ann_index_scan",
     "q_entropy", "q_conv_profile", "q_semantic_decontaminate",
     "q_exact_quantile",
     "q_interval_join", "q_gopher_flags", "q_bt_scores",

@@ -416,6 +416,61 @@ class PropertySpec extends SparkTestBase {
       // its own qualifying set (divisor answers are budget-feasible)
       for ((bd, rd) <- div; (bb, rb) <- bud)
         assert(rb >= rd, s"budget rows $rb < divisor rows $rd at t=$t n=$n")
+      // FEASIBILITY FRONTIER (r17 verdict 2c): re-solve with the
+      // target set to the returned banding's EXACT recall — the
+      // boundary is inclusive (>=), so the solver must neither refuse
+      // nor return a banding below that recall
+      for ((b, r) <- bud) {
+        val exact = Dedup.lshRecallAt(t, b, r)
+        if (exact < 1.0) { // target must stay in (0, 1)
+          val (b2, r2) = Dedup.bandingForBudget(t, n, exact)
+          assert(Dedup.lshRecallAt(t, b2, r2) >= exact,
+            s"boundary violated: t=$t n=$n target=$exact -> ($b2,$r2)")
+        }
+      }
+    }
+  }
+
+  test("touched-bucket prune route ≡ full exchange on random corpora, splits, caps") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // r17 verdict task 4: the fixture spec pins the conf'd route on
+    // one hot-bucket shape; here random corpora are randomly split
+    // into batch/ref (including EMPTY sides) and minHashCrossPairs
+    // must return identical pair sets with the prune ON (floor=1),
+    // pinned full-exchange (smallBatchDocs=0), and default routing —
+    // across hot-bucket caps (off / tight / loose). A 5-word alphabet
+    // makes near-dup pairs and shared buckets common.
+    val doc = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+        .map(_.mkString(" ")))
+    val gen = for {
+      docs <- Gen.listOf(doc)
+      mask <- Gen.listOfN(docs.size, Gen.oneOf(true, false))
+      cap <- Gen.oneOf(0, 2, 1000)
+    } yield (docs, mask, cap)
+    for (((docs, mask, cap), i) <- samples(gen, 6).zipWithIndex) {
+      val rows = docs.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val batch = rows.zip(mask).collect { case (r, true) => r }
+        .toDF("id", "text")
+      val ref = rows.zip(mask).collect { case (r, false) => r }
+        .toDF("id", "text")
+      def run(): Set[(Long, Long)] =
+        Dedup.minHashCrossPairs(batch, ref, "text", "id",
+            threshold = 0.4, maxBucketSize = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set(Dedup.MinHashPruneMinRefDocsConf, "1")
+      val pruned =
+        try run()
+        finally spark.conf.unset(Dedup.MinHashPruneMinRefDocsConf)
+      spark.conf.set(Dedup.MinHashSmallBatchDocsConf, "0")
+      val full =
+        try run()
+        finally spark.conf.unset(Dedup.MinHashSmallBatchDocsConf)
+      assert(pruned == full,
+        s"i=$i cap=$cap batch=${mask.count(identity)} " +
+          s"ref=${mask.count(!_)}: pruned route diverged from full exchange")
+      assert(run() == full, s"i=$i cap=$cap: default route diverged")
     }
   }
 

@@ -418,18 +418,20 @@ class DedupSpec extends SparkTestBase {
       (11L, "entirely novel content about bloom filters and bin packing methods"),
       (12L, "")  // no grams -> can never match, must survive
     ).toDF("id", "text")
-    // BOTH router routes must agree bitwise: the default (batch below
-    // graft.minhash.smallBatchDocs -> ref banding pruned map-side to
-    // batch-touched buckets) and the pinned-0 full-exchange shape
-    for (conf <- Seq(None, Some("0"))) {
-      conf.foreach(spark.conf.set(Dedup.MinHashSmallBatchDocsConf, _))
+    // BOTH router routes must agree bitwise. Since the prune became
+    // opt-in (default ref-size floor = Long.MaxValue), the first arm
+    // must LOWER the floor to genuinely take the pruned route — the
+    // bare default would test the full-exchange shape twice (ADVICE
+    // r17). Second arm: defaults, the full-exchange shape.
+    for (pruneFloor <- Seq(Some("1"), None)) {
+      pruneFloor.foreach(spark.conf.set(Dedup.MinHashPruneMinRefDocsConf, _))
       try {
         val out = Dedup.minHashDedupAgainst(fresh, ref, "text", "id",
             threshold = 0.6)
           .select("id").as[Long].collect().toSet
-        assert(out == Set(11L, 12L), s"conf=$conf")
-      } finally conf.foreach(_ =>
-        spark.conf.unset(Dedup.MinHashSmallBatchDocsConf))
+        assert(out == Set(11L, 12L), s"pruneFloor=$pruneFloor")
+      } finally pruneFloor.foreach(_ =>
+        spark.conf.unset(Dedup.MinHashPruneMinRefDocsConf))
     }
   }
 

@@ -95,11 +95,16 @@ class GraphSpec extends SparkTestBase {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e1).exists(_.contains("not canonical")),
       s"expected the canonicality refusal, got: ${messages(e1)}")
-    // synthetic labels BELOW every member id pass the narrow probe but
-    // are still non-canonical — the full check (behind the conf)
-    // refuses; without the conf the probe alone cannot catch this one
+    // synthetic labels BELOW every member id pass the in-scan guard
+    // but are still non-canonical — caught by DEFAULT via the sampled
+    // self-row probe (a canonical label always labels itself), and by
+    // the exact per-component check behind the conf
     val synthetic = Seq((10L, -7L), (11L, -7L), (1L, -9L), (2L, -9L))
       .toDF("id", "component")
+    val eProbe = intercept[IllegalStateException](
+      Graph.connectedComponentsAgainst(synthetic, batch, "a", "b"))
+    assert(eProbe.getMessage.contains("no self-row"),
+      s"expected the sampled-probe refusal, got: ${eProbe.getMessage}")
     spark.conf.set(Graph.ValidateCanonicalArtifactConf, "true")
     try {
       val e2 = intercept[IllegalStateException](
@@ -114,6 +119,68 @@ class GraphSpec extends SparkTestBase {
     } finally spark.conf.unset(Graph.ValidateCanonicalArtifactConf)
   }
 
+  test("sampled canonicality probe: null labels refused, conf=0 disables, valid artifacts pass") {
+    val batch = Seq((3L, 10L)).toDF("a", "b")
+    // NULL component labels never appear in a canonical artifact and
+    // would slide through the raise_error guard (null > id is null)
+    val withNull = Seq((1L, Some(1L)), (2L, None))
+      .toDF("id", "component")
+    val eNull = intercept[IllegalStateException](
+      Graph.connectedComponentsAgainst(withNull, batch, "a", "b"))
+    assert(eNull.getMessage.contains("NULL component"))
+    // conf=0 disables the probe: the below-id labeling is accepted
+    // silently again (the documented tight-loop escape hatch)
+    val synthetic = Seq((10L, -7L), (11L, -7L)).toDF("id", "component")
+    spark.conf.set(Graph.CanonicalProbeLabelsConf, "0")
+    try {
+      assert(Graph.connectedComponentsAgainst(synthetic, batch, "a", "b")
+        .count() > 0)
+    } finally spark.conf.unset(Graph.CanonicalProbeLabelsConf)
+    // a valid artifact passes the probe (no false positives): every
+    // canonical label has its self-row by construction
+    val artifact = Graph.connectedComponents(edges, "a", "b")
+    val got = Graph.connectedComponentsAgainst(artifact, batch, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 1L, 11L -> 1L))
+  }
+
+  test("raise_error guard survives optimization in EVERY artifact consumer") {
+    // r17-verdict adversarial pin: the guard is fused into the `id`
+    // projection — if any consumer's column pruning could drop it, a
+    // non-canonical row in that consumer's slice would pass silently.
+    // Disable the sampled probe so the guard is the ONLY defence.
+    spark.conf.set(Graph.CanonicalProbeLabelsConf, "0")
+    try {
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      // (a) the bad row is OUTSIDE the touched slice: only the relabel
+      // join scans it, so the guard must survive in that branch
+      val badUntouched = Seq((10L, 10L), (11L, 10L), (5L, 7L))
+        .toDF("id", "component")
+      val e1 = intercept[Throwable](Graph.connectedComponentsAgainst(
+        badUntouched, Seq((10L, 11L)).toDF("a", "b"), "a", "b").collect())
+      assert(messages(e1).exists(_.contains("not canonical")),
+        s"relabel branch lost the guard: ${messages(e1)}")
+      // (b) the bad row IS the touched slice: the semi-join scan must
+      // fire the guard during the eager touched-slice materialisation
+      val badTouched = Seq((10L, 10L), (11L, 10L), (2L, 3L))
+        .toDF("id", "component")
+      val e2 = intercept[Throwable](Graph.connectedComponentsAgainst(
+        badTouched, Seq((2L, 50L)).toDF("a", "b"), "a", "b").collect())
+      assert(messages(e2).exists(_.contains("not canonical")),
+        s"touched-slice branch lost the guard: ${messages(e2)}")
+      // (c) plan pin: the OPTIMIZED plan of the returned frame still
+      // carries the raise_error projection (constant folding / column
+      // pruning did not eliminate it from the relabel scan)
+      val artifact = Graph.connectedComponents(edges, "a", "b")
+      val out = Graph.connectedComponentsAgainst(
+        artifact, Seq((3L, 10L)).toDF("a", "b"), "a", "b")
+      assert(out.queryExecution.optimizedPlan.toString.contains("raise_error"),
+        "optimized plan dropped the canonicality raise_error guard")
+    } finally spark.conf.unset(Graph.CanonicalProbeLabelsConf)
+  }
+
   test("connectedComponentsAgainst: shuffle-join fallback ≡ broadcast relabel") {
     val all = Seq((2L, 1L), (2L, 3L), (3L, 4L), (1L, 3L), (11L, 10L),
       (5L, 6L), (4L, 5L), (30L, 31L), (0L, 6L))
@@ -122,12 +189,38 @@ class GraphSpec extends SparkTestBase {
     val batch = all.drop(5).toDF("a", "b")
     val expect = Graph.connectedComponentsAgainst(artifact, batch, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    spark.conf.set(Graph.SmallMappingRowsConf, "0") // force the shuffle join
+    // conf=0 forces BOTH shuffle fallbacks: the touched-slice
+    // endpoints join (ADVICE r17) and the relabel mapping join
+    spark.conf.set(Graph.SmallMappingRowsConf, "0")
     try {
       val got = Graph.connectedComponentsAgainst(artifact, batch, "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expect, "shuffle-join fallback diverged from broadcast")
     } finally spark.conf.unset(Graph.SmallMappingRowsConf)
+  }
+
+  test("null edge endpoints: dropped identically by incremental and recompute") {
+    // r17-verdict adversarial pin (artTouched equivalence under nulls):
+    // greatest/least skip nulls, so a (null, x) edge canonicalises to
+    // the self-loop (x, x) and is dropped — node x must NOT enter the
+    // labeling through it, on EITHER path. duplicateClusters applies
+    // the same hygiene, so incremental ≡ recompute holds.
+    val withNulls = Seq(
+      (Some(1L), Some(2L)), (Some(2L), Some(3L)),
+      (None, Some(9L)), (Some(9L), None),
+      (Option.empty[Long], Option.empty[Long])).toDF("a", "b")
+    val expect = Graph.connectedComponents(withNulls, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hist = Seq((Some(1L), Some(2L))).toDF("a", "b")
+    val batch = Seq((Some(2L), Some(3L)), (None, Some(9L)),
+      (Some(9L), None), (Option.empty[Long], Option.empty[Long]))
+      .toDF("a", "b")
+    val got = Graph.connectedComponentsAgainst(
+        Graph.connectedComponents(hist, "a", "b"), batch, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "incremental diverged from recompute under nulls")
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "a null-endpoint edge must not introduce its non-null side")
   }
 
   test("connectedComponentsStringIds: labels by lexicographic-min member") {

@@ -1106,13 +1106,17 @@ object SparkEntry {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_pinc_q").toString
       Dedup.saveMinHashRef(ref, "text", "doc_id", s"$dir/ref")
-      val artifact = operators.Graph.connectedComponents(
+      // the cluster-state artifact is PERSISTED between ingests (the
+      // r18 completion of the serving shape: state lives in parquet,
+      // so the default-on canonicality probe and both artifact scans
+      // read the store, never a recompute subtree)
+      operators.Graph.saveComponents(
         Dedup.minHashPairsFromRef(s, s"$dir/ref", threshold = 0.7),
-        "id_a", "id_b")
+        "id_a", "id_b", s"$dir/cc")
       val newEdges = Dedup.minHashIncrementalEdges(
         batch, s"$dir/ref", "text", "doc_id", threshold = 0.7)
-      operators.Graph.connectedComponentsAgainst(
-        artifact, newEdges, "id_a", "id_b")
+      operators.Graph.connectedComponentsAgainstRef(
+        newEdges, s"$dir/cc", "id_a", "id_b")
     }),
 
     "q_simhash_dedup" -> ((s, d) =>

@@ -54,19 +54,24 @@ object Graph {
     * ([[CanonicalProbeLabelsConf]]) run regardless. */
   val ValidateCanonicalArtifactConf = "graft.graph.validateCanonicalArtifact"
 
-  /** Session conf key: how many artifact labels the DEFAULT-ON sampled
-    * canonicality probe checks per [[connectedComponentsAgainst]]
-    * ingest. The in-scan `raise_error` guard catches any label ABOVE
-    * its member id for free, but a synthetic labeling sitting BELOW
-    * every member id passes it silently (r17 verdict) — and a
-    * canonical label is a member id labeling itself, so the row
+  /** Session conf key: how many artifact labels the DEFAULT-ON
+    * self-row probe checks per [[connectedComponentsAgainst]] ingest.
+    * The in-scan `raise_error` guard catches any label ABOVE its
+    * member id for free, but a synthetic labeling sitting BELOW every
+    * member id passes it silently (r17 verdict) — and a canonical
+    * label is a member id labeling itself, so the row
     * `(id = label, component = label)` must exist for every label.
-    * The probe samples up to this many labels and asserts their
-    * self-rows exist: two scan-only jobs against the RAW artifact (the
-    * `IN` filter pushes to the source), NO exchange, and
-    * probabilistic coverage the free guard cannot give. Cheap for
-    * parquet-backed artifacts (the serving shape); for an expensively
-    * DERIVED artifact frame each probe job re-runs its subtree (the
+    * The probe asserts self-rows exist for (a) every TOUCHED
+    * component up to this cap — the exact labels the ingest's
+    * min-label merge depends on, collected free off the batch-bounded
+    * touched-slice checkpoint, so the merge precondition is verified
+    * DETERMINISTICALLY for normal batches — and (b) a global sample
+    * of the same size (probabilistic coverage of garbage labelings
+    * the batch never touches). Cost: two cheap limit-collects plus
+    * ONE `IN`-filtered count against the RAW artifact (the filter
+    * pushes to the source), NO exchange. Cheap for parquet-backed
+    * artifacts (the serving shape); for an expensively DERIVED
+    * artifact frame the probe jobs re-run its subtree (the
     * [[graft.core.Quantiles]] caveat) — checkpoint it first or set `0`
     * here, which disables the probe (e.g. tight ingest loops).
     * [[ValidateCanonicalArtifactConf]] supersedes it with the exact
@@ -226,10 +231,11 @@ object Graph {
     * extra cost: a `raise_error` guard fused into the artifact
     * projection refuses the first time any scan meets a row with
     * `component > id` (a canonical label is the component minimum); a
-    * DEFAULT-ON sampled self-row probe ([[CanonicalProbeLabelsConf]])
-    * catches below-every-id labelings the guard cannot; and setting
-    * [[ValidateCanonicalArtifactConf]] swaps the probe for the exact
-    * per-component min check (one artifact aggregation).
+    * DEFAULT-ON self-row probe ([[CanonicalProbeLabelsConf]]) verifies
+    * every TOUCHED component's label deterministically (plus a global
+    * sample), catching below-every-id labelings the guard cannot; and
+    * setting [[ValidateCanonicalArtifactConf]] swaps the probe for the
+    * exact per-component min check (one artifact aggregation).
     *
     * Plan shape at 100 TB: the contraction runs on the LABEL graph —
     * one row per new edge, never the historical graph — so the
@@ -288,38 +294,13 @@ object Graph {
         nonCanonical("connectedComponentsAgainst",
           "a component's label differs from its minimum member id " +
             s"(full check under $ValidateCanonicalArtifactConf)")
-    } else {
-      // DEFAULT-ON sampled self-row probe (r17 verdict): catches
-      // below-every-id labelings the in-scan guard cannot. Runs on the
-      // RAW artifact so the IN filter pushes past the raise_error
-      // projection (which blocks source pushdown) to the scan.
-      val probeN = artifact.sparkSession.conf
+    }
+    val probeN =
+      if (artifact.sparkSession.conf
+          .get(ValidateCanonicalArtifactConf, "false").toBoolean) 0
+      else artifact.sparkSession.conf
         .get(CanonicalProbeLabelsConf, DefaultCanonicalProbeLabels.toString)
         .toInt
-      if (probeN > 0) {
-        val raw = artifact.select(col("id").cast("long").as("id"),
-          col("component").cast("long").as("component"))
-        val sampled = raw.select("component").limit(probeN).collect()
-        if (sampled.exists(_.isNullAt(0)))
-          nonCanonical("connectedComponentsAgainst",
-            "a sampled artifact row carries a NULL component label")
-        val labels = sampled.map(_.getLong(0)).distinct
-        if (labels.nonEmpty) {
-          val selfRows = raw
-            .filter(col("id").isin(labels.map(Long.box): _*) &&
-              col("id") === col("component"))
-            .agg(countDistinct(col("id"))).head().getLong(0)
-          if (selfRows < labels.length)
-            nonCanonical("connectedComponentsAgainst",
-              s"${labels.length - selfRows} of ${labels.length} sampled " +
-                "labels have no self-row (a row with id == component == " +
-                "label) — a canonical label is its component's minimum " +
-                "MEMBER id and always labels itself (sampled probe under " +
-                s"$CanonicalProbeLabelsConf; exact check under " +
-                s"$ValidateCanonicalArtifactConf)")
-        }
-      }
-    }
     // canonical new edges (u > v), self-loops dropped — the same
     // hygiene connectedComponents applies
     val newE = newEdges.select(
@@ -356,6 +337,42 @@ object Graph {
         if (endpointRows <= smallMapping) broadcast(endpoints) else endpoints,
         Seq("id"), "left_semi")
       .localCheckpoint(true) // batch-bounded; consumed by lab + anti join
+    // DEFAULT-ON self-row probe (r17 verdict): catches below-every-id
+    // labelings the in-scan guard cannot. A canonical label is a
+    // member id labeling itself, so the row (id = L, component = L)
+    // must exist for every label L. Probed labels: every TOUCHED
+    // component (up to the cap — collected free off the artTouched
+    // checkpoint; these are exactly the labels this ingest's min-label
+    // merge depends on, so the merge precondition is verified
+    // DETERMINISTICALLY for normal batches) plus a global sample
+    // (probabilistic coverage of wholesale-garbage labelings the
+    // batch never touches). One IN-filtered count over the RAW
+    // artifact — the filter pushes past the raise_error projection
+    // (which blocks source pushdown) to the scan; no exchange.
+    if (probeN > 0) {
+      val raw = artifact.select(col("id").cast("long").as("id"),
+        col("component").cast("long").as("component"))
+      val sampled = artTouched.select("component").distinct().limit(probeN)
+        .collect() ++ raw.select("component").limit(probeN).collect()
+      if (sampled.exists(_.isNullAt(0)))
+        nonCanonical("connectedComponentsAgainst",
+          "a sampled artifact row carries a NULL component label")
+      val labels = sampled.map(_.getLong(0)).distinct
+      if (labels.nonEmpty) {
+        val selfRows = raw
+          .filter(col("id").isin(labels.map(Long.box): _*) &&
+            col("id") === col("component"))
+          .agg(countDistinct(col("id"))).head().getLong(0)
+        if (selfRows < labels.length)
+          nonCanonical("connectedComponentsAgainst",
+            s"${labels.length - selfRows} of ${labels.length} probed " +
+              "labels have no self-row (a row with id == component == " +
+              "label) — a canonical label is its component's minimum " +
+              "MEMBER id and always labels itself (touched+sampled probe " +
+              s"under $CanonicalProbeLabelsConf; exact check under " +
+              s"$ValidateCanonicalArtifactConf)")
+      }
+    }
     // provisional label per new-edge endpoint: its old component if
     // known, else itself (a genuinely new node is its own component) —
     // batch-bounded frames on both sides now

@@ -145,6 +145,24 @@ class GraphSpec extends SparkTestBase {
       10L -> 1L, 11L -> 1L))
   }
 
+  test("probe verifies every TOUCHED label deterministically, not just by luck") {
+    // 50 canonical components plus ONE below-id component {200, 201} →
+    // -5. With the cap pinned to 1, a purely global sample would
+    // almost surely pick a canonical label and pass — the probe must
+    // still refuse because touched components are collected FIRST and
+    // the batch touches exactly the bad one (the merge-precondition
+    // determinism the conf scaladoc promises).
+    val good = (0L until 100L by 2L).flatMap(i => Seq((i, i), (i + 1, i)))
+    val art = (good :+ ((200L, -5L)) :+ ((201L, -5L))).toDF("id", "component")
+    spark.conf.set(Graph.CanonicalProbeLabelsConf, "1")
+    try {
+      val e = intercept[IllegalStateException](
+        Graph.connectedComponentsAgainst(
+          art, Seq((200L, 300L)).toDF("a", "b"), "a", "b"))
+      assert(e.getMessage.contains("no self-row"))
+    } finally spark.conf.unset(Graph.CanonicalProbeLabelsConf)
+  }
+
   test("raise_error guard survives optimization in EVERY artifact consumer") {
     // r17-verdict adversarial pin: the guard is fused into the `id`
     // projection — if any consumer's column pruning could drop it, a

@@ -66,8 +66,12 @@ object Graph {
     * min-label merge depends on, collected free off the batch-bounded
     * touched-slice checkpoint, so the merge precondition is verified
     * DETERMINISTICALLY for normal batches — and (b) a global sample
-    * of the same size (probabilistic coverage of garbage labelings
-    * the batch never touches). Cost: two cheap limit-collects plus
+    * of the same size (best-effort coverage of garbage labelings the
+    * batch never touches; taken via `limit`, i.e. from whatever rows
+    * the scan yields first, NOT uniformly — a labeling crafted to be
+    * canonical only in the artifact head defeats it, which is what
+    * [[ValidateCanonicalArtifactConf]] is for). Cost: two cheap
+    * limit-collects plus
     * ONE `IN`-filtered count against the RAW artifact (the filter
     * pushes to the source), NO exchange. Cheap for parquet-backed
     * artifacts (the serving shape); for an expensively DERIVED

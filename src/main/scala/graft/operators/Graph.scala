@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** General graph operators over edge-list DataFrames — the public
@@ -438,6 +438,39 @@ object Graph {
     connectedComponentsAgainst(artifact, newEdges, srcCol, dstCol,
       maxIter, localMaxEdges)
   }
+
+  /** Assert a (id, component) labeling is CANONICAL — label ==
+    * min(member id) within every component, no nulls — refusing loudly
+    * otherwise: the standalone form of the exact check
+    * [[ValidateCanonicalArtifactConf]] runs per ingest, for the
+    * operational pattern "validate the artifact ONCE before an ingest
+    * campaign, then run the campaign with the per-ingest probe"
+    * (one artifact-wide aggregation here vs one per ingest there).
+    * Also validates schema, so it accepts any frame, not just
+    * [[saveComponents]] output. */
+  def assertCanonicalArtifact(artifact: DataFrame): Unit = {
+    require(artifact.columns.toSet == Set("id", "component"),
+      "assertCanonicalArtifact: artifact must be a (id, component) " +
+        s"frame, got columns ${artifact.columns.mkString(", ")}")
+    val raw = artifact.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    val bad = raw
+      .groupBy("component").agg(min(col("id")).as("__graft_min"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("__graft_null_ids"))
+      .filter(col("component").isNull ||
+        col("__graft_null_ids") > 0 ||
+        col("__graft_min") =!= col("component"))
+      .limit(1).count()
+    if (bad > 0L)
+      nonCanonical("assertCanonicalArtifact",
+        "a component's label differs from its minimum member id, or " +
+          "the frame carries NULL ids/labels")
+  }
+
+  /** [[assertCanonicalArtifact]] over a persisted [[saveComponents]]
+    * parquet artifact. */
+  def assertCanonicalArtifactRef(spark: SparkSession, refPath: String): Unit =
+    assertCanonicalArtifact(spark.read.parquet(refPath))
 
   /** Undirected degree per node (self-loops ignored, parallel edges
     * counted once). One distinct + one aggregation at edge grain. */

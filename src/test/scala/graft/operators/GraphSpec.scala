@@ -145,6 +145,27 @@ class GraphSpec extends SparkTestBase {
       10L -> 1L, 11L -> 1L))
   }
 
+  test("assertCanonicalArtifact: accepts canonical labelings, refuses everything else") {
+    // the validate-once-before-a-campaign form of the exact check
+    Graph.assertCanonicalArtifact(Graph.connectedComponents(edges, "a", "b"))
+    val below = Seq((10L, -7L), (11L, -7L)).toDF("id", "component")
+    assert(intercept[IllegalStateException](
+      Graph.assertCanonicalArtifact(below)).getMessage.contains("not canonical"))
+    val wrongMin = Seq((3L, 4L), (4L, 4L)).toDF("id", "component")
+    assert(intercept[IllegalStateException](
+      Graph.assertCanonicalArtifact(wrongMin)).getMessage.contains("not canonical"))
+    val withNull = Seq((Some(1L), Some(1L)), (Some(2L), Option.empty[Long]))
+      .toDF("id", "component")
+    assert(intercept[IllegalStateException](
+      Graph.assertCanonicalArtifact(withNull)).getMessage.contains("not canonical"))
+    assertThrows[IllegalArgumentException](
+      Graph.assertCanonicalArtifact(edges)) // wrong schema
+    // the Ref form round-trips a saveComponents artifact
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_val").toString
+    Graph.saveComponents(edges, "a", "b", s"$dir/cc")
+    Graph.assertCanonicalArtifactRef(spark, s"$dir/cc")
+  }
+
   test("probe verifies every TOUCHED label deterministically, not just by luck") {
     // 50 canonical components plus ONE below-id component {200, 201} →
     // -5. With the cap pinned to 1, a purely global sample would

@@ -2438,6 +2438,12 @@ object Bench {
         "readings well above ~2 s here are contention, not code"),
       "q_dedup_against_ref" -> ("artifact-serve rung measured against " +
         "online recompute in SCALE.md minhash_reference rows"),
+      "q_conv_turns" -> ("turn-grain explode of the synthetic chat " +
+        "corpus (row count is turns, ~3x docs, the only corpus-grain " +
+        "explode-to-output query in the suite); r18 isolated ×3 read " +
+        "2.18-2.54 s — suite readings near 3 s are tail-boundary load " +
+        "noise (r17 pruned this annotation at 1.76 s; re-added per its " +
+        "own re-annotate-if-it-climbs note)"),
       "q_robust_scale" -> ("grouped exact-bounds robust scaling: the " +
         "per-group quantile-bounds machinery is raw-paired via its " +
         "siblings (q_winsorize, q_exact_quantile) and SCALE.md r15 " +

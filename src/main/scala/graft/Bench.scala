@@ -2427,7 +2427,10 @@ object Bench {
         "its serving shape: writes the text-free minhash artifact, derives " +
         "ref state from it, one batch kernel pass for all new edges, " +
         "artifact relabel; each component paired/measured individually " +
-        "(q_minhash_dedup, q_dedup_against_ref, SCALE.md cc_incremental rows)"),
+        "(q_minhash_dedup, q_dedup_against_ref, SCALE.md cc_incremental " +
+        "rows). r18 adds ~0.5-1 s by design: the default-on canonicality " +
+        "probe (priced in SCALE.md cc_small_batch) and the parquet " +
+        "artifact round-trip the serving shape implies"),
       // q_ann_persist / q_ann_index_scan: paired with raw write+
       // readback+search baselines since r18 (their r17 annotations
       // explained the shape but could not flag a 4× IO-path jump)

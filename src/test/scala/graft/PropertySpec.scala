@@ -536,6 +536,11 @@ class PropertySpec extends SparkTestBase {
       val localMax = if (i % 2 == 0) 0L else 1000000L
       if (i % 3 == 0)
         spark.conf.set(graft.operators.Graph.SmallMappingRowsConf, "0")
+      // alternate a cap-1 canonicality probe: valid artifacts must
+      // NEVER false-positive, even when only one touched label + one
+      // head label are checked (r18 touched-first determinism)
+      if (i % 2 == 1)
+        spark.conf.set(graft.operators.Graph.CanonicalProbeLabelsConf, "1")
       try {
         val parts = edges.zip(mask)
         def side(k: Int) = parts.collect { case (e, `k`) => e }
@@ -553,7 +558,10 @@ class PropertySpec extends SparkTestBase {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == expect,
           s"i=$i localMax=$localMax mask=$mask edges=$edges:\n$got\n$expect")
-      } finally spark.conf.unset(graft.operators.Graph.SmallMappingRowsConf)
+      } finally {
+        spark.conf.unset(graft.operators.Graph.SmallMappingRowsConf)
+        spark.conf.unset(graft.operators.Graph.CanonicalProbeLabelsConf)
+      }
     }
   }
 

@@ -244,14 +244,16 @@ object Graph {
     * Plan shape at 100 TB: the contraction runs on the LABEL graph —
     * one row per new edge, never the historical graph — so the
     * O(log n) rounds are batch-sized. The artifact is SCANNED exactly
-    * twice (the touched-slice lookup — a map-side semi join against
-    * the broadcast batch endpoints — and the relabel join) and
-    * EXCHANGED never: both batch-sized broadcasts (endpoints and the
-    * touched-component mapping) share the [[SmallMappingRowsConf]]
-    * bound and fall back to a keyed shuffle join above it (a
-    * pathological batch degrades to at most two keyed artifact
-    * exchanges instead of an over-budget broadcast) — no
-    * historical-edge rescan either way. Returns the
+    * twice by the plan (the touched-slice lookup — a map-side semi
+    * join against the broadcast batch endpoints — and the relabel
+    * join), plus the probe's IN-filtered count and head sample while
+    * [[CanonicalProbeLabelsConf]] is on (scan-only, pushed filter; set
+    * 0 to hold the two-scan floor), and EXCHANGED never: both
+    * batch-sized broadcasts (endpoints and the touched-component
+    * mapping) share the [[SmallMappingRowsConf]] bound and fall back
+    * to a keyed shuffle join above it (a pathological batch degrades
+    * to at most two keyed artifact exchanges instead of an over-budget
+    * broadcast) — no historical-edge rescan either way. Returns the
     * UPDATED full (id, component) labeling, ready to persist as the
     * next artifact. */
   def connectedComponentsAgainst(

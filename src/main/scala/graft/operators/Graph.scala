@@ -49,9 +49,10 @@ object Graph {
     * `min(id) == component` within every component, one aggregation
     * over the artifact — refusing loudly otherwise. Off by default
     * (the aggregation is an artifact-wide exchange per ingest); the
-    * cheap narrow necessary-condition probe (`component <= id` on
-    * every row) and the sampled self-row probe
-    * ([[CanonicalProbeLabelsConf]]) run regardless. */
+    * cheap narrow necessary-condition guard (`component <= id` on
+    * every scanned row) runs regardless, and the touched+sampled
+    * self-row probe ([[CanonicalProbeLabelsConf]]) runs only while
+    * this is off (the exact check subsumes it). */
   val ValidateCanonicalArtifactConf = "graft.graph.validateCanonicalArtifact"
 
   /** Session conf key: how many artifact labels the DEFAULT-ON

@@ -367,7 +367,7 @@ object Graph {
       val labels = sampled.map(_.getLong(0)).distinct
       if (labels.nonEmpty) {
         val selfRows = raw
-          .filter(col("id").isin(labels.map(Long.box): _*) &&
+          .filter(col("id").isin(labels.map(Long.box).toIndexedSeq: _*) &&
             col("id") === col("component"))
           .agg(countDistinct(col("id"))).head().getLong(0)
         if (selfRows < labels.length)

@@ -46,13 +46,16 @@ object Graph {
 
   /** Session conf key: when `true`, [[connectedComponentsAgainst]]
     * FULLY validates that the artifact labeling is canonical —
-    * `min(id) == component` within every component, one aggregation
-    * over the artifact — refusing loudly otherwise. Off by default
-    * (the aggregation is an artifact-wide exchange per ingest); the
-    * cheap narrow necessary-condition guard (`component <= id` on
-    * every scanned row) runs regardless, and the touched+sampled
-    * self-row probe ([[CanonicalProbeLabelsConf]]) runs only while
-    * this is off (the exact check subsumes it). */
+    * `min(id) == component` within every component and no NULL
+    * ids/labels anywhere (ADVICE r18: the pre-r19 form skipped NULL
+    * groups, accepting a null-label artifact the default probe
+    * refuses), one aggregation over the artifact — refusing loudly
+    * otherwise. Off by default (the aggregation is an artifact-wide
+    * exchange per ingest); the cheap narrow necessary-condition guard
+    * (`component <= id` on every scanned row) runs regardless, and
+    * the touched+sampled self-row probe
+    * ([[CanonicalProbeLabelsConf]]) runs only while this is off (the
+    * exact check subsumes it, nulls included). */
   val ValidateCanonicalArtifactConf = "graft.graph.validateCanonicalArtifact"
 
   /** Session conf key: how many artifact labels the DEFAULT-ON
@@ -64,23 +67,33 @@ object Graph {
     * `(id = label, component = label)` must exist for every label.
     * The probe asserts self-rows exist for (a) every TOUCHED
     * component up to this cap — the exact labels the ingest's
-    * min-label merge depends on, collected free off the batch-bounded
+    * min-label merge depends on, collected off the batch-bounded
     * touched-slice checkpoint, so the merge precondition is verified
-    * DETERMINISTICALLY for normal batches — and (b) a global sample
-    * of the same size (best-effort coverage of garbage labelings the
-    * batch never touches; taken via `limit`, i.e. from whatever rows
-    * the scan yields first, NOT uniformly — a labeling crafted to be
-    * canonical only in the artifact head defeats it, which is what
-    * [[ValidateCanonicalArtifactConf]] is for). Cost: two cheap
-    * limit-collects plus
-    * ONE `IN`-filtered count against the RAW artifact (the filter
-    * pushes to the source), NO exchange. Cheap for parquet-backed
-    * artifacts (the serving shape); for an expensively DERIVED
-    * artifact frame the probe jobs re-run its subtree (the
-    * [[graft.core.Quantiles]] caveat) — checkpoint it first or set `0`
-    * here, which disables the probe (e.g. tight ingest loops).
+    * DETERMINISTICALLY for normal batches (a batch touching MORE
+    * components than the cap degrades to a sampled check of cap+1 of
+    * them and logs a warning saying so — raise the cap to restore
+    * determinism) — and (b) a PER-PARTITION head sample of the
+    * artifact of the same total size (r18 verdict: the earlier global
+    * `limit` head sample was defeated by any labeling whose garbage
+    * sat past the scan head; every partition's head is now reachable
+    * with zero exchanges — garbage buried DEEP inside one partition
+    * still needs [[ValidateCanonicalArtifactConf]]). Cost (r18
+    * verdict, re-cut): ONE collect job for both legs, plus a
+    * scan-only self-row assertion FUSED into the returned frame — an
+    * `IN`-pushed filtered count over the raw artifact that raises on
+    * the result's first consumption, exactly like the in-scan guard,
+    * so it adds NO scheduled job of its own and no artifact-grain
+    * exchange. Cheap for parquet-backed artifacts (the serving
+    * shape) even on COLD storage: SCALE.md's cc_probe_cold rows (page
+    * cache dropped before every timed call) show the probe delta flat
+    * (~1 s) from a 1M- to an 8M-node artifact — partition heads plus a
+    * pushed-IN scan, not rescan-the-world. For an expensively DERIVED
+    * artifact frame the sample job
+    * and the fused leg re-run its subtree (the [[graft.core.Quantiles]]
+    * caveat) — checkpoint it first or set `0` here, which disables
+    * the probe (e.g. tight ingest loops).
     * [[ValidateCanonicalArtifactConf]] supersedes it with the exact
-    * artifact-wide check. */
+    * artifact-wide check (null-aware since r19). */
   val CanonicalProbeLabelsConf = "graft.graph.canonicalProbeLabels"
 
   private[graft] val DefaultCanonicalProbeLabels = 1000
@@ -247,9 +260,12 @@ object Graph {
     * O(log n) rounds are batch-sized. The artifact is SCANNED exactly
     * twice by the plan (the touched-slice lookup — a map-side semi
     * join against the broadcast batch endpoints — and the relabel
-    * join), plus the probe's IN-filtered count and head sample while
-    * [[CanonicalProbeLabelsConf]] is on (scan-only, pushed filter; set
-    * 0 to hold the two-scan floor), and EXCHANGED never: both
+    * join), plus, while [[CanonicalProbeLabelsConf]] is on, the
+    * probe's per-partition head-sample collect (head-of-every-
+    * partition only, one job) and its IN-pushed self-row leg fused
+    * into the result (scan-only, pushed filter, evaluated in the
+    * caller's own actions; set 0 to hold the two-scan floor), and
+    * EXCHANGED never: both
     * batch-sized broadcasts (endpoints and the touched-component
     * mapping) share the [[SmallMappingRowsConf]] bound and fall back
     * to a keyed shuffle join above it (a pathological batch degrades
@@ -275,9 +291,10 @@ object Graph {
     // fires the first time any consumer scans that row. Zero extra
     // jobs and zero extra artifact passes (r17: a dedicated probe job
     // re-scanned the full artifact per ingest).
-    val art = artifact
+    val raw = artifact
       .select(col("id").cast("long").as("id"),
         col("component").cast("long").as("component"))
+    val art = raw
       .select(
         when(col("component") > col("id"),
           raise_error(concat(
@@ -290,21 +307,21 @@ object Graph {
               "with connectedComponents/saveComponents."))).cast("long")
         ).otherwise(col("id")).as("id"),
         col("component"))
-    // behind the conf: the exact check (min(id) == component per
-    // component) — one artifact-wide aggregation, catches labelings
-    // the in-scan guard cannot (e.g. synthetic labels below every id)
-    if (artifact.sparkSession.conf
-        .get(ValidateCanonicalArtifactConf, "false").toBoolean) {
-      val off = art.groupBy("component").agg(min(col("id")).as("__graft_min"))
-        .filter(col("__graft_min") =!= col("component")).limit(1).count()
-      if (off > 0L)
-        nonCanonical("connectedComponentsAgainst",
-          "a component's label differs from its minimum member id " +
-            s"(full check under $ValidateCanonicalArtifactConf)")
-    }
+    // behind the conf: the exact check — the same null-aware
+    // per-component aggregation assertCanonicalArtifact runs (ADVICE
+    // r18: the pre-r19 min-only form dropped NULL-component groups and
+    // never inspected null ids, silently accepting artifacts the
+    // default probe refuses loudly) — catches labelings the in-scan
+    // guard cannot (e.g. synthetic labels below every id)
+    val validateExact = artifact.sparkSession.conf
+      .get(ValidateCanonicalArtifactConf, "false").toBoolean
+    if (validateExact && canonicalViolationCount(raw) > 0L)
+      nonCanonical("connectedComponentsAgainst",
+        "a component's label differs from its minimum member id, or " +
+          "the frame carries NULL ids/labels (full check under " +
+          s"$ValidateCanonicalArtifactConf)")
     val probeN =
-      if (artifact.sparkSession.conf
-          .get(ValidateCanonicalArtifactConf, "false").toBoolean) 0
+      if (validateExact) 0
       else artifact.sparkSession.conf
         .get(CanonicalProbeLabelsConf, DefaultCanonicalProbeLabels.toString)
         .toInt
@@ -348,38 +365,87 @@ object Graph {
     // labelings the in-scan guard cannot. A canonical label is a
     // member id labeling itself, so the row (id = L, component = L)
     // must exist for every label L. Probed labels: every TOUCHED
-    // component (up to the cap — collected free off the artTouched
+    // component (up to the cap — collected off the artTouched
     // checkpoint; these are exactly the labels this ingest's min-label
     // merge depends on, so the merge precondition is verified
-    // DETERMINISTICALLY for normal batches) plus a global sample
-    // (probabilistic coverage of wholesale-garbage labelings the
-    // batch never touches). One IN-filtered count over the RAW
-    // artifact — the filter pushes past the raise_error projection
-    // (which blocks source pushdown) to the scan; no exchange.
-    if (probeN > 0) {
-      val raw = artifact.select(col("id").cast("long").as("id"),
-        col("component").cast("long").as("component"))
-      val sampled = artTouched.select("component").distinct().limit(probeN)
-        .collect() ++ raw.select("component").limit(probeN).collect()
-      if (sampled.exists(_.isNullAt(0)))
+    // DETERMINISTICALLY for normal batches, with a logged degradation
+    // warning when a pathological batch overflows the cap) plus a
+    // PER-PARTITION head sample of the artifact (r18 verdict: the
+    // global head `limit` was defeated by garbage past the scan head;
+    // every partition's head is now reachable, still zero exchanges).
+    // Cost re-cut for r19 (the r18 shape was the suite's largest fixed
+    // cost): BOTH legs collect in ONE job, and the self-row count —
+    // an IN filter that pushes past the raise_error projection to the
+    // source scan — is no longer a synchronous job but a zero-row
+    // raise_error leg UNIONED into the returned frame, evaluated
+    // inside the caller's first action exactly like the in-scan guard.
+    // The sample leg also carries the id column, so a NULL id planted
+    // in a sampled row head is refused too (best-effort; the exact
+    // check covers the full frame).
+    val probeLeg: Option[DataFrame] = if (probeN > 0) {
+      val touchedLeg = artTouched
+        .select(col("component").as("id"), col("component"),
+          lit(true).as("__graft_touched"))
+        .distinct().limit(probeN + 1) // +1: cap-overflow detection
+      val sampleSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__graft_touched",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+      // partition selection is baked in at the RDD level: a
+      // TaskContext.partitionId() check would see the UNION's
+      // renumbered ids (the sample leg's partitions sit after the
+      // touched leg's, so `pid < sampledParts` silently sampled
+      // nothing), and PartitionPruningRDD prunes BEFORE scheduling —
+      // an artifact with far more partitions than the cap launches
+      // only `sampledParts` tasks, not a no-op task per partition
+      val sampleRdd = raw.select("id", "component").rdd
+      val nPart = math.max(1, sampleRdd.getNumPartitions)
+      val sampledParts = math.min(nPart, probeN)
+      val perPart = math.max(1, probeN / sampledParts)
+      val sampleLeg = artifact.sparkSession.createDataFrame(
+        org.apache.spark.rdd.PartitionPruningRDD
+          .create(sampleRdd, _ < sampledParts)
+          .mapPartitions(_.take(perPart).map(r =>
+            org.apache.spark.sql.Row(r.get(0), r.get(1), false))),
+        sampleSchema)
+      val sampled = touchedLeg.unionAll(sampleLeg).collect()
+      if (sampled.count(_.getBoolean(2)) > probeN)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponentsAgainst: batch touches more than $probeN " +
+            s"components — the touched-label canonicality check degrades " +
+            s"from deterministic to sampled (${probeN + 1} labels); raise " +
+            s"$CanonicalProbeLabelsConf (or set " +
+            s"$ValidateCanonicalArtifactConf) to restore full coverage")
+      if (sampled.exists(r => r.isNullAt(0) || r.isNullAt(1)))
         nonCanonical("connectedComponentsAgainst",
-          "a sampled artifact row carries a NULL component label")
-      val labels = sampled.map(_.getLong(0)).distinct
-      if (labels.nonEmpty) {
-        val selfRows = raw
-          .filter(col("id").isin(labels.map(Long.box).toIndexedSeq: _*) &&
-            col("id") === col("component"))
-          .agg(countDistinct(col("id"))).head().getLong(0)
-        if (selfRows < labels.length)
-          nonCanonical("connectedComponentsAgainst",
-            s"${labels.length - selfRows} of ${labels.length} probed " +
-              "labels have no self-row (a row with id == component == " +
-              "label) — a canonical label is its component's minimum " +
-              "MEMBER id and always labels itself (touched+sampled probe " +
-              s"under $CanonicalProbeLabelsConf; exact check under " +
-              s"$ValidateCanonicalArtifactConf)")
-      }
-    }
+          "a sampled artifact row carries a NULL id or NULL component " +
+            "label")
+      val labels = sampled.map(_.getLong(1)).distinct
+      if (labels.isEmpty) None
+      else Some(raw
+        .filter(col("id").isin(labels.map(Long.box).toIndexedSeq: _*) &&
+          col("id") === col("component"))
+        .agg(countDistinct(col("id")).as("__graft_selfrows"))
+        .filter(col("__graft_selfrows") < lit(labels.length.toLong))
+        .select(
+          raise_error(concat(
+            lit("connectedComponentsAgainst: artifact labeling is not " +
+              "canonical — "),
+            (lit(labels.length.toLong) - col("__graft_selfrows"))
+              .cast("string"),
+            lit(s" of ${labels.length} probed labels have no self-row " +
+              "(a row with id == component == label) — a canonical label " +
+              "is its component's minimum MEMBER id and always labels " +
+              s"itself (touched+sampled probe under " +
+              s"$CanonicalProbeLabelsConf; exact check under " +
+              s"$ValidateCanonicalArtifactConf). Recompute the artifact " +
+              "with connectedComponents/saveComponents."))).cast("long")
+            .as("id"),
+          lit(0L).as("component")))
+    } else None
     // provisional label per new-edge endpoint: its old component if
     // known, else itself (a genuinely new node is its own component) —
     // batch-bounded frames on both sides now
@@ -401,10 +467,19 @@ object Graph {
     // in principle): the mapping is batch-bounded for normal ingests —
     // broadcast it — but a batch touching more components than the
     // conf'd bound falls back to a shuffle join on `component` instead
-    // of forcing an over-budget broadcast. The count is metadata-cheap
-    // on the checkpointed mapping.
+    // of forcing an over-budget broadcast. r19 (r18 verdict 6d): ONE
+    // count serves both gates in the normal regime — mapping rows are
+    // one per distinct node of the label graph, label-graph nodes are
+    // provisional labels of endpoints, and provisional labels are an
+    // image of the endpoint set, so |mapping| <= endpointRows always;
+    // endpointRows within the bound therefore proves the mapping is
+    // too, and the mapping.count() job runs ONLY on the pathological
+    // path (where it can still rescue a small mapping under a huge
+    // batch). conf=0 still forces both shuffle fallbacks.
     val joinMapping =
-      if (mapping.count() <= smallMapping) broadcast(mapping) else mapping
+      if (endpointRows <= smallMapping || mapping.count() <= smallMapping)
+        broadcast(mapping)
+      else mapping
     // ONE relabel pass over the artifact: untouched components miss
     // the batch-bounded mapping and keep their label
     val updatedOld = art.join(joinMapping, Seq("component"), "left")
@@ -421,7 +496,13 @@ object Graph {
         col("__graft_lab") === col("component"), "left")
       .select(col("id"),
         coalesce(col("__graft_newc"), col("__graft_lab")).as("component"))
-    updatedOld.unionByName(newOnly)
+    // the probe's fused self-row assertion: zero rows when the probed
+    // labels all have self-rows, raise_error on the result's first
+    // consumption otherwise (same lazy-loud contract as the in-scan
+    // guard). The leg is an IN-pushed scan + a 1-row aggregate — no
+    // artifact-grain exchange, no scheduled job of its own.
+    val merged = updatedOld.unionByName(newOnly)
+    probeLeg.fold(merged)(merged.unionByName(_))
   }
 
   /** [[connectedComponentsAgainst]] where the prior labeling is a
@@ -457,18 +538,26 @@ object Graph {
         s"frame, got columns ${artifact.columns.mkString(", ")}")
     val raw = artifact.select(col("id").cast("long").as("id"),
       col("component").cast("long").as("component"))
-    val bad = raw
-      .groupBy("component").agg(min(col("id")).as("__graft_min"),
+    if (canonicalViolationCount(raw) > 0L)
+      nonCanonical("assertCanonicalArtifact",
+        "a component's label differs from its minimum member id, or " +
+          "the frame carries NULL ids/labels")
+  }
+
+  /** The exact canonicality aggregation shared by
+    * [[assertCanonicalArtifact]] and the per-ingest
+    * [[ValidateCanonicalArtifactConf]] check (ADVICE r18: the two had
+    * drifted — the per-ingest form dropped NULL-component groups and
+    * never inspected null ids): > 0 iff some component's label is not
+    * its minimum member id, or any id/label is NULL. One artifact-wide
+    * aggregation, short-circuited by limit(1). */
+  private def canonicalViolationCount(raw: DataFrame): Long =
+    raw.groupBy("component").agg(min(col("id")).as("__graft_min"),
         sum(when(col("id").isNull, 1L).otherwise(0L)).as("__graft_null_ids"))
       .filter(col("component").isNull ||
         col("__graft_null_ids") > 0 ||
         col("__graft_min") =!= col("component"))
       .limit(1).count()
-    if (bad > 0L)
-      nonCanonical("assertCanonicalArtifact",
-        "a component's label differs from its minimum member id, or " +
-          "the frame carries NULL ids/labels")
-  }
 
   /** [[assertCanonicalArtifact]] over a persisted [[saveComponents]]
     * parquet artifact. */

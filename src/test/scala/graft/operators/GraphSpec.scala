@@ -98,13 +98,15 @@ class GraphSpec extends SparkTestBase {
     // synthetic labels BELOW every member id pass the in-scan guard
     // but are still non-canonical — caught by DEFAULT via the sampled
     // self-row probe (a canonical label always labels itself), and by
-    // the exact per-component check behind the conf
+    // the exact per-component check behind the conf. r19: the probe's
+    // self-row assertion is FUSED into the result (same lazy-loud
+    // contract as the in-scan guard) — it fires on the first action.
     val synthetic = Seq((10L, -7L), (11L, -7L), (1L, -9L), (2L, -9L))
       .toDF("id", "component")
-    val eProbe = intercept[IllegalStateException](
-      Graph.connectedComponentsAgainst(synthetic, batch, "a", "b"))
-    assert(eProbe.getMessage.contains("no self-row"),
-      s"expected the sampled-probe refusal, got: ${eProbe.getMessage}")
+    val eProbe = intercept[Throwable](
+      Graph.connectedComponentsAgainst(synthetic, batch, "a", "b").collect())
+    assert(messages(eProbe).exists(_.contains("no self-row")),
+      s"expected the sampled-probe refusal, got: ${messages(eProbe)}")
     spark.conf.set(Graph.ValidateCanonicalArtifactConf, "true")
     try {
       val e2 = intercept[IllegalStateException](
@@ -166,6 +168,28 @@ class GraphSpec extends SparkTestBase {
     Graph.assertCanonicalArtifactRef(spark, s"$dir/cc")
   }
 
+  test("empty artifact: vacuously canonical, and ingest equals a plain recompute") {
+    // r18 verdict 6b: the standalone validator and the per-ingest
+    // machinery must agree on the degenerate artifact. An empty
+    // labeling has no component violating anything — both the exact
+    // check and the probe accept it — and ingesting against it is
+    // exactly connectedComponents over the batch alone.
+    val empty = Seq.empty[(Long, Long)].toDF("id", "component")
+    Graph.assertCanonicalArtifact(empty) // no-throw
+    val batch = Seq((2L, 1L), (3L, 2L), (10L, 11L)).toDF("a", "b")
+    val expect = Graph.connectedComponents(batch, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Graph.connectedComponentsAgainst(empty, batch, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "empty-artifact ingest diverged from recompute")
+    spark.conf.set(Graph.ValidateCanonicalArtifactConf, "true")
+    try {
+      val gotExact = Graph.connectedComponentsAgainst(empty, batch, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotExact == expect)
+    } finally spark.conf.unset(Graph.ValidateCanonicalArtifactConf)
+  }
+
   test("probe verifies every TOUCHED label deterministically, not just by luck") {
     // 50 canonical components plus ONE below-id component {200, 201} →
     // -5. With the cap pinned to 1, a purely global sample would
@@ -175,13 +199,78 @@ class GraphSpec extends SparkTestBase {
     // determinism the conf scaladoc promises).
     val good = (0L until 100L by 2L).flatMap(i => Seq((i, i), (i + 1, i)))
     val art = (good :+ ((200L, -5L)) :+ ((201L, -5L))).toDF("id", "component")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     spark.conf.set(Graph.CanonicalProbeLabelsConf, "1")
     try {
-      val e = intercept[IllegalStateException](
+      val e = intercept[Throwable](
         Graph.connectedComponentsAgainst(
-          art, Seq((200L, 300L)).toDF("a", "b"), "a", "b"))
-      assert(e.getMessage.contains("no self-row"))
+          art, Seq((200L, 300L)).toDF("a", "b"), "a", "b").collect())
+      assert(messages(e).exists(_.contains("no self-row")),
+        s"expected the touched-label refusal, got: ${messages(e)}")
     } finally spark.conf.unset(Graph.CanonicalProbeLabelsConf)
+  }
+
+  test("probe reaches garbage past the scan head: per-partition sample (r18 verdict)") {
+    // partition 0 is a perfectly canonical head; partition 1 carries a
+    // below-every-id labeling the batch never touches. The r18 global
+    // `limit(probeN)` head sample read only partition 0 and passed
+    // this artifact silently; the r19 per-partition head sample takes
+    // the head of EVERY partition, so the tail garbage is found — and
+    // the refusal fires on the result's first action (the fused leg).
+    val head = (0L until 40L by 2L).flatMap(i => Seq((i, i), (i + 1, i)))
+      .toDF("id", "component").coalesce(1)
+    val tail = Seq((200L, -7L), (201L, -7L)).toDF("id", "component").coalesce(1)
+    val art = head.unionAll(tail) // 2 partitions, garbage only in #1
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // batch touches only the canonical head component {0, 1}
+    val e = intercept[Throwable](
+      Graph.connectedComponentsAgainst(
+        art, Seq((1L, 300L)).toDF("a", "b"), "a", "b").collect())
+    assert(messages(e).exists(_.contains("no self-row")),
+      s"tail-partition garbage escaped the per-partition sample: ${messages(e)}")
+  }
+
+  test("touched-label cap overflow: degrades to a sampled check, never a false refusal") {
+    // a batch touching MORE components than the cap can no longer be
+    // verified deterministically — the probe checks cap+1 of them and
+    // logs a warning (r18 verdict 6a pin: the degradation is defined
+    // behavior, not a silent skip). A canonical artifact must still
+    // pass, and the merge must still be correct.
+    val art = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("id", "component")
+    spark.conf.set(Graph.CanonicalProbeLabelsConf, "1")
+    try {
+      val got = Graph.connectedComponentsAgainst(
+          art, Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    } finally spark.conf.unset(Graph.CanonicalProbeLabelsConf)
+  }
+
+  test("exact check behind the conf refuses NULL ids and NULL labels (ADVICE r18)") {
+    // the pre-r19 per-ingest exact check filtered `min != component`,
+    // which drops NULL-component groups and never looks at ids — a
+    // null-label artifact the DEFAULT probe refuses was accepted
+    // silently under the STRICTER conf. Both null shapes must refuse
+    // eagerly now (the exact check is driver-side), matching
+    // assertCanonicalArtifact.
+    val batch = Seq((3L, 10L)).toDF("a", "b")
+    spark.conf.set(Graph.ValidateCanonicalArtifactConf, "true")
+    try {
+      val nullLabel = Seq((1L, Some(1L)), (2L, None)).toDF("id", "component")
+      val e1 = intercept[IllegalStateException](
+        Graph.connectedComponentsAgainst(nullLabel, batch, "a", "b"))
+      assert(e1.getMessage.contains("NULL"),
+        s"null-label artifact accepted under the exact check: ${e1.getMessage}")
+      val nullId = Seq((Some(1L), Some(1L)), (Option.empty[Long], Some(1L)))
+        .toDF("id", "component")
+      val e2 = intercept[IllegalStateException](
+        Graph.connectedComponentsAgainst(nullId, batch, "a", "b"))
+      assert(e2.getMessage.contains("NULL"),
+        s"null-id artifact accepted under the exact check: ${e2.getMessage}")
+    } finally spark.conf.unset(Graph.ValidateCanonicalArtifactConf)
   }
 
   test("raise_error guard survives optimization in EVERY artifact consumer") {

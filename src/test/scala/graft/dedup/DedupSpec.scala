@@ -462,6 +462,18 @@ class DedupSpec extends SparkTestBase {
       assert(pruned == full, s"cap=$cap: routes diverged")
       assert(run(cap) == full, s"cap=$cap: default route diverged")
     }
+    // the cap's semantic contract made explicit (r18 verdict 6c): the
+    // output is identical-UP-TO-CAP, not identical — batch doc 11 is a
+    // TRUE near-duplicate of the 30 hot ref docs, present uncapped and
+    // dropped at cap=5 because its every shared bucket is over the cap
+    // (the checkpoint-after-cap plan changes where the pruned slice
+    // materialises, never which pairs the cap keeps — the route
+    // equalities above hold at every cap)
+    assert(run(0).exists(_._1 == 11L),
+      "uncapped: the hot-bucket true pair must be present")
+    assert(!run(5).exists(_._1 == 11L),
+      "capped: a true pair whose only shared buckets exceed the cap is " +
+        "dropped by contract")
   }
 
   test("minHashDedupAgainst never drops when ref is disjoint; schema passes through") {

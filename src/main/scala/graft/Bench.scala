@@ -2428,9 +2428,12 @@ object Bench {
         "ref state from it, one batch kernel pass for all new edges, " +
         "artifact relabel; each component paired/measured individually " +
         "(q_minhash_dedup, q_dedup_against_ref, SCALE.md cc_incremental " +
-        "rows). r18 adds ~0.5-1 s by design: the default-on canonicality " +
-        "probe (priced in SCALE.md cc_small_batch) and the parquet " +
-        "artifact round-trip the serving shape implies"),
+        "rows). The default-on canonicality probe was re-cut for r19 " +
+        "(one fused collect job + a lazy self-row leg): SCALE.md " +
+        "cc_small_batch r19 rows price it at ~0.2-0.3 s warm per ingest " +
+        "(vs 0.9-2.3 s at r18), plus ~2 s of once-per-JVM JIT visible " +
+        "only in each run's first probed ingest; r19 isolated x3 at " +
+        "HEAD read 5.45-5.86 s, the parquet round-trip serving shape"),
       // q_ann_persist / q_ann_index_scan: paired with raw write+
       // readback+search baselines since r18 (their r17 annotations
       // explained the shape but could not flag a 4× IO-path jump)
@@ -2471,6 +2474,11 @@ object Bench {
       .map { case (n, s, st) => s"\"" + n + "\":[" + fmt(s) + ",\"" + st + "\"]" }
       .mkString(""","top_sec":{""", ",", "}")
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // SPARK_GRAFT_ONLY subset runs write BENCHLOG_only.txt instead —
+    // a targeted adjudication must not clobber the round's durable
+    // full-suite evidence (the r18 workflow required a manual
+    // `git checkout BENCHLOG.txt` after every targeted run)
+    val logPath = if (only.isDefined) "BENCHLOG_only.txt" else "BENCHLOG.txt"
     def render(keep: Int): String = {
       val bySlow = finalResults.sortBy(-_._2)
       val (kept, dropped) = bySlow.splitAt(keep)
@@ -2514,18 +2522,32 @@ object Bench {
         .map { case (n, s, st) =>
           s"\"" + n + "\":[" + fmt(s) + ",\"" + st.take(1) + "\"]" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"queries":$qs$omitted,"ratio_summary":$ratioSummary$noiseJson$adjudicatedJson,"top_sec":$topCompact,"suite_cold":$suiteColdJson,"full_maps":"BENCHLOG.txt","sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"queries":$qs$omitted,"ratio_summary":$ratioSummary$noiseJson$adjudicatedJson,"top_sec":$topCompact,"suite_cold":$suiteColdJson,"full_maps":"$logPath","sf":"$sfName"}"""
     }
     val line = Iterator.range(30, -1, -5).map(renderCompact)
       .find(_.length <= 1700)
       .getOrElse(renderCompact(0))
     println(line)
     // full, never-truncated artifact: every mirrored [bench] line plus
-    // the complete per-query JSON (render(all) has no omitted_fastest)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCHLOG.txt"),
+    // the complete per-query JSON (render(all) has no omitted_fastest).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(logPath),
       benchLog.toString + render(finalResults.size) + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCHLOG.txt write failed: ${e.getMessage}") }
+      System.err.println(s"[bench] $logPath write failed: ${e.getMessage}") }
+    // mechanical round-artifact commit (r18 verdict task 2: BENCHLOG/
+    // LEAKCHECK/BENCH_rN/CORRECTNESS_rN sat dirty at judging time three
+    // rounds running — a task repeatedly re-failed by memory gets a
+    // mechanical fix): full runs hand the artifact paths to
+    // scripts/commit_artifacts.sh, which commits ONLY those paths.
+    // Subset runs skip it; SPARK_GRAFT_NO_COMMIT=1 disables it.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_COMMIT")) {
+      try {
+        val script = new java.io.File("scripts/commit_artifacts.sh")
+        if (script.exists())
+          new ProcessBuilder("sh", script.getPath).inheritIO().start().waitFor()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact commit skipped: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

@@ -81,9 +81,14 @@ object Graph {
     * verdict, re-cut): ONE collect job for both legs, plus a
     * scan-only self-row assertion FUSED into the returned frame — an
     * `IN`-pushed filtered count over the raw artifact that raises on
-    * the result's first consumption, exactly like the in-scan guard,
-    * so it adds NO scheduled job of its own and no artifact-grain
-    * exchange. Cheap for parquet-backed artifacts (the serving
+    * the result's first FULL consumption, exactly like the in-scan
+    * guard, so it adds NO scheduled job of its own and no
+    * artifact-grain exchange. Same caveat as that guard: a
+    * limit-style partial consumer can satisfy its row budget from the
+    * relabel legs before the probe leg evaluates and so may not raise
+    * — callers needing an eager guarantee use
+    * [[ValidateCanonicalArtifactConf]] or
+    * [[assertCanonicalArtifact]]. Cheap for parquet-backed artifacts (the serving
     * shape) even on COLD storage: SCALE.md's cc_probe_cold rows (page
     * cache dropped before every timed call) show the probe delta flat
     * (~1 s) from a 1M- to an 8M-node artifact — partition heads plus a
@@ -378,7 +383,9 @@ object Graph {
     // an IN filter that pushes past the raise_error projection to the
     // source scan — is no longer a synchronous job but a zero-row
     // raise_error leg UNIONED into the returned frame, evaluated
-    // inside the caller's first action exactly like the in-scan guard.
+    // inside the caller's first FULL-consumption action exactly like
+    // the in-scan guard (and with its caveat: a limit-style partial
+    // consumer may never evaluate the leg — see the conf scaladoc).
     // The sample leg also carries the id column, so a NULL id planted
     // in a sampled row head is refused too (best-effort; the exact
     // check covers the full frame).
@@ -498,9 +505,10 @@ object Graph {
         coalesce(col("__graft_newc"), col("__graft_lab")).as("component"))
     // the probe's fused self-row assertion: zero rows when the probed
     // labels all have self-rows, raise_error on the result's first
-    // consumption otherwise (same lazy-loud contract as the in-scan
-    // guard). The leg is an IN-pushed scan + a 1-row aggregate — no
-    // artifact-grain exchange, no scheduled job of its own.
+    // FULL consumption otherwise (same lazy-loud contract — and limit
+    // caveat — as the in-scan guard). The leg is an IN-pushed scan +
+    // a 1-row aggregate — no artifact-grain exchange, no scheduled
+    // job of its own.
     val merged = updatedOld.unionByName(newOnly)
     probeLeg.fold(merged)(merged.unionByName(_))
   }

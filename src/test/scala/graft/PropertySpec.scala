@@ -537,10 +537,17 @@ class PropertySpec extends SparkTestBase {
       if (i % 3 == 0)
         spark.conf.set(graft.operators.Graph.SmallMappingRowsConf, "0")
       // alternate a cap-1 canonicality probe: valid artifacts must
-      // NEVER false-positive, even when only one touched label + one
-      // head label are checked (r18 touched-first determinism)
-      if (i % 2 == 1)
+      // NEVER false-positive, even when only one touched label + a
+      // per-partition head sample are checked (r18 touched-first
+      // determinism; the cap-1 overflow path degrades with a warning,
+      // never a refusal)
+      if (i % 4 == 1)
         spark.conf.set(graft.operators.Graph.CanonicalProbeLabelsConf, "1")
+      // r19: and the null-aware exact check — valid artifacts must not
+      // false-positive under the strictest validation mode either
+      if (i % 4 == 3)
+        spark.conf.set(graft.operators.Graph.ValidateCanonicalArtifactConf,
+          "true")
       try {
         val parts = edges.zip(mask)
         def side(k: Int) = parts.collect { case (e, `k`) => e }
@@ -561,6 +568,7 @@ class PropertySpec extends SparkTestBase {
       } finally {
         spark.conf.unset(graft.operators.Graph.SmallMappingRowsConf)
         spark.conf.unset(graft.operators.Graph.CanonicalProbeLabelsConf)
+        spark.conf.unset(graft.operators.Graph.ValidateCanonicalArtifactConf)
       }
     }
   }

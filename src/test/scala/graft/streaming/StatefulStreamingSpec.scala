@@ -527,6 +527,23 @@ class StatefulStreamingSpec extends SparkTestBase {
       "replay must overwrite the partial partition, not append to it")
   }
 
+  test("dedupBatchAgainstStore: a nonexistent store short-circuits to the within-batch survivors") {
+    // the stream's first batch has no store to probe — the path's
+    // nonexistence proves hitIds empty, so the plan must carry NO join
+    // (no probe subtree, no broadcast-guard count) and the result must
+    // equal the within-batch dedup alone
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fullrecall_empty").toString
+    val out = Streaming.dedupBatchAgainstStore(
+      Seq((1L, 0L), (2L, 3L), (3L, 0x00FFFF0000000000L)).toDF("id", "sim"),
+      s"$dir/store", 0L, maxHamming = 3)
+    assert(!out.queryExecution.executedPlan.toString.contains("Join"),
+      "empty-store batch must not plan a store probe join:\n" +
+        out.queryExecution.executedPlan.toString)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L),
+      "empty-store batch must still dedup within itself")
+  }
+
   test("nearDedupStreamFullRecall dedups across micro-batches through the parquet store") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fullrecall_stream").toString
     Seq((1L, 0L), (2L, 0xF0F0L)).toDF("id", "sim")

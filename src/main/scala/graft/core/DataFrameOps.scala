@@ -642,8 +642,9 @@ object DataFrameOps {
       fpp: Double, expectedItems: Long): Array[Byte] = {
     requireColumns(right, Seq(rightKey), "bloomJoin")
     val hashed = right.select(xxhash64(col(rightKey)).as("__graft_bk"))
-    // sizing: the caller's figure, or the exact count the crossover
-    // decision already paid for. Oversizing is benign (a bigger
+    // sizing: the caller's figure, or one narrow single-column count
+    // (the limit-bounded router probe cannot size — its count is
+    // clipped at the crossover). Oversizing is benign (a bigger
     // filter, same exactness); undersizing just raises the
     // false-positive rate the exact join absorbs anyway.
     val expected: Long = math.max(
@@ -651,15 +652,27 @@ object DataFrameOps {
     graft.functions.BloomFunctions.buildBloomBytes(hashed, "__graft_bk", expected, fpp)
   }
 
-  /** The crossover decision: the ACTUAL right-key row count, one
-    * narrow single-column pass (reused as the bloom's sizing figure on
-    * the big-regime path when the caller gave no hint). `expectedItems`
-    * deliberately does NOT route: it estimates DISTINCT keys for bloom
-    * sizing, and a right side with few distinct keys but many rows
-    * must not be force-broadcast on a hint (ADVICE r16). */
-  private def rightKeyCount(right: DataFrame, rightKey: String): Long = {
+  /** Router probe for the bloom-vs-broadcast crossover: whether the
+    * right side has at most `thr` rows, decided from a LIMIT-bounded
+    * count — `limit(thr + 1)` caps every task at thr+1 rows, so a
+    * 100 TB right side stops each scan task after its first row
+    * groups instead of paying a full pass just to pick a route
+    * (min(n, thr+1) <= thr iff n <= thr). Returns the bounded count;
+    * callers must treat a value > thr as "big side, size unknown" —
+    * bloom sizing then comes from the caller's expectedItems hint or
+    * [[bloomOverKey]]'s own count, exactly one full pass either way.
+    * `expectedItems` deliberately does NOT route: it estimates
+    * DISTINCT keys for bloom sizing, and a right side with few
+    * distinct keys but many rows must not be force-broadcast on a
+    * hint (ADVICE r16). */
+  private def boundedRightKeyCount(
+      right: DataFrame, rightKey: String, thr: Long): Long = {
     requireColumns(right, Seq(rightKey), "bloomJoin")
-    right.select(col(rightKey)).count()
+    // a conf above Int.MaxValue cannot express its limit — use the
+    // exact count rather than a silently clipped one that could route
+    // a 2B+-key side into the broadcast regime
+    if (thr >= Int.MaxValue.toLong) right.select(col(rightKey)).count()
+    else right.select(col(rightKey)).limit(thr.toInt + 1).count()
   }
 
   /** Session conf key for the bloom-vs-broadcast crossover: right
@@ -706,7 +719,7 @@ object DataFrameOps {
     // side the count executes the whole upstream plan) — sizing then
     // comes from the caller's hint or bloomOverKey's own count
     val thr = bloomSmallRightRows(left)
-    val n = if (thr > 0) rightKeyCount(right, rightKey) else -1L
+    val n = if (thr > 0) boundedRightKeyCount(right, rightKey, thr) else -1L
     if (thr > 0 && n <= thr) {
       // broadcast regime: the plain semi join is already one map-side
       // hash probe per left row — a bloom can only add its build job.
@@ -716,8 +729,9 @@ object DataFrameOps {
       return left.join(broadcast(rightKeys),
         left(leftKey) === rightKeys(rightKey), "left_semi")
     }
-    val bytes = bloomOverKey(right, rightKey, fpp,
-      if (expectedItems > 0) expectedItems else n)
+    // n is limit-clipped above the crossover — never a bloom size;
+    // sizing comes from the caller's hint or bloomOverKey's own count
+    val bytes = bloomOverKey(right, rightKey, fpp, expectedItems)
     val candidates = left.filter(
       graft.functions.BloomFunctions.bloomMightContain(xxhash64(col(leftKey)), bytes))
     candidates.join(right, candidates(leftKey) === right(rightKey), "left_semi")
@@ -739,7 +753,7 @@ object DataFrameOps {
     requireColumns(left, Seq(leftKey), "bloomAntiJoin")
     // conf-0 count short-circuit as in bloomSemiJoin
     val thr = bloomSmallRightRows(left)
-    val n = if (thr > 0) rightKeyCount(right, rightKey) else -1L
+    val n = if (thr > 0) boundedRightKeyCount(right, rightKey, thr) else -1L
     if (thr > 0 && n <= thr) {
       // broadcast regime: the plain anti join is already map-side;
       // key-only broadcast for the same reason as bloomSemiJoin
@@ -747,8 +761,8 @@ object DataFrameOps {
       return left.join(broadcast(rightKeys),
         left(leftKey) === rightKeys(rightKey), "left_anti")
     }
-    val bytes = bloomOverKey(right, rightKey, fpp,
-      if (expectedItems > 0) expectedItems else n)
+    // clipped-count rule as in bloomSemiJoin: never size from n here
+    val bytes = bloomOverKey(right, rightKey, fpp, expectedItems)
     val probe = graft.functions.BloomFunctions
       .bloomMightContain(xxhash64(col(leftKey)), bytes)
     val misses = left.filter(col(leftKey).isNull || !probe)

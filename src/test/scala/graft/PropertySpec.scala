@@ -496,16 +496,26 @@ class PropertySpec extends SparkTestBase {
         val viaBloom =
           try fn(left, right).collect().map(_.toSeq).sortBy(_.toString)
           finally spark.conf.unset(DataFrameOps.BloomSmallRightRowsConf)
+        // r19: a small NONZERO conf routes through the limit-bounded
+        // probe — right sides above it see a CLIPPED count (thr+1) and
+        // must take the bloom route with bloomOverKey's own sizing,
+        // never the clipped figure; below it, the broadcast fast path
+        spark.conf.set(DataFrameOps.BloomSmallRightRowsConf, "3")
+        val viaClipped =
+          try fn(left, right).collect().map(_.toSeq).sortBy(_.toString)
+          finally spark.conf.unset(DataFrameOps.BloomSmallRightRowsConf)
         val viaBroadcast = // default conf: these sizes all broadcast
           fn(left, right).collect().map(_.toSeq).sortBy(_.toString)
-        (viaBloom, viaBroadcast)
+        (viaBloom, viaClipped, viaBroadcast)
       }
-      val (semiB, semiS) = both(
+      val (semiB, semiC, semiS) = both(
         DataFrameOps.bloomSemiJoin(_, _, "k", "rk"))
       assert(semiB.toSeq == semiS.toSeq, s"semi diverged at sample $i")
-      val (antiB, antiS) = both(
+      assert(semiC.toSeq == semiS.toSeq, s"semi clipped-probe route diverged at sample $i")
+      val (antiB, antiC, antiS) = both(
         DataFrameOps.bloomAntiJoin(_, _, "k", "rk"))
       assert(antiB.toSeq == antiS.toSeq, s"anti diverged at sample $i")
+      assert(antiC.toSeq == antiS.toSeq, s"anti clipped-probe route diverged at sample $i")
       // and both routes equal the plain joins they accelerate
       val plainSemi = left.join(right, left("k") === right("rk"), "left_semi")
         .collect().map(_.toSeq).sortBy(_.toString)

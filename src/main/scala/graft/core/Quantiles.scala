@@ -71,11 +71,21 @@ object Quantiles {
     * the route and skip the count entirely: conf 0 forces the rank
     * path with NO count job; a huge conf value forces the aggregate
     * path (the count still runs — it is the safety bound on the
-    * aggregation buffer, never skipped on that path). */
+    * aggregation buffer, never skipped on that path).
+    *
+    * r19: the count is LIMIT-bounded at thr+1 (the bloom router
+    * pattern — `min(n, thr+1) <= thr iff n <= thr`): the routing
+    * decision and the buffer safety bound are unchanged, but above
+    * the crossover every scan task stops after thr+1 rows instead of
+    * counting a corpus just to learn it is big. Confs at or above
+    * Int.MaxValue keep the exact count (a clipped probe there could
+    * misroute a 2B+-row frame into the buffering path). */
   private def useAggregatePath(df: DataFrame): Boolean = {
     val thr = df.sparkSession.conf
       .get(SmallInputRowsConf, DefaultSmallInputRows.toString).toLong
-    thr > 0 && df.count() <= thr
+    if (thr <= 0) false
+    else if (thr >= Int.MaxValue.toLong) df.count() <= thr
+    else df.limit(thr.toInt + 1).count() <= thr
   }
 
   /** `(q, value)` — one row per requested quantile of `valueCol`

@@ -2457,7 +2457,11 @@ object Bench {
         "cc_small_batch r19 rows price it at ~0.2-0.3 s warm per ingest " +
         "(vs 0.9-2.3 s at r18), plus ~2 s of once-per-JVM JIT visible " +
         "only in each run's first probed ingest; r19 isolated x3 at " +
-        "HEAD read 5.45-5.86 s, the parquet round-trip serving shape"),
+        "HEAD read 5.45-5.86 s. SCALE.md's r19 phase decomposition " +
+        "accounts for every warm second (ref build 0.7, ref CC 1.2, " +
+        "batch kernel 1.05, ingest 2.9 incl the deferred pair subtree, " +
+        "consume 0.2): all real pipeline work at the 32-task floor, no " +
+        "single fat job to cut"),
       // q_ann_persist / q_ann_index_scan: paired with raw write+
       // readback+search baselines since r18 (their r17 annotations
       // explained the shape but could not flag a 4× IO-path jump)

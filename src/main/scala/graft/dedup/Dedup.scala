@@ -1498,10 +1498,12 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(eager = true)
+    // consumed exactly ONCE (the final label join, either path), off the
+    // checkpointed edge set — an eager checkpoint here was a pure extra
+    // materialisation job per call (r19 optimization round)
     val allIds = edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id")))
       .distinct()
-      .localCheckpoint(eager = true)
 
     var edgeCount = edges.count()
     if (edgeCount <= localMaxEdges) {
@@ -1516,22 +1518,35 @@ object Dedup {
 
     var converged = edgeCount == 0
     var iter = 0
+    // both star contractions need "the minimum of each centre's closed
+    // neighbourhood" NEXT TO every neighbour row — a whole-partition
+    // window min delivers that in the ONE exchange that groups the
+    // rows by centre. The groupBy+self-join form this replaces (r19
+    // optimization round) paid a SECOND exchange of the neighbour rows
+    // into the join and, worse, recomputed the aggregate subtree once
+    // per join branch (the measured round plan carried THREE copies of
+    // the centre-min aggregate and 7 shuffle exchanges; this shape has
+    // 3 — see plans/r19/cc_round_{before,after}.txt).
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
     while (!converged && iter < maxIter) {
       // large-star: every node strictly larger than the centre attaches
       // to the minimum of the centre's neighbourhood (incl. the centre)
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
-      val centreMin = sym.groupBy("u").agg(min("v").as("mn"))
-      val ls = sym.join(centreMin, "u")
+      val ls = sym.select(col("u"), col("v"), min(col("v")).over(wU).as("mn"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
-        .distinct() // (u > v) holds: v > u >= min
+      // (u > v) holds: v > u >= min. No intermediate distinct: a
+      // duplicate cannot change the next min and the round's final
+      // distinct dedups — one fewer edge-grain exchange per round
       // small-star: every neighbour ≤ the centre (and the centre) attaches
-      // to the minimum of that closed neighbourhood
-      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
-      val ss = ls.join(ssMin, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(ssMin.select(col("u"), col("m").as("v")))
+      // to the minimum of that closed neighbourhood — same single window
+      // exchange, both output row kinds emitted in one pass
+      val withM = ls.select(col("u"), col("v"), min(col("v")).over(wU).as("m"))
+      val ss = withM.select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(eager = true)

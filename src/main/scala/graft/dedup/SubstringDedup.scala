@@ -30,9 +30,14 @@ import graft.text.TextFunctions.normTokens
   *   1. one narrow pass explodes each doc into (window, doc, start) —
   *      corpus × tokens/doc rows of (8 B hash-key + 16 B position)
   *      after projection;
-  *   2. the duplicate discovery is ONE exchange keyed on the window,
-  *      map-side combined, and only windows with count > 1 survive the
-  *      aggregation — output is true-duplication-sized;
+  *   2. duplicate discovery AND non-first selection are ONE exchange
+  *      keyed on the window: whole-partition window functions put each
+  *      key's occurrence count and first occurrence next to every
+  *      occurrence row, so non-first duplicated occurrences filter in
+  *      place (the earlier aggregate + join-back pair exchanged the
+  *      window grain twice and planned the window build twice; the
+  *      partial-agg combine it lost only compressed within-task
+  *      repeats, strictly less than the whole second exchange);
   *   3. only DUPLICATED windows explode into covered token positions
   *      (bounded by dup volume × k, not corpus × k), collect_set-folded
   *      to ONE removal-position array per affected doc;
@@ -97,28 +102,30 @@ object SubstringDedup {
     val toks = tokFrame(df, idCol, textCol)
     val windows = windowRows(toks, k, hashKeys)
 
-    // duplicated windows + their corpus-wide first occurrence; the
-    // exchange keys on the window and the agg is map-side combined, so
-    // unique windows (the overwhelming bulk) die in the partial agg
-    val dupFirst = windows
-      .groupBy("__sd_w")
-      .agg(count(lit(1)).as("__sd_n"),
-        min(struct(col("__sd_id"), col("__sd_start"))).as("__sd_first"))
-      .filter(col("__sd_n") > 1)
-      .select(col("__sd_w"),
-        col("__sd_first.__sd_id").as("__sd_fid"),
-        col("__sd_first.__sd_start").as("__sd_fstart"))
-
-    // every NON-FIRST occurrence of a duplicated window → its covered
-    // positions (dup-volume × k rows, not corpus × k)
+    // every NON-FIRST occurrence of a corpus-duplicated window, in ONE
+    // window-grain exchange: the whole-partition window functions
+    // compute each window key's occurrence count and corpus-wide first
+    // (minimum (doc, start)) NEXT TO every occurrence row, so non-first
+    // occurrences filter out in place. The previous groupBy + join-back
+    // formulation (r19 optimization round) exchanged the window grain
+    // TWICE (once into the agg, once into the join) and planned the
+    // tokenize + window-build subtree twice — at corpus scale that is
+    // double the window-grain network and double the kernel CPU
+    // (measured on the r19 plan dump: three parquet scans of the corpus,
+    // two of them full window builds, collapsed here to two scans / one
+    // build — plans/r19/q_substring_dedup_{before,after}.txt).
+    val wW = org.apache.spark.sql.expressions.Window.partitionBy("__sd_w")
     // every NON-FIRST occurrence of a duplicated window → its covered
     // 1-based positions, collect_set-folded (set semantics dedup the
     // overlap map-side) to one removal array per affected doc. The
     // rename avoids resolving against toks' shared-lineage attribute.
     val removedSets = windows
-      .join(dupFirst, "__sd_w")
-      .filter(!(col("__sd_id") === col("__sd_fid") &&
-        col("__sd_start") === col("__sd_fstart")))
+      .select(col("__sd_id"), col("__sd_start"),
+        count(lit(1)).over(wW).as("__sd_n"),
+        min(struct(col("__sd_id"), col("__sd_start"))).over(wW).as("__sd_first"))
+      .filter(col("__sd_n") > 1 &&
+        !(col("__sd_id") === col("__sd_first.__sd_id") &&
+          col("__sd_start") === col("__sd_first.__sd_start")))
       .select(col("__sd_id").as("__sd_rid"),
         explode(sequence(col("__sd_start"), col("__sd_start") + lit(k - 1)))
           .as("__sd_pos1"))
@@ -224,18 +231,20 @@ object SubstringDedup {
     val removedOcc =
       if (!withinBatch) vsBase
       else {
-        val dupFirst = newWindows
-          .groupBy("__sd_w")
-          .agg(count(lit(1)).as("__sd_n"),
-            min(struct(col("__sd_id"), col("__sd_start"))).as("__sd_first"))
-          .filter(col("__sd_n") > 1)
-          .select(col("__sd_w"),
-            col("__sd_first.__sd_id").as("__sd_fid"),
-            col("__sd_first.__sd_start").as("__sd_fstart"))
+        // non-first within-batch occurrences in ONE exchange of the
+        // (checkpointed, batch-bounded) window grain — the same
+        // window-function contraction as dedupSubstrings, replacing
+        // the groupBy + join-back pair of exchanges
+        val wW = org.apache.spark.sql.expressions.Window
+          .partitionBy("__sd_w")
         val inBatch = newWindows
-          .join(dupFirst, "__sd_w")
-          .filter(!(col("__sd_id") === col("__sd_fid") &&
-            col("__sd_start") === col("__sd_fstart")))
+          .select(col("__sd_id"), col("__sd_start"),
+            count(lit(1)).over(wW).as("__sd_n"),
+            min(struct(col("__sd_id"), col("__sd_start")))
+              .over(wW).as("__sd_first"))
+          .filter(col("__sd_n") > 1 &&
+            !(col("__sd_id") === col("__sd_first.__sd_id") &&
+              col("__sd_start") === col("__sd_first.__sd_start")))
           .select(col("__sd_id"), col("__sd_start"))
         vsBase.union(inBatch)
       }
@@ -288,15 +297,15 @@ object SubstringDedup {
     val toks = tokFrame(df, idCol, textCol)
     val windows = windowRows(toks, k, hashKeys)
       .select(col("__sd_id"), col("__sd_w"))
-    val dupW = windows.groupBy("__sd_w")
-      .agg(count(lit(1)).as("__sd_n"))
-      .filter(col("__sd_n") > 1)
-      .select("__sd_w")
-    // left_semi keyed on the window; the dup set is true-duplication-
-    // sized, so AQE broadcasts it when small and shuffles when not —
-    // no forced hint (a boilerplate-heavy corpus can have a large set)
+    // corpus-duplicated occurrences in ONE window-grain exchange: the
+    // whole-partition count sits next to every occurrence row, so the
+    // dup filter needs no aggregate + semi-join-back pair (which
+    // exchanged the window grain twice and built the window subtree
+    // twice — the r19 dedupSubstrings contraction applied here)
+    val wW = org.apache.spark.sql.expressions.Window.partitionBy("__sd_w")
     val perDoc = windows
-      .join(dupW, Seq("__sd_w"), "left_semi")
+      .select(col("__sd_id"), count(lit(1)).over(wW).as("__sd_n"))
+      .filter(col("__sd_n") > 1)
       .groupBy("__sd_id").agg(count(lit(1)).as("n_dup_windows"))
     toks
       .select(col("__sd_id"),

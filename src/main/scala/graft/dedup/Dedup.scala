@@ -230,18 +230,27 @@ object Dedup {
       posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
 
   /** Same-bucket candidate id pairs (id_a < id_b, distinct), with hot
-    * buckets capped at `maxBucketSize` members. */
+    * buckets capped at `maxBucketSize` members.
+    *
+    * The cap shares the self-join's OWN exchange (r19 optimization
+    * round): a whole-partition window count over (band, bucket) sits
+    * next to every banded row inside the exchange the bucket self-join
+    * needs anyway, and both join sides reuse that one exchange
+    * (ReusedExchange) with the window's sort satisfying the merge
+    * join's ordering. The previous aggregate + semi-join-back paid a
+    * second pass over the banded rows and moved the KEPT-bucket list
+    * through a join — a frame of nearly every distinct bucket in the
+    * corpus, which broadcast only by luck of size estimation and
+    * otherwise cost two more banded-grain exchanges. */
   private def candidatePairs(bandedIds: DataFrame, maxBucketSize: Int): DataFrame = {
     val capped: DataFrame =
       if (maxBucketSize <= 0) bandedIds
-      else {
-        val counts = bandedIds.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bucket_n"))
-          .filter(col("__bucket_n") <= maxBucketSize)
-          .drop("__bucket_n")
-        // broadcast-eligible when few hot buckets; AQE picks strategy
-        bandedIds.join(counts, Seq("band", "bucket"), "left_semi")
-      }
+      else bandedIds
+        .select(col("band"), col("bucket"), col("id"),
+          count(lit(1)).over(Window.partitionBy("band", "bucket"))
+            .as("__bucket_n"))
+        .filter(col("__bucket_n") <= maxBucketSize)
+        .drop("__bucket_n")
     capped.as("l")
       .join(capped.as("r"),
         col("l.band") === col("r.band") &&
@@ -1650,9 +1659,18 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("gh",
         graft.functions.HashFunctions.ngramHashesNative(col("norm"), n))
-      .select("id", "gh")
+      .select(col("id"), col("gh"), size(col("gh")).as("sz"))
+    // sound set-size prune ahead of the O(|A|+|B|) merge kernel:
+    // |A∩B| <= min and |A∪B| >= max, so J >= t forces min >= t*max —
+    // the O(1) size compare in the join condition skips the kernel for
+    // every pair the bound rejects (exactness kept: the bound admits a
+    // superset of qualifying pairs; 1e-9 slack covers the float product
+    // at an exact boundary). r19 optimization round, guide §1.2 step 2.
     base.as("l").crossJoin(base.as("r"))
-      .filter(col("l.id") < col("r.id"))
+      .filter(col("l.id") < col("r.id") &&
+        least(col("l.sz"), col("r.sz")).cast("double") >=
+          lit(threshold) * greatest(col("l.sz"), col("r.sz")).cast("double") -
+            lit(1e-9))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         graft.functions.HashFunctions.hashJaccard(col("l.gh"), col("r.gh"))
           .as("jaccard"))

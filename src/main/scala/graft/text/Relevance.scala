@@ -182,20 +182,33 @@ object Relevance {
             element_at(col("toks"), i + 1))))).as("bigram"))
     val uni = toks.select(explode(col("toks")).as("word"))
       .groupBy("word").agg(count(lit(1)).cast("double").as("c"))
-    val totalUni = uni.agg(sum("c")).head().getDouble(0)
-    // probabilities are over ALL bigram occurrences, so the total is
-    // taken before the min-count prune
-    val totalBig = math.max(bigrams.count(), 1L).toDouble
-    val big = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+    // both totals ride as broadcast 1-row frames computed FROM the two
+    // aggregates the query already builds — their scalar aggregations
+    // share the groupBy exchanges via ReusedExchange, so each corpus
+    // tokenize+explode pass is planned exactly once and no synchronous
+    // driver action (the old `.head()` / `.count()` totals, two extra
+    // corpus-pass jobs) sits in the operator (r19 optimization round).
+    // Probabilities are over ALL bigram occurrences, so the bigram
+    // total sums counts BEFORE the min-count prune.
+    val uniTotal = uni
+      .agg(coalesce(sum(col("c")), lit(1.0)).as("__graft_t_uni"))
+    val bigCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+    val bigTotal = bigCounts
+      .agg(greatest(coalesce(sum(col("n")), lit(0L)), lit(1L))
+        .cast("double").as("__graft_t_big"))
+    val big = bigCounts
       .filter(col("n") >= minCount)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
     big
       .join(uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c1"), "w1")
       .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2"), "w2")
+      .crossJoin(broadcast(uniTotal))
+      .crossJoin(broadcast(bigTotal))
       .select(col("w1"), col("w2"), col("n"),
-        round(log((col("n") / lit(totalBig)) /
-          ((col("c1") / lit(totalUni)) * (col("c2") / lit(totalUni)))), 6).as("pmi"))
+        round(log((col("n") / col("__graft_t_big")) /
+          ((col("c1") / col("__graft_t_uni")) *
+            (col("c2") / col("__graft_t_uni")))), 6).as("pmi"))
   }
 
   /** Unigram-LM perplexity quality score (the CCNet-style filter):

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -71,6 +71,52 @@ object ConvKernels {
       tokens, alternates))
   }
 
+  /** One pass building the deterministic conversation fixture's turns
+    * array (the codegen'd form of
+    * `Conversations.syntheticConversationTable`'s per-row transform):
+    * doc tokens split into k = 2 + id%3 contiguous turns, roles
+    * alternating user/assistant with a leading system turn when
+    * id%4 = 0. Byte-identical to the HOF formulation
+    * `transform(sequence(0, k-1), j => struct(role, concat_ws(" ",
+    * slice(toks, floor(j·n/k)+1, floor((j+1)·n/k)−floor(j·n/k)))))`,
+    * including its double-arithmetic turn boundaries and concat_ws's
+    * null-element skipping — that formulation dispatches an
+    * interpreted HOF (ArrayTransform is CodegenFallback) with a
+    * per-turn slice COPY of the token array; this kernel walks the
+    * tokens once inside whole-stage codegen. */
+  def turns(toks: ArrayData, id: Long): ArrayData = {
+    val k = 2 + java.lang.Math.floorMod(id, 3L).toInt
+    val o = if (java.lang.Math.floorMod(id, 4L) == 0L) 1 else 0
+    val n = toks.numElements()
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      val role =
+        if (j < o) SYSTEM
+        else if ((j - o) % 2 == 0) USER
+        else ASSISTANT
+      // slice(toks, start0+1, max(end0-start0, 0)) bounds, 0-based
+      val start = math.floor(j.toDouble * n / k).toInt
+      val end0 = math.floor((j + 1).toDouble * n / k).toInt
+      val end = math.min(if (end0 < start) start else end0, n)
+      val sb = new java.lang.StringBuilder
+      var first = true
+      var i = start
+      while (i < end) {
+        if (!toks.isNullAt(i)) { // concat_ws skips null elements
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(i).toString)
+          first = false
+        }
+        i += 1
+      }
+      out(j) = new GenericInternalRow(
+        Array[Any](role, UTF8String.fromString(sb.toString)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** One walk over (role, content) turns → the role-tagged transcript
     * `<|role|> content` joined by `sep`. Byte-identical to the HOF
     * formulation `array_join(transform(turns, concat(...)), sep)`:
@@ -100,6 +146,42 @@ object ConvKernels {
     }
     UTF8String.fromString(sb.toString)
   }
+}
+
+/** (tokens array&lt;string&gt;, conv_id long) → the fixture's turns
+  * array (see [[ConvKernels.turns]]). Null-safe like the HOF
+  * formulation it replaces: a null conv_id nulls the array; callers
+  * coalesce null token arrays to empty (identical output — every
+  * turn's content renders "" either way). */
+case class ConvTurnsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, bigint), got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("role", StringType, nullable = false),
+    StructField("content", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "conv_turns"
+
+  override def nullSafeEval(toks: Any, id: Any): Any =
+    ConvKernels.turns(toks.asInstanceOf[ArrayData], id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, i) =>
+      s"graft.functions.ConvKernels.turns($t, $i)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ConvTurnsExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** array&lt;struct&lt;role, content&gt;&gt; → struct profile (see

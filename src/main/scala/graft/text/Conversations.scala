@@ -95,24 +95,22 @@ object Conversations {
       df: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    // bind the token array FIRST: slice/size inside the turn lambda
-    // would re-tokenize per turn on a computed argument (the
-    // ngramFeaturesFromTokens / shinglesFromTokens re-evaluation trap)
+    // one codegen'd kernel pass (ConvTurnsExpr) — the HOF formulation
+    //   transform(sequence(0, k-1), j => struct(role,
+    //     concat_ws(" ", slice(toks, floor(j·n/k)+1,
+    //       greatest(floor((j+1)·n/k)−floor(j·n/k), 0)))))
+    // dispatches an interpreted ArrayTransform (CodegenFallback) with
+    // a per-turn slice COPY of the token array; the kernel emits the
+    // identical turns (ConversationsSpec pins kernel ≡ HOF). Null
+    // tokens coalesce to empty — byte-identical contents ("" per
+    // turn) since slice-of-null under concat_ws also renders "".
     val id = col(idCol).cast("long")
     val bound = df.select(id.as("conv_id"),
-      normTokens(col(textCol)).as("__graft_toks"))
-    val toks = col("__graft_toks")
-    val n = size(toks)
-    val k = (lit(2) + pmod(col("conv_id"), lit(3))).cast("int")
-    val o = when(pmod(col("conv_id"), lit(4)) === 0, lit(1)).otherwise(lit(0))
-    val turns = transform(sequence(lit(0), k - 1), j => {
-      val start = floor(j.cast("double") * n / k).cast("int") + 1
-      val len = floor((j + 1).cast("double") * n / k).cast("int") - start + 1
-      val role = when(j < o, "system")
-        .otherwise(when(pmod(j - o, lit(2)) === 0, "user").otherwise("assistant"))
-      struct(role.as("role"),
-        concat_ws(" ", slice(toks, start, greatest(len, lit(0)))).as("content"))
-    })
-    bound.select(col("conv_id"), turns.as("turns"))
+      coalesce(normTokens(col(textCol)), array().cast("array<string>"))
+        .as("__graft_toks"))
+    bound.select(col("conv_id"),
+      ColumnBridge(graft.functions.ConvTurnsExpr(
+        ColumnBridge.expression(col("__graft_toks")),
+        ColumnBridge.expression(col("conv_id")))).as("turns"))
   }
 }

@@ -31,6 +31,42 @@ class ConversationsSpec extends SparkTestBase {
       (2L, 2L, "user", ""), (2L, 3L, "assistant", "y")))
   }
 
+  test("syntheticConversationTable: ConvTurnsExpr kernel ≡ the HOF formulation") {
+    // the r19 codegen kernel must reproduce the interpreted
+    // transform/slice/concat_ws build byte-for-byte, including the
+    // double-arithmetic turn boundaries, null text, empty text, and
+    // every (k, system-offset) residue class
+    import graft.text.TextFunctions.normTokens
+    val texts = Seq("a b c d e f g h i j k", "p q r", "x y", "", "   ",
+      "one", null, "many tokens here to split across turns unevenly ok",
+      "\ttabs\tand\nnewlines mixed   spaces")
+    val docs = (0L until 24L).map(i =>
+      (i, texts((i % texts.length).toInt))).toDF("doc_id", "text")
+    val hof = {
+      val bound = docs.select(col("doc_id").cast("long").as("conv_id"),
+        normTokens(col("text")).as("__t"))
+      val toks = col("__t")
+      val n = size(toks)
+      val k = (lit(2) + pmod(col("conv_id"), lit(3))).cast("int")
+      val o = when(pmod(col("conv_id"), lit(4)) === 0, lit(1)).otherwise(lit(0))
+      val turns = transform(sequence(lit(0), k - 1), j => {
+        val start = floor(j.cast("double") * n / k).cast("int") + 1
+        val len = floor((j + 1).cast("double") * n / k).cast("int") - start + 1
+        val role = when(j < o, "system")
+          .otherwise(when(pmod(j - o, lit(2)) === 0, "user").otherwise("assistant"))
+        struct(role.as("role"),
+          concat_ws(" ", slice(toks, start, greatest(len, lit(0)))).as("content"))
+      })
+      bound.select(col("conv_id"), turns.as("turns"))
+    }
+    val kernel = Conversations.syntheticConversationTable(docs, "doc_id", "text")
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      Conversations.flattenTurns(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSeq.sortBy(x => (x._1, x._2))
+    assert(flat(kernel) == flat(hof))
+  }
+
   test("turnProfile: counts, token totals, alternation hygiene") {
     val conv = turnsDF(
       1L -> Seq("system" -> "be brief", "user" -> "hi there", "assistant" -> "hello"),

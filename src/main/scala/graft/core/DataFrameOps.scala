@@ -263,10 +263,22 @@ object DataFrameOps {
     */
   def cumulativeArray(df: DataFrame, arrayCol: String, outputCol: String): DataFrame = {
     requireColumns(df, Seq(arrayCol), "cumulativeArray")
+    // one codegen'd kernel pass (PrefixSumExpr) over the
+    // double-coerced array — the reference's HOF expression
+    //   transform(arr, (x, i) -> aggregate(slice(arr, 1, i), 0D,
+    //     (acc, y) -> acc + y) + x)
+    // re-folds the slice from scratch per element (quadratic) through
+    // interpreted lambdas. The kernel replays the identical
+    // left-to-right IEEE add sequence (prefix_{i+1} = prefix_i + x_i
+    // is the same fold the aggregate runs), so outputs are
+    // bit-identical — DataFrameOpsSpec pins kernel ≡ HOF; the
+    // array<double> cast matches the fold's 0D + y coercion.
     df.withColumn(
       outputCol,
-      expr(s"transform(`$arrayCol`, (x, i) -> " +
-        s"aggregate(slice(`$arrayCol`, 1, i), 0D, (acc, y) -> acc + y) + x)"))
+      org.apache.spark.sql.graft.ColumnBridge(
+        graft.functions.PrefixSumExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            col(arrayCol).cast("array<double>")))))
   }
 
   /** #29 Union two DataFrames with differing columns, null-filling gaps.

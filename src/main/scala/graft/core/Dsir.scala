@@ -42,12 +42,16 @@ object Dsir {
     * a computed argument PER ELEMENT, turning one tokenize per doc
     * into one per token (the `Dedup.shinglesFromTokens` trap —
     * measured 22 s vs 0.5 s on the sf0.1 corpus). */
-  def ngramFeaturesFromTokens(toks: Column): Column = {
-    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-    concat(toks, bigrams)
-  }
+  def ngramFeaturesFromTokens(toks: Column): Column =
+    // one codegen'd kernel pass (NgramFeaturesExpr) — the HOF form
+    //   concat(toks, transform(sequence(1, n-1), i =>
+    //     concat(element_at(toks, i), " ", element_at(toks, i+1))))
+    // dispatched an interpreted ArrayTransform per row, three corpus
+    // passes per importanceWeights call; byte-identical output
+    // (DsirSpec pins kernel ≡ HOF, incl. null-token bigram nulls)
+    org.apache.spark.sql.graft.ColumnBridge(
+      graft.functions.NgramFeaturesExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks)))
 
   /** Convenience form over raw text — FOR SINGLE-USE CONTEXTS ONLY
     * (see [[ngramFeaturesFromTokens]] for the re-evaluation trap). */

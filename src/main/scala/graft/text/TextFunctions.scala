@@ -174,9 +174,15 @@ object TextFunctions {
     * computed entirely inside one narrow codegen'd projection.
     */
   def topTokenFrac(toks: Column): Column =
+    // one codegen'd kernel pass (TopTokenCountExpr) — the HOF form
+    //   aggregate(array_distinct(toks), 0,
+    //     (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
+    // is QUADRATIC in the distinct-token count and interpreted;
+    // byte-identical output (TextFunctionsSpec pins kernel ≡ HOF)
     when(size(toks) === 0, 0.0).otherwise(
-      aggregate(array_distinct(toks), lit(0),
-        (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
+      org.apache.spark.sql.graft.ColumnBridge(
+        graft.functions.TopTokenCountExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(toks)))
         .cast("double") / size(toks).cast("double"))
 
   /** Corpus vocabulary with frequencies: explode normalised tokens,

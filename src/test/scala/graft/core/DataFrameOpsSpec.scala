@@ -112,6 +112,29 @@ class DataFrameOpsSpec extends SparkTestBase {
       .select("cum").as[Seq[Double]].head() == Seq.empty)
   }
 
+  test("cumulativeArray: PrefixSumExpr kernel ≡ the reference HOF fold") {
+    // the r19 kernel must replay the fold's exact IEEE add sequence,
+    // incl. null poisoning and int→double coercion
+    val d = Seq(
+      (1, Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2, Seq[java.lang.Double](0.1, 0.2, 0.3, 0.7, -0.3)),
+      (3, Seq[java.lang.Double](4.0, null, 5.0)),
+      (4, Seq[java.lang.Double](null)),
+      (5, Seq.empty[java.lang.Double]),
+      (6, Seq[java.lang.Double](1e308, 1e308, -1e308))).toDF("id", "values")
+    val hof = d.withColumn("cum",
+      expr("transform(`values`, (x, i) -> " +
+        "aggregate(slice(`values`, 1, i), 0D, (acc, y) -> acc + y) + x)"))
+      .select("id", "cum").as[(Int, Seq[Option[Double]])].collect().toMap
+    val kernel = DataFrameOps.cumulativeArray(d, "values", "cum")
+      .select("id", "cum").as[(Int, Seq[Option[Double]])].collect().toMap
+    assert(kernel == hof)
+    // int input coerces like the fold's 0D + y
+    val ints = Seq((1, Seq(1, 2, 3))).toDF("id", "values")
+    assert(DataFrameOps.cumulativeArray(ints, "values", "cum")
+      .select("cum").as[Seq[Double]].head() == Seq(1.0, 3.0, 6.0))
+  }
+
   // ------------------------------------------- struct nest / flatten
   test("convertColsToStructCol + convertStructColToColumns round-trip") {
     val d = df("id INT, a STRING, b INT", Seq(1, "x", 2))

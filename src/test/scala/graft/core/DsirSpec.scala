@@ -41,6 +41,27 @@ class DsirSpec extends SparkTestBase {
       (1L, "spark scans the table"), (2L, "the table is fast"),
       (3L, "spark is fast"), (4L, "spark scans the table is fast"),
       (5L, "")).toDF("doc_id", "text")
+    // r19 kernel parity: NgramFeaturesExpr ≡ the HOF featuriser it
+    // replaced (unigrams ++ adjacent bigrams, null-token bigrams null)
+    locally {
+      val toksed = source.withColumn("toks",
+        graft.text.TextFunctions.normTokens(col("text")))
+      val hofFeats = toksed.select(col("doc_id"), {
+        val toks = col("toks")
+        val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1),
+            i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        concat(toks, bigrams).as("f")
+      }).collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val kernelFeats = toksed.select(col("doc_id"),
+        Dsir.ngramFeaturesFromTokens(col("toks")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(kernelFeats == hofFeats)
+      val nullToks = spark.sql(
+        "SELECT array('a', CAST(NULL AS STRING), 'b') AS toks")
+      assert(nullToks.select(Dsir.ngramFeaturesFromTokens(col("toks")))
+        .head().getSeq[String](0) == Seq("a", null, "b", null, null))
+    }
     // every source gram must occur in target for alpha = 0 (shared
     // support); doc 4 splices two target sentences so its join bigrams
     // must also exist ("table is" occurs in target doc 2)

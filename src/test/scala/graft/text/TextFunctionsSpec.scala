@@ -100,6 +100,28 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(rep(TextFunctions.topTokenFrac, "") == 0.0)
   }
 
+  test("topTokenFrac: TopTokenCountExpr kernel ≡ the quadratic HOF") {
+    val docs = Seq("a b c d", "buy buy buy now", "", "x", "a a b b b a",
+      "one two one two one").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .withColumn("toks", TextFunctions.normTokens(col("text")))
+    val hof = docs.select(col("id"),
+      when(size(col("toks")) === 0, 0.0).otherwise(
+        aggregate(array_distinct(col("toks")), lit(0),
+          (acc, t) => greatest(acc, size(filter(col("toks"), x => x === t))))
+          .cast("double") / size(col("toks")).cast("double")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kernel = docs.select(col("id"),
+      TextFunctions.topTokenFrac(col("toks")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel == hof)
+    // null tokens: never counted, never crash (HOF filter drops them)
+    val withNull = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'a', 'b') AS toks")
+    assert(withNull.select(TextFunctions.topTokenFrac(col("toks")))
+      .head().getDouble(0) == 0.5)
+  }
+
   test("scriptProfile: hand-computed fractions, dominance, edge docs") {
     val docs = Seq(
       (1L, "hello world"),             // 10 latin chars, all latin

@@ -66,40 +66,42 @@ object QualityRules {
       minWords: Int = 50,
       maxWords: Int = 100000,
       minStopwords: Int = 2): DataFrame = {
-    val reserved = Seq("__gf_text", "__gf_toks", "__gf_lines")
+    val reserved = Seq("__gf_sig")
     require(!df.columns.exists(reserved.contains),
       s"gopherFlags: column names ${reserved.mkString(", ")} are reserved")
+    // every rule input comes from ONE codegen'd kernel walk over the
+    // document (GopherSignalsExpr) — the HOF formulation dispatched
+    // five interpreted higher-order expressions per doc (token-length
+    // aggregate, three regex filters, the stopword intersect; see the
+    // kernel scaladoc). The rule arithmetic below is unchanged, so
+    // the booleans are byte-identical (QualityRulesSpec pins parity
+    // against the HOF build). The fence still materialises the kernel
+    // column once: a pushed-down `gopher_pass` filter would otherwise
+    // substitute the kernel per conjunct.
     val staged = graft.core.DataFrameOps.stageFence(
-      df.withColumn("__gf_text", coalesce(col(textCol), lit("")))
-        .withColumn("__gf_toks", TextFunctions.tokens(col("__gf_text")))
-        .withColumn("__gf_lines",
-          filter(split(col("__gf_text"), "\n"), l => length(trim(l)) > 0)))
-    val text = col("__gf_text")
-    val toks = col("__gf_toks")
-    val nTok = size(toks).cast("double")
+      df.withColumn("__gf_sig", org.apache.spark.sql.graft.ColumnBridge(
+        graft.functions.GopherSignalsExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            coalesce(col(textCol), lit(""))),
+          gopherStopwords))))
+    val sig = col("__gf_sig")
+    val nTok = sig("n_tok").cast("double")
     val safeN = greatest(nTok, lit(1.0))
-    val lines = col("__gf_lines")
-    val nLines = greatest(size(lines).cast("double"), lit(1.0))
+    val nLines = greatest(sig("n_lines").cast("double"), lit(1.0))
 
     val wordCountOk = nTok.between(minWords.toDouble, maxWords.toDouble)
-    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-      .cast("double") / safeN
+    val meanLen = sig("len_sum").cast("double") / safeN
     val meanLenOk = nTok > 0 && meanLen.between(3.0, 10.0)
-    val symbols = (length(text) -
-      length(regexp_replace(text, lit("#"), lit("")))).cast("double") +
-      size(regexp_extract_all(text, lit("\\.\\.\\.|…"), lit(0))).cast("double")
+    val symbols = sig("n_hash").cast("double") +
+      sig("n_ellipsis_text").cast("double")
     val symbolOk = symbols / safeN <= 0.1
-    val alphaFrac = size(filter(toks, t => t.rlike("\\p{L}"))).cast("double") / safeN
+    val alphaFrac = sig("n_alpha").cast("double") / safeN
     val alphaOk = nTok > 0 && alphaFrac >= 0.8
-    val bulletFrac = size(filter(lines,
-      l => trim(l).rlike("^(•|\\*|-|–)\\s"))).cast("double") / nLines
+    val bulletFrac = sig("n_bullet").cast("double") / nLines
     val bulletOk = bulletFrac <= 0.9
-    val ellipsisFrac = size(filter(lines,
-      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines
+    val ellipsisFrac = sig("n_ellipsis_lines").cast("double") / nLines
     val ellipsisOk = ellipsisFrac <= 0.3
-    val stopArr = array(gopherStopwords.map(lit): _*)
-    val nStop = size(array_intersect(array_distinct(toks), stopArr))
-    val stopOk = nStop >= minStopwords
+    val stopOk = sig("n_stop") >= minStopwords
 
     staged.withColumn("r_word_count", wordCountOk)
       .withColumn("r_mean_word_len", meanLenOk)

@@ -141,9 +141,13 @@ object TextFunctions {
     // punctuation density: fraction of non-alnum/space chars, lower is better
     val punct = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double")
     val punctScore = lit(1.0) - least(punct / greatest(length(text).cast("double"), lit(1.0)) * 4.0, lit(1.0))
-    // stopword ratio: healthy natural text has some function words
-    val stopArr = array(stopwords.map(lit): _*)
-    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    // stopword ratio: healthy natural text has some function words.
+    // One codegen'd kernel count (StopwordCountExpr) — the HOF form
+    // size(filter(toks, t => array_contains(stopArr, t))) dispatched
+    // an interpreted ArrayFilter per row; byte-identical counts
+    // (TextFunctionsSpec pins kernel ≡ HOF)
+    val nStop = ColumnBridge(graft.functions.StopwordCountExpr(
+      ColumnBridge.expression(toks), stopwords)).cast("double")
     val stopScore = least(nStop / safeNTok * 4.0, lit(1.0))
     // mean token length: 3–10 chars is "wordlike"
     val meanTokLen = length(regexp_replace(text, "\\s+", "")).cast("double") / safeNTok

@@ -16,6 +16,84 @@ class QualityRulesSpec extends SparkTestBase {
     assert((0 until 8).forall(r.getBoolean), s"expected all-pass, got $r")
   }
 
+  test("gopherFlags: GopherSignalsExpr kernel ≡ the HOF rule build") {
+    import org.apache.spark.sql.functions._
+    // adversarial shapes: tab-only text (space-only trim keeps it),
+    // unicode ellipsis, bullets with/without following space, null,
+    // empty lines, multi-space runs, supplementary-plane chars
+    val texts = Seq(prose, "", null, "\t", "   ", "a\nb\nc",
+      "- bullet the of\n* star\n– dash x\n-nospace",
+      "ends...\nends…\nno end\n\n\n  spaced line  ",
+      "### ## # the of and that " + (1 to 60).map(i => s"w$i").mkString(" "),
+      "😀 emoji the of é́ composed", "the the the the",
+      (1 to 60).map(i => s"line $i the of...").mkString("\n"))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val flags = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_alpha_words", "r_bullet_lines", "r_ellipsis_lines",
+      "r_stopwords", "gopher_pass")
+    // the pre-r19 HOF build, inlined verbatim
+    val hof = {
+      val staged = docs
+        .withColumn("__t", coalesce(col("text"), lit("")))
+        .withColumn("__toks", TextFunctions.tokens(col("__t")))
+        .withColumn("__lines",
+          filter(split(col("__t"), "\n"), l => length(trim(l)) > 0))
+      val text = col("__t"); val toks = col("__toks")
+      val nTok = size(toks).cast("double")
+      val safeN = greatest(nTok, lit(1.0))
+      val lines = col("__lines")
+      val nLines = greatest(size(lines).cast("double"), lit(1.0))
+      val wordCountOk = nTok.between(50.0, 100000.0)
+      val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / safeN
+      val meanLenOk = nTok > 0 && meanLen.between(3.0, 10.0)
+      val symbols = (length(text) -
+        length(regexp_replace(text, lit("#"), lit("")))).cast("double") +
+        size(regexp_extract_all(text, lit("\\.\\.\\.|…"), lit(0))).cast("double")
+      val symbolOk = symbols / safeN <= 0.1
+      val alphaFrac = size(filter(toks, t => t.rlike("\\p{L}"))).cast("double") / safeN
+      val alphaOk = nTok > 0 && alphaFrac >= 0.8
+      val bulletFrac = size(filter(lines,
+        l => trim(l).rlike("^(•|\\*|-|–)\\s"))).cast("double") / nLines
+      val bulletOk = bulletFrac <= 0.9
+      val ellipsisFrac = size(filter(lines,
+        l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines
+      val ellipsisOk = ellipsisFrac <= 0.3
+      val stopArr = array(QualityRules.gopherStopwords.map(lit): _*)
+      val stopOk = size(array_intersect(array_distinct(toks), stopArr)) >= 2
+      staged.select(col("id"), wordCountOk.as(flags(0)), meanLenOk.as(flags(1)),
+        symbolOk.as(flags(2)), alphaOk.as(flags(3)), bulletOk.as(flags(4)),
+        ellipsisOk.as(flags(5)), stopOk.as(flags(6)),
+        (wordCountOk && meanLenOk && symbolOk && alphaOk && bulletOk &&
+          ellipsisOk && stopOk).as(flags(7)))
+    }
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", flags: _*).collect()
+        .map(r => r.getLong(0) -> flags.indices.map(i => r.getBoolean(i + 1)))
+        .toMap
+    assert(collect(QualityRules.gopherFlags(docs, "text")) == collect(hof))
+  }
+
+  test("qualityScore: StopwordCountExpr kernel ≡ the HOF stopword filter") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq("the a of to x", "", "no stop words here",
+      "the the the", "mixed the case A OF and").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+    val stopArr = array(TextFunctions.defaultStopwords.map(lit): _*)
+    val hof = docs.select(col("id"),
+      size(filter(col("toks"), t => array_contains(stopArr, t))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kernel = docs.select(col("id"),
+      org.apache.spark.sql.graft.ColumnBridge(
+        graft.functions.StopwordCountExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("toks")),
+          TextFunctions.defaultStopwords)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kernel == hof)
+  }
+
   test("each rule fails on its designed violation") {
     val cases = Seq(
       // too short

@@ -852,11 +852,23 @@ object Streaming {
       maxHamming: Int,
       maxBucketSize: Int = 1000,
       maxBroadcastBandedRows: Long = 2000000L): Unit = {
-    val survivors =
+    // the stream's FIRST batch needs no fence of its own:
+    // dedupBatchAgainstStore's no-store fast path returns the
+    // already-checkpointed within-batch survivors, whose write plan
+    // cannot read storeDir — re-checkpointing them was a pure second
+    // materialisation job per stream (r19 optimization round). Later
+    // batches keep the fence: their survivor plan READS the store the
+    // write overwrites.
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val storeExisted = storePath
+      .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+      .exists(storePath)
+    val raw =
       dedupBatchAgainstStore(batch, storeDir, batchId, maxHamming,
           maxBucketSize, maxBroadcastBandedRows)
         .select(col("id"), col("sim"))
-        .localCheckpoint(eager = true)
+    val survivors =
+      if (storeExisted) raw.localCheckpoint(eager = true) else raw
     graft.core.DataFrameOps.smartCoalesce(survivors)
       .withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")

@@ -174,12 +174,17 @@ object Relevance {
       minCount: Long = 2L): DataFrame = {
     require(minCount >= 1, s"bigramPmi: minCount must be >= 1, got $minCount")
     val toks = df.select(normTokens(col(textCol)).as("toks"))
-    val bigrams = toks.select(explode(
-      when(size(col("toks")) < 2, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(1), size(col("toks")) - 1),
-          i => concat(element_at(col("toks"), i), lit(" "),
-            element_at(col("toks"), i + 1))))).as("bigram"))
+    // bigram events via the codegen'd BigramPairsExpr kernel (the
+    // same move as explodedBigrams below) — the previous
+    // transform(sequence, concat(element_at×2)) was an interpreted
+    // ArrayTransform per row. Grouping on (w1, w2) is equivalent to
+    // grouping the "w1 w2" strings (tokens cannot contain
+    // whitespace), so counts, the min-count prune and the output
+    // rows are identical (RelevanceSpec's hand-computed PMI pins it).
+    val bigramPairs = toks.where(size(col("toks")) >= 2)
+      .select(explode(ColumnBridge(graft.functions.BigramPairsExpr(
+        ColumnBridge.expression(col("toks"))))).as("__pr"))
+      .select(col("__pr.prev").as("w1"), col("__pr.w").as("w2"))
     val uni = toks.select(explode(col("toks")).as("word"))
       .groupBy("word").agg(count(lit(1)).cast("double").as("c"))
     // both totals ride as broadcast 1-row frames computed FROM the two
@@ -192,14 +197,11 @@ object Relevance {
     // total sums counts BEFORE the min-count prune.
     val uniTotal = uni
       .agg(coalesce(sum(col("c")), lit(1.0)).as("__graft_t_uni"))
-    val bigCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+    val bigCounts = bigramPairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
     val bigTotal = bigCounts
       .agg(greatest(coalesce(sum(col("n")), lit(0L)), lit(1L))
         .cast("double").as("__graft_t_big"))
-    val big = bigCounts
-      .filter(col("n") >= minCount)
-      .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val big = bigCounts.filter(col("n") >= minCount)
     big
       .join(uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c1"), "w1")
       .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2"), "w2")

@@ -345,7 +345,14 @@ object Drift {
     def parts(df: DataFrame, tag: String): (DataFrame, DataFrame) = {
       val v = col(vecCol).cast("array<double>")
       val perRow = df.select(v.as("__ed_v"),
-        sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)).as("__ed_n"))
+        // codegen'd Σx² kernel — the interpreted HOF fold
+        // `aggregate(v, 0D, (a, x) => a + x*x)` walked the evaluator
+        // per element; bit-identical (same IEEE add order, null
+        // element nulls the fold) — DriftSpec pins parity
+        sqrt(org.apache.spark.sql.graft.ColumnBridge(
+          graft.functions.SumSquaresExpr(
+            org.apache.spark.sql.graft.ColumnBridge.expression(v))))
+          .as("__ed_n"))
       val scalar = perRow.agg(count(lit(1)).as(s"n_$tag"),
         avg(col("__ed_n")).as(s"__ed_mn_$tag"))
       val centroid = perRow

@@ -78,6 +78,23 @@ object ArrayKernels {
     best
   }
 
+  /** Σx² over an array&lt;double&gt;, exactly
+    * `aggregate(v, 0D, (a, x) => a + x * x)`: same left-to-right IEEE
+    * order; a null element nulls the fold (null accumulator
+    * propagates), hence the boxed return. */
+  def sumSquares(arr: ArrayData): java.lang.Double = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val x = arr.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    s
+  }
+
   /** Running sum, exactly `transform(arr, (x, i) =>
     * aggregate(slice(arr, 1, i), 0D, (acc, y) => acc + y) + x)` over
     * an array&lt;double&gt;: out(i) replays the identical
@@ -100,6 +117,34 @@ object ArrayKernels {
     }
     new GenericArrayData(out)
   }
+}
+
+/** array&lt;double&gt; → double Σx² (see [[ArrayKernels.sumSquares]]). */
+case class SumSquaresExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sum_squares"
+  override def nullSafeEval(input: Any): Any =
+    ArrayKernels.sumSquares(input.asInstanceOf[ArrayData])
+  // a null ELEMENT nulls the fold (like `aggregate(v, 0D, a + x*x)`),
+  // so the kernel returns a boxed Double and the generated code
+  // re-checks it — defineCodeGen would unbox null
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("graftSumSq")
+      s"""
+      java.lang.Double $r = graft.functions.ArrayKernels.sumSquares($c);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.doubleValue(); }
+      """
+    })
+  override protected def withNewChildInternal(newChild: Expression): SumSquaresExpr =
+    copy(child = newChild)
 }
 
 /** array&lt;string&gt; tokens → unigrams ++ bigrams (see

@@ -181,7 +181,9 @@ object Subword {
         "vocabulary is an artifact, not a corpus; raise the bound only " +
         "with driver memory to match")
     val toks = normTokens(col(textCol))
-    val hashes = transform(toks, t => xxhash64(t))
+    // codegen'd kernel — bit-identical to the interpreted HOF
+    // `transform(toks, t => xxhash64(t))` (TokenHashesExpr scaladoc)
+    val hashes = graft.functions.HashFunctions.tokenHashesNative(toks)
     df.select(col(idCol),
         size(toks).cast("long").as("n_tok"),
         graft.functions.BloomFunctions.sortedSetCount(hashes, keys)

@@ -141,6 +141,23 @@ class DriftSpec extends SparkTestBase {
     assert(fast > 0.1 && fast < 0.4, s"shifted gaussians: $fast")
   }
 
+  test("sumSquares kernel ≡ the aggregate HOF fold (incl. null elements)") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      Seq[java.lang.Double](1.0, 2.0, 3.0),
+      Seq[java.lang.Double](0.1, -0.2, 0.3),
+      Seq[java.lang.Double](4.0, null, 5.0),
+      Seq[java.lang.Double](),
+      Seq[java.lang.Double](1e200, 1e200)).toDF("v")
+    val hof = d.select(aggregate(col("v"), lit(0.0), (a, x) => a + x * x).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    val kernel = d.select(org.apache.spark.sql.graft.ColumnBridge(
+        graft.functions.SumSquaresExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("v")))).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(kernel == hof)
+  }
+
   test("embeddingDrift: hand-computed centroid cosine and norms, identity, empty side") {
     val ref = Seq(Array(1.0, 0.0), Array(0.0, 1.0)).toDF("v")
     val cur = Seq(Array(1.0, 0.0), Array(1.0, 0.0)).toDF("v")

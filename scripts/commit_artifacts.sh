@@ -12,13 +12,15 @@ cd "$(dirname "$0")/.." || exit 0
 # stage (covers brand-new BENCH_rN/CORRECTNESS_rN files), then commit
 # ONLY the artifact paths; both steps tolerate "nothing to do"
 git add -- BENCHLOG.txt LEAKCHECK.json 2>/dev/null
-for f in BENCH_r*.json CORRECTNESS_r*.json; do
+for f in BENCH_r*.json CORRECTNESS_r*.json PERF_r*.json VERIFY_r*.json; do
   [ -e "$f" ] && git add -- "$f" 2>/dev/null
 done
 if git status --porcelain -- BENCHLOG.txt LEAKCHECK.json \
-    BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null | grep -q .; then
+    BENCH_r*.json CORRECTNESS_r*.json PERF_r*.json VERIFY_r*.json \
+    2>/dev/null | grep -q .; then
   git commit -m "Record bench and correctness round artifacts" \
     -- BENCHLOG.txt LEAKCHECK.json BENCH_r*.json CORRECTNESS_r*.json \
+    PERF_r*.json VERIFY_r*.json \
     >/dev/null 2>&1 && echo "[commit_artifacts] committed" \
     || echo "[commit_artifacts] nothing committed"
 else

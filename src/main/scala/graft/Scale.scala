@@ -40,7 +40,7 @@ object Scale {
     * char n-grams into a 16-character alphabet whose ~4k-gram space
     * saturates — both inflate pair counts for corpus reasons, not
     * operator reasons. */
-  private def scaledDocs(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def scaledDocs(s: SparkSession, dir: String, k: Int): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val aug = docs.filter(col("doc_id") < 50)
@@ -203,6 +203,31 @@ object Scale {
         graft.dedup.SubstringDedup.dedupSubstrings(d, "doc_id", "text", 8,
           hashKeys = true)
           .filter(length(col("text_deduped")) >= 0))
+      // hot-key probe (r19 verdict task 6): a degenerate corpus where
+      // ONE window key owns >50% of ALL occurrences — every occurrence
+      // of a window key colocates in a single window task under the
+      // r19 window-function contraction, so this is the worst case the
+      // whole-partition count/min can produce. Paired with a UNIFORM
+      // corpus of identical row/token/window volume (unique windows per
+      // doc) so the hot/uniform wall ratio isolates the single-task
+      // straggler from the volume. Both reuse the scaled doc ids only.
+      run("substring_hotkey", k) { d =>
+        val hot = d.select(col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(200)),
+            _ => lit("zz"))).as("text"))
+        graft.dedup.SubstringDedup.dedupSubstrings(hot, "doc_id", "text", 8,
+          hashKeys = true)
+          .filter(length(col("text_deduped")) >= 0)
+      }
+      run("substring_uniform", k) { d =>
+        val uni = d.select(col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(200)),
+            i => concat(col("doc_id").cast("string"), lit("u"),
+              i.cast("string")))).as("text"))
+        graft.dedup.SubstringDedup.dedupSubstrings(uni, "doc_id", "text", 8,
+          hashKeys = true)
+          .filter(length(col("text_deduped")) >= 0)
+      }
       run("substring_dup_windows", k) { d =>
         val toks = graft.text.TextFunctions.normTokens(col("text"))
         d.select(col("doc_id"), toks.as("tk"))

@@ -273,12 +273,16 @@ object DataFrameOps {
     // is the same fold the aggregate runs), so outputs are
     // bit-identical — DataFrameOpsSpec pins kernel ≡ HOF; the
     // array<double> cast matches the fold's 0D + y coercion.
+    // backtick-quoted resolution (escaping embedded backticks), so
+    // column names containing dots keep working — bare col() parses
+    // them as struct-field access; the pre-kernel expr() form had the
+    // quoting and the kernel move dropped it (ADVICE r19)
     df.withColumn(
       outputCol,
       org.apache.spark.sql.graft.ColumnBridge(
         graft.functions.PrefixSumExpr(
           org.apache.spark.sql.graft.ColumnBridge.expression(
-            col(arrayCol).cast("array<double>")))))
+            col(s"`${arrayCol.replace("`", "``")}`").cast("array<double>")))))
   }
 
   /** #29 Union two DataFrames with differing columns, null-filling gaps.

@@ -232,25 +232,31 @@ object Dedup {
   /** Same-bucket candidate id pairs (id_a < id_b, distinct), with hot
     * buckets capped at `maxBucketSize` members.
     *
-    * The cap shares the self-join's OWN exchange (r19 optimization
-    * round): a whole-partition window count over (band, bucket) sits
-    * next to every banded row inside the exchange the bucket self-join
-    * needs anyway, and both join sides reuse that one exchange
-    * (ReusedExchange) with the window's sort satisfying the merge
-    * join's ordering. The previous aggregate + semi-join-back paid a
-    * second pass over the banded rows and moved the KEPT-bucket list
-    * through a join — a frame of nearly every distinct bucket in the
-    * corpus, which broadcast only by luck of size estimation and
-    * otherwise cost two more banded-grain exchanges. */
+    * The cap is an OVER-cap broadcast anti-join (r20 optimization
+    * round, guide §2.5/§2.3): a map-side-combined (band, bucket) count
+    * keeps only the buckets EXCEEDING the cap — tiny by construction
+    * (they are the degenerate hot buckets the cap exists to kill) —
+    * and broadcast-anti-joins them against the banded rows, so a hot
+    * bucket's rows are filtered MAP-SIDE and never cross the network.
+    * The r19 window-count form shared the self-join's exchange but
+    * forced EVERY row of a degenerate bucket (corpus-wide boilerplate)
+    * through a single window task's sort + buffer before the filter
+    * dropped it — the one-giant-key straggler AQE skew handling cannot
+    * split. The count aggregate's own exchange moves only per-task
+    * distinct (band, bucket) rows after the partial agg, and the
+    * self-join still plans one banded exchange per side off the same
+    * capped subtree. */
   private def candidatePairs(bandedIds: DataFrame, maxBucketSize: Int): DataFrame = {
     val capped: DataFrame =
       if (maxBucketSize <= 0) bandedIds
-      else bandedIds
-        .select(col("band"), col("bucket"), col("id"),
-          count(lit(1)).over(Window.partitionBy("band", "bucket"))
-            .as("__bucket_n"))
-        .filter(col("__bucket_n") <= maxBucketSize)
-        .drop("__bucket_n")
+      else {
+        val overCap = bandedIds
+          .groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bucket_n"))
+          .filter(col("__bucket_n") > maxBucketSize)
+          .select(col("band"), col("bucket"))
+        bandedIds.join(broadcast(overCap), Seq("band", "bucket"), "left_anti")
+      }
     capped.as("l")
       .join(capped.as("r"),
         col("l.band") === col("r.band") &&

@@ -201,7 +201,25 @@ object SubstringDedup {
       textCol: String,
       k: Int = 8,
       withinBatch: Boolean = true,
-      hashKeys: Boolean = false): DataFrame = {
+      hashKeys: Boolean = false): DataFrame =
+    dedupAgainstKeysWithBatchKeys(baseKeys, newDocs, idCol, textCol, k,
+      withinBatch, hashKeys)._1
+
+  /** [[dedupSubstringsAgainstKeys]] plus the batch's OWN distinct
+    * window keys (column `w`, the [[windowKeys]] shape) read off the
+    * SAME checkpointed tokenize + window build — the streaming append
+    * ([[graft.streaming.Streaming.appendSubstringBatch]]) needs both,
+    * and computing the keys through a separate [[windowKeys]] call
+    * re-ran the regex tokenize and the window explode over the whole
+    * batch a second time per micro-batch (r20 optimization round). */
+  private[graft] def dedupAgainstKeysWithBatchKeys(
+      baseKeys: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      withinBatch: Boolean = true,
+      hashKeys: Boolean = false): (DataFrame, DataFrame) = {
     require(k >= 1, s"dedupSubstringsAgainstKeys: k must be >= 1, got $k")
     require(baseKeys.columns.length == 1,
       s"dedupSubstringsAgainstKeys: baseKeys must have exactly one column, " +
@@ -255,7 +273,7 @@ object SubstringDedup {
       .groupBy("__sd_rid")
       .agg(collect_set(col("__sd_pos1")).as("__sd_rm"))
 
-    newToks
+    val cleaned = newToks
       .join(removedSets, col("__sd_id") === col("__sd_rid"), "left")
       .select(col("__sd_id").as(idCol),
         concat_ws(" ",
@@ -265,6 +283,7 @@ object SubstringDedup {
           .as("text_deduped"),
         size(col("__sd_toks")).cast("long").as("n_tokens"),
         coalesce(size(col("__sd_rm")), lit(0)).cast("long").as("n_removed"))
+    (cleaned, newKeys.select(col("__sd_w").as("w")))
   }
 
   /** Distinct window keys of a corpus — what an incremental pipeline

@@ -23,6 +23,7 @@ object ConvKernels {
   private val SYSTEM = UTF8String.fromString("system")
   private val USER = UTF8String.fromString("user")
   private val ASSISTANT = UTF8String.fromString("assistant")
+  private val SPACE = UTF8String.fromString(" ")
 
   /** One walk over (role, content) turns → InternalRow of
     * (n_turns, n_system, n_user, n_assistant, total_tokens,
@@ -99,19 +100,19 @@ object ConvKernels {
       val start = math.floor(j.toDouble * n / k).toInt
       val end0 = math.floor((j + 1).toDouble * n / k).toInt
       val end = math.min(if (end0 < start) start else end0, n)
-      val sb = new java.lang.StringBuilder
-      var first = true
+      // byte-level join: UTF8String.concatWs skips null elements like
+      // concat_ws does. The previous StringBuilder/toString build was a
+      // UTF-16 round-trip — tokens carrying invalid UTF-8 bytes were
+      // rewritten to replacement chars, diverging from the HOF's
+      // byte-level concat_ws (ADVICE r19).
+      val parts = new Array[UTF8String](end - start)
       var i = start
       while (i < end) {
-        if (!toks.isNullAt(i)) { // concat_ws skips null elements
-          if (!first) sb.append(' ')
-          sb.append(toks.getUTF8String(i).toString)
-          first = false
-        }
+        parts(i - start) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
         i += 1
       }
       out(j) = new GenericInternalRow(
-        Array[Any](role, UTF8String.fromString(sb.toString)))
+        Array[Any](role, UTF8String.concatWs(SPACE, parts: _*)))
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

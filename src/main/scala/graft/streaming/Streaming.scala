@@ -793,7 +793,24 @@ object Streaming {
       batchId: Long,
       maxHamming: Int,
       maxBucketSize: Int = 1000,
-      maxBroadcastBandedRows: Long = 2000000L): DataFrame = {
+      maxBroadcastBandedRows: Long = 2000000L): DataFrame =
+    dedupBatchAgainstStoreImpl(batch, storeDir, batchId, maxHamming,
+      maxBucketSize, maxBroadcastBandedRows, storeExists = None)
+
+  /** [[dedupBatchAgainstStore]] with the store-existence observation
+    * optionally supplied by the caller: [[appendBatchToFullRecallStore]]
+    * decides its write fence from the SAME check, so the fence decision
+    * and the probe decision cannot diverge if the store appears between
+    * two independent checks (e.g. two streams sharing a store —
+    * ADVICE r19). `None` = check here (the standalone entry point). */
+  private[graft] def dedupBatchAgainstStoreImpl(
+      batch: DataFrame,
+      storeDir: String,
+      batchId: Long,
+      maxHamming: Int,
+      maxBucketSize: Int,
+      maxBroadcastBandedRows: Long,
+      storeExists: Option[Boolean]): DataFrame = {
     val spark = batch.sparkSession
     val fps = batch.select(col("id").cast("long").as("id"),
       col("sim").cast("long").as("sim"))
@@ -808,10 +825,12 @@ object Streaming {
     // count job and the whole probe subtree (r18 verdict task 8 — the
     // per-batch fixed cost should not bill batch 0 for joins against a
     // provably empty store)
-    val storePath = new org.apache.hadoop.fs.Path(storeDir)
-    val storeExists = storePath
-      .getFileSystem(spark.sessionState.newHadoopConf()).exists(storePath)
-    if (!storeExists) return withinBatch
+    val exists = storeExists.getOrElse {
+      val storePath = new org.apache.hadoop.fs.Path(storeDir)
+      storePath
+        .getFileSystem(spark.sessionState.newHadoopConf()).exists(storePath)
+    }
+    if (!exists) return withinBatch
     // replay safety: a crashed attempt of THIS batch may have written
     // its partition already — excluding it re-creates the store state
     // the first attempt saw (deterministic re-run), instead of the
@@ -859,13 +878,19 @@ object Streaming {
     // materialisation job per stream (r19 optimization round). Later
     // batches keep the fence: their survivor plan READS the store the
     // write overwrites.
+    // ONE existence observation feeds BOTH the probe decision (inside
+    // the impl) and the fence decision below — independently re-checking
+    // let the two diverge if the store appeared in between (two streams
+    // sharing a store): the survivor plan would read the store with no
+    // fence while the overwrite clobbered files the lazy plan still
+    // reads (ADVICE r19)
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val storeExisted = storePath
       .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
       .exists(storePath)
     val raw =
-      dedupBatchAgainstStore(batch, storeDir, batchId, maxHamming,
-          maxBucketSize, maxBroadcastBandedRows)
+      dedupBatchAgainstStoreImpl(batch, storeDir, batchId, maxHamming,
+          maxBucketSize, maxBroadcastBandedRows, Some(storeExisted))
         .select(col("id"), col("sim"))
     val survivors =
       if (storeExisted) raw.localCheckpoint(eager = true) else raw
@@ -1108,16 +1133,28 @@ object Streaming {
       idCol: String,
       textCol: String,
       k: Int = 8): Unit = {
-    val cleaned = substringDedupBatch(batch, storeDir, batchId, idCol, textCol, k)
+    // ONE tokenize + window build per micro-batch: the clean result and
+    // the batch's window keys come off the same checkpointed frames
+    // (dedupAgainstKeysWithBatchKeys) — the previous separate
+    // windowKeys(batch) call re-ran the regex tokenize and the window
+    // explode over the whole batch a second time (r20 optimization
+    // round). Identical rows on both outputs: substringDedupBatch IS
+    // ._1 of this call, and windowKeys ≡ the distinct of the same
+    // checkpointed window frame.
+    val storeKeys = readSubstringStore(batch.sparkSession, storeDir)
+      .filter(col("batch_id") =!= lit(batchId))
+      .select("w")
+    val (cleanedRaw, batchKeys) = graft.dedup.SubstringDedup
+      .dedupAgainstKeysWithBatchKeys(storeKeys, batch, idCol, textCol, k,
+        withinBatch = true, hashKeys = true)
+    val cleaned = cleanedRaw
       .localCheckpoint(eager = true) // the writes must not re-run the clean
     graft.core.DataFrameOps.smartCoalesce(cleaned)
       .withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(outDir)
-    val keys = graft.dedup.SubstringDedup
-      .windowKeys(batch, idCol, textCol, k, hashKeys = true)
-      .localCheckpoint(eager = true)
+    val keys = batchKeys.localCheckpoint(eager = true)
     graft.core.DataFrameOps.smartCoalesce(keys)
       .withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")

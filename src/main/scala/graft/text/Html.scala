@@ -80,14 +80,16 @@ object Html {
     * output, so the ratio is extraction-faithful. Empty visible
     * text → 0.0; null → null. */
   def linkDensity(html: Column): Column = {
-    val anchorInner = regexp_extract_all(
-      regexp_replace(html, lit(blockPattern), lit("")),
-      lit("(?si)<a[\\s>].*?</a>"), lit(0))
-    val anchorChars = aggregate(
-      anchorInner, lit(0L),
-      (acc, a) => acc + length(trim(regexp_replace(
-        decodeEntities(regexp_replace(a, lit(tagPattern), lit(" "))),
-        lit("\\s+"), lit(" ")))).cast("long"))
+    // one codegen'd kernel walk (AnchorCharsExpr) — the previous
+    // formulation folded an interpreted `aggregate` lambda over the
+    // extracted anchors, re-dispatching the tag-strip + entity-decode
+    // + collapse regex chain through CodegenFallback per anchor; the
+    // kernel runs the IDENTICAL java.util.regex chain once per
+    // document inside whole-stage codegen (HtmlSpec parity pin over
+    // entity/malformed/unicode shapes; r20 optimization round).
+    val anchorChars = org.apache.spark.sql.graft.ColumnBridge(
+      graft.functions.AnchorCharsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(html)))
     val totalChars = length(stripHtml(html)).cast("long")
     when(totalChars === 0, lit(0.0))
       .otherwise(least(anchorChars.cast("double") / totalChars.cast("double"),

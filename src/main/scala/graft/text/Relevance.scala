@@ -44,9 +44,11 @@ object Relevance {
     *
     * Plan: tf aggregation on (doc, word) → df aggregation on word
     * (vocabulary-sized) → join back on word. The df side is tiny
-    * relative to the corpus, so AQE broadcasts it; `N` is one
-    * count-star over the input (parquet metadata at scan level when
-    * the input is an unfiltered table).
+    * relative to the corpus, so AQE broadcasts it; `N` rides as a
+    * broadcast 1-row frame off a count-star scalar aggregate inside
+    * the SAME job (the former `df.count()` was a synchronous driver
+    * action — one extra scheduled corpus-scan job per call, the r19
+    * bigramPmi lesson applied here; guide §5).
     *
     * `minDf` drops hapax-style noise terms before the join (and
     * shrinks the join's build side). Output columns:
@@ -57,15 +59,19 @@ object Relevance {
       textCol: String,
       minDf: Long = 1L): DataFrame = {
     require(minDf >= 1, s"tfIdf: minDf must be >= 1, got $minDf")
-    val nDocs = df.count()
+    // count(1) cast double ≡ the old nDocs.toDouble (counts are exact
+    // in double far beyond any corpus size); the count-star subtree is
+    // column-pruned to a metadata-level scan
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__graft_n_docs"))
     val tf = docTermFrequencies(df, idCol, textCol)
     val docFreqAll = tf.groupBy("word").agg(count(lit(1)).as("df_docs"))
     // df_docs >= 1 holds by construction — skip the vacuous Filter node
     val docFreq =
       if (minDf > 1L) docFreqAll.filter(col("df_docs") >= minDf) else docFreqAll
     tf.join(docFreq, "word")
+      .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("word"), col("tf"), col("df_docs"),
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df_docs")), 6).as("tfidf"))
+        round(col("tf") * log(col("__graft_n_docs") / col("df_docs")), 6).as("tfidf"))
   }
 
   /** BM25 ranked retrieval: score every document against a bag of
@@ -146,15 +152,26 @@ object Relevance {
       maxDfFrac: Double = 1.0): DataFrame = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"invertedIndex: maxDfFrac must be in (0, 1], got $maxDfFrac")
-    val nDocs = df.count()
-    val maxDf = math.floor(nDocs * maxDfFrac).toLong
-    df.select(col(idCol), explode(normTokens(col(textCol))).as("word"))
+    val postings = df
+      .select(col(idCol), explode(normTokens(col(textCol))).as("word"))
       .distinct()
       .groupBy("word")
       .agg(sort_array(collect_list(col(idCol).cast("long"))).as("postings"))
       .withColumn("df_docs", size(col("postings")).cast("long"))
-      .filter(col("df_docs") >= minDf && col("df_docs") <= maxDf)
-      .select("word", "df_docs", "postings")
+    // the df cap rides as a broadcast 1-row frame — `floor(count * frac)`
+    // is the exact arithmetic of the old driver-side
+    // `math.floor(df.count() * maxDfFrac).toLong` (long → double promote,
+    // floor, long), without the synchronous extra corpus-scan job
+    // (guide §5, the bigramPmi/tfIdf move). At maxDfFrac = 1 the cap is
+    // vacuous (df_docs ≤ N by construction) and no count is planned.
+    val filtered =
+      if (maxDfFrac >= 1.0) postings.filter(col("df_docs") >= minDf)
+      else postings
+        .crossJoin(broadcast(df.agg(
+          floor(count(lit(1)) * lit(maxDfFrac)).as("__graft_max_df"))))
+        .filter(col("df_docs") >= minDf &&
+          col("df_docs") <= col("__graft_max_df"))
+    filtered.select("word", "df_docs", "postings")
   }
 
   /** Bigram collocations scored by pointwise mutual information:

@@ -112,6 +112,16 @@ class DataFrameOpsSpec extends SparkTestBase {
       .select("cum").as[Seq[Double]].head() == Seq.empty)
   }
 
+  test("cumulativeArray resolves dotted column names exactly (ADVICE r19)") {
+    // df.col(...) exact-name resolution: a name containing a dot must
+    // not be parsed as struct-field access (the backtick quoting the
+    // pre-kernel expr() form had)
+    val d = Seq((1, Seq(1.0, 2.0))).toDF("id", "a.b")
+    val out = DataFrameOps.cumulativeArray(d, "a.b", "cum")
+      .select("cum").as[Seq[Double]].head()
+    assert(out == Seq(1.0, 3.0))
+  }
+
   test("cumulativeArray: PrefixSumExpr kernel ≡ the reference HOF fold") {
     // the r19 kernel must replay the fold's exact IEEE add sequence,
     // incl. null poisoning and int→double coercion
@@ -121,13 +131,27 @@ class DataFrameOpsSpec extends SparkTestBase {
       (3, Seq[java.lang.Double](4.0, null, 5.0)),
       (4, Seq[java.lang.Double](null)),
       (5, Seq.empty[java.lang.Double]),
-      (6, Seq[java.lang.Double](1e308, 1e308, -1e308))).toDF("id", "values")
+      (6, Seq[java.lang.Double](1e308, 1e308, -1e308)),
+      // r20 adversarial pins: NaN poisons arithmetically (later slots
+      // NaN, not null); -0.0 folds 0D + -0.0 = +0.0 in slot 0 (the fold
+      // starts at 0D, so the sign is dropped exactly like the HOF);
+      // Infinity − Infinity = NaN mid-array
+      (7, Seq[java.lang.Double](Double.NaN, 1.0, null, 2.0)),
+      (8, Seq[java.lang.Double](-0.0, -1.0, 1.0)),
+      (9, Seq[java.lang.Double](Double.PositiveInfinity,
+        Double.NegativeInfinity, 1.0))).toDF("id", "values")
+    // bit-pattern comparison: NaN == NaN and +0.0 != -0.0 (Scala ==
+    // unboxes java.lang.Double, so Some(NaN) != Some(NaN) otherwise)
+    def canon(xs: Seq[Option[Double]]): Seq[Option[Long]] =
+      xs.map(_.map(java.lang.Double.doubleToLongBits))
     val hof = d.withColumn("cum",
       expr("transform(`values`, (x, i) -> " +
         "aggregate(slice(`values`, 1, i), 0D, (acc, y) -> acc + y) + x)"))
-      .select("id", "cum").as[(Int, Seq[Option[Double]])].collect().toMap
+      .select("id", "cum").as[(Int, Seq[Option[Double]])].collect()
+      .map { case (k, v) => k -> canon(v) }.toMap
     val kernel = DataFrameOps.cumulativeArray(d, "values", "cum")
-      .select("id", "cum").as[(Int, Seq[Option[Double]])].collect().toMap
+      .select("id", "cum").as[(Int, Seq[Option[Double]])].collect()
+      .map { case (k, v) => k -> canon(v) }.toMap
     assert(kernel == hof)
     // int input coerces like the fold's 0D + y
     val ints = Seq((1, Seq(1, 2, 3))).toDF("id", "values")

@@ -148,13 +148,25 @@ class DriftSpec extends SparkTestBase {
       Seq[java.lang.Double](0.1, -0.2, 0.3),
       Seq[java.lang.Double](4.0, null, 5.0),
       Seq[java.lang.Double](),
-      Seq[java.lang.Double](1e200, 1e200)).toDF("v")
+      Seq[java.lang.Double](1e200, 1e200),
+      // r20 adversarial pins: NaN poisons the fold arithmetically (not
+      // via null), -0.0² folds to +0.0, null AFTER NaN still nulls
+      Seq[java.lang.Double](Double.NaN, 1.0),
+      Seq[java.lang.Double](-0.0, -0.0),
+      Seq[java.lang.Double](Double.NaN, null),
+      Seq[java.lang.Double](Double.PositiveInfinity, 1.0)).toDF("v")
+    // bit-pattern comparison: NaN == NaN and +0.0 != -0.0 (Scala ==
+    // unboxes java.lang.Double, so Some(NaN) != Some(NaN) otherwise)
     val hof = d.select(aggregate(col("v"), lit(0.0), (a, x) => a + x * x).as("s"))
-      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+      .collect().map(r =>
+        if (r.isNullAt(0)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(0)))).toSeq
     val kernel = d.select(org.apache.spark.sql.graft.ColumnBridge(
         graft.functions.SumSquaresExpr(
           org.apache.spark.sql.graft.ColumnBridge.expression(col("v")))).as("s"))
-      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+      .collect().map(r =>
+        if (r.isNullAt(0)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(0)))).toSeq
     assert(kernel == hof)
   }
 

@@ -125,6 +125,33 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(out(13L) == (("nothing in common at all", 0L)))
   }
 
+  test("fused batch keys ≡ windowKeys (the r20 single-tokenize append)") {
+    // appendSubstringBatch now takes the batch's window keys off the
+    // clean pass's own checkpointed window frame instead of a second
+    // windowKeys() tokenize — the two must stay row-identical
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "beta gamma delta zeta eta"),
+      (12L, "short"),
+      (13L, "")).toDF("doc_id", "text")
+    val base = Seq("alpha beta gamma").toDF("w")
+    for (hashed <- Seq(true, false)) {
+      val baseKeys =
+        if (hashed) SubstringDedup.windowKeys(
+          Seq((1L, "alpha beta gamma x y")).toDF("doc_id", "text"),
+          "doc_id", "text", k = 3, hashKeys = true)
+        else base
+      val (_, fusedKeys) = SubstringDedup.dedupAgainstKeysWithBatchKeys(
+        baseKeys, batch, "doc_id", "text", k = 3,
+        withinBatch = true, hashKeys = hashed)
+      val direct = SubstringDedup.windowKeys(
+        batch, "doc_id", "text", k = 3, hashKeys = hashed)
+      assert(fusedKeys.columns.toSeq == Seq("w"))
+      assert(fusedKeys.collect().map(_.get(0)).toSet ==
+        direct.collect().map(_.get(0)).toSet)
+    }
+  }
+
   test("dedupSubstringsAgainst: withinBatch=false cuts only base matches") {
     val base = Seq((1L, "x y z w")).toDF("doc_id", "text")
     val batch = Seq(

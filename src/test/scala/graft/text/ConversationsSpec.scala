@@ -67,6 +67,26 @@ class ConversationsSpec extends SparkTestBase {
     assert(flat(kernel) == flat(hof))
   }
 
+  test("ConvKernels.turns joins content at byte level (ADVICE r19)") {
+    // tokens carrying invalid UTF-8 bytes must pass through verbatim —
+    // the pre-r20 StringBuilder/toString build round-tripped through
+    // UTF-16 and rewrote them to replacement chars
+    import org.apache.spark.unsafe.types.UTF8String
+    val bad = UTF8String.fromBytes(Array[Byte](0x61, 0xFF.toByte, 0x62))
+    val ok = UTF8String.fromString("tok")
+    val toks = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](bad, ok, bad, ok, null, ok))
+    // id = 1 → k = 3 turns, no system turn; turn 0 covers tokens 0..1
+    val turns = graft.functions.ConvKernels.turns(toks, 1L)
+    val c0 = turns.getStruct(0, 2).getUTF8String(1)
+    val expected = Array[Byte](0x61, 0xFF.toByte, 0x62, ' ',
+      't', 'o', 'k')
+    assert(java.util.Arrays.equals(c0.getBytes, expected))
+    // null tokens still skip like concat_ws: turn 2 covers tokens 4..5
+    val c2 = turns.getStruct(2, 2).getUTF8String(1)
+    assert(c2.toString == "tok")
+  }
+
   test("turnProfile: counts, token totals, alternation hygiene") {
     val conv = turnsDF(
       1L -> Seq("system" -> "be brief", "user" -> "hi there", "assistant" -> "hello"),
